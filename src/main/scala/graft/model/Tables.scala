@@ -1,0 +1,76 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+
+/** Catalog of the driver testdata tables (TESTDATA.md / FIXTURES.md §1) and
+  * of the reference-shaped export layout (FIXTURES.md §2).
+  *
+  * Plays the role of the reference's "dimension universe" — the component
+  * that derives schemas from metadata instead of hand-writing them
+  * (reference: python/lsst/dp1_data_wrangling/datasets_parquet.py:92-116).
+  */
+object Tables {
+
+  /** TPC-H-ish star schema + events/documents/embeddings. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one testdata table. Plain columnar scan — Catalyst pushes any
+    * later select/filter into the parquet reader (column pruning +
+    * predicate pushdown).
+    *
+    * Timestamp-unit normalization (FIXTURES.md caveat / SURVEY.md §7.6):
+    * events.ts is TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. We read nanos as INT64 (legacy conf) and truncate to
+    * micros TimestampType — the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case None    => df
+    }
+  }
+
+  /** Nullable nanosecond validity interval — the reference's Timespan
+    * (datasets_parquet.py:119-121): a nullable struct of two int64
+    * nanoseconds, open-ended bounds encoded as nulls.
+    */
+  val timespanType: StructType = StructType(Seq(
+    StructField("begin_nsec", LongType, nullable = true),
+    StructField("end_nsec", LongType, nullable = true)))
+
+  /** Flattened datastore record (datastore_parquet.py:79-92). */
+  val datastoreSchema: StructType = StructType(Seq(
+    StructField("datastore_name", StringType, nullable = false),
+    StructField("dataset_id", BinaryType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("formatter", StringType, nullable = true),
+    StructField("storage_class", StringType, nullable = true),
+    StructField("component", StringType, nullable = true),
+    StructField("checksum", StringType, nullable = true),
+    StructField("file_size", LongType, nullable = true)))
+
+  /** Dataset table schema for a dataset type: UUID + run + one column per
+    * data-ID dimension (datasets_parquet.py:92-116). Schema is computed
+    * from the dimension list, never hand-written per type.
+    */
+  def datasetSchema(dataIdColumns: Seq[StructField]): StructType =
+    StructType(
+      StructField("dataset_id", BinaryType, nullable = false) +:
+      StructField("run", StringType, nullable = false) +:
+      dataIdColumns)
+
+  /** Association table = dataset schema + collection + validity timespan
+    * (datasets_parquet.py:39-49).
+    */
+  def associationSchema(dataIdColumns: Seq[StructField]): StructType =
+    StructType(datasetSchema(dataIdColumns).fields :+
+      StructField("collection", StringType, nullable = false) :+
+      StructField("timespan", timespanType, nullable = true))
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-window operators over event streams (SURVEY.md §2.10).
+  *
+  * The same aggregation expressions serve both the batch path (oracle-
+  * checkable vs DuckDB) and the Structured Streaming twin
+  * (graft.streaming.StreamingEvents): `window`/`session_window` work
+  * identically on static and streaming DataFrames; the streaming twin
+  * only adds `withWatermark`.
+  */
+object Events {
+
+  /** Tumbling window aggregate: one bucket per `duration`, epoch-aligned. */
+  def tumbling(df: DataFrame, ts: Column, duration: String,
+               extraKeys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, duration) +: extraKeys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding window aggregate: each event lands in duration/slide buckets. */
+  def sliding(df: DataFrame, ts: Column, duration: String, slide: String,
+              extraKeys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, duration, slide) +: extraKeys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session window: events closer than `gap` merge into one session;
+    * session end = last event + gap.
+    */
+  def session(df: DataFrame, ts: Column, gap: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(ts, gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Flatten a window struct into stable BIGINT epoch-micros bounds —
+    * dialect-proof for oracle comparison (no timestamp-unit drift,
+    * SURVEY.md §7.6).
+    */
+  def windowBoundsMicros(df: DataFrame, windowCol: String = "window"): DataFrame =
+    df.withColumn("ws", unix_micros(col(s"$windowCol.start")))
+      .withColumn("we", unix_micros(col(s"$windowCol.end")))
+      .drop(windowCol)
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Window-function operators.
+  *
+  * Two of the reference's core semantics are window queries:
+  *  - find_first (exporter.py:75-87): per data ID, take the dataset from
+  *    the first collection in the chain that has it.
+  *  - first-datastore-wins (datastore_parquet.py:66-76): per dataset_id,
+  *    keep the record from the highest-priority datastore.
+  *
+  * Both are `row_number() over (partition by keys order by priority)` = 1.
+  * Catalyst rewrites the rn=1 filter into WindowGroupLimit (Spark >= 3.5),
+  * so only the top row per key is materialized — no full sort of each
+  * partition group. At 100 TB this is a single hash-shuffle on the keys.
+  */
+object Windows {
+
+  private val RN = "__graft_rn"
+
+  /** Keep exactly one row per key: the first under `priority` ordering.
+    * Callers MUST make the ordering total (append a unique tiebreak
+    * column) — the reference can't have ties (one dataset per collection)
+    * but determinism here is a contract (SURVEY.md §7.5).
+    */
+  def findFirst(df: DataFrame, keys: Seq[Column], priority: Seq[Column]): DataFrame =
+    df.withColumn(RN, row_number().over(Window.partitionBy(keys: _*).orderBy(priority: _*)))
+      .filter(col(RN) === 1)
+      .drop(RN)
+
+  /** first-datastore-wins (datastore_parquet.py:66-76) — same shape as
+    * findFirst; kept as a named alias for call-site clarity.
+    */
+  def firstWins(df: DataFrame, keys: Seq[Column], priority: Seq[Column]): DataFrame =
+    findFirst(df, keys, priority)
+
+  /** Running aggregate over an ordered, partitioned frame
+    * (rows from start of partition to current row).
+    */
+  def running(agg: Column, partition: Seq[Column], order: Seq[Column]): Column =
+    agg.over(Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** Moving-frame aggregate (e.g. trailing moving average over the last
+    * `preceding`+1 rows).
+    */
+  def movingFrame(agg: Column, partition: Seq[Column], order: Seq[Column],
+                  preceding: Int): Column =
+    agg.over(Window.partitionBy(partition: _*).orderBy(order: _*)
+      .rowsBetween(-preceding, Window.currentRow))
+
+  /** Ranking spec shared by rank / dense_rank / row_number call sites. */
+  def rankSpec(partition: Seq[Column], order: Seq[Column]): WindowSpec =
+    Window.partitionBy(partition: _*).orderBy(order: _*)
+}

@@ -1,0 +1,627 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+import graft.ops.{Aggregates, Events, Relational, Scalars, Windows}
+
+/** SURVEY.md §2.12 core inventory: scans, projections/filters, joins,
+  * aggregations, windows, sorts, set ops, scalar functions, event windows.
+  * Each query cites its reference semantics; oracle SQL is hand-written
+  * DuckDB dialect (SURVEY.md §7.6 — no SQL generation).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  // ---------------------------------------------------------------- scans
+
+  /** S1 parquet scan (datasets_parquet.py:124-131). Full-width scan with a
+    * canonical ordering (exporter.py:90-92 sort-before-write policy).
+    * NOTE: (l_orderkey, l_linenumber) is NOT unique in this synthetic
+    * data — the ORDER BY spans enough columns to be total.
+    */
+  private val qScan = Q("q_scan",
+    (s, d) => t(s, d, "lineitem").orderBy(
+      col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity"), col("l_extendedprice")),
+    Some("SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, " +
+      "l_partkey, l_suppkey, l_quantity, l_extendedprice"))
+
+  /** S2 column-pruned scan (export_dp1.py:122-123 reads only
+    * ["instrument","id"]). Catalyst pushes the projection into the
+    * parquet reader — ReadSchema carries only these three columns.
+    */
+  private val qScanPrune = Q("q_scan_prune",
+    (s, d) => t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+    Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+      "ORDER BY l_orderkey, l_linenumber, l_quantity"))
+
+  // --------------------------------------------- projections / predicates
+
+  /** P1 projection (datasets_parquet.py:68-72 ref -> row columns). */
+  private val qProject = Q("q_project",
+    (s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      col("o_totalprice"),
+      round(col("o_totalprice") * lit(0.1), 4).as("tax_amt"),
+      upper(col("o_orderstatus")).as("status"))
+      .orderBy("o_orderkey"),
+    Some("SELECT o_orderkey, o_totalprice, " +
+      "round(o_totalprice * CAST(0.1 AS DOUBLE), 4) AS tax_amt, " +
+      "upper(o_orderstatus) AS status FROM orders ORDER BY o_orderkey"))
+
+  /** P2 equality predicate (export_dp1.py:106-108 where instrument=...). */
+  private val qFilterEq = Q("q_filter_eq",
+    (s, d) => t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .orderBy("c_custkey"),
+    Some("SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey"))
+
+  /** P3 suffix/glob predicate (export_dp1.py:81-94: endswith + fnmatch). */
+  private val qFilterLike = Q("q_filter_like",
+    (s, d) => t(s, d, "part")
+      .filter(col("p_name").endsWith("bolt") || col("p_name").like("red%"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey"),
+    Some("SELECT p_partkey, p_name, p_brand FROM part " +
+      "WHERE p_name LIKE '%bolt' OR p_name LIKE 'red%' ORDER BY p_partkey"))
+
+  /** P5 regex validation predicate (paths.py:20-23; import_dp1.py:92-93). */
+  private val qFilterRlike = Q("q_filter_rlike",
+    (s, d) => t(s, d, "documents")
+      .filter(col("text").rlike("^(the|a) "))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, lang, n_chars FROM documents " +
+      "WHERE regexp_matches(text, '^(the|a) ') ORDER BY doc_id"))
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1 equi-join (exporter.py:124-132 dataset x collection search). */
+  private val qJoinInner = Q("q_join_inner",
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey"),
+    Some("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
+
+  /** J2 join against a literal key batch (export_dp1.py:110-116
+    * join_data_coordinates). The key side is tiny and always broadcast.
+    */
+  private val qJoinBroadcast = Q("q_join_broadcast",
+    (s, d) => {
+      val keys = s.createDataFrame(Seq(
+        (0, "BUILDING"), (1, "AUTOMOBILE"), (2, "MACHINERY")))
+        .toDF("c_nationkey", "c_mktsegment")
+      Relational.literalKeyJoin(
+        t(s, d, "customer"), keys, Seq("c_nationkey", "c_mktsegment"))
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+    Some("SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer " +
+      "JOIN (VALUES (0,'BUILDING'),(1,'AUTOMOBILE'),(2,'MACHINERY')) AS k(nk, seg) " +
+      "ON c_nationkey = k.nk AND c_mktsegment = k.seg ORDER BY c_custkey"))
+
+  /** J3 star-schema expansion (exporter.py:85-87 with_dimension_records):
+    * fact joined through the dimension chain. Small dims broadcast so the
+    * only shuffle is the final aggregation.
+    */
+  private val qJoinStar = Q("q_join_star",
+    (s, d) => t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Scalars.sumCents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name", "n_name"),
+    Some("SELECT r_name, n_name, " +
+      "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents, " +
+      "count(*) AS n FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY r_name, n_name ORDER BY r_name, n_name"))
+
+  /** Left outer join (capability row, SURVEY.md §2.3 note). */
+  private val qJoinLeft = Q("q_join_left",
+    (s, d) => {
+      val rich = t(s, d, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+      t(s, d, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    },
+    Some("SELECT o_orderkey, c_name FROM orders LEFT JOIN " +
+      "(SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) " +
+      "ON o_custkey = c_custkey ORDER BY o_orderkey"))
+
+  /** J4 semi-join (exporter.py:136; importer.py:124). */
+  private val qSemiJoin = Q("q_semi_join",
+    (s, d) => Relational.semiJoin(
+      t(s, d, "nation"),
+      t(s, d, "supplier").select(col("s_nationkey").as("n_nationkey")),
+      Seq("n_nationkey"))
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey"),
+    Some("SELECT n_nationkey, n_name FROM nation " +
+      "WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey) " +
+      "ORDER BY n_nationkey"))
+
+  /** J5 anti-join (importer.py:71 skip_existing idempotent insert). */
+  private val qAntiJoin = Q("q_anti_join",
+    (s, d) => Relational.antiJoin(
+      t(s, d, "nation"),
+      t(s, d, "supplier").select(col("s_nationkey").as("n_nationkey")),
+      Seq("n_nationkey"))
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey"),
+    Some("SELECT n_nationkey, n_name FROM nation " +
+      "WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey) " +
+      "ORDER BY n_nationkey"))
+
+  /** J6 find_first (exporter.py:75-87): per data ID (customer), the order
+    * from the highest-priority collection (priority = parsed
+    * o_orderpriority rank), deterministic tiebreak on o_orderkey.
+    */
+  private val qFindFirst = Q("q_find_first",
+    (s, d) => Windows.findFirst(
+      t(s, d, "orders"),
+      keys = Seq(col("o_custkey")),
+      priority = Seq(
+        substring(col("o_orderpriority"), 1, 1).cast("int"), col("o_orderkey")))
+      .select("o_custkey", "o_orderkey", "o_orderpriority")
+      .orderBy("o_custkey"),
+    Some("SELECT o_custkey, o_orderkey, o_orderpriority FROM (" +
+      "SELECT o_custkey, o_orderkey, o_orderpriority, row_number() OVER (" +
+      "PARTITION BY o_custkey " +
+      "ORDER BY CAST(substr(o_orderpriority, 1, 1) AS INT), o_orderkey) AS rn " +
+      "FROM orders) WHERE rn = 1 ORDER BY o_custkey"))
+
+  /** J7 interval/range join (calibration validity, exporter.py:81-84,129):
+    * probe timestamps against [begin, end) validity windows. Interval side
+    * is broadcast -> BroadcastNestedLoopJoin, no shuffle of the fact side.
+    */
+  private val qRangeJoin = Q("q_range_join",
+    (s, d) => {
+      val iv = t(s, d, "orders")
+        .filter(col("o_orderkey") % 1499 === 0)
+        .select(
+          col("o_orderkey").as("iv_id"),
+          col("o_orderdate").as("begin"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("end"))
+      Relational.rangeJoin(
+        t(s, d, "lineitem"), iv, col("l_shipdate"), col("begin"), col("end"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n"),
+          Scalars.sumCents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("iv_id")
+    },
+    Some("WITH iv AS (SELECT o_orderkey AS iv_id, o_orderdate AS b, " +
+      "o_orderdate + INTERVAL 30 DAY AS e FROM orders WHERE o_orderkey % 1499 = 0) " +
+      "SELECT iv_id, count(*) AS n, " +
+      "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents " +
+      "FROM lineitem JOIN iv ON l_shipdate >= b AND l_shipdate < e " +
+      "GROUP BY iv_id ORDER BY iv_id"))
+
+  // --------------------------------------------- aggregation / dedup
+
+  /** A1 distinct key accumulation (exporter.py:73,89,106). */
+  private val qDistinct = Q("q_distinct",
+    (s, d) => Aggregates.distinctKeys(t(s, d, "orders"), Seq(col("o_custkey")))
+      .orderBy("o_custkey"),
+    Some("SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey"))
+
+  /** A2 dedup on key subset (dimension_record_parquet.py:48-58), made
+    * deterministic: survivor = min doc_id per (lang, source).
+    */
+  private val qDedupSubset = Q("q_dedup_subset",
+    (s, d) => Relational.dedupBySubset(
+      t(s, d, "documents"),
+      keys = Seq(col("lang"), col("source")),
+      order = Seq(col("doc_id")))
+      .select("doc_id", "lang", "source")
+      .orderBy("lang", "source"),
+    Some("SELECT doc_id, lang, source FROM (" +
+      "SELECT doc_id, lang, source, row_number() OVER (" +
+      "PARTITION BY lang, source ORDER BY doc_id) AS rn FROM documents) " +
+      "WHERE rn = 1 ORDER BY lang, source"))
+
+  /** A3 first-wins by priority (datastore_parquet.py:66-76): per part, the
+    * earliest shipped lineitem wins.
+    */
+  private val qFirstWins = Q("q_first_wins",
+    (s, d) => Windows.firstWins(
+      t(s, d, "lineitem"),
+      keys = Seq(col("l_partkey")),
+      priority = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice")))
+      .select("l_partkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_partkey"),
+    Some("SELECT l_partkey, l_orderkey, l_linenumber FROM (" +
+      "SELECT l_partkey, l_orderkey, l_linenumber, row_number() OVER (" +
+      "PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber, " +
+      "l_quantity, l_extendedprice) AS rn " +
+      "FROM lineitem) WHERE rn = 1 ORDER BY l_partkey"))
+
+  /** A4 group-by-key (importer.py:79-97 chunk by run). */
+  private val qGroupCount = Q("q_group_count",
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("nc"))
+      .orderBy("o_orderstatus"),
+    Some("SELECT o_orderstatus, count(*) AS n, count(DISTINCT o_custkey) AS nc " +
+      "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"))
+
+  /** A5 group -> nested collect (datastore_mapping.py:39-64), canonical
+    * element order via sort_array (SURVEY.md §7.5e), flattened to a string
+    * for dialect-proof comparison.
+    */
+  private val qGroupCollect = Q("q_group_collect",
+    (s, d) => Aggregates.nestCollect(
+      t(s, d, "nation"), Seq(col("n_regionkey")), col("n_name"), "names_arr")
+      .withColumn("names", array_join(col("names_arr"), ","))
+      .drop("names_arr")
+      .orderBy("n_regionkey"),
+    Some("SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names " +
+      "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"))
+
+  /** A6 routed group dispatch (importer.py:106-117 TAGGED->associate,
+    * CALIBRATION->certify).
+    */
+  private val qGroupRoute = Q("q_group_route",
+    (s, d) => Aggregates.routeAndCount(
+      t(s, d, "orders"),
+      route = when(col("o_orderstatus") === "O", "open")
+        .when(col("o_orderstatus") === "F", "finished")
+        .otherwise("other"),
+      aggs = Seq(count(lit(1)).as("n"),
+        Scalars.sumCents(col("o_totalprice")).as("total_cents")))
+      .orderBy("route"),
+    Some("SELECT CASE WHEN o_orderstatus = 'O' THEN 'open' " +
+      "WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'other' END AS route, " +
+      "count(*) AS n, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents " +
+      "FROM orders GROUP BY 1 ORDER BY route"))
+
+  /** Rollup (capability row, SURVEY.md §2.4 note). */
+  private val qRollup = Q("q_rollup",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"), Scalars.sumCents(col("c_acctbal")).as("bal_cents"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("SELECT r_name, n_name, count(*) AS n, " +
+      "sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY ROLLUP(r_name, n_name) " +
+      "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"))
+
+  /** Cube (capability row). */
+  private val qCube = Q("q_cube",
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .cube(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first),
+    Some("SELECT c_mktsegment, o_orderpriority, count(*) AS n FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey " +
+      "GROUP BY CUBE(c_mktsegment, o_orderpriority) " +
+      "ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"))
+
+  // ---------------------------------------------------------------- windows
+
+  /** W2 running total over ordered frame. */
+  private val qWindowRunning = Q("q_window_running",
+    (s, d) => t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      round(Windows.running(
+        sum(col("o_totalprice")),
+        partition = Seq(col("o_custkey")),
+        order = Seq(col("o_orderdate"), col("o_orderkey"))), 4).as("running"))
+      .orderBy("o_custkey", "o_orderkey"),
+    Some("SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (" +
+      "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running " +
+      "FROM orders ORDER BY o_custkey, o_orderkey"))
+
+  /** W3 moving-frame aggregate (trailing 3-row moving average). The frame
+    * ordering must be total over value-distinct rows (SURVEY.md §7.5a) —
+    * (l_shipdate, l_orderkey, l_linenumber) alone ties in this data, so
+    * l_quantity and l_extendedprice complete the order.
+    */
+  private val qWindowFrame = Q("q_window_frame",
+    (s, d) => t(s, d, "lineitem").select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+      round(Windows.movingFrame(
+        avg(col("l_quantity")),
+        partition = Seq(col("l_suppkey")),
+        order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        preceding = 2), 4).as("mov_avg"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "mov_avg"),
+    Some("SELECT l_suppkey, l_orderkey, l_linenumber, round(avg(l_quantity) OVER (" +
+      "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, " +
+      "l_quantity, l_extendedprice " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg " +
+      "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_avg"))
+
+  /** W4 ranking with ties. */
+  private val qWindowRank = Q("q_window_rank",
+    (s, d) => {
+      val spec = Windows.rankSpec(
+        Seq(col("p_brand")), Seq(col("p_retailprice").desc))
+      t(s, d, "part").select(
+        col("p_partkey"), col("p_brand"),
+        rank().over(spec).as("rnk"),
+        dense_rank().over(spec).as("drnk"))
+        .orderBy("p_brand", "rnk", "p_partkey")
+    },
+    Some("SELECT p_partkey, p_brand, " +
+      "rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk, " +
+      "dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk " +
+      "FROM part ORDER BY p_brand, rnk, p_partkey"))
+
+  // -------------------------------------------------------- sorts / top-k
+
+  /** O1/O3 composite-key sort (exporter.py:90-92 compressibility policy). */
+  private val qSort = Q("q_sort",
+    (s, d) => t(s, d, "lineitem")
+      .select("l_suppkey", "l_partkey", "l_orderkey", "l_linenumber")
+      .orderBy("l_suppkey", "l_partkey", "l_orderkey", "l_linenumber"),
+    Some("SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber FROM lineitem " +
+      "ORDER BY l_suppkey, l_partkey, l_orderkey, l_linenumber"))
+
+  /** O2 (collection, data-ID) sort (exporter.py:137-140). */
+  private val qSortMulti = Q("q_sort_multi",
+    (s, d) => t(s, d, "orders")
+      .select("o_orderpriority", "o_orderdate", "o_orderkey")
+      .orderBy("o_orderpriority", "o_orderdate", "o_orderkey"),
+    Some("SELECT o_orderpriority, o_orderdate, o_orderkey FROM orders " +
+      "ORDER BY o_orderpriority, o_orderdate, o_orderkey"))
+
+  /** O6 top-k: Spark plans TakeOrderedAndProject (no global sort). */
+  private val qTopk = Q("q_topk",
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")),
+    Some("SELECT o_orderkey, o_totalprice FROM orders " +
+      "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"))
+
+  // ---------------------------------------------------------------- set ops
+
+  /** E1 union-distinct (export_dp1.py:74; exporter.py:47,94). */
+  private val qUnion = Q("q_union",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey"),
+    Some("SELECT c_nationkey AS nationkey FROM customer " +
+      "UNION SELECT s_nationkey FROM supplier ORDER BY nationkey"))
+
+  /** E2 difference for validation (importer.py:36-39). */
+  private val qExcept = Q("q_except",
+    (s, d) => Relational.validateSubset(
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey")),
+      t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("SELECT c_nationkey AS nationkey FROM customer " +
+      "EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey"))
+
+  /** E3 intersect (importer.py:46 membership check). */
+  private val qIntersect = Q("q_intersect",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("SELECT c_nationkey AS nationkey FROM customer " +
+      "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"))
+
+  // --------------------------------------------------------------- scalars
+
+  /** F1/F4 prefix replace (import_dp1.py:83-90). */
+  private val qStrReplace = Q("q_str_replace",
+    (s, d) => t(s, d, "nation").select(
+      col("n_nationkey"),
+      Scalars.PathOps.replacePrefix(col("n_name"), "NATION_", "nation/").as("path"))
+      .orderBy("n_nationkey"),
+    Some("SELECT n_nationkey, regexp_replace(n_name, '^NATION_', 'nation/') AS path " +
+      "FROM nation ORDER BY n_nationkey"))
+
+  /** F2 multi-branch prefix routing (import_dp1.py:106-118). */
+  private val qStrRoute = Q("q_str_route",
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      Scalars.PathOps.route(col("source"),
+        Seq("src1" -> "raw/", "src2" -> "refcat/"), "dp1/").as("routed"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, CASE " +
+      "WHEN starts_with(source, 'src1') THEN 'raw/' || source " +
+      "WHEN starts_with(source, 'src2') THEN 'refcat/' || source " +
+      "ELSE 'dp1/' || source END AS routed FROM documents ORDER BY doc_id"))
+
+  /** F3 fragment strip (generate_dp1_file_tree.py:67-72). */
+  private val qStrSplit = Q("q_str_split",
+    (s, d) => {
+      val path = concat(col("source"), lit("#unzip="), col("lang"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        Scalars.PathOps.stripFragment(path).as("base"),
+        Scalars.PathOps.fragment(path).as("frag"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, split_part(source || '#unzip=' || lang, '#', 1) AS base, " +
+      "split_part(source || '#unzip=' || lang, '#', 2) AS frag " +
+      "FROM documents ORDER BY doc_id"))
+
+  /** F7 binary <-> hex round trip (datasets_parquet.py:70; utils.py:24-26
+    * UUID bytes). hex on both sides for BLOB-safe comparison
+    * (SURVEY.md §7.6).
+    */
+  private val qBinHex = Q("q_bin_hex",
+    (s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      hex(col("c_name")).as("h"),
+      hex(unhex(hex(col("c_name")))).as("rt"))
+      .orderBy("c_custkey"),
+    Some("SELECT c_custkey, hex(c_name) AS h, hex(unhex(hex(c_name))) AS rt " +
+      "FROM customer ORDER BY c_custkey"))
+
+  /** F9 date/timestamp handling; BIGINT epoch-micros keys for unit-drift-
+    * proof comparison.
+    */
+  private val qDateTrunc = Q("q_date_trunc",
+    (s, d) => t(s, d, "orders")
+      .groupBy(
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("m_us"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"),
+        Scalars.sumCents(col("o_totalprice")).as("total_cents"))
+      .orderBy("m_us"),
+    Some("SELECT epoch_us(date_trunc('month', o_orderdate)) AS m_us, " +
+      "year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents " +
+      "FROM orders GROUP BY 1, 2, 3 ORDER BY m_us"))
+
+  /** F10 arithmetic aggregate (TPC-H Q1 shape), exact cents sums. */
+  private val qMathExpr = Q("q_math_expr",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Scalars.sumCents(col("l_extendedprice")
+          * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("rev_cents"),
+        sum(Scalars.moneyCents(col("l_quantity"))).as("qty_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("SELECT l_returnflag, l_linestatus, " +
+      "sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS rev_cents, " +
+      "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_cents, " +
+      "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+      "ORDER BY l_returnflag, l_linestatus"))
+
+  /** F11 array function: dot product vs a query vector, via built-in
+    * zip_with + aggregate (no UDF, stays in codegen).
+    */
+  private val qArrayDot = Q("q_array_dot",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      emb.crossJoin(broadcast(qv)).select(
+        col("vec_id"),
+        round(aggregate(
+          zip_with(col("embedding"), col("qe"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 4).as("dot"))
+        .orderBy("vec_id")
+    },
+    Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
+      "SELECT vec_id, round(list_dot_product(" +
+      "CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS dot " +
+      "FROM embeddings e, q ORDER BY vec_id"))
+
+  /** F11 JSON extraction from the events props payload. */
+  private val qJsonExtract = Q("q_json_extract",
+    (s, d) => t(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id"),
+    Some("SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k " +
+      "FROM events ORDER BY event_id"))
+
+  /** Generator/UDTF slot (SURVEY.md §2.11): tokenize -> explode -> count. */
+  private val qExplodeTokens = Q("q_explode_tokens",
+    (s, d) => t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("token"),
+    Some("SELECT token, count(*) AS n FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+      "GROUP BY token ORDER BY token"))
+
+  // ----------------------------------------------------- event windows
+
+  /** T1 tumbling window aggregate (batch twin; streaming twin in
+    * graft.streaming).
+    */
+  private val qWindowTumbling = Q("q_window_tumbling",
+    (s, d) => Events.windowBoundsMicros(
+      Events.tumbling(t(s, d, "events"), col("ts"), "1 hour",
+        extraKeys = Seq(col("event_type")),
+        aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))))
+      .select("ws", "event_type", "n", "sv")
+      .orderBy("ws", "event_type"),
+    Some("SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS ws, " +
+      "event_type, count(*) AS n, round(sum(value), 4) AS sv " +
+      "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"))
+
+  /** T2 sliding window aggregate (1 hour window, 15 minute slide). */
+  private val qWindowSliding = Q("q_window_sliding",
+    (s, d) => Events.windowBoundsMicros(
+      Events.sliding(t(s, d, "events"), col("ts"), "1 hour", "15 minutes",
+        extraKeys = Seq.empty,
+        aggs = Seq(count(lit(1)).as("n"))))
+      .select("ws", "n")
+      .orderBy("ws"),
+    Some("SELECT ws, count(*) AS n FROM (" +
+      "SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 " +
+      "- CAST(k AS BIGINT) * 900000000 AS ws " +
+      "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)) " +
+      "GROUP BY ws ORDER BY ws"))
+
+  /** T3 session window (30 minute gap) per user; oracle via
+    * gaps-and-islands SQL (SURVEY.md §2.10).
+    */
+  private val qWindowSession = Q("q_window_session",
+    (s, d) => Events.session(t(s, d, "events"), col("ts"), "30 minutes",
+      keys = Seq(col("user_id")),
+      aggs = Seq(count(lit(1)).as("n")))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start"),
+        unix_micros(col("session_window.end")).as("s_end"),
+        col("n"))
+      .orderBy("user_id", "s_start"),
+    Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
+      "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+      "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+      "SELECT user_id, epoch_us(min(ts)) AS s_start, " +
+      "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS s_end, count(*) AS n " +
+      "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"))
+
+  // ---------------------------------------------------------------- all
+
+  val all: Seq[Q] = Seq(
+    qScan, qScanPrune,
+    qProject, qFilterEq, qFilterLike, qFilterRlike,
+    qJoinInner, qJoinBroadcast, qJoinStar, qJoinLeft,
+    qSemiJoin, qAntiJoin, qFindFirst, qRangeJoin,
+    qDistinct, qDedupSubset, qFirstWins, qGroupCount,
+    qGroupCollect, qGroupRoute, qRollup, qCube,
+    qWindowRunning, qWindowFrame, qWindowRank,
+    qSort, qSortMulti, qTopk,
+    qUnion, qExcept, qIntersect,
+    qStrReplace, qStrRoute, qStrSplit, qBinHex,
+    qDateTrunc, qMathExpr, qArrayDot, qJsonExtract, qExplodeTokens,
+    qWindowTumbling, qWindowSliding, qWindowSession)
+}

@@ -1,0 +1,20 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke: mirrors the driver's t1 check (SparkEntry.entry rows > 0). */
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.entry(spark)
+    df.show(20, truncate = false)
+    println(s"entry rows = ${df.count()}")
+    spark.stop()
+  }
+}
