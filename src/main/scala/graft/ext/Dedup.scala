@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextHash._
+
+/** Large-scale document deduplication operators ([EXT]).
+  *
+  * Scale design (100 TB posture):
+  *  - exact: one hash-shuffle on the text key (map-side partial agg).
+  *  - MinHash+LSH: per-doc signatures are computed in a single
+  *    projection (no shuffle); candidate generation shuffles only
+  *    (band, bandKey) buckets, never all pairs; pair verification is
+  *    an equi-join on bucket keys. Pair count scales with the number
+  *    of true near-dups, not n^2.
+  *  - SimHash: one explode + hash-agg; fingerprints are compact ints
+  *    that can be range-bucketed for hamming search.
+  *  - n-gram Jaccard: candidate pairs via shared-shingle equi-join
+  *    (inverted index in dataflow form), so cost follows shingle
+  *    collisions, not n^2.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical text.
+    * 100 TB note: for long texts, group on a digest (md5(text)) instead
+    * of raw text to shrink shuffle width — exactness is unchanged.
+    */
+  def exact(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.groupBy(md5(text).as("text_md5"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc MinHash signature: k columns h0..h(k-1) over word-3-gram
+    * shingles.
+    *
+    * Formulated as explode -> hash once -> k cheap arithmetic mins in a
+    * single hash aggregation: the expensive md5 runs exactly once per
+    * shingle (an array-lambda formulation would recompute it k times —
+    * CollapseProject inlines shared projections), rows stay narrow, and
+    * the aggregate combines map-side. Docs with < 3 tokens produce no
+    * shingles and drop out (no signature to hash on).
+    */
+  def minhashSignature(docs: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
+    require(k <= Params.size, s"only ${Params.size} hash params defined")
+    val hashed = docs
+      .select(id.as("doc_id"), explode(shingles(tokens(text), 3)).as("s"))
+      .select(col("doc_id"), baseHash(col("s")).as("h"))
+    val sigCols = Params.take(k).zipWithIndex.map {
+      case ((a, b), i) => min(hashAB(col("h"), a, b)).as(s"h$i")
+    }
+    hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs + signature-estimated similarity.
+    * Bands the k-wide signature into `bands` groups of k/bands rows;
+    * docs sharing any band key become candidates; estimated similarity
+    * = fraction of agreeing signature components.
+    */
+  def minhashLshPairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, "bands must divide k")
+    val bandStructs = (0 until bands).map { b =>
+      val key = concat_ws(":", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+
+    val sigA = sig.select((col("doc_id").as("da") +:
+      (0 until k).map(i => col(s"h$i").as(s"a$i"))): _*)
+    val sigB = sig.select((col("doc_id").as("db") +:
+      (0 until k).map(i => col(s"h$i").as(s"b$i"))): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, "da").join(sigB, "db")
+      .select(col("da"), col("db"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_sim"))
+  }
+
+  /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set
+    * when the (+1/-1) vote sum of token-hash bit j is positive.
+    */
+  def simhash16(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val tk = docs.select(id.as("doc_id"),
+      explode(tokens(text)).as("t"))
+      .select(col("doc_id"), baseHash(col("t")).as("h"))
+    val bitSums = (0 until 16).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val fp = (0 until 16)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tk.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates via
+    * shared-shingle inverted index (equi-join on the shingle).
+    */
+  def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(id.as("doc_id"),
+      explode(array_distinct(shingles(tokens(text), n))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("da"), col("s"))
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+}

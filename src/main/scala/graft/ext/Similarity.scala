@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Windows
+
+/** Embedding similarity search ([EXT]): brute-force cosine baseline and
+  * an IVF-style cluster-pruned variant as the scale path.
+  *
+  * Vector math uses built-in higher-order functions (zip_with +
+  * aggregate) over array<float> cast to double — codegen'd, no UDF,
+  * same arithmetic expressible in the DuckDB oracle.
+  *
+  * 100 TB posture: brute-force is O(queries x corpus) with the corpus
+  * scanned once per batch of broadcast queries — correct baseline, used
+  * when the query set is small. IVF assigns the corpus to centroids
+  * once (narrow, cache-able), then probes only matching clusters,
+  * cutting the scanned fraction to ~1/nlist per query.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, sequential accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) given precomputed norms (avoids recomputing norms
+    * inside join conditions).
+    */
+  def cosinePre(dotAb: Column, na: Column, nb: Column): Column =
+    dotAb / (na * nb)
+
+  /** Corpus with an attached norm column — compute once, reuse. */
+  def withNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
+    emb.select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
+
+  /** All pairs (a < b) with cosine >= threshold — embedding near-dup
+    * join. Baseline is the triangular self-join; at scale, bucket by an
+    * LSH of the vector (e.g. sign bits of fixed projections) first.
+    */
+  def cosinePairs(emb: DataFrame, id: Column, vec: Column,
+                  threshold: Double): DataFrame = {
+    val n = withNorm(emb, id, vec)
+    val a = n.select(col("vec_id").as("va"), col("v").as("xa"), col("nm").as("na"))
+    val b = n.select(col("vec_id").as("vb"), col("v").as("xb"), col("nm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        cosinePre(dot(col("xa"), col("xb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Brute-force top-k neighbors (cosine) for each query vector;
+    * queries are broadcast, corpus is scanned once.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"), col("nm").as("qn"))
+    val scored = corpus.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm")).as("cos"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+  }
+
+  /** IVF-style search: assign every corpus vector to its nearest
+    * centroid (cluster pruning index), then answer each query by
+    * scanning only the query's own cluster.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame,
+              queries: DataFrame, k: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("cid"), col("v").as("cv"), col("nm").as("cn"))
+    // assignment: argmax cosine over centroids (broadcast; one pass)
+    val assigned = Windows.findFirst(
+      corpus.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("v"), col("nm"), col("cid"),
+          cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn")).as("ccos")),
+      keys = Seq(col("vec_id")),
+      priority = Seq(col("ccos").desc, col("cid")))
+      .select("vec_id", "v", "nm", "cid")
+    val q = assigned
+      .join(queries.select(col("vec_id").as("qid")), col("qid") === col("vec_id"))
+      .select(col("qid"), col("v").as("qv"), col("nm").as("qn"), col("cid"))
+    val scored = assigned.join(broadcast(q), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm")).as("cos"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextHash._
+
+/** Text-analysis operators for training-data pipelines ([EXT]):
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All built-ins, per-row (embarrassingly parallel —
+  * no shuffle at any scale).
+  */
+object TextAnalysis {
+
+  /** Function-word markers for the language heuristic. */
+  val StopWords: Seq[String] = Seq("the", "a")
+
+  /** Per-doc surface statistics reused by langId / quality:
+    * n_tok, avg word length, stopword ratio.
+    */
+  def stats(text: Column): (Column, Column, Column) = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("long")
+    // chars excluding the (n_tok - 1) separating spaces, per token
+    val avgWlen = (length(text) - nTok + lit(1)).cast("double") / nTok
+    val stopCount = size(filter(tok,
+      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
+    val stopRatio = stopCount.cast("double") / nTok
+    (nTok, avgWlen, stopRatio)
+  }
+
+  /** n-gram-heuristic language ID: function-word density first, then
+    * mean word length as a coarse family split. Deterministic —
+    * replicated exactly by the DuckDB oracle.
+    */
+  def langId(text: Column): Column = {
+    val (_, avgWlen, stopRatio) = stats(text)
+    when(stopRatio >= 0.08, "en")
+      .when(avgWlen >= 4.8, "de")
+      .otherwise("unk")
+  }
+
+  /** Quality score in [0, 1]: length credit + function-word credit. */
+  def qualityScore(text: Column): Column = {
+    val (nTok, _, stopRatio) = stats(text)
+    least(lit(1.0), nTok.cast("double") / 200.0) * 0.5 +
+      least(lit(1.0), stopRatio * 10.0) * 0.5
+  }
+
+  /** Whitespace token count + BPE-ish subword count (greedy <=4-char
+    * chunks), the classic cheap token-budget estimators.
+    */
+  def tokenCounts(text: Column): (Column, Column) = (
+    size(tokens(text)).cast("long"),
+    regexp_count(text, lit("[a-z]{1,4}")))
+
+  /** Content fingerprint: 48-bit rolling digest + full md5. */
+  def fingerprint(text: Column): (Column, Column) = (baseHash(text), md5(text))
+}

@@ -37,6 +37,15 @@ object Windows {
   def firstWins(df: DataFrame, keys: Seq[Column], priority: Seq[Column]): DataFrame =
     findFirst(df, keys, priority)
 
+  /** Top-k rows per key under `priority`, keeping the 1-based rank as
+    * `rankName`. Same WindowGroupLimit-optimized shape as findFirst.
+    */
+  def findFirstK(df: DataFrame, keys: Seq[Column], priority: Seq[Column],
+                 k: Int, rankName: String): DataFrame =
+    df.withColumn(rankName,
+      row_number().over(Window.partitionBy(keys: _*).orderBy(priority: _*)))
+      .filter(col(rankName) <= k)
+
   /** Running aggregate over an ordered, partitioned frame
     * (rows from start of partition to current row).
     */

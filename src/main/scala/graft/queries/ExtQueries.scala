@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.model.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis, TextHash}
+
+/** [EXT] LLM-training-data pipeline operators (builder-prompt north
+  * star): deduplication (exact / MinHash+LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), similarity search (brute-force +
+  * IVF-pruned ANN), text analysis (lang-ID / quality / token counts /
+  * fingerprints). Every query is oracle-checked against DuckDB; the
+  * hashing arithmetic is engine-portable by construction (TextHash).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.load(s, d, name)
+
+  // ------------------------------------------------------------- dedup
+
+  private val qDedupExact = Q("q_dedup_exact",
+    (s, d) => Dedup.exact(t(s, d, "documents"), col("text"), col("doc_id"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id"),
+    Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
+      "FROM documents GROUP BY md5(text) ORDER BY keep_id"))
+
+  /** DuckDB fragment: minhash h_i over 3-gram shingles of text. */
+  private def duckMinhash(i: Int): String = {
+    val (a, b) = TextHash.Params(i)
+    s"list_min(list_transform(sh, s -> ${TextHash.duckHashAB(TextHash.duckBaseHash("s"), a, b)}))"
+  }
+
+  private def duckSigCte: String =
+    "WITH sh0 AS (SELECT doc_id, " + TextHash.duckShingles("text", 3) + " AS sh FROM documents), " +
+      "sig AS (SELECT doc_id, " +
+      (0 until 8).map(i => s"${duckMinhash(i)} AS h$i").mkString(", ") +
+      " FROM sh0)"
+
+  private val qMinhash = Q("q_minhash",
+    (s, d) => Dedup.minhashSignature(
+      t(s, d, "documents"), col("text"), col("doc_id"), k = 4)
+      .orderBy("doc_id"),
+    Some("WITH sh0 AS (SELECT doc_id, " + TextHash.duckShingles("text", 3) +
+      " AS sh FROM documents) SELECT doc_id, " +
+      (0 until 4).map(i => s"${duckMinhash(i)} AS h$i").mkString(", ") +
+      " FROM sh0 ORDER BY doc_id"))
+
+  private val qMinhashLsh = Q("q_minhash_lsh",
+    (s, d) => {
+      val sig = Dedup.minhashSignature(
+        t(s, d, "documents"), col("text"), col("doc_id"), k = 8)
+      Dedup.minhashLshPairs(sig, k = 8, bands = 4)
+        .filter(col("est_sim") >= 0.5)
+        .select(col("da"), col("db"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy("da", "db")
+    },
+    Some(duckSigCte + ", bands AS (SELECT doc_id, b, CASE b " +
+      "WHEN 0 THEN concat(h0, ':', h1) WHEN 1 THEN concat(h2, ':', h3) " +
+      "WHEN 2 THEN concat(h4, ':', h5) ELSE concat(h6, ':', h7) END AS bkey " +
+      "FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+      "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
+      "SELECT da, db, round(CAST(" +
+      (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
+      " AS DOUBLE) / 8.0, 4) AS est_sim " +
+      "FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id " +
+      "WHERE CAST(" +
+      (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
+      " AS DOUBLE) / 8.0 >= 0.5 ORDER BY da, db"))
+
+  private val qSimhash = Q("q_simhash",
+    (s, d) => Dedup.simhash16(t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH tk AS (SELECT doc_id, " + TextHash.duckBaseHash("t") + " AS h FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+      "bs AS (SELECT doc_id, " +
+      (0 until 16).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ") +
+      " FROM tk GROUP BY doc_id) SELECT doc_id, CAST(" +
+      (0 until 16).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
+      " AS BIGINT) AS fp FROM bs ORDER BY doc_id"))
+
+  private val qNgramJaccard = Q("q_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(
+      t(s, d, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.5)
+      .select(col("da"), col("db"), round(col("jacc"), 4).as("jacc"))
+      .orderBy("da", "db"),
+    Some("WITH sh AS (SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 3) + ")) AS s FROM documents), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
+      "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+      "SELECT da, db, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jacc " +
+      "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+      "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 ORDER BY da, db"))
+
+  // ------------------------------------------------- similarity search
+
+  private val duckNormCte =
+    "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings)"
+
+  private val qEmbedCosine = Q("q_embed_cosine",
+    (s, d) => Similarity.cosinePairs(
+      t(s, d, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.4)
+      .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+      .orderBy("va", "vb"),
+    Some(duckNormCte +
+      " SELECT a.vec_id AS va, b.vec_id AS vb, " +
+      "round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 4) AS cos " +
+      "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
+      "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4 ORDER BY va, vb"))
+
+  private val qAnnTopk = Q("q_ann_topk",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(n.filter(col("vec_id") < 5), n, k = 10)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some(duckNormCte + ", s AS (SELECT q.vec_id AS qid, c.vec_id, " +
+      "list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos " +
+      "FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id), " +
+      "r AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM r WHERE rnk <= 10 ORDER BY qid, rnk"))
+
+  private val qAnnIvf = Q("q_ann_ivf",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(
+        corpus = n,
+        centroids = n.filter(col("vec_id") % 100 === 0),
+        queries = n.filter(col("vec_id").isin(1, 2, 3, 4)),
+        k = 5)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some(duckNormCte + ", cent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
+      "asg AS (SELECT vec_id, v, nm, cid FROM (" +
+      "SELECT n.vec_id, n.v, n.nm, c.vec_id AS cid, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
+      "FROM n CROSS JOIN cent c) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, nm AS qn, cid FROM asg " +
+      "WHERE vec_id IN (1, 2, 3, 4)), " +
+      "s AS (SELECT q.qid, a.vec_id, " +
+      "list_dot_product(q.qv, a.v) / (q.qn * a.nm) AS cos " +
+      "FROM asg a JOIN q ON a.cid = q.cid AND a.vec_id <> q.qid), " +
+      "r AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM r WHERE rnk <= 5 ORDER BY qid, rnk"))
+
+  // ------------------------------------------------------ text analysis
+
+  private val duckNTok = "len(string_split(text, ' '))"
+  private val duckStop =
+    "len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a'))"
+  private val duckAvgW = s"CAST(length(text) - $duckNTok + 1 AS DOUBLE) / $duckNTok"
+  private val duckStopRatio = s"CAST($duckStop AS DOUBLE) / $duckNTok"
+
+  private val qLangId = Q("q_lang_id",
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, lang, CASE " +
+      s"WHEN $duckStopRatio >= 0.08 THEN 'en' " +
+      s"WHEN $duckAvgW >= 4.8 THEN 'de' ELSE 'unk' END AS pred_lang " +
+      "FROM documents ORDER BY doc_id"))
+
+  private val qQualityScore = Q("q_quality_score",
+    (s, d) => {
+      val (nTok, _, _) = TextAnalysis.stats(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"), nTok.as("n_tok"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("score"))
+        .orderBy("doc_id")
+    },
+    Some(s"SELECT doc_id, $duckNTok AS n_tok, round(" +
+      s"least(1.0, CAST($duckNTok AS DOUBLE) / 200.0) * 0.5 + " +
+      s"least(1.0, $duckStopRatio * 10.0) * 0.5, 4) AS score " +
+      "FROM documents ORDER BY doc_id"))
+
+  private val qTokenCount = Q("q_token_count",
+    (s, d) => {
+      val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"), ws.as("ws_tokens"), bpe.cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    Some(s"SELECT doc_id, $duckNTok AS ws_tokens, " +
+      "len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_tokens " +
+      "FROM documents ORDER BY doc_id"))
+
+  private val qFingerprint = Q("q_fingerprint",
+    (s, d) => {
+      val (fp48, fpMd5) = TextAnalysis.fingerprint(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"), fp48.as("fp48"), fpMd5.as("fp_md5"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, " + TextHash.duckBaseHash("text") + " AS fp48, " +
+      "md5(text) AS fp_md5 FROM documents ORDER BY doc_id"))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qMinhash, qMinhashLsh, qSimhash, qNgramJaccard,
+    qEmbedCosine, qAnnTopk, qAnnIvf,
+    qLangId, qQualityScore, qTokenCount, qFingerprint)
+}
