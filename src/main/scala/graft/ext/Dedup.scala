@@ -104,19 +104,30 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates via
     * shared-shingle inverted index (equi-join on the shingle).
+    *
+    * The index carries the 48-bit shingle hash, not the string: the
+    * self-join shuffles 8-byte longs instead of ~20-byte UTF8 grams and
+    * compares by long equality. (Cross-doc hash collisions would merge
+    * distinct shingles; at 48 bits that is ~2^-48 per pair — accepted,
+    * and the oracle applies the same hash so results stay comparable.)
     */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
                         n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Per-doc set size rides along as a window count over the exploded
+    // index: one lineage, so the expensive shingle+md5 projection is
+    // computed once and the self-join's two sides reuse one shuffle
+    // (ReusedExchange) instead of recomputing it, and no separate
+    // `sizes` aggregate + two back-joins are needed.
     val sh = docs.select(id.as("doc_id"),
-      explode(array_distinct(shingles(tokens(text), n))).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("doc_id").as("da"), col("s"))
-      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+      explode(array_distinct(shingles(tokens(text), n))).as("s0"))
+      .select(col("doc_id"), baseHash(col("s0")).as("s"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val a = sh.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
+    val b = sh.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
+    a.join(b, Seq("s"))
       .filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("na")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("nb")), "db")
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("i"))
       .select(col("da"), col("db"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
       .filter(col("jacc") >= threshold)

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
 import graft.ops.Windows
 
 /** Embedding similarity search ([EXT]): brute-force cosine baseline and
@@ -20,11 +21,12 @@ import graft.ops.Windows
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, sequential accumulation. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) in double precision, sequential accumulation.
+    * Native codegen'd kernel (graft.functions.DotProduct); arithmetic
+    * identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to
+    * DuckDB's list_dot_product over DOUBLE[].
+    */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

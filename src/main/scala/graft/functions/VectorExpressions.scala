@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over two numeric arrays.
+  *
+  * The built-in formulation `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`
+  * is semantically identical but runs interpreted (higher-order
+  * functions are CodegenFallback) and allocates an intermediate array
+  * per row — at 100 TB scale (and even at sf0.1's 2M candidate pairs)
+  * that is the difference between a codegen'd fused loop and a
+  * per-pair interpreter round-trip. Arithmetic is kept bit-identical
+  * to the built-in/DuckDB form: cast each element to double, multiply,
+  * accumulate left-to-right.
+  *
+  * Accepts array<float> or array<double> on either side. Null arrays
+  * propagate null (standard binary-expression null semantics); element
+  * nulls are not expected in the embedding data and read as 0.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val getA =
+        if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getB =
+        if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
+      s"""
+         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $getA * $getB;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points for the native vector kernels. */
+object VectorFunctions {
+  /** Codegen'd dot(a, b) in double precision, sequential accumulation —
+    * drop-in for the zip_with/aggregate formulation.
+    */
+  def dotNative(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

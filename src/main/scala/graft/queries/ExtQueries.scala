@@ -90,8 +90,9 @@ object ExtQueries {
       t(s, d, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.5)
       .select(col("da"), col("db"), round(col("jacc"), 4).as("jacc"))
       .orderBy("da", "db"),
-    Some("WITH sh AS (SELECT doc_id, unnest(list_distinct(" +
-      TextHash.duckShingles("text", 3) + ")) AS s FROM documents), " +
+    Some("WITH sh AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") + " AS s FROM " +
+      "(SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 3) + ")) AS s0 FROM documents)), " +
       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
       "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
