@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over a lazy cat"),    // near dup
+    (4L, "completely different text with no overlap at all"),
+    (5L, "xy")                                            // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: identical texts collapse, min id survives") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash signatures: identical texts agree; short docs drop out") {
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), k = 4)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L)) // doc 5 has no 3-shingles
+    assert(rows(1L) == rows(2L))               // dup docs, same signature
+    assert(rows(1L) != rows(4L))               // unrelated docs differ
+  }
+
+  test("LSH pairs: exact dups estimated at 1.0; est_sim within [0,1]") {
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), k = 8)
+    val pairs = Dedup.minhashLshPairs(sig, k = 8, bands = 4)
+      .select("da", "db", "est_sim").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(pairs.forall { case (a, b, s) => a < b && s >= 0.0 && s <= 1.0 })
+  }
+
+  test("ngram Jaccard: exact dups at 1.0, near dups in (0,1), da < db") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        n = 3, threshold = 0.1)
+      .select("da", "db", "jacc").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m.contains((1L, 3L)) && m((1L, 3L)) > 0.0 && m((1L, 3L)) < 1.0)
+    assert(!m.keySet.exists { case (a, b) => a >= b })
+    assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L }) // no overlap
+  }
+
+  test("simhash: identical texts share fingerprints; 16-bit range") {
+    val fp = Dedup.simhash16(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp.values.forall(v => v >= 0L && v < (1L << 16)))
+  }
+}

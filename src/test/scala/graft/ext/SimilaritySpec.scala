@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product matches the interpreted zip_with/aggregate form") {
+    val interpreted = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val vecs = Gen.listOfN(20,
+      Gen.zip(Gen.listOfN(8, Gen.choose(-10f, 10f)), Gen.listOfN(8, Gen.choose(-10f, 10f))))
+    val prop = Prop.forAll(vecs) { data =>
+      val df = data.toDF("a", "b")
+      val out = df.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        interpreted(col("a"), col("b")).as("interp"))
+        .as[(Double, Double)].collect()
+      out.forall { case (n, i) => n == i } // bit-identical, not approx
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dot/norm basics: orthogonal = 0, self = |v|^2") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(0f, 3f, 0f))).toDF("a", "b")
+    val (ab, aa) = df.select(
+      Similarity.dot(col("a"), col("b")).as("ab"),
+      Similarity.dot(col("a"), col("a")).as("aa"))
+      .as[(Double, Double)].head()
+    assert(ab == 0.0 && aa == 5.0)
+  }
+
+  test("cosinePairs finds identical vectors at cos 1.0, a < b only") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.9)
+      .select("va", "vb", "cos").as[(Long, Long, Double)].collect()
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(math.abs(out.head._3 - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val out = Similarity.bruteForceTopK(n.filter(col("vec_id") === 0), n, k = 2)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(out.length == 2)
+    assert(out.forall(_._1 == 0L))
+    assert(!out.exists(_._2 == 0L))        // no self-match
+    assert(out.map(_._2).toSeq == Seq(3L, 1L)) // 3 is closer to 0 than 1
+  }
+}

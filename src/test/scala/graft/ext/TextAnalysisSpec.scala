@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId: stopword-dense -> en; long-word -> de; else unk") {
+    val df = Seq(
+      "the cat sat on the mat with the hat",        // stopword-dense
+      "zusammengesetzte wortbildungen kennzeichnen schriftsprache", // long words
+      "ab cd ef gh"                                  // neither
+    ).toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "unk"))
+  }
+
+  test("tokenCounts: whitespace count and bounded BPE-ish count") {
+    val df = Seq("the quick brown fox").toDF("text")
+    val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+    val (w, b) = df.select(ws.as("w"), bpe.cast("long").as("b"))
+      .as[(Long, Long)].head()
+    assert(w == 4L)
+    assert(b >= w) // subword count never below word count for [a-z] text
+  }
+
+  test("qualityScore stays within [0, 1]") {
+    val df = Seq("the a the a the a", "x", ("long " * 300).trim).toDF("text")
+    val out = df.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[Double].collect()
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+  }
+
+  test("fingerprint: md5 twin and 48-bit base hash") {
+    val df = Seq("hello world").toDF("text")
+    val (fp48, fpMd5) = TextAnalysis.fingerprint(col("text"))
+    val (h, m) = df.select(fp48.as("h"), fpMd5.as("m")).as[(Long, String)].head()
+    assert(m == java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(h == java.lang.Long.parseLong(m.take(12), 16))
+  }
+}

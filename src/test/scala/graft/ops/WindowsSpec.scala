@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Test => SCTest, Prop}
+
+import graft.SparkSpec
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("k1", 2, "b"), ("k1", 1, "a"), ("k1", 3, "c"),
+    ("k2", 5, "x"), ("k2", 4, "y")).toDF("k", "prio", "v")
+
+  test("findFirst keeps exactly the min-priority row per key") {
+    val out = Windows.findFirst(df, Seq(col("k")), Seq(col("prio")))
+      .select("k", "prio", "v").as[(String, Int, String)].collect().toSet
+    assert(out == Set(("k1", 1, "a"), ("k2", 4, "y")))
+  }
+
+  test("findFirstK returns k ranked rows per key with 1-based rank") {
+    val out = Windows.findFirstK(df, Seq(col("k")), Seq(col("prio")), k = 2,
+        rankName = "rnk")
+      .select("k", "v", "rnk").as[(String, String, Int)].collect().toSet
+    assert(out == Set(("k1", "a", 1), ("k1", "b", 2), ("k2", "y", 1), ("k2", "x", 2)))
+  }
+
+  test("findFirst invariants hold on random data (property)") {
+    val rows = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100), Gen.choose(0, 1000)))
+    val prop = Prop.forAll(rows) { data =>
+      val in = data.toDF("k", "prio", "v")
+      val out = Windows.findFirst(in, Seq(col("k")), Seq(col("prio"), col("v")))
+        .select("k", "prio", "v").as[(Int, Int, Int)].collect()
+      val inSet = data.toSet
+      val byKey = data.groupBy(_._1)
+      // one row per key, row ∈ input, and it is the lexicographic min
+      out.length == byKey.size &&
+        out.forall(inSet.contains) &&
+        out.forall { case (k, p, v) =>
+          (p, v) == byKey(k).map(r => (r._2, r._3)).min
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("running aggregate accumulates in order within partition") {
+    val in = Seq(("a", 1, 10.0), ("a", 2, 5.0), ("a", 3, 2.5), ("b", 1, 7.0))
+      .toDF("k", "seq", "x")
+    val out = in.select(col("k"), col("seq"),
+        Windows.running(sum(col("x")), Seq(col("k")), Seq(col("seq"))).as("r"))
+      .as[(String, Int, Double)].collect().toSet
+    assert(out == Set(("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 17.5), ("b", 1, 7.0)))
+  }
+}

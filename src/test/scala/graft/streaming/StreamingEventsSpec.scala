@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming twins (SURVEY.md §2.10 T4/T5) — semantics the batch oracle
+  * can't check: watermark-driven window finalization and stateful dedup
+  * with bounded state.
+  */
+class StreamingEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  test("T4: watermark finalizes tumbling windows; late data is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = StreamingEvents.tumbling(
+      input.toDF().toDF("ts", "event_type"),
+      col("ts"), "10 minutes", "5 minutes", Nil, Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("t4_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "a"), (ts(3), "b"))   // window [10:00,10:10)
+      q.processAllAvailable()
+      input.addData((ts(20), "c"))                // advances watermark to 10:15
+      q.processAllAvailable()
+      input.addData((ts(1), "late"))              // behind watermark -> dropped
+      q.processAllAvailable()
+      input.addData((ts(40), "d"))                // close [10:20,10:30)
+      q.processAllAvailable()
+      val rows = spark.table("t4_out")
+        .select(col("window.start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      // the finalized 10:00 window counts 2 — the late event never lands
+      assert(rows("2026-01-01 10:00:00") == 2L)
+      assert(rows("2026-01-01 10:20:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("T5: dropDuplicatesWithinWatermark dedups keys within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val out = StreamingEvents.dedupWithinWatermark(
+      input.toDF().toDF("ts", "k"), "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("t5_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b")) // a duplicated
+      q.processAllAvailable()
+      input.addData((ts(3), "a")) // still within horizon -> dropped
+      q.processAllAvailable()
+      val seen = spark.table("t5_out").select("k").as[String].collect().toSeq
+      assert(seen.sorted == Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("session stream emits merged sessions after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = StreamingEvents.session(
+      input.toDF().toDF("ts", "user_id"),
+      col("ts"), "5 minutes", "5 minutes",
+      Seq(col("user_id")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("t3s_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), "u1"), (ts(2), "u1")) // one session
+      q.processAllAvailable()
+      input.addData((ts(30), "u1"))               // far ahead: finalizes it
+      q.processAllAvailable()
+      val rows = spark.table("t3s_out").select("user_id", "n")
+        .as[(String, Long)].collect()
+      assert(rows.contains(("u1", 2L)))
+    } finally q.stop()
+  }
+}
