@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Manifests
+import graft.model.Manifests.{CollectionExport, DatasetTypeExport, ExportIndex}
+import graft.ops.Windows
+
+/** The Exporter-shaped pipeline (reference exporter.py:33-167 /
+  * export_dp1.py:65-125), Spark-first:
+  *
+  *  - one scan per dataset type, find_first dedup by collection-chain
+  *    priority as a window (not a post-filter) — exporter.py:75-87;
+  *  - dimension records fan out from the same refs and are deduped by
+  *    data-ID subset — dimension_record_parquet.py:48-58 did this in a
+  *    whole-file pandas pass; dropDuplicates shuffles and scales;
+  *  - datastore rows are first-datastore-wins deduped —
+  *    datastore_parquet.py:66-76;
+  *  - every table is sorted before write for Parquet compressibility
+  *    (write policy X6: exporter.py:90-92,137-140);
+  *  - manifests (index/dataset_types/collections) are driver-side JSON.
+  *
+  * Scale posture: the per-type loop is over the *catalog* (~40 types in
+  * the reference), not the data; each iteration is one distributed
+  * plan. Sorting uses sortWithinPartitions (no global shuffle) — the
+  * compressibility win is per-file, matching the reference's
+  * per-batch sort.
+  */
+object Export {
+
+  /** One dataset type to export: refs carry (dataset_id, run,
+    * collection, data-ID columns, optional timespan).
+    */
+  case class DatasetTypeInput(
+      name: String,
+      storageClass: String,
+      refs: DataFrame,
+      dataIdColumns: Seq[String],
+      findFirst: Boolean) // false for calibrations (exporter.py:81-84)
+
+  /** One dimension: records + its primary-key column subset. */
+  case class DimensionInput(
+      name: String,
+      records: DataFrame,
+      keyColumns: Seq[String])
+
+  def run(
+      outDir: String,
+      types: Seq[DatasetTypeInput],
+      dimensions: Seq[DimensionInput],
+      datastore: DataFrame, // datastore_name, priority, dataset_id, path, ...
+      collections: Seq[CollectionExport],
+      rootCollection: String): Unit = {
+
+    val chain = Manifests.flattenChain(collections, rootCollection)
+    val priority = chain.zipWithIndex.toMap
+
+    val exportedIdsPerType = types.map { t =>
+      // collection-chain position becomes the window priority; dataset_id
+      // is the determinism tiebreak (SURVEY.md §7.4.2)
+      val prioCol = chain.zipWithIndex
+        .foldLeft(lit(Int.MaxValue)) { case (acc, (c, i)) =>
+          when(col("collection") === c, i).otherwise(acc)
+        }
+      val withPrio = t.refs.withColumn("__prio", prioCol)
+        .filter(col("__prio") =!= Int.MaxValue) // refs outside the chain
+      val selected =
+        if (t.findFirst)
+          Windows.findFirst(withPrio,
+            keys = t.dataIdColumns.map(col),
+            priority = Seq(col("__prio"), col("dataset_id")))
+        else withPrio // calibrations keep every validity range
+
+      val datasetCols = Seq("dataset_id", "run") ++ t.dataIdColumns
+      selected.select(datasetCols.map(col): _*)
+        .sortWithinPartitions(t.dataIdColumns.map(col): _*) // X6 policy
+        .write.mode("overwrite").parquet(s"$outDir/datasets/${t.name}")
+
+      // associations: dataset <-> collection membership incl. timespan,
+      // only for released (selected) datasets (exporter.py:136-140)
+      val assocCols = datasetCols ++ Seq("collection") ++
+        (if (t.refs.columns.contains("timespan")) Seq("timespan") else Nil)
+      t.refs.join(selected.select("dataset_id"), Seq("dataset_id"), "left_semi")
+        .select(assocCols.map(col): _*)
+        .sortWithinPartitions(("collection" +: t.dataIdColumns).map(col): _*)
+        .write.mode("overwrite").parquet(s"$outDir/associations/${t.name}")
+
+      t.name -> selected.select("dataset_id")
+    }
+
+    // dimension records: dedup on the key subset, sort low-to-high
+    // cardinality (dimension_record_parquet.py:48-58)
+    dimensions.foreach { d =>
+      d.records.dropDuplicates(d.keyColumns)
+        .sortWithinPartitions(d.keyColumns.map(col): _*)
+        .write.mode("overwrite").parquet(s"$outDir/dimensions/${d.name}")
+    }
+
+    // datastore: only exported datasets, first-datastore-wins
+    // (datastore_parquet.py:41-44,66-76)
+    val allExported = exportedIdsPerType.map(_._2).reduce(_ unionAll _).distinct()
+    Windows.firstWins(
+      datastore.join(allExported, Seq("dataset_id"), "left_semi"),
+      keys = Seq(col("dataset_id")),
+      priority = Seq(col("priority"), col("datastore_name")))
+      .write.mode("overwrite").parquet(s"$outDir/datastore")
+
+    Manifests.writeJson(s"$outDir/index.json",
+      ExportIndex(dimensions.map(_.name), types.map(_.name), rootCollection))
+    Manifests.writeJson(s"$outDir/dataset_types.json",
+      types.map(t => DatasetTypeExport(t.name, t.dataIdColumns, t.storageClass)))
+    Manifests.writeJson(s"$outDir/collections.json", collections)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Manifests
+import graft.ops.{Aggregates, Relational}
+
+/** The Importer-shaped pipeline (reference importer.py:33-126),
+  * Spark-first:
+  *
+  *  - validate requested types against the export index (set diff,
+  *    importer.py:36-41);
+  *  - replay dimension records in topological dependency order with
+  *    idempotent skip-existing inserts (anti-join — importer.py:59-71);
+  *  - datasets land partitioned by run (the reference chunks by run
+  *    because its API imports one run at a time, importer.py:79-97;
+  *    partitionBy is the scalable equivalent);
+  *  - associations route by collection type: TAGGED -> associate,
+  *    CALIBRATION -> certify-with-timespan (importer.py:101-117);
+  *  - datastore rows re-nest to per-dataset file-info lists
+  *    (datastore_mapping.py:39-64).
+  *
+  * Transactionality (§7.4.4): the reference wraps import in one
+  * Postgres transaction (importer.py:50-56). Spark has no multi-table
+  * ACID, so the pipeline stages everything under `<target>/.staging`
+  * and promotes with directory renames only after every write
+  * succeeded — a crash leaves the previous target intact (weaker:
+  * promotion itself is not atomic across tables; documented contract).
+  */
+object Import {
+
+  case class ImportReport(
+      dimensionsInserted: Map[String, Long],
+      datasetRows: Map[String, Long],
+      associated: Long,
+      certified: Long,
+      datastoreGroups: Long)
+
+  def run(
+      spark: SparkSession,
+      exportDir: String,
+      targetDir: String,
+      requestedTypes: Seq[String],
+      dimensionKeys: Map[String, Seq[String]],
+      dimensionDeps: Map[String, Seq[String]]): ImportReport = {
+
+    val index = Manifests.readIndex(s"$exportDir/index.json")
+
+    // validation: requested minus available = error (importer.py:36-41)
+    val missing = requestedTypes.toSet -- index.dataset_types.toSet
+    require(missing.isEmpty, s"dataset types not in export: ${missing.mkString(", ")}")
+
+    val staging = s"$targetDir/.staging"
+    Files.createDirectories(Paths.get(staging))
+
+    // dimensions in topo order, skip-existing anti-join per dimension.
+    // The loop is over the catalog (dozens of dims); each step is one
+    // distributed anti-join + append — never a per-record query (the
+    // N+1 the reference explicitly avoids, importer.py:84-97).
+    val dimCounts = Manifests.topoSortDimensions(dimensionDeps)
+      .filter(index.dimensions.contains) // virtual dims have no table (importer.py:64-68)
+      .map { dim =>
+        val incoming = spark.read.parquet(s"$exportDir/dimensions/$dim")
+        val targetPath = s"$targetDir/dimensions/$dim"
+        val fresh =
+          if (Files.exists(Paths.get(targetPath))) {
+            val existing = spark.read.parquet(targetPath)
+            Relational.antiJoin(incoming, existing, dimensionKeys(dim))
+          } else incoming
+        val n = fresh.count()
+        val merged =
+          if (Files.exists(Paths.get(targetPath)))
+            spark.read.parquet(targetPath).unionByName(fresh)
+          else fresh
+        merged.write.mode("overwrite").parquet(s"$staging/dimensions/$dim")
+        dim -> n
+      }.toMap
+
+    // datasets: partitioned by run (importer.py:79-97)
+    val dsCounts = requestedTypes.map { t =>
+      val ds = spark.read.parquet(s"$exportDir/datasets/$t")
+      ds.write.mode("overwrite").partitionBy("run")
+        .parquet(s"$staging/datasets/$t")
+      t -> ds.count()
+    }.toMap
+
+    // associations routed by collection type (importer.py:101-117):
+    // membership of a TAGGED collection is an associate; membership of a
+    // CALIBRATION collection certifies a validity timespan
+    val collTypes = Manifests.readCollections(s"$exportDir/collections.json")
+      .map(c => c.name -> c.collection_type).toMap
+    val typeOf = collTypes.foldLeft(lit("RUN")) { case (acc, (name, ct)) =>
+      when(col("collection") === name, ct).otherwise(acc)
+    }
+    val assoc = requestedTypes
+      .map(t => spark.read.parquet(s"$exportDir/associations/$t"))
+      .reduce(_ unionByName (_, allowMissingColumns = true))
+      .withColumn("__ctype", typeOf)
+    val associated = assoc.filter(col("__ctype") === "TAGGED")
+    val certified = assoc.filter(col("__ctype") === "CALIBRATION")
+    certified.filter(col("timespan").isNull).limit(1).collect().headOption
+      .foreach(_ => throw new IllegalStateException(
+        "certify requires a validity timespan")) // importer.py:110-112
+    associated.drop("__ctype").write.mode("overwrite")
+      .parquet(s"$staging/associations_tagged")
+    certified.drop("__ctype").write.mode("overwrite")
+      .parquet(s"$staging/associations_calibration")
+
+    // datastore re-nest (datastore_mapping.py:39-64): flat rows ->
+    // per-(datastore, dataset) sorted file-info lists
+    val datastore = spark.read.parquet(s"$exportDir/datastore")
+    val payload = struct(
+      datastore.columns.filterNot(Set("datastore_name", "dataset_id"))
+        .map(col).toIndexedSeq: _*)
+    val nested = Aggregates.nestCollect(datastore,
+      Seq(col("datastore_name"), col("dataset_id")), payload, "file_infos")
+    nested.write.mode("overwrite").parquet(s"$staging/datastore")
+
+    val report = ImportReport(
+      dimCounts, dsCounts,
+      associated.count(), certified.count(),
+      nested.count())
+
+    // promote staging -> target (rename per table family)
+    promote(staging, targetDir)
+    report
+  }
+
+  private def promote(staging: String, targetDir: String): Unit = {
+    val stagingPath = Paths.get(staging)
+    // materialize the family list before moving — walking lazily while
+    // renaming would stream a directory tree that is mutating under it
+    val families = {
+      val s = Files.list(stagingPath)
+      try s.filter(Files.isDirectory(_)).toArray(Array.ofDim[java.nio.file.Path](_)).toSeq
+      finally s.close()
+    }
+    families.foreach { family =>
+      val dest = Paths.get(targetDir).resolve(family.getFileName)
+      if (Files.exists(dest)) deleteRecursively(dest)
+      Files.createDirectories(dest.getParent)
+      Files.move(family, dest, StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteRecursively(stagingPath)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = {
+        val s = Files.list(p)
+        try s.toArray(Array.ofDim[java.nio.file.Path](_)).toSeq
+        finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.model
+
+import java.nio.file.{Files, Paths}
+
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Driver-side manifest layer — the reference's JSON/YAML catalog files
+  * re-expressed as case classes + JSON (reference: index.py:6-9,
+  * dataset_types.py:7-19, utils.py:9-21; collections.yaml at
+  * exporter.py:160-167 becomes collections.json here — same DAG, one
+  * serialization stack).
+  *
+  * Manifests are small (dozens of entries) and driver-side by design —
+  * the 100 TB data path never flows through them (SURVEY.md §7.4.6).
+  */
+object Manifests {
+
+  implicit val fmts: Formats = DefaultFormats
+
+  /** Export index (reference index.py:6-9): the entry point a consumer
+    * reads first.
+    */
+  case class ExportIndex(
+      dimensions: Seq[String],
+      dataset_types: Seq[String],
+      root_collection: String)
+
+  /** Schema catalog entry (reference dataset_types.py:7-19): dataset
+    * type name + its data-ID dimension columns + storage class.
+    */
+  case class DatasetTypeExport(
+      name: String,
+      dimensions: Seq[String],
+      storage_class: String)
+
+  /** One collection in the flattened chain (reference exporter.py:
+    * 114-120): chains are resolved to an ordered priority list; each
+    * child is TAGGED or CALIBRATION.
+    */
+  case class CollectionExport(
+      name: String,
+      collection_type: String, // RUN | TAGGED | CALIBRATION | CHAINED
+      children: Seq[String])   // priority order for CHAINED, else empty
+
+  def writeJson[A <: AnyRef](path: String, a: A): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), Serialization.writePretty(a))
+  }
+
+  def readIndex(path: String): ExportIndex =
+    JsonMethods.parse(Files.readString(Paths.get(path))).extract[ExportIndex]
+
+  def readDatasetTypes(path: String): Seq[DatasetTypeExport] =
+    JsonMethods.parse(Files.readString(Paths.get(path))).extract[Seq[DatasetTypeExport]]
+
+  def readCollections(path: String): Seq[CollectionExport] =
+    JsonMethods.parse(Files.readString(Paths.get(path))).extract[Seq[CollectionExport]]
+
+  /** Flatten a collection DAG to the priority-ordered list of concrete
+    * (non-chained) collections reachable from `root` — find_first's
+    * priority index (reference exporter.py:114-120). Depth-first,
+    * children in declared order, first occurrence wins.
+    */
+  def flattenChain(collections: Seq[CollectionExport], root: String): Seq[String] = {
+    val byName = collections.map(c => c.name -> c).toMap
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(name: String): Unit = byName.get(name) match {
+      case Some(c) if c.collection_type == "CHAINED" => c.children.foreach(walk)
+      case Some(c) => seen += c.name
+      case None => throw new IllegalArgumentException(s"unknown collection: $name")
+    }
+    walk(root)
+    seen.toSeq
+  }
+
+  /** Topological sort of dimensions by dependency (reference
+    * importer.py:59-62 `universe.sorted`): parents before children,
+    * name-ordered among ties for determinism. Kahn's algorithm;
+    * cycles are a catalog bug and throw.
+    */
+  def topoSortDimensions(deps: Map[String, Seq[String]]): Seq[String] = {
+    val all = (deps.keySet ++ deps.values.flatten).toSeq.sorted
+    val inDeg = scala.collection.mutable.Map(
+      all.map(d => d -> deps.getOrElse(d, Nil).count(all.contains)): _*)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val ready = scala.collection.mutable.SortedSet[String](
+      all.filter(inDeg(_) == 0): _*)
+    while (ready.nonEmpty) {
+      val d = ready.head; ready -= d; out += d
+      all.filter(x => deps.getOrElse(x, Nil).contains(d)).foreach { x =>
+        inDeg(x) -= 1
+        if (inDeg(x) == 0) ready += x
+      }
+    }
+    require(out.size == all.size,
+      s"dimension dependency cycle among: ${all.diff(out).mkString(", ")}")
+    out.toSeq
+  }
+}

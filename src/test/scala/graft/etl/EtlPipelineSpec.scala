@@ -1,0 +1,145 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Manifests
+import graft.model.Manifests.CollectionExport
+
+/** Golden end-to-end (SURVEY.md §5.4): a miniature data release runs
+  * export -> import -> file tree; assertions mirror the reference's
+  * operational semantics (find_first by chain priority, calibration
+  * ranges all survive, idempotent re-import, symlink collision dedup).
+  */
+class EtlPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val collections = Seq(
+    CollectionExport("root", "CHAINED", Seq("runs/v2", "runs/v1", "calib")),
+    CollectionExport("runs/v2", "TAGGED", Nil),
+    CollectionExport("runs/v1", "TAGGED", Nil),
+    CollectionExport("calib", "CALIBRATION", Nil))
+
+  private def mkTmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("chain flattening: depth-first priority order") {
+    assert(Manifests.flattenChain(collections, "root") ==
+      Seq("runs/v2", "runs/v1", "calib"))
+  }
+
+  test("topo sort: parents before children, deterministic ties") {
+    val order = Manifests.topoSortDimensions(Map(
+      "visit" -> Seq("instrument"),
+      "detector" -> Seq("instrument"),
+      "visit_detector" -> Seq("visit", "detector"),
+      "instrument" -> Nil))
+    assert(order.indexOf("instrument") < order.indexOf("visit"))
+    assert(order.indexOf("visit") < order.indexOf("visit_detector"))
+    assert(order.indexOf("detector") < order.indexOf("visit_detector"))
+    // deterministic: detector before visit (name order among ready set)
+    assert(order == Seq("instrument", "detector", "visit", "visit_detector"))
+  }
+
+  test("topo sort rejects cycles") {
+    intercept[IllegalArgumentException] {
+      Manifests.topoSortDimensions(Map("a" -> Seq("b"), "b" -> Seq("a")))
+    }
+  }
+
+  test("export -> import round trip with find_first and calib semantics") {
+    val exportDir = mkTmp("graft-export")
+    val targetDir = mkTmp("graft-target")
+
+    // two revisions of visit 10 (v2 must win find_first), one unrevised
+    val refs = Seq(
+      ("id-a2", "runs/v2", "runs/v2", 10),
+      ("id-a1", "runs/v1", "runs/v1", 10),
+      ("id-b1", "runs/v1", "runs/v1", 20)
+    ).toDF("dataset_id", "run", "collection", "visit")
+
+    // calibration: same data ID, two disjoint validity ranges — both live
+    val calibRefs = Seq(
+      ("id-c1", "runs/v1", "calib", 1, Some((0L, 100L))),
+      ("id-c2", "runs/v1", "calib", 1, Some((100L, 200L)))
+    ).toDF("dataset_id", "run", "collection", "detector", "ts")
+      .withColumn("timespan", struct(
+        col("ts._1").as("begin_nsec"), col("ts._2").as("end_nsec")))
+      .drop("ts")
+
+    val visits = Seq((10, "r1"), (10, "r1"), (20, "r2")).toDF("visit", "band")
+    val datastore = Seq(
+      ("main", 0, "id-a2", "a2.fits#unzip=x"),
+      ("cache", 1, "id-a2", "a2.fits"), // loses first-wins to main
+      ("main", 0, "id-b1", "b1.fits"),
+      ("main", 0, "id-c1", "c1.fits"),
+      ("main", 0, "id-c2", "c1.fits") // same artifact, two refs
+    ).toDF("datastore_name", "priority", "dataset_id", "path")
+
+    Export.run(
+      outDir = exportDir,
+      types = Seq(
+        Export.DatasetTypeInput("raw", "Exposure", refs, Seq("visit"), findFirst = true),
+        Export.DatasetTypeInput("bias", "Calib", calibRefs, Seq("detector"), findFirst = false)),
+      dimensions = Seq(Export.DimensionInput("visit", visits, Seq("visit"))),
+      datastore = datastore,
+      collections = collections,
+      rootCollection = "root")
+
+    // find_first: v2 beat v1 for visit 10; v1-only visit 20 survives
+    val exported = spark.read.parquet(s"$exportDir/datasets/raw")
+      .select("dataset_id").as[String].collect().toSet
+    assert(exported == Set("id-a2", "id-b1"))
+    // calibration: both validity ranges survive (no find_first)
+    assert(spark.read.parquet(s"$exportDir/datasets/bias").count() == 2)
+    // dimensions deduped
+    assert(spark.read.parquet(s"$exportDir/dimensions/visit").count() == 2)
+    // datastore: first-wins kept `main` for id-a2, semi-joined to exported
+    val ds = spark.read.parquet(s"$exportDir/datastore")
+      .select("dataset_id", "datastore_name").as[(String, String)].collect().toMap
+    assert(ds("id-a2") == "main" && ds.size == 4)
+    // manifests
+    val index = Manifests.readIndex(s"$exportDir/index.json")
+    assert(index.dataset_types == Seq("raw", "bias") && index.root_collection == "root")
+
+    // ---- import
+    val report = Import.run(spark, exportDir, targetDir,
+      requestedTypes = Seq("raw", "bias"),
+      dimensionKeys = Map("visit" -> Seq("visit")),
+      dimensionDeps = Map("visit" -> Nil))
+    assert(report.dimensionsInserted == Map("visit" -> 2L))
+    assert(report.datasetRows == Map("raw" -> 2L, "bias" -> 2L))
+    assert(report.associated == 2L) // raw associations (TAGGED)
+    assert(report.certified == 2L)  // calib associations carry timespans
+    assert(Files.exists(Paths.get(s"$targetDir/datasets/raw")))
+    assert(!Files.exists(Paths.get(s"$targetDir/.staging")))
+
+    // idempotent re-import: dimension insert count drops to zero
+    val again = Import.run(spark, exportDir, targetDir,
+      Seq("raw", "bias"), Map("visit" -> Seq("visit")), Map("visit" -> Nil))
+    assert(again.dimensionsInserted == Map("visit" -> 0L))
+    assert(spark.read.parquet(s"$targetDir/dimensions/visit").count() == 2)
+
+    // unknown requested type fails validation
+    intercept[IllegalArgumentException] {
+      Import.run(spark, exportDir, targetDir, Seq("nope"),
+        Map("visit" -> Seq("visit")), Map("visit" -> Nil))
+    }
+
+    // ---- file tree
+    val treeRoot = mkTmp("graft-tree")
+    val plan = FileTree.plan(
+      spark.read.parquet(s"$exportDir/datastore"), "path",
+      sourceRoot = "/data/src", remap = Seq("a2" -> "zone/a2"))
+    // c1.fits referenced by two refs -> one link after dedup
+    assert(plan.count() == 3)
+    FileTree.execute(plan, treeRoot)
+    FileTree.execute(plan, treeRoot) // idempotent second run
+    val a2 = Paths.get(treeRoot, "zone/a2.fits")
+    assert(Files.isSymbolicLink(a2))
+    // fragment stripped from the target
+    assert(Files.readSymbolicLink(a2).toString == "/data/src/a2.fits")
+  }
+}
