@@ -125,7 +125,11 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = sh.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
     val b = sh.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
-    a.join(b, Seq("s"))
+    // shuffle-hash, not broadcast: broadcasting would rebuild the whole
+    // shingle+md5 subplan into the broadcast exchange (computed twice);
+    // shuffling both sides on `s` lets ReusedExchange compute it ONCE,
+    // and at scale the exploded index is never broadcastable anyway.
+    a.join(b.hint("shuffle_hash"), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("i"))
       .select(col("da"), col("db"),

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Physical-plan audits (SURVEY.md §4): the optimizations the engine
+  * depends on at scale must actually fire — pushdown, pruning,
+  * broadcast, WindowGroupLimit, exchange reuse. Regression-guarded
+  * here because a silent plan change (e.g. a lost broadcast) keeps
+  * results correct while destroying 100 TB viability.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q_scan_prune: column pruning reaches the parquet reader") {
+    val p = planOf("q_scan_prune")
+    assert(p.contains("ReadSchema"))
+    // only the projected columns in the scan schema
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment"), read)
+  }
+
+  test("q_filter_eq: predicate pushed to the scan") {
+    val p = planOf("q_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q_find_first / q_first_wins: rn=1 optimized to WindowGroupLimit") {
+    assert(planOf("q_find_first").contains("WindowGroupLimit"))
+    assert(planOf("q_first_wins").contains("WindowGroupLimit"))
+  }
+
+  test("q_join_broadcast: literal key batch is broadcast") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_star: dimension lookups broadcast, no sort-merge cascade") {
+    val p = planOf("q_join_star")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q_ngram_jaccard: self-join reuses one exchange over the index") {
+    // exchange reuse is an AQE runtime decision — execute, then read the
+    // final adaptive plan (the static plan shows both sides duplicated)
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+    assert(p.contains("ShuffledHashJoin"), "index self-join must not broadcast")
+  }
+
+  test("q_embed_cosine: native dot kernel inside codegen, no fallback") {
+    val p = planOf("q_embed_cosine")
+    assert(p.contains("graft_dot") || p.contains("DotProduct"), p)
+    assert(!p.contains("zip_with"), "interpreted HOF leaked back into the hot path")
+  }
+
+  test("q_topk: global sort+limit plans TakeOrderedAndProject") {
+    assert(planOf("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("entry: flagship query broadcasts the customer dim") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
