@@ -33,22 +33,26 @@ object Dedup {
   /** Per-doc MinHash signature: k columns h0..h(k-1) over word-3-gram
     * shingles.
     *
-    * Formulated as explode -> hash once -> k cheap arithmetic mins in a
-    * single hash aggregation: the expensive md5 runs exactly once per
-    * shingle (an array-lambda formulation would recompute it k times —
-    * CollapseProject inlines shared projections), rows stay narrow, and
-    * the aggregate combines map-side. Docs with < 3 tokens produce no
-    * shingles and drop out (no signature to hash on).
+    * Pure projection via the fused native kernel
+    * (graft.functions.MinHashSig): one md5 + k arithmetic mins per
+    * shingle inside a single codegen'd loop — no explode (the previous
+    * shape shuffled one row per shingle through a hash aggregation),
+    * and no k-fold hash recompute (whole-stage codegen's subexpression
+    * elimination evaluates the shared signature once across the k
+    * column extracts). Docs with < 3 tokens have no shingles -> null
+    * signature -> dropped, matching the explode formulation.
     */
   def minhashSignature(docs: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
     require(k <= Params.size, s"only ${Params.size} hash params defined")
-    val hashed = docs
-      .select(id.as("doc_id"), explode(shingles(tokens(text), 3)).as("s"))
-      .select(col("doc_id"), baseHash(col("s")).as("h"))
-    val sigCols = Params.take(k).zipWithIndex.map {
-      case ((a, b), i) => min(hashAB(col("h"), a, b)).as(s"h$i")
-    }
-    hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = graft.functions.HashFunctions.minhashSig(
+      shingles(tokens(text), 3), Params.take(k))
+    // cheap pre-filter (token count) instead of a post-filter on the
+    // signature: a null-check on __sig would cost one extra full
+    // signature evaluation per row in the Filter operator
+    docs.filter(size(tokens(text)) >= 3)
+      .select(id.as("doc_id"), sig.as("__sig"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => col("__sig").getItem(i).as(s"h$i")): _*)
   }
 
   /** LSH candidate pairs + signature-estimated similarity.
@@ -56,9 +60,15 @@ object Dedup {
     * docs sharing any band key become candidates; estimated similarity
     * = fraction of agreeing signature components.
     */
-  def minhashLshPairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+  def minhashLshPairs(sigIn: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
+    // materialization barrier: the signature table is consumed three
+    // times below (banding + both verification join sides). Without an
+    // exchange between the expensive shingle+md5 projection and its
+    // consumers, each would recompute it; this shuffle is over the
+    // narrow (doc_id, k longs) table and AQE reuses it for all three.
+    val sig = sigIn.repartition(col("doc_id"))
     val bandStructs = (0 until bands).map { b =>
       val key = concat_ws(":", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
       struct(lit(b).as("band"), key.as("bkey"))

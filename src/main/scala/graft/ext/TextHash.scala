@@ -28,9 +28,12 @@ object TextHash {
 
   /** 48-bit content hash: BIGINT from the first 12 hex chars of md5.
     * DuckDB twin: CAST('0x' || substr(md5(s), 1, 12) AS BIGINT).
+    * Native codegen'd kernel (graft.functions.Md5Prefix48) — value
+    * bit-identical to conv(substring(md5(s), 1, 12), 16, 10) without
+    * the three per-call string allocations of that chain.
     */
   def baseHash(s: Column): Column =
-    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+    graft.functions.HashFunctions.md5Prefix48(s)
 
   /** One member of the universal hash family over a base hash. */
   def hashAB(h: Column, a: Long, b: Long): Column =

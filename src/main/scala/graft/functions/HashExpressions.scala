@@ -1,0 +1,152 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 48-bit md5-prefix hash and fused MinHash signatures.
+  *
+  * The built-in formulation `conv(substring(md5(s), 1, 12), 16, 10)`
+  * produces the same value but materializes a 32-char hex string,
+  * substrings it, and parses base-16 per call — three string
+  * allocations per shingle, millions of times per document batch. These
+  * kernels read the first 6 digest bytes straight into a long. Values
+  * are bit-identical to the built-in chain and to the DuckDB oracle's
+  * `CAST(concat('0x', substr(md5(s), 1, 12)) AS BIGINT)` (first 12 hex
+  * chars = first 6 bytes, big-endian, < 2^48 so always positive).
+  */
+object HashKernels {
+
+  /** thread-local digest — MessageDigest is not thread-safe and
+    * per-call getInstance costs more than the hash itself.
+    */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  /** First 48 bits of md5(s) as a BIGINT. Called from codegen. */
+  def md5Prefix48(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    ((digest(0) & 0xffL) << 40) | ((digest(1) & 0xffL) << 32) |
+      ((digest(2) & 0xffL) << 24) | ((digest(3) & 0xffL) << 16) |
+      ((digest(4) & 0xffL) << 8) | (digest(5) & 0xffL)
+  }
+
+  val P = 2147483647L // 2^31 - 1, the universal-hash modulus (TextHash.P)
+
+  /** Fused MinHash signature: one md5 per shingle, k arithmetic mins.
+    * Returns null-free long[k]; empty input yields null (no signature —
+    * mirrors the explode formulation where such docs drop out).
+    */
+  def minhashSig(shingles: ArrayData, as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5Prefix48(shingles.getUTF8String(i))
+      val hm = h % P
+      var j = 0
+      while (j < k) {
+        val v = (hm * as(j) + bs(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+}
+
+/** 48-bit md5 prefix as BIGINT — codegen'd drop-in for
+  * `conv(substring(md5(s), 1, 12), 16, 10)` (TextHash.baseHash).
+  */
+case class Md5Prefix48(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_48"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.md5Prefix48(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.md5Prefix48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused MinHash signature over a shingle array: md5 once per element,
+  * all k family members' minimums in one pass. Replaces the
+  * explode -> k min aggregations shape with a pure projection — no
+  * shuffle of exploded shingle rows at all, and no k-fold hash
+  * recompute (CollapseProject would inline a shared base-hash
+  * projection into every family member).
+  */
+case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
+    extends UnaryExpression {
+
+  require(as.length == bs.length && as.nonEmpty)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  // empty shingle list -> null signature (doc too short to sign)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+
+  private lazy val aArr = as.toArray
+  private lazy val bArr = bs.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else new GenericArrayData(HashKernels.minhashSig(arr, aArr, bArr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("as", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("bs", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |if ($c.numElements() == 0) {
+       |  ${ev.isNull} = true;
+       |} else {
+       |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |    graft.functions.HashKernels.minhashSig($c, $aRef, $bRef));
+       |}
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the hash kernels. */
+object HashFunctions {
+  def md5Prefix48(s: Column): Column =
+    GraftBridge.column(Md5Prefix48(GraftBridge.expression(s)))
+
+  def minhashSig(shingles: Column, params: Seq[(Long, Long)]): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(shingles),
+      params.map(_._1), params.map(_._2)))
+}
