@@ -60,39 +60,49 @@ object Dedup {
     * docs sharing any band key become candidates; estimated similarity
     * = fraction of agreeing signature components.
     */
-  def minhashLshPairs(sigIn: DataFrame, k: Int, bands: Int): DataFrame = {
+  def minhashLshPairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
-    // materialization barrier: the signature table is consumed three
-    // times below (banding + both verification join sides). Without an
-    // exchange between the expensive shingle+md5 projection and its
-    // consumers, each would recompute it; this shuffle is over the
-    // narrow (doc_id, k longs) table and AQE reuses it for all three.
-    val sig = sigIn.repartition(col("doc_id"))
+    // Band keys stay numeric: the join key is (band, h_i..h_j) as long
+    // columns — equality semantics identical to a concatenated string
+    // key at 8 bytes per component. The full signature rides along so
+    // the similarity estimate is computed in-row at the band join; the
+    // alternative (re-joining the signature table per side) costs two
+    // more shuffles and — worse — makes every consumer a differently-
+    // pruned subplan that AQE cannot reuse, so the whole signature
+    // computation would run once per consumer.
     val bandStructs = (0 until bands).map { b =>
-      val key = concat_ws(":", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
-      struct(lit(b).as("band"), key.as("bkey"))
+      struct(lit(b).as("band") +:
+        (0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*)
     }
+    val keyCols = "band" +: (0 until rows).map(r => s"k$r")
     val banded = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col("doc_id") +: (0 until k).map(i => col(s"h$i")) :+
+        explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(Seq(col("doc_id")) ++ (0 until k).map(i => col(s"h$i")) ++
+        keyCols.map(c => col(s"bk.$c").as(c)): _*)
 
-    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("da"))
-    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("db"))
-    val cand = a.join(b, Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
-
-    val sigA = sig.select((col("doc_id").as("da") +:
-      (0 until k).map(i => col(s"h$i").as(s"a$i"))): _*)
-    val sigB = sig.select((col("doc_id").as("db") +:
-      (0 until k).map(i => col(s"h$i").as(s"b$i"))): _*)
+    // two identical (canonically equal) sides -> one shuffle, one
+    // ReusedExchange; est_sim is signature-determined, so distinct over
+    // (da, db, est_sim) dedups multi-band matches exactly like a
+    // candidates-then-verify pipeline would
+    val a = banded.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("da")) ++ (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = banded.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("db")) ++ (0 until k).map(i => col(s"h$i").as(s"b$i")): _*)
     val matches = (0 until k)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sigA, "da").join(sigB, "db")
+    // shuffle-hash, not broadcast: a broadcast build side would compute
+    // the banded-signature subplan a second time into the broadcast
+    // exchange; shuffling both (identical) sides on the band key lets
+    // AQE reuse one exchange — and at scale the banded table is never
+    // broadcastable anyway (same reasoning as ngramJaccardPairs)
+    a.join(b.hint("shuffle_hash"), keyCols)
+      .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         (matches.cast("double") / lit(k.toDouble)).as("est_sim"))
+      .distinct()
   }
 
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set
