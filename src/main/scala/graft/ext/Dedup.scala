@@ -45,7 +45,7 @@ object Dedup {
   def minhashSignature(docs: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
     require(k <= Params.size, s"only ${Params.size} hash params defined")
     val sig = graft.functions.HashFunctions.minhashSig(
-      shingles(tokens(text), 3), Params.take(k))
+      graft.functions.HashFunctions.shingleHash48(text, 3), Params.take(k))
     // cheap pre-filter (token count) instead of a post-filter on the
     // signature: a null-check on __sig would cost one extra full
     // signature evaluation per row in the Filter operator
@@ -140,8 +140,8 @@ object Dedup {
     // (ReusedExchange) instead of recomputing it, and no separate
     // `sizes` aggregate + two back-joins are needed.
     val sh = docs.select(id.as("doc_id"),
-      explode(array_distinct(shingles(tokens(text), n))).as("s0"))
-      .select(col("doc_id"), baseHash(col("s0")).as("s"))
+      explode(array_distinct(
+        graft.functions.HashFunctions.shingleHash48(text, n))).as("s"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = sh.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
     val b = sh.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))

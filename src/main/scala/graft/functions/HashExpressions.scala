@@ -43,18 +43,71 @@ object HashKernels {
 
   val P = 2147483647L // 2^31 - 1, the universal-hash modulus (TextHash.P)
 
-  /** Fused MinHash signature: one md5 per shingle, k arithmetic mins.
-    * Returns null-free long[k]; empty input yields null (no signature —
-    * mirrors the explode formulation where such docs drop out).
+  /** 48-bit md5 prefix of a byte range (shared by the shingle kernel —
+    * avoids materializing a string per shingle).
     */
-  def minhashSig(shingles: ArrayData, as: Array[Long], bs: Array[Long]): Array[Long] = {
+  private def md5Prefix48Range(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5Local.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val digest = d.digest()
+    ((digest(0) & 0xffL) << 40) | ((digest(1) & 0xffL) << 32) |
+      ((digest(2) & 0xffL) << 24) | ((digest(3) & 0xffL) << 16) |
+      ((digest(4) & 0xffL) << 8) | (digest(5) & 0xffL)
+  }
+
+  /** Hashes of all word n-gram shingles of `text` (single-space
+    * tokenization), one md5 per shingle, no intermediate strings.
+    *
+    * Equivalent by construction to
+    * `transform(shingles(split(text, " "), n), s -> md5Prefix48(s))`:
+    * consecutive tokens in the source are separated by exactly one
+    * space, so the reassembled shingle `concat_ws(" ", t_i..t_{i+n-1})`
+    * is byte-identical to the source substring spanning those tokens —
+    * including degenerate empty tokens from repeated spaces. The kernel
+    * therefore hashes windows of the original UTF-8 bytes directly.
+    * The 0x20 delimiter never occurs inside a multi-byte UTF-8
+    * sequence, so byte scanning is codepoint-safe.
+    */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    // token start offsets (token i spans [starts(i), ends(i)))
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nTok = spaces + 1
+    if (nTok < n) return Array.emptyLongArray
+    val starts = new Array[Int](nTok)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val out = new Array[Long](nTok - n + 1)
+    var s = 0
+    while (s <= nTok - n) {
+      val from = starts(s)
+      val until = if (s + n < nTok) starts(s + n) - 1 else bytes.length
+      out(s) = md5Prefix48Range(bytes, from, until - from)
+      s += 1
+    }
+    out
+  }
+
+  /** Fused MinHash signature over precomputed 48-bit base hashes:
+    * k arithmetic mins in one pass. Returns long[k]; empty input yields
+    * null at the expression layer (no signature — mirrors the explode
+    * formulation where shingle-less docs drop out).
+    */
+  def minhashSig(baseHashes: ArrayData, as: Array[Long], bs: Array[Long]): Array[Long] = {
     val k = as.length
     val out = Array.fill(k)(Long.MaxValue)
-    val n = shingles.numElements()
+    val n = baseHashes.numElements()
     var i = 0
     while (i < n) {
-      val h = md5Prefix48(shingles.getUTF8String(i))
-      val hm = h % P
+      val hm = baseHashes.getLong(i) % P
       var j = 0
       while (j < k) {
         val v = (hm * as(j) + bs(j)) % P
@@ -91,12 +144,43 @@ case class Md5Prefix48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Fused MinHash signature over a shingle array: md5 once per element,
-  * all k family members' minimums in one pass. Replaces the
-  * explode -> k min aggregations shape with a pure projection — no
-  * shuffle of exploded shingle rows at all, and no k-fold hash
-  * recompute (CollapseProject would inline a shared base-hash
-  * projection into every family member).
+/** Word-n-gram shingle hashes of a text column: split once, one md5
+  * per shingle window over the source bytes, no intermediate strings.
+  * Replaces `transform(shingles(split(text, " "), n), baseHash)`, whose
+  * interpreted lambda re-evaluates `split` for every element_at call —
+  * the dominant cost of the dedup family before this kernel existed.
+  */
+case class ShingleHash48(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_48"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(
+      HashKernels.shingleHashes(s.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HashKernels.shingleHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused MinHash signature over a base-hash array: all k family
+  * members' minimums in one pass. Replaces the explode -> k min
+  * aggregations shape with a pure projection — no shuffle of exploded
+  * shingle rows at all, and no k-fold hash recompute (CollapseProject
+  * would inline a shared base-hash projection into every family
+  * member).
   */
 case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
     extends UnaryExpression {
@@ -110,9 +194,9 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got ${t.sql}")
+      s"$prettyName requires array<bigint> of base hashes, got ${t.sql}")
   }
 
   private lazy val aArr = as.toArray
@@ -146,7 +230,12 @@ object HashFunctions {
   def md5Prefix48(s: Column): Column =
     GraftBridge.column(Md5Prefix48(GraftBridge.expression(s)))
 
-  def minhashSig(shingles: Column, params: Seq[(Long, Long)]): Column =
-    GraftBridge.column(MinHashSig(GraftBridge.expression(shingles),
+  /** 48-bit hashes of word n-gram shingles of `text`. */
+  def shingleHash48(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHash48(GraftBridge.expression(text), n))
+
+  /** MinHash signature (array of k mins) over 48-bit base hashes. */
+  def minhashSig(baseHashes: Column, params: Seq[(Long, Long)]): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(baseHashes),
       params.map(_._1), params.map(_._2)))
 }

@@ -22,12 +22,30 @@ class HashExpressionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("ShingleHash48 matches hash-of-reassembled-shingle, incl. odd spacing") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h i j k l",
+      "double  space and trailing ",
+      " leading space here too",
+      "xx yy zz")
+    val df = texts.toDF("text")
+    val native = df.select(
+      HashFunctions.shingleHash48(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    val builtin = df.select(
+      transform(TextHash.shingles(TextHash.tokens(col("text")), 3),
+        s => HashFunctions.md5Prefix48(s)).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native == builtin)
+  }
+
   test("MinHashSig matches per-member array_min over the same hash family") {
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog",
       "a b c d e f g h i j k l",
       "xx yy zz").toDF("text")
-    val sh = TextHash.shingles(TextHash.tokens(col("text")), 3)
+    val sh = HashFunctions.shingleHash48(col("text"), 3)
     val k = 4
     val fused = docs.select(
       HashFunctions.minhashSig(sh, TextHash.Params.take(k)).as("sig"))
@@ -36,7 +54,7 @@ class HashExpressionsSpec extends SparkSpec {
     val perMember = docs.select(
       (0 until k).map { i =>
         val (a, b) = TextHash.Params(i)
-        array_min(transform(sh, s => TextHash.hashAB(TextHash.baseHash(s), a, b)))
+        array_min(transform(sh, h => TextHash.hashAB(h, a, b)))
       }: _*)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(fused == perMember)
@@ -45,7 +63,7 @@ class HashExpressionsSpec extends SparkSpec {
   test("MinHashSig yields null for docs with no shingles") {
     val out = Seq("one two").toDF("text").select(
       HashFunctions.minhashSig(
-        TextHash.shingles(TextHash.tokens(col("text")), 3),
+        HashFunctions.shingleHash48(col("text"), 3),
         TextHash.Params.take(2)).as("sig"))
       .collect()
     assert(out.head.isNullAt(0))
