@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.ext.TextHash
+
+/** SparkSessionExtensions registration for the native kernels, making
+  * them SQL-callable:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   ...
+  * spark.sql("SELECT graft_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * The Column API (`HashFunctions`/`VectorFunctions`) works without
+  * registration; this is the surface for SQL users and for tools that
+  * only speak SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "graft_dot", "codegen'd double dot product of two numeric arrays",
+      args => DotProduct(args(0), args(1)))
+    register(ext, "graft_md5_48", "first 48 bits of md5 as BIGINT",
+      args => Md5Prefix48(args(0)))
+    register(ext, "graft_shingle_hash_48", "48-bit hashes of word n-gram shingles",
+      args => ShingleHash48(args(0), expectInt(args(1), "n")))
+    register(ext, "graft_minhash_sig", "MinHash signature over base hashes (k from arg 2)",
+      args => {
+        val k = expectInt(args(1), "k")
+        MinHashSig(args(0), TextHash.Params.take(k).map(_._1),
+          TextHash.Params.take(k).map(_._2))
+      })
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder))
+
+  private def expectInt(e: Expression, what: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+}

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration of the native kernels via
+  * SparkSessionExtensions.
+  *
+  * Extensions bind at session-build time, and getOrCreate returns any
+  * active session as-is — so this spec clears the default/active
+  * pointers, builds its own session (reusing the shared SparkContext),
+  * and restores the previous default afterward.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(s)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("native kernels are SQL-callable and match Column-API results") {
+    withExtendedSession { spark =>
+      val sql = spark.sql(
+        """SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+          |       graft_md5_48('hello world') AS h,
+          |       graft_shingle_hash_48('a b c d', 3) AS sh,
+          |       graft_minhash_sig(graft_shingle_hash_48('a b c d', 3), 2) AS sig
+          |""".stripMargin).collect().head
+      assert(sql.getDouble(0) == 11.0)
+      assert(sql.getLong(1) ==
+        java.lang.Long.parseLong("5eb63bbbe01e", 16)) // md5("hello world") prefix
+      assert(sql.getSeq[Long](2).length == 2)        // shingles: "a b c", "b c d"
+      assert(sql.getSeq[Long](3).length == 2)        // k = 2 signature
+    }
+  }
+}
