@@ -55,6 +55,49 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Sign-random-projection LSH near-dup pairs — the bucketed scale
+    * path for cosinePairs. Each of `tables` hash tables projects a
+    * vector onto `bits` seeded Gaussian hyperplanes; the sign bits form
+    * the bucket key. Only bucket-mates are compared (exact cosine
+    * verify), so cost follows collisions, not n². OR-amplification
+    * across tables sets recall: a pair at angle θ collides in one
+    * table with probability (1 - θ/π)^bits — near-identical vectors
+    * (cos >= 0.99) are found with probability > 0.999 at the default
+    * (8 bits × 4 tables); this is approximate by design, unlike the
+    * exact triangular baseline.
+    */
+  def signLshPairs(emb: DataFrame, id: Column, vec: Column, dim: Int,
+                   threshold: Double, bits: Int = 8, tables: Int = 4,
+                   seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(tables, bits, dim)(rnd.nextGaussian().toFloat)
+    val n = withNorm(emb, id, vec)
+    val tableStructs = (0 until tables).map { t =>
+      val sig = (0 until bits).map { b =>
+        when(dot(col("v"), typedLit(planes(t)(b).toSeq)) >= 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), sig.as("sig"))
+    }
+    val bucketed = n
+      .select(col("vec_id"), col("v"), col("nm"),
+        explode(array(tableStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("nm"),
+        col("bk.tbl").as("tbl"), col("bk.sig").as("sig"))
+    val a = bucketed.select(col("tbl"), col("sig"),
+      col("vec_id").as("va"), col("v").as("xa"), col("nm").as("na"))
+    val b = bucketed.select(col("tbl"), col("sig"),
+      col("vec_id").as("vb"), col("v").as("xb"), col("nm").as("nb"))
+    // shuffle-hash + identical sides -> one exchange, reused (the same
+    // plan-shape reasoning as the MinHash LSH band join)
+    a.join(b.hint("shuffle_hash"), Seq("tbl", "sig"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        cosinePre(dot(col("xa"), col("xb")), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** Brute-force top-k neighbors (cosine) for each query vector;
     * queries are broadcast, corpus is scanned once.
     */

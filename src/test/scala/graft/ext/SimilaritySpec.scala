@@ -45,6 +45,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out.head._3 - 1.0) < 1e-12)
   }
 
+  test("signLshPairs finds near-identical vectors that brute force finds") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // 15 well-separated random vectors + a near-dup of each of the first 5
+    val base = (0 until 15).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val dups = (0 until 5).map(i =>
+      (100L + i, base(i)._2.map(x => x + rnd.nextGaussian().toFloat * 0.01f)))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val lsh = Similarity.signLshPairs(emb, col("vec_id"), col("embedding"),
+        dim, threshold = 0.99)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val brute = Similarity.cosinePairs(emb, col("vec_id"), col("embedding"), 0.99)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    // all 5 planted near-dup pairs exist in brute force, and LSH (8 bits
+    // x 4 tables at cos >= 0.99) recovers every one of them
+    assert((0 until 5).forall(i => brute.contains((i.toLong, 100L + i))))
+    assert(lsh == brute)
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
