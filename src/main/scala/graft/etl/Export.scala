@@ -65,12 +65,16 @@ object Export {
         }
       val withPrio = t.refs.withColumn("__prio", prioCol)
         .filter(col("__prio") =!= Int.MaxValue) // refs outside the chain
-      val selected =
+      // persisted: consumed by three actions (dataset write, association
+      // semi-join, exported-id union) — the reference streams one pass
+      // per type (exporter.py:88-106); caching is Spark's equivalent
+      val selected = (
         if (t.findFirst)
           Windows.findFirst(withPrio,
             keys = t.dataIdColumns.map(col),
             priority = Seq(col("__prio"), col("dataset_id")))
         else withPrio // calibrations keep every validity range
+        ).persist()
 
       val datasetCols = Seq("dataset_id", "run") ++ t.dataIdColumns
       selected.select(datasetCols.map(col): _*)
@@ -86,7 +90,7 @@ object Export {
         .sortWithinPartitions(("collection" +: t.dataIdColumns).map(col): _*)
         .write.mode("overwrite").parquet(s"$outDir/associations/${t.name}")
 
-      t.name -> selected.select("dataset_id")
+      t.name -> selected
     }
 
     // dimension records: dedup on the key subset, sort low-to-high
@@ -99,12 +103,15 @@ object Export {
 
     // datastore: only exported datasets, first-datastore-wins
     // (datastore_parquet.py:41-44,66-76)
-    val allExported = exportedIdsPerType.map(_._2).reduce(_ unionAll _).distinct()
+    val allExported = exportedIdsPerType
+      .map(_._2.select("dataset_id")).reduce(_ unionAll _).distinct()
     Windows.firstWins(
       datastore.join(allExported, Seq("dataset_id"), "left_semi"),
       keys = Seq(col("dataset_id")),
       priority = Seq(col("priority"), col("datastore_name")))
       .write.mode("overwrite").parquet(s"$outDir/datastore")
+
+    exportedIdsPerType.foreach(_._2.unpersist())
 
     Manifests.writeJson(s"$outDir/index.json",
       ExportIndex(dimensions.map(_.name), types.map(_.name), rootCollection))

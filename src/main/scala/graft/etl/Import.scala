@@ -101,9 +101,15 @@ object Import {
       .withColumn("__ctype", typeOf)
     val associated = assoc.filter(col("__ctype") === "TAGGED")
     val certified = assoc.filter(col("__ctype") === "CALIBRATION")
-    certified.filter(col("timespan").isNull).limit(1).collect().headOption
-      .foreach(_ => throw new IllegalStateException(
-        "certify requires a validity timespan")) // importer.py:110-112
+    // certify requires a validity timespan (importer.py:110-112); when no
+    // exported type carries one, the column is absent entirely — then any
+    // CALIBRATION membership is an error by the same rule
+    if (assoc.columns.contains("timespan"))
+      certified.filter(col("timespan").isNull).limit(1).collect().headOption
+        .foreach(_ => throw new IllegalStateException(
+          "certify requires a validity timespan"))
+    else if (!certified.isEmpty)
+      throw new IllegalStateException("certify requires a validity timespan")
     associated.drop("__ctype").write.mode("overwrite")
       .parquet(s"$staging/associations_tagged")
     certified.drop("__ctype").write.mode("overwrite")
