@@ -50,6 +50,26 @@ object Relational {
                 ts: Column, begin: Column, end: Column): DataFrame =
     fact.join(broadcast(intervals), ts >= begin && ts < end, "inner")
 
+  /** Range join for a LARGE interval side: both sides are bucketed into
+    * coarse bands (caller supplies the monotone `band` mapping, e.g.
+    * `c => floor(unix_micros(c) / width)`), each interval is exploded
+    * into every band it touches, and the range predicate runs after a
+    * plain equi-join on the band — a shuffle join instead of an
+    * O(facts x intervals) nested loop. Exact: the post-filter keeps
+    * half-open [begin, end) semantics; a boundary-landing end only
+    * costs one harmless extra candidate band.
+    */
+  def bandedRangeJoin(fact: DataFrame, intervals: DataFrame,
+                      ts: Column, begin: Column, end: Column,
+                      band: Column => Column): DataFrame = {
+    val factB = fact.withColumn("__band", band(ts))
+    val ivB = intervals.withColumn("__band",
+      explode(sequence(band(begin), band(end))))
+    factB.join(ivB, Seq("__band"))
+      .filter(ts >= begin && ts < end)
+      .drop("__band")
+  }
+
   /** Deterministic dedup on a key subset: keeps the first row per key
     * under `order` (must be total). Spark's dropDuplicates picks an
     * arbitrary row; the reference's dedup (dimension_record_parquet.py:

@@ -32,6 +32,21 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set((1, "A"), (2, "B"), (3, "B")))
   }
 
+  test("bandedRangeJoin equals broadcast rangeJoin (incl. band-straddling intervals)") {
+    val fact = (0L until 200L by 3L).map(t => (t, t)).toDF("fid", "ts")
+    val ivs = Seq(
+      ("A", 0L, 10L), ("B", 5L, 95L),      // straddles many bands
+      ("C", 95L, 100L), ("D", 100L, 101L), // boundary-exact end/begin
+      ("E", 150L, 150L)).toDF("name", "b", "e") // empty interval
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("fid", "name").as[(Long, String)].collect().toSet
+    val plain = norm(Relational.rangeJoin(fact, ivs, col("ts"), col("b"), col("e")))
+    val banded = norm(Relational.bandedRangeJoin(fact, ivs,
+      col("ts"), col("b"), col("e"), c => floor(c / 16)))
+    assert(banded == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("dedupBySubset keeps the first row under a total order") {
     val df = Seq((1, 30, "late"), (1, 10, "early"), (2, 5, "only"))
       .toDF("k", "ts", "v")
