@@ -105,6 +105,44 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (columns `da`, `db`): every node's label converges to the minimum
+    * doc id in its component — the cluster id a dedup pipeline keeps
+    * one survivor per.
+    *
+    * Min-label propagation: each round, a node adopts the smallest
+    * label among itself and its neighbors; rounds needed = component
+    * diameter (near-dup clusters are tight, so typically 2-4). Each
+    * round is one shuffle join + aggregate; `localCheckpoint`
+    * truncates the growing lineage so round N doesn't replay rounds
+    * 1..N-1. Converged when no label changed (cheap count on the
+    * joined diff).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(min("label").as("nbr"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint()
+      converged = updated.filter(col("next") < col("label")).isEmpty
+      labels = updated.select(col("node"), col("next").as("label"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set
     * when the (+1/-1) vote sum of token-hash bit j is positive.
     */

@@ -85,20 +85,45 @@ object ExtQueries {
         s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
       " AS BIGINT) AS fp FROM bs ORDER BY doc_id"))
 
+  /** Shared DuckDB CTEs for the 3-gram Jaccard pair pipeline (also the
+    * input of the clustering oracle).
+    */
+  private val duckJaccardCtes =
+    "sh AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") + " AS s FROM " +
+      "(SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 3) + ")) AS s0 FROM documents)), " +
+      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
+      "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
+      "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+      "jpairs AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
+      "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+      "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"
+
   private val qNgramJaccard = Q("q_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(
       t(s, d, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.5)
       .select(col("da"), col("db"), round(col("jacc"), 4).as("jacc"))
       .orderBy("da", "db"),
-    Some("WITH sh AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") + " AS s FROM " +
-      "(SELECT doc_id, unnest(list_distinct(" +
-      TextHash.duckShingles("text", 3) + ")) AS s0 FROM documents)), " +
-      "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
-      "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
-      "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
-      "SELECT da, db, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jacc " +
-      "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
-      "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 ORDER BY da, db"))
+    Some("WITH " + duckJaccardCtes +
+      " SELECT da, db, round(jacc, 4) AS jacc FROM jpairs ORDER BY da, db"))
+
+  /** Near-dup clustering: connected components over the Jaccard pair
+    * graph (min doc id = cluster id). Spark runs iterative min-label
+    * propagation; the oracle computes min-reachable via a recursive CTE
+    * — different algorithms, identical fixpoint.
+    */
+  private val qDedupClusters = Q("q_dedup_clusters",
+    (s, d) => Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.5))
+      .orderBy("doc_id"),
+    Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node) " +
+      "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
+      "GROUP BY node ORDER BY doc_id"))
 
   // ------------------------------------------------- similarity search
 
@@ -216,6 +241,6 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qNgramJaccard,
-    qEmbedCosine, qAnnTopk, qAnnIvf,
+    qDedupClusters, qEmbedCosine, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint)
 }

@@ -11,8 +11,8 @@ class RegistrySpec extends SparkSpec {
       s"duplicates: ${Queries.duplicateNames.mkString(", ")}")
   }
 
-  test("all 55 declared queries are registered with oracle SQL") {
-    assert(Queries.all.size == 55)
+  test("all 56 declared queries are registered with oracle SQL") {
+    assert(Queries.all.size == 56)
     val missingOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missingOracle.isEmpty,
       s"queries without oracle SQL: ${missingOracle.mkString(", ")}")

@@ -49,6 +49,18 @@ class DedupSpec extends SparkSpec {
     assert(!m.keys.exists { case (a, b) => a == 4L || b == 4L }) // no overlap
   }
 
+  test("connectedComponents merges transitively, labels by component min") {
+    // chain 1-2-3-4 (one component), isolated pair 10-11, chain 20-22-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 22L), (21L, 22L))
+      .toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simhash: identical texts share fingerprints; 16-bit range") {
     val fp = Dedup.simhash16(docs, col("text"), col("doc_id"))
       .as[(Long, Long)].collect().toMap
