@@ -56,4 +56,32 @@ object TextAnalysis {
 
   /** Content fingerprint: 48-bit rolling digest + full md5. */
   def fingerprint(text: Column): (Column, Column) = (baseHash(text), md5(text))
+
+  /** Top-k characteristic terms per document by tf-idf.
+    *
+    * idf is linearized (score = tf x N / df instead of tf x ln(N/df)):
+    * rankings per term are identical and the arithmetic stays one
+    * exact-rounded IEEE division — bit-stable across engines, where
+    * ln() differs in final ulps between libm and the JVM and could
+    * flip near-tie rankings (SURVEY.md §7.5 determinism contract).
+    *
+    * Scale: two hash aggregations (term counts, doc frequencies) + a
+    * WindowGroupLimit top-k; the corpus size joins in as a broadcast
+    * scalar, never a driver-side collect.
+    */
+  def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, text: Column,
+                    id: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * col("nd") / col("df")).as("score"))
+    graft.ops.Windows.findFirstK(scored,
+      keys = Seq(col("doc_id")),
+      priority = Seq(col("score").desc, col("term")),
+      k = k, rankName = "rnk")
+  }
 }

@@ -239,8 +239,26 @@ object ExtQueries {
     Some("SELECT doc_id, " + TextHash.duckBaseHash("text") + " AS fp48, " +
       "md5(text) AS fp_md5 FROM documents ORDER BY doc_id"))
 
+  private val qTfidf = Q("q_tfidf",
+    (s, d) => TextAnalysis.topTfidfTerms(
+      t(s, d, "documents"), col("text"), col("doc_id"), k = 3)
+      .select(col("doc_id"), col("term"), col("rnk").cast("long").as("rnk"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rnk"),
+    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term " +
+      "FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS nd FROM documents), " +
+      "scored AS (SELECT doc_id, term, tf * nd / CAST(df AS DOUBLE) AS score " +
+      "FROM tf JOIN dfreq USING (term) CROSS JOIN n), " +
+      "r AS (SELECT doc_id, term, score, row_number() OVER (" +
+      "PARTITION BY doc_id ORDER BY score DESC, term) AS rnk FROM scored) " +
+      "SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, round(score, 4) AS score " +
+      "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qNgramJaccard,
     qDedupClusters, qEmbedCosine, qAnnTopk, qAnnIvf,
-    qLangId, qQualityScore, qTokenCount, qFingerprint)
+    qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf)
 }

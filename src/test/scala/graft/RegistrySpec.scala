@@ -11,8 +11,8 @@ class RegistrySpec extends SparkSpec {
       s"duplicates: ${Queries.duplicateNames.mkString(", ")}")
   }
 
-  test("all 56 declared queries are registered with oracle SQL") {
-    assert(Queries.all.size == 56)
+  test("all 57 declared queries are registered with oracle SQL") {
+    assert(Queries.all.size == 57)
     val missingOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missingOracle.isEmpty,
       s"queries without oracle SQL: ${missingOracle.mkString(", ")}")
