@@ -516,6 +516,37 @@ object CoreQueries {
       "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus " +
       "ORDER BY l_returnflag, l_linestatus"))
 
+  /** Exact discrete percentiles (p50/p90) per group by explicit
+    * window-rank selection — not percentile_disc/quantile_disc, whose
+    * index conventions differ between engines: both sides compute
+    * row_number over the value order and pick rank ceil(p*n), so the
+    * selected VALUE is engine-independent even under ties (any
+    * tie-order yields the same value at a given rank).
+    */
+  private val qPercentileDisc = Q("q_percentile_disc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+      val ranked = t(s, d, "lineitem").select(
+        col("l_returnflag"), col("l_extendedprice"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("l_returnflag")).as("cnt"))
+      ranked.groupBy("l_returnflag")
+        .agg(
+          max(when(col("rn") === ceil(col("cnt") * 0.5), col("l_extendedprice")))
+            .as("p50"),
+          max(when(col("rn") === ceil(col("cnt") * 0.9), col("l_extendedprice")))
+            .as("p90"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH ranked AS (SELECT l_returnflag, l_extendedprice, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM lineitem) " +
+      "SELECT l_returnflag, " +
+      "max(CASE WHEN rn = ceil(cnt * 0.5) THEN l_extendedprice END) AS p50, " +
+      "max(CASE WHEN rn = ceil(cnt * 0.9) THEN l_extendedprice END) AS p90 " +
+      "FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"))
+
   /** F11 array function: dot product vs a query vector, via built-in
     * zip_with + aggregate (no UDF, stays in codegen).
     */
@@ -622,6 +653,6 @@ object CoreQueries {
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
-    qDateTrunc, qMathExpr, qArrayDot, qJsonExtract, qExplodeTokens,
+    qDateTrunc, qMathExpr, qPercentileDisc, qArrayDot, qJsonExtract, qExplodeTokens,
     qWindowTumbling, qWindowSliding, qWindowSession)
 }

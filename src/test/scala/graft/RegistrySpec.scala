@@ -11,8 +11,8 @@ class RegistrySpec extends SparkSpec {
       s"duplicates: ${Queries.duplicateNames.mkString(", ")}")
   }
 
-  test("all 57 declared queries are registered with oracle SQL") {
-    assert(Queries.all.size == 57)
+  test("all 58 declared queries are registered with oracle SQL") {
+    assert(Queries.all.size == 58)
     val missingOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missingOracle.isEmpty,
       s"queries without oracle SQL: ${missingOracle.mkString(", ")}")
