@@ -59,3 +59,67 @@ object StreamingEvents {
 
   private def tsName(ts: Column): String = ts.toString
 }
+
+/** Custom arbitrary-state streaming (flatMapGroupsWithState): the
+  * operator family for semantics session_window can't express — here, a
+  * sessionizer that assigns stable per-user session ids and emits one
+  * summary row per closed session.
+  *
+  * State per key = the open session (id, bounds, count); an event-time
+  * timeout closes it. State size is O(active keys), evicted on timeout —
+  * bounded like any watermarked operator.
+  */
+object StatefulSessions {
+
+  case class Event(user_id: String, ts: java.sql.Timestamp)
+
+  case class SessionState(sessionId: Long, start: Long, lastTs: Long, n: Long)
+
+  case class SessionOut(user_id: String, session_id: Long,
+      start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** Sessionize a stream of (user_id, ts) with `gapMs` inactivity gap.
+    * Emits one row per CLOSED session (watermark-timeout driven).
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long,
+                 watermark: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders => E}
+    implicit val ke: Encoder[String] = E.STRING
+    implicit val se: Encoder[SessionState] = E.product[SessionState]
+    implicit val oe: Encoder[SessionOut] = E.product[SessionOut]
+
+    def update(user: String, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(user, s.sessionId, s.start, s.lastTs, s.n))
+      } else {
+        val ts = rows.map(_.ts.getTime).toSeq.sorted
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        ts.foreach { t =>
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs =>
+              cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
+            case Some(s) => // gap exceeded in-batch: close, start next
+              closed ::= SessionOut(user, s.sessionId, s.start, s.lastTs, s.n)
+              cur = Some(SessionState(s.sessionId + 1, t, t, 1))
+            case None =>
+              cur = Some(SessionState(0L, t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update _)
+  }
+}

@@ -60,6 +60,33 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer assigns ids and closes on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .selectExpr("user_id", "ts").as[Event](
+        org.apache.spark.sql.Encoders.product[Event])
+    val out = sessionize(events, gapMs = 5 * 60 * 1000, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("fmgws_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "u1"), (ts(2), "u1"), (ts(1), "u2"))
+      q.processAllAvailable()
+      // 40 min later: watermark passes both open sessions' timeouts
+      input.addData((ts(40), "u3"))
+      q.processAllAvailable()
+      input.addData((ts(59), "u3")) // push watermark further
+      q.processAllAvailable()
+      val rows = spark.table("fmgws_out")
+        .select("user_id", "session_id", "n_events")
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("u1", 0L, 2L))) // two events merged, id 0
+      assert(rows.contains(("u2", 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("session stream emits merged sessions after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
