@@ -63,6 +63,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q_minhash: fused signature is a pure projection — no mid-plan shuffle") {
+    val p = planOf("q_minhash")
+    // only the final ORDER BY may exchange; the signature itself must not
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"unexpected shuffle in minhash plan:\n$p")
+    assert(p.contains("graft_minhash_sig"))
+  }
+
+  test("q_tfidf: per-doc top-k optimized to WindowGroupLimit") {
+    assert(planOf("q_tfidf").contains("WindowGroupLimit"))
+  }
+
   test("entry: flagship query broadcasts the customer dim") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"))
