@@ -126,7 +126,7 @@ object CoreQueries {
         count(lit(1)).as("n"))
       .orderBy("r_name", "n_name"),
     Some("SELECT r_name, n_name, " +
-      "sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_cents, " +
+      "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, " +
       "count(*) AS n FROM lineitem " +
       "JOIN orders ON l_orderkey = o_orderkey " +
       "JOIN customer ON o_custkey = c_custkey " +
@@ -213,7 +213,7 @@ object CoreQueries {
     Some("WITH iv AS (SELECT o_orderkey AS iv_id, o_orderdate AS b, " +
       "o_orderdate + INTERVAL 30 DAY AS e FROM orders WHERE o_orderkey % 1499 = 0) " +
       "SELECT iv_id, count(*) AS n, " +
-      "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS price_cents " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents " +
       "FROM lineitem JOIN iv ON l_shipdate >= b AND l_shipdate < e " +
       "GROUP BY iv_id ORDER BY iv_id"))
 
@@ -293,7 +293,7 @@ object CoreQueries {
       .orderBy("route"),
     Some("SELECT CASE WHEN o_orderstatus = 'O' THEN 'open' " +
       "WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'other' END AS route, " +
-      "count(*) AS n, sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents " +
+      "count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
       "FROM orders GROUP BY 1 ORDER BY route"))
 
   /** Rollup (capability row, SURVEY.md §2.4 note). */
@@ -305,7 +305,7 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"), Scalars.sumCents(col("c_acctbal")).as("bal_cents"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
     Some("SELECT r_name, n_name, count(*) AS n, " +
-      "sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS bal_cents " +
+      "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents " +
       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey " +
       "GROUP BY ROLLUP(r_name, n_name) " +
@@ -497,7 +497,7 @@ object CoreQueries {
       .orderBy("m_us"),
     Some("SELECT epoch_us(date_trunc('month', o_orderdate)) AS m_us, " +
       "year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n, " +
-      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents " +
+      "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
       "FROM orders GROUP BY 1, 2, 3 ORDER BY m_us"))
 
   /** F10 arithmetic aggregate (TPC-H Q1 shape), exact cents sums. */
@@ -511,8 +511,8 @@ object CoreQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("SELECT l_returnflag, l_linestatus, " +
-      "sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS rev_cents, " +
-      "sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_cents, " +
+      "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents, " +
+      "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, " +
       "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus " +
       "ORDER BY l_returnflag, l_linestatus"))
 

@@ -26,6 +26,22 @@ def canon(v):
     return str(v)
 
 
+def canon_type(t):
+    """Canonical column type, modeling the driver's hash sensitivity:
+    integer widths up to 64-bit coerce together (pandas int64 — the driver
+    passed q_window_rank with Spark INTEGER vs DuckDB BIGINT in round 1),
+    but HUGEINT (int128) does NOT fit int64 and hashes differently (the
+    round-1 6-query failure). Timestamp unit variants are collapsed: the
+    driver treats micros/nanos timestamps with equal instants as equal."""
+    s = str(t).upper()
+    if s.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT64"
+    return s
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -40,6 +56,7 @@ def main():
         try:
             want = con.sql(sql)
             wcols = sorted(want.columns)
+            wtypes = [canon_type(want.types[want.columns.index(c)]) for c in wcols]
             wrows = [tuple(canon(r[want.columns.index(c)]) for c in wcols)
                      for r in want.fetchall()]
         except Exception as e:
@@ -53,10 +70,15 @@ def main():
             continue
         got = con.sql(f"SELECT * FROM read_parquet({files!r})")
         gcols = sorted(got.columns)
+        gtypes = [canon_type(got.types[got.columns.index(c)]) for c in gcols]
         grows = [tuple(canon(r[got.columns.index(c)]) for c in gcols)
                  for r in got.fetchall()]
         if gcols != wcols:
             print(f"FAIL {name}: columns spark={gcols} oracle={wcols}")
+            n_fail += 1
+        elif gtypes != wtypes:
+            bad = [(c, g, w) for c, g, w in zip(gcols, gtypes, wtypes) if g != w]
+            print(f"FAIL {name}: types differ (spark vs oracle): {bad}")
             n_fail += 1
         elif len(grows) != len(wrows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(wrows)}")
