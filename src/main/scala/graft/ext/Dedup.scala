@@ -113,10 +113,12 @@ object Dedup {
     * Min-label propagation: each round, a node adopts the smallest
     * label among itself and its neighbors; rounds needed = component
     * diameter (near-dup clusters are tight, so typically 2-4). Each
-    * round is one shuffle join + aggregate; `localCheckpoint`
-    * truncates the growing lineage so round N doesn't replay rounds
-    * 1..N-1. Converged when no label changed (cheap count on the
-    * joined diff).
+    * round is ONE Spark job: the shuffle join + aggregate is
+    * materialized by `localCheckpoint` (truncating the growing lineage
+    * so round N doesn't replay rounds 1..N-1) and the convergence flag
+    * — count of labels that still changed — is collected during that
+    * same job via `observe` (CollectMetrics), not by a second probe
+    * job over the result.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
@@ -131,12 +133,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(min("label").as("nbr"))
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val updated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .localCheckpoint()
-      converged = updated.filter(col("next") < col("label")).isEmpty
-      labels = updated.select(col("node"), col("next").as("label"))
+        .observe(obs,
+          sum(when(col("next") < col("label"), 1L).otherwise(0L)).as("changed"))
+        .select(col("node"), col("next").as("label"))
+        .localCheckpoint() // the round's single job; fills the observation
+      converged = obs.get.get("changed").collect { case n: Long => n }
+        .getOrElse(0L) == 0L
+      labels = updated
       iter += 1
     }
     edges.unpersist()

@@ -40,9 +40,10 @@ object Similarity {
   def withNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
     emb.select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
 
-  /** All pairs (a < b) with cosine >= threshold — embedding near-dup
-    * join. Baseline is the triangular self-join; at scale, bucket by an
-    * LSH of the vector (e.g. sign bits of fixed projections) first.
+  /** All pairs (a < b) with cosine >= threshold via the triangular
+    * self-join — a SMALL-CORPUS utility (O(n²) BroadcastNestedLoopJoin).
+    * The shipped scale path for embedding near-dup is [[signLshPairs]]:
+    * bucket by sign-projection LSH first so cost follows collisions.
     */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
                   threshold: Double): DataFrame = {
@@ -66,11 +67,21 @@ object Similarity {
     * (8 bits × 4 tables); this is approximate by design, unlike the
     * exact triangular baseline.
     */
+  /** Deterministic Gaussian hyperplanes for [[signLshPairs]] — exposed
+    * so an oracle (e.g. DuckDB SQL with literal plane values) can
+    * replicate the exact same bucketing. Same (dim, bits, tables, seed)
+    * → same planes.
+    */
+  def signPlanes(dim: Int, bits: Int, tables: Int,
+                 seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian().toFloat)
+  }
+
   def signLshPairs(emb: DataFrame, id: Column, vec: Column, dim: Int,
                    threshold: Double, bits: Int = 8, tables: Int = 4,
                    seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(tables, bits, dim)(rnd.nextGaussian().toFloat)
+    val planes = signPlanes(dim, bits, tables, seed)
     val n = withNorm(emb, id, vec)
     val tableStructs = (0 until tables).map { t =>
       val sig = (0 until bits).map { b =>

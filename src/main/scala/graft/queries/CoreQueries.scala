@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.model.Tables
-import graft.ops.{Aggregates, Events, Relational, Scalars, Windows}
+import graft.ops.{Aggregates, Events, Relational, Scalars, Skew, Windows}
 
 /** SURVEY.md §2.12 core inventory: scans, projections/filters, joins,
   * aggregations, windows, sorts, set ops, scalar functions, event windows.
@@ -216,6 +216,52 @@ object CoreQueries {
       "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents " +
       "FROM lineitem JOIN iv ON l_shipdate >= b AND l_shipdate < e " +
       "GROUP BY iv_id ORDER BY iv_id"))
+
+  /** J7-at-scale twin: same semantics as q_range_join but through the
+    * banded equi-join path for LARGE interval sides (shuffle join on a
+    * coarse time band + exact post-filter; no broadcast, no nested
+    * loop). The oracle is the plain interval-join SQL — green here
+    * proves the band rewrite is exact, so the 100 TB lever isn't a
+    * unit-test-only claim. Bands are 16-day buckets of epoch-day; each
+    * 30-day interval explodes into 2-3 bands.
+    */
+  private val qRangeBanded = Q("q_range_banded",
+    (s, d) => {
+      val iv = t(s, d, "orders")
+        .filter(col("o_orderkey") % 1499 === 0)
+        .select(
+          col("o_orderkey").as("iv_id"),
+          col("o_orderdate").as("begin"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("end"))
+      Relational.bandedRangeJoin(
+        t(s, d, "lineitem"), iv, col("l_shipdate"), col("begin"), col("end"),
+        band = c => floor(unix_date(to_date(c)) / lit(16)).cast("long"))
+        .groupBy("iv_id")
+        .agg(count(lit(1)).as("n"),
+          Scalars.sumCents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("iv_id")
+    },
+    Some("WITH iv AS (SELECT o_orderkey AS iv_id, o_orderdate AS b, " +
+      "o_orderdate + INTERVAL 30 DAY AS e FROM orders WHERE o_orderkey % 1499 = 0) " +
+      "SELECT iv_id, count(*) AS n, " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents " +
+      "FROM lineitem JOIN iv ON l_shipdate >= b AND l_shipdate < e " +
+      "GROUP BY iv_id ORDER BY iv_id"))
+
+  /** J1-under-skew twin: same output as q_join_inner through the salted
+    * join (left rows scattered across salt replicas of the right side).
+    * The oracle is the plain equi-join SQL — salting is an exact
+    * rewrite; the salt key never changes the match set.
+    */
+  private val qJoinSalted = Q("q_join_salted",
+    (s, d) => Skew.saltedJoin(
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      t(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
+      keys = Seq("o_custkey"), salt = 8)
+      .select("o_orderkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey"),
+    Some("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
 
   // --------------------------------------------- aggregation / dedup
 
@@ -646,7 +692,7 @@ object CoreQueries {
     qScan, qScanPrune,
     qProject, qFilterEq, qFilterLike, qFilterRlike,
     qJoinInner, qJoinBroadcast, qJoinStar, qJoinLeft,
-    qSemiJoin, qAntiJoin, qFindFirst, qRangeJoin,
+    qSemiJoin, qAntiJoin, qFindFirst, qRangeJoin, qRangeBanded, qJoinSalted,
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube,
     qWindowRunning, qWindowFrame, qWindowRank,

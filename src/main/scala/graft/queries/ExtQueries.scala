@@ -143,6 +143,44 @@ object ExtQueries {
       "FROM n a JOIN n b ON a.vec_id < b.vec_id " +
       "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4 ORDER BY va, vb"))
 
+  /** DuckDB list literal for one hyperplane, each float widened to
+    * double and printed with round-trip precision (Scala Double.toString
+    * is shortest-exact; DuckDB parses back to the identical double).
+    */
+  private def duckPlane(p: Array[Float]): String =
+    "CAST([" + p.map(_.toDouble.toString).mkString(", ") + "] AS DOUBLE[])"
+
+  /** Embedding near-dup via sign-projection LSH — the 100 TB scale path
+    * (bucket-mates only; cost follows collisions, never n²). The oracle
+    * replicates the exact bucketing: same seeded hyperplanes inlined as
+    * DuckDB literals, same sign-bit signatures, same bucket equi-join —
+    * so this checks the LSH operator itself, not just its recall.
+    */
+  private val qEmbedLsh = {
+    val (dim, bits, tables, seed) = (64, 8, 4, 42L)
+    val planes = Similarity.signPlanes(dim, bits, tables, seed)
+    val buckSql = (0 until tables).map { tb =>
+      val sig = (0 until bits).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${duckPlane(planes(tb)(b))}) >= 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tb AS tbl, $sig AS sig FROM n"
+    }.mkString(" UNION ALL ")
+    Q("q_embed_lsh",
+      (s, d) => Similarity.signLshPairs(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"), dim = dim,
+        threshold = 0.4, bits = bits, tables = tables, seed = seed)
+        .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
+        .orderBy("va", "vb"),
+      Some(duckNormCte + s", buck AS ($buckSql), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb FROM buck x " +
+        "JOIN buck y ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id) " +
+        "SELECT va, vb, round(list_dot_product(a.v, b.v) / (a.nm * b.nm), 4) AS cos " +
+        "FROM cand JOIN n a ON va = a.vec_id JOIN n b ON vb = b.vec_id " +
+        "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4 " +
+        "ORDER BY va, vb"))
+  }
+
   private val qAnnTopk = Q("q_ann_topk",
     (s, d) => {
       val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
@@ -259,6 +297,6 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qNgramJaccard,
-    qDedupClusters, qEmbedCosine, qAnnTopk, qAnnIvf,
+    qDedupClusters, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf)
 }

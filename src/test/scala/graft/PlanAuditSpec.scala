@@ -59,6 +59,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("zip_with"), "interpreted HOF leaked back into the hot path")
   }
 
+  test("q_embed_lsh: bucket self-join is equi-hash with reused exchange, never nested-loop") {
+    val df = SparkEntry.queries("q_embed_lsh")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "LSH path must never degrade to the all-pairs join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+  }
+
   test("q_topk: global sort+limit plans TakeOrderedAndProject") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
