@@ -11,29 +11,25 @@ class RegistrySpec extends SparkSpec {
       s"duplicates: ${Queries.duplicateNames.mkString(", ")}")
   }
 
-  test("all 58 declared queries are registered with oracle SQL") {
-    assert(Queries.all.size == 58)
+  test("registry size derives from its parts and every query has oracle SQL") {
+    import graft.queries.{CoreQueries, ExtQueries}
+    assert(Queries.all.size == CoreQueries.all.size + ExtQueries.all.size)
     val missingOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name)
     assert(missingOracle.isEmpty,
       s"queries without oracle SQL: ${missingOracle.mkString(", ")}")
   }
 
-  test("SURVEY §2.12 core inventory is fully covered") {
-    val declared = Seq(
-      "q_scan", "q_scan_prune", "q_project", "q_filter_eq", "q_filter_like",
-      "q_filter_rlike", "q_join_inner", "q_join_broadcast", "q_join_star",
-      "q_join_left", "q_semi_join", "q_anti_join", "q_find_first",
-      "q_range_join", "q_distinct", "q_dedup_subset", "q_first_wins",
-      "q_group_count", "q_group_collect", "q_group_route", "q_rollup",
-      "q_cube", "q_window_running", "q_window_frame", "q_window_rank",
-      "q_sort", "q_sort_multi", "q_topk", "q_union", "q_except",
-      "q_intersect", "q_str_replace", "q_str_route", "q_str_split",
-      "q_bin_hex", "q_date_trunc", "q_math_expr", "q_array_dot",
-      "q_json_extract", "q_explode_tokens", "q_window_tumbling",
-      "q_window_sliding", "q_window_session")
+  test("registry matches the canonical declared inventory exactly") {
+    // SURVEY §2.12 core inventory + scale twins + [EXT] LLM-pipeline ops.
+    // Set equality in BOTH directions: adding a query without declaring it
+    // here fails, as does declaring one that was never registered.
+    val declared = RegistrySpec.declaredInventory.toSet
     val names = Queries.all.map(_.name).toSet
-    val missing = declared.filterNot(names.contains)
+    val missing = declared.diff(names)
+    val undeclared = names.diff(declared)
     assert(missing.isEmpty, s"missing from registry: ${missing.mkString(", ")}")
+    assert(undeclared.isEmpty,
+      s"registered but not in declared inventory (add to RegistrySpec.declaredInventory): ${undeclared.mkString(", ")}")
   }
 
   test("every query builds a plan against sf0.001 (no analysis errors)") {
@@ -43,4 +39,30 @@ class RegistrySpec extends SparkSpec {
       assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
     }
   }
+}
+
+object RegistrySpec {
+  /** The one canonical declared query inventory. Every registered query must
+    * appear here and vice versa (asserted above as set equality).
+    */
+  val declaredInventory: Seq[String] = Seq(
+    // SURVEY §2.12 core
+    "q_scan", "q_scan_prune", "q_project", "q_filter_eq", "q_filter_like",
+    "q_filter_rlike", "q_join_inner", "q_join_broadcast", "q_join_star",
+    "q_join_left", "q_semi_join", "q_anti_join", "q_find_first",
+    "q_range_join", "q_distinct", "q_dedup_subset", "q_first_wins",
+    "q_group_count", "q_group_collect", "q_group_route", "q_rollup",
+    "q_cube", "q_window_running", "q_window_frame", "q_window_rank",
+    "q_sort", "q_sort_multi", "q_topk", "q_union", "q_except",
+    "q_intersect", "q_str_replace", "q_str_route", "q_str_split",
+    "q_bin_hex", "q_date_trunc", "q_math_expr", "q_percentile_disc",
+    "q_array_dot", "q_json_extract", "q_explode_tokens",
+    "q_window_tumbling", "q_window_sliding", "q_window_session",
+    // scale twins (round 2)
+    "q_range_banded", "q_join_salted",
+    // [EXT] LLM-pipeline operators
+    "q_dedup_exact", "q_minhash", "q_minhash_lsh", "q_simhash",
+    "q_ngram_jaccard", "q_dedup_clusters", "q_embed_cosine", "q_embed_lsh",
+    "q_ann_topk", "q_ann_ivf", "q_lang_id", "q_quality_score",
+    "q_token_count", "q_fingerprint", "q_tfidf")
 }
