@@ -45,13 +45,35 @@ object Export {
       records: DataFrame,
       keyColumns: Seq[String])
 
+  /** Phase-2 export (export_dp1.py:97-125): some dimension families are not
+    * referenced by any dataset data ID and must be constrained by the keys of
+    * a dimension that WAS exported. The reference re-reads the written visit
+    * parquet column-pruned to (instrument, id) and feeds 50k-row batches back
+    * into registry queries; in Spark the batching loop collapses to one
+    * broadcast semi-join against the pruned re-read.
+    */
+  case class DimensionExpansion(
+      sourceDimension: String, // already-written dimension to re-read
+      sourceKeys: Seq[String], // pruned read columns, e.g. (instrument, id)
+      target: DimensionInput, // e.g. visit_definition
+      targetJoinColumns: Seq[String]) // target cols matching sourceKeys 1:1
+
   def run(
       outDir: String,
       types: Seq[DatasetTypeInput],
       dimensions: Seq[DimensionInput],
       datastore: DataFrame, // datastore_name, priority, dataset_id, path, ...
       collections: Seq[CollectionExport],
-      rootCollection: String): Unit = {
+      rootCollection: String,
+      expansions: Seq[DimensionExpansion] = Nil): Unit = {
+
+    // write-once guard (exporter.py:42-45): each dataset type / dimension
+    // may be exported exactly once — catch catalog mistakes before any write
+    val dupTypes = types.map(_.name).diff(types.map(_.name).distinct)
+    require(dupTypes.isEmpty, s"dataset type exported twice: ${dupTypes.distinct.mkString(", ")}")
+    val dimNames = dimensions.map(_.name) ++ expansions.map(_.target.name)
+    val dupDims = dimNames.diff(dimNames.distinct)
+    require(dupDims.isEmpty, s"dimension exported twice: ${dupDims.distinct.mkString(", ")}")
 
     val chain = Manifests.flattenChain(collections, rootCollection)
     val priority = chain.zipWithIndex.toMap
@@ -101,6 +123,31 @@ object Export {
         .write.mode("overwrite").parquet(s"$outDir/dimensions/${d.name}")
     }
 
+    // phase 2 (export_dp1.py:97-125): constrain "populated_by" dimension
+    // families by the keys of an already-written dimension. Re-read the
+    // WRITTEN parquet (not the in-memory frame) column-pruned to the keys —
+    // the scan's ReadSchema carries only the key columns — then semi-join.
+    // The pruned key set is the small side by construction (it is a deduped
+    // key projection of one dimension), so it broadcasts; the reference's
+    // driver-side 50k batching is unnecessary under a distributed join.
+    expansions.foreach { e =>
+      // mirror _read_referenced_visits: skip if the source was not exported
+      if (dimensions.exists(_.name == e.sourceDimension)) {
+        require(e.sourceKeys.size == e.targetJoinColumns.size,
+          s"expansion ${e.target.name}: key arity mismatch")
+        val spark = e.target.records.sparkSession
+        val keys = spark.read.parquet(s"$outDir/dimensions/${e.sourceDimension}")
+          .select(e.sourceKeys.map(col): _*).distinct()
+        val cond = e.targetJoinColumns.zip(e.sourceKeys)
+          .map { case (t, s) => e.target.records(t) === keys(s) }
+          .reduce(_ && _)
+        e.target.records.join(broadcast(keys), cond, "left_semi")
+          .dropDuplicates(e.target.keyColumns)
+          .sortWithinPartitions(e.target.keyColumns.map(col): _*)
+          .write.mode("overwrite").parquet(s"$outDir/dimensions/${e.target.name}")
+      }
+    }
+
     // datastore: only exported datasets, first-datastore-wins
     // (datastore_parquet.py:41-44,66-76)
     val allExported = exportedIdsPerType
@@ -113,10 +160,16 @@ object Export {
 
     exportedIdsPerType.foreach(_._2.unpersist())
 
+    val writtenExpansions = expansions
+      .filter(e => dimensions.exists(_.name == e.sourceDimension))
+      .map(_.target.name)
     Manifests.writeJson(s"$outDir/index.json",
-      ExportIndex(dimensions.map(_.name), types.map(_.name), rootCollection))
+      ExportIndex(dimensions.map(_.name) ++ writtenExpansions,
+        types.map(_.name), rootCollection))
     Manifests.writeJson(s"$outDir/dataset_types.json",
       types.map(t => DatasetTypeExport(t.name, t.dataIdColumns, t.storageClass)))
     Manifests.writeJson(s"$outDir/collections.json", collections)
+    // reference layout writes the chain as YAML (exporter.py:160-167)
+    Manifests.writeCollectionsYaml(s"$outDir/collections.yaml", collections)
   }
 }

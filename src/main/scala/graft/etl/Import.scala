@@ -90,8 +90,15 @@ object Import {
     // associations routed by collection type (importer.py:101-117):
     // membership of a TAGGED collection is an associate; membership of a
     // CALIBRATION collection certifies a validity timespan
-    val collTypes = Manifests.readCollections(s"$exportDir/collections.json")
-      .map(c => c.name -> c.collection_type).toMap
+    // prefer the reference-layout YAML manifest (importer.py:51), fall back
+    // to JSON for exports written before the YAML writer existed
+    val collTypes = {
+      val yaml = s"$exportDir/collections.yaml"
+      val colls =
+        if (Files.exists(Paths.get(yaml))) Manifests.readCollectionsYaml(yaml)
+        else Manifests.readCollections(s"$exportDir/collections.json")
+      colls.map(c => c.name -> c.collection_type).toMap
+    }
     val typeOf = collTypes.foldLeft(lit("RUN")) { case (acc, (name, ct)) =>
       when(col("collection") === name, ct).otherwise(acc)
     }

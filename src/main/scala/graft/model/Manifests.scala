@@ -57,6 +57,86 @@ object Manifests {
   def readCollections(path: String): Seq[CollectionExport] =
     JsonMethods.parse(Files.readString(Paths.get(path))).extract[Seq[CollectionExport]]
 
+  /** Collections manifest as YAML (reference exporter.py:160-167; read back
+    * at importer.py:51): Butler's export backend writes a document with a
+    * `data:` list of collection entries. The dependency budget carries no
+    * YAML library, so this emits/parses exactly the restricted subset that
+    * layout needs — block mapping entries, single-quoted scalars ('' escape),
+    * flow-style children lists.
+    */
+  def writeCollectionsYaml(path: String, collections: Seq[CollectionExport]): Unit = {
+    val sb = new StringBuilder
+    sb ++= "description: Graft Data Repository Export\n"
+    sb ++= "version: 1.0.2\n"
+    sb ++= "data:\n"
+    collections.foreach { c =>
+      sb ++= "- type: collection\n"
+      sb ++= s"  collection_type: ${c.collection_type}\n"
+      sb ++= s"  name: ${yamlQuote(c.name)}\n"
+      if (c.children.nonEmpty)
+        sb ++= s"  children: [${c.children.map(yamlQuote).mkString(", ")}]\n"
+    }
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), sb.result())
+  }
+
+  def readCollectionsYaml(path: String): Seq[CollectionExport] = {
+    import scala.jdk.CollectionConverters._
+    val out = scala.collection.mutable.ArrayBuffer[CollectionExport]()
+    var fields = Map.empty[String, String]
+    def flush(): Unit = {
+      if (fields.get("type").contains("collection"))
+        out += CollectionExport(
+          yamlUnquote(fields("name")),
+          yamlUnquote(fields.getOrElse("collection_type", "RUN")),
+          fields.get("children").map { v =>
+            val body = v.trim.stripPrefix("[").stripSuffix("]").trim
+            if (body.isEmpty) Seq.empty[String] else splitFlow(body)
+          }.getOrElse(Nil))
+      fields = Map.empty
+    }
+    def addKv(s: String): Unit = {
+      val idx = s.indexOf(':')
+      if (idx >= 0) fields += (s.take(idx).trim -> s.drop(idx + 1).trim)
+    }
+    Files.readAllLines(Paths.get(path)).asScala.foreach { raw =>
+      if (raw.startsWith("- ")) { flush(); addKv(raw.drop(2)) }
+      else if (raw.startsWith("  ")) addKv(raw.drop(2))
+      // top-level header keys (description/version/data) carry no entry state
+    }
+    flush()
+    out.toSeq
+  }
+
+  private def yamlQuote(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  private def yamlUnquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  /** Quote-aware split of a flow-list body on commas. */
+  private def splitFlow(body: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < body.length) {
+      val ch = body.charAt(i)
+      if (inQ && ch == '\'' && i + 1 < body.length && body.charAt(i + 1) == '\'') {
+        cur ++= "''"; i += 1
+      } else if (ch == '\'') { inQ = !inQ; cur += ch }
+      else if (ch == ',' && !inQ) { parts += cur.result(); cur.clear() }
+      else cur += ch
+      i += 1
+    }
+    parts += cur.result()
+    parts.toSeq.map(yamlUnquote)
+  }
+
   /** Flatten a collection DAG to the priority-ordered list of concrete
     * (non-chained) collections reachable from `root` — find_first's
     * priority index (reference exporter.py:114-120). Depth-first,

@@ -49,6 +49,40 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("collections YAML manifest round-trips, incl. quoting edge cases") {
+    val dir = mkTmp("graft-yaml")
+    val gnarly = Seq(
+      CollectionExport("root", "CHAINED", Seq("it's/v1", "plain", "a, b")),
+      CollectionExport("it's/v1", "TAGGED", Nil),
+      CollectionExport("plain", "CALIBRATION", Nil),
+      CollectionExport("a, b", "TAGGED", Nil))
+    Manifests.writeCollectionsYaml(s"$dir/collections.yaml", gnarly)
+    assert(Manifests.readCollectionsYaml(s"$dir/collections.yaml") == gnarly)
+  }
+
+  test("write-once guard: duplicate export names raise before any write") {
+    val df = Seq((1, "x")).toDF("visit", "band")
+    val dir = mkTmp("graft-dup")
+    val ex = intercept[IllegalArgumentException] {
+      Export.run(dir,
+        types = Seq(
+          Export.DatasetTypeInput("raw", "Exp", df, Seq("visit"), findFirst = true),
+          Export.DatasetTypeInput("raw", "Exp", df, Seq("visit"), findFirst = true)),
+        dimensions = Nil, datastore = df, collections = collections,
+        rootCollection = "root")
+    }
+    assert(ex.getMessage.contains("raw"))
+    assert(!Files.exists(Paths.get(s"$dir/datasets"))) // nothing written
+    intercept[IllegalArgumentException] {
+      Export.run(dir,
+        types = Nil,
+        dimensions = Seq(Export.DimensionInput("visit", df, Seq("visit"))),
+        datastore = df, collections = collections, rootCollection = "root",
+        expansions = Seq(Export.DimensionExpansion("visit", Seq("visit"),
+          Export.DimensionInput("visit", df, Seq("visit")), Seq("visit"))))
+    }
+  }
+
   test("export -> import round trip with find_first and calib semantics") {
     val exportDir = mkTmp("graft-export")
     val targetDir = mkTmp("graft-target")
@@ -70,6 +104,10 @@ class EtlPipelineSpec extends SparkSpec {
       .drop("ts")
 
     val visits = Seq((10, "r1"), (10, "r1"), (20, "r2")).toDF("visit", "band")
+    // phase-2 family: rows for exported visits 10/20 must survive; visit 99
+    // was never exported and must be filtered by the re-read key join
+    val visitDefs = Seq((10, 1, "a"), (10, 2, "b"), (20, 1, "c"), (99, 1, "x"))
+      .toDF("visit_id", "def_seq", "payload")
     val datastore = Seq(
       ("main", 0, "id-a2", "a2.fits#unzip=x"),
       ("cache", 1, "id-a2", "a2.fits"), // loses first-wins to main
@@ -86,7 +124,17 @@ class EtlPipelineSpec extends SparkSpec {
       dimensions = Seq(Export.DimensionInput("visit", visits, Seq("visit"))),
       datastore = datastore,
       collections = collections,
-      rootCollection = "root")
+      rootCollection = "root",
+      expansions = Seq(
+        // exercised: visit was exported -> visit_definition constrained to it
+        Export.DimensionExpansion("visit", Seq("visit"),
+          Export.DimensionInput("visit_definition", visitDefs,
+            Seq("visit_id", "def_seq")),
+          Seq("visit_id")),
+        // skipped: source dimension never exported (export_dp1.py:120-121)
+        Export.DimensionExpansion("detector", Seq("detector"),
+          Export.DimensionInput("detector_extra", visitDefs, Seq("visit_id")),
+          Seq("visit_id"))))
 
     // find_first: v2 beat v1 for visit 10; v1-only visit 20 survives
     val exported = spark.read.parquet(s"$exportDir/datasets/raw")
@@ -96,6 +144,12 @@ class EtlPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$exportDir/datasets/bias").count() == 2)
     // dimensions deduped
     assert(spark.read.parquet(s"$exportDir/dimensions/visit").count() == 2)
+    // phase 2: visit_definition constrained to exported visit keys
+    val defs = spark.read.parquet(s"$exportDir/dimensions/visit_definition")
+      .select("visit_id", "def_seq").as[(Int, Int)].collect().toSet
+    assert(defs == Set((10, 1), (10, 2), (20, 1))) // visit 99 filtered out
+    // skipped expansion (source never exported) wrote nothing
+    assert(!Files.exists(Paths.get(s"$exportDir/dimensions/detector_extra")))
     // datastore: first-wins kept `main` for id-a2, semi-joined to exported
     val ds = spark.read.parquet(s"$exportDir/datastore")
       .select("dataset_id", "datastore_name").as[(String, String)].collect().toMap
@@ -103,6 +157,11 @@ class EtlPipelineSpec extends SparkSpec {
     // manifests
     val index = Manifests.readIndex(s"$exportDir/index.json")
     assert(index.dataset_types == Seq("raw", "bias") && index.root_collection == "root")
+    // index lists the written expansion but not the skipped one
+    assert(index.dimensions == Seq("visit", "visit_definition"))
+    // reference-layout YAML manifest round-trips the chain
+    assert(Manifests.readCollectionsYaml(s"$exportDir/collections.yaml")
+      == collections)
 
     // ---- import
     val report = Import.run(spark, exportDir, targetDir,
