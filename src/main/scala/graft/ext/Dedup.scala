@@ -110,44 +110,97 @@ object Dedup {
     * doc id in its component — the cluster id a dedup pipeline keeps
     * one survivor per.
     *
-    * Min-label propagation: each round, a node adopts the smallest
-    * label among itself and its neighbors; rounds needed = component
-    * diameter (near-dup clusters are tight, so typically 2-4). Each
-    * round is ONE Spark job: the shuffle join + aggregate is
-    * materialized by `localCheckpoint` (truncating the growing lineage
-    * so round N doesn't replay rounds 1..N-1) and the convergence flag
-    * — count of labels that still changed — is collected during that
-    * same job via `observe` (CollectMetrics), not by a second probe
-    * job over the result.
+    * Each round contracts the label forest in two fused star steps
+    * (the alternating large-star/small-star scheme of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", made monotone on a
+    * parent map):
+    *   hook  (large-star): h(u)    = min(p(u), min over neighbors v of p(v))
+    *   jump  (small-star): next(u) = min(h(u), p(h(u)))
+    * The jump composes label paths, so label information travels a
+    * doubling distance per round — O(log diameter) rounds instead of
+    * the O(diameter) of plain min-label propagation. Labels are node
+    * ids of the same component and only ever decrease, so "no label
+    * changed this round" (observed in-job via CollectMetrics) is an
+    * exact convergence test: hook-stability across every edge forces
+    * labels constant per component, i.e. the component minimum.
+    *
+    * Each round is ONE Spark job: `localCheckpoint` materializes the
+    * round (truncating lineage so round N doesn't replay 1..N-1) and
+    * fills the observation in the same action. AQE is toggled off
+    * (scoped, restored in `finally`) for the iterations only: the
+    * per-round shuffles are fixed-shape joins on an already-sized
+    * label table, where AQE's per-stage scheduling would turn each
+    * round into 3-4 separate jobs — pure sync-point overhead. The
+    * jump's second lookup reads the *checkpointed* previous labels, so
+    * nothing in the round's plan is computed twice.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(min("label").as("nbr"))
-      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val updated = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
-        .observe(obs,
-          sum(when(col("next") < col("label"), 1L).otherwise(0L)).as("changed"))
-        .select(col("node"), col("next").as("label"))
-        .localCheckpoint() // the round's single job; fills the observation
-      converged = obs.get.get("changed").collect { case n: Long => n }
-        .getOrElse(0L) == 0L
-      labels = updated
-      iter += 1
+    val spark = pairs.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+        .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
+        .persist()
+      // lazy persist, not an eager checkpoint: round 0's own job fills
+      // the cache (one init job fewer); lineage is shallow (one distinct
+      // over the persisted edges) so truncation isn't needed yet
+      val labels0 = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .persist()
+      var labels = labels0
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // hook: adopt the smallest label in the closed neighborhood
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node")).agg(min("label").as("nbr"))
+        val hooked = labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("label"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("h"))
+        // jump: follow the previous round's parent map one more step
+        val parent = labels.select(col("node").as("pn"), col("label").as("pl"))
+        val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+        val updated = hooked.join(parent, col("h") === col("pn"), "left")
+          .select(col("node"), col("label"),
+            least(col("h"), coalesce(col("pl"), col("h"))).as("next"))
+          .observe(obs,
+            sum(when(col("next") < col("label"), 1L).otherwise(0L)).as("changed"))
+          .select(col("node"), col("next").as("label"))
+        val updatedCk = updated.localCheckpoint() // the round's single job; fills the observation
+        converged = changedCount(obs, updatedCk, labels) == 0L
+        if (iter == 0) labels0.unpersist() // checkpointed rounds no longer read it
+        labels = updatedCk
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    } finally spark.conf.set(aqeKey, prevAqe)
+  }
+
+  /** Bounded read of a round's convergence metric. `Observation.get`
+    * blocks forever if the listener event carrying the metric is
+    * dropped; here we poll with a deadline and, on timeout, fall back
+    * to an exact (one extra job, rare path) changed-label probe
+    * against the previous round's checkpointed labels.
+    */
+  private[ext] def changedCount(obs: org.apache.spark.sql.Observation,
+                                updated: DataFrame, prev: DataFrame,
+                                timeoutMs: Long = 10000L): Long = {
+    import org.apache.spark.sql.GraftBridge.observationRow
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var row = observationRow(obs) // waits ~100ms internally when empty
+    while (row.isEmpty && System.nanoTime() < deadline) row = observationRow(obs)
+    row match {
+      case Some(r) if !r.isNullAt(0) => r.getLong(0)
+      case Some(_) => 0L // sum over zero rows: empty input, converged
+      case None =>
+        updated.withColumnRenamed("label", "next")
+          .join(prev, "node")
+          .filter(col("next") < col("label")).limit(1).count()
     }
-    edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set

@@ -13,4 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Non-blocking read of an Observation's metrics row
+    * (`Observation.getRowOrEmpty` is `private[spark]`); returns None
+    * until the listener delivers the metrics. Unlike `Observation.get`
+    * this can never hang the caller on a dropped listener event.
+    */
+  def observationRow(o: Observation): Option[Row] = o.getRowOrEmpty
 }
