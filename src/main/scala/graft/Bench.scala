@@ -1,9 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench harness (driver contract): one JSON line with per-query and
+  * total seconds at SPARK_GRAFT_SF_DIR.
+  *
+  * Methodology (BASELINE.md "Recorded numbers"): every query is timed
+  * once per pass, for `passes` (default 3) full passes over the whole
+  * query set, and the reported per-query number is the MIN of its
+  * samples; total = sum of mins. Contention on the shared host only
+  * ever ADDS time (the single-shot r2/r3 harness swung unchanged
+  * queries 7x between rounds), so the min is the estimator of the
+  * engine's actual cost with the least contamination, and — unlike a
+  * median under sustained load — it is reproducible across runs.
+  * Passes are interleaved (a query's samples are taken minutes apart)
+  * so one burst cannot poison all samples of a query; per-query
+  * medians ride along under "queries_median" for transparency. A fixed
+  * calibration query (tiny groupBy, constant work) is timed at the
+  * start of every pass; its per-pass times are published in the JSON
+  * so a contended environment is visible in the record rather than
+  * inferred from query swings.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,15 +43,37 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").count()
       graft.model.Tables.load(spark, sfDir, "nation").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try body catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // fixed-work contention probe: same tiny aggregate every pass
+    def calibrate(): Double = time {
+      graft.model.Tables.load(spark, sfDir, "orders")
+        .groupBy("o_orderstatus").count().count()
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val calib = (0 until passes).map { _ =>
+      val c = calibrate()
+      names.foreach { n =>
+        val s = time(SparkEntry.queries(n)(spark, sfDir).count())
+        samples(n) = s :: samples.getOrElse(n, Nil)
+      }
+      c
+    }
+    def obj(vals: Seq[(String, Double)]): String =
+      vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val mins = names.map(n => n -> samples(n).min)
+    val medians = names.map(n => n -> median(samples(n)))
+    val total = mins.map(_._2).sum
+    val calibJson = calib.map(c => f"$c%.4f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(mins)},""" +
+      s""""sf":"$sfDir","passes":$passes,"method":"min-of-$passes-interleaved-passes",""" +
+      s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")
     spark.stop()
   }
 }
