@@ -65,7 +65,14 @@ object StreamingEvents {
   * sessionizer that assigns stable per-user session ids and emits one
   * summary row per closed session.
   *
-  * State per key = the open session (id, bounds, count); an event-time
+  * `session_id` is the session's start epoch millis: a new session for
+  * a user starts strictly after the previous session's last event plus
+  * the gap, so start times — and therefore ids — never repeat for a
+  * user, even across a timeout-close/reopen (a per-user counter would
+  * restart at 0 once the timeout evicts the state, silently merging
+  * distinct sessions in any downstream join on (user, session_id)).
+  *
+  * State per key = the open session (bounds, count); an event-time
   * timeout closes it. State size is O(active keys), evicted on timeout —
   * bounded like any watermarked operator.
   */
@@ -73,7 +80,7 @@ object StatefulSessions {
 
   case class Event(user_id: String, ts: java.sql.Timestamp)
 
-  case class SessionState(sessionId: Long, start: Long, lastTs: Long, n: Long)
+  case class SessionState(start: Long, lastTs: Long, n: Long)
 
   case class SessionOut(user_id: String, session_id: Long,
       start_ms: Long, end_ms: Long, n_events: Long)
@@ -94,7 +101,7 @@ object StatefulSessions {
       if (state.hasTimedOut) {
         val s = state.get
         state.remove()
-        Iterator(SessionOut(user, s.sessionId, s.start, s.lastTs, s.n))
+        Iterator(SessionOut(user, s.start, s.start, s.lastTs, s.n))
       } else {
         val ts = rows.map(_.ts.getTime).toSeq.sorted
         var closed = List.empty[SessionOut]
@@ -104,10 +111,10 @@ object StatefulSessions {
             case Some(s) if t - s.lastTs <= gapMs =>
               cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
             case Some(s) => // gap exceeded in-batch: close, start next
-              closed ::= SessionOut(user, s.sessionId, s.start, s.lastTs, s.n)
-              cur = Some(SessionState(s.sessionId + 1, t, t, 1))
+              closed ::= SessionOut(user, s.start, s.start, s.lastTs, s.n)
+              cur = Some(SessionState(t, t, 1))
             case None =>
-              cur = Some(SessionState(0L, t, t, 1))
+              cur = Some(SessionState(t, t, 1))
           }
         }
         cur.foreach { s =>

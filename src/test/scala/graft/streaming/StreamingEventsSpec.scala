@@ -82,8 +82,41 @@ class StreamingEventsSpec extends SparkSpec {
       val rows = spark.table("fmgws_out")
         .select("user_id", "session_id", "n_events")
         .as[(String, Long, Long)].collect().toSet
-      assert(rows.contains(("u1", 0L, 2L))) // two events merged, id 0
-      assert(rows.contains(("u2", 0L, 1L)))
+      // session_id = session start epoch millis
+      assert(rows.contains(("u1", ts(0).getTime, 2L))) // two events merged
+      assert(rows.contains(("u2", ts(1).getTime, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionizer ids never repeat across a timeout-closed/reopened session") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .selectExpr("user_id", "ts").as[Event](
+        org.apache.spark.sql.Encoders.product[Event])
+    val out = sessionize(events, gapMs = 5 * 60 * 1000, watermark = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("fmgws_reuse")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), "u1"), (ts(2), "u1"))
+      q.processAllAvailable()
+      input.addData((ts(30), "other")) // watermark passes u1's timeout: closes via TIMEOUT path
+      q.processAllAvailable()
+      input.addData((ts(40), "u1"))    // u1 reopens from empty state
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2026-01-01 11:30:00"), "other")) // close the reopened session
+      q.processAllAvailable()
+      val u1 = spark.table("fmgws_reuse")
+        .where(col("user_id") === "u1")
+        .select("session_id", "start_ms", "n_events")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      assert(u1.map(_._1).distinct.size == u1.size,
+        s"session ids must not repeat after a timeout-close: $u1")
+      assert(u1 == Seq(
+        (ts(0).getTime, ts(0).getTime, 2L),
+        (ts(40).getTime, ts(40).getTime, 1L)))
     } finally q.stop()
   }
 
