@@ -220,6 +220,48 @@ object Dedup {
       .select(col("doc_id"), fp.as("fp"))
   }
 
+  /** SimHash hamming pair-search: all (da, db) whose 16-bit
+    * fingerprints (`doc_id`, `fp` as produced by [[simhash16]]) differ
+    * in at most `maxDist` bits, with the exact distance.
+    *
+    * Banding gives exact recall by pigeonhole: the fingerprint is cut
+    * into `bands` equal-width keys, and two fingerprints within
+    * hamming distance < bands must agree on at least one whole band —
+    * so candidate generation is a per-band bucket EQUI-join (cost
+    * follows bucket collisions, never n²), and the exact
+    * `bit_count(fa xor fb) <= maxDist` post-filter removes false
+    * candidates. Same shuffle-hash + ReusedExchange shape as
+    * [[minhashLshPairs]]: both (identical) sides shuffle on the band
+    * key and AQE reuses one exchange; a broadcast build side would
+    * compute the banded subplan twice and is never broadcastable at
+    * scale.
+    */
+  def simhashHammingPairs(fps: DataFrame, maxDist: Int,
+                          bands: Int = 4, bits: Int = 16): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxDist < bands,
+      s"pigeonhole recall guarantee needs maxDist < bands ($maxDist >= $bands)")
+    val width = bits / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * width).bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
+    val banded = fps
+      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("da"), col("fp").as("fa"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("db"), col("fp").as("fb"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // multi-band matches collapse; hamming is pair-determined
+  }
+
   /** Exact n-gram Jaccard near-dup pairs at `threshold`, candidates via
     * shared-shingle inverted index (equi-join on the shingle).
     *

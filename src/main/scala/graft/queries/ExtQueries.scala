@@ -72,18 +72,42 @@ object ExtQueries {
       (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
       " AS DOUBLE) / 8.0 >= 0.5 ORDER BY da, db"))
 
-  private val qSimhash = Q("q_simhash",
-    (s, d) => Dedup.simhash16(t(s, d, "documents"), col("text"), col("doc_id"))
-      .orderBy("doc_id"),
-    Some("WITH tk AS (SELECT doc_id, " + TextHash.duckBaseHash("t") + " AS h FROM " +
+  /** DuckDB CTE chain ending in fps(doc_id, fp) = the 16-bit simhash. */
+  private val duckSimhashCtes =
+    "tk AS (SELECT doc_id, " + TextHash.duckBaseHash("t") + " AS h FROM " +
       "(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
       "bs AS (SELECT doc_id, " +
       (0 until 16).map(j =>
         s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ") +
-      " FROM tk GROUP BY doc_id) SELECT doc_id, CAST(" +
+      " FROM tk GROUP BY doc_id), " +
+      "fps AS (SELECT doc_id, CAST(" +
       (0 until 16).map(j =>
         s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ") +
-      " AS BIGINT) AS fp FROM bs ORDER BY doc_id"))
+      " AS BIGINT) AS fp FROM bs)"
+
+  private val qSimhash = Q("q_simhash",
+    (s, d) => Dedup.simhash16(t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some(s"WITH $duckSimhashCtes SELECT doc_id, fp FROM fps ORDER BY doc_id"))
+
+  /** Hamming pair-search over the simhash fingerprints: banding into 4
+    * nibbles guarantees every pair within distance <= 2 shares a band
+    * (pigeonhole); oracle replicates the identical banding + exact
+    * bit_count post-filter.
+    */
+  private val qSimhashPairs = Q("q_simhash_pairs",
+    (s, d) => Dedup.simhashHammingPairs(
+      Dedup.simhash16(t(s, d, "documents"), col("text"), col("doc_id")),
+      maxDist = 2)
+      .orderBy("da", "db"),
+    Some(s"WITH $duckSimhashCtes, " +
+      "bands AS (SELECT doc_id, fp, b, (fp >> (b * 4)) & 15 AS key FROM fps " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id) " +
+      "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY da, db"))
 
   /** Shared DuckDB CTEs for the 3-gram Jaccard pair pipeline (also the
     * input of the clustering oracle).
@@ -296,7 +320,7 @@ object ExtQueries {
       "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qMinhash, qMinhashLsh, qSimhash, qNgramJaccard,
+    qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs, qNgramJaccard,
     qDedupClusters, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf)
 }

@@ -69,6 +69,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("reused"), p)
   }
 
+  test("q_simhash_pairs: banded self-join is equi-hash with reused exchange, never nested-loop") {
+    val df = SparkEntry.queries("q_simhash_pairs")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "hamming search must never degrade to the all-pairs join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+  }
+
   test("q_topk: global sort+limit plans TakeOrderedAndProject") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
