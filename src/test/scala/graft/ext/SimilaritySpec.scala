@@ -65,6 +65,51 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("signLshPairs recall at the threshold boundary matches OR-amplification theory (property)") {
+    // Adversarial regime: pairs at controlled angles where the
+    // (1-(1-(1-θ/π)^bits)^tables) math actually bites (cos 0.5), not
+    // just near-identical vectors. Pairs are uniformly oriented, so
+    // per-plane separation probability is exactly θ/π; pooling three
+    // seeded plane draws approximates the expectation the formula
+    // takes over planes. Bound = 4 binomial sigma + 3pp plane-draw
+    // allowance; everything is seeded, so the test is deterministic.
+    val dim = 16; val bits = 4; val tables = 2; val nPairs = 400; val seeds = 3
+    def measure(cosTheta: Double): (Double, Double) = {
+      val theta = math.acos(cosTheta)
+      val p1 = math.pow(1.0 - theta / math.Pi, bits)
+      val theory = 1.0 - math.pow(1.0 - p1, tables)
+      val found = (0 until seeds).map { s =>
+        val rnd = new scala.util.Random(1000 + s)
+        def gauss() = Array.fill(dim)(rnd.nextGaussian())
+        def unit(a: Array[Double]) = {
+          val nm = math.sqrt(a.map(x => x * x).sum); a.map(_ / nm)
+        }
+        val rows = (0 until nPairs).flatMap { i =>
+          val u = unit(gauss())
+          val w0 = gauss()
+          val proj = w0.zip(u).map { case (x, y) => x * y }.sum
+          val w = unit(w0.zip(u).map { case (x, ux) => x - proj * ux })
+          val v = u.zip(w).map { case (ux, wx) =>
+            math.cos(theta) * ux + math.sin(theta) * wx }
+          Seq((2L * i, u.map(_.toFloat).toSeq), (2L * i + 1, v.map(_.toFloat).toSeq))
+        }
+        val pairs = Similarity.signLshPairs(
+          rows.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+          dim = dim, threshold = cosTheta - 0.05, bits = bits, tables = tables,
+          seed = 7L + s)
+          .select("va", "vb").as[(Long, Long)].collect().toSet
+        (0 until nPairs).count(i => pairs.contains((2L * i, 2L * i + 1)))
+      }.sum
+      (found.toDouble / (seeds * nPairs), theory)
+    }
+    for (c <- Seq(0.5, 0.9)) {
+      val (measured, theory) = measure(c)
+      val sigma = math.sqrt(theory * (1 - theory) / (seeds * nPairs))
+      assert(math.abs(measured - theory) < 4 * sigma + 0.03,
+        f"cos=$c%.1f measured=$measured%.3f theory=$theory%.3f")
+    }
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
