@@ -127,12 +127,19 @@ object Export {
     // families by the keys of an already-written dimension. Re-read the
     // WRITTEN parquet (not the in-memory frame) column-pruned to the keys —
     // the scan's ReadSchema carries only the key columns — then semi-join.
-    // The pruned key set is the small side by construction (it is a deduped
-    // key projection of one dimension), so it broadcasts; the reference's
-    // driver-side 50k batching is unnecessary under a distributed join.
+    // No forced broadcast: the key projection is usually small enough that
+    // the optimizer broadcasts it from the pruned-scan stats, but a source
+    // dimension CAN be huge at full scale (the reference batches at 50k for
+    // exactly that reason) and a forced hint would bypass
+    // autoBroadcastJoinThreshold and OOM; a shuffled semi-join is the
+    // correct degradation. An expansion target counts as written for later
+    // expansions' source check (and for the index) — one accumulated set,
+    // so the two can't drift.
+    val writtenDims = scala.collection.mutable.LinkedHashSet(dimensions.map(_.name): _*)
+    val writtenExpansions = scala.collection.mutable.ArrayBuffer[String]()
     expansions.foreach { e =>
       // mirror _read_referenced_visits: skip if the source was not exported
-      if (dimensions.exists(_.name == e.sourceDimension)) {
+      if (writtenDims.contains(e.sourceDimension)) {
         require(e.sourceKeys.size == e.targetJoinColumns.size,
           s"expansion ${e.target.name}: key arity mismatch")
         val spark = e.target.records.sparkSession
@@ -141,10 +148,16 @@ object Export {
         val cond = e.targetJoinColumns.zip(e.sourceKeys)
           .map { case (t, s) => e.target.records(t) === keys(s) }
           .reduce(_ && _)
-        e.target.records.join(broadcast(keys), cond, "left_semi")
+        e.target.records.join(keys, cond, "left_semi")
           .dropDuplicates(e.target.keyColumns)
           .sortWithinPartitions(e.target.keyColumns.map(col): _*)
           .write.mode("overwrite").parquet(s"$outDir/dimensions/${e.target.name}")
+        writtenDims += e.target.name
+        writtenExpansions += e.target.name
+      } else {
+        System.err.println(
+          s"[graft.etl.Export] skipping expansion ${e.target.name}: " +
+            s"source dimension ${e.sourceDimension} was not exported")
       }
     }
 
@@ -160,9 +173,6 @@ object Export {
 
     exportedIdsPerType.foreach(_._2.unpersist())
 
-    val writtenExpansions = expansions
-      .filter(e => dimensions.exists(_.name == e.sourceDimension))
-      .map(_.target.name)
     Manifests.writeJson(s"$outDir/index.json",
       ExportIndex(dimensions.map(_.name) ++ writtenExpansions,
         types.map(_.name), rootCollection))

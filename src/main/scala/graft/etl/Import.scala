@@ -12,7 +12,14 @@ import graft.ops.{Aggregates, Relational}
   * Spark-first:
   *
   *  - validate requested types against the export index (set diff,
-  *    importer.py:36-41);
+  *    importer.py:36-41); an empty request means every exported type
+  *    (importer.py:41-42);
+  *  - register dataset types in the target catalog BEFORE the staged
+  *    writes, mirroring "outside the transaction" (importer.py:43-48 —
+  *    registration creates tables there; here it copies the schema
+  *    catalog, validated against the actual dataset parquet schemas,
+  *    so a target-side consumer can re-hydrate schemas the way
+  *    dataset_types.py:13-15 does);
   *  - replay dimension records in topological dependency order with
   *    idempotent skip-existing inserts (anti-join — importer.py:59-71);
   *  - datasets land partitioned by run (the reference chunks by run
@@ -49,9 +56,43 @@ object Import {
 
     val index = Manifests.readIndex(s"$exportDir/index.json")
 
-    // validation: requested minus available = error (importer.py:36-41)
+    // validation: requested minus available = error; empty request =
+    // everything in the export (importer.py:36-42)
     val missing = requestedTypes.toSet -- index.dataset_types.toSet
     require(missing.isEmpty, s"dataset types not in export: ${missing.mkString(", ")}")
+    val effTypes = if (requestedTypes.nonEmpty) requestedTypes else index.dataset_types
+
+    // every exported dimension must be importable — the reference
+    // imports ALL of index.dimensions (importer.py:59-71); silently
+    // skipping one the caller forgot to declare would lose data
+    val ordered = Manifests.topoSortDimensions(dimensionDeps)
+    val undeclared = index.dimensions.toSet -- ordered.toSet
+    require(undeclared.isEmpty,
+      "exported dimensions missing from dimensionDeps (would be silently " +
+        s"skipped): ${undeclared.toSeq.sorted.mkString(", ")}")
+    val keyless = index.dimensions.toSet -- dimensionKeys.keySet
+    require(keyless.isEmpty,
+      s"no key columns declared for exported dimensions: ${keyless.toSeq.sorted.mkString(", ")}")
+
+    // dataset-type registration, BEFORE the staged "transaction"
+    // (importer.py:43-48): validate each dataset parquet against the
+    // exported schema catalog, then merge the imported subset into the
+    // target's catalog so target-side consumers can re-hydrate schemas
+    // (dataset_types.py:13-15). A re-import with a conflicting
+    // definition fails, like registerDatasetType would.
+    val catalog = Manifests.readDatasetTypes(s"$exportDir/dataset_types.json")
+      .filter(dt => effTypes.contains(dt.name))
+    val uncataloged = effTypes.toSet -- catalog.map(_.name).toSet
+    require(uncataloged.isEmpty,
+      s"dataset types absent from dataset_types.json: ${uncataloged.mkString(", ")}")
+    catalog.foreach { dt =>
+      val actual = spark.read.parquet(s"$exportDir/datasets/${dt.name}").columns.toSet
+      val declared = Set("dataset_id", "run") ++ dt.dimensions
+      require(actual == declared,
+        s"dataset type ${dt.name}: parquet schema ${actual.toSeq.sorted.mkString("(", ",", ")")} " +
+          s"does not match registered dimensions ${declared.toSeq.sorted.mkString("(", ",", ")")}")
+    }
+    registerDatasetTypes(targetDir, catalog)
 
     val staging = s"$targetDir/.staging"
     Files.createDirectories(Paths.get(staging))
@@ -60,27 +101,26 @@ object Import {
     // The loop is over the catalog (dozens of dims); each step is one
     // distributed anti-join + append — never a per-record query (the
     // N+1 the reference explicitly avoids, importer.py:84-97).
-    val dimCounts = Manifests.topoSortDimensions(dimensionDeps)
+    val dimCounts = ordered
       .filter(index.dimensions.contains) // virtual dims have no table (importer.py:64-68)
       .map { dim =>
         val incoming = spark.read.parquet(s"$exportDir/dimensions/$dim")
         val targetPath = s"$targetDir/dimensions/$dim"
-        val fresh =
-          if (Files.exists(Paths.get(targetPath))) {
-            val existing = spark.read.parquet(targetPath)
-            Relational.antiJoin(incoming, existing, dimensionKeys(dim))
-          } else incoming
-        val n = fresh.count()
-        val merged =
+        val existing =
           if (Files.exists(Paths.get(targetPath)))
-            spark.read.parquet(targetPath).unionByName(fresh)
-          else fresh
+            Some(spark.read.parquet(targetPath))
+          else None
+        val fresh = existing
+          .map(ex => Relational.antiJoin(incoming, ex, dimensionKeys(dim)))
+          .getOrElse(incoming)
+        val n = fresh.count()
+        val merged = existing.map(_.unionByName(fresh)).getOrElse(fresh)
         merged.write.mode("overwrite").parquet(s"$staging/dimensions/$dim")
         dim -> n
       }.toMap
 
     // datasets: partitioned by run (importer.py:79-97)
-    val dsCounts = requestedTypes.map { t =>
+    val dsCounts = effTypes.map { t =>
       val ds = spark.read.parquet(s"$exportDir/datasets/$t")
       ds.write.mode("overwrite").partitionBy("run")
         .parquet(s"$staging/datasets/$t")
@@ -102,10 +142,13 @@ object Import {
     val typeOf = collTypes.foldLeft(lit("RUN")) { case (acc, (name, ct)) =>
       when(col("collection") === name, ct).otherwise(acc)
     }
-    val assoc = requestedTypes
+    // persisted: consumed by the two routed writes AND the report
+    // counts below — without it the whole union re-runs per action
+    val assoc = effTypes
       .map(t => spark.read.parquet(s"$exportDir/associations/$t"))
       .reduce(_ unionByName (_, allowMissingColumns = true))
       .withColumn("__ctype", typeOf)
+      .persist()
     val associated = assoc.filter(col("__ctype") === "TAGGED")
     val certified = assoc.filter(col("__ctype") === "CALIBRATION")
     // certify requires a validity timespan (importer.py:110-112); when no
@@ -130,16 +173,43 @@ object Import {
         .map(col).toIndexedSeq: _*)
     val nested = Aggregates.nestCollect(datastore,
       Seq(col("datastore_name"), col("dataset_id")), payload, "file_infos")
+      .persist() // written + counted for the report
     nested.write.mode("overwrite").parquet(s"$staging/datastore")
 
     val report = ImportReport(
       dimCounts, dsCounts,
       associated.count(), certified.count(),
       nested.count())
+    assoc.unpersist()
+    nested.unpersist()
 
     // promote staging -> target (rename per table family)
     promote(staging, targetDir)
     report
+  }
+
+  /** Merge the imported dataset types into the target's schema catalog
+    * (the "registration" of importer.py:43-48): new names append; a
+    * name that already exists with a different definition is a
+    * conflict and fails, like Butler's registerDatasetType.
+    */
+  private def registerDatasetTypes(
+      targetDir: String,
+      imported: Seq[Manifests.DatasetTypeExport]): Unit = {
+    val path = s"$targetDir/dataset_types.json"
+    val existing =
+      if (Files.exists(Paths.get(path))) Manifests.readDatasetTypes(path)
+      else Nil
+    val byName = existing.map(dt => dt.name -> dt).toMap
+    imported.foreach { dt =>
+      byName.get(dt.name).foreach { prior =>
+        require(prior == dt,
+          s"conflicting definition for dataset type ${dt.name}: " +
+            s"registered $prior, importing $dt")
+      }
+    }
+    val merged = existing ++ imported.filterNot(dt => byName.contains(dt.name))
+    Manifests.writeJson(path, merged)
   }
 
   private def promote(staging: String, targetDir: String): Unit = {

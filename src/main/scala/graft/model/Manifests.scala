@@ -65,6 +65,16 @@ object Manifests {
     * flow-style children lists.
     */
   def writeCollectionsYaml(path: String, collections: Seq[CollectionExport]): Unit = {
+    // corruption guard: the single-quote escape covers quotes, but a
+    // control character would split a line under the line-based parser
+    // and silently mis-read every later entry — fail at write time
+    collections.foreach { c =>
+      (c.name +: c.children).foreach { s =>
+        require(!s.exists(ch => ch == '\n' || ch == '\r'),
+          s"collection name contains a line break (unrepresentable in the " +
+            s"YAML manifest): ${s.replace("\n", "\\n").replace("\r", "\\r")}")
+      }
+    }
     val sb = new StringBuilder
     sb ++= "description: Graft Data Repository Export\n"
     sb ++= "version: 1.0.2\n"
@@ -80,24 +90,44 @@ object Manifests {
     Files.writeString(Paths.get(path), sb.result())
   }
 
+  /** Parses exactly the restricted YAML subset [[writeCollectionsYaml]]
+    * emits. A genuine Butler-backend manifest may use constructs this
+    * parser does NOT understand — block-style children lists
+    * (`children:` followed by indented `- name` lines) — and silently
+    * dropping them would mis-read a real manifest, so unsupported
+    * constructs throw instead (importer callers fall back to the JSON
+    * manifest or convert the file).
+    */
   def readCollectionsYaml(path: String): Seq[CollectionExport] = {
     import scala.jdk.CollectionConverters._
     val out = scala.collection.mutable.ArrayBuffer[CollectionExport]()
     var fields = Map.empty[String, String]
     def flush(): Unit = {
-      if (fields.get("type").contains("collection"))
-        out += CollectionExport(
-          yamlUnquote(fields("name")),
-          yamlUnquote(fields.getOrElse("collection_type", "RUN")),
-          fields.get("children").map { v =>
-            val body = v.trim.stripPrefix("[").stripSuffix("]").trim
-            if (body.isEmpty) Seq.empty[String] else splitFlow(body)
-          }.getOrElse(Nil))
+      fields.get("type") match {
+        case Some("collection") =>
+          out += CollectionExport(
+            yamlUnquote(fields("name")),
+            yamlUnquote(fields.getOrElse("collection_type", "RUN")),
+            fields.get("children").map { v =>
+              val body = v.trim.stripPrefix("[").stripSuffix("]").trim
+              if (body.isEmpty) Seq.empty[String] else splitFlow(body)
+            }.getOrElse(Nil))
+        case Some("run") => // Butler emits runs as their own entry type
+          out += CollectionExport(yamlUnquote(fields("name")), "RUN", Nil)
+        case _ => ()
+      }
       fields = Map.empty
     }
     def addKv(s: String): Unit = {
       val idx = s.indexOf(':')
-      if (idx >= 0) fields += (s.take(idx).trim -> s.drop(idx + 1).trim)
+      require(idx >= 0,
+        s"unsupported YAML construct in $path (only the graft-written " +
+          s"subset is parseable; convert block-style entries): '$s'")
+      val (k, v) = (s.take(idx).trim, s.drop(idx + 1).trim)
+      require(k != "children" || v.nonEmpty,
+        s"unsupported YAML construct in $path: block-style 'children:' " +
+          "list (only flow-style [a, b] children are parseable)")
+      fields += (k -> v)
     }
     Files.readAllLines(Paths.get(path)).asScala.foreach { raw =>
       if (raw.startsWith("- ")) { flush(); addKv(raw.drop(2)) }

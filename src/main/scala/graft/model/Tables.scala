@@ -29,7 +29,11 @@ object Tables {
     * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // idempotent, but guard anyway: avoid re-setting session conf (and
+    // invalidating conf-derived state) on every catalog call
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    if (spark.conf.getOption(nanosKey).forall(_ != "true"))
+      spark.conf.set(nanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

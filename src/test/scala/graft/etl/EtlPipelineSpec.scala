@@ -25,6 +25,18 @@ class EtlPipelineSpec extends SparkSpec {
   private def mkTmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  private def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    val entries = {
+      val s = Files.list(src)
+      try s.toArray(Array.ofDim[java.nio.file.Path](_)).toSeq finally s.close()
+    }
+    entries.foreach { e =>
+      val t = dst.resolve(e.getFileName)
+      if (Files.isDirectory(e)) copyTree(e, t) else Files.copy(e, t)
+    }
+  }
+
   test("chain flattening: depth-first priority order") {
     assert(Manifests.flattenChain(collections, "root") ==
       Seq("runs/v2", "runs/v1", "calib"))
@@ -58,6 +70,32 @@ class EtlPipelineSpec extends SparkSpec {
       CollectionExport("a, b", "TAGGED", Nil))
     Manifests.writeCollectionsYaml(s"$dir/collections.yaml", gnarly)
     assert(Manifests.readCollectionsYaml(s"$dir/collections.yaml") == gnarly)
+  }
+
+  test("collections YAML: unsupported constructs and corrupting names fail loudly") {
+    val dir = mkTmp("graft-yaml-strict")
+    // a genuine Butler manifest may use block-style children — silently
+    // dropping them would mis-read the chain, so the parser throws
+    Files.writeString(Paths.get(s"$dir/block.yaml"),
+      "data:\n- type: collection\n  collection_type: CHAINED\n  name: root\n" +
+        "  children:\n  - a\n  - b\n")
+    val ex = intercept[IllegalArgumentException] {
+      Manifests.readCollectionsYaml(s"$dir/block.yaml")
+    }
+    assert(ex.getMessage.contains("unsupported YAML"))
+    // Butler emits runs as their own entry type: parsed as RUN collections
+    Files.writeString(Paths.get(s"$dir/run.yaml"),
+      "data:\n- type: run\n  name: 'runs/v1'\n" +
+        "- type: collection\n  collection_type: TAGGED\n  name: 'tag'\n")
+    assert(Manifests.readCollectionsYaml(s"$dir/run.yaml") == Seq(
+      CollectionExport("runs/v1", "RUN", Nil),
+      CollectionExport("tag", "TAGGED", Nil)))
+    // a line break in a name would corrupt the line-based manifest:
+    // rejected at write time, not read time
+    intercept[IllegalArgumentException] {
+      Manifests.writeCollectionsYaml(s"$dir/corrupt.yaml",
+        Seq(CollectionExport("bad\nname", "TAGGED", Nil)))
+    }
   }
 
   test("write-once guard: duplicate export names raise before any write") {
@@ -164,28 +202,64 @@ class EtlPipelineSpec extends SparkSpec {
       == collections)
 
     // ---- import
+    val dimKeys = Map(
+      "visit" -> Seq("visit"),
+      "visit_definition" -> Seq("visit_id", "def_seq"))
+    val dimDeps = Map(
+      "visit" -> Nil,
+      "visit_definition" -> Seq("visit"))
     val report = Import.run(spark, exportDir, targetDir,
       requestedTypes = Seq("raw", "bias"),
-      dimensionKeys = Map("visit" -> Seq("visit")),
-      dimensionDeps = Map("visit" -> Nil))
-    assert(report.dimensionsInserted == Map("visit" -> 2L))
+      dimensionKeys = dimKeys,
+      dimensionDeps = dimDeps)
+    // EVERY exported dimension imports, incl. the phase-2 expansion
+    assert(report.dimensionsInserted ==
+      Map("visit" -> 2L, "visit_definition" -> 3L))
     assert(report.datasetRows == Map("raw" -> 2L, "bias" -> 2L))
     assert(report.associated == 2L) // raw associations (TAGGED)
     assert(report.certified == 2L)  // calib associations carry timespans
     assert(Files.exists(Paths.get(s"$targetDir/datasets/raw")))
     assert(!Files.exists(Paths.get(s"$targetDir/.staging")))
+    // dataset types are registered in the target (importer.py:43-48):
+    // a target-side consumer can re-hydrate schemas from the catalog
+    val registered = Manifests.readDatasetTypes(s"$targetDir/dataset_types.json")
+    assert(registered.map(t => t.name -> t.dimensions).toMap ==
+      Map("raw" -> Seq("visit"), "bias" -> Seq("detector")))
 
     // idempotent re-import: dimension insert count drops to zero
     val again = Import.run(spark, exportDir, targetDir,
-      Seq("raw", "bias"), Map("visit" -> Seq("visit")), Map("visit" -> Nil))
-    assert(again.dimensionsInserted == Map("visit" -> 0L))
+      Seq("raw", "bias"), dimKeys, dimDeps)
+    assert(again.dimensionsInserted ==
+      Map("visit" -> 0L, "visit_definition" -> 0L))
     assert(spark.read.parquet(s"$targetDir/dimensions/visit").count() == 2)
+    assert(spark.read.parquet(s"$targetDir/dimensions/visit_definition").count() == 3)
 
     // unknown requested type fails validation
     intercept[IllegalArgumentException] {
-      Import.run(spark, exportDir, targetDir, Seq("nope"),
+      Import.run(spark, exportDir, targetDir, Seq("nope"), dimKeys, dimDeps)
+    }
+
+    // an exported dimension the caller forgot to declare fails loudly
+    // instead of being silently skipped (reference imports everything)
+    val undeclared = intercept[IllegalArgumentException] {
+      Import.run(spark, exportDir, mkTmp("graft-undeclared"), Seq("raw"),
         Map("visit" -> Seq("visit")), Map("visit" -> Nil))
     }
+    assert(undeclared.getMessage.contains("visit_definition"))
+
+    // a dataset parquet whose schema contradicts the registered type
+    // fails before anything lands in the target
+    val badExport = mkTmp("graft-badschema")
+    copyTree(Paths.get(exportDir), Paths.get(badExport))
+    Manifests.writeJson(s"$badExport/dataset_types.json", Seq(
+      Manifests.DatasetTypeExport("raw", Seq("visit", "detector"), "Exposure"),
+      Manifests.DatasetTypeExport("bias", Seq("detector"), "Calib")))
+    val badTarget = mkTmp("graft-badtarget")
+    val mismatch = intercept[IllegalArgumentException] {
+      Import.run(spark, badExport, badTarget, Seq("raw", "bias"), dimKeys, dimDeps)
+    }
+    assert(mismatch.getMessage.contains("raw"))
+    assert(!Files.exists(Paths.get(s"$badTarget/datasets")), "failed before any write")
 
     // ---- file tree
     val treeRoot = mkTmp("graft-tree")
