@@ -203,6 +203,21 @@ object Dedup {
     }
   }
 
+  /** The deduplicated corpus: every document that is either untouched
+    * by the near-dup graph or the elected survivor (minimum id) of its
+    * cluster. This is the end-to-end dedup decision a pipeline
+    * materializes — [[connectedComponents]] output applied back to the
+    * corpus. One left join against the (small, pair-graph-sized)
+    * cluster table; survivors keep their cluster_id, unique docs get
+    * null.
+    */
+  def survivors(docs: DataFrame, id: Column, clusters: DataFrame): DataFrame = {
+    val c = clusters.withColumnRenamed("doc_id", "__cc_node")
+    docs.join(c, id === col("__cc_node"), "left")
+      .filter(col("cluster_id").isNull || id === col("cluster_id"))
+      .select(id.as("doc_id"), col("cluster_id"))
+  }
+
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set
     * when the (+1/-1) vote sum of token-hash bit j is positive.
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.model.Tables
-import graft.ext.{Dedup, Similarity, TextAnalysis, TextHash}
+import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis, TextHash}
 
 /** [EXT] LLM-training-data pipeline operators (builder-prompt north
   * star): deduplication (exact / MinHash+LSH / SimHash / n-gram
@@ -148,6 +148,64 @@ object ExtQueries {
       "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node) " +
       "SELECT node AS doc_id, min(lab) AS cluster_id FROM reach " +
       "GROUP BY node ORDER BY doc_id"))
+
+  /** End-to-end dedup decision: the corpus after near-dup removal —
+    * unique docs plus each cluster's min-id survivor. Same recursive-CTE
+    * fixpoint oracle as q_dedup_clusters, applied back to documents.
+    */
+  private val qDedupCorpus = Q("q_dedup_corpus",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5))
+      Dedup.survivors(docs, col("doc_id"), clusters).orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "clusters AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node) " +
+      "SELECT d.doc_id, c.cluster_id FROM documents d " +
+      "LEFT JOIN clusters c ON d.doc_id = c.node " +
+      "WHERE c.cluster_id IS NULL OR d.doc_id = c.cluster_id " +
+      "ORDER BY d.doc_id"))
+
+  // --------------------------------------------------- corpus assembly
+
+  /** Deterministic stratified sampling: downsample en to 25% and de to
+    * 50% by content hash of the key — basis-point exact, reproducible
+    * across engines (same md5 arithmetic on both sides).
+    */
+  private val qSampleStratified = Q("q_sample_stratified",
+    (s, d) => Sampling.hashSample(
+      t(s, d, "documents"), col("doc_id"), col("lang"),
+      rates = Map("en" -> 0.25, "de" -> 0.5))
+      .select("doc_id", "lang").orderBy("doc_id"),
+    Some("SELECT doc_id, lang FROM documents WHERE " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") + " % 10000 < " +
+      "(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000 ELSE 10000 END) " +
+      "ORDER BY doc_id"))
+
+  /** Concat-and-split sequence packing into 512-token windows over 8
+    * hash shards: each doc gets the pack index + token offset where it
+    * lands. Oracle replicates the per-shard running-sum window.
+    */
+  private val qPackSequences = Q("q_pack_sequences",
+    (s, d) => Sampling.packSequences(
+      t(s, d, "documents"), col("doc_id"), col("text"),
+      contextLen = 512, shards = 8)
+      .orderBy("doc_id"),
+    Some("WITH t AS (SELECT doc_id, " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") + " % 8 AS shard, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "c AS (SELECT doc_id, shard, n_tok, sum(n_tok) OVER (" +
+      "PARTITION BY shard ORDER BY doc_id) AS cum FROM t) " +
+      "SELECT doc_id, shard, n_tok, " +
+      "CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, " +
+      "CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset " +
+      "FROM c ORDER BY doc_id"))
 
   // ------------------------------------------------- similarity search
 
@@ -321,6 +379,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs, qNgramJaccard,
-    qDedupClusters, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
-    qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf)
+    qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
+    qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
+    qSampleStratified, qPackSequences)
 }

@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-assembly operators: determinism and packing invariants the
+  * DuckDB oracle can't phrase (idempotence, subset stability, offset
+  * bounds).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (0 until n)
+    .map(i => (i.toLong, if (i % 3 == 0) "en" else "de",
+      Seq.fill(i % 7 + 1)("w").mkString(" ")))
+    .toDF("doc_id", "lang", "text")
+
+  test("hashSample is deterministic, idempotent, and monotone in the rate") {
+    val d = docs(400)
+    val r40 = Sampling.hashSample(d, col("doc_id"), col("lang"), Map("en" -> 0.4))
+    val r40b = Sampling.hashSample(d, col("doc_id"), col("lang"), Map("en" -> 0.4))
+    val ids = r40.select("doc_id").as[Long].collect().toSet
+    assert(ids == r40b.select("doc_id").as[Long].collect().toSet) // deterministic
+    // sampling the sample at the same rate keeps everything (idempotent)
+    assert(Sampling.hashSample(r40, col("doc_id"), col("lang"), Map("en" -> 0.4))
+      .count() == ids.size)
+    // a higher rate keeps a superset: previously-kept rows never drop
+    val r80 = Sampling.hashSample(d, col("doc_id"), col("lang"), Map("en" -> 0.8))
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(r80))
+    // unlisted strata follow the default rate (1.0 keeps all de rows)
+    val de = d.filter(col("lang") === "de").count()
+    assert(r40.filter(col("lang") === "de").count() == de)
+    // rate 0 / rate 1 boundaries are exact
+    assert(Sampling.hashSample(d, col("doc_id"), col("lang"),
+      Map.empty, defaultRate = 0.0).count() == 0)
+    assert(Sampling.hashSample(d, col("doc_id"), col("lang"),
+      Map.empty, defaultRate = 1.0).count() == 400)
+  }
+
+  test("packSequences: offsets in range, packs contiguous per shard, tokens conserved") {
+    val L = 16
+    val out = Sampling.packSequences(docs(200), col("doc_id"), col("text"),
+      contextLen = L, shards = 4)
+      .select("doc_id", "shard", "n_tok", "pack_id", "pack_offset")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 200)
+    assert(out.forall { case (_, _, _, p, o) => p >= 0 && o >= 0 && o < L })
+    // within a shard, pack ids are non-decreasing in doc order and the
+    // (pack, offset) position equals the running token count mod/div L
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, p, o) =>
+        assert(p == cum / L && o == cum % L)
+        cum += n
+      }
+    }
+    // total tokens conserved across packing
+    val toks = out.map(_._3).sum
+    assert(toks == docs(200).select(sum(size(split(col("text"), " "))))
+      .as[Long].head())
+  }
+
+  test("survivors: unique docs kept with null cluster, only min-id per cluster survives") {
+    val d = docs(10)
+    val clusters = Seq((3L, 1L), (1L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.survivors(d, col("doc_id"), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    // 3 and 9 are non-survivor cluster members; everyone else stays
+    assert(kept == Set(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L))
+  }
+}
