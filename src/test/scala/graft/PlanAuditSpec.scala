@@ -79,6 +79,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("reused"), p)
   }
 
+  test("q_sample_stratified: pure per-row filter — no shuffle before the final sort") {
+    val p = planOf("q_sample_stratified")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"sampling must not shuffle:\n$p")
+  }
+
+  test("q_pack_sequences: exactly one hash shuffle (the shard repartition)") {
+    val p = planOf("q_pack_sequences")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"packing should shuffle once on the shard key:\n$p")
+  }
+
   test("q_topk: global sort+limit plans TakeOrderedAndProject") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }

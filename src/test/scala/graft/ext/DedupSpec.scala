@@ -61,6 +61,30 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents converges on a long path (jump beats diameter)") {
+    // path 0-1-2-...-9: diameter 9; hook+jump must still converge well
+    // within maxIter and label everything 0
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs, maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("changedCount falls back to the exact probe when the observation never fills") {
+    // an Observation that was never attached to a query: getRowOrEmpty
+    // stays None, the deadline expires, and the probe compares the two
+    // label frames exactly — no unbounded wait
+    val obs = org.apache.spark.sql.Observation("never-filled")
+    val prev = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val sameLabels = prev
+    val moved = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("node", "label")
+    val t0 = System.nanoTime()
+    assert(Dedup.changedCount(obs, sameLabels, prev, timeoutMs = 300L) == 0L)
+    assert(Dedup.changedCount(obs, moved, prev, timeoutMs = 300L) == 1L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"fallback must be bounded, took $secs%.1f s")
+  }
+
   test("simhash: identical texts share fingerprints; 16-bit range") {
     val fp = Dedup.simhash16(docs, col("text"), col("doc_id"))
       .as[(Long, Long)].collect().toMap
