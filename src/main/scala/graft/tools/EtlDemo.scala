@@ -70,7 +70,16 @@ object EtlDemo {
           Export.DimensionInput("nation",
             Tables.load(spark, sfDir, "nation"), Seq("n_nationkey"))),
         datastore = datastore,
-        collections = collections, rootCollection = "root")
+        collections = collections, rootCollection = "root",
+        // phase-2 expansion at volume: region constrained by the keys of
+        // the already-written nation parquet (pruned re-read + semi-join)
+        expansions = Seq(Export.DimensionExpansion(
+          sourceDimension = "nation", sourceKeys = Seq("n_regionkey"),
+          target = Export.DimensionInput("region",
+            Tables.load(spark, sfDir, "region")
+              .withColumnRenamed("r_regionkey", "n_regionkey"),
+            Seq("n_regionkey")),
+          targetJoinColumns = Seq("n_regionkey"))))
     }
     val nSel = spark.read.parquet(s"$exportDir/datasets/raw").count()
     val nF = spark.read.parquet(s"$exportDir/datasets/raw")
@@ -80,11 +89,16 @@ object EtlDemo {
     val report = timed("import") {
       Import.run(spark, exportDir, s"$out/target",
         requestedTypes = Seq("raw"),
-        dimensionKeys = Map("customer" -> Seq("c_custkey"), "nation" -> Seq("n_nationkey")),
-        dimensionDeps = Map("customer" -> Seq("nation"), "nation" -> Nil))
+        dimensionKeys = Map("customer" -> Seq("c_custkey"),
+          "nation" -> Seq("n_nationkey"), "region" -> Seq("n_regionkey")),
+        dimensionDeps = Map("customer" -> Seq("nation"),
+          "nation" -> Seq("region"), "region" -> Nil))
     }
     println(s"[etl-demo] import: dims=${report.dimensionsInserted} " +
       s"datasets=${report.datasetRows} assoc=${report.associated}")
+    val registered = graft.model.Manifests
+      .readDatasetTypes(s"$out/target/dataset_types.json").map(_.name)
+    println(s"[etl-demo] registered types in target: ${registered.mkString(", ")}")
 
     val plan = timed("tree-plan") {
       val p = FileTree.plan(spark.read.parquet(s"$exportDir/datastore"),

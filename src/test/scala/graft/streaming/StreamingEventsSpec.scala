@@ -120,6 +120,31 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashSample is stream-safe: same deterministic subset as the batch path") {
+    // stateless per-row filter -> valid on an unbounded stream with no
+    // state store; content-hash determinism means the streaming subset
+    // equals the batch subset of the same rows
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sampled = graft.ext.Sampling.hashSample(
+      input.toDF().toDF("doc_id", "lang"),
+      col("doc_id"), col("lang"), Map("en" -> 0.4))
+    val q = sampled.writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.ext.Sampling.hashSample(
+        rows.toDF("doc_id", "lang"), col("doc_id"), col("lang"), Map("en" -> 0.4))
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.size < 200 && rows.filter(_._2 == "de").map(_._1).toSet.subsetOf(streamed))
+    } finally q.stop()
+  }
+
   test("session stream emits merged sessions after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
