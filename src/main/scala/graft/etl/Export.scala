@@ -74,6 +74,9 @@ object Export {
     val dimNames = dimensions.map(_.name) ++ expansions.map(_.target.name)
     val dupDims = dimNames.diff(dimNames.distinct)
     require(dupDims.isEmpty, s"dimension exported twice: ${dupDims.distinct.mkString(", ")}")
+    // poisoned-filename guard (paths.py:20-24): names become path segments
+    types.map(_.name).foreach(Manifests.requireSafeName("dataset type", _))
+    dimNames.foreach(Manifests.requireSafeName("dimension", _))
 
     val chain = Manifests.flattenChain(collections, rootCollection)
     val priority = chain.zipWithIndex.toMap

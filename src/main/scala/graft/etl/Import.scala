@@ -46,13 +46,21 @@ object Import {
       certified: Long,
       datastoreGroups: Long)
 
+  /** @param datastoreRename source datastore name -> target name
+    *        (datastore_mapping.py:47-52's DatastoreMappingFunction, the
+    *        name half) applied to every record before re-nesting
+    * @param pathRemap prefix rewrite rules for artifact paths (the path
+    *        half of the mapping function), first matching prefix wins
+    */
   def run(
       spark: SparkSession,
       exportDir: String,
       targetDir: String,
       requestedTypes: Seq[String],
       dimensionKeys: Map[String, Seq[String]],
-      dimensionDeps: Map[String, Seq[String]]): ImportReport = {
+      dimensionDeps: Map[String, Seq[String]],
+      datastoreRename: Map[String, String] = Map.empty,
+      pathRemap: Seq[(String, String)] = Nil): ImportReport = {
 
     val index = Manifests.readIndex(s"$exportDir/index.json")
 
@@ -61,6 +69,10 @@ object Import {
     val missing = requestedTypes.toSet -- index.dataset_types.toSet
     require(missing.isEmpty, s"dataset types not in export: ${missing.mkString(", ")}")
     val effTypes = if (requestedTypes.nonEmpty) requestedTypes else index.dataset_types
+    // poisoned-filename guard (paths.py:20-24): a tampered index cannot
+    // make a type/dimension name escape the export or target tree
+    effTypes.foreach(Manifests.requireSafeName("dataset type", _))
+    index.dimensions.foreach(Manifests.requireSafeName("dimension", _))
 
     // every exported dimension must be importable — the reference
     // imports ALL of index.dimensions (importer.py:59-71); silently
@@ -166,8 +178,24 @@ object Import {
       .parquet(s"$staging/associations_calibration")
 
     // datastore re-nest (datastore_mapping.py:39-64): flat rows ->
-    // per-(datastore, dataset) sorted file-info lists
-    val datastore = spark.read.parquet(s"$exportDir/datastore")
+    // per-(datastore, dataset) sorted file-info lists. The reference
+    // maps every record's (datastore_name, path) through a caller
+    // function first (datastore_mapping.py:47-52); declaratively that
+    // is a column rewrite applied before grouping.
+    val datastore = {
+      val raw = spark.read.parquet(s"$exportDir/datastore")
+      val renamed = datastoreRename.foldLeft(col("datastore_name")) {
+        case (acc, (from, to)) => when(col("datastore_name") === from, to).otherwise(acc)
+      }
+      // reversed fold so the FIRST matching rule is the outermost when
+      val remappedPath = pathRemap.reverse.foldLeft(col("path")) {
+        case (acc, (prefix, to)) =>
+          when(col("path").startsWith(prefix),
+            concat(lit(to), expr(s"substring(path, ${prefix.length + 1})")))
+            .otherwise(acc)
+      }
+      raw.withColumn("datastore_name", renamed).withColumn("path", remappedPath)
+    }
     val payload = struct(
       datastore.columns.filterNot(Set("datastore_name", "dataset_id"))
         .map(col).toIndexedSeq: _*)

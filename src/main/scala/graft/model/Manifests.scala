@@ -43,6 +43,15 @@ object Manifests {
       collection_type: String, // RUN | TAGGED | CALIBRATION | CHAINED
       children: Seq[String])   // priority order for CHAINED, else empty
 
+  /** Poisoned-filename guard (reference paths.py:20-24): every name that
+    * becomes a path segment under the export/target root must match
+    * `\w+(.\w*)?` so `../x`, absolute paths, or separator-bearing names
+    * cannot escape the directory tree. Same regex as the reference.
+    */
+  def requireSafeName(kind: String, name: String): Unit =
+    require(name.matches("^\\w+\\.?\\w*$"),
+      s"$kind name is not a safe path segment: '$name'")
+
   def writeJson[A <: AnyRef](path: String, a: A): Unit = {
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), Serialization.writePretty(a))

@@ -121,6 +121,33 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("poisoned names cannot escape the export/target tree (paths.py guard)") {
+    val df = Seq((1, "x")).toDF("visit", "band")
+    val dir = mkTmp("graft-poison")
+    val ex = intercept[IllegalArgumentException] {
+      Export.run(dir,
+        types = Seq(Export.DatasetTypeInput(
+          "../evil", "Exp", df, Seq("visit"), findFirst = true)),
+        dimensions = Nil, datastore = df, collections = collections,
+        rootCollection = "root")
+    }
+    assert(ex.getMessage.contains("../evil"))
+    assert(!Files.exists(Paths.get(s"$dir/datasets")))
+    intercept[IllegalArgumentException] {
+      Export.run(dir, types = Nil,
+        dimensions = Seq(Export.DimensionInput("a/b", df, Seq("visit"))),
+        datastore = df, collections = collections, rootCollection = "root")
+    }
+    // import side: a tampered index fails the same guard
+    Files.createDirectories(Paths.get(s"$dir"))
+    Manifests.writeJson(s"$dir/index.json",
+      Manifests.ExportIndex(Seq("visit"), Seq("../up"), "root"))
+    intercept[IllegalArgumentException] {
+      Import.run(spark, dir, mkTmp("graft-poison-target"), Nil,
+        Map("visit" -> Seq("visit")), Map("visit" -> Nil))
+    }
+  }
+
   test("export -> import round trip with find_first and calib semantics") {
     val exportDir = mkTmp("graft-export")
     val targetDir = mkTmp("graft-target")
@@ -260,6 +287,21 @@ class EtlPipelineSpec extends SparkSpec {
     }
     assert(mismatch.getMessage.contains("raw"))
     assert(!Files.exists(Paths.get(s"$badTarget/datasets")), "failed before any write")
+
+    // datastore mapping function: names and path prefixes rewrite
+    // before re-nesting (datastore_mapping.py:47-52)
+    val mapped = mkTmp("graft-mapped")
+    Import.run(spark, exportDir, mapped, Seq("raw", "bias"), dimKeys, dimDeps,
+      datastoreRename = Map("main" -> "archive"),
+      pathRemap = Seq("a2" -> "zone/a2", "a" -> "never-reached"))
+    val flat = spark.read.parquet(s"$mapped/datastore")
+      .select(col("datastore_name"), explode(col("file_infos")).as("fi"))
+      .select("datastore_name", "fi.path")
+      .as[(String, String)].collect()
+    assert(flat.nonEmpty && flat.forall(_._1 == "archive")) // renamed
+    // first matching prefix rule wins: a2 -> zone/a2, not the 'a' rule
+    assert(flat.exists(_._2.startsWith("zone/a2")))
+    assert(!flat.exists(_._2.contains("never-reached")))
 
     // ---- file tree
     val treeRoot = mkTmp("graft-tree")
