@@ -2,7 +2,7 @@ package graft.etl
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Manifests
@@ -187,14 +187,8 @@ object Import {
       val renamed = datastoreRename.foldLeft(col("datastore_name")) {
         case (acc, (from, to)) => when(col("datastore_name") === from, to).otherwise(acc)
       }
-      // reversed fold so the FIRST matching rule is the outermost when
-      val remappedPath = pathRemap.reverse.foldLeft(col("path")) {
-        case (acc, (prefix, to)) =>
-          when(col("path").startsWith(prefix),
-            concat(lit(to), expr(s"substring(path, ${prefix.length + 1})")))
-            .otherwise(acc)
-      }
-      raw.withColumn("datastore_name", renamed).withColumn("path", remappedPath)
+      raw.withColumn("datastore_name", renamed)
+        .withColumn("path", mappedPath(col("path"), pathRemap))
     }
     val payload = struct(
       datastore.columns.filterNot(Set("datastore_name", "dataset_id"))
@@ -214,6 +208,34 @@ object Import {
     // promote staging -> target (rename per table family)
     promote(staging, targetDir)
     report
+  }
+
+  /** Path half of the datastore mapping function: first matching prefix
+    * rule wins (an empty-prefix rule is therefore a catch-all default —
+    * the reference's rucio layout, `"dp1/" + path` for everything
+    * unmatched, is `("", "dp1/")` as the last rule). When any rules are
+    * given, a path still absolute after mapping fails the job, exactly
+    * like the reference's mapper (import_dp1.py:92-97 raises on
+    * `^[\w+]+://`); with no rules the mapping is the identity and, like
+    * the reference's null mapping, validates nothing. The check rides
+    * the rewrite expression (`raise_error`), costing no extra scan.
+    */
+  private[etl] def mappedPath(path: Column,
+                              pathRemap: Seq[(String, String)]): Column = {
+    if (pathRemap.isEmpty) path
+    else {
+      // reversed fold so the FIRST matching rule is the outermost when
+      val remapped = pathRemap.reverse.foldLeft(path) {
+        case (acc, (prefix, to)) =>
+          when(path.startsWith(prefix),
+            concat(lit(to), path.substr(lit(prefix.length + 1), length(path))))
+            .otherwise(acc)
+      }
+      when(remapped.rlike("^[\\w+]+://"),
+        raise_error(concat(
+          lit("Unhandled absolute path to datastore file: "), remapped)))
+        .otherwise(remapped)
+    }
   }
 
   /** Merge the imported dataset types into the target's schema catalog

@@ -148,6 +148,25 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("datastore path mapping: first-match-wins, catch-all default, absolute-path guard") {
+    val paths = Seq("ext/raw/f1", "shared/cat", "other/f2").toDF("p")
+    // the reference's rucio layout as rules: two prefixes + catch-all
+    val rules = Seq("ext/raw/" -> "raw/", "shared/" -> "raw/", "" -> "dp1/")
+    val out = paths.select(Import.mappedPath(col("p"), rules).as("m"))
+      .as[String].collect().toSet
+    assert(out == Set("raw/f1", "raw/cat", "dp1/other/f2"))
+    // no rules = null mapping: identity, validates nothing
+    val abs = Seq("s3://bucket/x").toDF("p")
+    assert(abs.select(Import.mappedPath(col("p"), Nil).as("m"))
+      .as[String].head() == "s3://bucket/x")
+    // with rules, a path still absolute after mapping fails the job
+    // (import_dp1.py:92-97)
+    val ex = intercept[Exception] {
+      abs.select(Import.mappedPath(col("p"), Seq("gs://" -> "x/")).as("m")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("export -> import round trip with find_first and calib semantics") {
     val exportDir = mkTmp("graft-export")
     val targetDir = mkTmp("graft-target")
