@@ -136,13 +136,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist()
+    // materialize the (potentially expensive) pair subplan BEFORE
+    // toggling AQE off: its exchange reuse is an AQE runtime decision,
+    // and executing it lazily inside the scoped-off region would
+    // compute the candidate index once per self-join side
+    edges.count()
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
     try {
-      val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-        .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
-        .persist()
       // lazy persist, not an eager checkpoint: round 0's own job fills
       // the cache (one init job fewer); lineage is shallow (one distinct
       // over the persisted edges) so truncation isn't needed yet
@@ -157,6 +162,11 @@ object Dedup {
         val neighborMin = edges
           .join(labels.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node")).agg(min("label").as("nbr"))
+        // label-map join strategy is left to the optimizer: at sf0.1 the
+        // label table is tiny and broadcast (one extra collect job per
+        // round) is cheapest; at scale the stats make it a shuffle join.
+        // Forcing shuffle_hash here measured ~40% slower locally for a
+        // 2-job saving - wall wins over job-count optics.
         val hooked = labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"), col("label"),
             least(col("label"), coalesce(col("nbr"), col("label"))).as("h"))

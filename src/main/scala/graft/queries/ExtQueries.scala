@@ -109,19 +109,21 @@ object ExtQueries {
       "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY da, db"))
 
-  /** Shared DuckDB CTEs for the 3-gram Jaccard pair pipeline (also the
-    * input of the clustering oracle).
+  /** Shared DuckDB CTEs for the 3-gram Jaccard pair pipeline over
+    * `src` (also the input of the clustering oracles).
     */
-  private val duckJaccardCtes =
+  private def duckJaccardCtesOver(src: String): String =
     "sh AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") + " AS s FROM " +
       "(SELECT doc_id, unnest(list_distinct(" +
-      TextHash.duckShingles("text", 3) + ")) AS s0 FROM documents)), " +
+      TextHash.duckShingles("text", 3) + s")) AS s0 FROM $src)), " +
       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
       "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
       "jpairs AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
       "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
       "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"
+
+  private val duckJaccardCtes = duckJaccardCtesOver("documents")
 
   private val qNgramJaccard = Q("q_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(
@@ -206,6 +208,61 @@ object ExtQueries {
       "CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, " +
       "CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset " +
       "FROM c ORDER BY doc_id"))
+
+  /** The EXT flagship: one composed plan running the whole curation
+    * pipeline — quality gate, near-dup dedup with survivor election,
+    * stratified downsampling, sequence packing. Exercises that the
+    * operators compose as `DataFrame -> DataFrame` stages inside a
+    * single Catalyst-optimized query; the oracle replays every stage
+    * (incl. the recursive-CTE clustering fixpoint) over the same data.
+    */
+  // lazy: references the duck* text-analysis fragments defined below
+  private lazy val qPipelineCorpus = Q("q_pipeline_corpus",
+    (s, d) => {
+      // persisted: the quality gate (a CodegenFallback HOF filter) has
+      // four consumers in the composed plan — the shingle index's two
+      // join sides, the survivor semi-join, and the sample/pack chain —
+      // and would otherwise re-evaluate per consumer (measured 15 s vs
+      // ~4 s at sf0.1)
+      val good = t(s, d, "documents")
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .persist()
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(good, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5))
+      val kept = good.join(
+        Dedup.survivors(good, col("doc_id"), clusters).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val sampled = Sampling.hashSample(kept, col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5))
+      Sampling.packSequences(sampled, col("doc_id"), col("text"),
+        contextLen = 512, shards = 4)
+        .orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE good AS (SELECT doc_id, lang, text FROM documents " +
+      s"WHERE least(1.0, CAST($duckNTok AS DOUBLE) / 200.0) * 0.5 + " +
+      s"least(1.0, $duckStopRatio * 10.0) * 0.5 >= 0.5), " +
+      duckJaccardCtesOver("good") + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "clusters AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+      "kept AS (SELECT g.doc_id, g.lang, g.text FROM good g " +
+      "LEFT JOIN clusters c ON g.doc_id = c.node " +
+      "WHERE c.cluster_id IS NULL OR g.doc_id = c.cluster_id), " +
+      "samp AS (SELECT * FROM kept WHERE " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") + " % 10000 < " +
+      "(CASE lang WHEN 'en' THEN 5000 ELSE 10000 END)), " +
+      "t0 AS (SELECT doc_id, " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") + " % 4 AS shard, " +
+      s"CAST($duckNTok AS BIGINT) AS n_tok FROM samp), " +
+      "c0 AS (SELECT doc_id, shard, n_tok, sum(n_tok) OVER (" +
+      "PARTITION BY shard ORDER BY doc_id) AS cum FROM t0) " +
+      "SELECT doc_id, shard, n_tok, " +
+      "CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, " +
+      "CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset " +
+      "FROM c0 ORDER BY doc_id"))
 
   // ------------------------------------------------- similarity search
 
@@ -381,5 +438,5 @@ object ExtQueries {
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
-    qSampleStratified, qPackSequences)
+    qSampleStratified, qPackSequences, qPipelineCorpus)
 }

@@ -67,5 +67,6 @@ object RegistrySpec {
     "q_ann_topk", "q_ann_ivf", "q_lang_id", "q_quality_score",
     "q_token_count", "q_fingerprint", "q_tfidf",
     // [EXT] corpus assembly (round 4)
-    "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences")
+    "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
+    "q_pipeline_corpus")
 }
