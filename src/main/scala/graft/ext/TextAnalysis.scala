@@ -69,6 +69,36 @@ object TextAnalysis {
     * WindowGroupLimit top-k; the corpus size joins in as a broadcast
     * scalar, never a driver-side collect.
     */
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-grams with ANY document of an eval
+    * set — the overlap check training pipelines run against held-out
+    * benchmarks before training. The eval set's distinct shingle hashes
+    * are the (small) broadcast side; the corpus is scanned once, so
+    * cost is one shuffle-free semi-structure join + one hash-agg per
+    * corpus partition regardless of corpus size.
+    */
+  def contaminated(corpus: org.apache.spark.sql.DataFrame,
+                   evalDocs: org.apache.spark.sql.DataFrame,
+                   text: Column, id: Column,
+                   n: Int, minShared: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val sh = graft.functions.HashFunctions.shingleHash48(text, n)
+    val c = corpus.select(id.as("doc_id"),
+      explode(array_distinct(sh)).as("s"))
+    val e = evalDocs.select(explode(array_distinct(sh)).as("s")).distinct()
+    c.join(broadcast(e), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
+  /** Pattern scrubbing (PII-redaction shape): replace every regex match
+    * and report the per-row hit count for the scrub audit. Pure per-row
+    * projection — zero shuffle at any scale.
+    */
+  def redact(text: Column, pattern: String, replacement: String): (Column, Column) =
+    (regexp_replace(text, pattern, replacement),
+      regexp_count(text, lit(pattern)))
+
   def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, text: Column,
                     id: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast

@@ -434,9 +434,51 @@ object ExtQueries {
       "SELECT doc_id, term, CAST(rnk AS BIGINT) AS rnk, round(score, 4) AS score " +
       "FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"))
 
+  /** Decontamination vs an eval split (doc_id < 25 plays the benchmark
+    * set): corpus docs sharing >= 3 distinct 3-grams with any eval doc.
+    */
+  private val qDecontaminate = Q("q_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminated(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        col("text"), col("doc_id"), n = 3, minShared = 3)
+        .orderBy("doc_id")
+    },
+    Some("WITH ev AS (SELECT DISTINCT " + TextHash.duckBaseHash("s0") +
+      " AS s FROM (SELECT unnest(list_distinct(" +
+      TextHash.duckShingles("text", 3) +
+      ")) AS s0 FROM documents WHERE doc_id < 25)), " +
+      "co AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") +
+      " AS s FROM (SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 3) +
+      ")) AS s0 FROM documents WHERE doc_id >= 25)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams " +
+      "FROM co JOIN ev USING (s) GROUP BY doc_id " +
+      "HAVING count(*) >= 3 ORDER BY doc_id"))
+
+  /** Scrub audit: redact engine-term 'PII' stand-ins, report hit count
+    * and the digest of the scrubbed text (oracle needs DuckDB's 'g'
+    * flag to match Spark's replace-all).
+    */
+  private val qRedact = Q("q_redact",
+    (s, d) => {
+      val (scrubbed, hits) = TextAnalysis.redact(
+        col("text"), "customer|supplier", "[X]")
+      t(s, d, "documents").select(col("doc_id"),
+        hits.cast("long").as("n_hits"),
+        md5(scrubbed).as("redacted_md5"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+      "'customer|supplier')) AS BIGINT) AS n_hits, " +
+      "md5(regexp_replace(text, 'customer|supplier', '[X]', 'g')) AS redacted_md5 " +
+      "FROM documents ORDER BY doc_id"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
-    qSampleStratified, qPackSequences, qPipelineCorpus)
+    qSampleStratified, qPackSequences, qPipelineCorpus,
+    qDecontaminate, qRedact)
 }

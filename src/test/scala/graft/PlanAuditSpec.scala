@@ -93,6 +93,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"packing should shuffle once on the shard key:\n$p")
   }
 
+  test("q_decontaminate: eval shingle set broadcast, corpus scanned once") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_topk: global sort+limit plans TakeOrderedAndProject") {
     assert(planOf("q_topk").contains("TakeOrderedAndProject"))
   }
