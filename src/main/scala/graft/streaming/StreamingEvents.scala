@@ -130,3 +130,78 @@ object StatefulSessions {
         GroupStateTimeout.EventTimeTimeout())(update _)
   }
 }
+
+/** The same sessionizer on Spark 4's `transformWithState` — the
+  * current arbitrary-state API (typed `ValueState` + explicit timers,
+  * RocksDB-backed state store required). Semantics are identical to
+  * [[StatefulSessions.sessionize]] (session_id = session-start epoch
+  * millis, one summary row per closed session), so both APIs are
+  * covered by the same behavioral contract.
+  *
+  * Timer discipline: each update replaces the key's pending timer with
+  * `lastTs + gap`; an expiring timer closes the session only if it is
+  * not stale (its expiry still matches the current session's horizon),
+  * which guards against a timer surviving an in-batch session roll.
+  */
+object TwsSessions {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import StatefulSessions.{Event, SessionOut, SessionState}
+
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[String, Event, SessionOut] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val ts = rows.map(_.ts.getTime).toSeq.sorted
+      var closed = List.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      ts.foreach { t =>
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1))
+          case Some(s) => // gap exceeded in-batch: close, start next
+            closed ::= SessionOut(user, s.start, s.start, s.lastTs, s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.lastTs + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (session.exists()) {
+        val s = session.get()
+        if (expired.getExpiryTimeInMs >= s.lastTs + gapMs) {
+          session.clear()
+          return Iterator(SessionOut(user, s.start, s.start, s.lastTs, s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Sessionize via transformWithState; requires the RocksDB state
+    * store provider on the session.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    implicit val oe: org.apache.spark.sql.Encoder[SessionOut] =
+      Encoders.product[SessionOut]
+    events.groupByKey(_.user_id)(Encoders.STRING)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

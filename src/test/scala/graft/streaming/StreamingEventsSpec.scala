@@ -145,6 +145,47 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the fMGWS semantics (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import StatefulSessions._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, String)]
+      val events = input.toDF().toDF("ts", "user_id")
+        .withWatermark("ts", "5 minutes")
+        .selectExpr("user_id", "ts").as[Event](
+          org.apache.spark.sql.Encoders.product[Event])
+      val out = TwsSessions.sessionize(events, gapMs = 5 * 60 * 1000)
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      try {
+        input.addData((ts(0), "u1"), (ts(2), "u1"), (ts(1), "u2"))
+        q.processAllAvailable()
+        input.addData((ts(30), "other")) // watermark passes both timers
+        q.processAllAvailable()
+        input.addData((ts(40), "u1"))    // u1 reopens after timeout-close
+        q.processAllAvailable()
+        input.addData((Timestamp.valueOf("2026-01-01 11:30:00"), "other"))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out")
+          .select("user_id", "session_id", "n_events")
+          .as[(String, Long, Long)].collect().toSet
+        assert(rows.contains(("u1", ts(0).getTime, 2L)))
+        assert(rows.contains(("u2", ts(1).getTime, 1L)))
+        // reopened session has a fresh id — no reuse across timeout-close
+        assert(rows.contains(("u1", ts(40).getTime, 1L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("session stream emits merged sessions after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
