@@ -23,11 +23,8 @@ object CcJobs {
     pairs.count() // materialize input outside the measured window
     val t = new scala.collection.concurrent.TrieMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         t(j.jobId) = j.time
-        println(s"[jobstart] id=${j.jobId} stages=" +
-          j.stageInfos.map(si => si.name.takeWhile(_ != '(').trim).mkString("|"))
-      }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         println(f"[job] id=${j.jobId} ${(j.time - t.getOrElse(j.jobId, j.time)) / 1e3}%.2f s")
     })
