@@ -133,6 +133,13 @@ object Dedup {
     * round into 3-4 separate jobs — pure sync-point overhead. The
     * jump's second lookup reads the *checkpointed* previous labels, so
     * nothing in the round's plan is computed twice.
+    *
+    * Fault-tolerance note: `localCheckpoint` stores round state in
+    * executor blocks, trading durability for speed — on executor loss
+    * the query fails and the operator re-runs from its (persisted)
+    * edge input. Acceptable for a bounded-round iterative operator; a
+    * deployment preferring mid-operator recovery can switch to
+    * reliable `checkpoint` by setting a checkpoint dir.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -255,7 +262,11 @@ object Dedup {
     * so candidate generation is a per-band bucket EQUI-join (cost
     * follows bucket collisions, never n²), and the exact
     * `bit_count(fa xor fb) <= maxDist` post-filter removes false
-    * candidates. Same shuffle-hash + ReusedExchange shape as
+    * candidates. The operator is width-generic: 16-bit fingerprints
+    * saturate on large corpora (birthday collisions inflate buckets),
+    * so at scale pair it with a wider simhash (e.g. 64 bits, 4x16-bit
+    * bands) — the banding math is unchanged. Same
+    * shuffle-hash + ReusedExchange shape as
     * [[minhashLshPairs]]: both (identical) sides shuffle on the band
     * key and AQE reuses one exchange; a broadcast build side would
     * compute the banded subplan twice and is never broadcastable at

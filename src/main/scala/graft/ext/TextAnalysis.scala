@@ -91,6 +91,22 @@ object TextAnalysis {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Within-document n-gram repetition ratio (the Gopher-rule quality
+    * signal): 1 - distinct/total word n-grams. High values mean the
+    * document repeats itself — boilerplate, keyword stuffing, decode
+    * loops. Pure per-row projection; docs with fewer than n tokens get
+    * ratio 0.
+    */
+  def repetitionRatio(text: Column, n: Int): (Column, Column, Column) = {
+    val grams = TextHash.shingles(tokens(text), n)
+    val total = size(grams).cast("long")
+    val distinctN = size(array_distinct(grams)).cast("long")
+    val ratio = when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+    (total, distinctN, ratio)
+  }
+
   /** Pattern scrubbing (PII-redaction shape): replace every regex match
     * and report the per-row hit count for the scrub audit. Pure per-row
     * projection — zero shuffle at any scale.

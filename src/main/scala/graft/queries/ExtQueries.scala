@@ -475,10 +475,27 @@ object ExtQueries {
       "md5(regexp_replace(text, 'customer|supplier', '[X]', 'g')) AS redacted_md5 " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Gopher-rule repetition signal: within-doc bigram repetition. */
+  private val qRepetition = Q("q_repetition",
+    (s, d) => {
+      val (total, dist, ratio) = TextAnalysis.repetitionRatio(col("text"), 2)
+      t(s, d, "documents").select(col("doc_id"),
+        total.as("n_grams"), dist.as("n_distinct"),
+        round(ratio, 4).as("rep_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("WITH g AS (SELECT doc_id, " + TextHash.duckShingles("text", 2) +
+      " AS gs FROM documents) SELECT doc_id, " +
+      "CAST(len(gs) AS BIGINT) AS n_grams, " +
+      "CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct, " +
+      "round(CASE WHEN len(gs) > 0 THEN 1.0 - " +
+      "CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) " +
+      "ELSE 0.0 END, 4) AS rep_ratio FROM g ORDER BY doc_id"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
-    qDecontaminate, qRedact)
+    qDecontaminate, qRedact, qRepetition)
 }

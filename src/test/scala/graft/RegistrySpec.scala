@@ -68,5 +68,5 @@ object RegistrySpec {
     "q_token_count", "q_fingerprint", "q_tfidf",
     // [EXT] corpus assembly (round 4)
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
-    "q_pipeline_corpus", "q_decontaminate", "q_redact")
+    "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition")
 }
