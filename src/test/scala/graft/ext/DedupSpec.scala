@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents and survivors handle an empty pair graph") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("da", "db")
+    assert(Dedup.connectedComponents(noPairs).isEmpty)
+    val kept = Dedup.survivors(docs, col("doc_id"),
+      Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id"))
+    assert(kept.count() == docs.count()) // nothing clustered: all kept
+  }
+
   test("connectedComponents converges on a long path (jump beats diameter)") {
     // path 0-1-2-...-9: diameter 9; hook+jump must still converge well
     // within maxIter and label everything 0
