@@ -42,6 +42,11 @@ object Bench {
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       graft.model.Tables.load(spark, sfDir, "nation").count()
+      // warm the calibration table too: pass 0's probe must not be the
+      // first-ever orders read, or cold footer/codegen costs masquerade
+      // as pass-0 host load in calibration_per_pass_sec
+      graft.model.Tables.load(spark, sfDir, "orders")
+        .groupBy("o_orderstatus").count().count()
     } catch { case _: Throwable => () }
 
     def time(body: => Unit): Double = {
@@ -70,7 +75,11 @@ object Bench {
     val mins = names.map(n => n -> samples(n).min)
     val medians = names.map(n => n -> median(samples(n)))
     val total = mins.map(_._2).sum
-    val calibJson = calib.map(c => f"$c%.4f").mkString("[", ",", "]")
+    // locale-independent formatting: the f-interpolator follows the JVM
+    // default locale and could emit comma decimals into the JSON line
+    val calibJson = calib
+      .map(c => String.format(java.util.Locale.ROOT, "%.4f", Double.box(c)))
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(mins)},""" +
       s""""sf":"$sfDir","passes":$passes,"method":"min-of-$passes-interleaved-passes",""" +
       s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")

@@ -153,14 +153,14 @@ object Dedup {
     edges.count()
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
+    // lazy persist, not an eager checkpoint: round 0's own job fills
+    // the cache (one init job fewer); lineage is shallow (one distinct
+    // over the persisted edges) so truncation isn't needed yet
+    val labels0 = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
     spark.conf.set(aqeKey, "false")
     try {
-      // lazy persist, not an eager checkpoint: round 0's own job fills
-      // the cache (one init job fewer); lineage is shallow (one distinct
-      // over the persisted edges) so truncation isn't needed yet
-      val labels0 = edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .persist()
       var labels = labels0
       var iter = 0
       var converged = false
@@ -192,9 +192,14 @@ object Dedup {
         labels = updatedCk
         iter += 1
       }
-      edges.unpersist()
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-    } finally spark.conf.set(aqeKey, prevAqe)
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      // unpersist on every exit path (idempotent): a throw mid-round
+      // must not leave the 2x-pair-graph edge table pinned in cache
+      edges.unpersist()
+      labels0.unpersist()
+    }
   }
 
   /** Bounded read of a round's convergence metric. `Observation.get`

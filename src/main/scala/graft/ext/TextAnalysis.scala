@@ -69,6 +69,22 @@ object TextAnalysis {
     * WindowGroupLimit top-k; the corpus size joins in as a broadcast
     * scalar, never a driver-side collect.
     */
+  def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, text: Column,
+                    id: Column, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * col("nd") / col("df")).as("score"))
+    graft.ops.Windows.findFirstK(scored,
+      keys = Seq(col("doc_id")),
+      priority = Seq(col("score").desc, col("term")),
+      k = k, rankName = "rnk")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with ANY document of an eval
     * set — the overlap check training pipelines run against held-out
@@ -115,19 +131,4 @@ object TextAnalysis {
     (regexp_replace(text, pattern, replacement),
       regexp_count(text, lit(pattern)))
 
-  def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, text: Column,
-                    id: Column, k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("nd"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("term"),
-        (col("tf") * col("nd") / col("df")).as("score"))
-    graft.ops.Windows.findFirstK(scored,
-      keys = Seq(col("doc_id")),
-      priority = Seq(col("score").desc, col("term")),
-      k = k, rankName = "rnk")
-  }
 }
