@@ -147,9 +147,12 @@ object Dedup {
       .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
       .persist()
     // materialize the (potentially expensive) pair subplan BEFORE
-    // toggling AQE off: its exchange reuse is an AQE runtime decision,
-    // and executing it lazily inside the scoped-off region would
-    // compute the candidate index once per self-join side
+    // toggling AQE off: exchange reuse in an arbitrary caller's pair
+    // plan may be an AQE runtime decision (ngramJaccardPairs reuses
+    // statically via its explicit repartition, but e.g. the MinHash
+    // band join relies on AQE stage matching), and executing it lazily
+    // inside the scoped-off region would compute such a plan once per
+    // self-join side
     edges.count()
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
@@ -320,10 +323,16 @@ object Dedup {
     // computed once and the self-join's two sides reuse one shuffle
     // (ReusedExchange) instead of recomputing it, and no separate
     // `sizes` aggregate + two back-joins are needed.
+    // explicit repartition on the join key: both self-join sides project
+    // from the SAME exchange subtree, so the static ReuseExchange rule
+    // dedupes it at plan time — reuse no longer depends on AQE runtime
+    // stage matching (callers that scope AQE off, like
+    // connectedComponents, would otherwise compute the index twice)
     val sh = docs.select(id.as("doc_id"),
       explode(array_distinct(
         graft.functions.HashFunctions.shingleHash48(text, n))).as("s"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .repartition(col("s"))
     val a = sh.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
     val b = sh.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
     // shuffle-hash, not broadcast: broadcasting would rebuild the whole
