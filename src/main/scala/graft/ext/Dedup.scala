@@ -260,6 +260,35 @@ object Dedup {
       .select(col("doc_id"), fp.as("fp"))
   }
 
+  /** 64-bit SimHash fingerprint per doc — the scale-real width (16-bit
+    * buckets saturate on large corpora; 64 bits keeps band-bucket
+    * populations Poisson-thin at billions of docs). Token bits come
+    * from md5: bits 0..47 from the first 12 hex chars (the same slice
+    * [[graft.ext.TextHash.baseHash]] uses), bits 48..63 from hex chars
+    * 13..16 — one md5 per token feeds all 64 votes (common
+    * subexpression, evaluated once under whole-stage codegen). Bit 63's
+    * weight is Long.MinValue: the vote-to-fingerprint sum folds it in
+    * last, so every partial sum stays in range and the result is the
+    * two's-complement fingerprint — safe under ANSI arithmetic.
+    * Same one-explode + hash-agg shape as [[simhash16]].
+    */
+  def simhash64(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val tk = docs.select(id.as("doc_id"), explode(tokens(text)).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("m"))
+      .select(col("doc_id"),
+        conv(substring(col("m"), 1, 12), 16, 10).cast("long").as("lo"),
+        conv(substring(col("m"), 13, 4), 16, 10).cast("long").as("hi"))
+    val bitSums = (0 until 64).map { j =>
+      val word = if (j < 48) shiftright(col("lo"), j) else shiftright(col("hi"), j - 48)
+      sum(when(word.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val fp = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tk.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
   /** SimHash hamming pair-search: all (da, db) whose 16-bit
     * fingerprints (`doc_id`, `fp` as produced by [[simhash16]]) differ
     * in at most `maxDist` bits, with the exact distance.
@@ -272,8 +301,9 @@ object Dedup {
     * `bit_count(fa xor fb) <= maxDist` post-filter removes false
     * candidates. The operator is width-generic: 16-bit fingerprints
     * saturate on large corpora (birthday collisions inflate buckets),
-    * so at scale pair it with a wider simhash (e.g. 64 bits, 4x16-bit
-    * bands) — the banding math is unchanged. Same
+    * so at scale use [[simhash64]] with bands = 4 x 16-bit — the
+    * banding math is unchanged (shifts stay <= 48, so the masked band
+    * keys are sign-safe for the two's-complement fingerprint). Same
     * shuffle-hash + ReusedExchange shape as
     * [[minhashLshPairs]]: both (identical) sides shuffle on the band
     * key and AQE reuses one exchange; a broadcast build side would

@@ -109,6 +109,49 @@ object ExtQueries {
       "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(fa, fb)) <= 2 ORDER BY da, db"))
 
+  /** DuckDB CTE chain ending in fps(doc_id, fp) = the 64-bit simhash:
+    * token bits 0..47 from md5 hex chars 1..12, bits 48..63 from chars
+    * 13..16 (mirroring Dedup.simhash64). Bit 63's weight is -2^63 so
+    * the fingerprint lands on the identical two's-complement BIGINT.
+    */
+  private val duckSimhash64Ctes =
+    "tk AS (SELECT doc_id, md5(t) AS m FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)), " +
+      "hh AS (SELECT doc_id, " +
+      "CAST(concat('0x', substr(m, 1, 12)) AS BIGINT) AS lo, " +
+      "CAST(concat('0x', substr(m, 13, 4)) AS BIGINT) AS hi FROM tk), " +
+      "bs AS (SELECT doc_id, " +
+      (0 until 64).map { j =>
+        val w = if (j < 48) s"(lo >> $j)" else s"(hi >> ${j - 48})"
+        s"sum(CASE WHEN $w & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+      }.mkString(", ") +
+      " FROM hh GROUP BY doc_id), " +
+      "fps AS (SELECT doc_id, CAST(" +
+      (0 until 64).map { j =>
+        val weight = if (j == 63) "-9223372036854775808" else (1L << j).toString
+        s"(CASE WHEN b$j > 0 THEN $weight ELSE 0 END)"
+      }.mkString(" + ") +
+      " AS BIGINT) AS fp FROM bs)"
+
+  /** The wide hamming pair-search (VERDICT r4 top item): 64-bit
+    * fingerprints in 4 x 16-bit bands, pigeonhole-exact for dist <= 3.
+    * Same operator as q_simhash_pairs — this instance verifies the
+    * width that holds up at corpus scale.
+    */
+  private val qSimhashPairs64 = Q("q_simhash_pairs64",
+    (s, d) => Dedup.simhashHammingPairs(
+      Dedup.simhash64(t(s, d, "documents"), col("text"), col("doc_id")),
+      maxDist = 3, bands = 4, bits = 64)
+      .orderBy("da", "db"),
+    Some(s"WITH $duckSimhash64Ctes, " +
+      "bands AS (SELECT doc_id, fp, b, (fp >> (b * 16)) & 65535 AS key FROM fps " +
+      "CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id) " +
+      "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
+
   /** Shared DuckDB CTEs for the 3-gram Jaccard pair pipeline over
     * `src` (also the input of the clustering oracles).
     */
@@ -498,7 +541,8 @@ object ExtQueries {
       "ELSE 0.0 END, 4) AS rep_ratio FROM g ORDER BY doc_id"))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs, qNgramJaccard,
+    qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,
+    qSimhashPairs64, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,

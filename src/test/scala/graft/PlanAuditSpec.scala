@@ -79,6 +79,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange") || p.contains("reused"), p)
   }
 
+  test("q_simhash_pairs64: wide-fingerprint banded join keeps the equi-hash shape") {
+    val df = SparkEntry.queries("q_simhash_pairs64")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "hamming search must never degrade to the all-pairs join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+  }
+
   test("q_sample_stratified: pure per-row filter — no shuffle before the final sort") {
     val p = planOf("q_sample_stratified")
     val exchanges = p.linesIterator.count(l =>

@@ -62,7 +62,7 @@ object RegistrySpec {
     "q_range_banded", "q_join_salted",
     // [EXT] LLM-pipeline operators
     "q_dedup_exact", "q_minhash", "q_minhash_lsh", "q_simhash",
-    "q_simhash_pairs",
+    "q_simhash_pairs", "q_simhash_pairs64",
     "q_ngram_jaccard", "q_dedup_clusters", "q_embed_cosine", "q_embed_lsh",
     "q_ann_topk", "q_ann_ivf", "q_lang_id", "q_quality_score",
     "q_token_count", "q_fingerprint", "q_tfidf",

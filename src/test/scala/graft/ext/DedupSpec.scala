@@ -99,4 +99,22 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp.values.forall(v => v >= 0L && v < (1L << 16)))
   }
+
+  test("simhash64: dup fingerprints agree; near dups closer than strangers") {
+    val fp = Dedup.simhash64(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)),
+      s"near-dup should be hamming-closer: ${ham(fp(1L), fp(3L))} vs ${ham(fp(1L), fp(4L))}")
+  }
+
+  test("simhash64 pair-search finds the dup pair exactly once at dist <= 3") {
+    val pairs = Dedup.simhashHammingPairs(
+      Dedup.simhash64(docs, col("text"), col("doc_id")),
+      maxDist = 3, bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.forall { case (da, db, h) => da < db && h <= 3 })
+  }
 }
