@@ -125,10 +125,20 @@ object Similarity {
 
   /** IVF-style search: assign every corpus vector to its nearest
     * centroid (cluster pruning index), then answer each query by
-    * scanning only the query's own cluster.
+    * scanning its `nprobe` nearest clusters.
+    *
+    * nprobe is the recall knob: a query near a Voronoi cell boundary
+    * loses true neighbors assigned to the adjacent cell, and probing
+    * the next-nearest centroids recovers them (recall is monotone in
+    * nprobe; nprobe = nlist degenerates to exact brute force —
+    * property-tested in SimilaritySpec). Scanned fraction grows as
+    * ~nprobe/nlist, so the 100 TB cost stays cluster-pruned: the
+    * corpus-side assignment is one broadcast pass, and each query
+    * touches only its probed cells via the bucket equi-join.
+    * queries must be drawn from the corpus (joined by vec_id).
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame,
-              queries: DataFrame, k: Int): DataFrame = {
+              queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val c = centroids.select(col("vec_id").as("cid"), col("v").as("cv"), col("nm").as("cn"))
     // assignment: argmax cosine over centroids (broadcast; one pass)
     val assigned = Windows.findFirst(
@@ -138,10 +148,24 @@ object Similarity {
       keys = Seq(col("vec_id")),
       priority = Seq(col("ccos").desc, col("cid")))
       .select("vec_id", "v", "nm", "cid")
-    val q = assigned
+    // rank ALL centroids per query and keep the top nprobe: one row per
+    // (query, probed cell). nprobe = 1 reduces to the query's own
+    // assigned cell (identical argmax + tiebreak), so the default is
+    // exactly the single-probe operator.
+    val qvec = assigned
       .join(queries.select(col("vec_id").as("qid")), col("qid") === col("vec_id"))
-      .select(col("qid"), col("v").as("qv"), col("nm").as("qn"), col("cid"))
-    val scored = assigned.join(broadcast(q), Seq("cid"))
+      .select(col("qid"), col("v").as("qv"), col("nm").as("qn"))
+    val probes = Windows.findFirstK(
+      qvec.crossJoin(broadcast(c))
+        .select(col("qid"), col("qv"), col("qn"), col("cid"),
+          cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("ccos")),
+      keys = Seq(col("qid")),
+      priority = Seq(col("ccos").desc, col("cid")),
+      k = nprobe, rankName = "__probe_rank")
+      .select("qid", "qv", "qn", "cid")
+    // a corpus vector lives in exactly one cell, so multi-probe never
+    // duplicates a (qid, vec_id) candidate
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm")).as("cos"))

@@ -412,6 +412,44 @@ object ExtQueries {
       "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
       "FROM r WHERE rnk <= 5 ORDER BY qid, rnk"))
 
+  /** Multi-probe IVF (nprobe = 3): each query scans its three nearest
+    * Voronoi cells instead of one — the recall knob at its first
+    * useful setting. Oracle replicates assignment, per-query centroid
+    * ranking, and the probed-cell candidate join exactly.
+    */
+  private val qAnnIvfProbe = Q("q_ann_ivf_probe",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      Similarity.ivfTopK(
+        corpus = n,
+        centroids = n.filter(col("vec_id") % 100 === 0),
+        queries = n.filter(col("vec_id").isin(1, 2, 3, 4)),
+        k = 5, nprobe = 3)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some(duckNormCte + ", cent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
+      "asg AS (SELECT vec_id, v, nm, cid FROM (" +
+      "SELECT n.vec_id, n.v, n.nm, c.vec_id AS cid, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
+      "FROM n CROSS JOIN cent c) WHERE rn = 1), " +
+      "qv AS (SELECT vec_id AS qid, v AS qv, nm AS qn FROM asg " +
+      "WHERE vec_id IN (1, 2, 3, 4)), " +
+      "pr AS (SELECT qid, qv, qn, cid FROM (" +
+      "SELECT q.qid, q.qv, q.qn, c.vec_id AS cid, row_number() OVER (" +
+      "PARTITION BY q.qid ORDER BY " +
+      "list_dot_product(q.qv, c.v) / (q.qn * c.nm) DESC, c.vec_id) AS rn " +
+      "FROM qv q CROSS JOIN cent c) WHERE rn <= 3), " +
+      "s AS (SELECT pr.qid, a.vec_id, " +
+      "list_dot_product(pr.qv, a.v) / (pr.qn * a.nm) AS cos " +
+      "FROM asg a JOIN pr ON a.cid = pr.cid AND a.vec_id <> pr.qid), " +
+      "r AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM r WHERE rnk <= 5 ORDER BY qid, rnk"))
+
   // ------------------------------------------------------ text analysis
 
   private val duckNTok = "len(string_split(text, ' '))"
@@ -544,6 +582,7 @@ object ExtQueries {
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,
     qSimhashPairs64, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
+    qAnnIvfProbe,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
     qDecontaminate, qRedact, qRepetition)

@@ -64,7 +64,7 @@ object RegistrySpec {
     "q_dedup_exact", "q_minhash", "q_minhash_lsh", "q_simhash",
     "q_simhash_pairs", "q_simhash_pairs64",
     "q_ngram_jaccard", "q_dedup_clusters", "q_embed_cosine", "q_embed_lsh",
-    "q_ann_topk", "q_ann_ivf", "q_lang_id", "q_quality_score",
+    "q_ann_topk", "q_ann_ivf", "q_ann_ivf_probe", "q_lang_id", "q_quality_score",
     "q_token_count", "q_fingerprint", "q_tfidf",
     // [EXT] corpus assembly (round 4)
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",

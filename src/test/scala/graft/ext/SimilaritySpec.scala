@@ -110,6 +110,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK recall grows with nprobe and is exact at nprobe = nlist") {
+    // Seeded Gaussian corpus: cells are arbitrary Voronoi regions, so
+    // single-probe provably loses boundary neighbors; probing more
+    // cells must recover them monotonically, and probing every cell
+    // makes the candidate set identical to brute force (same tiebreak
+    // ordering -> identical top-k, not just identical recall).
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val emb = (0 until 200)
+      .map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val queries = n.filter(col("vec_id") < 10)
+    val centroids = n.filter(col("vec_id") % 20 === 0) // nlist = 10
+    val k = 10
+    val truth = Similarity.bruteForceTopK(queries, n, k)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def hits(nprobe: Int): Int =
+      Similarity.ivfTopK(n, centroids, queries, k, nprobe)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+        .intersect(truth).size
+    val (h1, h3, hAll) = (hits(1), hits(3), hits(10))
+    assert(h1 < truth.size, "single probe already exact: seed gives no boundary loss")
+    assert(h3 > h1, s"nprobe=3 must recover boundary neighbors: $h1 -> $h3 of ${truth.size}")
+    assert(hAll == truth.size, s"nprobe=nlist must equal brute force ($hAll/${truth.size})")
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
