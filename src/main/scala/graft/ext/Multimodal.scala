@@ -13,10 +13,12 @@ import org.apache.spark.sql.types._
   * per partition, codec state initialized once per task, vectorized
   * batches in, rows out).
   *
-  * The *codec* is a clearly-marked deterministic STUB — real image/audio
-  * libraries are not in this environment. Everything around it is real
-  * and load-bearing at scale: schema, encoders, per-partition batching,
-  * skew-aware repartitioning, and the transform signatures.
+  * The IMAGE codec is real (JDK-only `javax.imageio`: decode -> scale ->
+  * re-encode, plus a pixel-histogram embed). Audio/video remain
+  * clearly-marked deterministic STUBs — those libraries are not in this
+  * environment. Everything around the codecs is real and load-bearing
+  * at scale: schema, encoders, per-partition batching, skew-aware
+  * repartitioning, and the transform signatures.
   *
   * 100 TB posture: payloads never pass through the driver; blob skew is
   * handled by repartitionByPayloadSize (range-partition on byte size so
@@ -44,10 +46,64 @@ object Multimodal {
 
   val mediaSchema: StructType = Encoders.product[MediaRow].schema
 
-  // ---------------------------------------------------------------- STUB
-  // Deterministic fake codec. A real deployment swaps these three
-  // functions for JNI/javacpp bindings (libjpeg/ffmpeg); their
-  // signatures and the surrounding dataflow do not change.
+  // --------------------------------------------------------- image codec
+  // Real JDK image codec (javax.imageio — zero new dependencies,
+  // headless-safe). Corrupt/undecodable payloads decode to None and the
+  // transforms pass them through untouched: at 100 TB a corpus always
+  // contains broken blobs, and one of them must not kill a
+  // 1000-executor job — route survivors through a quality gate instead.
+
+  private[ext] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  private[ext] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[ext] def scaleImage(img: java.awt.image.BufferedImage,
+      w: Int, h: Int): java.awt.image.BufferedImage = {
+    import java.awt.RenderingHints
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Real image embed: unit-norm luminance histogram over `dim` bins
+    * (Rec.601 luma weights). Deterministic in the decoded pixels.
+    */
+  private[ext] def imageEmbed(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        out((lum * dim) / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.sqrt(out.map(v => v.toDouble * v).sum).toFloat
+    if (n > 0) { var k = 0; while (k < dim) { out(k) /= n; k += 1 } }
+    out
+  }
+  // ----------------------------------------------------------------- STUB
+  // Deterministic fake codec for the media kinds whose libraries are
+  // NOT in this environment (audio/video). A real deployment swaps
+  // these for JNI/javacpp bindings (ffmpeg); their signatures and the
+  // surrounding dataflow do not change.
 
   /** STUB decode->embed: hashes payload bytes into a unit-norm vector.
     * Deterministic in the payload, so tests and oracle-style replays are
@@ -69,12 +125,6 @@ object Multimodal {
     out
   }
 
-  /** STUB resize: replaces the payload with a size-tagged digest slice.
-    * Real impl: decode, scale, re-encode.
-    */
-  private[ext] def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
-    (s"resized:${w}x$h:" + payload.length).getBytes("UTF-8")
-
   /** STUB frame extraction: slices the payload into fixed windows as
     * fake frames. Real impl: ffmpeg keyframe iterator.
     */
@@ -91,25 +141,40 @@ object Multimodal {
   // ------------------------------------------------------------ end STUB
 
   /** Feature extraction: payload -> dense unit vector, partition-local.
-    * Output feeds straight into Similarity.* (ANN / near-dup search).
+    * Images embed from real decoded pixels (luminance histogram);
+    * undecodable images and other kinds take the stub. Output feeds
+    * straight into Similarity.* (ANN / near-dup search).
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
     implicit val enc = Encoders.product[FeatureRow]
     media.mapPartitions { rows =>
       // per-task codec init goes here (once per partition, not per row)
-      rows.map(m => FeatureRow(m.media_id, m.kind, stubEmbed(m.payload, dim)))
+      rows.map { m =>
+        val feat =
+          if (m.kind == "image")
+            decodeImage(m.payload).map(imageEmbed(_, dim))
+              .getOrElse(stubEmbed(m.payload, dim))
+          else stubEmbed(m.payload, dim)
+        FeatureRow(m.media_id, m.kind, feat)
+      }
     }
   }
 
-  /** Image resize: payload rewrite + metadata update in one pass. */
+  /** Image resize: real decode -> bilinear scale -> PNG re-encode, with
+    * the metadata updated in the same pass. Non-images and undecodable
+    * payloads pass through untouched (see the codec note above).
+    */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     media.mapPartitions { rows =>
       rows.map { m =>
-        if (m.kind == "image")
-          m.copy(payload = stubResize(m.payload, w, h),
-            width = Some(w), height = Some(h))
-        else m
+        if (m.kind != "image") m
+        else decodeImage(m.payload) match {
+          case Some(img) =>
+            m.copy(payload = encodePng(scaleImage(img, w, h)),
+              mime = "image/png", width = Some(w), height = Some(h))
+          case None => m
+        }
       }
     }
   }

@@ -30,12 +30,64 @@ class MultimodalSpec extends SparkSpec {
     assert(f.view.mapValues(_.feature.toSeq).toMap == again)
   }
 
-  test("resize touches only images and updates metadata with payload") {
+  test("resize: undecodable image blobs and non-images pass through untouched") {
     val out = resize(media, 64, 64).collect().map(r => r.media_id -> r).toMap
-    assert(out(1L).width.contains(64) && out(1L).height.contains(64))
-    assert(new String(out(1L).payload, "UTF-8").startsWith("resized:64x64"))
+    // row 1's payload is not a decodable image: corrupt blobs must not
+    // be rewritten (nor kill the job) — metadata stays as scanned
+    assert(out(1L).payload.toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(out(1L).width.contains(640) && out(1L).height.contains(480))
     assert(out(2L).sample_rate.contains(16000))       // audio untouched
     assert(out(3L).width.contains(1920))              // video untouched
+  }
+
+  /** A real PNG: 20x10 horizontal gradient, built with the same JDK
+    * imageio the codec uses.
+    */
+  private def pngBytes(w: Int = 20, h: Int = 10): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255) / math.max(1, w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resize: real PNG decodes, scales, re-encodes at the target pixel size") {
+    val real = Seq(MediaRow(10L, "image", pngBytes(), "image/png",
+      Some(20), Some(10), None, None)).toDS()
+    val out = resize(real, 8, 6).collect().head
+    assert(out.width.contains(8) && out.height.contains(6) && out.mime == "image/png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth == 8 && back.getHeight == 6,
+      s"re-encoded payload decodes to ${back.getWidth}x${back.getHeight}")
+  }
+
+  test("feature extraction embeds real pixels for decodable images") {
+    val dark = pngBytes()
+    val bright = {
+      val img = new java.awt.image.BufferedImage(
+        20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ds = Seq(
+      MediaRow(20L, "image", dark, "image/png", Some(20), Some(10), None, None),
+      MediaRow(21L, "image", bright, "image/png", Some(20), Some(10), None, None))
+      .toDS()
+    val f = extractFeatures(ds, dim = 8).collect().map(r => r.media_id -> r.feature).toMap
+    // all-white image: every pixel in the top luminance bin
+    assert(math.abs(f(21L)(7) - 1.0f) < 1e-6)
+    // gradient spreads across bins — histograms must differ
+    assert(f(20L).toSeq != f(21L).toSeq)
+    f.values.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    }
   }
 
   test("frame sampling: one row per window, videos only, payload sliced") {
