@@ -263,6 +263,24 @@ object CoreQueries {
     Some("SELECT o_orderkey, c_name, o_totalprice FROM orders " +
       "JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"))
 
+  /** A5-under-skew twin: same output as q_group_collect through the
+    * two-phase salted aggregation (partial collect per salt bucket,
+    * flatten at the final group). The oracle is the plain group-collect
+    * SQL — salting is an exact rewrite for any partial/merge pair that
+    * composes associatively, and sort_array canonicalizes the
+    * bucket-concatenation order.
+    */
+  private val qAggSalted = Q("q_agg_salted",
+    (s, d) => Skew.saltedAgg(
+      t(s, d, "nation"),
+      keys = Seq(col("n_regionkey")), salt = 4,
+      partial = collect_list,
+      merge = p => array_join(sort_array(flatten(collect_list(p))), ","),
+      valueCol = col("n_name"), as = "names")
+      .orderBy("n_regionkey"),
+    Some("SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',') AS names " +
+      "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"))
+
   // --------------------------------------------- aggregation / dedup
 
   /** A1 distinct key accumulation (exporter.py:73,89,106). */
@@ -693,6 +711,7 @@ object CoreQueries {
     qProject, qFilterEq, qFilterLike, qFilterRlike,
     qJoinInner, qJoinBroadcast, qJoinStar, qJoinLeft,
     qSemiJoin, qAntiJoin, qFindFirst, qRangeJoin, qRangeBanded, qJoinSalted,
+    qAggSalted,
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube,
     qWindowRunning, qWindowFrame, qWindowRank,

@@ -58,8 +58,8 @@ object RegistrySpec {
     "q_bin_hex", "q_date_trunc", "q_math_expr", "q_percentile_disc",
     "q_array_dot", "q_json_extract", "q_explode_tokens",
     "q_window_tumbling", "q_window_sliding", "q_window_session",
-    // scale twins (round 2)
-    "q_range_banded", "q_join_salted",
+    // scale twins (rounds 2 + 5)
+    "q_range_banded", "q_join_salted", "q_agg_salted",
     // [EXT] LLM-pipeline operators
     "q_dedup_exact", "q_minhash", "q_minhash_lsh", "q_simhash",
     "q_simhash_pairs", "q_simhash_pairs64",
