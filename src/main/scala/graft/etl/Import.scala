@@ -113,6 +113,11 @@ object Import {
     // The loop is over the catalog (dozens of dims); each step is one
     // distributed anti-join + append — never a per-record query (the
     // N+1 the reference explicitly avoids, importer.py:84-97).
+    // report counts ride the write actions as observe() metrics (the
+    // same in-job pattern Dedup.connectedComponents uses) — one scan
+    // per table family instead of write-then-count re-reading the
+    // export; the count() fallback only fires if the listener event
+    // carrying the metric is lost
     val dimCounts = ordered
       .filter(index.dimensions.contains) // virtual dims have no table (importer.py:64-68)
       .map { dim =>
@@ -125,18 +130,21 @@ object Import {
         val fresh = existing
           .map(ex => Relational.antiJoin(incoming, ex, dimensionKeys(dim)))
           .getOrElse(incoming)
-        val n = fresh.count()
-        val merged = existing.map(_.unionByName(fresh)).getOrElse(fresh)
+        val obs = org.apache.spark.sql.Observation(s"import_dim_$dim")
+        val freshObs = fresh.observe(obs, count(lit(1)).as("n"))
+        val merged = existing.map(_.unionByName(freshObs)).getOrElse(freshObs)
         merged.write.mode("overwrite").parquet(s"$staging/dimensions/$dim")
-        dim -> n
+        dim -> observedCount(obs, fresh.count())
       }.toMap
 
     // datasets: partitioned by run (importer.py:79-97)
     val dsCounts = effTypes.map { t =>
       val ds = spark.read.parquet(s"$exportDir/datasets/$t")
-      ds.write.mode("overwrite").partitionBy("run")
+      val obs = org.apache.spark.sql.Observation(s"import_ds_$t")
+      ds.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").partitionBy("run")
         .parquet(s"$staging/datasets/$t")
-      t -> ds.count()
+      t -> observedCount(obs, ds.count())
     }.toMap
 
     // associations routed by collection type (importer.py:101-117):
@@ -208,6 +216,26 @@ object Import {
     // promote staging -> target (rename per table family)
     promote(staging, targetDir)
     report
+  }
+
+  /** Bounded read of a write-action's observed row count. Mirrors
+    * Dedup.changedCount: poll with a deadline (Observation.get blocks
+    * forever if the listener event is dropped), fall back to the exact
+    * `fallback` count — one extra scan, rare path. count() over empty
+    * input is 0, never null, so a null cell can't occur here; the
+    * guard stays for defense in depth.
+    */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+                            fallback: => Long, timeoutMs: Long = 10000L): Long = {
+    import org.apache.spark.sql.GraftBridge.observationRow
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var row = observationRow(obs)
+    while (row.isEmpty && System.nanoTime() < deadline) row = observationRow(obs)
+    row match {
+      case Some(r) if !r.isNullAt(0) => r.getLong(0)
+      case Some(_) => 0L
+      case None => fallback
+    }
   }
 
   /** Path half of the datastore mapping function: first matching prefix
