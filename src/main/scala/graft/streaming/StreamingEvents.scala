@@ -57,7 +57,32 @@ object StreamingEvents {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
-  private def tsName(ts: Column): String = ts.toString
+  /** Streaming twin of the batch exact-dedup operator (Dedup.exact):
+    * an incremental corpus refresh keeps the first-seen document per
+    * content fingerprint and drops re-ingested copies. The dedup key
+    * is the same 48-bit md5 content hash the batch path groups on
+    * (graft.ext.TextHash.baseHash), so batch and stream agree on what
+    * counts as a duplicate; state is bounded by the watermark horizon
+    * (re-ingests older than it are assumed already emitted).
+    */
+  def dedupByFingerprint(stream: DataFrame, text: Column, tsCol: String,
+                         watermark: String): DataFrame =
+    stream.withColumn("__fp", graft.ext.TextHash.baseHash(text))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
+  /** withWatermark takes a column NAME; accepting a general expression
+    * here would silently watermark a column that doesn't exist (the
+    * stringified expression). Reject anything but a plain reference.
+    */
+  private def tsName(ts: Column): String = {
+    val n = ts.toString
+    require(n.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"watermark event-time must be a plain column reference, got: $n " +
+        "(pre-compute the expression into a named column first)")
+    n
+  }
 }
 
 /** Custom arbitrary-state streaming (flatMapGroupsWithState): the

@@ -120,6 +120,42 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup: corpus refresh keeps first-seen docs, drops re-ingests") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingEvents.dedupByFingerprint(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      col("text"), "ts", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("fp_dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "alpha doc"), (ts(1), 2L, "beta doc"))
+      q.processAllAvailable()
+      // refresh batch: doc 1's text re-ingested under a new id (dropped),
+      // one genuinely new doc (kept)
+      input.addData((ts(5), 3L, "alpha doc"), (ts(6), 4L, "gamma doc"))
+      q.processAllAvailable()
+      val kept = spark.table("fp_dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L),
+        s"previously-kept rows must survive the refresh, re-ingests must not: $kept")
+      // the dedup key is internal: output schema is the input schema
+      assert(spark.table("fp_dedup_out").columns.toSeq == Seq("ts", "doc_id", "text"))
+    } finally q.stop()
+  }
+
+  test("watermark helpers reject a computed event-time expression") {
+    val df = Seq((ts(0), "a")).toDF("ts", "event_type")
+    val e = intercept[IllegalArgumentException] {
+      StreamingEvents.tumbling(df, col("ts") + expr("INTERVAL 1 MINUTE"),
+        "10 minutes", "5 minutes", Nil, Seq(count(lit(1)).as("n")))
+    }
+    assert(e.getMessage.contains("plain column reference"))
+    // a qualified reference still passes
+    StreamingEvents.tumbling(df, col("ts"),
+      "10 minutes", "5 minutes", Nil, Seq(count(lit(1)).as("n")))
+  }
+
   test("hashSample is stream-safe: same deterministic subset as the batch path") {
     // stateless per-row filter -> valid on an unbounded stream with no
     // state store; content-hash determinism means the streaming subset
