@@ -72,17 +72,26 @@ object Bench {
     }
     def obj(vals: Seq[(String, Double)]): String =
       vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // locale-independent formatting: the f-interpolator follows the JVM
+    // default locale and could emit comma decimals into the JSON line
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    def objCompact(vals: Seq[(String, Double)]): String =
+      vals.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val mins = names.map(n => n -> samples(n).min)
     val medians = names.map(n => n -> median(samples(n)))
     val total = mins.map(_._2).sum
-    // locale-independent formatting: the f-interpolator follows the JVM
-    // default locale and could emit comma decimals into the JSON line
-    val calibJson = calib
-      .map(c => String.format(java.util.Locale.ROOT, "%.4f", Double.box(c)))
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(mins)},""" +
+    val calibJson = calib.map(num(_, 4)).mkString("[", ",", "]")
+    // two lines: full-precision detail first (for the committed record),
+    // then the canonical "metric":"total" line LAST and COMPACT
+    // (3-decimal mins, no medians) so the driver's fixed-size stdout
+    // tail always contains a parseable total — the r4 record lost it
+    // when the single verbose line outgrew the tail window
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":${obj(mins)},""" +
       s""""sf":"$sfDir","passes":$passes,"method":"min-of-$passes-interleaved-passes",""" +
       s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins)},""" +
+      s""""sf":"$sfDir","passes":$passes,"calibration_per_pass_sec":$calibJson}""")
     spark.stop()
   }
 }
