@@ -245,49 +245,33 @@ object Dedup {
 
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set
     * when the (+1/-1) vote sum of token-hash bit j is positive.
+    *
+    * Pure projection via the fused native kernel
+    * (graft.functions.SimHashFp): one md5 + 16 votes per token inside
+    * a single codegen'd loop — no explode (the previous shape shuffled
+    * one row per token through a 16-sum hash aggregation). Fingerprints
+    * are bit-identical to that formulation and to the DuckDB oracle.
+    * Null texts are filtered to preserve the explode semantics (a doc
+    * with no token rows has no fingerprint).
     */
-  def simhash16(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val tk = docs.select(id.as("doc_id"),
-      explode(tokens(text)).as("t"))
-      .select(col("doc_id"), baseHash(col("t")).as("h"))
-    val bitSums = (0 until 16).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j"))
-    val fp = (0 until 16)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tk.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
-  }
+  def simhash16(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        graft.functions.HashFunctions.simhashFp(text, 16).as("fp"))
 
   /** 64-bit SimHash fingerprint per doc — the scale-real width (16-bit
     * buckets saturate on large corpora; 64 bits keeps band-bucket
     * populations Poisson-thin at billions of docs). Token bits come
     * from md5: bits 0..47 from the first 12 hex chars (the same slice
     * [[graft.ext.TextHash.baseHash]] uses), bits 48..63 from hex chars
-    * 13..16 — one md5 per token feeds all 64 votes (common
-    * subexpression, evaluated once under whole-stage codegen). Bit 63's
-    * weight is Long.MinValue: the vote-to-fingerprint sum folds it in
-    * last, so every partial sum stays in range and the result is the
-    * two's-complement fingerprint — safe under ANSI arithmetic.
-    * Same one-explode + hash-agg shape as [[simhash16]].
+    * 13..16; bit 63 lands on the sign bit, so the fingerprint is the
+    * two's-complement BIGINT the oracle computes. Same fused-kernel
+    * pure projection as [[simhash16]] — zero shuffle at any width.
     */
-  def simhash64(docs: DataFrame, text: Column, id: Column): DataFrame = {
-    val tk = docs.select(id.as("doc_id"), explode(tokens(text)).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("m"))
-      .select(col("doc_id"),
-        conv(substring(col("m"), 1, 12), 16, 10).cast("long").as("lo"),
-        conv(substring(col("m"), 13, 4), 16, 10).cast("long").as("hi"))
-    val bitSums = (0 until 64).map { j =>
-      val word = if (j < 48) shiftright(col("lo"), j) else shiftright(col("hi"), j - 48)
-      sum(when(word.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
-    }
-    val fp = (0 until 64)
-      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tk.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("fp"))
-  }
+  def simhash64(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        graft.functions.HashFunctions.simhashFp(text, 64).as("fp"))
 
   /** SimHash hamming pair-search: all (da, db) whose 16-bit
     * fingerprints (`doc_id`, `fp` as produced by [[simhash16]]) differ

@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSig(args(0), TextHash.Params.take(k).map(_._1),
           TextHash.Params.take(k).map(_._2))
       })
+    register(ext, "graft_simhash", "fused SimHash fingerprint of a text column (bits from arg 2)",
+      args => SimHashFp(args(0), expectInt(args(1), "bits")))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

@@ -96,6 +96,61 @@ object HashKernels {
     out
   }
 
+  /** Fused SimHash fingerprint: tokenize by single space, one md5 per
+    * token, ±1 bit votes accumulated in one pass — the explode +
+    * 64-sum hash aggregation collapses into a per-row projection (no
+    * shuffle of token rows at any corpus size).
+    *
+    * Bit sources mirror the built-in formulation exactly: vote bit j
+    * reads bit j of the first-6-byte (48-bit) md5 prefix for j < 48,
+    * and bit j-48 of digest bytes 6..7 (hex chars 13..16) above — so
+    * fingerprints are bit-identical to the conv/substring chain and to
+    * the DuckDB oracle. Tokens are byte windows between 0x20 bytes
+    * (split(text, " ") semantics, empty tokens included); bit 63 of a
+    * 64-bit fingerprint lands on the sign bit, giving the same
+    * two's-complement BIGINT both engines compute.
+    */
+  def simhashFp(text: UTF8String, bits: Int): Long = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](bits)
+    val d = md5Local.get()
+    val loBits = if (bits < 48) bits else 48
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        d.reset()
+        d.update(bytes, start, i - start)
+        val digest = d.digest()
+        val lo = ((digest(0) & 0xffL) << 40) | ((digest(1) & 0xffL) << 32) |
+          ((digest(2) & 0xffL) << 24) | ((digest(3) & 0xffL) << 16) |
+          ((digest(4) & 0xffL) << 8) | (digest(5) & 0xffL)
+        var j = 0
+        while (j < loBits) {
+          votes(j) += (if (((lo >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+        if (bits > 48) {
+          val hi = ((digest(6) & 0xffL) << 8) | (digest(7) & 0xffL)
+          var k = 48
+          while (k < bits) {
+            votes(k) += (if (((hi >>> (k - 48)) & 1L) == 1L) 1 else -1)
+            k += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
   /** Fused MinHash signature over precomputed 48-bit base hashes:
     * k arithmetic mins in one pass. Returns long[k]; empty input yields
     * null at the expression layer (no signature — mirrors the explode
@@ -225,6 +280,33 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
     copy(child = newChild)
 }
 
+/** Fused SimHash fingerprint of a text column — the projection form of
+  * the explode -> per-bit vote aggregation (see HashKernels.simhashFp
+  * for the exact bit-source contract). `bits` in 1..64.
+  */
+case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 64, s"bits must be in 1..64, got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.simhashFp(s.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashKernels.simhashFp($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the hash kernels. */
 object HashFunctions {
   def md5Prefix48(s: Column): Column =
@@ -238,4 +320,8 @@ object HashFunctions {
   def minhashSig(baseHashes: Column, params: Seq[(Long, Long)]): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(baseHashes),
       params.map(_._1), params.map(_._2)))
+
+  /** Fused `bits`-wide SimHash fingerprint of a text column. */
+  def simhashFp(text: Column, bits: Int): Column =
+    GraftBridge.column(SimHashFp(GraftBridge.expression(text), bits))
 }

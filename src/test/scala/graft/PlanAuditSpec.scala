@@ -121,6 +121,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_minhash_sig"))
   }
 
+  test("q_simhash: fused fingerprint is a pure projection — no mid-plan shuffle") {
+    val p = planOf("q_simhash")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"unexpected shuffle in simhash plan:\n$p")
+    assert(p.contains("graft_simhash"))
+  }
+
   test("q_tfidf: per-doc top-k optimized to WindowGroupLimit") {
     assert(planOf("q_tfidf").contains("WindowGroupLimit"))
   }

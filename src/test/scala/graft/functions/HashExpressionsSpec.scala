@@ -60,6 +60,39 @@ class HashExpressionsSpec extends SparkSpec {
     assert(fused == perMember)
   }
 
+  test("SimHashFp matches the explode + bit-vote aggregation at 16 and 64 bits") {
+    // reference implementation = the pre-kernel formulation: one row per
+    // token, per-bit ±1 vote sums, fingerprint from the vote signs
+    def reference(df: org.apache.spark.sql.DataFrame, bits: Int) = {
+      val tk = df.select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), md5(col("t")).as("m"))
+        .select(col("doc_id"),
+          conv(substring(col("m"), 1, 12), 16, 10).cast("long").as("lo"),
+          conv(substring(col("m"), 13, 4), 16, 10).cast("long").as("hi"))
+      val bitSums = (0 until bits).map { j =>
+        val w = if (j < 48) shiftright(col("lo"), j) else shiftright(col("hi"), j - 48)
+        sum(when(w.bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+      }
+      val fp = (0 until bits)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      tk.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fp.as("fp"))
+    }
+    val texts = Gen.listOfN(12, Gen.asciiPrintableStr.map(_.take(60)))
+    val prop = Prop.forAll(texts) { ss =>
+      val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+      Seq(16, 64).forall { bits =>
+        val fused = df.select(col("doc_id"),
+          HashFunctions.simhashFp(col("text"), bits).as("fp"))
+          .as[(Long, Long)].collect().toMap
+        fused == reference(df, bits).as[(Long, Long)].collect().toMap
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("MinHashSig yields null for docs with no shingles") {
     val out = Seq("one two").toDF("text").select(
       HashFunctions.minhashSig(
