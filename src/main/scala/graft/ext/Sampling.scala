@@ -67,4 +67,28 @@ object Sampling {
           .cast("long").as("pack_id"),
         ((col("cum") - col("n_tok")) % contextLen).as("pack_offset"))
   }
+
+  /** Sliding token-window chunking (RAG / long-doc training prep):
+    * each document yields chunks of up to `win` tokens starting every
+    * `stride` tokens (stride < win ⇒ overlapping context). One row per
+    * chunk with its start offset, token count, and content digest.
+    *
+    * Pure projection + explode — no shuffle at any corpus size; chunk
+    * identity is (doc_id, chunk_id), deterministic in the text alone.
+    */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column,
+                  win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0, "win and stride must be positive")
+    val tok = tokens(text)
+    docs
+      .select(id.as("doc_id"), tok.as("tok"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("tok")) - 1, lit(stride)),
+          start => slice(col("tok"), start + 1, lit(win)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        size(col("col")).cast("long").as("n_tok"),
+        md5(array_join(col("col"), " ")).as("chunk_md5"))
+  }
 }

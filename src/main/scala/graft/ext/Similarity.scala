@@ -109,6 +109,32 @@ object Similarity {
       .distinct()
   }
 
+  /** Symmetric per-vector int8 quantization: q_i = floor(v_i * s + 0.5)
+    * with s = 127 / max|v| (zero vectors quantize to all-zero at
+    * s = 0). The memory lever for ANN at corpus scale — a 4x cut vs
+    * float32 with the scale kept per row for dequantization. floor(x +
+    * 0.5) instead of round() because the two engines' round() disagree
+    * on tie-breaking (the same trick the exact-money sums use); pure
+    * per-row projection, no shuffle.
+    */
+  def quantizeInt8(emb: DataFrame, id: Column, vec: Column): DataFrame = {
+    // staged projections: the lambda must reference `scale` as a bound
+    // attribute, not by inlined subtree — interpreted HOFs re-evaluate
+    // embedded subtrees per ELEMENT, which would turn the row's one
+    // array_max into d of them (CollapseProject keeps multi-referenced
+    // non-cheap aliases staged, so this shape survives optimization)
+    emb.select(id.as("vec_id"),
+      transform(vec, x => x.cast("double")).as("__v"))
+      .select(col("vec_id"), col("__v"),
+        array_max(transform(col("__v"), x => abs(x))).as("__mx"))
+      .select(col("vec_id"), col("__v"),
+        when(col("__mx") === 0.0, lit(0.0))
+          .otherwise(lit(127.0) / col("__mx")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("__v"),
+          x => floor(x * col("scale") + 0.5).cast("long")).as("q"))
+  }
+
   /** Brute-force top-k neighbors (cosine) for each query vector;
     * queries are broadcast, corpus is scanned once.
     */

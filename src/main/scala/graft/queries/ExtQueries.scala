@@ -450,6 +450,41 @@ object ExtQueries {
       "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
       "FROM r WHERE rnk <= 5 ORDER BY qid, rnk"))
 
+  /** Int8 embedding quantization — the ANN memory lever (4x vs
+    * float32). Oracle replicates the exact floor-based rounding; the
+    * quantized vector is flattened to a string for dialect-proof
+    * comparison (like q_group_collect's arrays).
+    */
+  private val qQuantizeInt8 = Q("q_quantize_int8",
+    (s, d) => Similarity.quantizeInt8(
+      t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        array_join(transform(col("q"), _.cast("string")), ",").as("q"))
+      .orderBy("vec_id"),
+    Some("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
+      "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m) " +
+      "SELECT vec_id, round(scale, 6) AS scale, " +
+      "array_to_string(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q " +
+      "FROM sc ORDER BY vec_id"))
+
+  /** Sliding token-window chunking (64-token windows, stride 48):
+    * overlapping context chunks for RAG / long-doc training prep.
+    * Oracle replicates the window starts, clipped slices, and digests.
+    */
+  private val qChunkWindows = Q("q_chunk_windows",
+    (s, d) => Sampling.chunkTokens(
+      t(s, d, "documents"), col("doc_id"), col("text"), win = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id"),
+    Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
+      "st AS (SELECT doc_id, tok, unnest(generate_series(0, len(tok) - 1, 48)) AS start FROM tk), " +
+      "ch AS (SELECT doc_id, start, tok[start + 1 : start + 64] AS chunk FROM st) " +
+      "SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id, " +
+      "CAST(start AS BIGINT) AS start_tok, " +
+      "CAST(len(chunk) AS BIGINT) AS n_tok, " +
+      "md5(array_to_string(chunk, ' ')) AS chunk_md5 " +
+      "FROM ch ORDER BY doc_id, chunk_id"))
+
   // ------------------------------------------------------ text analysis
 
   private val duckNTok = "len(string_split(text, ' '))"
@@ -585,5 +620,6 @@ object ExtQueries {
     qAnnIvfProbe,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
+    qQuantizeInt8, qChunkWindows,
     qDecontaminate, qRedact, qRepetition)
 }

@@ -129,6 +129,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_simhash"))
   }
 
+  test("q_quantize_int8 / q_chunk_windows: per-row corpus prep — no mid-plan shuffle") {
+    for (name <- Seq("q_quantize_int8", "q_chunk_windows")) {
+      val p = planOf(name)
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("rangepartitioning"))
+      assert(exchanges == 0, s"$name must not shuffle:\n$p")
+    }
+  }
+
   test("q_tfidf: per-doc top-k optimized to WindowGroupLimit") {
     assert(planOf("q_tfidf").contains("WindowGroupLimit"))
   }

@@ -66,7 +66,8 @@ object RegistrySpec {
     "q_ngram_jaccard", "q_dedup_clusters", "q_embed_cosine", "q_embed_lsh",
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_probe", "q_lang_id", "q_quality_score",
     "q_token_count", "q_fingerprint", "q_tfidf",
-    // [EXT] corpus assembly (round 4)
+    // [EXT] corpus assembly (rounds 4 + 5)
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
+    "q_quantize_int8", "q_chunk_windows",
     "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition")
 }

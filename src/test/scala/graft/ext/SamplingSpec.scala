@@ -71,4 +71,33 @@ class SamplingSpec extends SparkSpec {
     // 3 and 9 are non-survivor cluster members; everyone else stays
     assert(kept == Set(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L))
   }
+
+  test("chunkTokens: stride-spaced starts, clipped last window, digests match slices") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Sampling.chunkTokens(
+      Seq((1L, text)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), win = 4, stride = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start_tok", "n_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    // starts 0,3,6,9; the last window clips to the single trailing token
+    assert(out == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)))
+    // overlap: stride < win covers every token at least once
+    val covered = out.flatMap { case (_, s, n) => s until (s + n) }.toSet
+    assert(covered == (0L until 10L).toSet)
+  }
+
+  test("quantizeInt8: max maps to 127, floor-rounding, zero vector safe") {
+    val out = Similarity.quantizeInt8(
+      Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("scale"), col("q"))
+      .as[(Long, Double, Seq[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 127.0)
+    // floor(x*127 + 0.5): 127, floor(-63.0)= -63, floor(32.25) = 32
+    assert(out(1L)._2 == Seq(127L, -63L, 32L))
+    assert(out(2L) == ((0.0, Seq(0L, 0L))))
+  }
 }
