@@ -137,6 +137,31 @@ class SimilaritySpec extends SparkSpec {
     assert(hAll == truth.size, s"nprobe=nlist must equal brute force ($hAll/${truth.size})")
   }
 
+  test("int8-quantized vectors preserve neighbor ranking (recall@10 vs float)") {
+    // dequantize q/scale back to floats and re-run the exact top-k: at
+    // 8 bits the cosine error is ~1/254 per component, so the top-10
+    // neighbor sets should overlap almost completely on seeded data
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    val emb = (0 until 120)
+      .map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val deq = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("q"), x =>
+          when(col("scale") === 0.0, lit(0.0f))
+            .otherwise((x / col("scale")).cast("float"))).as("embedding"))
+    def topk(e: org.apache.spark.sql.DataFrame) = {
+      val n = Similarity.withNorm(e, col("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(n.filter(col("vec_id") < 10), n, k = 10)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    }
+    val exact = topk(emb)
+    val quant = topk(deq)
+    val recall = exact.intersect(quant).size.toDouble / exact.size
+    assert(recall >= 0.9, f"int8 recall@10 dropped to $recall%.2f")
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))

@@ -181,6 +181,36 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed streaming curation: quality gate + fingerprint dedup + sampling in one query") {
+    // the batch curation stages are stateless projections/filters except
+    // the dedup (bounded watermark state), so the whole chain runs
+    // incrementally on a stream with no code changes to the operators
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val gated = input.toDF().toDF("ts", "doc_id", "text")
+      .filter(graft.ext.TextAnalysis.qualityScore(col("text")) >= 0.0)
+    val deduped = StreamingEvents.dedupByFingerprint(
+      gated, col("text"), "ts", "30 minutes")
+    val sampled = graft.ext.Sampling.hashSample(
+      deduped, col("doc_id"), lit("en"), Map("en" -> 0.6))
+    val q = sampled.writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, "good doc one"), (ts(1), 2L, "good doc two"))
+      q.processAllAvailable()
+      input.addData((ts(5), 3L, "good doc one"), (ts(6), 4L, "good doc three"))
+      q.processAllAvailable()
+      val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
+      // expected = the batch pipeline over the same rows: first-seen
+      // survivors (3 duplicates 1), then the same deterministic sample
+      val expected = graft.ext.Sampling.hashSample(
+        Seq(1L, 2L, 4L).toDF("doc_id"), col("doc_id"), lit("en"), Map("en" -> 0.6))
+        .as[Long].collect().toSet
+      assert(kept == expected, s"composed stream must equal the batch pipeline: $kept vs $expected")
+      assert(!kept.contains(3L))
+    } finally q.stop()
+  }
+
   test("transformWithState sessionizer matches the fMGWS semantics (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulSessions._
