@@ -218,25 +218,13 @@ object Import {
     report
   }
 
-  /** Bounded read of a write-action's observed row count. Mirrors
-    * Dedup.changedCount: poll with a deadline (Observation.get blocks
-    * forever if the listener event is dropped), fall back to the exact
-    * `fallback` count — one extra scan, rare path. count() over empty
-    * input is 0, never null, so a null cell can't occur here; the
-    * guard stays for defense in depth.
+  /** Bounded read of a write-action's observed row count
+    * (graft.ops.Observations); on listener loss, fall back to the
+    * exact count — one extra scan, rare path.
     */
   private def observedCount(obs: org.apache.spark.sql.Observation,
-                            fallback: => Long, timeoutMs: Long = 10000L): Long = {
-    import org.apache.spark.sql.GraftBridge.observationRow
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var row = observationRow(obs)
-    while (row.isEmpty && System.nanoTime() < deadline) row = observationRow(obs)
-    row match {
-      case Some(r) if !r.isNullAt(0) => r.getLong(0)
-      case Some(_) => 0L
-      case None => fallback
-    }
-  }
+                            fallback: => Long): Long =
+    graft.ops.Observations.boundedLong(obs).getOrElse(fallback)
 
   /** Path half of the datastore mapping function: first matching prefix
     * rule wins (an empty-prefix rule is therefore a catch-all default —

@@ -205,28 +205,19 @@ object Dedup {
     }
   }
 
-  /** Bounded read of a round's convergence metric. `Observation.get`
-    * blocks forever if the listener event carrying the metric is
-    * dropped; here we poll with a deadline and, on timeout, fall back
-    * to an exact (one extra job, rare path) changed-label probe
-    * against the previous round's checkpointed labels.
+  /** Bounded read of a round's convergence metric
+    * (graft.ops.Observations); on listener loss, fall back to an exact
+    * (one extra job, rare path) changed-label probe against the
+    * previous round's checkpointed labels.
     */
   private[ext] def changedCount(obs: org.apache.spark.sql.Observation,
                                 updated: DataFrame, prev: DataFrame,
-                                timeoutMs: Long = 10000L): Long = {
-    import org.apache.spark.sql.GraftBridge.observationRow
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    var row = observationRow(obs) // waits ~100ms internally when empty
-    while (row.isEmpty && System.nanoTime() < deadline) row = observationRow(obs)
-    row match {
-      case Some(r) if !r.isNullAt(0) => r.getLong(0)
-      case Some(_) => 0L // sum over zero rows: empty input, converged
-      case None =>
-        updated.withColumnRenamed("label", "next")
-          .join(prev, "node")
-          .filter(col("next") < col("label")).limit(1).count()
+                                timeoutMs: Long = 10000L): Long =
+    graft.ops.Observations.boundedLong(obs, timeoutMs).getOrElse {
+      updated.withColumnRenamed("label", "next")
+        .join(prev, "node")
+        .filter(col("next") < col("label")).limit(1).count()
     }
-  }
 
   /** The deduplicated corpus: every document that is either untouched
     * by the near-dup graph or the elected survivor (minimum id) of its

@@ -54,8 +54,12 @@ object Multimodal {
   // 1000-executor job — route survivors through a quality gate instead.
 
   private[ext] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    // NonFatal, not just IOException: imageio plugin readers throw
+    // unchecked exceptions (AIOOBE, NegativeArraySize, IAE) on payloads
+    // whose magic bytes parse but whose headers are malformed — exactly
+    // the corrupt blobs this Option exists to absorb
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private[ext] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -70,6 +74,10 @@ object Multimodal {
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = out.createGraphics()
     try {
+      // deterministic background for alpha sources: transparent pixels
+      // composite over white, not the buffer's uninitialized black
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, w, h)
       g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
         RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(img, 0, 0, w, h, null)

@@ -174,21 +174,24 @@ object Similarity {
       keys = Seq(col("vec_id")),
       priority = Seq(col("ccos").desc, col("cid")))
       .select("vec_id", "v", "nm", "cid")
-    // rank ALL centroids per query and keep the top nprobe: one row per
-    // (query, probed cell). nprobe = 1 reduces to the query's own
-    // assigned cell (identical argmax + tiebreak), so the default is
-    // exactly the single-probe operator.
+    // one row per (query, probed cell). At the default nprobe = 1 the
+    // probed cell IS the query's assigned cell (identical argmax +
+    // tiebreak), already computed by the assignment pass — reuse it for
+    // free rather than re-scoring every centroid per query. For
+    // nprobe > 1, rank ALL centroids per query and keep the top p.
     val qvec = assigned
       .join(queries.select(col("vec_id").as("qid")), col("qid") === col("vec_id"))
-      .select(col("qid"), col("v").as("qv"), col("nm").as("qn"))
-    val probes = Windows.findFirstK(
-      qvec.crossJoin(broadcast(c))
-        .select(col("qid"), col("qv"), col("qn"), col("cid"),
-          cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("ccos")),
-      keys = Seq(col("qid")),
-      priority = Seq(col("ccos").desc, col("cid")),
-      k = nprobe, rankName = "__probe_rank")
-      .select("qid", "qv", "qn", "cid")
+      .select(col("qid"), col("v").as("qv"), col("nm").as("qn"), col("cid"))
+    val probes =
+      if (nprobe == 1) qvec
+      else Windows.findFirstK(
+        qvec.drop("cid").crossJoin(broadcast(c))
+          .select(col("qid"), col("qv"), col("qn"), col("cid"),
+            cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("ccos")),
+        keys = Seq(col("qid")),
+        priority = Seq(col("ccos").desc, col("cid")),
+        k = nprobe, rankName = "__probe_rank")
+        .select("qid", "qv", "qn", "cid")
     // a corpus vector lives in exactly one cell, so multi-probe never
     // duplicates a (qid, vec_id) candidate
     val scored = assigned.join(broadcast(probes), Seq("cid"))

@@ -60,29 +60,31 @@ object StreamingEvents {
   /** Streaming twin of the batch exact-dedup operator (Dedup.exact):
     * an incremental corpus refresh keeps the first-seen document per
     * content fingerprint and drops re-ingested copies. The dedup key
-    * is the same 48-bit md5 content hash the batch path groups on
-    * (graft.ext.TextHash.baseHash), so batch and stream agree on what
-    * counts as a duplicate; state is bounded by the watermark horizon
-    * (re-ingests older than it are assumed already emitted).
+    * is the full 128-bit md5(text) — the same digest the batch path
+    * groups on, so batch and stream agree on what counts as a
+    * duplicate (a truncated hash would silently drop distinct docs to
+    * birthday collisions around 2^(bits/2) fingerprints in the
+    * horizon); state is bounded by the watermark horizon (re-ingests
+    * older than it are assumed already emitted).
     */
   def dedupByFingerprint(stream: DataFrame, text: Column, tsCol: String,
                          watermark: String): DataFrame =
-    stream.withColumn("__fp", graft.ext.TextHash.baseHash(text))
+    stream.withColumn("__fp", md5(text))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
 
   /** withWatermark takes a column NAME; accepting a general expression
     * here would silently watermark a column that doesn't exist (the
-    * stringified expression). Reject anything but a plain reference.
+    * stringified expression). Reject anything but a plain reference —
+    * by expression type, not by name shape, so legal-but-unusual names
+    * (spaces, non-ASCII) still pass.
     */
-  private def tsName(ts: Column): String = {
-    val n = ts.toString
-    require(n.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
-      s"watermark event-time must be a plain column reference, got: $n " +
-        "(pre-compute the expression into a named column first)")
-    n
-  }
+  private def tsName(ts: Column): String =
+    org.apache.spark.sql.GraftBridge.attributeName(ts).getOrElse(
+      throw new IllegalArgumentException(
+        s"watermark event-time must be a plain column reference, got: $ts " +
+          "(pre-compute the expression into a named column first)"))
 }
 
 /** Custom arbitrary-state streaming (flatMapGroupsWithState): the
