@@ -135,6 +135,34 @@ object Similarity {
           x => floor(x * col("scale") + 0.5).cast("long")).as("q"))
   }
 
+  /** Quantized corpus with attached integer norm — the int8 analog of
+    * [[withNorm]]. Norms are exact (integer dot, then one sqrt).
+    */
+  def withQuantNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
+    quantizeInt8(emb, id, vec)
+      .select(col("vec_id"), col("q"),
+        sqrt(VectorFunctions.dotIntNative(col("q"), col("q")).cast("double")).as("nm"))
+
+  /** Brute-force top-k over int8-quantized vectors ([[withQuantNorm]]
+    * frames): the quantized SCAN path — the hot loop is the integer
+    * dot kernel (graft_dot_int, exact long arithmetic, no float
+    * rounding), and the per-vector scales cancel in the cosine so they
+    * are not even read. Same broadcast + WindowGroupLimit shape as
+    * [[bruteForceTopK]]. Zero vectors (norm 0) score NaN — quantized
+    * search assumes a non-degenerate corpus.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("q").as("qq"), col("nm").as("qn"))
+    val scored = corpus.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (VectorFunctions.dotIntNative(col("qq"), col("q")).cast("double") /
+          (col("qn") * col("nm"))).as("cos"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+  }
+
   /** Brute-force top-k neighbors (cosine) for each query vector;
     * queries are broadcast, corpus is scanned once.
     */

@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     register(ext, "graft_simhash", "fused SimHash fingerprint of a text column (bits from arg 2)",
       args => SimHashFp(args(0), expectInt(args(1), "bits")))
+    register(ext, "graft_dot_int", "codegen'd exact long dot product of two bigint arrays",
+      args => DotProductLong(args(0), args(1)))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

@@ -82,6 +82,62 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd integer dot product over two array<bigint> —
+  * the scan kernel for int8-quantized embeddings (Similarity
+  * .quantizeInt8). Accumulates in long: |q_i| <= 127, so the sum is
+  * exact up to dim ~5.7e14 — no float rounding in the hot loop, and
+  * the value is exactly representable in double (< 2^53) for any
+  * realistic dim, which keeps the DuckDB twin (list_dot_product over
+  * the same lists) bit-identical after the final cast.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot_int"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native vector kernels. */
 object VectorFunctions {
   /** Codegen'd dot(a, b) in double precision, sequential accumulation —
@@ -89,4 +145,8 @@ object VectorFunctions {
     */
   def dotNative(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd integer dot(a, b) over array<bigint> (quantized vectors). */
+  def dotIntNative(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductLong(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -468,6 +468,35 @@ object ExtQueries {
       "array_to_string(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q " +
       "FROM sc ORDER BY vec_id"))
 
+  /** ANN over the int8-quantized corpus: integer dot products in the
+    * hot loop (graft_dot_int), scales cancel in the cosine. The
+    * arithmetic is exact in both engines (|q_i| <= 127 keeps every
+    * product sum below 2^53), so the oracle matches bit-for-bit —
+    * this verifies the quantized SCAN, complementing q_quantize_int8's
+    * storage check and the recall property test.
+    */
+  private val qAnnQuantized = Q("q_ann_quantized",
+    (s, d) => {
+      val n = Similarity.withQuantNorm(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      Similarity.quantizedTopK(n.filter(col("vec_id") < 5), n, k = 10)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
+      "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
+      "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
+      "nn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nm FROM qz), " +
+      "s AS (SELECT a.vec_id AS qid, b.vec_id, " +
+      "list_dot_product(a.q, b.q) / (a.nm * b.nm) AS cos " +
+      "FROM nn a JOIN nn b ON a.vec_id < 5 AND b.vec_id <> a.vec_id), " +
+      "r AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM r WHERE rnk <= 10 ORDER BY qid, rnk"))
+
   /** Sliding token-window chunking (64-token windows, stride 48):
     * overlapping context chunks for RAG / long-doc training prep.
     * Oracle replicates the window starts, clipped slices, and digests.
@@ -620,6 +649,6 @@ object ExtQueries {
     qAnnIvfProbe,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
-    qQuantizeInt8, qChunkWindows,
+    qQuantizeInt8, qAnnQuantized, qChunkWindows,
     qDecontaminate, qRedact, qRepetition)
 }

@@ -129,6 +129,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_simhash"))
   }
 
+  test("q_ann_quantized: integer dot kernel in codegen, broadcast queries, WindowGroupLimit") {
+    val p = planOf("q_ann_quantized")
+    assert(p.contains("graft_dot_int"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q_quantize_int8 / q_chunk_windows: per-row corpus prep — no mid-plan shuffle") {
     for (name <- Seq("q_quantize_int8", "q_chunk_windows")) {
       val p = planOf(name)

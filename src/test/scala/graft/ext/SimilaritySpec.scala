@@ -26,6 +26,41 @@ class SimilaritySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("integer dot kernel matches the interpreted form and exact long arithmetic") {
+    val vecs = Gen.listOfN(20,
+      Gen.zip(Gen.listOfN(8, Gen.choose(-127L, 127L)), Gen.listOfN(8, Gen.choose(-127L, 127L))))
+    val prop = Prop.forAll(vecs) { data =>
+      val df = data.toDF("a", "b")
+      val out = df.select(
+        graft.functions.VectorFunctions.dotIntNative(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("interp"))
+        .as[(Long, Long)].collect()
+      out.forall { case (n, i) => n == i } &&
+        out.zip(data).forall { case ((n, _), (a, b)) =>
+          n == a.zip(b).map { case (x, y) => x * y }.sum }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("quantizedTopK equals brute force over the dequantized vectors") {
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 60)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val qn = Similarity.withQuantNorm(emb, col("vec_id"), col("embedding"))
+    val quant = Similarity.quantizedTopK(qn.filter(col("vec_id") < 5), qn, k = 5)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    // scales cancel: quantized cosine = exact cosine of q/s vectors
+    val deq = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .select(col("vec_id"),
+        transform(col("q"), x => (x / col("scale")).cast("float")).as("embedding"))
+    val n = Similarity.withNorm(deq, col("vec_id"), col("embedding"))
+    val float = Similarity.bruteForceTopK(n.filter(col("vec_id") < 5), n, k = 5)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    assert(quant == float)
+  }
+
   test("dot/norm basics: orthogonal = 0, self = |v|^2") {
     val df = Seq((Seq(1f, 0f, 2f), Seq(0f, 3f, 0f))).toDF("a", "b")
     val (ab, aa) = df.select(
