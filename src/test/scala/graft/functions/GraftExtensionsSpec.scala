@@ -45,6 +45,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         java.lang.Long.parseLong("5eb63bbbe01e", 16)) // md5("hello world") prefix
       assert(sql.getSeq[Long](2).length == 2)        // shingles: "a b c", "b c d"
       assert(sql.getSeq[Long](3).length == 2)        // k = 2 signature
+      val r5 = spark.sql(
+        """SELECT graft_simhash('a b c d', 16) AS fp16,
+          |       graft_simhash('a b c d', 64) AS fp64,
+          |       graft_dot_int(array(3L, -2L), array(5L, 7L)) AS di
+          |""".stripMargin).collect().head
+      assert(r5.getLong(0) >= 0L && r5.getLong(0) < (1L << 16))
+      assert(r5.getLong(1) != r5.getLong(0)) // wide fingerprint uses more bit sources
+      assert(r5.getLong(2) == 1L)            // 15 - 14
     }
   }
 }
