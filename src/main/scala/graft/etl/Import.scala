@@ -180,9 +180,16 @@ object Import {
           "certify requires a validity timespan"))
     else if (!certified.isEmpty)
       throw new IllegalStateException("certify requires a validity timespan")
-    associated.drop("__ctype").write.mode("overwrite")
+    // counts ride the writes (same pattern as the dimension/dataset
+    // loops); the persisted union still backs both routed writes, and
+    // the cached-count fallback only fires on listener loss
+    val assocObs = org.apache.spark.sql.Observation("import_assoc")
+    val certObs = org.apache.spark.sql.Observation("import_cert")
+    associated.drop("__ctype").observe(assocObs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
       .parquet(s"$staging/associations_tagged")
-    certified.drop("__ctype").write.mode("overwrite")
+    certified.drop("__ctype").observe(certObs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
       .parquet(s"$staging/associations_calibration")
 
     // datastore re-nest (datastore_mapping.py:39-64): flat rows ->
@@ -203,15 +210,16 @@ object Import {
         .map(col).toIndexedSeq: _*)
     val nested = Aggregates.nestCollect(datastore,
       Seq(col("datastore_name"), col("dataset_id")), payload, "file_infos")
-      .persist() // written + counted for the report
-    nested.write.mode("overwrite").parquet(s"$staging/datastore")
+    val nestedObs = org.apache.spark.sql.Observation("import_datastore")
+    nested.observe(nestedObs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$staging/datastore")
 
     val report = ImportReport(
       dimCounts, dsCounts,
-      associated.count(), certified.count(),
-      nested.count())
+      observedCount(assocObs, associated.count()),
+      observedCount(certObs, certified.count()),
+      observedCount(nestedObs, nested.count()))
     assoc.unpersist()
-    nested.unpersist()
 
     // promote staging -> target (rename per table family)
     promote(staging, targetDir)
