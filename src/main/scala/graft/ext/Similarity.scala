@@ -163,6 +163,27 @@ object Similarity {
       k = k, rankName = "rnk")
   }
 
+  /** Asymmetric quantized search: FLOAT queries against the INT8
+    * corpus — the standard serving pattern (corpus quantized for
+    * memory, the few queries kept at full precision for accuracy).
+    * The corpus scale cancels in the cosine exactly as in the
+    * symmetric case: cos(qf, q/s) = dot(qf, q) / (|qf| * |q|), so the
+    * scan reads only the int vectors and their integer norms; the
+    * mixed float x long dot runs in the same codegen'd kernel
+    * (long→double widening is exact for int8 values).
+    * queries from [[withNorm]], corpus from [[withQuantNorm]].
+    */
+  def asymmetricTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"), col("nm").as("qn"))
+    val scored = corpus.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (dot(col("qv"), col("q")) / (col("qn") * col("nm"))).as("cos"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+  }
+
   /** Brute-force top-k neighbors (cosine) for each query vector;
     * queries are broadcast, corpus is scanned once.
     */

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * to the built-in/DuckDB form: cast each element to double, multiply,
   * accumulate left-to-right.
   *
-  * Accepts array<float> or array<double> on either side. Null arrays
-  * propagate null (standard binary-expression null semantics); element
-  * nulls are not expected in the embedding data and read as 0.
+  * Accepts array<float>, array<double>, or array<bigint> on either
+  * side (the bigint case serves asymmetric quantized search: a float
+  * query against an int8 corpus — long→double widening is exact for
+  * quantized values). Null arrays propagate null (standard
+  * binary-expression null semantics); element nulls are not expected
+  * in the embedding data and read as 0.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,12 +35,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | LongType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float|double> inputs, " +
+      s"$prettyName requires array<float|double|bigint> inputs, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
@@ -45,14 +48,16 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    def get(d: ArrayData, t: DataType, i: Int): Double = t match {
+      case FloatType => d.getFloat(i).toDouble
+      case LongType => d.getLong(i).toDouble
+      case _ => d.getDouble(i)
+    }
+    val (lt, rt) = (elemType(left), elemType(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += get(x, lt, i) * get(y, rt, i)
       i += 1
     }
     acc
@@ -62,12 +67,13 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      val getA =
-        if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
-        else s"$a.getDouble($i)"
-      val getB =
-        if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
-        else s"$b.getDouble($i)"
+      def getter(src: String, t: DataType): String = t match {
+        case FloatType => s"(double) $src.getFloat($i)"
+        case LongType => s"(double) $src.getLong($i)"
+        case _ => s"$src.getDouble($i)"
+      }
+      val getA = getter(a, elemType(left))
+      val getB = getter(b, elemType(right))
       s"""
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |${ev.value} = 0.0;

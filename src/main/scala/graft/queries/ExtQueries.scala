@@ -497,6 +497,37 @@ object ExtQueries {
       "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
       "FROM r WHERE rnk <= 10 ORDER BY qid, rnk"))
 
+  /** Asymmetric quantized ANN: float queries against the int8 corpus
+    * (the SQ8 serving pattern — quantize what's big, keep what's small
+    * precise). Mixed float x long dot; corpus scales cancel; exact in
+    * both engines after long→double widening.
+    */
+  private val qAnnAsymmetric = Q("q_ann_asymmetric",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val fq = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 5)
+      val qc = Similarity.withQuantNorm(emb, col("vec_id"), col("embedding"))
+      Similarity.asymmetricTopK(fq, qc, k = 10)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
+      "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
+      "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
+      "nn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nm FROM qz), " +
+      "fq AS (SELECT vec_id AS qid, v AS qv, " +
+      "sqrt(list_dot_product(v, v)) AS qn FROM v WHERE vec_id < 5), " +
+      "s AS (SELECT fq.qid, c.vec_id, " +
+      "list_dot_product(fq.qv, c.q) / (fq.qn * c.nm) AS cos " +
+      "FROM nn c JOIN fq ON c.vec_id <> fq.qid), " +
+      "r AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM r WHERE rnk <= 10 ORDER BY qid, rnk"))
+
   /** Sliding token-window chunking (64-token windows, stride 48):
     * overlapping context chunks for RAG / long-doc training prep.
     * Oracle replicates the window starts, clipped slices, and digests.
@@ -649,6 +680,6 @@ object ExtQueries {
     qAnnIvfProbe,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
-    qQuantizeInt8, qAnnQuantized, qChunkWindows,
+    qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qRedact, qRepetition)
 }

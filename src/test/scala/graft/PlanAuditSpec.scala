@@ -137,6 +137,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_ann_asymmetric: mixed float x int8 dot kernel, broadcast queries, WindowGroupLimit") {
+    val p = planOf("q_ann_asymmetric")
+    assert(p.contains("graft_dot"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q_quantize_int8 / q_chunk_windows: per-row corpus prep — no mid-plan shuffle") {
     for (name <- Seq("q_quantize_int8", "q_chunk_windows")) {
       val p = planOf(name)

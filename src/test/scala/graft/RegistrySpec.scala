@@ -68,6 +68,6 @@ object RegistrySpec {
     "q_token_count", "q_fingerprint", "q_tfidf",
     // [EXT] corpus assembly (rounds 4 + 5)
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
-    "q_quantize_int8", "q_ann_quantized", "q_chunk_windows",
+    "q_quantize_int8", "q_ann_quantized", "q_ann_asymmetric", "q_chunk_windows",
     "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition")
 }

@@ -61,6 +61,21 @@ class SimilaritySpec extends SparkSpec {
     assert(quant == float)
   }
 
+  test("asymmetricTopK: float-query x int8-corpus recall vs full-float brute force") {
+    val rnd = new scala.util.Random(37)
+    val emb = (0 until 80)
+      .map(i => (i.toLong, Seq.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val fq = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val qc = Similarity.withQuantNorm(emb, col("vec_id"), col("embedding"))
+    val asym = Similarity.asymmetricTopK(fq.filter(col("vec_id") < 8), qc, k = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(fq.filter(col("vec_id") < 8), fq, k = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(asym).size.toDouble / exact.size
+    assert(recall >= 0.9, f"asymmetric int8 recall@8 dropped to $recall%.2f")
+  }
+
   test("dot/norm basics: orthogonal = 0, self = |v|^2") {
     val df = Seq((Seq(1f, 0f, 2f), Seq(0f, 3f, 0f))).toDF("a", "b")
     val (ab, aa) = df.select(
