@@ -90,8 +90,10 @@ object Bench {
     println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":${obj(mins)},""" +
       s""""sf":"$sfDir","passes":$passes,"method":"min-of-$passes-interleaved-passes",""" +
       s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")
+    // calibration stays on the detail line only: every byte here eats
+    // tail headroom for future registry growth (~25 chars per query)
     println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins)},""" +
-      s""""sf":"$sfDir","passes":$passes,"calibration_per_pass_sec":$calibJson}""")
+      s""""sf":"$sfDir","passes":$passes}""")
     spark.stop()
   }
 }

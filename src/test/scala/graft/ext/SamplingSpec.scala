@@ -87,6 +87,18 @@ class SamplingSpec extends SparkSpec {
     assert(covered == (0L until 10L).toSet)
   }
 
+  test("chunkTokens with stride > win samples gapped windows (legal, not overlapping)") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Sampling.chunkTokens(
+      Seq((1L, text)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), win = 2, stride = 4)
+      .orderBy("chunk_id")
+      .select("chunk_id", "start_tok", "n_tok")
+      .as[(Long, Long, Long)].collect().toSeq
+    // starts 0,4,8: two-token samples with two-token gaps
+    assert(out == Seq((0L, 0L, 2L), (1L, 4L, 2L), (2L, 8L, 2L)))
+  }
+
   test("quantizeInt8: max maps to 127, floor-rounding, zero vector safe") {
     val out = Similarity.quantizeInt8(
       Seq((1L, Seq(1.0f, -0.5f, 0.25f)), (2L, Seq(0.0f, 0.0f)))
