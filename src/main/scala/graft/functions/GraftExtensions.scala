@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SimHashFp(args(0), expectInt(args(1), "bits")))
     register(ext, "graft_dot_int", "codegen'd exact long dot product of two bigint arrays",
       args => DotProductLong(args(0), args(1)))
+    register(ext, "graft_nfc", "Unicode NFC normalization (canonical composition)",
+      args => NfcNormalize(args(0)))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

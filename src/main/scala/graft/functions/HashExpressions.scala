@@ -96,6 +96,18 @@ object HashKernels {
     out
   }
 
+  /** NFC-normalize (canonical composition). Fast path: ASCII and
+    * already-composed text is returned as-is without re-encoding
+    * (Normalizer.isNormalized is a cheap scan; most corpus text takes
+    * this branch).
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Fused SimHash fingerprint: tokenize by single space, one md5 per
     * token, ±1 bit votes accumulated in one pass — the explode +
     * 64-sum hash aggregation collapses into a per-row projection (no
@@ -307,6 +319,33 @@ case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization — canonical composition, the standard
+  * text-cleanup step before hashing/dedup (the same logical character
+  * can arrive precomposed or as base + combining marks, and every
+  * content hash in this library is byte-sensitive). Wraps the JDK
+  * normalizer in a codegen'd expression (no UDF); DuckDB twin:
+  * `nfc_normalize(s)`.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    HashKernels.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the hash kernels. */
 object HashFunctions {
   def md5Prefix48(s: Column): Column =
@@ -324,4 +363,8 @@ object HashFunctions {
   /** Fused `bits`-wide SimHash fingerprint of a text column. */
   def simhashFp(text: Column, bits: Int): Column =
     GraftBridge.column(SimHashFp(GraftBridge.expression(text), bits))
+
+  /** Unicode NFC normalization (canonical composition). */
+  def nfc(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
 }

@@ -656,6 +656,22 @@ object ExtQueries {
       "md5(regexp_replace(text, 'customer|supplier', '[X]', 'g')) AS redacted_md5 " +
       "FROM documents ORDER BY doc_id"))
 
+  /** Unicode NFC normalization — the cleanup step before any content
+    * hashing (precomposed vs combining-mark forms of the same text
+    * hash differently). Native codegen'd kernel; DuckDB nfc_normalize
+    * is the oracle twin.
+    */
+  private val qNormalizeNfc = Q("q_normalize_nfc",
+    (s, d) => {
+      val n = graft.functions.HashFunctions.nfc(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        (col("text") === n).as("already_nfc"),
+        md5(n).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, text = nfc_normalize(text) AS already_nfc, " +
+      "md5(nfc_normalize(text)) AS norm_md5 FROM documents ORDER BY doc_id"))
+
   /** Gopher-rule repetition signal: within-doc bigram repetition. */
   private val qRepetition = Q("q_repetition",
     (s, d) => {
@@ -681,5 +697,5 @@ object ExtQueries {
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
-    qDecontaminate, qRedact, qRepetition)
+    qDecontaminate, qRedact, qRepetition, qNormalizeNfc)
 }

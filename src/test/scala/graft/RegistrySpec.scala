@@ -65,7 +65,7 @@ object RegistrySpec {
     "q_simhash_pairs", "q_simhash_pairs64",
     "q_ngram_jaccard", "q_dedup_clusters", "q_embed_cosine", "q_embed_lsh",
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_probe", "q_lang_id", "q_quality_score",
-    "q_token_count", "q_fingerprint", "q_tfidf",
+    "q_token_count", "q_fingerprint", "q_tfidf", "q_normalize_nfc",
     // [EXT] corpus assembly (rounds 4 + 5)
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
     "q_quantize_int8", "q_ann_quantized", "q_ann_asymmetric", "q_chunk_windows",

@@ -93,6 +93,16 @@ class HashExpressionsSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("NfcNormalize composes combining marks; ASCII passes through identical") {
+    val eAcute = "e\u0301"        // decomposed: e + combining acute
+    val df = Seq(eAcute + " plain ascii", "plain ascii").toDF("s")
+    val out = df.select(
+      HashFunctions.nfc(col("s")).as("n"), col("s")).as[(String, String)].collect()
+    assert(out(0)._1 == "\u00e9 plain ascii") // composed e-acute
+    assert(out(0)._1 != out(0)._2)
+    assert(out(1)._1 == out(1)._2)            // already-NFC fast path
+  }
+
   test("MinHashSig yields null for docs with no shingles") {
     val out = Seq("one two").toDF("text").select(
       HashFunctions.minhashSig(
