@@ -54,13 +54,21 @@ object Sampling {
     * parallelism (one shuffle, no global sort).
     */
   def packSequences(docs: DataFrame, id: Column, text: Column,
-                    contextLen: Int, shards: Int): DataFrame = {
+                    contextLen: Int, shards: Int): DataFrame =
+    packCounted(docs, id, size(tokens(text)), contextLen, shards)
+
+  /** Packing core over precomputed token counts — lets any unit with a
+    * known length pack (whole documents, or chunk rows from
+    * [[chunkTokens]], the realistic loader-prep composition).
+    */
+  def packCounted(df: DataFrame, id: Column, nTok: Column,
+                  contextLen: Int, shards: Int): DataFrame = {
     require(contextLen > 0 && shards > 0, "contextLen and shards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    docs
+    df
       .select(id.as("doc_id"),
         (baseHash(id.cast("string")) % shards).as("shard"),
-        size(tokens(text)).cast("long").as("n_tok"))
+        nTok.cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col("doc_id"), col("shard"), col("n_tok"),
         floor((col("cum") - col("n_tok")) / lit(contextLen.toDouble))

@@ -312,6 +312,59 @@ object ExtQueries {
       "CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset " +
       "FROM c0 ORDER BY doc_id"))
 
+  /** Eval-set decontamination at the standard 13-gram exact-match
+    * configuration (any single shared 13-gram flags the doc) — the
+    * filter most published training runs apply, vs q_decontaminate's
+    * looser 3-gram-overlap screen. Same operator, production params.
+    */
+  private val qDecontaminate13 = Q("q_decontaminate13",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminated(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        col("text"), col("doc_id"), n = 13, minShared = 1)
+        .orderBy("doc_id")
+    },
+    Some("WITH ev AS (SELECT DISTINCT " + TextHash.duckBaseHash("s0") +
+      " AS s FROM (SELECT unnest(list_distinct(" +
+      TextHash.duckShingles("text", 13) +
+      ")) AS s0 FROM documents WHERE doc_id < 25)), " +
+      "co AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") +
+      " AS s FROM (SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 13) +
+      ")) AS s0 FROM documents WHERE doc_id >= 25)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams " +
+      "FROM co JOIN ev USING (s) GROUP BY doc_id " +
+      "HAVING count(*) >= 1 ORDER BY doc_id"))
+
+  /** The loader-prep composition: chunk long documents into 64-token
+    * windows (stride 48), then pack the CHUNKS into 512-token training
+    * sequences over 4 shards — chunk rows are the packing unit, keyed
+    * by doc_id * 100000 + chunk_id. One explode + one shuffle total.
+    */
+  private val qChunkPack = Q("q_chunk_pack",
+    (s, d) => {
+      val chunks = Sampling.chunkTokens(
+        t(s, d, "documents"), col("doc_id"), col("text"), win = 64, stride = 48)
+      Sampling.packCounted(chunks,
+        col("doc_id") * 100000 + col("chunk_id"), col("n_tok"),
+        contextLen = 512, shards = 4)
+        .withColumnRenamed("doc_id", "chunk_key")
+        .orderBy("chunk_key")
+    },
+    Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents), " +
+      "st AS (SELECT doc_id, tok, unnest(generate_series(0, len(tok) - 1, 48)) AS start FROM tk), " +
+      "ch AS (SELECT doc_id * 100000 + (start // 48) AS ck, " +
+      "CAST(len(tok[start + 1 : start + 64]) AS BIGINT) AS n_tok FROM st), " +
+      "t0 AS (SELECT ck, " +
+      TextHash.duckBaseHash("CAST(ck AS VARCHAR)") + " % 4 AS shard, n_tok FROM ch), " +
+      "c0 AS (SELECT ck, shard, n_tok, sum(n_tok) OVER (" +
+      "PARTITION BY shard ORDER BY ck) AS cum FROM t0) " +
+      "SELECT ck AS chunk_key, shard, n_tok, " +
+      "CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, " +
+      "CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset " +
+      "FROM c0 ORDER BY chunk_key"))
+
   // ------------------------------------------------- similarity search
 
   private val duckNormCte =
@@ -697,5 +750,6 @@ object ExtQueries {
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
     qSampleStratified, qPackSequences, qPipelineCorpus,
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
-    qDecontaminate, qRedact, qRepetition, qNormalizeNfc)
+    qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
+    qNormalizeNfc)
 }

@@ -69,5 +69,6 @@ object RegistrySpec {
     // [EXT] corpus assembly (rounds 4 + 5)
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
     "q_quantize_int8", "q_ann_quantized", "q_ann_asymmetric", "q_chunk_windows",
+    "q_chunk_pack", "q_decontaminate13",
     "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition")
 }
