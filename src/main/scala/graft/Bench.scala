@@ -76,8 +76,12 @@ object Bench {
     // default locale and could emit comma decimals into the JSON line
     def num(v: Double, decimals: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    // 2-decimal mins on the compact line: at 86 registered queries the
+    // 3-decimal form (~1.9KB) would push the line head out of the
+    // driver's 2000-char stdout tail; full precision stays on the
+    // detail line above
     def objCompact(vals: Seq[(String, Double)]): String =
-      vals.map { case (k, v) => s"\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
+      vals.map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
     val mins = names.map(n => n -> samples(n).min)
     val medians = names.map(n => n -> median(samples(n)))
     val total = mins.map(_._2).sum
@@ -92,8 +96,13 @@ object Bench {
       s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")
     // calibration stays on the detail line only: every byte here eats
     // tail headroom for future registry growth (~25 chars per query)
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins)},""" +
-      s""""sf":"$sfDir","passes":$passes}""")
+    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins)},""" +
+      s""""sf":"$sfDir","passes":$passes}"""
+    // tail-budget guard: "[info] " prefix + line + trailing [success]
+    // line (~80 chars) must fit the driver's 2000-char tail window
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} chars — trim before the registry grows further")
+    println(compact)
     spark.stop()
   }
 }

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators.
+  *
+  * The backward as-of join ("attach the most recent right row at or before
+  * each left row's timestamp, per key") is the temporal analogue of the
+  * reference's validity-interval lookup (exporter.py:81-84 — a calibration
+  * is valid from its certify time until superseded); expressed as-of, the
+  * interval end never needs materializing.
+  *
+  * Scale posture: the naive formulation is a range join (left x right
+  * per key), quadratic in per-key row counts. This implementation is the
+  * union-sort variant: tag both sides, union, and carry the right payload
+  * forward with `last(_, ignoreNulls) OVER (PARTITION BY key ORDER BY ts,
+  * side ROWS UNBOUNDED PRECEDING)`. One hash exchange on the key, one
+  * sort, linear work — the plan a 1000-executor cluster wants, with no
+  * broadcast requirement on either side.
+  */
+object Temporal {
+
+  private val SIDE = "__asof_side"
+  private val T = "__asof_t"
+
+  /** Backward as-of join. Left keeps all its rows (left-outer semantics;
+    * set `inner = true` to drop left rows with no prior right row).
+    *
+    * Contract: `left` and `right` share exactly the `keys` column names;
+    * every non-key right column (including `rightTs`) is carried onto the
+    * matching left rows. A right row at the same timestamp as a left row
+    * matches (`leftTs >= rightTs` semantics). The right side must be
+    * unique per (keys, rightTs) — pre-aggregate it otherwise, or the
+    * choice among equal-timestamp right rows is nondeterministic.
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       inner: Boolean = false): DataFrame = {
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val l = left.withColumn(SIDE, lit(1)).withColumn(T, col(leftTs))
+    val r = right.withColumn(SIDE, lit(0)).withColumn(T, col(rightTs))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // side=0 sorts before side=1 at equal ts, so an exactly-coincident
+    // right row is visible to the left row (>= semantics)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(T), col(SIDE))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // all payload carries share one window spec -> a single Window exec
+    val attached = payload.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    val joined = attached.filter(col(SIDE) === 1).drop(SIDE, T)
+    if (inner) joined.filter(col(rightTs).isNotNull) else joined
+  }
+}

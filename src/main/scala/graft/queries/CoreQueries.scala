@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.model.Tables
-import graft.ops.{Aggregates, Events, Relational, Scalars, Skew, Windows}
+import graft.ops.{Aggregates, Cdc, Events, Relational, Scalars, Skew, Temporal, Windows}
 
 /** SURVEY.md §2.12 core inventory: scans, projections/filters, joins,
   * aggregations, windows, sorts, set ops, scalar functions, event windows.
@@ -704,6 +704,118 @@ object CoreQueries {
       "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS s_end, count(*) AS n " +
       "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"))
 
+  // ------------------------------------------- temporal / CDC / reshape
+
+  /** J8 backward as-of join (attribution: each click attached to the most
+    * recent prior view by the same user). The temporal analogue of the
+    * reference's validity-interval lookup (exporter.py:81-84) with the
+    * interval end left implicit. Union-sort implementation — one hash
+    * exchange, linear work (graft.ops.Temporal); oracle is DuckDB's
+    * native ASOF LEFT JOIN, so the rewrite is proven exact. Views are
+    * pre-aggregated per (user_id, ts) to make the match deterministic.
+    */
+  private val qAsofJoin = Q("q_asof_join",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max(col("value")).as("view_value"))
+      Temporal.asofJoinBackward(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts")
+        .select("event_id", "user_id", "ts", "view_ts", "view_id", "view_value")
+        .orderBy("event_id")
+    },
+    Some("WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id, " +
+      "max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
+      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') " +
+      "SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_id, v.view_value " +
+      "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts " +
+      "ORDER BY c.event_id"))
+
+  /** CDC merge (MERGE INTO semantics): orders replayed as a changelog
+    * over customer — latest order per customer wins; status P deletes,
+    * anything else patches the account balance (graft.ops.Cdc).
+    */
+  private val qMergeUpsert = Q("q_merge_upsert",
+    (s, d) => {
+      val changes = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderkey").as("chg_seq"),
+        when(col("o_orderstatus") === "P", "D").otherwise("U").as("chg_op"),
+        col("o_totalprice").as("new_bal"))
+      Cdc.applyChangelog(t(s, d, "customer"), changes, "c_custkey",
+        seq = "chg_seq", op = "chg_op", patch = Map("c_acctbal" -> "new_bal"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal").as("acctbal"))
+        .orderBy("c_custkey")
+    },
+    Some("WITH latest AS (SELECT o_custkey, o_totalprice, " +
+      "CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS chg_op FROM orders " +
+      "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1) " +
+      "SELECT COALESCE(c_custkey, o_custkey) AS c_custkey, c_name, " +
+      "COALESCE(o_totalprice, c_acctbal) AS acctbal " +
+      "FROM customer FULL OUTER JOIN latest ON c_custkey = o_custkey " +
+      "WHERE chg_op IS NULL OR chg_op <> 'D' ORDER BY c_custkey"))
+
+  /** A8 pivot (long -> wide conditional aggregation). Spark's
+    * RelationalGroupedDataset.pivot with explicit values — no extra
+    * distinct-scan job, and the plan is a single hash aggregate.
+    */
+  private val qPivot = Q("q_pivot",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(Scalars.sumCents(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag"),
+    Some("SELECT l_returnflag, " +
+      "CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_f, " +
+      "CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_o " +
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  /** A9 unpivot/melt (wide -> long). Per-order measure totals melted to
+    * (order, measure, value) rows via Dataset.unpivot — a projection +
+    * generate, no shuffle beyond the feeding aggregate.
+    */
+  private val qUnpivot = Q("q_unpivot",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        Scalars.sumCents(col("l_quantity")).as("qty_cents"),
+        Scalars.sumCents(col("l_extendedprice")).as("price_cents"),
+        Scalars.sumCents(col("l_discount")).as("disc_cents"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+        "measure", "cents")
+      .orderBy("l_orderkey", "measure"),
+    Some("WITH w AS (SELECT l_orderkey, " +
+      "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, " +
+      "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents, " +
+      "CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS disc_cents " +
+      "FROM lineitem GROUP BY 1) " +
+      "SELECT l_orderkey, 'qty_cents' AS measure, qty_cents AS cents FROM w " +
+      "UNION ALL SELECT l_orderkey, 'price_cents', price_cents FROM w " +
+      "UNION ALL SELECT l_orderkey, 'disc_cents', disc_cents FROM w " +
+      "ORDER BY l_orderkey, measure"))
+
+  /** A10 fixed-width histogram — single hash aggregate over a computed
+    * bucket key; the profile primitive behind the reference's summary
+    * reports (importer.py report counts).
+    */
+  private val qHistogram = Q("q_histogram",
+    (s, d) => t(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Scalars.sumCents(col("o_totalprice")).as("total_cents"))
+      .orderBy("bucket"),
+    Some("SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, " +
+      "count(*) AS n, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
+      "FROM orders GROUP BY 1 ORDER BY bucket"))
+
   // ---------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(
@@ -719,5 +831,6 @@ object CoreQueries {
     qUnion, qExcept, qIntersect,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
     qDateTrunc, qMathExpr, qPercentileDisc, qArrayDot, qJsonExtract, qExplodeTokens,
-    qWindowTumbling, qWindowSliding, qWindowSession)
+    qWindowTumbling, qWindowSliding, qWindowSession,
+    qAsofJoin, qMergeUpsert, qPivot, qUnpivot, qHistogram)
 }

@@ -742,6 +742,47 @@ object ExtQueries {
       "CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) " +
       "ELSE 0.0 END, 4) AS rep_ratio FROM g ORDER BY doc_id"))
 
+  /** L23 per-domain quota (domain cap): keep at most k documents per
+    * source, elected deterministically by content hash then doc id —
+    * the web-corpus "no domain dominates the mix" rule. Rank-filter
+    * shape: Spark rewrites the row_number filter to WindowGroupLimit,
+    * so each partition retains only k rows during the sort — no full
+    * per-domain materialization at 100 TB.
+    */
+  private val qDomainCap = Q("q_domain_cap",
+    (s, d) => graft.ops.Windows.findFirstK(
+      t(s, d, "documents"), Seq(col("source")),
+      Seq(TextHash.baseHash(col("text")), col("doc_id")), k = 10,
+      rankName = "rnk")
+      .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+      .orderBy("doc_id"),
+    Some("SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (" +
+      "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+      "ORDER BY " + TextHash.duckBaseHash("text") + ", doc_id) AS rnk " +
+      "FROM documents) WHERE rnk <= 10 ORDER BY doc_id"))
+
+  /** L24 inverted index build: token -> document frequency + sorted
+    * posting list. One explode + one hash aggregate; posting lists are
+    * canonicalized (sorted, comma-joined) for cross-engine comparison.
+    * At scale the posting list per term is bounded by the term's df —
+    * heavy terms would be df-filtered or block-partitioned upstream,
+    * which is the same plan with a HAVING clause.
+    */
+  private val qInvertedIndex = Q("q_inverted_index",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        array_join(
+          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
+          ",").as("postings"))
+      .orderBy("token"),
+    Some("SELECT token, count(DISTINCT doc_id) AS df, " +
+      "array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+      "FROM documents) GROUP BY token ORDER BY token"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,
     qSimhashPairs64, qNgramJaccard,
@@ -751,5 +792,5 @@ object ExtQueries {
     qSampleStratified, qPackSequences, qPipelineCorpus,
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
-    qNormalizeNfc)
+    qNormalizeNfc, qDomainCap, qInvertedIndex)
 }

@@ -162,4 +162,21 @@ class PlanAuditSpec extends SparkSpec {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q_asof_join: union-sort shape — window over one key exchange, no join node") {
+    val p = planOf("q_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_merge_upsert / q_domain_cap: latest/quota election is WindowGroupLimit") {
+    assert(planOf("q_merge_upsert").contains("WindowGroupLimit"))
+    assert(planOf("q_domain_cap").contains("WindowGroupLimit"))
+  }
+
+  test("q_pivot: explicit pivot values plan one aggregate, no distinct-scan job") {
+    val p = planOf("q_pivot")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Expand"), p)
+  }
 }

@@ -70,5 +70,8 @@ object RegistrySpec {
     "q_dedup_corpus", "q_sample_stratified", "q_pack_sequences",
     "q_quantize_int8", "q_ann_quantized", "q_ann_asymmetric", "q_chunk_windows",
     "q_chunk_pack", "q_decontaminate13",
-    "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition")
+    "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition",
+    // round 7: temporal / CDC / reshape + corpus quota / index
+    "q_asof_join", "q_merge_upsert", "q_pivot", "q_unpivot", "q_histogram",
+    "q_domain_cap", "q_inverted_index")
 }
