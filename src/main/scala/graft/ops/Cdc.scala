@@ -24,12 +24,20 @@ object Cdc {
     * latest change applies: op "D" deletes the key, op "U" patches each
     * base column `b` with the change column `patch(b)` when non-null.
     * Keys present only in `changes` insert (base columns stay null
-    * unless patched); keys present only in `base` pass through.
+    * unless patched); keys present only in `base` pass through. The
+    * result schema is exactly `base`'s schema: change-side columns
+    * outside `key`/`seq`/`op`/`patch.values` are ignored. NOTE a null
+    * patch value means "keep the base value" — this merge cannot erase
+    * a column to NULL (patch and erase are indistinguishable); model
+    * erasure as a sentinel value or a D+reinsert if needed.
     */
   def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
                      seq: String, op: String,
                      patch: Map[String, String]): DataFrame = {
     val latest = Windows.findFirst(changes, Seq(col(key)), Seq(col(seq).desc))
+      // project to exactly the columns the merge consumes, so stray
+      // change-side payload can't leak into (and widen) the result schema
+      .select((Seq(key, seq, op) ++ patch.values).distinct.map(col): _*)
     // full-outer USING join: Spark emits coalesce(left.key, right.key)
     val merged = base.join(latest, Seq(key), "full_outer")
       .filter(col(op).isNull || col(op) =!= "D")

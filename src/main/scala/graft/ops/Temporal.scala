@@ -24,33 +24,53 @@ object Temporal {
 
   private val SIDE = "__asof_side"
   private val T = "__asof_t"
+  private val P = "__asof_payload"
 
   /** Backward as-of join. Left keeps all its rows (left-outer semantics;
     * set `inner = true` to drop left rows with no prior right row).
     *
-    * Contract: `left` and `right` share exactly the `keys` column names;
-    * every non-key right column (including `rightTs`) is carried onto the
-    * matching left rows. A right row at the same timestamp as a left row
-    * matches (`leftTs >= rightTs` semantics). The right side must be
-    * unique per (keys, rightTs) — pre-aggregate it otherwise, or the
-    * choice among equal-timestamp right rows is nondeterministic.
+    * Contract: `left` and `right` share exactly the `keys` column names
+    * (any other shared name is rejected — silently merging it would
+    * corrupt left values); every non-key right column (including
+    * `rightTs`) is carried onto the matching left rows. A right row at
+    * the same timestamp as a left row matches (`leftTs >= rightTs`
+    * semantics). The right side must be unique per (keys, rightTs) —
+    * pre-aggregate it otherwise, or the choice among equal-timestamp
+    * right rows is nondeterministic. Right rows with a null `rightTs`
+    * are dropped (no timestamp can never match backward).
+    *
+    * The whole right payload is packed into ONE struct and carried with
+    * a single `last(_, ignoreNulls) OVER w`, then unpacked — so the
+    * attached columns always come from the SAME right row, even when
+    * individual payload values are null (per-column carries would mix
+    * rows / resurrect older non-null values past a newer null).
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        inner: Boolean = false): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).toSeq
+    val collisions = left.columns.toSeq.intersect(payload)
+    require(collisions.isEmpty,
+      s"asofJoinBackward: right payload column(s) ${collisions.mkString(", ")} " +
+        "collide with left columns — rename them on one side " +
+        "(only the join keys may be shared)")
     val l = left.withColumn(SIDE, lit(1)).withColumn(T, col(leftTs))
-    val r = right.withColumn(SIDE, lit(0)).withColumn(T, col(rightTs))
+    val r = right.filter(col(rightTs).isNotNull)
+      .withColumn(P, struct(payload.map(col): _*))
+      .withColumn(SIDE, lit(0)).withColumn(T, col(rightTs))
+      .select((keys ++ Seq(P, SIDE, T)).map(col): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
     // side=0 sorts before side=1 at equal ts, so an exactly-coincident
-    // right row is visible to the left row (>= semantics)
+    // right row is visible to the left row (>= semantics). The struct is
+    // null on left rows and never null on right rows, so ignoreNulls
+    // carries exactly the latest whole right row.
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(T), col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all payload carries share one window spec -> a single Window exec
-    val attached = payload.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val joined = attached.filter(col(SIDE) === 1).drop(SIDE, T)
-    if (inner) joined.filter(col(rightTs).isNotNull) else joined
+    val attached = u.withColumn(P, last(col(P), ignoreNulls = true).over(w))
+    val joined = attached.filter(col(SIDE) === 1)
+    val unpacked = payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, col(P).getField(c))
+    }.drop(SIDE, T, P)
+    if (inner) unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
 }

@@ -64,4 +64,44 @@ object Windows {
   /** Ranking spec shared by rank / dense_rank / row_number call sites. */
   def rankSpec(partition: Seq[Column], order: Seq[Column]): WindowSpec =
     Window.partitionBy(partition: _*).orderBy(order: _*)
+
+  /** Offset navigation: value of `c` `offset` rows before the current row
+    * in the partition ordering, or `default` at the partition head.
+    * Same shuffle/sort shape as the ranking ops — one hash exchange on
+    * the partition keys, one sort; all navigation columns that share the
+    * spec collapse into a single Window exec.
+    */
+  def lagOf(c: Column, offset: Int, default: Any,
+            partition: Seq[Column], order: Seq[Column]): Column =
+    lag(c, offset, default).over(rankSpec(partition, order))
+
+  /** Offset navigation: `offset` rows after the current row. */
+  def leadOf(c: Column, offset: Int, default: Any,
+             partition: Seq[Column], order: Seq[Column]): Column =
+    lead(c, offset, default).over(rankSpec(partition, order))
+
+  /** Equi-depth bucket index (1..n) within the partition ordering.
+    * Callers MUST make the ordering total or bucket assignment at tie
+    * boundaries is nondeterministic (same contract as findFirst).
+    */
+  def ntileOf(n: Int, partition: Seq[Column], order: Seq[Column]): Column =
+    ntile(n).over(rankSpec(partition, order))
+
+  /** Value-range frame: aggregate over rows whose `order` value lies in
+    * [current - precedingUnits, current + followingUnits].
+    *
+    * Spark 4's WindowSpec.rangeBetween takes long offsets against the
+    * single ORDER BY expression, so interval frames are expressed by
+    * ordering on the epoch projection of the temporal column —
+    * `unix_date(d)` with units = days, or `unix_micros(ts)` with units =
+    * microseconds. Both are exact (dates/timestamps are stored at that
+    * granularity), so `RANGE BETWEEN INTERVAL '30' DAY PRECEDING` ==
+    * rangeFrame(_, _, unix_date(d), 30). Unlike ROWS frames, peers
+    * (equal order values) all enter the frame, so no tiebreak columns
+    * are needed for determinism.
+    */
+  def rangeFrame(agg: Column, partition: Seq[Column], order: Column,
+                 precedingUnits: Long, followingUnits: Long = 0L): Column =
+    agg.over(Window.partitionBy(partition: _*).orderBy(order)
+      .rangeBetween(-precedingUnits, followingUnits))
 }

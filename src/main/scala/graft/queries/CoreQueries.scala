@@ -388,6 +388,35 @@ object CoreQueries {
       "GROUP BY CUBE(c_mktsegment, o_orderpriority) " +
       "ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"))
 
+  /** Grouping sets (explicit set list — completes the rollup/cube family).
+    * Dataset.groupingSets (Spark 4) plans the same single Expand +
+    * HashAggregate as rollup/cube: each input row fans out once per set,
+    * one hash exchange on the padded keys — no per-set rescan of the
+    * source, which is what makes the family viable at 100 TB.
+    * Sets here: (region, nation), (region), (mktsegment), () — a shape
+    * rollup/cube cannot express (mixes two independent dimensions).
+    */
+  private val qGroupingSets = Q("q_grouping_sets",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(
+          Seq(col("r_name"), col("n_name")),
+          Seq(col("r_name")),
+          Seq(col("c_mktsegment")),
+          Seq.empty[Column]),
+        col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), Scalars.sumCents(col("c_acctbal")).as("bal_cents"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first),
+    Some("SELECT r_name, n_name, c_mktsegment, count(*) AS n, " +
+      "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "JOIN region ON n_regionkey = r_regionkey " +
+      "GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (c_mktsegment), ()) " +
+      "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST"))
+
   // ---------------------------------------------------------------- windows
 
   /** W2 running total over ordered frame. */
@@ -440,6 +469,62 @@ object CoreQueries {
       "rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk, " +
       "dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk " +
       "FROM part ORDER BY p_brand, rnk, p_partkey"))
+
+  /** W5 offset/navigation functions: lag/lead with defaults, ntile
+    * bucketing, first_value — the per-customer order timeline view every
+    * time-series user builds first. One window spec -> one Window exec
+    * after a single hash exchange on the partition key; the engine's own
+    * session oracle already leaned on lag (q_window_session), this makes
+    * it product surface (graft.ops.Windows.lagOf/leadOf/ntileOf).
+    */
+  private val qWindowLag = Q("q_window_lag",
+    (s, d) => {
+      val part = Seq(col("o_custkey"))
+      val ord = Seq(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        Windows.lagOf(col("o_orderdate"), 1, null, part, ord).as("prev_date"),
+        Windows.leadOf(col("o_orderdate"), 1, null, part, ord).as("next_date"),
+        Windows.lagOf(col("o_totalprice"), 2, -1.0, part, ord).as("price_lag2"),
+        Windows.ntileOf(4, part, ord).as("quartile"),
+        first_value(col("o_orderkey"))
+          .over(Windows.rankSpec(part, ord)).as("first_key"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+    Some("SELECT o_custkey, o_orderkey, o_orderdate, " +
+      "lag(o_orderdate, 1) OVER w AS prev_date, " +
+      "lead(o_orderdate, 1) OVER w AS next_date, " +
+      "lag(o_totalprice, 2, -1.0) OVER w AS price_lag2, " +
+      "ntile(4) OVER w AS quartile, " +
+      "first_value(o_orderkey) OVER w AS first_key " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+      "ORDER BY o_custkey, o_orderdate, o_orderkey"))
+
+  /** W6 RANGE-interval frame: trailing 30-day spend per customer. The
+    * frame is value-based (all orders within 30 days, however many),
+    * expressed by ordering on unix_date so Spark's long-offset
+    * rangeBetween is exactly DuckDB's `RANGE BETWEEN INTERVAL 30 DAYS
+    * PRECEDING` (graft.ops.Windows.rangeFrame scaladoc). Peers all enter
+    * the frame, so the aggregate is deterministic without tiebreaks.
+    */
+  private val qWindowRange = Q("q_window_range",
+    (s, d) => t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      Windows.rangeFrame(
+        Scalars.sumCents(col("o_totalprice")),
+        partition = Seq(col("o_custkey")),
+        // o_orderdate is a midnight-aligned TIMESTAMP_NTZ in this data, so
+        // the day projection is exact (TESTDATA.md; verified no sub-day
+        // components) — at day granularity the long-offset frame IS the
+        // INTERVAL frame
+        order = unix_date(to_date(col("o_orderdate"))),
+        precedingUnits = 30).as("spend30_cents"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey"),
+    Some("SELECT o_custkey, o_orderkey, o_orderdate, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (" +
+      "PARTITION BY o_custkey ORDER BY o_orderdate " +
+      "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS spend30_cents " +
+      "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"))
 
   // -------------------------------------------------------- sorts / top-k
 
@@ -825,8 +910,8 @@ object CoreQueries {
     qSemiJoin, qAntiJoin, qFindFirst, qRangeJoin, qRangeBanded, qJoinSalted,
     qAggSalted,
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
-    qGroupCollect, qGroupRoute, qRollup, qCube,
-    qWindowRunning, qWindowFrame, qWindowRank,
+    qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets,
+    qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,

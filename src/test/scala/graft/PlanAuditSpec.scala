@@ -179,4 +179,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("Expand"), p)
   }
+
+  test("q_window_lag: all navigation functions share ONE Window exec / exchange") {
+    val p = planOf("q_window_lag")
+    assert("(?m)^\\s*[+:]?-? *Window ".r.findAllIn(p).size <= 2, p) // ntile needs n-of-partition: 1 extra pass max
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_window_range: RANGE frame runs in the window exec, single key exchange") {
+    val p = planOf("q_window_range")
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_grouping_sets: one Expand + hash aggregate, dims broadcast — no per-set rescan") {
+    val p = planOf("q_grouping_sets")
+    assert("Expand".r.findAllIn(p).size == 1, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    // a per-set rescan would show one parquet scan of customer per set
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+  }
 }

@@ -73,5 +73,7 @@ object RegistrySpec {
     "q_pipeline_corpus", "q_decontaminate", "q_redact", "q_repetition",
     // round 7: temporal / CDC / reshape + corpus quota / index
     "q_asof_join", "q_merge_upsert", "q_pivot", "q_unpivot", "q_histogram",
-    "q_domain_cap", "q_inverted_index")
+    "q_domain_cap", "q_inverted_index",
+    // round 8: navigation windows, RANGE frames, grouping sets
+    "q_window_lag", "q_window_range", "q_grouping_sets")
 }

@@ -44,6 +44,17 @@ class CdcSpec extends SparkSpec {
     assert(applied.columns.toSeq == base.columns.toSeq)
   }
 
+  test("extra change-side payload columns do not leak into the result") {
+    val noisy = changes.withColumn("audit_user", lit("etl"))
+      .withColumn("ingest_ts", lit(12345L))
+    val out = Cdc.applyChangelog(
+      base, noisy, "id", "seq", "op", Map("bal" -> "new_bal"))
+    assert(out.columns.toSeq == base.columns.toSeq)
+    // and the merge result itself is unchanged by the noise
+    assert(out.orderBy("id").collect().toSeq ==
+      applied.orderBy("id").collect().toSeq)
+  }
+
   test("plan: latest-change election is a WindowGroupLimit, not a full sort") {
     val p = applied.queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p)

@@ -53,6 +53,37 @@ class TemporalSpec extends SparkSpec {
     assert(out.columns.toSet == Set("k", "ts", "l_id", "rts", "r_val"))
   }
 
+  test("null payload values stay with their row (struct carry, no mixing)") {
+    // right row a@15 has a null r_val; a left row after it must see
+    // (15, null) — NOT resurrect a@10's non-null r_val from an older row
+    val r = Seq(("a", 10L, Some("a@10")), ("a", 15L, None))
+      .toDF("k", "rts", "r_val")
+    val out = Temporal.asofJoinBackward(
+      Seq(("a", 20L, 1L)).toDF("k", "ts", "l_id"), r, Seq("k"), "ts", "rts")
+      .select("rts", "r_val").collect()
+    assert(out.toSeq == Seq(Row(15L, null)))
+  }
+
+  test("right rows with null rightTs are ignored, not carried as fallback") {
+    val r = Seq((("a"), Option.empty[java.lang.Long], Some("orphan")),
+      (("a"), Some(java.lang.Long.valueOf(5L)), Some("a@5")))
+      .toDF("k", "rts", "r_val")
+    val out = Temporal.asofJoinBackward(left.filter($"k" === "a"), r,
+      Seq("k"), "ts", "rts")
+      .select("l_id", "r_val").orderBy("l_id").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    // every left 'a' row matches a@5 (ts >= 5); the orphan never appears
+    assert(out.toSeq == Seq((1L, "a@5"), (2L, "a@5"), (3L, "a@5")))
+  }
+
+  test("payload name collision with a left column is rejected") {
+    val bad = right.withColumnRenamed("r_val", "l_id") // collides with left
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoinBackward(left, bad, Seq("k"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("l_id"))
+  }
+
   test("plan: single exchange on the key, no join node (union-sort shape)") {
     val p = Temporal.asofJoinBackward(left, right, Seq("k"), "ts", "rts")
       .queryExecution.executedPlan.toString
