@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * batches in, rows out).
   *
   * The IMAGE codec is real (JDK-only `javax.imageio`: decode -> scale ->
-  * re-encode, plus a pixel-histogram embed). Audio/video remain
-  * clearly-marked deterministic STUBs — those libraries are not in this
+  * re-encode, plus a pixel-histogram embed). The AUDIO codec is real
+  * (JDK-only `javax.sound.sampled`: WAV/AIFF/AU PCM decode -> mono
+  * samples, RMS-energy embed, metadata probe). VIDEO remains a
+  * clearly-marked deterministic STUB — no video library exists in this
   * environment. Everything around the codecs is real and load-bearing
   * at scale: schema, encoders, per-partition batching, skew-aware
   * repartitioning, and the transform signatures.
@@ -107,11 +109,83 @@ object Multimodal {
     if (n > 0) { var k = 0; while (k < dim) { out(k) /= n; k += 1 } }
     out
   }
+  // --------------------------------------------------------- audio codec
+  // Real JDK audio codec (javax.sound.sampled — zero new dependencies,
+  // same move as the imageio image codec). Handles WAV/AIFF/AU PCM;
+  // compressed formats the JDK can't open decode to None and pass
+  // through, exactly like corrupt image blobs.
+
+  /** Decoded audio: normalized mono samples in [-1, 1] + stream params. */
+  private[ext] final case class DecodedAudio(
+      sampleRate: Int, channels: Int, durationMs: Long, samples: Array[Float])
+
+  private[ext] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+    // NonFatal for the same reason as decodeImage: header-fuzzed blobs
+    // throw unchecked exceptions out of the SPI readers
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = in.getFormat
+        // normalize to 16-bit signed PCM so sample extraction is uniform
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val bytes = pcm.readAllBytes()
+        val channels = fmt.getChannels
+        val nFrames = bytes.length / (2 * channels)
+        // mix down to mono: mean over channels per frame
+        val samples = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0f
+          var c = 0
+          while (c < channels) {
+            val i = (f * channels + c) * 2
+            val s = ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+            acc += s / 32768f
+            c += 1
+          }
+          samples(f) = acc / channels
+          f += 1
+        }
+        val rate = math.round(fmt.getSampleRate)
+        Some(DecodedAudio(rate, channels,
+          if (rate > 0) nFrames * 1000L / rate else 0L, samples))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio embed: unit-norm RMS-energy profile over `dim` equal
+    * time windows — deterministic in the decoded samples, the audio
+    * analog of the image luminance histogram.
+    */
+  private[ext] def audioEmbed(audio: DecodedAudio, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = audio.samples.length
+    if (n > 0) {
+      var w = 0
+      while (w < dim) {
+        val start = (n.toLong * w / dim).toInt
+        val end = math.max(start + 1, (n.toLong * (w + 1) / dim).toInt)
+        var acc = 0.0
+        var i = start
+        while (i < math.min(end, n)) { acc += audio.samples(i) * audio.samples(i); i += 1 }
+        out(w) = math.sqrt(acc / math.max(1, math.min(end, n) - start)).toFloat
+        w += 1
+      }
+      val norm = math.sqrt(out.map(v => v.toDouble * v).sum).toFloat
+      if (norm > 0) { var k = 0; while (k < dim) { out(k) /= norm; k += 1 } }
+    }
+    out
+  }
+
   // ----------------------------------------------------------------- STUB
-  // Deterministic fake codec for the media kinds whose libraries are
-  // NOT in this environment (audio/video). A real deployment swaps
-  // these for JNI/javacpp bindings (ffmpeg); their signatures and the
-  // surrounding dataflow do not change.
+  // Deterministic fake codec for the media kind whose libraries are
+  // NOT in this environment (video). A real deployment swaps this for
+  // JNI/javacpp bindings (ffmpeg); its signature and the surrounding
+  // dataflow do not change.
 
   /** STUB decode->embed: hashes payload bytes into a unit-norm vector.
     * Deterministic in the payload, so tests and oracle-style replays are
@@ -149,21 +223,42 @@ object Multimodal {
   // ------------------------------------------------------------ end STUB
 
   /** Feature extraction: payload -> dense unit vector, partition-local.
-    * Images embed from real decoded pixels (luminance histogram);
-    * undecodable images and other kinds take the stub. Output feeds
-    * straight into Similarity.* (ANN / near-dup search).
+    * Images embed from real decoded pixels (luminance histogram), audio
+    * from real decoded PCM (RMS-energy profile); undecodable payloads
+    * and video take the stub. Output feeds straight into Similarity.*
+    * (ANN / near-dup search).
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[FeatureRow] = {
     implicit val enc = Encoders.product[FeatureRow]
     media.mapPartitions { rows =>
       // per-task codec init goes here (once per partition, not per row)
       rows.map { m =>
-        val feat =
-          if (m.kind == "image")
-            decodeImage(m.payload).map(imageEmbed(_, dim))
-              .getOrElse(stubEmbed(m.payload, dim))
-          else stubEmbed(m.payload, dim)
+        val feat = m.kind match {
+          case "image" => decodeImage(m.payload).map(imageEmbed(_, dim))
+            .getOrElse(stubEmbed(m.payload, dim))
+          case "audio" => decodeAudio(m.payload).map(audioEmbed(_, dim))
+            .getOrElse(stubEmbed(m.payload, dim))
+          case _ => stubEmbed(m.payload, dim)
+        }
         FeatureRow(m.media_id, m.kind, feat)
+      }
+    }
+  }
+
+  /** Audio metadata probe: fill sample_rate / duration_ms from the real
+    * decoded stream (the audio analog of resize's metadata refresh).
+    * Non-audio rows and undecodable payloads pass through untouched.
+    */
+  def probeAudio(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "audio") m
+        else decodeAudio(m.payload) match {
+          case Some(a) => m.copy(sample_rate = Some(a.sampleRate),
+            duration_ms = Some(a.durationMs))
+          case None => m
+        }
       }
     }
   }

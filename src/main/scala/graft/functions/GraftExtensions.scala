@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => DotProductLong(args(0), args(1)))
     register(ext, "graft_nfc", "Unicode NFC normalization (canonical composition)",
       args => NfcNormalize(args(0)))
+    register(ext, "graft_approx_distinct",
+      "mergeable HLL approximate distinct count (precision from optional arg 2)",
+      args =>
+        if (args.size >= 2) ApproxDistinct(args(0), expectInt(args(1), "precision"))
+        else ApproxDistinct(args(0)))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

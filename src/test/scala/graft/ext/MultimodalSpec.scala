@@ -90,6 +90,82 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** A real WAV: `hz`-tone sine at 8 kHz 16-bit mono, built with the
+    * same javax.sound.sampled the codec uses.
+    */
+  private def wavBytes(hz: Double = 440.0, seconds: Double = 0.5,
+      rate: Float = 8000f, amp: Double = 0.6): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio codec: real WAV decodes to its sample rate, duration, and samples") {
+    val decoded = Multimodal.decodeAudio(wavBytes(seconds = 0.5)).get
+    assert(decoded.sampleRate == 8000)
+    assert(decoded.channels == 1)
+    assert(decoded.durationMs == 500L)
+    assert(decoded.samples.length == 4000)
+    // the sine's extremes survive the 16-bit round trip
+    assert(math.abs(decoded.samples.max - 0.6f) < 0.01f)
+    assert(math.abs(decoded.samples.min + 0.6f) < 0.01f)
+  }
+
+  test("probeAudio: metadata refreshed from the real stream; corrupt/non-audio untouched") {
+    val rows = Seq(
+      MediaRow(30L, "audio", wavBytes(seconds = 0.25), "audio/wav",
+        None, None, Some(999), Some(999L)),      // stale metadata to overwrite
+      MediaRow(31L, "audio", Array[Byte](9, 9, 9), "audio/wav",
+        None, None, Some(44100), Some(123L)),    // corrupt: passthrough
+      MediaRow(32L, "video", Array[Byte](1), "video/mp4",
+        None, None, None, Some(77L))).toDS()
+    val out = probeAudio(rows).collect().map(r => r.media_id -> r).toMap
+    assert(out(30L).sample_rate.contains(8000) && out(30L).duration_ms.contains(250L))
+    assert(out(31L).sample_rate.contains(44100) && out(31L).duration_ms.contains(123L))
+    assert(out(32L).duration_ms.contains(77L))
+  }
+
+  test("feature extraction embeds real PCM for decodable audio") {
+    // loud first half, near-silent second half -> energy profile must
+    // be front-loaded; a stub hash embed could not see this structure
+    val loudThenQuiet = {
+      val a = wavBytes(seconds = 0.25, amp = 0.9)
+      val b = wavBytes(seconds = 0.25, amp = 0.01)
+      // decode-side concat: build one WAV with both halves' PCM
+      val pa = Multimodal.decodeAudio(a).get.samples
+      val pb = Multimodal.decodeAudio(b).get.samples
+      val n = pa.length + pb.length
+      val pcm = new Array[Byte](n * 2)
+      for ((s, i) <- (pa ++ pb).zipWithIndex) {
+        val v = (s * 32767).toInt
+        pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val ds = Seq(MediaRow(40L, "audio", loudThenQuiet, "audio/wav",
+      None, None, None, None)).toDS()
+    val f = extractFeatures(ds, dim = 8).collect().head.feature
+    assert(f.take(4).sum > 10 * f.drop(4).sum, f.toSeq.toString)
+    assert(math.abs(math.sqrt(f.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+  }
+
   test("frame sampling: one row per window, videos only, payload sliced") {
     val frames = sampleFrames(media, everyMs = 250).collect()
     assert(frames.forall(_.media_id == 3L))           // only the video

@@ -55,4 +55,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r5.getLong(2) == 1L)            // 15 - 14
     }
   }
+
+  test("graft_approx_distinct is SQL-callable as a grouped aggregate") {
+    withExtendedSession { spark =>
+      spark.range(3000).createOrReplaceTempView("ids")
+      val r = spark.sql(
+        """SELECT id % 3 AS g, graft_approx_distinct(id) AS est,
+          |       graft_approx_distinct(id, 8) AS est_p8
+          |FROM ids GROUP BY 1 ORDER BY g""".stripMargin).collect()
+      assert(r.length == 3)
+      r.foreach { row =>
+        // 1000 distinct per group; default p=14 well under 5%, p=8 coarser
+        assert(math.abs(row.getLong(1) - 1000) < 50, row.toString)
+        assert(math.abs(row.getLong(2) - 1000) < 260, row.toString)
+      }
+    }
+  }
 }

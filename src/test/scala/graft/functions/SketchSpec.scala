@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.SketchFunctions.approxDistinct
+
+/** Property contract of the HLL approximate-distinct aggregate. No
+  * cross-engine oracle is possible (register layouts differ per
+  * engine), so the contract is pinned by the properties that make a
+  * sketch a sketch: bounded error vs exact, duplication-insensitivity,
+  * and merge independence from how rows are partitioned.
+  */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def relErr(est: Long, exact: Long): Double =
+    math.abs(est - exact).toDouble / exact
+
+  test("error < 5% vs exact countDistinct across cardinalities (property)") {
+    // deterministic pseudo-random values per cardinality: xxhash of index
+    for (n <- Seq(100, 1000, 5000, 40000, 120000)) {
+      val df = spark.range(n.toLong)
+        .select(xxhash64(col("id"), lit(7)).as("v")) // distinct w.h.p.
+      val Array(est, exact) = df
+        .agg(approxDistinct(col("v")).as("est"),
+          countDistinct(col("v")).as("exact"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      assert(relErr(est, exact) < 0.05,
+        s"n=$n est=$est exact=$exact err=${relErr(est, exact)}")
+    }
+  }
+
+  test("strings and longs both hash; nulls are ignored like countDistinct") {
+    val df = Seq(Some("a"), Some("b"), Some("a"), None, Some("c"), None)
+      .toDF("s")
+    val r = df.agg(approxDistinct(col("s")).as("est"),
+      countDistinct(col("s")).as("exact")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+  }
+
+  test("duplication-insensitive: sketch(data union data) == sketch(data)") {
+    val df = spark.range(20000).select(concat(lit("doc-"), col("id")).as("v"))
+    val once = df.agg(approxDistinct(col("v"))).collect().head.getLong(0)
+    val tripled = df.union(df).union(df)
+      .agg(approxDistinct(col("v"))).collect().head.getLong(0)
+    assert(once == tripled)
+  }
+
+  test("merge is partition-order independent: same estimate at 1 and 16 partitions") {
+    val df = spark.range(50000).select(xxhash64(col("id")).as("v"))
+    val p1 = df.repartition(1).agg(approxDistinct(col("v"))).collect().head.getLong(0)
+    val p16 = df.repartition(16, col("v")).agg(approxDistinct(col("v")))
+      .collect().head.getLong(0)
+    val pRand = df.repartition(16).agg(approxDistinct(col("v")))
+      .collect().head.getLong(0)
+    assert(p1 == p16 && p16 == pRand)
+  }
+
+  test("grouped: per-group sketches are independent and within bound") {
+    // 8 groups with cardinalities 1000*(g+1)
+    val df = spark.range(36000)
+      .select((col("id") % 8).as("g"), col("id").as("v"))
+      .filter(col("v") / 8 < (col("g") + 1) * lit(1000)) // group g keeps (g+1)*1000 ids
+    val rows = df.groupBy("g")
+      .agg(approxDistinct(col("v")).as("est"), countDistinct(col("v")).as("exact"))
+      .collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      assert(relErr(r.getLong(1), r.getLong(2)) < 0.05, r.toString)
+    }
+  }
+
+  test("precision knob trades memory for error (p=8 coarser but still bounded)") {
+    val df = spark.range(30000).select(xxhash64(col("id")).as("v"))
+    val est = df.agg(approxDistinct(col("v"), precision = 8))
+      .collect().head.getLong(0)
+    // 1.04/sqrt(256) ~= 6.5% standard error; 4 sigma bound
+    assert(relErr(est, 30000) < 0.26, s"est=$est")
+  }
+
+  test("map-side combine: partial aggregation happens before the exchange") {
+    val df = spark.range(10000).select((col("id") % 4).as("g"), col("id").as("v"))
+      .groupBy("g").agg(approxDistinct(col("v")).as("est"))
+    val plan = df.queryExecution.executedPlan.toString
+    // ObjectHashAggregate runs in partial then final mode around one exchange
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("graft_approx_distinct".r.findAllIn(plan).size >= 2, plan)
+  }
+}
