@@ -211,9 +211,20 @@ object Similarity {
     * corpus-side assignment is one broadcast pass, and each query
     * touches only its probed cells via the bucket equi-join.
     * queries must be drawn from the corpus (joined by vec_id).
+    *
+    * `broadcastQueries` (default true) assumes the PROBE FRAME is
+    * query-batch sized — the interactive-search posture, where
+    * broadcasting (qid, qv, cell) to the corpus side avoids shuffling
+    * the corpus. A million-query batch (offline re-ranking, all-pairs
+    * linking) would OOM that broadcast: set it false and the
+    * candidate join shuffles BOTH sides on `cid` instead — each probed
+    * cell's corpus vectors meet its queries in one hash-partitioned
+    * task, nothing driver-sized anywhere. Same rows either way
+    * (spec-pinned); choose by query-batch size.
     */
   def ivfTopK(corpus: DataFrame, centroids: DataFrame,
-              queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+              queries: DataFrame, k: Int, nprobe: Int = 1,
+              broadcastQueries: Boolean = true): DataFrame = {
     val c = centroids.select(col("vec_id").as("cid"), col("v").as("cv"), col("nm").as("cn"))
     // assignment: argmax cosine over centroids (broadcast; one pass)
     val assigned = Windows.findFirst(
@@ -243,7 +254,9 @@ object Similarity {
         .select("qid", "qv", "qn", "cid")
     // a corpus vector lives in exactly one cell, so multi-probe never
     // duplicates a (qid, vec_id) candidate
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+    val probeSide =
+      if (broadcastQueries) broadcast(probes) else probes.hint("shuffle_hash")
+    val scored = assigned.join(probeSide, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
         cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm")).as("cos"))

@@ -762,26 +762,38 @@ object ExtQueries {
       "FROM documents) WHERE rnk <= 10 ORDER BY doc_id"))
 
   /** L24 inverted index build: token -> document frequency + sorted
-    * posting list. One explode + one hash aggregate; posting lists are
-    * canonicalized (sorted, comma-joined) for cross-engine comparison.
-    * At scale the posting list per term is bounded by the term's df —
-    * heavy terms would be df-filtered or block-partitioned upstream,
-    * which is the same plan with a HAVING clause.
+    * posting list, with the df cap ENFORCED IN THE PLAN: dfs are counted
+    * first (a plain count-distinct hash aggregate — fixed-size state),
+    * stop-word-grade tokens (df > 390) are dropped, and only then are
+    * posting lists collected. The collect_set buffer is therefore
+    * bounded by the cap — a billion-document stop word costs one
+    * counter, never a billion-entry list (this closes the unbounded-
+    * buffer risk a post-aggregation HAVING would leave open). Both the
+    * df aggregate and the join hash the same exploded token stream, so
+    * the exchange is built once and reused.
     */
   private val qInvertedIndex = Q("q_inverted_index",
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy("token")
-      .agg(
-        countDistinct(col("doc_id")).as("df"),
-        array_join(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dfs = toks.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 390)
+      toks.join(dfs.hint("shuffle_hash"), Seq("token"))
+        .groupBy("token", "df")
+        .agg(array_join(
           transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
           ",").as("postings"))
-      .orderBy("token"),
-    Some("SELECT token, count(DISTINCT doc_id) AS df, " +
-      "array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings " +
-      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
-      "FROM documents) GROUP BY token ORDER BY token"))
+        .select("token", "df", "postings")
+        .orderBy("token")
+    },
+    Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+      "FROM documents), " +
+      "d AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token " +
+      "HAVING count(DISTINCT doc_id) <= 390) " +
+      "SELECT t.token, d.df, " +
+      "array_to_string(list_sort(list(DISTINCT t.doc_id)), ',') AS postings " +
+      "FROM t JOIN d USING (token) GROUP BY t.token, d.df ORDER BY t.token"))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,

@@ -232,3 +232,64 @@ object TwsSessions {
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch CDC merge (graft.ops.Cdc): the
+  * latest-change election (`row_number() over key order by seq desc = 1`)
+  * run incrementally on `transformWithState` — state per key is the
+  * current winning change, and a row is emitted only when a key's
+  * winner advances. Out-of-order and duplicate deliveries are absorbed
+  * by the monotone seq guard, so ANY batch split of the same change
+  * feed converges to the batch election (StreamingEventsSpec asserts
+  * the merged view equals batch Cdc.applyChangelog on the same feed).
+  *
+  * Scale posture: one hash shuffle on the key per micro-batch; state is
+  * one row per live key in the RocksDB store (the same size as the
+  * batch election's output — nothing accumulates per change). Use
+  * OutputMode.Update downstream: each emission supersedes the key's
+  * previous row.
+  */
+object TwsCdc {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  /** One keyed change: op in {"U","D"}, `patch` the new value (None =
+    * leave the base column untouched — Cdc.applyChangelog semantics).
+    */
+  case class Change(id: Long, seq: Long, op: String, patch: Option[Double])
+
+  class LatestChangeProcessor extends StatefulProcessor[Long, Change, Change] {
+    @transient private var latest: ValueState[Change] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[Change]("latest",
+        Encoders.product[Change], TTLConfig.NONE)
+
+    override def handleInputRows(id: Long, rows: Iterator[Change],
+        timerValues: TimerValues): Iterator[Change] = {
+      var cur = if (latest.exists()) Some(latest.get()) else None
+      var advanced = false
+      rows.foreach { c =>
+        // strict > : a replayed (at-least-once) delivery of the current
+        // winner is a no-op, matching the unique-seq-per-key contract
+        if (cur.forall(_.seq < c.seq)) { cur = Some(c); advanced = true }
+      }
+      if (advanced) { latest.update(cur.get); Iterator(cur.get) }
+      else Iterator.empty
+    }
+
+    override def handleExpiredTimer(id: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Change] = Iterator.empty
+  }
+
+  /** Incremental latest-wins election over a change stream; requires
+    * the RocksDB state store provider on the session.
+    */
+  def latestChanges(changes: Dataset[Change]): Dataset[Change] = {
+    implicit val oe: org.apache.spark.sql.Encoder[Change] =
+      Encoders.product[Change]
+    changes.groupByKey(_.id)(Encoders.scalaLong)
+      .transformWithState(new LatestChangeProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -187,6 +187,28 @@ class SimilaritySpec extends SparkSpec {
     assert(hAll == truth.size, s"nprobe=nlist must equal brute force ($hAll/${truth.size})")
   }
 
+  test("ivfTopK broadcastQueries=false: same rows via the shuffled candidate join") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 150)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val queries = n.filter(col("vec_id") < 12)
+    val centroids = n.filter(col("vec_id") % 30 === 0)
+    def rows(bcast: Boolean) =
+      Similarity.ivfTopK(n, centroids, queries, k = 5, nprobe = 2,
+        broadcastQueries = bcast)
+        .select("qid", "vec_id", "rnk").as[(Long, Long, Int)].collect().toSet
+    val shuffled = Similarity.ivfTopK(n, centroids, queries, k = 5, nprobe = 2,
+      broadcastQueries = false)
+    assert(rows(bcast = true) == rows(bcast = false))
+    // the large-batch path must not broadcast the probe frame: its
+    // candidate join on cid is a ShuffledHashJoin
+    shuffled.collect()
+    assert(shuffled.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin [cid"))
+  }
+
   test("int8-quantized vectors preserve neighbor ranking (recall@10 vs float)") {
     // dequantize q/scale back to floats and re-run the exact top-k: at
     // 8 bits the cosine error is ~1/254 per component, so the top-10

@@ -271,4 +271,58 @@ class StreamingEventsSpec extends SparkSpec {
       assert(rows.contains(("u1", 2L)))
     } finally q.stop()
   }
+
+  test("transformWithState CDC election converges to the batch merge (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ce: org.apache.spark.sql.Encoder[TwsCdc.Change] =
+      org.apache.spark.sql.Encoders.product[TwsCdc.Change]
+    import TwsCdc.Change
+    import graft.ops.Cdc
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+        .toDF("id", "name", "bal")
+      // the same feed CdcSpec uses, delivered out of order with a replay
+      val all = Seq(
+        Change(1L, 3L, "U", Some(13.0)), Change(2L, 1L, "U", Some(21.0)),
+        Change(9L, 1L, "U", Some(90.0)), Change(1L, 1L, "U", Some(11.0)),
+        Change(2L, 2L, "D", Some(99.0)))
+      val input = MemoryStream[Change]
+      val q = TwsCdc.latestChanges(input.toDS())
+        .writeStream.format("memory").queryName("tws_cdc")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(all(0), all(1), all(2)) // winners: 1->s3, 2->s1, 9->s1
+        q.processAllAvailable()
+        input.addData(all(3), all(4))         // 1->s1 stale; 2->s2 advances
+        q.processAllAvailable()
+        input.addData(all(0))                 // at-least-once replay: no-op
+        q.processAllAvailable()
+        val emissions = spark.table("tws_cdc").as[Change].collect()
+        // the stale change and the replay emit nothing
+        assert(emissions.count(_.id == 1L) == 1, emissions.toSeq.toString)
+        assert(emissions.count(_.id == 2L) == 2) // s1 then s2
+        // incremental view: per key, the highest-seq emission is current
+        val current = emissions.groupBy(_.id).values
+          .map(_.maxBy(_.seq)).toSeq
+          .toDF("id", "seq", "op", "patch")
+        val viaStream = Cdc.applyChangelog(base, current, "id",
+          seq = "seq", op = "op", patch = Map("bal" -> "patch"))
+        val viaBatch = Cdc.applyChangelog(base,
+          all.toDF("id", "seq", "op", "patch"), "id",
+          seq = "seq", op = "op", patch = Map("bal" -> "patch"))
+        assert(viaStream.orderBy("id").collect().toSeq ==
+          viaBatch.orderBy("id").collect().toSeq)
+        assert(viaBatch.count() == 3) // 1 updated, 3 kept, 9 inserted; 2 deleted
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
