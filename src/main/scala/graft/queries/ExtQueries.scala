@@ -762,38 +762,40 @@ object ExtQueries {
       "FROM documents) WHERE rnk <= 10 ORDER BY doc_id"))
 
   /** L24 inverted index build: token -> document frequency + sorted
-    * posting list, with the df cap ENFORCED IN THE PLAN: dfs are counted
-    * first (a plain count-distinct hash aggregate — fixed-size state),
-    * stop-word-grade tokens (df > 390) are dropped, and only then are
-    * posting lists collected. The collect_set buffer is therefore
-    * bounded by the cap — a billion-document stop word costs one
-    * counter, never a billion-entry list (this closes the unbounded-
-    * buffer risk a post-aggregation HAVING would leave open). Both the
-    * df aggregate and the join hash the same exploded token stream, so
-    * the exchange is built once and reused.
+    * posting list, with the df cap ENFORCED IN THE PLAN, single
+    * lineage: dedup (token, doc_id) pairs, attach df with a window
+    * count over the token partition, DROP stop-word-grade tokens
+    * (df > 390), and only then collect postings. The collect_list
+    * buffer is therefore bounded by the cap — a billion-document stop
+    * word flows through the sort-based (spillable) window and is
+    * discarded before any posting list materializes, closing the
+    * unbounded-agg-buffer risk a post-aggregation HAVING would leave
+    * open. One scan; the final groupBy(token) reuses the window's
+    * token partitioning, so the whole query is two exchanges and no
+    * join.
     */
   private val qInvertedIndex = Q("q_inverted_index",
     (s, d) => {
-      val toks = t(s, d, "documents")
+      val pairs = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val dfs = toks.groupBy("token")
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .dropDuplicates("token", "doc_id")
+      pairs
+        .withColumn("df", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
         .filter(col("df") <= 390)
-      toks.join(dfs.hint("shuffle_hash"), Seq("token"))
         .groupBy("token", "df")
         .agg(array_join(
-          transform(sort_array(collect_set(col("doc_id"))), _.cast("string")),
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
           ",").as("postings"))
         .select("token", "df", "postings")
         .orderBy("token")
     },
-    Some("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
-      "FROM documents), " +
-      "d AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token " +
-      "HAVING count(DISTINCT doc_id) <= 390) " +
-      "SELECT t.token, d.df, " +
-      "array_to_string(list_sort(list(DISTINCT t.doc_id)), ',') AS postings " +
-      "FROM t JOIN d USING (token) GROUP BY t.token, d.df ORDER BY t.token"))
+    Some("WITH p AS (SELECT DISTINCT doc_id, token FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)), " +
+      "w AS (SELECT token, doc_id, count(*) OVER (PARTITION BY token) AS df FROM p) " +
+      "SELECT token, df, " +
+      "array_to_string(list_sort(list(doc_id)), ',') AS postings " +
+      "FROM w WHERE df <= 390 GROUP BY token, df ORDER BY token"))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,

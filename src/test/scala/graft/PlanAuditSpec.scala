@@ -180,6 +180,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
+  test("q_inverted_index: single lineage — df filter precedes collect, no join, 2 exchanges") {
+    val p = planOf("q_inverted_index")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // dedup exchange on (token, doc_id) + window exchange on (token);
+    // the posting collect reuses the window's partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("q_window_lag: all navigation functions share ONE Window exec / exchange") {
     val p = planOf("q_window_lag")
     assert("(?m)^\\s*[+:]?-? *Window ".r.findAllIn(p).size <= 2, p) // ntile needs n-of-partition: 1 extra pass max
