@@ -96,11 +96,14 @@ object Bench {
       s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")
     // calibration stays on the detail line only: every byte here eats
     // tail headroom for future registry growth (~25 chars per query)
+    // sf basename only on the compact line (full path on detail): the
+    // line head is what falls out of the driver's fixed tail window
+    // first, so every byte buys registry headroom
     val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins)},""" +
-      s""""sf":"$sfDir","passes":$passes}"""
+      s""""sf":"${new java.io.File(sfDir).getName}","passes":$passes}"""
     // tail-budget guard: "[info] " prefix + line + trailing [success]
     // line (~80 chars) must fit the driver's 2000-char tail window
-    if (compact.length > 1900)
+    if (compact.length > 1940)
       System.err.println(s"[bench] WARNING compact line ${compact.length} chars — trim before the registry grows further")
     println(compact)
     spark.stop()

@@ -526,6 +526,29 @@ object CoreQueries {
       "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS spend30_cents " +
       "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"))
 
+  /** W7 distribution functions: percent_rank / cume_dist / nth_value —
+    * completes the analytic surface beside ranking (W4) and navigation
+    * (W5). The ordering is total (orderkey tiebreak) so nth_value's
+    * default running frame is identical across engines.
+    */
+  private val qWindowDist = Q("q_window_dist",
+    (s, d) => {
+      val spec = Windows.rankSpec(
+        Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")))
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(spec), 6).as("pr"),
+        round(cume_dist().over(spec), 6).as("cd"),
+        nth_value(col("o_orderkey"), 2).over(spec).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("SELECT o_custkey, o_orderkey, " +
+      "round(percent_rank() OVER w, 6) AS pr, " +
+      "round(cume_dist() OVER w, 6) AS cd, " +
+      "nth_value(o_orderkey, 2) OVER w AS second_key " +
+      "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+      "ORDER BY o_custkey, o_orderkey"))
+
   // -------------------------------------------------------- sorts / top-k
 
   /** O1/O3 composite-key sort (exporter.py:90-92 compressibility policy). */
@@ -912,6 +935,7 @@ object CoreQueries {
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
+    qWindowDist,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
