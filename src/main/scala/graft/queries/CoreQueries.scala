@@ -526,6 +526,38 @@ object CoreQueries {
       "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS BIGINT) AS spend30_cents " +
       "FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey"))
 
+  /** W6b RANGE-interval frame at timestamp granularity: trailing
+    * 30-minute event count + value total per user. Ordered on
+    * unix_micros(ts) so the long-offset frame is exactly DuckDB's
+    * `RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING` (events.ts is
+    * micro-aligned — TESTDATA/FIXTURES; Tables.load truncates the nanos
+    * column to the same micros DuckDB compares at). Integer cents keep
+    * the frame sum bit-stable cross-engine (float addition order inside
+    * a sliding frame is not).
+    */
+  private val qWindowRangeTs = Q("q_window_range_ts",
+    (s, d) => {
+      val micros30m = 30L * 60 * 1000 * 1000
+      val ev = t(s, d, "events")
+      ev.select(
+        col("event_id"), col("user_id"), col("ts"),
+        Windows.rangeFrame(count(lit(1)),
+          partition = Seq(col("user_id")),
+          order = unix_micros(col("ts")),
+          precedingUnits = micros30m).as("w30_n"),
+        Windows.rangeFrame(Scalars.sumCents(col("value")),
+          partition = Seq(col("user_id")),
+          order = unix_micros(col("ts")),
+          precedingUnits = micros30m).as("w30_cents"))
+        .orderBy("event_id")
+    },
+    Some("SELECT event_id, user_id, ts, " +
+      "count(*) OVER w AS w30_n, " +
+      "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS w30_cents " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW) " +
+      "ORDER BY event_id"))
+
   /** W7 distribution functions: percent_rank / cume_dist / nth_value —
     * completes the analytic surface beside ranking (W4) and navigation
     * (W5). The ordering is total (orderkey tiebreak) so nth_value's
@@ -935,7 +967,7 @@ object CoreQueries {
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
-    qWindowDist,
+    qWindowRangeTs, qWindowDist,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,

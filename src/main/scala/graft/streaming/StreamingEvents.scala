@@ -74,6 +74,36 @@ object StreamingEvents {
       .dropDuplicatesWithinWatermark(Seq("__fp"))
       .drop("__fp")
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * range/as-of family (ops.Relational.rangeJoin / ops.Temporal): each
+    * left event joins right events of the same key whose timestamp lies
+    * in [leftTs - horizon, leftTs]. Both sides carry watermarks and the
+    * join condition bounds the event-time distance, so each side's
+    * buffered state is evicted once the watermark passes its horizon —
+    * bounded state, unlike an unconstrained stream-stream join (which
+    * Spark rejects in append mode for exactly that reason).
+    *
+    * Contract: `left` and `right` must not share column names (rename
+    * before calling — same rule as Temporal.asofJoinBackward); the
+    * condition references both sides by name, so ambiguity would not
+    * resolve.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   leftKey: String, rightKey: String,
+                   horizon: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
+    val shared = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(shared.isEmpty,
+      s"intervalJoin: column name(s) ${shared.mkString(", ")} exist on both " +
+        "sides — rename one side first")
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND " +
+          s"$rightTs BETWEEN $leftTs - INTERVAL $horizon AND $leftTs"),
+        joinType)
+  }
+
   /** withWatermark takes a column NAME; accepting a general expression
     * here would silently watermark a column that doesn't exist (the
     * stringified expression). Reject anything but a plain reference —

@@ -75,5 +75,6 @@ object RegistrySpec {
     "q_asof_join", "q_merge_upsert", "q_pivot", "q_unpivot", "q_histogram",
     "q_domain_cap", "q_inverted_index",
     // round 8: navigation windows, RANGE frames, grouping sets
-    "q_window_lag", "q_window_range", "q_window_dist", "q_grouping_sets")
+    "q_window_lag", "q_window_range", "q_window_range_ts", "q_window_dist",
+    "q_grouping_sets")
 }

@@ -272,6 +272,49 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range join, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val views = MemoryStream[(Timestamp, String, Long)]
+    val cdf = clicks.toDF().toDF("c_ts", "c_user", "c_id")
+    val vdf = views.toDF().toDF("v_ts", "v_user", "v_id")
+    val joined = StreamingEvents.intervalJoin(
+      cdf, "c_ts", vdf, "v_ts", "c_user", "v_user",
+      horizon = "30 minutes", watermark = "10 minutes")
+      .select("c_id", "v_id")
+    val q = joined.writeStream.format("memory").queryName("ssij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((ts(0), "u1", 100L), (ts(40), "u1", 101L), (ts(5), "u2", 102L))
+      clicks.addData((ts(30), "u1", 1L), (ts(50), "u1", 2L), (ts(50), "u2", 3L))
+      q.processAllAvailable()
+      val rows = spark.table("ssij_out").as[(Long, Long)].collect().toSet
+      // u1@30 sees v@0 (exactly on the 30-min boundary) but u2@50 does
+      // not see v@5 (45 min stale); u1@50 sees v@40 only
+      assert(rows == Set((1L, 100L), (2L, 101L)))
+      // batch twin: identical condition on the same static data agrees
+      val bc = Seq((ts(30), "u1", 1L), (ts(50), "u1", 2L), (ts(50), "u2", 3L))
+        .toDF("c_ts", "c_user", "c_id")
+      val bv = Seq((ts(0), "u1", 100L), (ts(40), "u1", 101L), (ts(5), "u2", 102L))
+        .toDF("v_ts", "v_user", "v_id")
+      val batch = bc.join(bv, expr("c_user = v_user AND " +
+        "v_ts BETWEEN c_ts - INTERVAL 30 minutes AND c_ts"))
+        .select("c_id", "v_id").as[(Long, Long)].collect().toSet
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
+  test("interval join rejects ambiguous shared column names") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = MemoryStream[(Timestamp, String)].toDF().toDF("ts", "user")
+    val b = MemoryStream[(Timestamp, String)].toDF().toDF("ts", "user")
+    val e = intercept[IllegalArgumentException] {
+      StreamingEvents.intervalJoin(a, "ts", b, "ts", "user", "user",
+        "30 minutes", "10 minutes")
+    }
+    assert(e.getMessage.contains("ts"))
+  }
+
   test("transformWithState CDC election converges to the batch merge (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ce: org.apache.spark.sql.Encoder[TwsCdc.Change] =
