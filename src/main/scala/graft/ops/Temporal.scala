@@ -47,11 +47,26 @@ object Temporal {
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
-                       inner: Boolean = false): DataFrame = {
+                       inner: Boolean = false): DataFrame =
+    asofJoin(left, right, keys, leftTs, rightTs, inner, backward = true)
+
+  /** Forward as-of join: attach the EARLIEST right row at or after each
+    * left row's timestamp (`leftTs <= rightTs` semantics) — the "next
+    * calibration / next event" lookup. Same union-sort shape, contract,
+    * and guards as [[asofJoinBackward]], mirrored in time.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      inner: Boolean = false): DataFrame =
+    asofJoin(left, right, keys, leftTs, rightTs, inner, backward = false)
+
+  private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       inner: Boolean, backward: Boolean): DataFrame = {
     val payload = right.columns.filterNot(keys.contains).toSeq
     val collisions = left.columns.toSeq.intersect(payload)
     require(collisions.isEmpty,
-      s"asofJoinBackward: right payload column(s) ${collisions.mkString(", ")} " +
+      s"asofJoin: right payload column(s) ${collisions.mkString(", ")} " +
         "collide with left columns — rename them on one side " +
         "(only the join keys may be shared)")
     val l = left.withColumn(SIDE, lit(1)).withColumn(T, col(leftTs))
@@ -60,13 +75,26 @@ object Temporal {
       .withColumn(SIDE, lit(0)).withColumn(T, col(rightTs))
       .select((keys ++ Seq(P, SIDE, T)).map(col): _*)
     val u = l.unionByName(r, allowMissingColumns = true)
-    // side=0 sorts before side=1 at equal ts, so an exactly-coincident
-    // right row is visible to the left row (>= semantics). The struct is
-    // null on left rows and never null on right rows, so ignoreNulls
-    // carries exactly the latest whole right row.
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(T), col(SIDE))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val attached = u.withColumn(P, last(col(P), ignoreNulls = true).over(w))
+    // Equal-timestamp right rows must be visible to the left row in
+    // both directions (>= / <= semantics): backward puts side=0 first
+    // and carries the LAST struct from the preceding frame; forward
+    // puts side=1 first and carries the FIRST struct from the following
+    // frame. The struct is null on left rows and never null on right
+    // rows, so ignoreNulls picks exactly the adjacent whole right row —
+    // payload columns can never mix across right rows.
+    val (ord, frame) =
+      if (backward)
+        (Seq(col(T), col(SIDE)),
+          (Window.unboundedPreceding, Window.currentRow))
+      else
+        (Seq(col(T), col(SIDE).desc),
+          (Window.currentRow, Window.unboundedFollowing))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(frame._1, frame._2)
+    val carry =
+      if (backward) last(col(P), ignoreNulls = true)
+      else first(col(P), ignoreNulls = true)
+    val attached = u.withColumn(P, carry.over(w))
     val joined = attached.filter(col(SIDE) === 1)
     val unpacked = payload.foldLeft(joined) { (df, c) =>
       df.withColumn(c, col(P).getField(c))

@@ -875,6 +875,32 @@ object CoreQueries {
       "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts " +
       "ORDER BY c.event_id"))
 
+  /** J8b forward as-of join: each click attached to the NEXT view at or
+    * after it — the mirror of q_asof_join ("what did the user do next"),
+    * same union-sort shape reversed in time (graft.ops.Temporal). Oracle
+    * is DuckDB's native forward ASOF (`ON c.ts <= v.view_ts`).
+    */
+  private val qAsofForward = Q("q_asof_forward",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max(col("value")).as("view_value"))
+      Temporal.asofJoinForward(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts")
+        .select("event_id", "user_id", "ts", "view_ts", "view_id", "view_value")
+        .orderBy("event_id")
+    },
+    Some("WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id, " +
+      "max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
+      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') " +
+      "SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_id, v.view_value " +
+      "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.view_ts " +
+      "ORDER BY c.event_id"))
+
   /** CDC merge (MERGE INTO semantics): orders replayed as a changelog
     * over customer — latest order per customer wins; status P deletes,
     * anything else patches the account balance (graft.ops.Cdc).
@@ -973,5 +999,5 @@ object CoreQueries {
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
     qDateTrunc, qMathExpr, qPercentileDisc, qArrayDot, qJsonExtract, qExplodeTokens,
     qWindowTumbling, qWindowSliding, qWindowSession,
-    qAsofJoin, qMergeUpsert, qPivot, qUnpivot, qHistogram)
+    qAsofJoin, qAsofForward, qMergeUpsert, qPivot, qUnpivot, qHistogram)
 }

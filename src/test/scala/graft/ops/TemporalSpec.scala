@@ -84,6 +84,31 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage.contains("l_id"))
   }
 
+  test("forward as-of: earliest right row at or after each left ts") {
+    val out = Temporal.asofJoinForward(left, right, Seq("k"), "ts", "rts")
+      .orderBy("l_id")
+      .select("l_id", "rts", "r_val")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, "a@10"),   // equal timestamp matches (<= semantics)
+      (2L, null, null),    // nothing at or after 20 for key a
+      (3L, 10L, "a@10"),   // earliest following, not just any following
+      (4L, 200L, "b@200"),
+      (5L, null, null)))
+  }
+
+  test("forward as-of with two-key partitioning") {
+    val l2 = Seq(("a", 1, 10L, 1L), ("a", 2, 10L, 2L)).toDF("k", "k2", "ts", "l_id")
+    val r2 = Seq(("a", 1, 12L, "a1@12"), ("a", 2, 11L, "a2@11"))
+      .toDF("k", "k2", "rts", "r_val")
+    val out = Temporal.asofJoinForward(l2, r2, Seq("k", "k2"), "ts", "rts")
+      .select("l_id", "r_val").orderBy("l_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a1@12"), (2L, "a2@11")))
+  }
+
   test("plan: single exchange on the key, no join node (union-sort shape)") {
     val p = Temporal.asofJoinBackward(left, right, Seq("k"), "ts", "rts")
       .queryExecution.executedPlan.toString
