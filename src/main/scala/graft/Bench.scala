@@ -80,8 +80,14 @@ object Bench {
     // 3-decimal form (~1.9KB) would push the line head out of the
     // driver's 2000-char stdout tail; full precision stays on the
     // detail line above
-    def objCompact(vals: Seq[(String, Double)]): String =
-      vals.map { case (k, v) => s"\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
+    // compact keys drop the uniform "q_" prefix (full names on the
+    // detail line and in CORRECTNESS_r*.json): 3 bytes x ~92 queries is
+    // the difference between 2-decimal values fitting the tail window
+    // or not
+    def objCompact(vals: Seq[(String, Double)], decimals: Int): String =
+      vals.map { case (k, v) =>
+        s"\"" + k.stripPrefix("q_") + "\":" + num(v, decimals)
+      }.mkString("{", ",", "}")
     val mins = names.map(n => n -> samples(n).min)
     val medians = names.map(n => n -> median(samples(n)))
     val total = mins.map(_._2).sum
@@ -99,12 +105,19 @@ object Bench {
     // sf basename only on the compact line (full path on detail): the
     // line head is what falls out of the driver's fixed tail window
     // first, so every byte buys registry headroom
-    val compact = s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins)},""" +
-      s""""sf":"${new java.io.File(sfDir).getName}","passes":$passes}"""
+    def compactAt(decimals: Int): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins, decimals)},""" +
+        s""""sf":"${new java.io.File(sfDir).getName}","passes":$passes}"""
     // tail-budget guard: "[info] " prefix + line + trailing [success]
-    // line (~80 chars) must fit the driver's 2000-char tail window
-    if (compact.length > 1940)
-      System.err.println(s"[bench] WARNING compact line ${compact.length} chars — trim before the registry grows further")
+    // line (~80 chars) must fit the driver's 2000-char tail window.
+    // Degrade per-query precision (full precision stays on the detail
+    // line) rather than ever letting the line head — where
+    // "metric":"total" and the total live — fall out of the window.
+    val compact = Seq(2, 1).map(compactAt).find(_.length <= 1940)
+      .getOrElse {
+        System.err.println("[bench] WARNING compact line over budget even at 1 decimal — shrink keys")
+        compactAt(1)
+      }
     println(compact)
     spark.stop()
   }
