@@ -388,6 +388,29 @@ object CoreQueries {
       "GROUP BY CUBE(c_mktsegment, o_orderpriority) " +
       "ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"))
 
+  /** grouping()/grouping_id() marker columns over a rollup: the only
+    * way to distinguish a data NULL from a subtotal row — without them
+    * rollup output is ambiguous whenever the grouped column is
+    * nullable. Same single Expand + hash aggregate plan; the markers
+    * ride the Expand's gid for free.
+    */
+  private val qGroupingId = Q("q_grouping_id",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping_id(col("n_name"), col("c_mktsegment")).as("gid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first),
+    Some("SELECT n_name, c_mktsegment, " +
+      "CAST(GROUPING(n_name) AS BIGINT) AS g_nation, " +
+      "CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid, count(*) AS n " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+      "GROUP BY ROLLUP(n_name, c_mktsegment) " +
+      "ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST"))
+
   /** Grouping sets (explicit set list — completes the rollup/cube family).
     * Dataset.groupingSets (Spark 4) plans the same single Expand +
     * HashAggregate as rollup/cube: each input row fans out once per set,
@@ -991,7 +1014,7 @@ object CoreQueries {
     qSemiJoin, qAntiJoin, qFindFirst, qRangeJoin, qRangeBanded, qJoinSalted,
     qAggSalted,
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
-    qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets,
+    qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets, qGroupingId,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
     qWindowRangeTs, qWindowDist,
     qSort, qSortMulti, qTopk,

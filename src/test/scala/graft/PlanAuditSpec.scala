@@ -163,10 +163,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("q_asof_join: union-sort shape — window over one key exchange, no join node") {
-    val p = planOf("q_asof_join")
-    assert(!p.contains("Join"), p)
-    assert(p.contains("Window"), p)
+  test("q_asof_join / q_asof_forward: union-sort shape — window over one key exchange, no join node") {
+    for (q <- Seq("q_asof_join", "q_asof_forward")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+      assert(p.contains("Window"), s"$q:\n$p")
+    }
   }
 
   test("q_merge_upsert / q_domain_cap: latest/quota election is WindowGroupLimit") {
