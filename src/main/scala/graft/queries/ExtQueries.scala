@@ -762,27 +762,32 @@ object ExtQueries {
       "FROM documents) WHERE rnk <= 10 ORDER BY doc_id"))
 
   /** L24 inverted index build: token -> document frequency + sorted
-    * posting list, with the df cap ENFORCED IN THE PLAN, single
-    * lineage: dedup (token, doc_id) pairs, attach df with a window
-    * count over the token partition, DROP stop-word-grade tokens
-    * (df > 390), and only then collect postings. The collect_list
-    * buffer is therefore bounded by the cap — a billion-document stop
-    * word flows through the sort-based (spillable) window and is
-    * discarded before any posting list materializes, closing the
-    * unbounded-agg-buffer risk a post-aggregation HAVING would leave
-    * open. One scan; the final groupBy(token) reuses the window's
-    * token partitioning, so the whole query is two exchanges and no
-    * join.
+    * posting list, with a stop-word cap (df <= 78% of the corpus — a
+    * document-RATIO, so the rule means the same thing at every scale)
+    * ENFORCED IN THE PLAN, single lineage: dedup (token, doc_id) pairs,
+    * attach df with a window count over the token partition, drop
+    * stop-word-grade tokens, and only then collect postings. The
+    * collect_list buffer is therefore bounded by the cap — a
+    * billion-document stop word flows through the sort-based
+    * (spillable) window and is discarded before any posting list
+    * materializes, closing the unbounded-agg-buffer risk a
+    * post-aggregation HAVING would leave open. The corpus size is a
+    * one-row broadcast (the TF-IDF scalar pattern); the final
+    * groupBy(token) reuses the window's token partitioning, so the
+    * whole query is one scan + two exchanges and no row-level join.
     */
   private val qInvertedIndex = Q("q_inverted_index",
     (s, d) => {
-      val pairs = t(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val pairs = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .dropDuplicates("token", "doc_id")
       pairs
         .withColumn("df", count(lit(1))
           .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))
-        .filter(col("df") <= 390)
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 100 <= col("n_docs") * 78)
         .groupBy("token", "df")
         .agg(array_join(
           transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
@@ -795,7 +800,8 @@ object ExtQueries {
       "w AS (SELECT token, doc_id, count(*) OVER (PARTITION BY token) AS df FROM p) " +
       "SELECT token, df, " +
       "array_to_string(list_sort(list(doc_id)), ',') AS postings " +
-      "FROM w WHERE df <= 390 GROUP BY token, df ORDER BY token"))
+      "FROM w WHERE df * 100 <= (SELECT count(DISTINCT doc_id) FROM documents) * 78 " +
+      "GROUP BY token, df ORDER BY token"))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,

@@ -182,13 +182,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
-  test("q_inverted_index: single lineage — df filter precedes collect, no join, 2 exchanges") {
+  test("q_inverted_index: single lineage — df filter precedes collect, 2 exchanges") {
     val p = planOf("q_inverted_index")
-    assert(!p.contains("Join"), p)
+    // the only join is the one-row broadcast of the corpus size (the
+    // TF-IDF scalar pattern) — never a row-level shuffle join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Window"), p)
-    // dedup exchange on (token, doc_id) + window exchange on (token);
-    // the posting collect reuses the window's partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    // dedup exchange on (token, doc_id) + window exchange on (token) +
+    // the scalar branch's countDistinct exchange (doc_id only — a
+    // column-pruned side plan, not the token stream); the posting
+    // collect reuses the window's partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+    assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 2, p)
   }
 
   test("q_window_lag: all navigation functions share ONE Window exec / exchange") {
