@@ -60,6 +60,54 @@ object Temporal {
                       inner: Boolean = false): DataFrame =
     asofJoin(left, right, keys, leftTs, rightTs, inner, backward = false)
 
+  /** Nearest as-of join: attach the right row closest in time to each
+    * left row, in either direction; at equal distance the backward
+    * (earlier) row wins. Both directional carries ride the SAME union
+    * and key exchange — one shuffle, two window sorts — and the
+    * per-row winner is a null-safe comparison of the two candidate
+    * distances (timestamp subtraction yields a comparable day-time
+    * interval, so the same code serves long and timestamp axes).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      inner: Boolean = false): DataFrame = {
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val collisions = left.columns.toSeq.intersect(payload)
+    require(collisions.isEmpty,
+      s"asofJoin: right payload column(s) ${collisions.mkString(", ")} " +
+        "collide with left columns — rename them on one side " +
+        "(only the join keys may be shared)")
+    val PB = P + "_b"
+    val PF = P + "_f"
+    val l = left.withColumn(SIDE, lit(1)).withColumn(T, col(leftTs))
+    val r = right.filter(col(rightTs).isNotNull)
+      .withColumn(P, struct(payload.map(col): _*))
+      .withColumn(SIDE, lit(0)).withColumn(T, col(rightTs))
+      .select((keys ++ Seq(P, SIDE, T)).map(col): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(T), col(SIDE))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(T), col(SIDE).desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = u
+      .withColumn(PB, last(col(P), ignoreNulls = true).over(wB))
+      .withColumn(PF, first(col(P), ignoreNulls = true).over(wF))
+      .filter(col(SIDE) === 1)
+    val distB = col(T) - col(PB).getField(rightTs)
+    val distF = col(PF).getField(rightTs) - col(T)
+    val chosen = when(col(PB).isNull, col(PF))
+      .when(col(PF).isNull, col(PB))
+      .when(distB <= distF, col(PB))
+      .otherwise(col(PF))
+    val withChoice = attached.withColumn(P, chosen)
+    val unpacked = payload.foldLeft(withChoice) { (df, c) =>
+      df.withColumn(c, col(P).getField(c))
+    }.drop(SIDE, T, P, PB, PF)
+    if (inner) unpacked.filter(col(rightTs).isNotNull) else unpacked
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        inner: Boolean, backward: Boolean): DataFrame = {

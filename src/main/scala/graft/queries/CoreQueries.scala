@@ -924,6 +924,39 @@ object CoreQueries {
       "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.view_ts " +
       "ORDER BY c.event_id"))
 
+  /** J8c nearest as-of join: each click attached to the time-CLOSEST
+    * view in either direction, backward winning ties — the attribution
+    * rule when sessions have no inherent direction. DuckDB has no
+    * native nearest ASOF, so the oracle is an independent explicit
+    * min-distance election (per-user candidate join + row_number over
+    * (distance, view_ts)) — structurally unlike the Spark union-sort
+    * double-carry, which is what makes the cross-check strong.
+    */
+  private val qAsofNearest = Q("q_asof_nearest",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          max(col("value")).as("view_value"))
+      Temporal.asofJoinNearest(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "view_ts")
+        .select("event_id", "user_id", "ts", "view_ts", "view_id", "view_value")
+        .orderBy("event_id")
+    },
+    Some("WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id, " +
+      "max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
+      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), " +
+      "cand AS (SELECT c.event_id AS ce, v.view_ts, v.view_id, v.view_value, " +
+      "row_number() OVER (PARTITION BY c.event_id " +
+      "ORDER BY abs(epoch_ns(c.ts) - epoch_ns(v.view_ts)), v.view_ts) AS rn " +
+      "FROM c JOIN v ON c.user_id = v.user_id) " +
+      "SELECT c.event_id, c.user_id, c.ts, cand.view_ts, cand.view_id, cand.view_value " +
+      "FROM c LEFT JOIN cand ON c.event_id = cand.ce AND cand.rn = 1 " +
+      "ORDER BY c.event_id"))
+
   /** CDC merge (MERGE INTO semantics): orders replayed as a changelog
     * over customer — latest order per customer wins; status P deletes,
     * anything else patches the account balance (graft.ops.Cdc).
@@ -1022,5 +1055,6 @@ object CoreQueries {
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
     qDateTrunc, qMathExpr, qPercentileDisc, qArrayDot, qJsonExtract, qExplodeTokens,
     qWindowTumbling, qWindowSliding, qWindowSession,
-    qAsofJoin, qAsofForward, qMergeUpsert, qPivot, qUnpivot, qHistogram)
+    qAsofJoin, qAsofForward, qAsofNearest, qMergeUpsert, qPivot, qUnpivot,
+    qHistogram)
 }

@@ -164,7 +164,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_asof_join / q_asof_forward: union-sort shape — window over one key exchange, no join node") {
-    for (q <- Seq("q_asof_join", "q_asof_forward")) {
+    for (q <- Seq("q_asof_join", "q_asof_forward", "q_asof_nearest")) {
       val p = planOf(q)
       assert(!p.contains("Join"), s"$q:\n$p")
       assert(p.contains("Window"), s"$q:\n$p")

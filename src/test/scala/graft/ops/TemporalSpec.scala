@@ -109,6 +109,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a1@12"), (2L, "a2@11")))
   }
 
+  test("nearest as-of: closest right row either direction, backward wins ties") {
+    val l3 = Seq(("a", 12L, 1L),  // 2 from a@10, 3 from a@15 -> backward a@10
+      ("a", 13L, 2L),             // 3 from a@10, 2 from a@15 -> forward a@15
+      ("a", 3L, 3L),              // 2 from a@1, 7 from a@10 -> backward a@1
+      ("b", 99L, 4L),             // only b@200, forward
+      ("c", 7L, 5L))              // no right rows at all
+      .toDF("k", "ts", "l_id")
+    val out = Temporal.asofJoinNearest(l3, right, Seq("k"), "ts", "rts")
+      .select("l_id", "r_val").orderBy("l_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "a@10"), (2L, "a@15"), (3L, "a@1"), (4L, "b@200"), (5L, null)))
+    // exact tie: a@10 vs a@15 from ts=12.5 is impossible with longs;
+    // use 12 vs 13 above; equal distance via symmetric fixture:
+    val tie = Temporal.asofJoinNearest(
+      Seq(("a", 5L, 9L)).toDF("k", "ts", "l_id"),
+      Seq(("a", 3L, "early"), ("a", 7L, "late")).toDF("k", "rts", "r_val"),
+      Seq("k"), "ts", "rts")
+      .select("r_val").collect().head.getString(0)
+    assert(tie == "early") // backward wins at equal distance
+  }
+
+  test("nearest as-of: plan keeps one key exchange (both carries share it)") {
+    val p = Temporal.asofJoinNearest(left, right, Seq("k"), "ts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("plan: single exchange on the key, no join node (union-sort shape)") {
     val p = Temporal.asofJoinBackward(left, right, Seq("k"), "ts", "rts")
       .queryExecution.executedPlan.toString
