@@ -351,4 +351,45 @@ object Dedup {
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
+
+  /** Corpus-level MinHash: ONE union signature per group. MinHash is a
+    * mergeable sketch — the signature of a union of shingle sets is the
+    * element-wise min of the members' signatures — so a whole source /
+    * crawl snapshot / shard compresses to k longs via a plain min
+    * aggregate: fused per-doc kernel (pure projection), one map-side-
+    * combined hash aggregate, output rows = number of groups. Docs with
+    * fewer than 3 tokens contribute no shingles and are excluded (same
+    * rule as the per-doc signature).
+    */
+  def groupMinhashSignature(docs: DataFrame, group: Column, text: Column,
+                            k: Int): DataFrame = {
+    require(k <= Params.size, s"only ${Params.size} hash params defined")
+    val sig = graft.functions.HashFunctions.minhashSig(
+      graft.functions.HashFunctions.shingleHash48(text, 3), Params.take(k))
+    docs.filter(size(TextHash.tokens(text)) >= 3)
+      .select(group.as("grp"), sig.as("__sig"))
+      .groupBy("grp")
+      .agg(min(col("__sig").getItem(0)).as("h0"),
+        (1 until k).map(i => min(col("__sig").getItem(i)).as(s"h$i")): _*)
+  }
+
+  /** Estimated pairwise Jaccard between group signatures (grp_a <
+    * grp_b): the fraction of agreeing components. The input is
+    * group-level (one row per source/snapshot), so the all-pairs
+    * comparison is over the GROUP count, not the corpus — broadcast the
+    * tiny signature table; a million-group registry would band it like
+    * minhashLshPairs instead.
+    */
+  def groupMinhashSimilarity(gsig: DataFrame, k: Int): DataFrame = {
+    val a = gsig.select(col("grp").as("grp_a") +:
+      (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = gsig.select(col("grp").as("grp_b") +:
+      (0 until k).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        round(matches.cast("double") / k, 4).as("est_sim"))
+  }
 }

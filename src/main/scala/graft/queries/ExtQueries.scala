@@ -72,6 +72,34 @@ object ExtQueries {
       (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
       " AS DOUBLE) / 8.0 >= 0.5 ORDER BY da, db"))
 
+  /** L25 corpus-level MinHash: one union signature per source
+    * (element-wise min — the mergeable-sketch property), then pairwise
+    * estimated Jaccard between sources. The dataset-level twin of
+    * q_minhash_lsh: compare crawl snapshots / shards wholesale without
+    * touching doc granularity (graft.ext.Dedup.groupMinhashSignature).
+    */
+  private val qMinhashSources = Q("q_minhash_sources",
+    (s, d) => {
+      val gsig = Dedup.groupMinhashSignature(
+        t(s, d, "documents"), col("source"), col("text"), k = 8)
+      Dedup.groupMinhashSimilarity(gsig, k = 8)
+        .orderBy("grp_a", "grp_b")
+    },
+    Some("WITH t AS (SELECT source, unnest(" + TextHash.duckShingles("text", 3) +
+      ") AS s FROM documents WHERE len(string_split(text, ' ')) >= 3), " +
+      "h AS (SELECT source, " + TextHash.duckBaseHash("s") + " AS bh FROM t), " +
+      "sig AS (SELECT source, " +
+      (0 until 8).map { i =>
+        val (a, b) = TextHash.Params(i)
+        s"min(${TextHash.duckHashAB("bh", a, b)}) AS h$i"
+      }.mkString(", ") +
+      " FROM h GROUP BY source) " +
+      "SELECT a.source AS grp_a, b.source AS grp_b, round(CAST(" +
+      (0 until 8).map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ") +
+      " AS DOUBLE) / 8.0, 4) AS est_sim " +
+      "FROM sig a JOIN sig b ON a.source < b.source ORDER BY grp_a, grp_b"))
+
   /** DuckDB CTE chain ending in fps(doc_id, fp) = the 16-bit simhash. */
   private val duckSimhashCtes =
     "tk AS (SELECT doc_id, " + TextHash.duckBaseHash("t") + " AS h FROM " +
@@ -804,7 +832,7 @@ object ExtQueries {
       "GROUP BY token, df ORDER BY token"))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qMinhash, qMinhashLsh, qSimhash, qSimhashPairs,
+    qDedupExact, qMinhash, qMinhashLsh, qMinhashSources, qSimhash, qSimhashPairs,
     qSimhashPairs64, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qAnnIvfProbe,

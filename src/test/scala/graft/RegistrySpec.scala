@@ -76,5 +76,6 @@ object RegistrySpec {
     "q_domain_cap", "q_inverted_index",
     // round 8: navigation windows, RANGE frames, grouping sets
     "q_window_lag", "q_window_range", "q_window_range_ts", "q_window_dist",
-    "q_grouping_sets", "q_grouping_id", "q_asof_forward", "q_asof_nearest")
+    "q_grouping_sets", "q_grouping_id", "q_asof_forward", "q_asof_nearest",
+    "q_minhash_sources")
 }

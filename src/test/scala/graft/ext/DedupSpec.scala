@@ -117,4 +117,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)))
     assert(pairs.forall { case (da, db, h) => da < db && h <= 3 })
   }
+
+  test("group minhash is a mergeable sketch: union == element-wise min, dup-insensitive") {
+    val k = 4
+    // one group holding everything == element-wise min of the per-group rows
+    val perGroup = Dedup.groupMinhashSignature(docs, col("doc_id") % 2, col("text"), k)
+    val asOne = Dedup.groupMinhashSignature(docs, lit(0), col("text"), k)
+      .collect().head
+    val mins = (1 to k).map(i =>
+      perGroup.agg(min(col(s"h${i - 1}"))).collect().head.getLong(0))
+    assert((1 to k).map(i => asOne.getLong(i)) == mins)
+    // duplicating the corpus changes nothing (set semantics)
+    val doubled = Dedup.groupMinhashSignature(
+      docs.union(docs), lit(0), col("text"), k).collect().head
+    assert((1 to k).map(doubled.getLong) == (1 to k).map(asOne.getLong))
+    // identical groups estimate similarity 1.0
+    val sim = Dedup.groupMinhashSimilarity(
+      Dedup.groupMinhashSignature(
+        docs.union(docs.withColumn("doc_id", col("doc_id") + 100)),
+        when(col("doc_id") < 100, "a").otherwise("b"), col("text"), k), k)
+      .collect().head
+    assert(sim.getDouble(2) == 1.0)
+  }
 }
