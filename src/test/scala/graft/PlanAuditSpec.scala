@@ -197,6 +197,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 2, p)
   }
 
+  test("q_minhash_sources: one signature aggregate, pair join over the broadcast group table") {
+    val p = planOf("q_minhash_sources")
+    // per-doc signatures fold into the group aggregate map-side; the
+    // pairwise comparison broadcasts the group-level table
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size == 4, p) // partial+final x both subplan copies
+  }
+
   test("q_window_lag: all navigation functions share ONE Window exec / exchange") {
     val p = planOf("q_window_lag")
     assert("(?m)^\\s*[+:]?-? *Window ".r.findAllIn(p).size <= 2, p) // ntile needs n-of-partition: 1 extra pass max
