@@ -331,6 +331,33 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String, Long)]
+    val views = MemoryStream[(Timestamp, String, Long)]
+    val joined = StreamingEvents.intervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "c_id"), "c_ts",
+      views.toDF().toDF("v_ts", "v_user", "v_id"), "v_ts",
+      "c_user", "v_user", horizon = "30 minutes", watermark = "10 minutes",
+      joinType = "fullOuter")
+      .select("c_id", "v_id")
+    val q = joined.writeStream.format("memory").queryName("ssij_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((ts(0), "u1", 100L), (ts(0), "u3", 300L)) // u3: no click
+      clicks.addData((ts(20), "u1", 1L), (ts(20), "u2", 2L))  // u2: no view
+      q.processAllAvailable()
+      views.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "zz", 999L))
+      clicks.addData((Timestamp.valueOf("2026-01-01 14:00:00"), "zz", 998L))
+      q.processAllAvailable()
+      val rows = spark.table("ssij_full")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(rows.contains((Some(1L), Some(100L)))) // matched
+      assert(rows.contains((Some(2L), None)))       // left-unmatched
+      assert(rows.contains((None, Some(300L))))     // right-unmatched
+    } finally q.stop()
+  }
+
   test("interval join rejects ambiguous shared column names") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(Timestamp, String)].toDF().toDF("ts", "user")
