@@ -53,4 +53,36 @@ class WindowsSpec extends SparkSpec {
       .as[(String, Int, Double)].collect().toSet
     assert(out == Set(("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 17.5), ("b", 1, 7.0)))
   }
+
+  test("rangeFrame is value-based: gaps shrink the frame, peers all enter it") {
+    // days 1, 2, 10, 10, 11 with 2-unit trailing frame: the day-10 rows
+    // are peers (both included for both), day-11 sees 10+10+11, and the
+    // gap before 10 excludes days 1-2 entirely
+    val in = Seq(("a", 1L, 1L), ("a", 2L, 10L), ("a", 10L, 100L),
+      ("a", 10L, 1000L), ("a", 11L, 10000L), ("b", 10L, 7L))
+      .toDF("k", "d", "x")
+    val out = in.select(col("k"), col("d"), col("x"),
+        Windows.rangeFrame(sum(col("x")), Seq(col("k")), col("d"),
+          precedingUnits = 2).as("s"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("a", 1L, 1L, 1L), ("a", 2L, 10L, 11L),
+      ("a", 10L, 100L, 1100L), ("a", 10L, 1000L, 1100L), // peers: same frame
+      ("a", 11L, 10000L, 11100L),
+      ("b", 10L, 7L, 7L)))
+  }
+
+  test("lagOf/leadOf defaults fill partition edges; ntileOf covers 1..n") {
+    val in = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 1))
+      .toDF("k", "seq")
+    val out = in.select(col("k"), col("seq"),
+        Windows.lagOf(col("seq"), 1, -1, Seq(col("k")), Seq(col("seq"))).as("lg"),
+        Windows.leadOf(col("seq"), 1, -1, Seq(col("k")), Seq(col("seq"))).as("ld"),
+        Windows.ntileOf(2, Seq(col("k")), Seq(col("seq"))).as("nt"))
+      .as[(String, Int, Int, Int, Int)].collect().toSet
+    assert(out == Set(
+      ("a", 1, -1, 2, 1), ("a", 2, 1, 3, 1),
+      ("a", 3, 2, 4, 2), ("a", 4, 3, -1, 2),
+      ("b", 1, -1, -1, 1)))
+  }
 }
