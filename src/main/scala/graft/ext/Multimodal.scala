@@ -245,6 +245,56 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a decoded image:
+    * scale to 9x8 luma, emit one bit per horizontal neighbor pair
+    * (left brighter = 1). Resize/re-encode/small edits preserve most
+    * bits, so near-duplicate images sit at small hamming distance —
+    * the output feeds graft.ext.Dedup.simhashHammingPairs unchanged
+    * (banded bucket join, never all-pairs), linking the multimodal
+    * column family to the dedup family at 100 TB scale.
+    */
+  private[ext] def imageDHash(img: java.awt.image.BufferedImage): Long = {
+    val small = scaleImage(img, 9, 8)
+    var fp = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        def luma(px: Int): Int = {
+          val rgb = small.getRGB(px, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        if (luma(x) > luma(x + 1)) fp |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  case class FingerprintRow(media_id: Long, kind: String, fp: Option[Long])
+
+  /** Perceptual fingerprints for a media set: images hash from real
+    * decoded pixels (dHash); undecodable payloads and other kinds get
+    * None (a caller deciding to fall back to byte-exact md5 dedup does
+    * so explicitly — silently hashing bytes here would make corrupt
+    * blobs look perceptually similar to each other).
+    */
+  def perceptualFingerprints(media: Dataset[MediaRow]): Dataset[FingerprintRow] = {
+    implicit val enc = Encoders.product[FingerprintRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val fp =
+          if (m.kind == "image") decodeImage(m.payload).map(imageDHash)
+          else None
+        FingerprintRow(m.media_id, m.kind, fp)
+      }
+    }
+  }
+
   /** Audio metadata probe: fill sample_rate / duration_ms from the real
     * decoded stream (the audio analog of resize's metadata refresh).
     * Non-audio rows and undecodable payloads pass through untouched.

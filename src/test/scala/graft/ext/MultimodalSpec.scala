@@ -166,6 +166,42 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(math.sqrt(f.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
   }
 
+  test("perceptual dHash: resize-stable, sensitive to different content") {
+    def gradientPng(w: Int, h: Int, reversed: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ((if (reversed) w - 1 - x else x) * 255) / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(50L, "image", gradientPng(64, 48, false), "image/png",
+        Some(64), Some(48), None, None),
+      MediaRow(51L, "image", gradientPng(256, 192, false), "image/png",
+        Some(256), Some(192), None, None),  // same content, 4x the size
+      MediaRow(52L, "image", gradientPng(64, 48, true), "image/png",
+        Some(64), Some(48), None, None),    // reversed gradient
+      MediaRow(53L, "image", Array[Byte](1, 2, 3), "image/png",
+        None, None, None, None),            // corrupt
+      MediaRow(54L, "audio", Array[Byte](9), "audio/wav",
+        None, None, None, None))            // wrong kind
+      .toDS()
+    val fp = perceptualFingerprints(rows).collect()
+      .map(r => r.media_id -> r.fp).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the same content at different resolutions hashes nearly equal...
+    assert(hamming(fp(50L).get, fp(51L).get) <= 4,
+      s"resize moved ${hamming(fp(50L).get, fp(51L).get)} bits")
+    // ...while reversed content flips most of the 56 gradient bits
+    assert(hamming(fp(50L).get, fp(52L).get) >= 32,
+      s"different content only ${hamming(fp(50L).get, fp(52L).get)} bits apart")
+    assert(fp(53L).isEmpty && fp(54L).isEmpty)
+  }
+
   test("frame sampling: one row per window, videos only, payload sliced") {
     val frames = sampleFrames(media, everyMs = 250).collect()
     assert(frames.forall(_.media_id == 3L))           // only the video
