@@ -80,6 +80,25 @@ class SketchSpec extends SparkSpec {
     assert(relErr(est, 30000) < 0.26, s"est=$est")
   }
 
+  test("works as a window aggregate and under rollup (the scaladoc claim)") {
+    val df = spark.range(300)
+      .select((col("id") % 3).as("g"), (col("id") % 2).as("h"), col("id").as("v"))
+    // running distinct count per group
+    val win = df.select(col("g"), col("v"),
+      approxDistinct(col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Long.MinValue, 0)).as("run"))
+      .groupBy("g").agg(max(col("run")).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(win.values.forall(v => math.abs(v - 100) <= 5), win.toString)
+    // rollup: per-(g,h) cells + margins all estimate within bound
+    val ru = df.rollup("g", "h").agg(approxDistinct(col("v")).as("est"),
+      countDistinct(col("v")).as("exact")).collect()
+    assert(ru.length == 3 * 2 + 3 + 1)
+    ru.foreach(r => assert(math.abs(r.getLong(2) - r.getLong(3)) <=
+      math.max(2, r.getLong(3) / 20), r.toString))
+  }
+
   test("map-side combine: partial aggregation happens before the exchange") {
     val df = spark.range(10000).select((col("id") % 4).as("g"), col("id").as("v"))
       .groupBy("g").agg(approxDistinct(col("v")).as("est"))
