@@ -131,6 +131,18 @@ class TemporalSpec extends SparkSpec {
     assert(tie == "early") // backward wins at equal distance
   }
 
+  test("nearest as-of with two-key partitioning") {
+    val l2 = Seq(("a", 1, 10L, 1L), ("a", 2, 10L, 2L)).toDF("k", "k2", "ts", "l_id")
+    val r2 = Seq(("a", 1, 2L, "a1@2"), ("a", 1, 11L, "a1@11"),
+      ("a", 2, 30L, "a2@30")).toDF("k", "k2", "rts", "r_val")
+    val out = Temporal.asofJoinNearest(l2, r2, Seq("k", "k2"), "ts", "rts")
+      .select("l_id", "r_val").orderBy("l_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // (a,1)@10: forward a1@11 (dist 1) beats backward a1@2 (dist 8);
+    // (a,2)@10: only a2@30 exists — never leaks across the k2 boundary
+    assert(out.toSeq == Seq((1L, "a1@11"), (2L, "a2@30")))
+  }
+
   test("nearest as-of: plan keeps one key exchange (both carries share it)") {
     val p = Temporal.asofJoinNearest(left, right, Seq("k"), "ts", "rts")
       .queryExecution.executedPlan.toString
