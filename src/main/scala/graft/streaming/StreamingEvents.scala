@@ -263,6 +263,104 @@ object TwsSessions {
   }
 }
 
+/** Streaming twin of the batch backward as-of join (graft.ops.Temporal):
+  * each left event is attached to the most recent right event at or
+  * before its timestamp, per key — emitted exactly once, when the
+  * event-time watermark passes the left timestamp (at that point no
+  * right row at-or-before it can still arrive, so the match is final;
+  * late data beyond the watermark is dropped, the standard contract).
+  *
+  * State per key is watermark-bounded: unmatched-yet lefts live only
+  * until their timer fires, and of the rights at-or-before the
+  * watermark only the LATEST survives (any other is dominated for
+  * every possible future left, whose timestamp must exceed the
+  * watermark). One hash shuffle on the key per micro-batch — the
+  * incremental analogue of the batch union-sort's single exchange.
+  * StreamingEventsSpec asserts the emitted view equals batch
+  * `Temporal.asofJoinBackward` on the same events, including
+  * out-of-order delivery.
+  */
+object TwsAsof {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+  /** One tagged input event: side 1 = left, side 0 = right. `ts` stays
+    * a Timestamp so the caller's watermark column flows through to the
+    * event-time timers.
+    */
+  case class Ev(k: String, ts: java.sql.Timestamp, side: Int,
+      l_id: Long, r_val: String)
+
+  case class Joined(k: String, ts_ms: Long, l_id: Long,
+      r_ts_ms: Option[Long], r_val: Option[String])
+
+  private case class LeftEv(ts: Long, l_id: Long)
+  private case class RightEv(ts: Long, r_val: String)
+
+  class AsofProcessor extends StatefulProcessor[String, Ev, Joined] {
+    @transient private var lefts: ListState[LeftEv] = _
+    @transient private var rights: ListState[RightEv] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lefts = getHandle.getListState[LeftEv]("lefts",
+        Encoders.product[LeftEv], TTLConfig.NONE)
+      rights = getHandle.getListState[RightEv]("rights",
+        Encoders.product[RightEv], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(k: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Joined] = {
+      rows.foreach { e =>
+        if (e.side == 1) {
+          lefts.appendValue(LeftEv(e.ts.getTime, e.l_id))
+          // fires once the watermark passes e.ts — the match is final then
+          getHandle.registerTimer(e.ts.getTime)
+        } else rights.appendValue(RightEv(e.ts.getTime, e.r_val))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(k: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Joined] = {
+      val horizon = expired.getExpiryTimeInMs
+      val (due, pending) = lefts.get().toSeq.partition(_.ts <= horizon)
+      if (due.isEmpty) return Iterator.empty
+      val rs = rights.get().toSeq
+      val out = due.sortBy(l => (l.ts, l.l_id)).map { l =>
+        val m = rs.filter(_.ts <= l.ts) match {
+          case e if e.isEmpty => None
+          case e => Some(e.maxBy(r => (r.ts, r.r_val)))
+        }
+        Joined(k, l.ts, l.l_id, m.map(_.ts), m.map(_.r_val))
+      }
+      if (pending.isEmpty) lefts.clear()
+      else { lefts.clear(); pending.foreach(lefts.appendValue) }
+      // of the rights at-or-before the horizon only the latest can ever
+      // match a future left (future lefts have ts > watermark >= horizon)
+      val (past, future) = rs.partition(_.ts <= horizon)
+      val keep = (if (past.nonEmpty) Seq(past.maxBy(r => (r.ts, r.r_val)))
+                  else Nil) ++ future
+      if (keep.size != rs.size) {
+        rights.clear(); keep.foreach(rights.appendValue)
+      }
+      out.iterator
+    }
+  }
+
+  /** Run the streaming as-of over a tagged event stream; requires the
+    * RocksDB state store provider and an event-time watermark on the
+    * caller's timestamp column (timers fire off that watermark).
+    */
+  def asofBackward(tagged: Dataset[Ev]): Dataset[Joined] = {
+    implicit val oe: org.apache.spark.sql.Encoder[Joined] =
+      Encoders.product[Joined]
+    tagged.groupByKey(_.k)(Encoders.STRING)
+      .transformWithState(new AsofProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
+
 /** Streaming twin of the batch CDC merge (graft.ops.Cdc): the
   * latest-change election (`row_number() over key order by seq desc = 1`)
   * run incrementally on `transformWithState` — state per key is the

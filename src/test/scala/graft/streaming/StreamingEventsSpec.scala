@@ -369,6 +369,66 @@ class StreamingEventsSpec extends SparkSpec {
     assert(e.getMessage.contains("ts"))
   }
 
+  test("transformWithState as-of join equals the batch union-sort as-of (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ee: org.apache.spark.sql.Encoder[TwsAsof.Ev] =
+      org.apache.spark.sql.Encoders.product[TwsAsof.Ev]
+    import TwsAsof.Ev
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // lefts (clicks) and rights (views) for two keys, delivered out
+      // of order: the right at ts(1) arrives AFTER the left at ts(2)
+      // but within the watermark, so it must still win the match
+      val evs = Seq(
+        Ev("u1", ts(0), 0, 0L, "v@0"),
+        Ev("u1", ts(2), 1, 1L, null),    // left@2 -> v@1 (arrives later!)
+        Ev("u1", ts(1), 0, 0L, "v@1"),
+        Ev("u1", ts(5), 1, 2L, null),    // left@5 -> v@5 (equal ts matches)
+        Ev("u1", ts(5), 0, 0L, "v@5"),
+        Ev("u2", ts(3), 1, 3L, null))    // no right for u2 at all
+      val input = MemoryStream[Ev]
+      val out = TwsAsof.asofBackward(
+        input.toDS().withWatermark("ts", "5 minutes"))
+      val q = out.writeStream.format("memory").queryName("tws_asof")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(evs(0), evs(1))            // left@2 sees only v@0 so far
+        q.processAllAvailable()
+        input.addData(evs(2), evs(3), evs(4), evs(5)) // late-but-in-watermark v@1
+        q.processAllAvailable()
+        // advance the watermark far past every left -> all matches final
+        input.addData(Ev("zz", Timestamp.valueOf("2026-01-01 12:00:00"), 0, 0L, "x"))
+        q.processAllAvailable()
+        val streamed = spark.table("tws_asof")
+          .select("k", "ts_ms", "l_id", "r_ts_ms", "r_val")
+          .as[(String, Long, Long, Option[Long], Option[String])]
+          .collect().toSet
+        // batch twin on the identical events
+        val lefts = evs.filter(_.side == 1)
+          .map(e => (e.k, e.ts.getTime, e.l_id)).toDF("k", "ts_ms", "l_id")
+        val rights = evs.filter(_.side == 0).filter(_.k != "zz")
+          .map(e => (e.k, e.ts.getTime, e.r_val)).toDF("k", "r_ts_ms", "r_val")
+        val batch = graft.ops.Temporal.asofJoinBackward(
+          lefts, rights, Seq("k"), "ts_ms", "r_ts_ms")
+          .select("k", "ts_ms", "l_id", "r_ts_ms", "r_val")
+          .as[(String, Long, Long, Option[Long], Option[String])]
+          .collect().toSet
+        assert(streamed == batch)
+        // the out-of-order right really did win
+        assert(streamed.exists { case (_, _, id, _, v) =>
+          id == 1L && v.contains("v@1") })
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState CDC election converges to the batch merge (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ce: org.apache.spark.sql.Encoder[TwsCdc.Change] =
