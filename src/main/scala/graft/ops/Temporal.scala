@@ -108,6 +108,48 @@ object Temporal {
     if (inner) unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
 
+  /** Regularize a keyed daily series onto a dense per-key date spine and
+    * forward-fill observation gaps — the resample step every time-series
+    * consumer runs before modeling ("one row per key per day, carrying
+    * the last known value").
+    *
+    * `observed` has one row per (keys, dateCol) — pre-aggregate it
+    * otherwise. Each key's spine spans ITS OWN [min, max] observed date
+    * (no global calendar — a key that appeared for a week doesn't get
+    * years of padding); `fill` columns forward-fill from the most recent
+    * observed row, other observation columns stay null on gap days, and
+    * `gapCol` marks spine-generated rows.
+    *
+    * Scale posture: the spine is groupBy(min, max) + `sequence()` +
+    * explode — generated distributed, never on the driver — and the
+    * spine/observed alignment plus the forward-fill carry ride the SAME
+    * (keys, date) sort order, so the whole operator is one aggregate
+    * exchange, one key-partitioned join, one window sort. Spine volume
+    * is sum(per-key span), bounded by keys x observed horizon; a key
+    * with a pathological span pays only for itself.
+    */
+  def resampleDailyFfill(observed: DataFrame, keys: Seq[String],
+                         dateCol: String, fill: Seq[String],
+                         gapCol: String = "is_gap"): DataFrame = {
+    val MARK = "__obs_mark"
+    val keyCols = keys.map(col)
+    val spine = observed
+      .groupBy(keyCols: _*)
+      .agg(min(col(dateCol)).as("__mn"), max(col(dateCol)).as("__mx"))
+      .select(keyCols :+
+        explode(sequence(col("__mn"), col("__mx"),
+          expr("interval 1 day"))).as(dateCol): _*)
+    val joined = spine
+      .join(observed.withColumn(MARK, lit(true)), keys :+ dateCol, "left")
+      .withColumn(gapCol, coalesce(col(MARK), lit(false)) === false)
+      .drop(MARK)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fill.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        inner: Boolean, backward: Boolean): DataFrame = {

@@ -156,4 +156,36 @@ class TemporalSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  // --------------------------------------------------- resample + ffill
+
+  test("resampleDailyFfill densifies per-key spans and carries fills") {
+    val obs = Seq(
+      ("a", "2024-01-01", 5L, 10L),
+      ("a", "2024-01-04", 7L, 40L),   // 2 gap days between
+      ("b", "2024-01-10", 1L, 99L))   // single-day key: no padding
+      .toDF("k", "day", "n", "v")
+      .withColumn("day", to_date(col("day")))
+    val out = Temporal.resampleDailyFfill(obs, Seq("k"), "day",
+      fill = Seq("v"))
+      .orderBy("k", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", "2024-01-01", 5L, 10L, false),
+      ("a", "2024-01-02", -1L, 10L, true),  // gap: n null, v carried
+      ("a", "2024-01-03", -1L, 10L, true),
+      ("a", "2024-01-04", 7L, 40L, false),
+      ("b", "2024-01-10", 1L, 99L, false)))
+    // each key spans only its own [min, max] — no cross-key calendar
+  }
+
+  test("resampleDailyFfill plan: spine is generated, not collected") {
+    val obs = Seq(("a", "2024-01-01", 1L)).toDF("k", "day", "v")
+      .withColumn("day", to_date(col("day")))
+    val plan = Temporal.resampleDailyFfill(obs, Seq("k"), "day", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan) // explode(sequence(...))
+  }
 }
