@@ -27,4 +27,33 @@ class AggregatesSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out == Map("associate" -> 2L, "certify" -> 1L))
   }
+
+  test("linearFit recovers an exact line (slope, intercept, r = 1)") {
+    val df = (1L to 100L).map(x => ("g", x, 2 * x + 1)).toDF("g", "x", "y")
+    val r = Aggregates.linearFit(df, Seq(col("g")), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r") == 1.0)
+  }
+
+  test("linearFit detects negative correlation") {
+    val df = (1L to 50L).map(x => ("g", x, -3 * x + 500)).toDF("g", "x", "y")
+    val r = Aggregates.linearFit(df, Seq(col("g")), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Double]("slope") == -3.0)
+    assert(r.getAs[Double]("r") == -1.0)
+  }
+
+  test("linearFit is bit-stable across partitionings (exact moments)") {
+    // a noisy (non-degenerate) relation where float accumulation order
+    // WOULD change low-order bits if moments were running doubles
+    val rows = (1L to 1000L).map(x => ("g", x, x * 7 + (x * x) % 13))
+    val a = Aggregates.linearFit(rows.toDF("g", "x", "y").repartition(1),
+      Seq(col("g")), col("x"), col("y")).collect().head
+    val b = Aggregates.linearFit(rows.toDF("g", "x", "y").repartition(16),
+      Seq(col("g")), col("x"), col("y")).collect().head
+    assert(a == b)
+  }
 }
