@@ -392,4 +392,30 @@ object Dedup {
       .select(col("grp_a"), col("grp_b"),
         round(matches.cast("double") / k, 4).as("est_sim"))
   }
+
+  /** Edit-distance fuzzy match over a VALUE vocabulary: distinct the
+    * attribute first (the 100 TB move — row-level fuzzy self-joins are
+    * quadratic in rows, value-level ones in distinct values, which for
+    * dimension-like attributes is orders of magnitude smaller), block by
+    * `block` (a cheap deterministic key: last token, soundex, length
+    * band...), pair within blocks, keep `levenshtein <= maxDist`.
+    *
+    * Scale posture: candidate generation is a bucketed equi-join on the
+    * block key — cost follows block collisions like every candidate
+    * generator in this family, never all-pairs; the quadratic term is
+    * per-block and the blocker is the caller's recall/cost dial.
+    * Recall contract: only pairs agreeing on `block` are found (exactly
+    * the LSH-band trade stated by minhashLshPairs).
+    */
+  def fuzzyPairs(df: DataFrame, text: Column, block: Column,
+                 maxDist: Int): DataFrame = {
+    val vocab = df.select(text.as("name"), block.as("blk")).distinct()
+    val a = vocab.select(col("name").as("name_a"), col("blk"))
+    val b = vocab.select(col("name").as("name_b"), col("blk"))
+    a.join(b.hint("shuffle_hash"), Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

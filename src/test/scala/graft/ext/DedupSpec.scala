@@ -139,4 +139,27 @@ class DedupSpec extends SparkSpec {
       .collect().head
     assert(sim.getDouble(2) == 1.0)
   }
+
+  test("fuzzyPairs matches within blocks only, at the distance cap") {
+    val rows = Seq(
+      (1L, "blue ring"), (2L, "blue ring"),  // duplicate value: one vocab entry
+      (3L, "blu ring"),                       // dist 1 from "blue ring"
+      (4L, "cold ring"),                      // dist 4 from "blue", 3 from "blu"
+      (5L, "blue bolt"))                      // other block, never compared
+      .toDF("id", "name")
+    val out = Dedup.fuzzyPairs(rows, col("name"),
+      substring_index(col("name"), " ", -1), maxDist = 2)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // "cold ring" is above the cap from both; "blue bolt" shares no block
+    assert(out.toSeq == Seq(("blu ring", "blue ring", 1L)))
+  }
+
+  test("fuzzyPairs plan: candidate join is on the block key, no cartesian") {
+    val rows = Seq((1L, "a b")).toDF("id", "name")
+    val p = Dedup.fuzzyPairs(rows, col("name"),
+      substring_index(col("name"), " ", -1), 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
