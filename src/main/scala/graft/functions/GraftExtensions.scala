@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args =>
         if (args.size >= 2) ApproxDistinct(args(0), expectInt(args(1), "precision"))
         else ApproxDistinct(args(0)))
+    register(ext, "graft_freq_items",
+      "mergeable Misra-Gries heavy-hitters summary (capacity from optional arg 2)",
+      args =>
+        if (args.size >= 2) FreqItems(args(0), expectInt(args(1), "capacity"))
+        else FreqItems(args(0)))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

@@ -114,6 +114,160 @@ object ApproxDistinct {
   val Seed = 42L
 }
 
+/** Misra-Gries frequent-items ("heavy hitters") summary as a mergeable
+  * partial+final aggregate — the second entry in the custom-sketch family
+  * beside [[ApproxDistinct]].
+  *
+  * Why not exact per-value counts: finding the top domains / tokens /
+  * user-agents over 100 TB with `GROUP BY value` shuffles every distinct
+  * value; when only the heavy tail matters, a Misra-Gries summary of
+  * `capacity` counters per partial answers it with fixed memory and a
+  * proven bound. Guarantees (Misra-Gries 1982; merge per Agarwal et al.,
+  * "Mergeable Summaries", PODS 2012):
+  *  - every item with true frequency > n/(capacity+1) is in the summary;
+  *  - each reported counter c satisfies true - n/(capacity+1) <= c <= true
+  *    (counters are undercounts; n = total non-null rows).
+  * Both bounds survive arbitrary partitioning/merge order, which is what
+  * the property suite pins (counter VALUES may legitimately differ by
+  * split — only the bounds are the contract, so the output column is
+  * named `count_lo`).
+  *
+  * Output: array<struct<item string, count_lo bigint>> sorted by
+  * (count_lo desc, item asc) — deterministic given the same counter
+  * state. String-typed input (route other types through cast).
+  */
+case class FreqItems(
+    child: Expression,
+    capacity: Int = FreqItems.DefaultCapacity,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 1 && capacity <= 100000,
+    s"capacity must be in [1, 100000], got $capacity")
+
+  private type Buf = java.util.HashMap[String, Long]
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) addCount(buf, v.toString, 1L)
+    buf
+  }
+
+  private def addCount(buf: Buf, item: String, n: Long): Unit = {
+    val cur = buf.get(item)
+    if (cur != 0L || buf.containsKey(item)) buf.put(item, cur + n)
+    else if (buf.size < capacity) buf.put(item, n)
+    else {
+      // decrement all counters by the insert weight (capped at the
+      // smallest counter, iterated until the weight is absorbed or a
+      // slot frees) — classic MG generalized to weighted inserts
+      var remaining = n
+      while (remaining > 0 && buf.size >= capacity) {
+        var minC = Long.MaxValue
+        val it0 = buf.values().iterator()
+        while (it0.hasNext) minC = math.min(minC, it0.next())
+        val dec = math.min(remaining, minC)
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val nv = e.getValue - dec
+          if (nv <= 0L) it.remove() else e.setValue(nv)
+        }
+        remaining -= dec
+      }
+      if (remaining > 0) buf.put(item, remaining)
+    }
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    // add counters pairwise, then shrink back to `capacity` by
+    // subtracting the (capacity+1)-th largest count from everything
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, cur + e.getValue)
+    }
+    if (buf.size > capacity) {
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vit = buf.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(buf.size - capacity - 1) // (capacity+1)-th largest
+      val eit = buf.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        val nv = e.getValue - cut
+        if (nv <= 0L) eit.remove() else e.setValue(nv)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    import scala.jdk.CollectionConverters._
+    val rows = buf.asScala.toSeq
+      .sortBy { case (item, c) => (-c, item) }
+      .map { case (item, c) =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(item), c)
+      }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new Buf()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.put(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count_lo", LongType, nullable = false))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_freq_items"
+
+  override def withNewMutableAggBufferOffset(offset: Int): FreqItems =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): FreqItems =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): FreqItems =
+    copy(child = newChild)
+}
+
+object FreqItems {
+  val DefaultCapacity = 64
+}
+
 /** Column-API surface for the sketch aggregates. */
 object SketchFunctions {
 
@@ -125,4 +279,13 @@ object SketchFunctions {
                      precision: Int = ApproxDistinct.DefaultPrecision): Column =
     GraftBridge.column(
       ApproxDistinct(GraftBridge.expression(c), precision).toAggregateExpression())
+
+  /** Mergeable Misra-Gries heavy-hitters summary of `c` (see
+    * [[FreqItems]]): array of (item, count_lo) with every item of
+    * frequency > n/(capacity+1) guaranteed present.
+    */
+  def freqItems(c: Column,
+                capacity: Int = FreqItems.DefaultCapacity): Column =
+    GraftBridge.column(
+      FreqItems(GraftBridge.expression(c), capacity).toAggregateExpression())
 }

@@ -71,4 +71,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("graft_freq_items is SQL-callable and honors the capacity argument") {
+    withExtendedSession { spark =>
+      spark.sql(
+        "SELECT explode(array('x','x','x','y','y','z')) AS v")
+        .createOrReplaceTempView("freq_src")
+      val rows = spark.sql(
+        """SELECT e.item, e.count_lo
+          |FROM (SELECT explode(graft_freq_items(v, 8)) AS e FROM freq_src)
+          |ORDER BY e.count_lo DESC, e.item""".stripMargin).collect()
+      // capacity 8 > distinct values: counts are exact
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("x", 3L), ("y", 2L), ("z", 1L)))
+    }
+  }
 }

@@ -107,4 +107,67 @@ class SketchSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert("graft_approx_distinct".r.findAllIn(plan).size >= 2, plan)
   }
+
+  // ---------------------------------------------- Misra-Gries heavy hitters
+
+  import graft.functions.SketchFunctions.freqItems
+
+  /** Zipf-ish skewed corpus: item i appears ~N/i times, plus a long tail
+    * of singletons — the shape heavy-hitter sketches exist for.
+    */
+  private def skewed(parts: Int) = {
+    val heavy = (1 to 20).flatMap(i => Seq.fill(2000 / i)(s"item-$i"))
+    val tail = (1 to 3000).map(i => s"tail-$i")
+    spark.createDataset(heavy ++ tail).toDF("v").repartition(parts)
+  }
+
+  private def summary(parts: Int, capacity: Int): Map[String, Long] =
+    skewed(parts).agg(freqItems(col("v"), capacity).as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.item", "e.count_lo")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("every item with frequency > n/(capacity+1) is reported (property)") {
+    val exact = skewed(4).groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for (parts <- Seq(1, 4, 13); capacity <- Seq(8, 32, 64)) {
+      val hh = summary(parts, capacity)
+      val mustReport = exact.filter { case (_, c) => c > n / (capacity + 1) }
+      val missing = mustReport.keySet -- hh.keySet
+      assert(missing.isEmpty,
+        s"parts=$parts cap=$capacity missing guaranteed heavy hitters: $missing")
+    }
+  }
+
+  test("counters undercount by at most n/(capacity+1), never overcount") {
+    val exact = skewed(4).groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    for (parts <- Seq(1, 7); capacity <- Seq(16, 64)) {
+      summary(parts, capacity).foreach { case (item, lo) =>
+        val truth = exact(item)
+        assert(lo <= truth, s"$item overcounted: $lo > $truth")
+        assert(truth - lo <= n / (capacity + 1),
+          s"$item bound violated: $truth - $lo > ${n / (capacity + 1)}")
+      }
+    }
+  }
+
+  test("nulls are ignored; an unskewed stream stays within capacity") {
+    val df = Seq(Some("a"), None, Some("b"), Some("a"), None).toDF("v")
+    val hh = df.agg(freqItems(col("v"), 4).as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.item", "e.count_lo")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh("a") == 2L && hh("b") == 1L && !hh.contains(null))
+  }
+
+  test("freq sketch combines map-side like the HLL (object hash aggregate)") {
+    val plan = skewed(4).agg(freqItems(col("v")).as("hh"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("graft_freq_items".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  // SQL-callable registration is covered in GraftExtensionsSpec (it
+  // needs the cleared-session dance extensions binding requires).
 }
