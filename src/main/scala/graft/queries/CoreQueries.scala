@@ -660,6 +660,30 @@ object CoreQueries {
     Some("SELECT c_nationkey AS nationkey FROM customer " +
       "INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey"))
 
+  /** E2b multiset difference: EXCEPT ALL keeps multiplicity (a nation
+    * with 30 customers and 4 suppliers survives 26 times) — the
+    * reconciliation semantics "how many MORE rows does A have", which
+    * set-EXCEPT collapses to membership. Catalyst plans exceptAll as a
+    * counted anti-rewrite (aggregate + generate), one hash exchange —
+    * not a row-by-row loop.
+    */
+  private val qExceptAll = Q("q_except_all",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("SELECT c_nationkey AS nationkey FROM customer " +
+      "EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey"))
+
+  /** E3b multiset intersection: INTERSECT ALL keeps min-multiplicity per
+    * value — the overlap-volume semantics membership-INTERSECT drops.
+    */
+  private val qIntersectAll = Q("q_intersect_all",
+    (s, d) => t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey"),
+    Some("SELECT c_nationkey AS nationkey FROM customer " +
+      "INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nationkey"))
+
   // --------------------------------------------------------------- scalars
 
   /** F1/F4 prefix replace (import_dp1.py:83-90). */
@@ -773,6 +797,37 @@ object CoreQueries {
       "max(CASE WHEN rn = ceil(cnt * 0.5) THEN l_extendedprice END) AS p50, " +
       "max(CASE WHEN rn = ceil(cnt * 0.9) THEN l_extendedprice END) AS p90 " +
       "FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"))
+
+  /** F12 deterministic least-squares fit + Pearson r per group
+    * (graft.ops.Aggregates.linearFit): price-vs-quantity regression from
+    * EXACT integer moments (quantity units x whole dollars), so the
+    * estimates are bit-stable at any parallelism — unlike regr_slope /
+    * corr, whose running double covariances depend on partition merge
+    * order. One hash aggregate; the closed forms evaluate once per group.
+    */
+  private val qRegrFit = Q("q_regr_fit",
+    (s, d) => Aggregates.linearFit(
+      t(s, d, "lineitem"),
+      groupKeys = Seq(col("l_returnflag")),
+      x = col("l_quantity"),
+      y = floor(col("l_extendedprice")))
+      .orderBy("l_returnflag"),
+    Some("WITH m AS (SELECT l_returnflag, count(*) AS n, " +
+      "sum(CAST(l_quantity AS BIGINT)) AS sx, " +
+      "sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sy, " +
+      "sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx, " +
+      "sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS sxy, " +
+      "sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS syy " +
+      "FROM lineitem GROUP BY 1), " +
+      "md AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd, " +
+      "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+      "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, " +
+      "CAST(syy AS DOUBLE) AS syyd FROM m) " +
+      "SELECT l_returnflag, n, " +
+      "round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) AS slope, " +
+      "round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd, 4) AS intercept, " +
+      "round((nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 4) AS r " +
+      "FROM md ORDER BY l_returnflag"))
 
   /** F11 array function: dot product vs a query vector, via built-in
     * zip_with + aggregate (no UDF, stays in codegen).
@@ -957,6 +1012,40 @@ object CoreQueries {
       "FROM c LEFT JOIN cand ON c.event_id = cand.ce AND cand.rn = 1 " +
       "ORDER BY c.event_id"))
 
+  /** Time-series resample: daily purchase series per user regularized
+    * onto a dense per-key date spine with forward-filled spend
+    * (graft.ops.Temporal.resampleDailyFfill). The spine is sequence() +
+    * explode over per-key bounds — generated distributed, never on the
+    * driver — and spine/observed/carry all share the (user, day) order:
+    * one aggregate exchange, one join, one window sort.
+    */
+  private val qResampleFfill = Q("q_resample_ffill",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_buys"),
+          Scalars.sumCents(col("value")).as("spend_cents"))
+      Temporal.resampleDailyFfill(daily, Seq("user_id"), "day",
+        fill = Seq("spend_cents"))
+        .orderBy("user_id", "day")
+    },
+    Some("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+      "count(*) AS n_buys, " +
+      "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+      "bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1), " +
+      "spine AS (SELECT user_id, CAST(unnest(generate_series(" +
+      "CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day " +
+      "FROM bounds), " +
+      "j AS (SELECT s.user_id, s.day, d.n_buys, d.spend_cents, " +
+      "d.user_id IS NULL AS is_gap " +
+      "FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day) " +
+      "SELECT user_id, day, n_buys, " +
+      "last_value(spend_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_cents, is_gap " +
+      "FROM j ORDER BY user_id, day"))
+
   /** CDC merge (MERGE INTO semantics): orders replayed as a changelog
     * over customer — latest order per customer wins; status P deletes,
     * anything else patches the account balance (graft.ops.Cdc).
@@ -980,6 +1069,71 @@ object CoreQueries {
       "COALESCE(o_totalprice, c_acctbal) AS acctbal " +
       "FROM customer FULL OUTER JOIN latest ON c_custkey = o_custkey " +
       "WHERE chg_op IS NULL OR chg_op <> 'D' ORDER BY c_custkey"))
+
+  /** SCD Type 2 history build: the event feed replayed as tier changes
+    * per user — consecutive same-tier events collapse, each transition
+    * opens a version with valid_from/valid_to/is_current
+    * (graft.ops.Cdc.scdType2). Both the collapse lag and the versioning
+    * lead share one (user, ts) window spec: ONE hash exchange, one sort.
+    */
+  private val qScd2 = Q("q_scd2",
+    (s, d) => {
+      val changes = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "refund", "signup"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("tier"))
+      Cdc.scdType2(changes, Seq("user_id"), "ts",
+        order = Seq("ts", "event_id"), tracked = Seq("tier"))
+        .select(col("user_id"), col("event_id"), col("tier"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+    Some("WITH src AS (SELECT user_id, ts, event_id, event_type AS tier " +
+      "FROM events WHERE event_type IN ('purchase', 'refund', 'signup')), " +
+      "collapsed AS (SELECT user_id, ts, event_id, tier FROM (" +
+      "SELECT src.*, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier " +
+      "FROM src) WHERE prev_tier IS NULL OR prev_tier IS DISTINCT FROM tier) " +
+      "SELECT user_id, event_id, tier, ts AS valid_from, " +
+      "lead(ts) OVER w AS valid_to, " +
+      "lead(ts) OVER w IS NULL AS is_current " +
+      "FROM collapsed WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+      "ORDER BY user_id, valid_from, event_id"))
+
+  /** Keyed snapshot diff (graft.ops.Cdc.snapshotDiff): two order-book
+    * snapshots derived from the same table by deterministic key rules —
+    * emits I/D/U rows with old_/new_ payload pairs via ONE
+    * key-partitioned full-outer join and a null-safe change predicate.
+    * Money compared as integer cents so "changed" is exact.
+    */
+  private val qTableDiff = Q("q_table_diff",
+    (s, d) => {
+      val base = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        Scalars.moneyCents(col("o_totalprice")).as("price_cents"))
+      val older = base.filter(col("o_orderkey") % 7 =!= 0)
+      val newer = base.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price_cents",
+          when(col("o_orderkey") % 3 === 0, col("price_cents") + 100)
+            .otherwise(col("price_cents")))
+      Cdc.snapshotDiff(older, newer, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    },
+    Some("WITH base AS (SELECT o_orderkey, o_orderstatus, " +
+      "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents FROM orders), " +
+      "o AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0), " +
+      "n AS (SELECT o_orderkey, o_orderstatus, " +
+      "CASE WHEN o_orderkey % 3 = 0 THEN price_cents + 100 ELSE price_cents END AS price_cents " +
+      "FROM base WHERE o_orderkey % 5 <> 0) " +
+      "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+      "CASE WHEN o.o_orderkey IS NULL THEN 'I' " +
+      "WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS change_type, " +
+      "o.o_orderstatus AS old_o_orderstatus, o.price_cents AS old_price_cents, " +
+      "n.o_orderstatus AS new_o_orderstatus, n.price_cents AS new_price_cents " +
+      "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey " +
+      "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL " +
+      "OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus " +
+      "OR o.price_cents IS DISTINCT FROM n.price_cents " +
+      "ORDER BY o_orderkey"))
 
   /** A8 pivot (long -> wide conditional aggregation). Spark's
     * RelationalGroupedDataset.pivot with explicit values — no extra
@@ -1051,10 +1205,13 @@ object CoreQueries {
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
     qWindowRangeTs, qWindowDist,
     qSort, qSortMulti, qTopk,
-    qUnion, qExcept, qIntersect,
+    qUnion, qExcept, qIntersect, qExceptAll, qIntersectAll,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
-    qDateTrunc, qMathExpr, qPercentileDisc, qArrayDot, qJsonExtract, qExplodeTokens,
+    qDateTrunc, qMathExpr, qPercentileDisc, qRegrFit, qArrayDot, qJsonExtract,
+    qExplodeTokens,
     qWindowTumbling, qWindowSliding, qWindowSession,
-    qAsofJoin, qAsofForward, qAsofNearest, qMergeUpsert, qPivot, qUnpivot,
+    qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill,
+    qMergeUpsert, qScd2, qTableDiff,
+    qPivot, qUnpivot,
     qHistogram)
 }

@@ -804,6 +804,26 @@ object ExtQueries {
     * groupBy(token) reuses the window's token partitioning, so the
     * whole query is one scan + two exchanges and no row-level join.
     */
+  /** [EXT] L25 edit-distance fuzzy vocabulary match
+    * (graft.ext.Dedup.fuzzyPairs): the entity-resolution primitive —
+    * distinct the attribute, block by its last token, pair within
+    * blocks, keep levenshtein <= 4. Both engines implement classic
+    * Levenshtein, so the distances are oracle-comparable.
+    */
+  private val qFuzzyPairs = Q("q_fuzzy_pairs",
+    (s, d) => Dedup.fuzzyPairs(t(s, d, "part"),
+      text = col("p_name"),
+      block = substring_index(col("p_name"), " ", -1),
+      maxDist = 4)
+      .orderBy("name_a", "name_b"),
+    Some("WITH names AS (SELECT DISTINCT p_name AS name, " +
+      "split_part(p_name, ' ', -1) AS blk FROM part) " +
+      "SELECT a.name AS name_a, b.name AS name_b, " +
+      "CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist " +
+      "FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name " +
+      "WHERE levenshtein(a.name, b.name) <= 4 " +
+      "ORDER BY name_a, name_b"))
+
   private val qInvertedIndex = Q("q_inverted_index",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -840,5 +860,5 @@ object ExtQueries {
     qSampleStratified, qPackSequences, qPipelineCorpus,
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
-    qNormalizeNfc, qDomainCap, qInvertedIndex)
+    qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs)
 }
