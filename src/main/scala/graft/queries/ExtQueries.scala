@@ -804,7 +804,7 @@ object ExtQueries {
     * groupBy(token) reuses the window's token partitioning, so the
     * whole query is one scan + two exchanges and no row-level join.
     */
-  /** [EXT] L25 edit-distance fuzzy vocabulary match
+  /** [EXT] L26 edit-distance fuzzy vocabulary match
     * (graft.ext.Dedup.fuzzyPairs): the entity-resolution primitive —
     * distinct the attribute, block by its last token, pair within
     * blocks, keep levenshtein <= 4. Both engines implement classic
