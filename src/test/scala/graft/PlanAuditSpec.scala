@@ -225,4 +225,44 @@ class PlanAuditSpec extends SparkSpec {
     // a per-set rescan would show one parquet scan of customer per set
     assert("Scan parquet".r.findAllIn(p).size == 3, p)
   }
+
+  test("q_scd2: collapse + versioning share one exchange, no join") {
+    val p = planOf("q_scd2")
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_table_diff: ONE key-partitioned join, neither snapshot collected") {
+    val p = planOf("q_table_diff")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q_resample_ffill: spine is generated distributed, carry shares the key sort") {
+    val p = planOf("q_resample_ffill")
+    assert(p.contains("Generate"), p) // explode(sequence(...)) — never a driver calendar
+    assert(p.contains("Window"), p)
+  }
+
+  test("q_regr_fit: one hash aggregate over integer moments, no window/join") {
+    val p = planOf("q_regr_fit")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // moments combine map-side: partial + final modes around one exchange
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_except_all / q_intersect_all: counted-aggregate rewrite, no row-by-row anti join") {
+    val pe = planOf("q_except_all")
+    assert(pe.contains("Generate"), pe) // replicate_rows over the count delta
+    assert(!pe.contains("CartesianProduct"), pe)
+    val pi = planOf("q_intersect_all")
+    assert(pi.contains("Generate"), pi)
+  }
+
+  test("q_fuzzy_pairs: vocabulary distinct precedes a block equi-join, no cartesian") {
+    val p = planOf("q_fuzzy_pairs")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
