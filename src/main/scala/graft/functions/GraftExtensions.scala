@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args =>
         if (args.size >= 2) FreqItems(args(0), expectInt(args(1), "capacity"))
         else FreqItems(args(0)))
+    register(ext, "graft_zorder",
+      "Morton z-order interleave of 2 or 3 normalized BIGINT dimensions",
+      args => args match {
+        case Seq(a, b) => ZOrder2(a, b)
+        case Seq(a, b, c) => ZOrder3(a, b, c)
+        case other => throw new IllegalArgumentException(
+          s"graft_zorder takes 2 or 3 dimensions, got ${other.size}")
+      })
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
