@@ -150,6 +150,50 @@ object Temporal {
     }
   }
 
+  /** Regularize like [[resampleDailyFfill]] but LINEARLY INTERPOLATE one
+    * numeric column across gaps instead of carrying the last value:
+    * `interp = prev + (next - prev) * (day - prevDay)/(nextDay - prevDay)`,
+    * the standard resampling for continuous measures (prices, sensor
+    * readings) where a step function would bias downstream windows.
+    * Observed days keep their exact value; leading/trailing gap days
+    * (no observation on one side) stay null — interpolation never
+    * extrapolates.
+    *
+    * Determinism: with `valueCol` integer-valued (fixed-point upstream,
+    * e.g. cents) and day distances integral, the interpolation is one
+    * double expression over exact integers — bit-stable at any
+    * parallelism, and reproducible in any engine that evaluates the
+    * same formula (the DuckDB oracle does exactly that). Output rounded
+    * to 4 decimals per the §7.5 float contract.
+    *
+    * Scale posture: identical to resampleDailyFfill — the backward and
+    * forward carries are two frames over the SAME (keys, date) sort, so
+    * the whole operator stays one aggregate exchange, one join, one
+    * window sort.
+    */
+  def resampleDailyInterp(observed: DataFrame, keys: Seq[String],
+                          dateCol: String, valueCol: String,
+                          as: String = "interp",
+                          gapCol: String = "is_gap"): DataFrame = {
+    val filledMark = resampleDailyFfill(observed, keys, dateCol, fill = Nil,
+      gapCol = gapCol)
+    val keyCols = keys.map(col)
+    val day = unix_date(col(dateCol)).cast("double")
+    val obsDay = when(!col(gapCol), unix_date(col(dateCol)))
+    val obsVal = when(!col(gapCol), col(valueCol))
+    val wB = Window.partitionBy(keyCols: _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keyCols: _*).orderBy(col(dateCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pd = last(obsDay, ignoreNulls = true).over(wB).cast("double")
+    val pv = last(obsVal, ignoreNulls = true).over(wB).cast("double")
+    val nd = first(obsDay, ignoreNulls = true).over(wF).cast("double")
+    val nv = first(obsVal, ignoreNulls = true).over(wF).cast("double")
+    filledMark.withColumn(as,
+      when(!col(gapCol), round(col(valueCol).cast("double"), 4))
+        .otherwise(round(pv + (nv - pv) * (day - pd) / (nd - pd), 4)))
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        inner: Boolean, backward: Boolean): DataFrame = {

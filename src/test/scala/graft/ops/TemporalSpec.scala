@@ -181,6 +181,24 @@ class TemporalSpec extends SparkSpec {
     // each key spans only its own [min, max] — no cross-key calendar
   }
 
+  test("resampleDailyInterp draws the straight line through gaps") {
+    val obs = Seq(
+      ("a", "2024-01-01", 100L),
+      ("a", "2024-01-04", 400L),  // 2-day gap: expect 200, 300
+      ("a", "2024-01-05", 0L))    // downward segment next
+      .toDF("k", "day", "v")
+      .withColumn("day", to_date(col("day")))
+    val out = Temporal.resampleDailyInterp(obs, Seq("k"), "day", "v")
+      .orderBy("day").select("day", "is_gap", "interp").collect()
+      .map(r => (r.getDate(0).toString, r.getBoolean(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", false, 100.0),
+      ("2024-01-02", true, 200.0),
+      ("2024-01-03", true, 300.0),
+      ("2024-01-04", false, 400.0),
+      ("2024-01-05", false, 0.0)))
+  }
+
   test("resampleDailyFfill plan: spine is generated, not collected") {
     val obs = Seq(("a", "2024-01-01", 1L)).toDF("k", "day", "v")
       .withColumn("day", to_date(col("day")))
