@@ -44,6 +44,20 @@ object Sampling {
     df.filter(baseHash(key.cast("string")) % 10000 < cutoff)
   }
 
+  /** Per-row weighted (Poisson) sampling: keep a row iff
+    * hash(key) mod 10000 < min(10000, weightBps) — each row's inclusion
+    * probability is its own weight in basis points, the importance-
+    * sampling primitive (keep high-quality/long documents at full rate,
+    * downsample boilerplate proportionally). Same determinism contract
+    * as [[hashSample]]: fate depends only on the key, so re-runs and
+    * engine changes keep the same rows, and raising a row's weight can
+    * only ever ADD it (monotone — incremental refresh safe). Pure
+    * per-row filter: zero shuffle, pushes below later ops.
+    */
+  def weightedHashSample(df: DataFrame, key: Column, weightBps: Column): DataFrame =
+    df.filter(baseHash(key.cast("string")) % 10000 <
+      least(lit(10000L), weightBps.cast("long")))
+
   /** Concat-and-split sequence packing: documents are laid end-to-end
     * in deterministic (shard, id) order and cut into `contextLen`-token
     * windows; each doc is labeled with the pack (window index) where
