@@ -1046,6 +1046,54 @@ object CoreQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_cents, is_gap " +
       "FROM j ORDER BY user_id, day"))
 
+  /** Time-series resample with LINEAR INTERPOLATION across gaps
+    * (graft.ops.Temporal.resampleDailyInterp): the continuous-measure
+    * variant of q_resample_ffill. The backward and forward neighbor
+    * carries are two frames over the SAME (user, day) sort — still one
+    * aggregate exchange, one join, one window sort. Integer cents in,
+    * one shared double formula out (bit-stable; oracle evaluates the
+    * identical expression).
+    */
+  private val qResampleInterp = Q("q_resample_interp",
+    (s, d) => {
+      val daily = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Scalars.sumCents(col("value")).as("spend_cents"))
+      Temporal.resampleDailyInterp(daily, Seq("user_id"), "day",
+        valueCol = "spend_cents")
+        .select("user_id", "day", "is_gap", "interp")
+        .orderBy("user_id", "day")
+    },
+    Some("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+      "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+      "bounds AS (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1), " +
+      "spine AS (SELECT user_id, CAST(unnest(generate_series(" +
+      "CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day " +
+      "FROM bounds), " +
+      "j AS (SELECT s.user_id, s.day, d.spend_cents, " +
+      "d.user_id IS NULL AS is_gap FROM spine s " +
+      "LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day), " +
+      "c AS (SELECT user_id, day, spend_cents, is_gap, " +
+      "CAST(day - DATE '1970-01-01' AS DOUBLE) AS dd, " +
+      "CAST(last_value(CASE WHEN NOT is_gap THEN day - DATE '1970-01-01' END IGNORE NULLS) " +
+      "OVER wb AS DOUBLE) AS pd, " +
+      "CAST(last_value(CASE WHEN NOT is_gap THEN spend_cents END IGNORE NULLS) " +
+      "OVER wb AS DOUBLE) AS pv, " +
+      "CAST(first_value(CASE WHEN NOT is_gap THEN day - DATE '1970-01-01' END IGNORE NULLS) " +
+      "OVER wf AS DOUBLE) AS nd, " +
+      "CAST(first_value(CASE WHEN NOT is_gap THEN spend_cents END IGNORE NULLS) " +
+      "OVER wf AS DOUBLE) AS nv " +
+      "FROM j WINDOW wb AS (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wf AS (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+      "SELECT user_id, day, is_gap, " +
+      "CASE WHEN NOT is_gap THEN round(CAST(spend_cents AS DOUBLE), 4) " +
+      "ELSE round(pv + (nv - pv) * (dd - pd) / (nd - pd), 4) END AS interp " +
+      "FROM c ORDER BY user_id, day"))
+
   /** CDC merge (MERGE INTO semantics): orders replayed as a changelog
     * over customer — latest order per customer wins; status P deletes,
     * anything else patches the account balance (graft.ops.Cdc).
@@ -1192,6 +1240,31 @@ object CoreQueries {
       "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
       "FROM orders GROUP BY 1 ORDER BY bucket"))
 
+  /** A10b equi-depth histogram: ntile(10) over a TOTAL value ordering
+    * (price, then orderkey — §7.5 determinism at bucket boundaries)
+    * gives same-count buckets whose [lo, hi] bounds ARE the decile
+    * boundaries — the profile primitive for skew-aware partitioning
+    * decisions, complementing q_histogram's fixed-width buckets. One
+    * global sort (it is an order statistic) + one hash aggregate.
+    */
+  private val qHistogramEq = Q("q_histogram_eq",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        Scalars.sumCents(col("o_totalprice")).as("total_cents"))
+      .orderBy("decile"),
+    Some("WITH t AS (SELECT o_totalprice, " +
+      "ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile FROM orders) " +
+      "SELECT decile, count(*) AS n, min(o_totalprice) AS lo, " +
+      "max(o_totalprice) AS hi, " +
+      "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
+      "FROM t GROUP BY decile ORDER BY decile"))
+
   // ---------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(
@@ -1210,8 +1283,8 @@ object CoreQueries {
     qDateTrunc, qMathExpr, qPercentileDisc, qRegrFit, qArrayDot, qJsonExtract,
     qExplodeTokens,
     qWindowTumbling, qWindowSliding, qWindowSession,
-    qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill,
+    qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill, qResampleInterp,
     qMergeUpsert, qScd2, qTableDiff,
     qPivot, qUnpivot,
-    qHistogram)
+    qHistogram, qHistogramEq)
 }

@@ -261,6 +261,23 @@ object ExtQueries {
       "(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000 ELSE 10000 END) " +
       "ORDER BY doc_id"))
 
+  /** [EXT] L15b weighted (importance) sampling: inclusion probability
+    * proportional to document length — keep iff hash(doc_id) % 10000 <
+    * min(10000, n_chars * 25) (graft.ext.Sampling.weightedHashSample).
+    * The x25 scale makes the fixture exercise BOTH regimes: short docs
+    * sample proportionally, docs >= 400 chars hit the min() cap and
+    * keep with certainty. Deterministic, monotone in the weight, zero
+    * shuffle.
+    */
+  private val qSampleWeighted = Q("q_sample_weighted",
+    (s, d) => Sampling.weightedHashSample(
+      t(s, d, "documents"), col("doc_id"),
+      col("n_chars") * lit(25L))
+      .select("doc_id", "n_chars").orderBy("doc_id"),
+    Some("SELECT doc_id, n_chars FROM documents WHERE " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") + " % 10000 < " +
+      "least(10000, n_chars * 25) ORDER BY doc_id"))
+
   /** Concat-and-split sequence packing into 512-token windows over 8
     * hash shards: each doc gets the pack index + token offset where it
     * lands. Oracle replicates the per-shard running-sum window.
@@ -857,7 +874,7 @@ object ExtQueries {
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qAnnIvfProbe,
     qLangId, qQualityScore, qTokenCount, qFingerprint, qTfidf,
-    qSampleStratified, qPackSequences, qPipelineCorpus,
+    qSampleStratified, qSampleWeighted, qPackSequences, qPipelineCorpus,
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
     qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs)
