@@ -265,4 +265,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("q_resample_interp: both neighbor carries share one (key, day) window sort") {
+    val p = planOf("q_resample_interp")
+    assert(p.contains("Generate"), p) // distributed spine
+    // backward + forward frames must not multiply exchanges on user_id
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_sample_weighted: pure per-row filter, no shuffle before the final sort") {
+    val p = planOf("q_sample_weighted")
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("q_histogram_eq: decile ranking feeds a reused-partitioning aggregate") {
+    val p = planOf("q_histogram_eq")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  /** Runtime bloom-filter join pruning: when a selective dim filter
+    * feeds a join, Spark can inject a bloom filter built on the dim
+    * side into the fact-side SCAN, skipping rows before the shuffle —
+    * at 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling the matching fraction. Thresholds are tuned
+    * down here because the test tables are tiny; the audit proves the
+    * engine's query shapes are ELIGIBLE for injection (equi-join +
+    * selective creation side), which is what holds at real scale.
+    */
+  test("runtime bloom-filter pruning injects on a selective dim-filter join") {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join shape
+    try {
+      val orders = Tables.load(spark, d, "orders")
+      val li = Tables.load(spark, d, "lineitem")
+      val q = li.join(orders.filter(col("o_orderstatus") === "P"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"), p)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
