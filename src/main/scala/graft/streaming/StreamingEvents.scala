@@ -421,3 +421,72 @@ object TwsCdc {
         TimeMode.None(), OutputMode.Update())
   }
 }
+
+/** Incremental SCD Type 2 on `transformWithState` — the streaming twin
+  * of [[graft.ops.Cdc.scdType2]]. State per key is ONE row: the open
+  * version (tracked attribute + its valid_from). A change that keeps
+  * the attribute is collapsed (no-op, exactly the batch collapse); a
+  * transition CLOSES the previous version — emitted downstream with its
+  * now-known valid_to — and swaps the open-version state. Emissions are
+  * append-only closed versions: the history table grows by appends, the
+  * open row per key lives in state (or is recovered as "every key's
+  * last emission + state" on demand), so a 100 TB history is never
+  * rewritten — versus the batch rebuild, which re-windows the full feed.
+  *
+  * Delivery contract: per-key timestamps arrive non-decreasing ACROSS
+  * batches (within a micro-batch any order is fine — rows are sorted
+  * before folding); a replayed (at-least-once) delivery of the current
+  * open change is attribute-equal and collapses to a no-op; a ts older
+  * than the open version is DROPPED (late data past the version
+  * boundary cannot retro-split an emitted version — route such feeds
+  * through the batch rebuild instead).
+  */
+object TwsScd2 {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  case class Change(id: Long, ts: Long, tier: String)
+  case class ClosedVersion(id: Long, tier: String, valid_from: Long,
+                           valid_to: Long)
+
+  class Scd2Processor extends StatefulProcessor[Long, Change, ClosedVersion] {
+    @transient private var open: ValueState[Change] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Change]("open",
+        Encoders.product[Change], TTLConfig.NONE)
+
+    override def handleInputRows(id: Long, rows: Iterator[Change],
+        timerValues: TimerValues): Iterator[ClosedVersion] = {
+      var cur = if (open.exists()) Some(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
+      rows.toSeq.sortBy(_.ts).foreach { c =>
+        cur match {
+          case None => cur = Some(c)
+          case Some(o) if c.ts < o.ts => () // late past the boundary: drop
+          case Some(o) if o.tier == c.tier => () // no-op change / replay
+          case Some(o) =>
+            out += ClosedVersion(id, o.tier, o.ts, c.ts)
+            cur = Some(c)
+        }
+      }
+      cur.foreach(open.update)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(id: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedVersion] = Iterator.empty
+  }
+
+  /** Incremental version-history build over a change stream; requires
+    * the RocksDB state store provider on the session.
+    */
+  def closedVersions(changes: Dataset[Change]): Dataset[ClosedVersion] = {
+    implicit val oe: org.apache.spark.sql.Encoder[ClosedVersion] =
+      Encoders.product[ClosedVersion]
+    changes.groupByKey(_.id)(Encoders.scalaLong)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -482,4 +482,52 @@ class StreamingEventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState SCD2 closes the batch-built versions incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ce: org.apache.spark.sql.Encoder[TwsScd2.Change] =
+      org.apache.spark.sql.Encoders.product[TwsScd2.Change]
+    import TwsScd2.Change
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the CdcSpec SCD2 feed: id 1 goes a->b->b->a, id 2 stays x
+      val feed = Seq(
+        Change(1L, 10L, "a"), Change(1L, 20L, "b"), Change(1L, 30L, "b"),
+        Change(1L, 40L, "a"), Change(2L, 10L, "x"), Change(2L, 50L, "x"))
+      val input = MemoryStream[Change]
+      val q = TwsScd2.closedVersions(input.toDS())
+        .writeStream.format("memory").queryName("tws_scd2")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // batch 1 unordered within the micro-batch; batch 2 advances;
+        // batch 3 replays the open change (at-least-once) — no-op
+        input.addData(feed(1), feed(0), feed(4))
+        q.processAllAvailable()
+        input.addData(feed(2), feed(3), feed(5))
+        q.processAllAvailable()
+        input.addData(feed(3))
+        q.processAllAvailable()
+        val streamed = spark.table("tws_scd2")
+          .as[TwsScd2.ClosedVersion].collect()
+          .map(v => (v.id, v.tier, v.valid_from, v.valid_to)).toSet
+        val batch = graft.ops.Cdc.scdType2(
+          feed.toDF("id", "ts", "tier").withColumn("seq", col("ts")),
+          Seq("id"), "ts", order = Seq("ts", "seq"), tracked = Seq("tier"))
+          .filter(!col("is_current"))
+          .select("id", "tier", "valid_from", "valid_to")
+          .as[(Long, String, Long, Long)].collect().toSet
+        assert(streamed == batch, s"streamed=$streamed batch=$batch")
+        // open versions live in state, not emissions: id 2 never closed
+        assert(!streamed.exists(_._1 == 2L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
