@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args =>
         if (args.size >= 2) FreqItems(args(0), expectInt(args(1), "capacity"))
         else FreqItems(args(0)))
+    register(ext, "graft_approx_quantiles",
+      "mergeable log-histogram quantile estimates (probs as array literal arg 2)",
+      args => ApproxQuantiles(args(0), expectDoubleArray(args(1), "probs")))
     register(ext, "graft_zorder",
       "Morton z-order interleave of 2 or 3 normalized BIGINT dimensions",
       args => args match {
@@ -73,5 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       lit.value.toString.toInt
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  private def expectDoubleArray(e: Expression, what: String): Seq[Double] = e match {
+    case arr: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      arr.children.map {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          lit.value.toString.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$what must be an array of numeric literals, got element $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array literal, got $other")
   }
 }

@@ -268,6 +268,146 @@ object FreqItems {
   val DefaultCapacity = 64
 }
 
+/** Mergeable quantile sketch on an exponential (HDR-histogram-style)
+  * bucket grid — the third entry in the custom-sketch family beside
+  * [[ApproxDistinct]] and [[FreqItems]].
+  *
+  * Why not exact percentiles: an exact per-group quantile sorts (or
+  * rank-walks) every value — at 100 TB that is a full shuffle of the
+  * measure column per group. This sketch is a fixed vector of bucket
+  * counts per group: partials merge by vector ADD (associative,
+  * order-insensitive — map-side combine is total), and the shuffle
+  * carries a few KiB per group regardless of input size.
+  *
+  * Grid: non-negative longs; values < 2^subBits go to exact unit
+  * buckets, larger values to sub/2 log-linear subbuckets per octave
+  * (the HdrHistogram layout, ~30 KiB per group at the default). Each
+  * log bucket spans a relative width <= 2/sub, so a reported quantile
+  * VALUE is within a factor (1 + 2/sub) (~1.6% at the default
+  * subBits=7) of a value whose rank brackets the requested quantile —
+  * a relative-error-on-value bound, deterministic for a given input
+  * multiset (no RNG, no order dependence; the property suite pins both
+  * bounds across partitionings). Negative inputs are rejected (shift
+  * upstream); nulls are ignored like every aggregate.
+  *
+  * Query: returns array<double> of the estimated quantile values (each
+  * bucket reports its upper edge, clamped to the observed max) for the
+  * requested probabilities.
+  */
+case class ApproxQuantiles(
+    child: Expression,
+    probs: Seq[Double],
+    subBits: Int = ApproxQuantiles.DefaultSubBits,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    s"probabilities must lie in [0, 1], got $probs")
+  require(subBits >= 2 && subBits <= 12,
+    s"subBits must be in [2, 12], got $subBits")
+
+  private val sub = 1 << subBits           // subbuckets per octave
+  // octaves: values up to 2^63-1 -> (64 - subBits) log segments + the
+  // exact unit segment; layout: [0, sub) unit buckets, then per octave
+  // o >= subBits: sub/2 buckets of width 2^(o - subBits + 1)
+  private val nBuckets = sub + (63 - subBits + 1) * (sub / 2)
+  // trailing slots: [nBuckets] = total count, [nBuckets+1] = observed max
+  private val bufLen = nBuckets + 2
+
+  private def bucketOf(v: Long): Int =
+    if (v < sub) v.toInt
+    else {
+      val octave = 63 - java.lang.Long.numberOfLeadingZeros(v) // >= subBits
+      val width = octave - subBits + 1
+      val offsetInOctave = ((v >>> width) - (sub / 2)).toInt
+      sub + (octave - subBits) * (sub / 2) + offsetInOctave
+    }
+
+  /** Upper edge of bucket i (its largest representable value). */
+  private def bucketHigh(i: Int): Long =
+    if (i < sub) i.toLong
+    else {
+      val octave = subBits + (i - sub) / (sub / 2)
+      val width = octave - subBits + 1
+      val offsetInOctave = (i - sub) % (sub / 2)
+      (((sub / 2) + offsetInOctave + 1L) << width) - 1
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      if (x < 0) throw new IllegalArgumentException(
+        s"graft_approx_quantiles: negative input $x (shift upstream)")
+      buf(bucketOf(x)) += 1
+      buf(nBuckets) += 1
+      if (x > buf(nBuckets + 1)) buf(nBuckets + 1) = x
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i <= nBuckets) { buf(i) += other(i); i += 1 }
+    if (other(nBuckets + 1) > buf(nBuckets + 1))
+      buf(nBuckets + 1) = other(nBuckets + 1)
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val total = buf(nBuckets)
+    if (total == 0) return null
+    val mx = buf(nBuckets + 1)
+    val out = new Array[Any](probs.size)
+    var pi = 0
+    while (pi < probs.size) {
+      // rank of the p-quantile under the nearest-rank definition
+      val target = math.max(1L, math.ceil(probs(pi) * total).toLong)
+      var acc = 0L
+      var i = 0
+      var found = -1
+      while (i < nBuckets && found < 0) {
+        acc += buf(i)
+        if (acc >= target) found = i
+        i += 1
+      }
+      out(pi) = math.min(bucketHigh(found).toDouble, mx.toDouble)
+      pi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bufLen * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bufLen)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_approx_quantiles"
+
+  override def withNewMutableAggBufferOffset(offset: Int): ApproxQuantiles =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ApproxQuantiles =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): ApproxQuantiles =
+    copy(child = newChild)
+}
+
+object ApproxQuantiles {
+  val DefaultSubBits = 7 // 128 subbuckets -> ~1.6% relative value error
+}
+
 /** Column-API surface for the sketch aggregates. */
 object SketchFunctions {
 
@@ -288,4 +428,14 @@ object SketchFunctions {
                 capacity: Int = FreqItems.DefaultCapacity): Column =
     GraftBridge.column(
       FreqItems(GraftBridge.expression(c), capacity).toAggregateExpression())
+
+  /** Mergeable log-histogram quantile estimates of non-negative long
+    * `c` at `probs` (see [[ApproxQuantiles]]): array<double> within
+    * ~1.6% relative value error at the default grid.
+    */
+  def approxQuantiles(c: Column, probs: Seq[Double],
+                      subBits: Int = ApproxQuantiles.DefaultSubBits): Column =
+    GraftBridge.column(
+      ApproxQuantiles(GraftBridge.expression(c), probs, subBits)
+        .toAggregateExpression())
 }

@@ -86,4 +86,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         Seq(("x", 3L), ("y", 2L), ("z", 1L)))
     }
   }
+
+  test("graft_approx_quantiles is SQL-callable with an array-literal probs arg") {
+    withExtendedSession { spark =>
+      spark.range(100).createOrReplaceTempView("q_src")
+      val qs = spark.sql(
+        "SELECT graft_approx_quantiles(id, array(0.5, 1.0)) FROM q_src")
+        .collect().head.getSeq[Double](0)
+      // unit-bucket regime: exact nearest-rank quantiles of 0..99
+      assert(qs == Seq(49.0, 99.0))
+    }
+  }
 }

@@ -168,6 +168,66 @@ class SketchSpec extends SparkSpec {
     assert("graft_freq_items".r.findAllIn(plan).size >= 2, plan)
   }
 
+  // ------------------------------------------- log-histogram quantiles
+
+  import graft.functions.SketchFunctions.approxQuantiles
+
+  /** Distributions with different shapes — uniform, heavy-tailed
+    * (quadratic), clustered — the estimate must stay within the grid's
+    * relative-value bound on all of them (exact baseline via
+    * approxQuantile at relativeError = 0).
+    */
+  test("quantile estimates within the grid bound across distributions") {
+    val n = 20000L
+    val cases: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("uniform", col("id")),
+      ("heavy-tail", col("id") * col("id") / lit(100)),
+      ("clustered", (col("id") % 5) * lit(1000000L) + col("id") % 97))
+    for ((name, expr) <- cases) {
+      val df = spark.range(n).select(expr.cast("long").as("v"))
+      val probs = Seq(0.1, 0.5, 0.9, 0.99)
+      val est = df.agg(approxQuantiles(col("v"), probs).as("qs"))
+        .collect().head.getSeq[Double](0)
+      val exact = df.stat.approxQuantile("v", probs.toArray, 0.0)
+      probs.indices.foreach { i =>
+        val e = est(i); val x = exact(i)
+        assert(math.abs(e - x) <= math.max(1.0, 0.02 * math.abs(x)),
+          s"$name p=${probs(i)} est=$e exact=$x")
+      }
+    }
+  }
+
+  test("quantile sketch is partition-order independent (exact count merge)") {
+    val mk = (parts: Int) => spark.range(30000)
+      .select(((col("id") * 37) % 9973).cast("long").as("v"))
+      .repartition(parts)
+      .agg(approxQuantiles(col("v"), Seq(0.25, 0.5, 0.75)).as("qs"))
+      .collect().head.getSeq[Double](0)
+    assert(mk(1) == mk(16)) // bucket counts add exactly; no order effects
+  }
+
+  test("quantile sketch: nulls ignored, empty input yields null, negatives rejected") {
+    val withNulls = Seq(Some(10L), None, Some(20L), None).toDF("v")
+    val qs = withNulls.agg(approxQuantiles(col("v"), Seq(1.0)).as("qs"))
+      .collect().head.getSeq[Double](0)
+    assert(qs.head == 20.0)
+    val empty = Seq.empty[Long].toDF("v")
+    assert(empty.agg(approxQuantiles(col("v"), Seq(0.5)).as("qs"))
+      .collect().head.isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(-1L).toDF("v").agg(approxQuantiles(col("v"), Seq(0.5))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("small values are EXACT (unit buckets below 2^subBits)") {
+    val df = spark.range(100).select(col("id").cast("long").as("v"))
+    val est = df.agg(approxQuantiles(col("v"), Seq(0.5, 1.0)).as("qs"))
+      .collect().head.getSeq[Double](0)
+    // nearest-rank p50 of 0..99 is rank 50 -> value 49; max 99
+    assert(est == Seq(49.0, 99.0))
+  }
+
   // SQL-callable registration is covered in GraftExtensionsSpec (it
   // needs the cleared-session dance extensions binding requires).
 }
