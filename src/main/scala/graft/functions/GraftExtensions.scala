@@ -78,15 +78,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
-  private def expectDoubleArray(e: Expression, what: String): Seq[Double] = e match {
-    case arr: org.apache.spark.sql.catalyst.expressions.CreateArray =>
-      arr.children.map {
-        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-          lit.value.toString.toDouble
-        case other => throw new IllegalArgumentException(
-          s"$what must be an array of numeric literals, got element $other")
-      }
-    case other => throw new IllegalArgumentException(
-      s"$what must be an array literal, got $other")
+  private def expectDoubleArray(e: Expression, what: String): Seq[Double] = {
+    // the parser wraps array elements in type-unifying casts:
+    // array(0.5, 1.0) -> CreateArray(Cast(0.5 as decimal), ...) — peel them
+    def numOf(el: Expression): Double = el match {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+        lit.value.toString.toDouble
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => numOf(c.child)
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array of numeric literals, got element $other")
+    }
+    e match {
+      case arr: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+        arr.children.map(numOf)
+      case other => throw new IllegalArgumentException(
+        s"$what must be an array literal, got $other")
+    }
   }
 }
