@@ -798,6 +798,63 @@ object CoreQueries {
       "max(CASE WHEN rn = ceil(cnt * 0.9) THEN l_extendedprice END) AS p90 " +
       "FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"))
 
+  /** Continuous (interpolated) percentile per group, from explicit
+    * order statistics: target rank t = 1 + (n-1)p, value = v[floor(t)]
+    * + frac(t) * (v[floor(t)+1] - v[floor(t)]). Built from the same
+    * window-rank scaffold as q_percentile_disc rather than the built-in
+    * `percentile`, so BOTH engines evaluate the identical interpolation
+    * expression on integer cents — bit-stable, no FP-formula drift
+    * between implementations. One window + one hash aggregate.
+    */
+  private val qPercentileCont = Q("q_percentile_cont",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = Scalars.moneyCents(col("l_extendedprice"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val ranked = t(s, d, "lineitem")
+        .select(col("l_returnflag"), cents.as("cents"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1))
+          .over(Window.partitionBy("l_returnflag")))
+      def t50(p: Double) =
+        lit(1.0) + (col("cnt") - 1).cast("double") * lit(p)
+      val g = ranked.groupBy("l_returnflag").agg(
+        max(col("cnt")).as("n"),
+        max(when(col("rn") === floor(t50(0.5)).cast("long"), col("cents"))).as("l50"),
+        max(when(col("rn") === floor(t50(0.5)).cast("long") + 1, col("cents"))).as("u50"),
+        max(when(col("rn") === floor(t50(0.9)).cast("long"), col("cents"))).as("l90"),
+        max(when(col("rn") === floor(t50(0.9)).cast("long") + 1, col("cents"))).as("u90"))
+      def interp(p: Double, l: String, u: String) = {
+        val tt = lit(1.0) + (col("n") - 1).cast("double") * lit(p)
+        val frac = tt - floor(tt)
+        round(col(l).cast("double") +
+          frac * (coalesce(col(u), col(l)).cast("double") - col(l).cast("double")), 4)
+      }
+      g.select(col("l_returnflag"), col("n"),
+        interp(0.5, "l50", "u50").as("p50"),
+        interp(0.9, "l90", "u90").as("p90"))
+        .orderBy("l_returnflag")
+    },
+    Some("WITH ranked AS (SELECT l_returnflag, " +
+      "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, " +
+      "row_number() OVER (PARTITION BY l_returnflag ORDER BY " +
+      "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn, " +
+      "count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM lineitem), " +
+      "g AS (SELECT l_returnflag, max(cnt) AS n, " +
+      "max(CASE WHEN rn = CAST(floor(1.0 + CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) THEN cents END) AS l50, " +
+      "max(CASE WHEN rn = CAST(floor(1.0 + CAST(cnt - 1 AS DOUBLE) * 0.5) AS BIGINT) + 1 THEN cents END) AS u50, " +
+      "max(CASE WHEN rn = CAST(floor(1.0 + CAST(cnt - 1 AS DOUBLE) * 0.9) AS BIGINT) THEN cents END) AS l90, " +
+      "max(CASE WHEN rn = CAST(floor(1.0 + CAST(cnt - 1 AS DOUBLE) * 0.9) AS BIGINT) + 1 THEN cents END) AS u90 " +
+      "FROM ranked GROUP BY l_returnflag) " +
+      "SELECT l_returnflag, n, " +
+      "round(CAST(l50 AS DOUBLE) + ((1.0 + CAST(n - 1 AS DOUBLE) * 0.5) - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.5)) * " +
+      "(CAST(coalesce(u50, l50) AS DOUBLE) - CAST(l50 AS DOUBLE)), 4) AS p50, " +
+      "round(CAST(l90 AS DOUBLE) + ((1.0 + CAST(n - 1 AS DOUBLE) * 0.9) - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.9)) * " +
+      "(CAST(coalesce(u90, l90) AS DOUBLE) - CAST(l90 AS DOUBLE)), 4) AS p90 " +
+      "FROM g ORDER BY l_returnflag"))
+
   /** F12 deterministic least-squares fit + Pearson r per group
     * (graft.ops.Aggregates.linearFit): price-vs-quantity regression from
     * EXACT integer moments (quantity units x whole dollars), so the
@@ -1280,8 +1337,8 @@ object CoreQueries {
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect, qExceptAll, qIntersectAll,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
-    qDateTrunc, qMathExpr, qPercentileDisc, qRegrFit, qArrayDot, qJsonExtract,
-    qExplodeTokens,
+    qDateTrunc, qMathExpr, qPercentileDisc, qPercentileCont, qRegrFit,
+    qArrayDot, qJsonExtract, qExplodeTokens,
     qWindowTumbling, qWindowSliding, qWindowSession,
     qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill, qResampleInterp,
     qMergeUpsert, qScd2, qTableDiff,
