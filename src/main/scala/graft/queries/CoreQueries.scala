@@ -1282,6 +1282,40 @@ object CoreQueries {
       "UNION ALL SELECT l_orderkey, 'disc_cents', disc_cents FROM w " +
       "ORDER BY l_orderkey, measure"))
 
+  /** W8 gaps-and-islands: per-user runs of CONSECUTIVE purchase days
+    * (the streak/retention analytic). The island key is
+    * `day - row_number() days` — constant within a consecutive run,
+    * jumping at every gap — so streaks fall out of one ranking window
+    * plus one hash aggregate; no self-join, no iteration. Same shape
+    * the engine's own session oracle uses for time-gap islands
+    * (q_window_session), here on the calendar axis.
+    */
+  private val qStreaks = Q("q_streaks",
+    (s, d) => {
+      val days = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"),
+          min(col("day")).as("streak_start"),
+          max(col("day")).as("streak_end"))
+        .select("user_id", "streak_start", "streak_end", "len")
+        .orderBy("user_id", "streak_start")
+    },
+    Some("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "isl AS (SELECT user_id, day, " +
+      "day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island " +
+      "FROM days) " +
+      "SELECT user_id, min(day) AS streak_start, max(day) AS streak_end, " +
+      "count(*) AS len FROM isl GROUP BY user_id, island " +
+      "ORDER BY user_id, streak_start"))
+
   /** A10 fixed-width histogram — single hash aggregate over a computed
     * bucket key; the profile primitive behind the reference's summary
     * reports (importer.py report counts).
@@ -1333,7 +1367,7 @@ object CoreQueries {
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets, qGroupingId,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
-    qWindowRangeTs, qWindowDist,
+    qWindowRangeTs, qWindowDist, qStreaks,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect, qExceptAll, qIntersectAll,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
