@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * The IMAGE codec is real (JDK-only `javax.imageio`: decode -> scale ->
   * re-encode, plus a pixel-histogram embed). The AUDIO codec is real
   * (JDK-only `javax.sound.sampled`: WAV/AIFF/AU PCM decode -> mono
-  * samples, RMS-energy embed, metadata probe). VIDEO remains a
-  * clearly-marked deterministic STUB — no video library exists in this
-  * environment. Everything around the codecs is real and load-bearing
-  * at scale: schema, encoders, per-partition batching, skew-aware
-  * repartitioning, and the transform signatures.
+  * samples, RMS-energy embed, metadata probe). VIDEO container metadata
+  * is real (pure-byte ISO BMFF box-tree parse: mvhd duration, tkhd
+  * dimensions — [[probeMp4]]); only video FRAME DECODE remains a
+  * clearly-marked deterministic STUB, since no video codec library
+  * exists in this environment. Everything around the codecs is real
+  * and load-bearing at scale: schema, encoders, per-partition batching,
+  * skew-aware repartitioning, and the transform signatures.
   *
   * 100 TB posture: payloads never pass through the driver; blob skew is
   * handled by repartitionByPayloadSize (range-partition on byte size so
@@ -307,6 +309,82 @@ object Multimodal {
         else decodeAudio(m.payload) match {
           case Some(a) => m.copy(sample_rate = Some(a.sampleRate),
             duration_ms = Some(a.durationMs))
+          case None => m
+        }
+      }
+    }
+  }
+
+  // ----------------------------------------------------- video container
+
+  private[ext] case class VideoMeta(durationMs: Long, width: Int, height: Int)
+
+  /** REAL ISO BMFF (MP4/MOV) container parse — pure big-endian byte
+    * walking of the box tree (size+fourcc headers; moov/trak recursed),
+    * zero dependencies: `mvhd` yields timescale+duration (v0 and v1
+    * layouts), the first `tkhd` with a nonzero 16.16 fixed-point
+    * width/height yields the display size. This is CONTAINER metadata,
+    * not codec work — frame decode stays honestly stubbed (no video
+    * codec library exists in this environment) — but it means video
+    * rows now get real duration/dimensions the same way audio rows get
+    * real sample rates. Corrupt/truncated payloads return None and
+    * pass through, like every decoder here.
+    */
+  private[ext] def probeMp4(payload: Array[Byte]): Option[VideoMeta] = try {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    def scan(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = bb.getInt(off.toInt) & 0xffffffffL
+        val typ = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
+        var hdr = 8L
+        val size =
+          if (size32 == 1) { hdr = 16; bb.getLong(off.toInt + 8) }
+          else if (size32 == 0) end - off // box extends to EOF
+          else size32
+        if (size < hdr || off + size > end) return // malformed: stop
+        val p = off + hdr
+        typ match {
+          case "moov" | "trak" => scan(p, off + size, depth + 1)
+          case "mvhd" =>
+            val v = payload(p.toInt) & 0xff
+            val (ts, dur) =
+              if (v == 1) (bb.getInt((p + 20).toInt), bb.getLong((p + 24).toInt))
+              else (bb.getInt((p + 12).toInt),
+                bb.getInt((p + 16).toInt) & 0xffffffffL)
+            if (ts > 0) durationMs = dur * 1000L / ts
+          case "tkhd" =>
+            val v = payload(p.toInt) & 0xff
+            val dims = p + (if (v == 1) 88L else 76L)
+            val ww = bb.getInt(dims.toInt) >>> 16 // 16.16 fixed point
+            val hh = bb.getInt((dims + 4).toInt) >>> 16
+            if (ww > 0 && hh > 0 && w == 0) { w = ww; h = hh }
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    scan(0L, payload.length.toLong, 0)
+    if (durationMs >= 0) Some(VideoMeta(durationMs, w, h)) else None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Video metadata probe: fill duration_ms / width / height from the
+    * real container parse (the video analog of [[probeAudio]]).
+    * Non-video rows and unparseable payloads pass through untouched.
+    */
+  def probeVideo(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.kind != "video") m
+        else probeMp4(m.payload) match {
+          case Some(v) => m.copy(duration_ms = Some(v.durationMs),
+            width = if (v.width > 0) Some(v.width) else m.width,
+            height = if (v.height > 0) Some(v.height) else m.height)
           case None => m
         }
       }

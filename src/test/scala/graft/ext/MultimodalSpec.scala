@@ -231,4 +231,76 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 2)
     assert(out.count() == 3)
   }
+
+  // ------------------------------------------------------ video container
+
+  /** Build a minimal valid ISO BMFF tree: ftyp + moov(mvhd v0 +
+    * trak(tkhd v0)) — 90 s at timescale 600, display 640x360.
+    */
+  private def syntheticMp4(timescale: Int = 600, duration: Int = 54000,
+                           w: Int = 640, h: Int = 360): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload size
+      bb.putInt(0)                   // version+flags
+        .putInt(0).putInt(0)         // creation/modification
+        .putInt(timescale).putInt(duration)
+      box("mvhd", bb.array())
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload size
+      bb.putInt(0)                             // version+flags
+        .putInt(0).putInt(0)                   // creation/modification
+        .putInt(1).putInt(0).putInt(0)         // track id, reserved, duration
+      bb.position(4 + 20 + 8 + 8 + 36)         // skip reserved/layer/matrix
+      bb.putInt(w << 16).putInt(h << 16)       // 16.16 fixed point
+      box("tkhd", bb.array())
+    }
+    val ftyp = box("ftyp", "isom0000isom".getBytes("ISO-8859-1"))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov
+  }
+
+  test("video container parse: real mvhd/tkhd metadata from the box tree") {
+    val meta = Multimodal.probeMp4(syntheticMp4())
+    assert(meta.contains(Multimodal.VideoMeta(90000L, 640, 360)))
+    // v1 mvhd (64-bit times) parses too
+    val v1 = {
+      def box(typ: String, p: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + p.length)
+        bb.putInt(8 + p.length).put(typ.getBytes("ISO-8859-1")).put(p)
+        bb.array()
+      }
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000)          // version 1
+        .putLong(0L).putLong(0L)     // creation/modification (64-bit)
+        .putInt(1000).putLong(5000L) // timescale, duration
+      box("moov", box("mvhd", bb.array()))
+    }
+    assert(Multimodal.probeMp4(v1).map(_.durationMs).contains(5000L))
+    // corrupt payloads parse to None, never throw
+    assert(Multimodal.probeMp4(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.probeMp4(syntheticMp4().take(20)).isEmpty)
+  }
+
+  test("probeVideo: metadata refreshed from the container; others untouched") {
+    val rows = Seq(
+      MediaRow(1L, "video", syntheticMp4(), "video/mp4",
+        None, None, None, None),
+      MediaRow(2L, "video", Array[Byte](9, 9), "video/mp4",
+        None, None, None, Some(7L)),         // unparseable: untouched
+      MediaRow(3L, "audio", syntheticMp4(), "audio/wav",
+        None, None, Some(44100), None))      // wrong kind: untouched
+    val out = Multimodal.probeVideo(spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow]))
+      .collect().sortBy(_.media_id)
+    assert(out(0).duration_ms.contains(90000L))
+    assert(out(0).width.contains(640) && out(0).height.contains(360))
+    assert(out(1).duration_ms.contains(7L))
+    assert(out(2).duration_ms.isEmpty)
+  }
 }
