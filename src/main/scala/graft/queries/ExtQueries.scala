@@ -841,6 +841,41 @@ object ExtQueries {
       "WHERE levenshtein(a.name, b.name) <= 4 " +
       "ORDER BY name_a, name_b"))
 
+  /** [EXT] L26b entity resolution end-to-end: fuzzy candidate pairs
+    * (L26 blocking + levenshtein) -> connected components (the L13
+    * contraction machinery, type-agnostic: nodes here are the name
+    * strings) -> canonical-name election (lexicographic min per
+    * cluster; unmatched names stay their own canonical). The full
+    * dedupe-entities pipeline a catalog/reference-data team runs, as
+    * ONE composed plan; oracle is an independent recursive-CTE
+    * reachability over the same candidate edges.
+    */
+  private val qEntityResolution = Q("q_entity_resolution",
+    (s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+      val pairs = Dedup.fuzzyPairs(t(s, d, "part"), col("p_name"),
+        substring_index(col("p_name"), " ", -1), maxDist = 4)
+        .select(col("name_a").as("da"), col("name_b").as("db"))
+      val cc = Dedup.connectedComponents(pairs)
+      names.join(cc, names("p_name") === cc("doc_id"), "left")
+        .select(col("p_name").as("name"),
+          coalesce(col("cluster_id"), col("p_name")).as("canonical"))
+        .orderBy("name")
+    },
+    Some("WITH RECURSIVE vocab AS (SELECT DISTINCT p_name AS name, " +
+      "split_part(p_name, ' ', -1) AS blk FROM part), " +
+      "fp AS (SELECT a.name AS da, b.name AS db FROM vocab a " +
+      "JOIN vocab b ON a.blk = b.blk AND a.name < b.name " +
+      "AND levenshtein(a.name, b.name) <= 4), " +
+      "edges AS (SELECT da AS src, db AS dst FROM fp " +
+      "UNION ALL SELECT db, da FROM fp), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "cl AS (SELECT node, min(lab) AS canonical FROM reach GROUP BY node) " +
+      "SELECT v.name, coalesce(cl.canonical, v.name) AS canonical " +
+      "FROM (SELECT name FROM vocab) v LEFT JOIN cl ON v.name = cl.node " +
+      "ORDER BY name"))
+
   private val qInvertedIndex = Q("q_inverted_index",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -877,5 +912,6 @@ object ExtQueries {
     qSampleStratified, qSampleWeighted, qPackSequences, qPipelineCorpus,
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
-    qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs)
+    qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs,
+    qEntityResolution)
 }
