@@ -77,5 +77,10 @@ object RegistrySpec {
     // round 8: navigation windows, RANGE frames, grouping sets
     "q_window_lag", "q_window_range", "q_window_range_ts", "q_window_dist",
     "q_grouping_sets", "q_grouping_id", "q_asof_forward", "q_asof_nearest",
-    "q_minhash_sources")
+    "q_minhash_sources",
+    // round 8: warehouse/time-series/stats + set-op + fuzzy family
+    "q_scd2", "q_table_diff", "q_resample_ffill", "q_resample_interp",
+    "q_regr_fit", "q_percentile_cont", "q_except_all", "q_intersect_all",
+    "q_histogram_eq", "q_streaks",
+    "q_fuzzy_pairs", "q_sample_weighted", "q_entity_resolution")
 }
