@@ -1316,6 +1316,83 @@ object CoreQueries {
       "count(*) AS len FROM isl GROUP BY user_id, island " +
       "ORDER BY user_id, streak_start"))
 
+  /** W9 ordered funnel: per user, the earliest view -> first click
+    * AFTER that view -> first purchase AFTER that click, then the
+    * per-user stage reached (0-3). Stage timestamps are conditional
+    * mins — one hash aggregate per stage riding the SAME user-key
+    * exchange (AQE reuses it), with the sequence constraint expressed
+    * as "min ts strictly after the previous stage's min ts" — never an
+    * events self-join. The conversion analytic every product pipeline
+    * runs.
+    */
+  private val qFunnel = Q("q_funnel",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val byUser = ev.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      val stages = ev.join(byUser, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts") > col("t_view"), col("ts"))).as("t_click"))
+      val fin = ev.join(stages, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+      fin.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).cast("long").as("stage"))
+        .orderBy("user_id")
+    },
+    Some("WITH s1 AS (SELECT user_id, " +
+      "min(CASE WHEN event_type = 'view' THEN ts END) AS t_view " +
+      "FROM events GROUP BY user_id), " +
+      "s2 AS (SELECT e.user_id, s1.t_view, " +
+      "min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view THEN e.ts END) AS t_click " +
+      "FROM events e LEFT JOIN s1 ON e.user_id = s1.user_id " +
+      "GROUP BY e.user_id, s1.t_view), " +
+      "s3 AS (SELECT e.user_id, s2.t_view, s2.t_click, " +
+      "min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click THEN e.ts END) AS t_purchase " +
+      "FROM events e LEFT JOIN s2 ON e.user_id = s2.user_id " +
+      "GROUP BY e.user_id, s2.t_view, s2.t_click) " +
+      "SELECT user_id, t_view, t_click, t_purchase, " +
+      "CAST(CASE WHEN t_purchase IS NOT NULL THEN 3 " +
+      "WHEN t_click IS NOT NULL THEN 2 " +
+      "WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage " +
+      "FROM s3 ORDER BY user_id"))
+
+  /** A11 cohort retention matrix: users cohorted by first-purchase
+    * week, counted per week offset of their later purchase activity —
+    * the classic retention triangle. Two hash aggregates (first
+    * purchase, then distinct user-week cells) over the same user
+    * exchange; weeks are integer epoch-day arithmetic so both engines
+    * bucket identically.
+    */
+  private val qCohortRetention = Q("q_cohort_retention",
+    (s, d) => {
+      val buys = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          floor(unix_date(to_date(col("ts"))) / 7).cast("long").as("week"))
+      val cohort = buys.groupBy("user_id").agg(min("week").as("cohort_week"))
+      buys.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("WITH buys AS (SELECT user_id, " +
+      "CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7) AS BIGINT) AS week " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "cohort AS (SELECT user_id, min(week) AS cohort_week FROM buys GROUP BY user_id), " +
+      "cells AS (SELECT DISTINCT b.user_id, c.cohort_week, b.week - c.cohort_week AS week_offset " +
+      "FROM buys b JOIN cohort c ON b.user_id = c.user_id) " +
+      "SELECT cohort_week, week_offset, count(*) AS users FROM cells " +
+      "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"))
+
   /** A10 fixed-width histogram — single hash aggregate over a computed
     * bucket key; the profile primitive behind the reference's summary
     * reports (importer.py report counts).
@@ -1367,7 +1444,7 @@ object CoreQueries {
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets, qGroupingId,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
-    qWindowRangeTs, qWindowDist, qStreaks,
+    qWindowRangeTs, qWindowDist, qStreaks, qFunnel, qCohortRetention,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect, qExceptAll, qIntersectAll,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,
