@@ -284,6 +284,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_streaks: island key from one ranking window, no self-join") {
+    val p = planOf("q_streaks")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_funnel: per-stage aggregates, no events self-join blowup") {
+    val p = planOf("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // every join keys on user_id (stage attach), never on event ranges
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
+  }
+
+  test("q_cohort_retention: two-aggregate shape over the user exchange") {
+    val p = planOf("q_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   /** Runtime bloom-filter join pruning: when a selective dim filter
     * feeds a join, Spark can inject a bloom filter built on the dim
     * side into the fact-side SCAN, skipping rows before the shuffle —
