@@ -60,4 +60,17 @@ object Layout {
       .sortWithinPartitions(Z)
       .drop(Z)
   }
+
+  /** Cluster and write in one step: each output file is a Morton tile,
+    * so parquet footer min/max stats prune multi-dimensional predicates
+    * at read time (LayoutSpec proves the per-FILE spreads on the
+    * written files, not just the in-memory partitions). One range
+    * exchange, then a straight parquet write — the drop of the
+    * temporary z column is a projection, which preserves the
+    * within-partition order into the files.
+    */
+  def writeClustered(df: DataFrame, dims: Seq[String], path: String,
+                     numPartitions: Int): Unit =
+    clusterByZOrder(df, dims, numPartitions)
+      .write.mode("overwrite").parquet(path)
 }

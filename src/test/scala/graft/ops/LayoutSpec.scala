@@ -100,6 +100,32 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("graft_zorder") || plan.contains("ZOrder"), plan)
   }
 
+  test("writeClustered: every parquet FILE is a narrow tile in both dims") {
+    val n = 64
+    val grid = (for (x <- 0 until n; y <- 0 until n)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    try {
+      Layout.writeClustered(grid, Seq("x", "y"), s"$dir/t", numPartitions = 16)
+      val back = spark.read.parquet(s"$dir/t")
+      val files = back.inputFiles
+      assert(files.length == 16, files.length.toString)
+      // per-file spreads: the stats a reader's row-group pruning sees
+      val spreads = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+          .collect().head
+        (r.getLong(0).toDouble / (n - 1), r.getLong(1).toDouble / (n - 1))
+      }
+      val ax = spreads.map(_._1).sum / spreads.length
+      val ay = spreads.map(_._2).sum / spreads.length
+      assert(ax <= 0.40 && ay <= 0.40, s"file spreads x=$ax y=$ay")
+      assert(back.count() == n.toLong * n)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("clusterByZOrder rejects wrong arity") {
     val df = Seq((1L, 2L)).toDF("x", "y")
     val e = intercept[IllegalArgumentException] {
