@@ -228,6 +228,23 @@ class SketchSpec extends SparkSpec {
     assert(est == Seq(49.0, 99.0))
   }
 
+  test("quantile sketch works grouped and under rollup (usability claim)") {
+    val df = spark.range(3000).select((col("id") % 3).as("g"),
+      (col("id") % 2).as("h"), col("id").as("v"))
+    val grouped = df.groupBy("g")
+      .agg(approxQuantiles(col("v"), Seq(0.5)).as("qs"))
+      .collect()
+    assert(grouped.length == 3)
+    grouped.foreach { r =>
+      val p50 = r.getSeq[Double](1).head
+      assert(math.abs(p50 - 1500.0) < 60.0, r.toString) // ~median of each residue class
+    }
+    val ru = df.rollup("g", "h")
+      .agg(approxQuantiles(col("v"), Seq(0.9)).as("qs")).collect()
+    assert(ru.length == 3 * 2 + 3 + 1)
+    ru.foreach(r => assert(!r.isNullAt(2), r.toString))
+  }
+
   // SQL-callable registration is covered in GraftExtensionsSpec (it
   // needs the cleared-session dance extensions binding requires).
 }

@@ -193,7 +193,11 @@ class StreamingEventsSpec extends SparkSpec {
       gated, col("text"), "ts", "30 minutes")
     val sampled = graft.ext.Sampling.hashSample(
       deduped, col("doc_id"), lit("en"), Map("en" -> 0.6))
-    val q = sampled.writeStream.format("memory").queryName("curate_out")
+    // weighted (importance) sampling is stateless too — composes onto
+    // the same incremental query with no operator changes
+    val weighted = graft.ext.Sampling.weightedHashSample(
+      sampled, col("doc_id"), length(col("text")) * 400)
+    val q = weighted.writeStream.format("memory").queryName("curate_out")
       .outputMode(OutputMode.Append()).start()
     try {
       input.addData((ts(0), 1L, "good doc one"), (ts(1), 2L, "good doc two"))
@@ -202,10 +206,14 @@ class StreamingEventsSpec extends SparkSpec {
       q.processAllAvailable()
       val kept = spark.table("curate_out").select("doc_id").as[Long].collect().toSet
       // expected = the batch pipeline over the same rows: first-seen
-      // survivors (3 duplicates 1), then the same deterministic sample
-      val expected = graft.ext.Sampling.hashSample(
-        Seq(1L, 2L, 4L).toDF("doc_id"), col("doc_id"), lit("en"), Map("en" -> 0.6))
-        .as[Long].collect().toSet
+      // survivors (3 duplicates 1), then the same deterministic samples
+      val expected = graft.ext.Sampling.weightedHashSample(
+        graft.ext.Sampling.hashSample(
+          Seq((1L, "good doc one"), (2L, "good doc two"),
+            (4L, "good doc three")).toDF("doc_id", "text"),
+          col("doc_id"), lit("en"), Map("en" -> 0.6)),
+        col("doc_id"), length(col("text")) * 400)
+        .select("doc_id").as[Long].collect().toSet
       assert(kept == expected, s"composed stream must equal the batch pipeline: $kept vs $expected")
       assert(!kept.contains(3L))
     } finally q.stop()
