@@ -1316,6 +1316,60 @@ object CoreQueries {
       "count(*) AS len FROM isl GROUP BY user_id, island " +
       "ORDER BY user_id, streak_start"))
 
+  /** W10 moving z-score anomaly flags: each event scored against the
+    * trailing 20-event mean/std of ITS OWN history (current row
+    * excluded — self-inclusion dampens the very anomaly being tested).
+    * The window moments are EXACT integer sums of cents and
+    * cents-squared over a ROWS frame, and mean/std/z are one shared
+    * double formula over those integers — bit-stable at any
+    * parallelism, same contract as q_regr_fit. One user-key exchange;
+    * both moment sums share the single Window exec.
+    */
+  private val qMovingZscore = Q("q_moving_zscore",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cents = Scalars.moneyCents(col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      val m = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("cents")).over(w))
+        .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+      val nD = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sxx = col("sxx").cast("double")
+      // ANSI mode errors on /0 even when a later `when` discards the
+      // row, so every divisor is null-guarded (null divides to null)
+      val mean = sx / when(col("n") >= 1, nD)
+      val varS = (nD * sxx - sx * sx) / when(col("n") >= 2, nD * (nD - lit(1.0)))
+      val z = (col("cents").cast("double") - mean) / when(varS > 0, sqrt(varS))
+      m.select(col("user_id"), col("ts"), col("event_id"), col("cents"),
+        when(col("n") >= 3 && varS > 0, round(z, 4)).as("zscore"),
+        (col("n") >= 3 && varS > 0 && abs(z) > 2.0).as("is_anomaly"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("WITH p AS (SELECT user_id, ts, event_id, " +
+      "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+      "FROM events WHERE event_type = 'purchase'), " +
+      "m AS (SELECT user_id, ts, event_id, cents, " +
+      "count(*) OVER w AS n, sum(cents) OVER w AS sx, " +
+      "sum(cents * cents) OVER w AS sxx " +
+      "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)), " +
+      "z AS (SELECT user_id, ts, event_id, cents, n, " +
+      "(CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS zraw, " +
+      "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS vars FROM m) " +
+      "SELECT user_id, ts, event_id, cents, " +
+      "CASE WHEN n >= 3 AND vars > 0 THEN round(zraw, 4) END AS zscore, " +
+      "coalesce(n >= 3 AND vars > 0 AND abs(zraw) > 2.0, FALSE) AS is_anomaly " +
+      "FROM z ORDER BY user_id, ts, event_id"))
+
   /** W9 ordered funnel: per user, the earliest view -> first click
     * AFTER that view -> first purchase AFTER that click, then the
     * per-user stage reached (0-3). Stage timestamps are conditional
@@ -1445,6 +1499,7 @@ object CoreQueries {
     qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets, qGroupingId,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
     qWindowRangeTs, qWindowDist, qStreaks, qFunnel, qCohortRetention,
+    qMovingZscore,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect, qExceptAll, qIntersectAll,
     qStrReplace, qStrRoute, qStrSplit, qBinHex,

@@ -82,5 +82,6 @@ object RegistrySpec {
     "q_scd2", "q_table_diff", "q_resample_ffill", "q_resample_interp",
     "q_regr_fit", "q_percentile_cont", "q_except_all", "q_intersect_all",
     "q_histogram_eq", "q_streaks", "q_funnel", "q_cohort_retention",
+    "q_moving_zscore",
     "q_fuzzy_pairs", "q_sample_weighted", "q_entity_resolution")
 }
