@@ -1335,9 +1335,13 @@ object CoreQueries {
       val m = t(s, d, "events")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts"), col("event_id"), cents.as("cents"))
+        // pre-project the square: window sums over plain columns keep
+        // all three moments in ONE Window exec (a derived input would
+        // split a second Window node off)
+        .withColumn("cents2", col("cents") * col("cents"))
         .withColumn("n", count(lit(1)).over(w))
         .withColumn("sx", sum(col("cents")).over(w))
-        .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+        .withColumn("sxx", sum(col("cents2")).over(w))
       val nD = col("n").cast("double")
       val sx = col("sx").cast("double")
       val sxx = col("sxx").cast("double")

@@ -297,6 +297,12 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q_moving_zscore: both moment sums share one Window exec and key exchange") {
+    val p = planOf("q_moving_zscore")
+    assert("(?m)^\\s*[+:]?-? *Window ".r.findAllIn(p).size == 1, p)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_cohort_retention: two-aggregate shape over the user exchange") {
     val p = planOf("q_cohort_retention")
     assert(!p.contains("CartesianProduct"), p)
