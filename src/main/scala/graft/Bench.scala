@@ -1,8 +1,73 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Bench harness (driver contract): one JSON line with per-query and
-  * total seconds at SPARK_GRAFT_SF_DIR.
+/** Renders the bench JSON lines. Extracted from [[Bench]] so
+  * BenchFormatSpec can render the lines for the CURRENT registry size
+  * and assert the driver-tail budget before the driver does.
+  *
+  * Line protocol (printed in this order; the driver keeps only a
+  * fixed-size stdout TAIL, so the LAST line is the one guaranteed
+  * visible):
+  *   1. "detail"  — full-precision mins + medians + calibration (the
+  *      committed record; may exceed the tail window).
+  *   2. "queries" — compact per-query mins (best-effort: gives the
+  *      judge per-query visibility when it fits the tail).
+  *   3. "total"   — map-free, ~150 chars, ALWAYS fits: total seconds,
+  *      sf, passes, query count, calibration per pass. This is the
+  *      canonical driver-parsed line; r8's record went parsed=null
+  *      because the then-last line carried the full 111-query map and
+  *      outgrew the tail.
+  */
+object BenchFormat {
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  // locale-independent formatting: the f-interpolator follows the JVM
+  // default locale and could emit comma decimals into the JSON line
+  def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  def obj(vals: Seq[(String, Double)]): String =
+    vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  // compact keys drop the uniform "q_" prefix (full names live on the
+  // detail line and in CORRECTNESS_r*.json)
+  def objCompact(vals: Seq[(String, Double)], decimals: Int): String =
+    vals.map { case (k, v) =>
+      s"\"" + k.stripPrefix("q_") + "\":" + num(v, decimals)
+    }.mkString("{", ",", "}")
+
+  def detailLine(mins: Seq[(String, Double)], medians: Seq[(String, Double)],
+                 sfDir: String, passes: Int, calib: Seq[Double]): String = {
+    val total = mins.map(_._2).sum
+    val calibJson = calib.map(num(_, 4)).mkString("[", ",", "]")
+    s"""{"metric":"detail","value":$total,"unit":"sec","queries":${obj(mins)},""" +
+      s""""sf":"$sfDir","passes":$passes,"method":"min-of-$passes-interleaved-passes",""" +
+      s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}"""
+  }
+
+  def queriesLine(mins: Seq[(String, Double)], sfName: String, passes: Int,
+                  decimals: Int): String =
+    s"""{"metric":"queries","value":${num(mins.map(_._2).sum, 3)},"unit":"sec",""" +
+      s""""queries":${objCompact(mins, decimals)},"sf":"$sfName","passes":$passes}"""
+
+  /** The canonical driver-parsed line: map-free, bounded length
+    * regardless of registry size.
+    */
+  def totalLine(total: Double, sfName: String, passes: Int, nQueries: Int,
+                calib: Seq[Double]): String = {
+    val calibJson = calib.map(num(_, 3)).mkString("[", ",", "]")
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfName",""" +
+      s""""passes":$passes,"queries_n":$nQueries,"calibration_per_pass_sec":$calibJson}"""
+  }
+}
+
+/** Bench harness (driver contract): JSON lines with per-query and
+  * total seconds at SPARK_GRAFT_SF_DIR; the LAST line is a short
+  * map-free total (see [[BenchFormat]] for the line protocol).
   *
   * Methodology (BASELINE.md "Recorded numbers"): every query is timed
   * once per pass, for `passes` (default 3) full passes over the whole
@@ -16,17 +81,11 @@ import org.apache.spark.sql.SparkSession
   * so one burst cannot poison all samples of a query; per-query
   * medians ride along under "queries_median" for transparency. A fixed
   * calibration query (tiny groupBy, constant work) is timed at the
-  * start of every pass; its per-pass times are published in the JSON
-  * so a contended environment is visible in the record rather than
-  * inferred from query swings.
+  * start of every pass; its per-pass times are published on the FINAL
+  * line so a contended environment is visible in the driver record
+  * rather than inferred from query swings.
   */
 object Bench {
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,55 +129,14 @@ object Bench {
       }
       c
     }
-    def obj(vals: Seq[(String, Double)]): String =
-      vals.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // locale-independent formatting: the f-interpolator follows the JVM
-    // default locale and could emit comma decimals into the JSON line
-    def num(v: Double, decimals: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-    // 2-decimal mins on the compact line: at 86 registered queries the
-    // 3-decimal form (~1.9KB) would push the line head out of the
-    // driver's 2000-char stdout tail; full precision stays on the
-    // detail line above
-    // compact keys drop the uniform "q_" prefix (full names on the
-    // detail line and in CORRECTNESS_r*.json): 3 bytes x ~92 queries is
-    // the difference between 2-decimal values fitting the tail window
-    // or not
-    def objCompact(vals: Seq[(String, Double)], decimals: Int): String =
-      vals.map { case (k, v) =>
-        s"\"" + k.stripPrefix("q_") + "\":" + num(v, decimals)
-      }.mkString("{", ",", "}")
     val mins = names.map(n => n -> samples(n).min)
-    val medians = names.map(n => n -> median(samples(n)))
+    val medians = names.map(n => n -> BenchFormat.median(samples(n)))
     val total = mins.map(_._2).sum
-    val calibJson = calib.map(num(_, 4)).mkString("[", ",", "]")
-    // two lines: full-precision detail first (for the committed record),
-    // then the canonical "metric":"total" line LAST and COMPACT
-    // (3-decimal mins, no medians) so the driver's fixed-size stdout
-    // tail always contains a parseable total — the r4 record lost it
-    // when the single verbose line outgrew the tail window
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":${obj(mins)},""" +
-      s""""sf":"$sfDir","passes":$passes,"method":"min-of-$passes-interleaved-passes",""" +
-      s""""queries_median":${obj(medians)},"calibration_per_pass_sec":$calibJson}""")
-    // calibration stays on the detail line only: every byte here eats
-    // tail headroom for future registry growth (~25 chars per query)
-    // sf basename only on the compact line (full path on detail): the
-    // line head is what falls out of the driver's fixed tail window
-    // first, so every byte buys registry headroom
-    def compactAt(decimals: Int): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${objCompact(mins, decimals)},""" +
-        s""""sf":"${new java.io.File(sfDir).getName}","passes":$passes}"""
-    // tail-budget guard: "[info] " prefix + line + trailing [success]
-    // line (~80 chars) must fit the driver's 2000-char tail window.
-    // Degrade per-query precision (full precision stays on the detail
-    // line) rather than ever letting the line head — where
-    // "metric":"total" and the total live — fall out of the window.
-    val compact = Seq(2, 1).map(compactAt).find(_.length <= 1940)
-      .getOrElse {
-        System.err.println("[bench] WARNING compact line over budget even at 1 decimal — shrink keys")
-        compactAt(1)
-      }
-    println(compact)
+    val sfName = new java.io.File(sfDir).getName
+    println(BenchFormat.detailLine(mins, medians, sfDir, passes, calib))
+    println(BenchFormat.queriesLine(mins, sfName, passes, decimals = 2))
+    // LAST line = the driver-parsed one; bounded size by construction
+    println(BenchFormat.totalLine(total, sfName, passes, names.size, calib))
     spark.stop()
   }
 }

@@ -307,6 +307,16 @@ case class ApproxQuantiles(
   require(subBits >= 2 && subBits <= 12,
     s"subBits must be in [2, 12], got $subBits")
 
+  // update() reads the child with asInstanceOf[Long]: require BIGINT so
+  // a mistyped column (e.g. INT through the SQL registration) fails at
+  // ANALYSIS time, matching ZOrder2/ZOrder3, instead of as an opaque
+  // execution-time ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BIGINT input, got ${child.dataType.sql}")
+
   private val sub = 1 << subBits           // subbuckets per octave
   // octaves: values up to 2^63-1 -> (64 - subBits) log segments + the
   // exact unit segment; layout: [0, sub) unit buckets, then per octave

@@ -43,15 +43,23 @@ object Aggregates {
     * (scale fixed-point inputs first, e.g. [[Scalars.moneyCents]]) whose
     * moment sums fit in 64 bits.
     *
+    * Null contract (SQL `REGR_*` semantics): a row where EITHER x or y
+    * is null is excluded from the fit entirely — n counts only complete
+    * pairs, so it stays consistent with the moment sums (a count(*) n
+    * against null-skipping sums would silently skew slope/intercept/r).
+    *
     * Returns per-group: n, slope, intercept (y = slope·x + intercept),
     * and Pearson r — each rounded to `scale` decimals.
     */
   def linearFit(df: DataFrame, groupKeys: Seq[Column], x: Column, y: Column,
                 scale: Int = 4): DataFrame = {
-    val xl = x.cast("long")
-    val yl = y.cast("long")
+    // null out BOTH coordinates when either is null: every moment
+    // (including n) then skips exactly the same rows
+    val pairOk = x.isNotNull && y.isNotNull
+    val xl = when(pairOk, x.cast("long"))
+    val yl = when(pairOk, y.cast("long"))
     val m = df.groupBy(groupKeys: _*).agg(
-      count(lit(1)).as("n"),
+      count(xl).as("n"),
       sum(xl).as("__sx"), sum(yl).as("__sy"),
       sum(xl * xl).as("__sxx"), sum(xl * yl).as("__sxy"),
       sum(yl * yl).as("__syy"))

@@ -24,7 +24,7 @@ object Layout {
     * `unix_date`/`unix_micros` first).
     *
     * Each dimension is normalized to its global [min, max] range scaled
-    * to the interleave width (32 bits for 2 dims, 21 for 3) — rank-free
+    * to the interleave width (31 bits for 2 dims, 21 for 3) — rank-free
     * linear normalization, which tiles well unless a dimension is
     * pathologically skewed (pre-bucket such a column by rank first).
     * The bounds aggregate is one tiny job collecting 2×dims scalars to
@@ -40,7 +40,14 @@ object Layout {
                       numPartitions: Int): DataFrame = {
     require(dims.size == 2 || dims.size == 3,
       s"clusterByZOrder takes 2 or 3 dimensions, got ${dims.size}")
-    val bits = if (dims.size == 2) 32 else 21
+    // 31 bits per dim for 2-D (not 32): repartitionByRange orders the z
+    // column as a SIGNED long, so a 64-bit Morton value whose top bit is
+    // dim-1's leading normalized bit would sort the upper half of the
+    // curve BEFORE the lower half — curve contiguity breaks at the
+    // midpoint and the straddling file spans nearly the full leading
+    // dimension. 31+31 = 62-bit z stays non-negative (as 3x21 = 63 does
+    // for 3-D), at the cost of one bit of resolution nothing needs.
+    val bits = if (dims.size == 2) 31 else 21
     val scaleMax = (1L << bits) - 1
     val boundAggs = dims.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),

@@ -87,6 +87,60 @@ object Windows {
   def ntileOf(n: Int, partition: Seq[Column], order: Seq[Column]): Column =
     ntile(n).over(rankSpec(partition, order))
 
+  /** Exact global ntile(k) WITHOUT the single-task collapse.
+    *
+    * `ntile(k).over(Window.orderBy(...))` (empty PARTITION BY) moves the
+    * ENTIRE input through one task — fine on a fixture, fatal on 100 TB.
+    * This computes the identical bucket assignment scalably:
+    *
+    *  1. range-partition on the total ordering (explicit partition count,
+    *     so AQE never re-coalesces it — partition ids must be identical
+    *     for both readers of the exchange);
+    *  2. per-partition `row_number()` (parallel windows keyed by
+    *     `spark_partition_id()`);
+    *  3. a prefix-sum of per-partition counts — a `partitions`-row side
+    *     table riding the SAME range exchange (ReusedExchange), windowed
+    *     single-task at catalog size and broadcast back — turns local
+    *     row numbers into exact global ranks;
+    *  4. the closed-form ntile bucket of a global rank: the first
+    *     n mod k buckets take ceil(n/k) rows, the rest floor(n/k).
+    *
+    * Cost: one range exchange of the data (read twice via exchange
+    * reuse), one pid-keyed hash exchange for the local windows, and a
+    * broadcast of `partitions` rows — every stage parallel, nothing
+    * data-sized on the driver or in one task. Doubles are exact for the
+    * rank arithmetic up to 2^53 rows. Same determinism contract as
+    * [[ntileOf]]: the ordering must be total.
+    */
+  def globalNtile(df: DataFrame, k: Int, order: Seq[Column],
+                  partitions: Int, bucketName: String): DataFrame = {
+    require(k >= 1, s"globalNtile needs k >= 1, got $k")
+    val PID = "__graft_pid"
+    val ranged = df.repartitionByRange(partitions, order: _*)
+      .withColumn(PID, spark_partition_id())
+    // tiny (pid, count, offset, total) table: `partitions` rows; empty
+    // range partitions simply don't appear (they contribute offset 0)
+    val wPrefix = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = Window.orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = ranged.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(wPrefix), lit(0L)))
+      .withColumn("__n", sum(col("__cnt")).over(wTotal))
+      .drop("__cnt")
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+    val r = row_number().over(wLocal).cast("long") + col("__offset") // 1-based
+    val q = floor(col("__n") / k).cast("long")       // small-bucket size
+    val rem = col("__n") % k                          // # of (q+1) buckets
+    val bigSpan = rem * (q + lit(1L))                 // rows they cover
+    val bucket = when(col("__n") < k, r)              // n < k: one row each
+      .when(r <= bigSpan, floor((r - 1) / (q + lit(1L))) + 1)
+      .otherwise(rem + floor((r - bigSpan - lit(1L)) / q) + 1)
+    ranged.join(broadcast(offsets), Seq(PID))
+      .withColumn(bucketName, bucket.cast("int"))     // ntile's return type
+      .drop(PID, "__offset", "__n")
+  }
+
   /** Value-range frame: aggregate over rows whose `order` value lies in
     * [current - precedingUnits, current + followingUnits].
     *

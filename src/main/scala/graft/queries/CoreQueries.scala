@@ -1466,18 +1466,23 @@ object CoreQueries {
       "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
       "FROM orders GROUP BY 1 ORDER BY bucket"))
 
-  /** A10b equi-depth histogram: ntile(10) over a TOTAL value ordering
+  /** A10b equi-depth histogram: deciles over a TOTAL value ordering
     * (price, then orderkey — §7.5 determinism at bucket boundaries)
-    * gives same-count buckets whose [lo, hi] bounds ARE the decile
+    * give same-count buckets whose [lo, hi] bounds ARE the decile
     * boundaries — the profile primitive for skew-aware partitioning
-    * decisions, complementing q_histogram's fixed-width buckets. One
-    * global sort (it is an order statistic) + one hash aggregate.
+    * decisions, complementing q_histogram's fixed-width buckets.
+    * Buckets come from [[Windows.globalNtile]] — exact ntile(10)
+    * semantics from a range-partitioned sort + per-partition row_number
+    * with prefix-sum offset correction, NOT `ntile over (ORDER BY ...)`,
+    * whose empty PARTITION BY would collapse the whole table into one
+    * task (fixture-invisible, 100 TB-fatal).
     */
   private val qHistogramEq = Q("q_histogram_eq",
-    (s, d) => t(s, d, "orders")
-      .select(col("o_orderkey"), col("o_totalprice"),
-        ntile(10).over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("o_totalprice"), col("o_orderkey"))).as("decile"))
+    (s, d) => Windows.globalNtile(
+        t(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        10, Seq(col("o_totalprice"), col("o_orderkey")),
+        partitions = s.conf.get("spark.sql.shuffle.partitions").toInt,
+        bucketName = "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice")).as("lo"),

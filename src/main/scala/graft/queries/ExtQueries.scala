@@ -879,10 +879,18 @@ object ExtQueries {
   private val qInvertedIndex = Q("q_inverted_index",
     (s, d) => {
       val docs = t(s, d, "documents")
+      // corpus size for the stop-word cap: a doc_id-only column-pruned
+      // scan (cheap at any scale), broadcast as a 1-row frame
       val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-      val pairs = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .dropDuplicates("token", "doc_id")
+      // per-row array_distinct dedups (token, doc_id) with ZERO shuffle:
+      // doc_id is unique per documents row, so post-explode pairs are
+      // already globally distinct — the r8 shape exchanged the whole
+      // pair set on (token, doc_id) just to rediscover that, which is
+      // where its 3.3x regression lived. The only data-sized exchange
+      // left is the token hash for the df window, and the final
+      // (token, df) aggregate rides that same partitioning.
+      val pairs = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
       pairs
         .withColumn("df", count(lit(1))
           .over(org.apache.spark.sql.expressions.Window.partitionBy("token")))

@@ -433,20 +433,25 @@ object TwsCdc {
   * last emission + state" on demand), so a 100 TB history is never
   * rewritten — versus the batch rebuild, which re-windows the full feed.
   *
-  * Delivery contract: per-key timestamps arrive non-decreasing ACROSS
-  * batches (within a micro-batch any order is fine — rows are sorted
-  * before folding); a replayed (at-least-once) delivery of the current
-  * open change is attribute-equal and collapses to a no-op; a ts older
-  * than the open version is DROPPED (late data past the version
-  * boundary cannot retro-split an emitted version — route such feeds
-  * through the batch rebuild instead).
+  * Delivery contract: per-key (ts, seq) arrives non-decreasing ACROSS
+  * batches (within a micro-batch any order is fine — rows are sorted by
+  * (ts, seq) before folding; `seq` is the unique tiebreak the batch
+  * twin requires in `order` for exactly the same reason: micro-batch
+  * row order is not stable, so equal-ts transitions would otherwise
+  * fold nondeterministically). A replayed (at-least-once) delivery of
+  * the current open change is attribute-equal and collapses to a
+  * no-op; a (ts, seq) older than the open version is DROPPED (late
+  * data past the version boundary cannot retro-split an emitted
+  * version — route such feeds through the batch rebuild instead). An
+  * equal-ts transition emits a zero-width version (valid_from ==
+  * valid_to), exactly what batch scdType2's lead() emits for a tie.
   */
 object TwsScd2 {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.{
     ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
-  case class Change(id: Long, ts: Long, tier: String)
+  case class Change(id: Long, ts: Long, tier: String, seq: Long = 0L)
   case class ClosedVersion(id: Long, tier: String, valid_from: Long,
                            valid_to: Long)
 
@@ -461,10 +466,11 @@ object TwsScd2 {
         timerValues: TimerValues): Iterator[ClosedVersion] = {
       var cur = if (open.exists()) Some(open.get()) else None
       val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
-      rows.toSeq.sortBy(_.ts).foreach { c =>
+      rows.toSeq.sortBy(c => (c.ts, c.seq)).foreach { c =>
         cur match {
           case None => cur = Some(c)
-          case Some(o) if c.ts < o.ts => () // late past the boundary: drop
+          case Some(o) if c.ts < o.ts || (c.ts == o.ts && c.seq < o.seq) =>
+            () // late past the boundary: drop
           case Some(o) if o.tier == c.tier => () // no-op change / replay
           case Some(o) =>
             out += ClosedVersion(id, o.tier, o.ts, c.ts)

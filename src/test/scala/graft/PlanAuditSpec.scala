@@ -182,19 +182,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Expand"), p)
   }
 
-  test("q_inverted_index: single lineage — df filter precedes collect, 2 exchanges") {
+  test("q_inverted_index: one token exchange — df filter precedes collect") {
     val p = planOf("q_inverted_index")
     // the only join is the one-row broadcast of the corpus size (the
     // TF-IDF scalar pattern) — never a row-level shuffle join
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Window"), p)
-    // dedup exchange on (token, doc_id) + window exchange on (token) +
-    // the scalar branch's countDistinct exchange (doc_id only — a
-    // column-pruned side plan, not the token stream); the posting
-    // collect reuses the window's partitioning
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
-    assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 2, p)
+    // ONE data-sized exchange: the token hash for the df window. The
+    // (token, doc_id) dedup needs no shuffle (array_distinct per row +
+    // unique doc_id makes pairs globally distinct), the (token, df)
+    // posting collect rides the window's partitioning, and the scalar
+    // branch's countDistinct exchanges doc_id only (a column-pruned
+    // side plan, not the token stream).
+    assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
   test("q_minhash_sources: one signature aggregate, pair join over the broadcast group table") {
@@ -278,9 +280,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p)
   }
 
-  test("q_histogram_eq: decile ranking feeds a reused-partitioning aggregate") {
-    val p = planOf("q_histogram_eq")
-    assert(p.contains("Window"), p)
+  test("q_histogram_eq: deciles from a range exchange, no single-task ntile") {
+    // globalNtile shape: range-partitioned data, per-pid parallel windows,
+    // the prefix-sum side table riding the SAME exchange (reused), and
+    // the builtin single-partition ntile nowhere in the plan
+    val df = SparkEntry.queries("q_histogram_eq")(spark, d)
+    df.collect() // exchange reuse is an AQE runtime decision
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.toLowerCase.contains("ntile"), p)
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

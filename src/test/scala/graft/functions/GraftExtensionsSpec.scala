@@ -97,4 +97,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(qs == Seq(49.0, 99.0))
     }
   }
+
+  test("graft_approx_quantiles rejects a non-BIGINT column at analysis time") {
+    withExtendedSession { spark =>
+      spark.range(10).selectExpr("cast(id as int) AS i", "cast(id as string) AS s")
+        .createOrReplaceTempView("q_bad_src")
+      // regression: used to fail at EXECUTION time with an opaque
+      // ClassCastException from asInstanceOf[Long]
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_approx_quantiles(s, array(0.5)) FROM q_bad_src")
+          .collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"))
+      // strict like ZOrder2/ZOrder3: INT needs an explicit widening cast
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT graft_approx_quantiles(i, array(0.5)) FROM q_bad_src")
+          .collect()
+      }
+      val qs = spark.sql(
+        "SELECT graft_approx_quantiles(cast(i AS bigint), array(1.0)) FROM q_bad_src")
+        .collect().head.getSeq[Double](0)
+      assert(qs == Seq(9.0))
+    }
+  }
 }

@@ -56,4 +56,20 @@ class AggregatesSpec extends SparkSpec {
       Seq(col("g")), col("x"), col("y")).collect().head
     assert(a == b)
   }
+
+  test("linearFit excludes half-null pairs from n and every moment") {
+    // regression: n was count(*) while the sums skipped nulls, so a
+    // null x or y silently skewed slope/intercept/r
+    val clean = (1L to 100L).map(x => ("g", Some(x), Some(2 * x + 1)))
+    val noisy = clean ++ Seq(
+      ("g", None, Some(999999L)),      // null x, extreme y
+      ("g", Some(999999L), None),      // extreme x, null y
+      ("g", Option.empty[Long], Option.empty[Long]))
+    val r = Aggregates.linearFit(noisy.toDF("g", "x", "y"),
+      Seq(col("g")), col("x"), col("y")).collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r") == 1.0)
+  }
 }

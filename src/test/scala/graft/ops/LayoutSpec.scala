@@ -76,9 +76,11 @@ class LayoutSpec extends SparkSpec {
       grid.repartitionByRange(16, col("x"), col("y"))
         .sortWithinPartitions("x", "y"))
 
-    // z-order: both dimensions tile (4x4 Morton -> ~0.25 each, allow slack)
-    assert(zx <= 0.40, s"z-order x spread $zx")
-    assert(zy <= 0.40, s"z-order y spread $zy")
+    // z-order: both dimensions tile (4x4 Morton -> ~0.25 each; the
+    // tighter 0.32 bound regressed before the 31-bit normalization —
+    // the signed-long wrap put one partition across the curve midpoint)
+    assert(zx <= 0.32, s"z-order x spread $zx")
+    assert(zy <= 0.32, s"z-order y spread $zy")
     // lexicographic: leading dim narrows hard, trailing dim spans ~everything
     assert(lx <= 0.15, s"lex x spread $lx")
     assert(ly >= 0.90, s"lex y spread $ly")
@@ -124,6 +126,22 @@ class LayoutSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("2-D z-values stay non-negative across the full normalized range") {
+    // regression: 32-bit-per-dim normalization put dim-1's top bit in
+    // the long's sign bit, so max-range rows sorted BEFORE min-range
+    // rows under signed range partitioning
+    val extremes = Seq((0L, 0L), (0L, 1L << 40), ((1L << 40), 0L),
+      ((1L << 40), (1L << 40))).toDF("x", "y")
+    val bits = 31
+    val scaleMax = (1L << bits) - 1
+    val z = extremes.select(LayoutFunctions.zorder(
+      least(lit(scaleMax), col("x")), least(lit(scaleMax), col("y"))).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z.forall(_ >= 0L), s"negative z: ${z.mkString(",")}")
+    // and the all-max corner is the curve's last point, not its midpoint
+    assert(z.max == LayoutKernels.zorder2(scaleMax, scaleMax))
   }
 
   test("clusterByZOrder rejects wrong arity") {

@@ -85,4 +85,33 @@ class WindowsSpec extends SparkSpec {
       ("a", 3, 2, 4, 2), ("a", 4, 3, -1, 2),
       ("b", 1, -1, -1, 1)))
   }
+
+  test("globalNtile equals builtin ntile for every (n, k) regime (property)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(11)
+    // regimes: n < k, n = k, k | n, k does not divide n, heavy value ties
+    for ((n, k) <- Seq((3, 10), (10, 10), (40, 8), (37, 5), (100, 7))) {
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(5).toLong))
+      val df = rows.toDF("id", "v").repartition(7) // scrambled input
+      val order = Seq(col("v"), col("id"))         // total: id is unique
+      val expected = df.select(col("id"),
+          ntile(k).over(W.orderBy(order: _*)).as("b"))
+        .as[(Long, Int)].collect().toMap
+      val got = Windows.globalNtile(df, k, order, partitions = 4, "b")
+        .select(col("id"), col("b")).as[(Long, Int)].collect().toMap
+      assert(got == expected, s"n=$n k=$k")
+    }
+  }
+
+  test("globalNtile never funnels the data through one task") {
+    val df = spark.range(1000).select(col("id"), (col("id") % 97).as("v"))
+    val out = Windows.globalNtile(df, 10, Seq(col("v"), col("id")),
+      partitions = 8, "b")
+    out.collect() // exchange reuse is an AQE runtime decision
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.toLowerCase.contains("ntile"), plan)
+    // the side table rides the SAME range exchange, not a second scan
+    assert(plan.contains("ReusedExchange") || plan.contains("reused"), plan)
+  }
 }

@@ -522,7 +522,7 @@ class StreamingEventsSpec extends SparkSpec {
           .as[TwsScd2.ClosedVersion].collect()
           .map(v => (v.id, v.tier, v.valid_from, v.valid_to)).toSet
         val batch = graft.ops.Cdc.scdType2(
-          feed.toDF("id", "ts", "tier").withColumn("seq", col("ts")),
+          feed.toDF("id", "ts", "tier", "seq"),
           Seq("id"), "ts", order = Seq("ts", "seq"), tracked = Seq("tier"))
           .filter(!col("is_current"))
           .select("id", "tier", "valid_from", "valid_to")
@@ -530,6 +530,44 @@ class StreamingEventsSpec extends SparkSpec {
         assert(streamed == batch, s"streamed=$streamed batch=$batch")
         // open versions live in state, not emissions: id 2 never closed
         assert(!streamed.exists(_._1 == 2L))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState SCD2 folds equal-ts ties deterministically by seq") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ce: org.apache.spark.sql.Encoder[TwsScd2.Change] =
+      org.apache.spark.sql.Encoders.product[TwsScd2.Change]
+    import TwsScd2.Change
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two changes at the SAME ts delivered in reverse seq order within
+      // one micro-batch: without the seq tiebreak the fold order (and so
+      // which tier survives as open) depended on unstable row order
+      val input = MemoryStream[Change]
+      val q = TwsScd2.closedVersions(input.toDS())
+        .writeStream.format("memory").queryName("tws_scd2_tie")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(
+          Change(7L, 10L, "q", seq = 2L), Change(7L, 10L, "p", seq = 1L))
+        q.processAllAvailable()
+        // p (seq 1) folds first, q (seq 2) closes it as a zero-width
+        // version — exactly what batch scdType2's lead() emits for a tie
+        input.addData(Change(7L, 20L, "r", seq = 3L))
+        q.processAllAvailable()
+        val got = spark.table("tws_scd2_tie")
+          .as[TwsScd2.ClosedVersion].collect()
+          .map(v => (v.tier, v.valid_from, v.valid_to)).toSet
+        assert(got == Set(("p", 10L, 10L), ("q", 10L, 20L)), got.toString)
       } finally q.stop()
     } finally {
       prev match {
