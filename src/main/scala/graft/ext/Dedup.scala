@@ -61,16 +61,52 @@ object Dedup {
     * = fraction of agreeing signature components.
     */
   def minhashLshPairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val (banded, keyCols) = bandedSignature(sig, k, bands)
+    bandSelfJoinPairs(banded, keyCols, k)
+  }
+
+  /** [[minhashLshPairs]] with a per-bucket skew guard for adversarial
+    * corpora. A pathological band key — e.g. a boilerplate shingle set
+    * shared by millions of near-identical documents — makes ONE bucket
+    * hold the whole corpus, and the band self-join goes quadratic in
+    * that bucket no matter how the join is planned (DedupSpec's
+    * degenerate-corpus property pins the blowup). Buckets larger than
+    * `maxBucket` are excluded from pair generation and REPORTED in the
+    * second frame (band key + bucket size), never silently dropped:
+    * the caller routes those documents through exact dedup (identical
+    * boilerplate IS exact-duplicate content) or re-bands with longer
+    * band keys. Cost: the bucket-size window rides the same band-key
+    * exchange the join needs — no extra data-sized shuffle.
+    *
+    * Returns (pairs from buckets <= maxBucket, overflow audit frame).
+    */
+  def minhashLshPairsBounded(sig: DataFrame, k: Int, bands: Int,
+      maxBucket: Long): (DataFrame, DataFrame) = {
+    val (banded, keyCols) = bandedSignature(sig, k, bands)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
+    val kept = sized.filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val overflow = sized.filter(col("__bsz") > maxBucket)
+      .groupBy(keyCols.map(col): _*) // rides the window's partitioning
+      .agg(max(col("__bsz")).as("bucket_rows"))
+    (bandSelfJoinPairs(kept, keyCols, k), overflow)
+  }
+
+  /** Banded signature rows: one row per (doc, band) with the band key
+    * exploded into join columns. Band keys stay numeric: the join key
+    * is (band, h_i..h_j) as long columns — equality semantics identical
+    * to a concatenated string key at 8 bytes per component. The full
+    * signature rides along so the similarity estimate is computed
+    * in-row at the band join; the alternative (re-joining the signature
+    * table per side) costs two more shuffles and — worse — makes every
+    * consumer a differently-pruned subplan that AQE cannot reuse, so
+    * the whole signature computation would run once per consumer.
+    */
+  private def bandedSignature(sig: DataFrame, k: Int,
+      bands: Int): (DataFrame, Seq[String]) = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
-    // Band keys stay numeric: the join key is (band, h_i..h_j) as long
-    // columns — equality semantics identical to a concatenated string
-    // key at 8 bytes per component. The full signature rides along so
-    // the similarity estimate is computed in-row at the band join; the
-    // alternative (re-joining the signature table per side) costs two
-    // more shuffles and — worse — makes every consumer a differently-
-    // pruned subplan that AQE cannot reuse, so the whole signature
-    // computation would run once per consumer.
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band") +:
         (0 until rows).map(r => col(s"h${b * rows + r}").as(s"k$r")): _*)
@@ -81,11 +117,18 @@ object Dedup {
         explode(array(bandStructs: _*)).as("bk"): _*)
       .select(Seq(col("doc_id")) ++ (0 until k).map(i => col(s"h$i")) ++
         keyCols.map(c => col(s"bk.$c").as(c)): _*)
+    (banded, keyCols)
+  }
 
-    // two identical (canonically equal) sides -> one shuffle, one
-    // ReusedExchange; est_sim is signature-determined, so distinct over
-    // (da, db, est_sim) dedups multi-band matches exactly like a
-    // candidates-then-verify pipeline would
+  /** Candidate pairs from a banded-signature frame.
+    *
+    * Two identical (canonically equal) sides -> one shuffle, one
+    * ReusedExchange; est_sim is signature-determined, so distinct over
+    * (da, db, est_sim) dedups multi-band matches exactly like a
+    * candidates-then-verify pipeline would.
+    */
+  private def bandSelfJoinPairs(banded: DataFrame, keyCols: Seq[String],
+      k: Int): DataFrame = {
     val a = banded.select(keyCols.map(col) ++
       Seq(col("doc_id").as("da")) ++ (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
     val b = banded.select(keyCols.map(col) ++

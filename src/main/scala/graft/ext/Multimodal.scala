@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   * (JDK-only `javax.sound.sampled`: WAV/AIFF/AU PCM decode -> mono
   * samples, RMS-energy embed, metadata probe). VIDEO container metadata
   * is real (pure-byte ISO BMFF box-tree parse: mvhd duration, tkhd
-  * dimensions — [[probeMp4]]); only video FRAME DECODE remains a
-  * clearly-marked deterministic STUB, since no video codec library
+  * dimensions — [[probeMp4]]), and VIDEO FRAME DECODE is real for
+  * animated GIF (javax.imageio multi-frame read + timed compositing —
+  * [[decodeGifFrames]]); only MP4/MOV frame decode remains a
+  * clearly-marked deterministic STUB, since no H.26x codec library
   * exists in this environment. Everything around the codecs is real
   * and load-bearing at scale: schema, encoders, per-partition batching,
   * skew-aware repartitioning, and the transform signatures.
@@ -183,11 +185,118 @@ object Multimodal {
     out
   }
 
+  // ----------------------------------------------------- GIF frame codec
+  // REAL video-frame decode for the one container the JDK can open:
+  // animated GIF (javax.imageio's GIF reader iterates sub-images
+  // natively). Frames carry real presentation timestamps from each
+  // frame's GraphicControlExtension delay, and inter-frame patches are
+  // composited at their ImageDescriptor offsets onto the logical
+  // screen, so every emitted frame is a full canvas. Disposal methods
+  // are treated as draw-over (correct for none/doNotDispose — the
+  // common cases; restoreToBackground GIFs composite approximately),
+  // and a 0 delay takes the 100 ms convention players use. MP4/MOV
+  // frame decode stays honestly stubbed below: no H.26x codec exists
+  // in this environment, only the container parse ([[probeMp4]]) is
+  // real for those.
+
+  private[ext] def isGif(payload: Array[Byte]): Boolean =
+    payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8'
+
+  private[ext] final case class GifFrame(startMs: Long, delayMs: Long,
+      image: java.awt.image.BufferedImage)
+
+  private[ext] def decodeGifFrames(payload: Array[Byte]): Option[Vector[GifFrame]] =
+    try {
+      import javax.imageio.ImageIO
+      import javax.imageio.metadata.IIOMetadataNode
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, false) // sequential=no: keep metadata
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else {
+            // logical screen from stream metadata; frame-0 size fallback
+            var screenW = 0
+            var screenH = 0
+            val smd = reader.getStreamMetadata
+            if (smd != null) {
+              val root = smd.getAsTree("javax_imageio_gif_stream_1.0")
+                .asInstanceOf[IIOMetadataNode]
+              val kids = root.getChildNodes
+              var i = 0
+              while (i < kids.getLength) {
+                val k = kids.item(i).asInstanceOf[IIOMetadataNode]
+                if (k.getNodeName == "LogicalScreenDescriptor") {
+                  screenW = k.getAttribute("logicalScreenWidth").toInt
+                  screenH = k.getAttribute("logicalScreenHeight").toInt
+                }
+                i += 1
+              }
+            }
+            var canvas: java.awt.image.BufferedImage = null
+            var ts = 0L
+            val out = Vector.newBuilder[GifFrame]
+            var f = 0
+            while (f < n) {
+              val patch = reader.read(f)
+              var delayMs = 100L
+              var x = 0
+              var y = 0
+              val root = reader.getImageMetadata(f)
+                .getAsTree("javax_imageio_gif_image_1.0")
+                .asInstanceOf[IIOMetadataNode]
+              val kids = root.getChildNodes
+              var i = 0
+              while (i < kids.getLength) {
+                val k = kids.item(i).asInstanceOf[IIOMetadataNode]
+                k.getNodeName match {
+                  case "GraphicControlExtension" =>
+                    val d = k.getAttribute("delayTime").toLong * 10L
+                    if (d > 0) delayMs = d
+                  case "ImageDescriptor" =>
+                    x = k.getAttribute("imageLeftPosition").toInt
+                    y = k.getAttribute("imageTopPosition").toInt
+                  case _ => ()
+                }
+                i += 1
+              }
+              if (canvas == null) {
+                val w = if (screenW > 0) screenW else patch.getWidth
+                val h = if (screenH > 0) screenH else patch.getHeight
+                canvas = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = canvas.createGraphics()
+                try { g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, w, h) }
+                finally g.dispose()
+              }
+              val g = canvas.createGraphics()
+              try g.drawImage(patch, x, y, null) finally g.dispose()
+              val snap = new java.awt.image.BufferedImage(
+                canvas.getWidth, canvas.getHeight, canvas.getType)
+              val sg = snap.createGraphics()
+              try sg.drawImage(canvas, 0, 0, null) finally sg.dispose()
+              out += GifFrame(ts, delayMs, snap)
+              ts += delayMs
+              f += 1
+            }
+            Some(out.result())
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ----------------------------------------------------------------- STUB
   // Deterministic fake codec for the media kind whose libraries are
-  // NOT in this environment (video). A real deployment swaps this for
-  // JNI/javacpp bindings (ffmpeg); its signature and the surrounding
-  // dataflow do not change.
+  // NOT in this environment (MP4/MOV frame decode). A real deployment
+  // swaps this for JNI/javacpp bindings (ffmpeg); its signature and the
+  // surrounding dataflow do not change. GIF payloads never reach it —
+  // they decode for real above.
 
   /** STUB decode->embed: hashes payload bytes into a unit-norm vector.
     * Deterministic in the payload, so tests and oracle-style replays are
@@ -411,12 +520,34 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per sampled frame (flatMap — the typed
-    * analog of a generator/UDTF).
+    * analog of a generator/UDTF). Each tick t = 0, everyMs, 2·everyMs …
+    * emits the frame on screen at that instant.
+    *
+    * GIF payloads decode for REAL ([[decodeGifFrames]]): the emitted
+    * payload is the PNG of the composited canvas at the tick, with the
+    * animation's own timing deciding the duration (the stored
+    * duration_ms metadata is not trusted over the stream). MP4 payloads
+    * take the stub slicer until a real codec binding exists. The PNG
+    * frames feed decodeImage → imageDHash → Dedup.simhashHammingPairs
+    * unchanged, so near-duplicate VIDEO detection runs on real pixels
+    * for GIFs today.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
     implicit val enc = Encoders.product[FrameRow]
     media.flatMap { m =>
       if (m.kind != "video") Iterator.empty
+      else if (isGif(m.payload)) decodeGifFrames(m.payload) match {
+        case Some(frames) if frames.nonEmpty =>
+          val total = frames.last.startMs + frames.last.delayMs
+          val step = math.max(1L, everyMs)
+          Iterator.iterate(0L)(_ + step).takeWhile(_ < total).zipWithIndex
+            .map { case (t, idx) =>
+              // frame on screen at t: last frame whose start <= t
+              val shown = frames.takeWhile(_.startMs <= t).last
+              FrameRow(m.media_id, idx, t, encodePng(shown.image))
+            }
+        case _ => Iterator.empty // corrupt GIF: skip, like every decoder
+      }
       else stubFrames(m.payload, everyMs, m.duration_ms.getOrElse(0L))
         .map { case (i, t, bytes) => FrameRow(m.media_id, i, t, bytes) }
     }

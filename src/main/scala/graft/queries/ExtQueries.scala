@@ -49,6 +49,22 @@ object ExtQueries {
       (0 until 4).map(i => s"${duckMinhash(i)} AS h$i").mkString(", ") +
       " FROM sh0 ORDER BY doc_id"))
 
+  /** Shared DuckDB fragments for the LSH oracles: the banded-signature
+    * CTE (4 bands of 2 over sig) and the est_sim tail that joins
+    * candidate pairs back to full signatures.
+    */
+  private val duckBandsCte = "bands AS (SELECT doc_id, b, CASE b " +
+    "WHEN 0 THEN concat(h0, ':', h1) WHEN 1 THEN concat(h2, ':', h3) " +
+    "WHEN 2 THEN concat(h4, ':', h5) ELSE concat(h6, ':', h7) END AS bkey " +
+    "FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b))"
+  private val duckLshTail = "SELECT da, db, round(CAST(" +
+    (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
+    " AS DOUBLE) / 8.0, 4) AS est_sim " +
+    "FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id " +
+    "WHERE CAST(" +
+    (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
+    " AS DOUBLE) / 8.0 >= 0.5 ORDER BY da, db"
+
   private val qMinhashLsh = Q("q_minhash_lsh",
     (s, d) => {
       val sig = Dedup.minhashSignature(
@@ -58,19 +74,36 @@ object ExtQueries {
         .select(col("da"), col("db"), round(col("est_sim"), 4).as("est_sim"))
         .orderBy("da", "db")
     },
-    Some(duckSigCte + ", bands AS (SELECT doc_id, b, CASE b " +
-      "WHEN 0 THEN concat(h0, ':', h1) WHEN 1 THEN concat(h2, ':', h3) " +
-      "WHEN 2 THEN concat(h4, ':', h5) ELSE concat(h6, ':', h7) END AS bkey " +
-      "FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+    Some(duckSigCte + ", " + duckBandsCte + ", " +
       "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
       "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
-      "SELECT da, db, round(CAST(" +
-      (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
-      " AS DOUBLE) / 8.0, 4) AS est_sim " +
-      "FROM cand JOIN sig sa ON da = sa.doc_id JOIN sig sb ON db = sb.doc_id " +
-      "WHERE CAST(" +
-      (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ") +
-      " AS DOUBLE) / 8.0 >= 0.5 ORDER BY da, db"))
+      duckLshTail))
+
+  /** L3b skew-guarded LSH (graft.ext.Dedup.minhashLshPairsBounded): the
+    * corpus-scale posture for adversarial boilerplate — band buckets
+    * larger than the cap are excluded from pair generation (and
+    * reported out-of-band; see DedupSpec's degenerate-corpus property).
+    * The oracle reproduces the bucket-size filter in SQL, so the
+    * window-count + cap semantics are cross-engine checked, not just
+    * unit-asserted.
+    */
+  private val qMinhashLshBounded = Q("q_minhash_lsh_bounded",
+    (s, d) => {
+      val sig = Dedup.minhashSignature(
+        t(s, d, "documents"), col("text"), col("doc_id"), k = 8)
+      val (pairs, _) = Dedup.minhashLshPairsBounded(
+        sig, k = 8, bands = 4, maxBucket = 3)
+      pairs.filter(col("est_sim") >= 0.5)
+        .select(col("da"), col("db"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy("da", "db")
+    },
+    Some(duckSigCte + ", " + duckBandsCte + ", " +
+      "bsz AS (SELECT b, bkey, count(*) AS sz FROM bands GROUP BY b, bkey), " +
+      "kept AS (SELECT x.doc_id, x.b, x.bkey FROM bands x " +
+      "JOIN bsz s ON x.b = s.b AND x.bkey = s.bkey WHERE s.sz <= 3), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM kept x " +
+      "JOIN kept y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
+      duckLshTail))
 
   /** L25 corpus-level MinHash: one union signature per source
     * (element-wise min — the mergeable-sketch property), then pairwise
@@ -912,7 +945,8 @@ object ExtQueries {
       "GROUP BY token, df ORDER BY token"))
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qMinhash, qMinhashLsh, qMinhashSources, qSimhash, qSimhashPairs,
+    qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
+    qSimhash, qSimhashPairs,
     qSimhashPairs64, qNgramJaccard,
     qDedupClusters, qDedupCorpus, qEmbedCosine, qEmbedLsh, qAnnTopk, qAnnIvf,
     qAnnIvfProbe,

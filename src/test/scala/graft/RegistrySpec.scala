@@ -83,5 +83,7 @@ object RegistrySpec {
     "q_regr_fit", "q_percentile_cont", "q_except_all", "q_intersect_all",
     "q_histogram_eq", "q_streaks", "q_funnel", "q_cohort_retention",
     "q_moving_zscore",
-    "q_fuzzy_pairs", "q_sample_weighted", "q_entity_resolution")
+    "q_fuzzy_pairs", "q_sample_weighted", "q_entity_resolution",
+    // round 9: skew-guarded LSH
+    "q_minhash_lsh_bounded")
 }

@@ -162,4 +162,50 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("degenerate corpus: unbounded LSH goes quadratic (documented hazard)") {
+    // an all-identical corpus puts every document in ONE bucket per
+    // band — pair count is n(n-1)/2 regardless of join strategy. This
+    // property pins the hazard the bounded variant exists for.
+    val n = 40
+    val degenerate = (1 to n)
+      .map(i => (i.toLong, "the same boilerplate text appears everywhere"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(degenerate, col("text"), col("doc_id"), k = 8)
+    assert(Dedup.minhashLshPairs(sig, k = 8, bands = 4).count() ==
+      n.toLong * (n - 1) / 2)
+  }
+
+  test("bounded LSH excludes oversized buckets and reports them, never silently") {
+    val n = 40
+    val degenerate = (1 to n)
+      .map(i => (i.toLong, "the same boilerplate text appears everywhere"))
+    val normal = Seq(
+      (100L, "a perfectly ordinary document about spark physical plans"),
+      (101L, "a perfectly ordinary document about spark physical plans"),
+      (102L, "completely unrelated content on audio codecs and sampling"))
+    val docs = (degenerate ++ normal).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), k = 8)
+    val (pairs, overflow) = Dedup.minhashLshPairsBounded(
+      sig, k = 8, bands = 4, maxBucket = 10)
+    val got = pairs.select("da", "db").as[(Long, Long)].collect().toSet
+    // the normal near-dup pair survives; no degenerate pair leaks out
+    assert(got == Set((100L, 101L)), got.toString)
+    // every degenerate band bucket is REPORTED with its size (4 bands,
+    // all n docs agree on every band key)
+    val over = overflow.select("bucket_rows").as[Long].collect()
+    assert(over.length == 4, over.mkString(","))
+    assert(over.forall(_ == n.toLong), over.mkString(","))
+  }
+
+  test("bounded LSH equals unbounded when no bucket exceeds the cap") {
+    val sig = Dedup.minhashSignature(docs, col("text"), col("doc_id"), k = 8)
+    val unbounded = Dedup.minhashLshPairs(sig, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (pairs, overflow) = Dedup.minhashLshPairsBounded(
+      sig, k = 8, bands = 4, maxBucket = 1000L)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == unbounded)
+    assert(overflow.count() == 0)
+  }
 }

@@ -211,6 +211,76 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_payload.length).sum == 100) // partition of the bytes
   }
 
+  /** A real animated GIF: `colors.length` solid 8x8 frames, `delayMs`
+    * apart, written with the JDK imageio GIF writer (delayTime +
+    * sequence metadata) — the same stack the decoder reads with.
+    */
+  private def gifBytes(colors: Seq[Int], delayMs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier, ImageWriteParam}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+      val md = writer.getDefaultImageMetadata(
+        new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", (delayMs / 10).toString) // 1/100 s units
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, md),
+        writer.getDefaultWriteParam: ImageWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("GIF frame sampling decodes REAL frames with real timing") {
+    val red = 0xff0000
+    val green = 0x00ff00
+    val blue = 0x0000ff
+    val gif = gifBytes(Seq(red, green, blue), delayMs = 200) // 600 ms total
+    val vids = Seq(MediaRow(40L, "video", gif, "image/gif",
+      Some(8), Some(8), None, None)).toDS()
+    // ticks at 0/200/400 ms land exactly on the three frames
+    val frames = sampleFrames(vids, everyMs = 200).collect().sortBy(_.ts_ms)
+    assert(frames.length == 3, frames.length.toString)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 200L, 400L))
+    val pixels = frames.map { f =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.frame_payload))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      img.getRGB(4, 4) & 0xffffff
+    }
+    // GIF palettes may quantize slightly: match the dominant channel
+    def dominant(rgb: Int): Int =
+      Seq(rgb >> 16 & 0xff, rgb >> 8 & 0xff, rgb & 0xff).zipWithIndex.maxBy(_._1)._2
+    assert(pixels.map(dominant).toSeq == Seq(red, green, blue).map(dominant),
+      pixels.map(_.toHexString).mkString(","))
+    // oversampling emits the frame on screen at each tick (100 ms ticks
+    // see each 200 ms frame twice)
+    val dense = sampleFrames(vids, everyMs = 100).collect()
+    assert(dense.length == 6)
+    // corrupt GIF: skipped, never a job kill
+    val bad = Seq(MediaRow(41L, "video",
+      "GIF89a garbage".getBytes("ISO-8859-1"), "image/gif",
+      None, None, None, Some(500L))).toDS()
+    assert(sampleFrames(bad, everyMs = 100).collect().isEmpty)
+  }
+
   test("schema round-trips through parquet with payload pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
     media.write.mode("overwrite").parquet(s"$dir/media")
