@@ -55,13 +55,16 @@ object BenchFormat {
       s""""queries":${objCompact(mins, decimals)},"sf":"$sfName","passes":$passes}"""
 
   /** The canonical driver-parsed line: map-free, bounded length
-    * regardless of registry size.
+    * regardless of registry size. `errors` counts query executions that
+    * threw — a failing query otherwise times as ~0 s and makes the
+    * total look BETTER, so the record must carry the denominator.
     */
   def totalLine(total: Double, sfName: String, passes: Int, nQueries: Int,
-                calib: Seq[Double]): String = {
+                calib: Seq[Double], errors: Long = 0L): String = {
     val calibJson = calib.map(num(_, 3)).mkString("[", ",", "]")
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfName",""" +
-      s""""passes":$passes,"queries_n":$nQueries,"calibration_per_pass_sec":$calibJson}"""
+      s""""passes":$passes,"queries_n":$nQueries,"errors":$errors,""" +
+      s""""calibration_per_pass_sec":$calibJson}"""
   }
 }
 
@@ -108,9 +111,16 @@ object Bench {
         .groupBy("o_orderstatus").count().count()
     } catch { case _: Throwable => () }
 
+    var errors = 0L
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      // swallow (one broken query must not kill the whole record) but
+      // COUNT: a throw times as ~0 s, which inflates nothing — the
+      // errors field on the total line keeps the record honest
+      try body catch { case e: Throwable =>
+        errors += 1
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // fixed-work contention probe: same tiny aggregate every pass
@@ -136,7 +146,8 @@ object Bench {
     println(BenchFormat.detailLine(mins, medians, sfDir, passes, calib))
     println(BenchFormat.queriesLine(mins, sfName, passes, decimals = 2))
     // LAST line = the driver-parsed one; bounded size by construction
-    println(BenchFormat.totalLine(total, sfName, passes, names.size, calib))
+    println(BenchFormat.totalLine(total, sfName, passes, names.size, calib,
+      errors))
     spark.stop()
   }
 }

@@ -72,8 +72,17 @@ object TextAnalysis {
   def topTfidfTerms(docs: org.apache.spark.sql.DataFrame, text: Column,
                     id: Column, k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val tok = docs.select(id.as("doc_id"), explode(tokens(text)).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf is a pure projection (graft_term_counts: per-row counting in
+    // one codegen'd pass) — the old explode → groupBy(doc, term) shape
+    // shuffled one row per TOKEN to count duplicates that never leave
+    // their source row. The only data-sized exchanges left are the two
+    // that genuinely cross rows: document frequency on term, and the
+    // per-doc top-k window on doc_id.
+    val tf = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("nd"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row term-frequency kernel.
+  *
+  * The compositional tf shape — `explode(split(text)) →
+  * groupBy(doc, term).count()` — shuffles one row per TOKEN through a
+  * hash aggregation just to count duplicates that all live in the same
+  * source row. This kernel folds that aggregation into the projection:
+  * one pass over the text bytes, one open-addressed count per distinct
+  * term, emitted as `array<struct<term, tf>>` in first-occurrence
+  * order (deterministic in the input). `explode(graft_term_counts(t))`
+  * then yields (doc, term, tf) with ZERO shuffle, so tf-idf's only
+  * data-sized exchanges are the ones that genuinely cross rows
+  * (document frequency and the per-doc top-k window).
+  *
+  * Tokenization matches [[graft.ext.TextHash.tokens]] (split on a
+  * single 0x20; repeated spaces yield empty tokens, which are counted
+  * like any term — byte-compatible with `string_split(text, ' ')` in
+  * the DuckDB oracle). The 0x20 delimiter never occurs inside a
+  * multi-byte UTF-8 sequence, so byte scanning is codepoint-safe
+  * (same argument as [[HashKernels.shingleHashes]]).
+  */
+object TermKernels {
+
+  /** (term, tf) pairs in first-occurrence order. */
+  def termCounts(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    // terms keyed by their byte span; LinkedHashMap preserves
+    // first-occurrence order so the output is deterministic
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val term = UTF8String.fromBytes(bytes, start, i - start)
+        counts.put(term, counts.getOrDefault(term, 0) + 1)
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_term_counts(text)` — see [[TermKernels.termCounts]]. */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_term_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    TermKernels.termCounts(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermKernels.termCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermFunctions {
+  /** Column API for [[TermCounts]]. */
+  def termCounts(text: Column): Column =
+    GraftBridge.column(TermCounts(GraftBridge.expression(text)))
+}

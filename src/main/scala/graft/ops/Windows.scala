@@ -93,11 +93,14 @@ object Windows {
     * ENTIRE input through one task — fine on a fixture, fatal on 100 TB.
     * This computes the identical bucket assignment scalably:
     *
-    *  1. range-partition on the total ordering (explicit partition count,
-    *     so AQE never re-coalesces it — partition ids must be identical
-    *     for both readers of the exchange);
-    *  2. per-partition `row_number()` (parallel windows keyed by
-    *     `spark_partition_id()`);
+    *  1. range-partition on the total ordering and sort within each
+    *     partition (explicit partition count, so AQE never re-coalesces
+    *     it — partition layout must be identical for both readers of
+    *     the exchange);
+    *  2. `monotonically_increasing_id()` over the sorted partitions is
+    *     (partitionIndex << 33) + rowIndex by its documented encoding —
+    *     so LOCAL row numbers and partition ids are pure bit projections
+    *     of one column, no window exec and no pid hash exchange at all;
     *  3. a prefix-sum of per-partition counts — a `partitions`-row side
     *     table riding the SAME range exchange (ReusedExchange), windowed
     *     single-task at catalog size and broadcast back — turns local
@@ -105,31 +108,42 @@ object Windows {
     *  4. the closed-form ntile bucket of a global rank: the first
     *     n mod k buckets take ceil(n/k) rows, the rest floor(n/k).
     *
-    * Cost: one range exchange of the data (read twice via exchange
-    * reuse), one pid-keyed hash exchange for the local windows, and a
-    * broadcast of `partitions` rows — every stage parallel, nothing
-    * data-sized on the driver or in one task. Doubles are exact for the
-    * rank arithmetic up to 2^53 rows. Same determinism contract as
-    * [[ntileOf]]: the ordering must be total.
+    * Cost: ONE exchange of the data (the range partitioning; read twice
+    * via exchange reuse), one in-partition sort, and a broadcast of
+    * `partitions` rows — every stage parallel, nothing data-sized on
+    * the driver or in one task. The id projection is deterministic
+    * because both its inputs are: partition layout (explicit range
+    * partitioning) and intra-partition order (the sort below it).
+    * Doubles are exact for the rank arithmetic up to 2^53 rows. Same
+    * determinism contract as [[ntileOf]]: the ordering must be total.
     */
   def globalNtile(df: DataFrame, k: Int, order: Seq[Column],
                   partitions: Int, bucketName: String): DataFrame = {
     require(k >= 1, s"globalNtile needs k >= 1, got $k")
+    val MONO = "__graft_mono"
     val PID = "__graft_pid"
-    val ranged = df.repartitionByRange(partitions, order: _*)
-      .withColumn(PID, spark_partition_id())
+    val exchanged = df.repartitionByRange(partitions, order: _*)
+    val ranged = exchanged
+      .sortWithinPartitions(order: _*)
+      .withColumn(MONO, monotonically_increasing_id())
+      .withColumn(PID, shiftright(col(MONO), 33))
     // tiny (pid, count, offset, total) table: `partitions` rows; empty
-    // range partitions simply don't appear (they contribute offset 0)
+    // range partitions simply don't appear (they contribute offset 0).
+    // Counts come off the UNSORTED exchange output (spark_partition_id
+    // over the reused exchange — same layout, counts don't need order),
+    // so the side branch skips the in-partition sort entirely.
     val wPrefix = Window.orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTotal = Window.orderBy(col(PID))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offsets = ranged.groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
+    val offsets = exchanged
+      .select(spark_partition_id().cast("long").as(PID))
+      .groupBy(col(PID)).agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset", coalesce(sum(col("__cnt")).over(wPrefix), lit(0L)))
       .withColumn("__n", sum(col("__cnt")).over(wTotal))
       .drop("__cnt")
-    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
-    val r = row_number().over(wLocal).cast("long") + col("__offset") // 1-based
+    // 1-based global rank: local row index (low 33 bits) + prefix offset
+    val r = col(MONO).bitwiseAND(lit((1L << 33) - 1)) + lit(1L) + col("__offset")
     val q = floor(col("__n") / k).cast("long")       // small-bucket size
     val rem = col("__n") % k                          // # of (q+1) buckets
     val bigSpan = rem * (q + lit(1L))                 // rows they cover
@@ -138,7 +152,7 @@ object Windows {
       .otherwise(rem + floor((r - bigSpan - lit(1L)) / q) + 1)
     ranged.join(broadcast(offsets), Seq(PID))
       .withColumn(bucketName, bucket.cast("int"))     // ntile's return type
-      .drop(PID, "__offset", "__n")
+      .drop(PID, MONO, "__offset", "__n")
   }
 
   /** Value-range frame: aggregate over rows whose `order` value lies in

@@ -47,6 +47,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""sf":"sf0.1""""))
     assert(line.contains(""""passes":3"""))
     assert(line.contains(s""""queries_n":${Queries.all.size}"""))
+    assert(line.contains(""""errors":0"""))
     assert(line.contains(""""calibration_per_pass_sec":[0.550,0.370,0.270]"""))
     assert(line.endsWith("}"))
     assert(line.count(_ == '{') == 1 && line.count(_ == '}') == 1)

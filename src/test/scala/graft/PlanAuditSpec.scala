@@ -155,7 +155,13 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_tfidf: per-doc top-k optimized to WindowGroupLimit") {
-    assert(planOf("q_tfidf").contains("WindowGroupLimit"))
+    val p = planOf("q_tfidf")
+    // tf comes from the native per-row kernel, not a (doc, term) shuffle:
+    // the only hash exchanges are document-frequency (term), the tf-df
+    // join (term), and the top-k window (doc_id)
+    assert(p.contains("graft_term_counts"), p)
+    assert(!"Exchange hashpartitioning\\(doc_id[^\\)]*term".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("WindowGroupLimit"))
   }
 
   test("entry: flagship query broadcasts the customer dim") {
@@ -197,6 +203,24 @@ class PlanAuditSpec extends SparkSpec {
     // side plan, not the token stream).
     assert("Exchange hashpartitioning\\(token".r.findAllIn(p).size == 1, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_minhash_lsh_bounded: bucket-size window rides the band-key exchange") {
+    val df = SparkEntry.queries("q_minhash_lsh_bounded")(spark, d)
+    df.collect() // exchange reuse is an AQE runtime decision
+    // an executed AdaptiveSparkPlan prints final AND initial plan —
+    // count nodes in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the skew guard must not add a data-sized shuffle: the __bsz
+    // window sorts on the SAME band keys the join needs, so the only
+    // band-key exchanges are the join sides themselves (1 when AQE
+    // stage reuse wins the submission race, 2 when both sides
+    // materialize concurrently — reuse of identical self-join stages
+    // is timing-dependent; 3+ would mean the window forced its own)
+    assert("Exchange hashpartitioning\\(band".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
   test("q_minhash_sources: one signature aggregate, pair join over the broadcast group table") {
