@@ -364,7 +364,41 @@ object Dedup {
     * and the oracle applies the same hash so results stay comparable.)
     */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double): DataFrame =
+    shingleIntersections(docs, text, id, n)
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+
+  /** Directional n-gram containment pairs: c_a_in_b = |A∩B| / |A| (the
+    * fraction of A's shingles that also occur in B) and the mirror —
+    * the one-sided near-dup signal Jaccard misses: a short document
+    * quoted whole inside a long one has tiny Jaccard but containment
+    * ≈ 1. Keep pairs where EITHER direction clears `threshold` — the
+    * standard sub-document duplication / boilerplate-inclusion
+    * detector. Same candidate machinery (and scale posture) as
+    * [[ngramJaccardPairs]].
+    */
+  def ngramContainmentPairs(docs: DataFrame, text: Column, id: Column,
+                            n: Int, threshold: Double): DataFrame =
+    shingleIntersections(docs, text, id, n)
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / col("na")).as("c_a_in_b"),
+        (col("i").cast("double") / col("nb")).as("c_b_in_a"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+
+  /** Shared core of the exact n-gram pair family: candidate pairs via
+    * the shared-shingle inverted index (equi-join on the shingle) with
+    * intersection and both set sizes — (da, db, na, nb, i).
+    *
+    * The index carries the 48-bit shingle hash, not the string: the
+    * self-join shuffles 8-byte longs instead of ~20-byte UTF8 grams and
+    * compares by long equality. (Cross-doc hash collisions would merge
+    * distinct shingles; at 48 bits that is ~2^-48 per pair — accepted,
+    * and the oracle applies the same hash so results stay comparable.)
+    */
+  private def shingleIntersections(docs: DataFrame, text: Column,
+                                   id: Column, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Per-doc set size rides along as a window count over the exploded
     // index: one lineage, so the expensive shingle+md5 projection is
@@ -390,9 +424,6 @@ object Dedup {
     a.join(b.hint("shuffle_hash"), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("i"))
-      .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
-      .filter(col("jacc") >= threshold)
   }
 
   /** Corpus-level MinHash: ONE union signature per group. MinHash is a
@@ -460,5 +491,32 @@ object Dedup {
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Duplicate-graph structure summary: edge and triangle counts over a
+    * canonically-oriented edge list (src < dst, the convention every
+    * pair generator in this family emits). Triangle density is the
+    * standard QA signal on a dedup candidate graph — near-dup edges are
+    * noisy, but triangles (three mutually-similar documents) almost
+    * never are, so a collapsing triangle count after a threshold change
+    * means the change cut real clusters, not noise.
+    *
+    * Scale posture: the classic two-hash-join triangle enumeration.
+    * The `src < dst` orientation means each triangle {a<b<c} is counted
+    * exactly once (as e1=(a,b), e2=(b,c), e3=(a,c)) with no
+    * permutation blowup, and the join fan-out is bounded by directed
+    * out-degree — the well-known orientation trick that keeps the
+    * worst case at O(m^1.5) instead of O(sum deg^2). Both joins are
+    * plain equi-joins: no cartesian, no driver-side adjacency.
+    */
+  def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = edges.select(src.as("u"), dst.as("v"))
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = wedges
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val m = e.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(broadcast(m)).select(col("n_triangles"), col("n_edges"))
   }
 }

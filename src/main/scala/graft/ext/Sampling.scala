@@ -58,6 +58,37 @@ object Sampling {
     df.filter(baseHash(key.cast("string")) % 10000 <
       least(lit(10000L), weightBps.cast("long")))
 
+  /** Token-budget-aware source mixing: give every source an equal
+    * token budget `capTokens` and derive its deterministic sampling
+    * rate — rate_bps = min(10000, capTokens·10000 ÷ source_tokens) —
+    * so over-represented sources are downsampled proportionally and
+    * small sources pass through whole. THE re-balancing step of a
+    * training-mix recipe ("cap every domain at N tokens"), expressed
+    * as data: change the cap, rerun, and the same hash-sampling
+    * determinism contract as [[hashSample]] keeps previously-selected
+    * rows selected when the cap only goes up.
+    *
+    * Scale posture: the rate table is one row per source (bounded,
+    * broadcast); the corpus is touched by one tiny aggregate and one
+    * per-row filtered scan — no data-sized shuffle. Rate arithmetic is
+    * multiply-then-floor-divide on BIGINTs (exact under 2^53), so the
+    * DuckDB oracle reproduces every basis point.
+    */
+  def tokenBudgetMix(docs: DataFrame, id: Column, text: Column,
+                     source: Column, capTokens: Long): DataFrame = {
+    require(capTokens > 0, "capTokens must be positive")
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      size(tokens(text)).cast("long").as("n_tok"))
+    val rates = base.groupBy("source")
+      .agg(sum(col("n_tok")).as("src_tok"))
+      .select(col("source"), least(lit(10000L),
+        floor(lit(capTokens * 10000L) / col("src_tok")).cast("long"))
+        .as("rate_bps"))
+    base.join(broadcast(rates), Seq("source"))
+      .filter(baseHash(col("doc_id").cast("string")) % 10000 < col("rate_bps"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
   /** Concat-and-split sequence packing: documents are laid end-to-end
     * in deterministic (shard, id) order and cut into `contextLen`-token
     * windows; each doc is labeled with the pack (window index) where

@@ -47,6 +47,24 @@ object TextAnalysis {
       least(lit(1.0), stopRatio * 10.0) * 0.5
   }
 
+  /** Integer quality score in basis points [0, 10000]: the same
+    * length + function-word credits as [[qualityScore]], but every
+    * step is exact BIGINT arithmetic (multiply before divide, floor
+    * division), so the value is bit-identical on any engine and safe
+    * to threshold/percentile against — a double score compared to a
+    * double cutoff can flip borderline rows between engines; an
+    * integer score cannot. The magnitudes stay far below 2^53, so the
+    * double-typed division below is exact before the floor.
+    */
+  def qualityBps(text: Column): Column = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("long")
+    val stop = size(filter(tok,
+      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
+    least(lit(5000L), nTok * 25) +
+      least(lit(5000L), floor(stop * lit(50000L) / nTok).cast("long"))
+  }
+
   /** Whitespace token count + BPE-ish subword count (greedy <=4-char
     * chunks), the classic cheap token-budget estimators.
     */

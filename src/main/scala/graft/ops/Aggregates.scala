@@ -78,4 +78,57 @@ object Aggregates {
       .withColumn("r", round(covN / (sqrt(varXN) * sqrt(varYN)), scale))
       .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
   }
+
+  /** Exact quantile threshold for a BOUNDED-DOMAIN integer column via
+    * its value histogram: returns a 1-row frame `(thr)` holding the
+    * smallest value v with cume_count(v) >= ceil(n·p) — the
+    * percentile_disc definition — meant to be broadcast back as a
+    * filter cutoff (see q_quality_cut).
+    *
+    * Scale posture: the corpus-sized work is ONE hash aggregate
+    * (map-side combined); the cumulative window then runs over the
+    * HISTOGRAM, whose row count is bounded by the value domain (e.g.
+    * <= 10001 rows for a basis-points score) at ANY corpus size — so
+    * the single-task global-window collapse that makes naive
+    * `ntile`/`percent_rank` quantiles a bottleneck never sees more
+    * than domain-many rows here. This is why the threshold column must
+    * be integer-valued: a double score has an unbounded domain and
+    * degrades this plan back to a global sort.
+    */
+  def boundedQuantileThreshold(df: DataFrame, value: Column, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p out of (0,1]: $p")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(value.as("v")).agg(count(lit(1)).as("c"))
+    h.select(col("v"),
+        sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cf"),
+        sum("c").over(Window.partitionBy()).as("n"))
+      .filter(col("cf") >= ceil(col("n") * p))
+      .agg(min("v").as("thr"))
+  }
+
+  /** 2-D Pareto frontier, both dimensions minimized: the points
+    * (x, min y at x) not dominated by any other point (one with <= on
+    * both coordinates and < on at least one). Skyline/dominance is the
+    * classic multi-criteria shortlist operator ("no part is both
+    * smaller and cheaper").
+    *
+    * Scale posture: NOT the quadratic NOT-EXISTS self-join — the 2-D
+    * frontier falls out of a sort: collapse to one row per distinct x
+    * (min y) with a hash aggregate, then keep a point iff every
+    * strictly-smaller x has a strictly-larger y, i.e. its y beats the
+    * running min over the x-sorted prefix. The window runs over the
+    * DISTINCT-x frame, bounded by x's domain, not the corpus (the
+    * same bounded-domain argument as [[boundedQuantileThreshold]];
+    * x here is an integer attribute like `p_size`).
+    */
+  def skylineMinMin(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.groupBy(x.as("x")).agg(min(y).as("y"))
+    val prev = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__pm", min("y").over(prev))
+      .filter(col("__pm").isNull || col("y") < col("__pm"))
+      .select(col("x"), col("y"))
+  }
 }

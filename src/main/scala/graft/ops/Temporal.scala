@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -192,6 +192,38 @@ object Temporal {
     filledMark.withColumn(as,
       when(!col(gapCol), round(col(valueCol).cast("double"), 4))
         .otherwise(round(pv + (nv - pv) * (day - pd) / (nd - pd), 4)))
+  }
+
+  /** Exponentially-weighted moving average over a BOUNDED lookback of
+    * the last `k` rows per key: ewma = Σ αⁱ·x_{t-i} / Σ αⁱ over the
+    * available lags (short prefixes renormalize over what exists,
+    * matching pandas `ewm(adjust=True)` truncated to a window). The
+    * standard smoother for noisy per-entity series.
+    *
+    * Why bounded instead of the textbook infinite recursion: the
+    * recursive form is inherently sequential per key (breaks window
+    * parallelism and any cross-engine oracle), while the k-term form
+    * is ONE window over k `lag`s — a single partition-sort exec, no
+    * self-joins — and with α a power of two the αⁱ·x products are
+    * exact binary scalings, so the left-associated sum is bit-identical
+    * in any IEEE engine evaluating the same expression. α = 0.5, k = 8
+    * leaves a residual tail weight < 0.4%, well under the 4-decimal
+    * output rounding.
+    */
+  def ewmaBounded(df: DataFrame, keys: Seq[String], order: Seq[String],
+                  value: Column, k: Int = 8, as: String = "ewma"): DataFrame = {
+    require(k >= 1 && k <= 16, s"k out of [1,16]: $k")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    def weight(i: Int): Double = math.pow(0.5, i)
+    val num = (1 until k).foldLeft(value.cast("double")) { (acc, i) =>
+      acc + when(lag(value, i).over(w).isNotNull,
+        lit(weight(i)) * lag(value, i).over(w).cast("double")).otherwise(lit(0.0))
+    }
+    val den = (1 until k).foldLeft(lit(1.0)) { (acc, i) =>
+      acc + when(lag(value, i).over(w).isNotNull, lit(weight(i)))
+        .otherwise(lit(0.0))
+    }
+    df.withColumn(as, round(num / den, 4))
   }
 
   private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],

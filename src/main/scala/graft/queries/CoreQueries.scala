@@ -1496,6 +1496,63 @@ object CoreQueries {
       "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents " +
       "FROM t GROUP BY decile ORDER BY decile"))
 
+  /** A12 2-D Pareto frontier (skyline): parts where nothing is both
+    * smaller and cheaper. The implementation is the sort-based frontier
+    * (hash-agg to one row per size, running-min window over the
+    * bounded distinct-size frame — [[Aggregates.skylineMinMin]]), NOT
+    * the quadratic NOT-EXISTS self-join; the ORACLE is the quadratic
+    * dominance formulation, so the two independent shapes checking
+    * each other is the point of the test. Money in exact cents per the
+    * §7.5 contract.
+    */
+  private val qSkyline = Q("q_skyline",
+    (s, d) => Aggregates.skylineMinMin(
+        t(s, d, "part").select(col("p_size"),
+          Scalars.moneyCents(col("p_retailprice")).as("price_c")),
+        col("p_size"), col("price_c"))
+      .select(col("x").as("p_size"), col("y").as("price_c"))
+      .orderBy("p_size"),
+    Some("WITH pts AS (SELECT p_size, " +
+      "min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_c " +
+      "FROM part GROUP BY p_size) " +
+      "SELECT p_size, price_c FROM pts a WHERE NOT EXISTS (" +
+      "SELECT 1 FROM pts b WHERE b.p_size <= a.p_size " +
+      "AND b.price_c <= a.price_c " +
+      "AND (b.p_size < a.p_size OR b.price_c < a.price_c)) " +
+      "ORDER BY p_size"))
+
+  /** Exact decimal renderings of 0.5^i — parse to bit-identical doubles
+    * in any engine (kept as literals so the oracle text stays readable).
+    * Declared BEFORE qEwma: object vals initialize in source order.
+    */
+  private val EwmaW = Array("1.0", "0.5", "0.25", "0.125", "0.0625",
+    "0.03125", "0.015625", "0.0078125")
+
+  /** W11 bounded exponentially-weighted moving average per user
+    * ([[Temporal.ewmaBounded]]): one window exec, eight lags, exact
+    * power-of-two weights — the oracle rebuilds the identical
+    * left-associated expression, so the doubles agree bit-for-bit
+    * before the 4-decimal rounding.
+    */
+  private val qEwma = Q("q_ewma",
+    (s, d) => Temporal.ewmaBounded(
+        t(s, d, "events").select("user_id", "event_id", "ts", "value"),
+        keys = Seq("user_id"), order = Seq("ts", "event_id"),
+        value = col("value"), k = 8)
+      .select("user_id", "event_id", "ewma")
+      .orderBy("user_id", "event_id"),
+    Some {
+      val num = (1 to 7).map(i =>
+        s" + CASE WHEN lag(value, $i) OVER w IS NOT NULL " +
+          s"THEN ${EwmaW(i)} * lag(value, $i) OVER w ELSE 0.0 END").mkString
+      val den = (1 to 7).map(i =>
+        s" + CASE WHEN lag(value, $i) OVER w IS NOT NULL " +
+          s"THEN ${EwmaW(i)} ELSE 0.0 END").mkString
+      s"SELECT user_id, event_id, round((value$num) / (1.0$den), 4) AS ewma " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "ORDER BY user_id, event_id"
+    })
+
   // ---------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(
@@ -1518,5 +1575,5 @@ object CoreQueries {
     qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill, qResampleInterp,
     qMergeUpsert, qScd2, qTableDiff,
     qPivot, qUnpivot,
-    qHistogram, qHistogramEq)
+    qHistogram, qHistogramEq, qSkyline, qEwma)
 }

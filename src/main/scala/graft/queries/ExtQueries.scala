@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.model.Tables
-import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis, TextHash}
+import graft.ext.{Dedup, Graph, Sampling, Similarity, TextAnalysis, TextHash}
+import graft.ops.Aggregates
 
 /** [EXT] LLM-training-data pipeline operators (builder-prompt north
   * star): deduplication (exact / MinHash+LSH / SimHash / n-gram
@@ -216,13 +217,16 @@ object ExtQueries {
   /** Shared DuckDB CTEs for the 3-gram Jaccard pair pipeline over
     * `src` (also the input of the clustering oracles).
     */
-  private def duckJaccardCtesOver(src: String): String =
+  private def duckShingleInterOver(src: String): String =
     "sh AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") + " AS s FROM " +
       "(SELECT doc_id, unnest(list_distinct(" +
       TextHash.duckShingles("text", 3) + s")) AS s0 FROM $src)), " +
       "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
-      "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+      "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)"
+
+  private def duckJaccardCtesOver(src: String): String =
+    duckShingleInterOver(src) + ", " +
       "jpairs AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
       "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
       "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"
@@ -944,6 +948,164 @@ object ExtQueries {
       "FROM w WHERE df * 100 <= (SELECT count(DISTINCT doc_id) FROM documents) * 78 " +
       "GROUP BY token, df ORDER BY token"))
 
+  /** [EXT] L27 token-budget source mixing
+    * ([[Sampling.tokenBudgetMix]]): cap every source at 1200 tokens by
+    * deriving per-source deterministic sampling rates from the token
+    * totals — the "cap every domain" re-balancing step of a training
+    * mix. One bounded aggregate, one broadcast join, one per-row
+    * filter; no data-sized shuffle.
+    */
+  private val qCorpusMix = Q("q_corpus_mix",
+    (s, d) => Sampling.tokenBudgetMix(t(s, d, "documents"),
+        id = col("doc_id"), text = col("text"), source = col("source"),
+        capTokens = 1200L)
+      .orderBy("doc_id"),
+    Some("WITH tc AS (SELECT doc_id, source, " +
+      "len(string_split(text, ' ')) AS n_tok FROM documents), " +
+      "st AS (SELECT source, sum(n_tok) AS src_tok FROM tc GROUP BY source), " +
+      "r AS (SELECT source, least(10000, " +
+      "CAST(floor(12000000 / src_tok) AS BIGINT)) AS rate_bps FROM st) " +
+      "SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok " +
+      "FROM tc t JOIN r USING (source) WHERE " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
+      " % 10000 < r.rate_bps ORDER BY doc_id"))
+
+  /** DuckDB twin of TextAnalysis.qualityBps (exact BIGINT arithmetic —
+    * no double score ever crosses an engine boundary).
+    */
+  private val duckQbps =
+    s"least(5000, $duckNTok * 25) + least(5000, " +
+      s"CAST(floor(($duckStop * 50000) / $duckNTok) AS BIGINT))"
+
+  /** [EXT] L28 quality-percentile cut: keep documents at or above the
+    * corpus p75 of the INTEGER quality score. The threshold comes from
+    * [[Aggregates.boundedQuantileThreshold]] — a histogram-cumulative
+    * exact quantile whose window input is bounded by the score domain
+    * (<= 10001 rows at any corpus size), broadcast back as a 1-row
+    * cutoff. The integer score is what makes the cut reproducible: a
+    * double score against a double threshold can flip borderline rows
+    * between engines; BIGINTs cannot.
+    */
+  private val qQualityCut = Q("q_quality_cut",
+    (s, d) => {
+      val q = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.qualityBps(col("text")).as("quality_bps"))
+      val thr = Aggregates.boundedQuantileThreshold(q, col("quality_bps"), 0.75)
+      q.crossJoin(broadcast(thr))
+        .filter(col("quality_bps") >= col("thr"))
+        .select("doc_id", "source", "quality_bps")
+        .orderBy("doc_id")
+    },
+    Some(s"WITH q AS (SELECT doc_id, source, $duckQbps AS quality_bps " +
+      "FROM documents), " +
+      "h AS (SELECT quality_bps AS v, count(*) AS c FROM q GROUP BY quality_bps), " +
+      "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cf, " +
+      "(SELECT count(*) FROM q) AS n FROM h), " +
+      "thr AS (SELECT min(v) AS thr FROM cum WHERE cf >= ceil(n * 0.75)) " +
+      "SELECT doc_id, source, quality_bps FROM q, thr " +
+      "WHERE quality_bps >= thr ORDER BY doc_id"))
+
+  /** [EXT] L29 corpus bigram frequencies: top-20 word bigrams with a
+    * total (count desc, bigram) ordering — the corpus-statistics probe
+    * behind boilerplate detection and tokenizer audits. One partial-
+    * aggregated shuffle + TakeOrderedAndProject; the explode never
+    * materializes per-document lists.
+    */
+  private val qFreqBigrams = Q("q_freq_bigrams",
+    (s, d) => t(s, d, "documents")
+      .select(explode(TextHash.shingles(TextHash.tokens(col("text")), 2))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20),
+    Some("WITH b AS (SELECT unnest(" + TextHash.duckShingles("text", 2) +
+      ") AS bigram FROM documents) " +
+      "SELECT bigram, count(*) AS n FROM b GROUP BY bigram " +
+      "ORDER BY n DESC, bigram LIMIT 20"))
+
+  /** [EXT] L30 dup-graph triangle census ([[Dedup.triangleStats]]) over
+    * the L26 fuzzy-pair edges: the structural QA signal for a dedup
+    * candidate graph (triangles = three mutually-similar docs — almost
+    * never hash noise). Oracle recomputes the same two-join
+    * enumeration on DuckDB's own edge list.
+    */
+  private val qTriangleCount = Q("q_triangle_count",
+    (s, d) => Dedup.triangleStats(
+      Dedup.fuzzyPairs(t(s, d, "part"), col("p_name"),
+        substring_index(col("p_name"), " ", -1), maxDist = 4),
+      col("name_a"), col("name_b")),
+    Some("WITH names AS (SELECT DISTINCT p_name AS name, " +
+      "split_part(p_name, ' ', -1) AS blk FROM part), " +
+      "fp AS (SELECT a.name AS da, b.name AS db FROM names a JOIN names b " +
+      "ON a.blk = b.blk AND a.name < b.name " +
+      "AND levenshtein(a.name, b.name) <= 4) " +
+      "SELECT (SELECT count(*) FROM fp e1 " +
+      "JOIN fp e2 ON e1.db = e2.da " +
+      "JOIN fp e3 ON e3.da = e1.da AND e3.db = e2.db) AS n_triangles, " +
+      "(SELECT count(*) FROM fp) AS n_edges"))
+
+  /** [EXT] L31 n-gram containment pairs
+    * ([[Dedup.ngramContainmentPairs]]): one-sided near-dup — a short
+    * doc quoted whole inside a long one has tiny Jaccard but
+    * containment ≈ 1. Same inverted-index candidates (and
+    * ReusedExchange shape) as L5.
+    */
+  private val qContainment = Q("q_containment",
+    (s, d) => Dedup.ngramContainmentPairs(
+        t(s, d, "documents"), col("text"), col("doc_id"),
+        n = 3, threshold = 0.8)
+      .select(col("da"), col("db"),
+        round(col("c_a_in_b"), 4).as("c_a_in_b"),
+        round(col("c_b_in_a"), 4).as("c_b_in_a"))
+      .orderBy("da", "db"),
+    Some("WITH " + duckShingleInterOver("documents") + ", " +
+      "cp AS (SELECT da, db, CAST(i AS DOUBLE) / sa.sz AS ca, " +
+      "CAST(i AS DOUBLE) / sb.sz AS cb " +
+      "FROM inter JOIN sizes sa ON da = sa.doc_id " +
+      "JOIN sizes sb ON db = sb.doc_id " +
+      "WHERE greatest(CAST(i AS DOUBLE) / sa.sz, " +
+      "CAST(i AS DOUBLE) / sb.sz) >= 0.8) " +
+      "SELECT da, db, round(ca, 4) AS c_a_in_b, round(cb, 4) AS c_b_in_a " +
+      "FROM cp ORDER BY da, db"))
+
+  /** [EXT] L32 deterministic fixed-point PageRank
+    * ([[Graph.pagerankFixedPoint]]) over the L26 fuzzy-pair graph, two
+    * unrolled power iterations: centrality for picking cluster
+    * canonicals / crawl seeds. Exact BIGINT arithmetic end to end —
+    * a floating-point PR sums doubles in shuffle order and is not
+    * reproducible across partitionings, let alone engines; the oracle
+    * unrolls the identical integer recurrence as CTEs.
+    */
+  private val qPagerank = Q("q_pagerank",
+    (s, d) => Graph.pagerankFixedPoint(
+        Dedup.fuzzyPairs(t(s, d, "part"), col("p_name"),
+          substring_index(col("p_name"), " ", -1), maxDist = 4),
+        col("name_a"), col("name_b"), iters = 2)
+      .orderBy("node"),
+    Some("WITH names AS (SELECT DISTINCT p_name AS name, " +
+      "split_part(p_name, ' ', -1) AS blk FROM part), " +
+      "fp AS (SELECT a.name AS da, b.name AS db FROM names a JOIN names b " +
+      "ON a.blk = b.blk AND a.name < b.name " +
+      "AND levenshtein(a.name, b.name) <= 4), " +
+      "e AS (SELECT da AS u, db AS v FROM fp UNION ALL SELECT db, da FROM fp), " +
+      "deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u), " +
+      "nn AS (SELECT count(*) AS n FROM deg), " +
+      "p0 AS (SELECT u, deg, 100000000 // n AS base, 100000000 // n AS pr " +
+      "FROM deg, nn), " +
+      "c0 AS (SELECT u, pr // deg AS c FROM p0), " +
+      "i0 AS (SELECT e.v AS u, sum(c0.c) AS s FROM e JOIN c0 ON e.u = c0.u " +
+      "GROUP BY e.v), " +
+      "p1 AS (SELECT p0.u, p0.deg, p0.base, " +
+      "(15 * p0.base) // 100 + (85 * coalesce(i0.s, 0)) // 100 AS pr " +
+      "FROM p0 LEFT JOIN i0 ON p0.u = i0.u), " +
+      "c1 AS (SELECT u, pr // deg AS c FROM p1), " +
+      "i1 AS (SELECT e.v AS u, sum(c1.c) AS s FROM e JOIN c1 ON e.u = c1.u " +
+      "GROUP BY e.v), " +
+      "p2 AS (SELECT p1.u, p1.deg, p1.base, " +
+      "(15 * p1.base) // 100 + (85 * coalesce(i1.s, 0)) // 100 AS pr " +
+      "FROM p1 LEFT JOIN i1 ON p1.u = i1.u) " +
+      "SELECT u AS node, CAST(pr AS BIGINT) AS pr FROM p2 ORDER BY node"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -955,5 +1117,7 @@ object ExtQueries {
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
     qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs,
-    qEntityResolution)
+    qEntityResolution,
+    qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
+    qContainment, qPagerank)
 }

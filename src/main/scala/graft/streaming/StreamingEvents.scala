@@ -295,8 +295,12 @@ object TwsAsof {
   case class Joined(k: String, ts_ms: Long, l_id: Long,
       r_ts_ms: Option[Long], r_val: Option[String])
 
-  private case class LeftEv(ts: Long, l_id: Long)
-  private case class RightEv(ts: Long, r_val: String)
+  // NOT private: Janino-generated encoder projections live outside this
+  // object's access scope, so a private case class forces every state
+  // (de)serialization down the interpreted fallback path (observed as
+  // "Expr codegen error ... TwsAsof$LeftEv.ts()" WARNs in the test log)
+  case class LeftEv(ts: Long, l_id: Long)
+  case class RightEv(ts: Long, r_val: String)
 
   class AsofProcessor extends StatefulProcessor[String, Ev, Joined] {
     @transient private var lefts: ListState[LeftEv] = _

@@ -374,4 +374,39 @@ class PlanAuditSpec extends SparkSpec {
       conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q_corpus_mix: rate table joins broadcast, never sort-merge") {
+    val p = planOf("q_corpus_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "bounded rate table must broadcast")
+  }
+
+  test("q_quality_cut: 1-row threshold broadcast back over the corpus") {
+    val p = planOf("q_quality_cut")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_freq_bigrams: map-side partial count + TakeOrderedAndProject") {
+    val p = planOf("q_freq_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), "bigram count must combine map-side")
+  }
+
+  test("q_skyline: sort-based frontier — no join anywhere in the plan") {
+    // the quadratic dominance shape lives ONLY in the oracle; the engine
+    // side is hash-agg + bounded-frame running-min window
+    val p = planOf("q_skyline")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_ewma: eight lags fuse into ONE window exec") {
+    val p = planOf("q_ewma")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_triangle_count: triangle enumeration is equi-joins, no cartesian") {
+    val p = planOf("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -71,4 +71,57 @@ class PropertiesSpec extends SparkSpec {
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("skylineMinMin equals brute-force dominance on random point sets") {
+    import graft.ops.Aggregates
+    val pts = Gen.listOfN(30, Gen.zip(Gen.choose(0, 12), Gen.choose(0L, 40L)))
+    val prop = Prop.forAll(pts) { data =>
+      val out = Aggregates.skylineMinMin(data.toDF("x", "y"), col("x"), col("y"))
+        .as[(Int, Long)].collect().toSet
+      val mins = data.groupBy(_._1).map { case (x, g) => x -> g.map(_._2).min }
+      val brute = mins.collect { case (x, y) if !mins.exists { case (x2, y2) =>
+        x2 <= x && y2 <= y && (x2 < x || y2 < y) } => (x, y) }.toSet
+      out == brute
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("pagerankFixedPoint: mass conserved within floor loss; uniform on regular graphs") {
+    import graft.ext.Graph
+    // ring graphs are 2-regular: PR must stay exactly uniform; mass loss
+    // is bounded by n units per division step
+    val sizes = Gen.choose(3, 30)
+    val prop = Prop.forAll(sizes) { n =>
+      val ring = (0L until n.toLong).map(i => (i, (i + 1) % n)).toDF("u", "v")
+      val pr = Graph.pagerankFixedPoint(ring, col("u"), col("v"), iters = 2)
+        .as[(Long, Long)].collect()
+      val scale = 100000000L
+      val uniform = pr.map(_._2).distinct.length == 1
+      val mass = pr.map(_._2).sum
+      // each of init + 2 iterations floors ≤ ~3 units per node
+      uniform && mass <= scale && mass >= scale - 10L * n
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ngramContainmentPairs: exact dup has containment 1.0 both ways; values in (0,1]") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // exact dup of 1
+      (3L, "a b c d e f g h i j k l m n o p q r"), // contains 1's grams
+      (4L, "z y x w v u t s")).toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, col("text"), col("doc_id"),
+        n = 3, threshold = 0.5)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out((1L, 2L)) == ((1.0, 1.0)))
+    assert(out((1L, 3L))._1 == 1.0)   // all of 1's shingles inside 3
+    assert(out((1L, 3L))._2 < 1.0)    // but 3 has many more
+    assert(out.values.forall { case (a, b) =>
+      a > 0.0 && a <= 1.0 && b > 0.0 && b <= 1.0 })
+    assert(!out.contains((1L, 4L)))
+  }
 }

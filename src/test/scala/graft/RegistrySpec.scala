@@ -85,5 +85,9 @@ object RegistrySpec {
     "q_moving_zscore",
     "q_fuzzy_pairs", "q_sample_weighted", "q_entity_resolution",
     // round 9: skew-guarded LSH
-    "q_minhash_lsh_bounded")
+    "q_minhash_lsh_bounded",
+    // round 9: corpus mixing / quality cut / corpus stats / dup-graph QA
+    // + analytics (skyline, bounded EWMA)
+    "q_corpus_mix", "q_quality_cut", "q_freq_bigrams", "q_triangle_count",
+    "q_skyline", "q_ewma", "q_containment", "q_pagerank")
 }

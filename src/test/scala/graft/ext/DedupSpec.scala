@@ -208,4 +208,17 @@ class DedupSpec extends SparkSpec {
       == unbounded)
     assert(overflow.count() == 0)
   }
+
+  test("triangleStats: oriented edges count each triangle exactly once") {
+    // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v")
+    val r = Dedup.triangleStats(edges, col("u"), col("v")).collect().head
+    assert(r.getLong(0) == 2L, "n_triangles")
+    assert(r.getLong(1) == 5L, "n_edges")
+    // triangle-free graph (a path) counts zero
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r2 = Dedup.triangleStats(path, col("u"), col("v")).collect().head
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 3L)
+  }
 }

@@ -112,4 +112,22 @@ class SamplingSpec extends SparkSpec {
     assert(out(1L)._2 == Seq(127L, -63L, 32L))
     assert(out(2L) == ((0.0, Seq(0L, 0L))))
   }
+
+  test("tokenBudgetMix: uncapped source passes whole, capped downsamples, cap is monotone") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i <= 30) "big" else "small", Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // big: 300 tokens → rate 3333 bps at cap 100; small: 100 tokens → 10000
+    val kept = Sampling.tokenBudgetMix(docs, col("doc_id"), col("text"),
+      col("source"), capTokens = 100L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val (big, small) = kept.partition(_._2 == "big")
+    assert(small.length == 10, "source under the cap must keep every doc")
+    assert(big.length < 30, "source over the cap must downsample")
+    // raising the cap only ever ADDS docs (incremental-refresh contract)
+    val kept2 = Sampling.tokenBudgetMix(docs, col("doc_id"), col("text"),
+      col("source"), capTokens = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet.subsetOf(kept2))
+  }
 }

@@ -72,4 +72,29 @@ class AggregatesSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") == 1.0)
     assert(r.getAs[Double]("r") == 1.0)
   }
+
+  test("skylineMinMin keeps exactly the non-dominated points") {
+    val pts = Seq((1, 10L), (1, 7L), (2, 5L), (3, 6L), (4, 4L), (5, 9L))
+      .toDF("x", "y")
+    val out = Aggregates.skylineMinMin(pts, col("x"), col("y"))
+      .as[(Int, Long)].collect().toSet
+    // brute-force dominance over the per-x minima cross-checks the
+    // sort-based frontier
+    val mins = Map(1 -> 7L, 2 -> 5L, 3 -> 6L, 4 -> 4L, 5 -> 9L)
+    val brute = mins.collect { case (x, y) if !mins.exists { case (x2, y2) =>
+      x2 <= x && y2 <= y && (x2 < x || y2 < y) } => (x, y) }.toSet
+    assert(out == brute)
+    assert(out == Set((1, 7L), (2, 5L), (4, 4L)))
+  }
+
+  test("boundedQuantileThreshold equals percentile_disc on the sorted list") {
+    val vals = Seq(5L, 1L, 3L, 3L, 9L, 7L, 3L, 1L) // sorted: 1 1 3 3 3 5 7 9
+    val df = vals.toDF("v")
+    for (p <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val thr = Aggregates.boundedQuantileThreshold(df, col("v"), p)
+        .collect().head.getLong(0)
+      val expect = vals.sorted.apply(math.ceil(vals.size * p).toInt - 1)
+      assert(thr == expect, s"p=$p: got $thr, want $expect")
+    }
+  }
 }

@@ -206,4 +206,23 @@ class TemporalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Generate"), plan) // explode(sequence(...))
   }
+
+  test("ewmaBounded: hand-computed values; short prefixes renormalize; keys isolate") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 40.0),
+      ("b", 1L, 5.0)).toDF("k", "seq", "v")
+    val out = Temporal.ewmaBounded(df, Seq("k"), Seq("seq"), col("v"))
+      .select("k", "seq", "ewma").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("a", 1L)) == 10.0)                  // 1 term, weight 1
+    assert(out(("a", 2L)) == 16.6667)               // (20 + .5*10) / 1.5
+    assert(out(("a", 3L)) == 30.0)                  // (40 + 10 + 2.5) / 1.75
+    assert(out(("b", 1L)) == 5.0)                   // no bleed from key a
+  }
+
+  test("ewmaBounded plans as ONE window exec") {
+    val df = Seq(("a", 1L, 1.0)).toDF("k", "seq", "v")
+    val plan = Temporal.ewmaBounded(df, Seq("k"), Seq("seq"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert("(?m)^\\s*[+:-]*\\s*Window ".r.findAllIn(plan).size == 1, plan)
+  }
 }
