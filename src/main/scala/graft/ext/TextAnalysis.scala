@@ -141,7 +141,8 @@ object TextAnalysis {
     * ratio 0.
     */
   def repetitionRatio(text: Column, n: Int): (Column, Column, Column) = {
-    val grams = TextHash.shingles(tokens(text), n)
+    // native shingle kernel: the HOF composition runs interpreted
+    val grams = graft.functions.TermFunctions.stringShingles(text, n)
     val total = size(grams).cast("long")
     val distinctN = size(array_distinct(grams)).cast("long")
     val ratio = when(total > 0,

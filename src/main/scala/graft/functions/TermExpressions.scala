@@ -86,8 +86,79 @@ case class TermCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native word n-gram kernel: the string shingles themselves (the
+  * hashed variant is [[HashKernels.shingleHashes]]).
+  *
+  * The compositional shape — `transform(sequence(...), i ->
+  * concat_ws(" ", element_at(tok, i), ...))` — is a higher-order
+  * function, which Spark evaluates INTERPRETED (CodegenFallback) and
+  * re-evaluates the element_at chain per element; at corpus scale that
+  * made q_freq_bigrams the most expensive text query. Because tokens
+  * are split on a single 0x20 and re-joined with a single 0x20, each
+  * n-gram is exactly one contiguous byte span of the original text, so
+  * the kernel emits zero-copy-sliced spans in one pass: no per-token
+  * assembly, no interpreter. Byte-compatible with
+  * `array_to_string(string_split(text, ' ')[i:i+n-1], ' ')` in DuckDB
+  * (empty tokens from repeated spaces included, same as `split`).
+  */
+object ShingleKernels {
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nTok = spaces + 1
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val out = new Array[Any](nTok - n + 1)
+    var s = 0
+    while (s <= nTok - n) {
+      val from = starts(s)
+      val until = if (s + n < nTok) starts(s + n) - 1 else bytes.length
+      out(s) = UTF8String.fromBytes(bytes, from, until - from)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_shingles(text, n)` — see [[ShingleKernels.shingles]]. */
+case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleKernels.shingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TermFunctions {
   /** Column API for [[TermCounts]]. */
   def termCounts(text: Column): Column =
     GraftBridge.column(TermCounts(GraftBridge.expression(text)))
+
+  /** Column API for [[StringShingles]]. */
+  def stringShingles(text: Column, n: Int): Column =
+    GraftBridge.column(StringShingles(GraftBridge.expression(text), n))
 }

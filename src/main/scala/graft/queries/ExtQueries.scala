@@ -1013,7 +1013,7 @@ object ExtQueries {
     */
   private val qFreqBigrams = Q("q_freq_bigrams",
     (s, d) => t(s, d, "documents")
-      .select(explode(TextHash.shingles(TextHash.tokens(col("text")), 2))
+      .select(explode(graft.functions.TermFunctions.stringShingles(col("text"), 2))
         .as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))

@@ -61,4 +61,25 @@ class TermExpressionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CodegenFallback"), plan)
   }
+
+  test("stringShingles equals the HOF composition, incl. repeated-space and short docs") {
+    import graft.ext.TextHash
+    val texts = Seq("a b c d e", "a  b c", "one", "x y", " lead", "trail ",
+      "a b c d e f g h i j")
+    for (n <- Seq(2, 3)) {
+      val df = texts.toDF("text")
+      val native = df.select(TermFunctions.stringShingles(col("text"), n))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(TextHash.shingles(TextHash.tokens(col("text")), n))
+        .as[Seq[String]].collect().toSeq
+      assert(native == hof, s"n=$n")
+    }
+  }
+
+  test("stringShingles stays inside whole-stage codegen") {
+    val plan = Seq((1L, "a b a")).toDF("id", "text")
+      .select(TermFunctions.stringShingles(col("text"), 2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
 }
