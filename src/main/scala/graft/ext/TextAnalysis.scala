@@ -159,4 +159,42 @@ object TextAnalysis {
     (regexp_replace(text, pattern, replacement),
       regexp_count(text, lit(pattern)))
 
+  /** Collocation mining: bigrams scored by LINEARIZED pointwise mutual
+    * information, `pmi_lin = c_ab·N / (c_a·c_b)` — the same
+    * monotone-in-PMI linearization trick as tf-idf's idf (log dropped:
+    * rankings are identical and the score stays ONE exact-integer IEEE
+    * division, bit-stable across engines). `minSupport` is the
+    * standard low-count cut (PMI's known bias toward hapax pairs).
+    *
+    * Scale posture: unigram counts ride the codegen'd per-row
+    * `graft_term_counts` kernel (tokens pre-aggregated within each doc
+    * before the shuffle), bigram counts the `graft_shingles` kernel;
+    * N is a 1-row broadcast derived FROM the unigram table (no extra
+    * corpus pass). The two bigram→unigram joins are plain equi-joins
+    * on the token — broadcast when the vocabulary fits, shuffle-hash
+    * when it doesn't; either way cost follows the vocab, not the
+    * corpus.
+    */
+  def collocations(docs: org.apache.spark.sql.DataFrame, text: Column,
+                   minSupport: Long): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TermFunctions
+    val uni = docs
+      .select(explode(TermFunctions.termCounts(text)).as("e"))
+      .select(col("e.term").as("w"), col("e.tf").cast("long").as("tf"))
+      .groupBy("w").agg(sum("tf").as("c"))
+    val n1 = uni.agg(sum("c").as("n"))
+    val big = docs
+      .select(explode(TermFunctions.stringShingles(text, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minSupport)
+    big
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1))
+      .select(col("bigram"), col("cab").as("n_pair"),
+        round(col("cab").cast("double") * col("n") / (col("c1") * col("c2")), 4)
+          .as("pmi_lin"))
+  }
 }

@@ -1106,6 +1106,34 @@ object ExtQueries {
       "FROM p1 LEFT JOIN i1 ON p1.u = i1.u) " +
       "SELECT u AS node, CAST(pr AS BIGINT) AS pr FROM p2 ORDER BY node"))
 
+  /** [EXT] L33 collocation mining ([[TextAnalysis.collocations]]):
+    * top-20 bigrams by linearized PMI with a support cut — the
+    * phrase/boilerplate-detection complement of raw bigram counts
+    * (L29 ranks "the the" high on frequency; PMI ranks genuinely
+    * associated pairs). Exact-integer counts, one IEEE division,
+    * 4-decimal rounding — bit-stable cross-engine.
+    */
+  private val qCollocations = Q("q_collocations",
+    (s, d) => TextAnalysis.collocations(
+        t(s, d, "documents"), col("text"), minSupport = 5L)
+      .orderBy(col("pmi_lin").desc, col("bigram"))
+      .limit(20),
+    Some("WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w " +
+      "FROM documents), " +
+      "uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w), " +
+      "nn AS (SELECT count(*) AS n FROM toks), " +
+      "big AS (SELECT unnest(" + TextHash.duckShingles("text", 2) +
+      ") AS bigram FROM documents), " +
+      "bc AS (SELECT bigram, count(*) AS cab FROM big GROUP BY bigram " +
+      "HAVING count(*) >= 5), " +
+      "sc AS (SELECT bigram, cab, " +
+      "round(CAST(cab AS DOUBLE) * nn.n / (u1.c * u2.c), 4) AS pmi_lin " +
+      "FROM bc CROSS JOIN nn " +
+      "JOIN uni u1 ON split_part(bigram, ' ', 1) = u1.w " +
+      "JOIN uni u2 ON split_part(bigram, ' ', -1) = u2.w) " +
+      "SELECT bigram, CAST(cab AS BIGINT) AS n_pair, pmi_lin FROM sc " +
+      "ORDER BY pmi_lin DESC, bigram LIMIT 20"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1119,5 +1147,5 @@ object ExtQueries {
     qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs,
     qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
-    qContainment, qPagerank)
+    qContainment, qPagerank, qCollocations)
 }
