@@ -1134,6 +1134,35 @@ object ExtQueries {
       "SELECT bigram, CAST(cab AS BIGINT) AS n_pair, pmi_lin FROM sc " +
       "ORDER BY pmi_lin DESC, bigram LIMIT 20"))
 
+  /** [EXT] L34 per-node clustering coefficient
+    * ([[Graph.clusteringCoefficients]]) on the L26 fuzzy-pair graph:
+    * cc ≈ 1 marks genuine duplicate cliques, high-degree/low-cc marks
+    * hub-like noise — the per-node refinement of the L30 census.
+    */
+  private val qClusteringCoef = Q("q_clustering_coef",
+    (s, d) => Graph.clusteringCoefficients(
+        Dedup.fuzzyPairs(t(s, d, "part"), col("p_name"),
+          substring_index(col("p_name"), " ", -1), maxDist = 4),
+        col("name_a"), col("name_b"))
+      .orderBy("node"),
+    Some("WITH names AS (SELECT DISTINCT p_name AS name, " +
+      "split_part(p_name, ' ', -1) AS blk FROM part), " +
+      "fp AS (SELECT a.name AS da, b.name AS db FROM names a JOIN names b " +
+      "ON a.blk = b.blk AND a.name < b.name " +
+      "AND levenshtein(a.name, b.name) <= 4), " +
+      "deg AS (SELECT node, count(*) AS deg FROM " +
+      "(SELECT da AS node FROM fp UNION ALL SELECT db FROM fp) GROUP BY node), " +
+      "tri AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c FROM fp e1 " +
+      "JOIN fp e2 ON e1.db = e2.da " +
+      "JOIN fp e3 ON e3.da = e1.da AND e3.db = e2.db), " +
+      "tpn AS (SELECT node, count(*) AS tri FROM " +
+      "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri " +
+      "UNION ALL SELECT c FROM tri) GROUP BY node) " +
+      "SELECT d.node, d.deg, CAST(coalesce(t.tri, 0) AS BIGINT) AS tri, " +
+      "CASE WHEN d.deg >= 2 THEN round(CAST(coalesce(t.tri, 0) AS DOUBLE) " +
+      "* 2 / (d.deg * (d.deg - 1)), 4) ELSE 0.0 END AS cc " +
+      "FROM deg d LEFT JOIN tpn t ON d.node = t.node ORDER BY d.node"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1147,5 +1176,5 @@ object ExtQueries {
     qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs,
     qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
-    qContainment, qPagerank, qCollocations)
+    qContainment, qPagerank, qCollocations, qClusteringCoef)
 }

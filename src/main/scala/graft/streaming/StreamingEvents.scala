@@ -500,3 +500,82 @@ object TwsScd2 {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch bounded EWMA
+  * ([[graft.ops.Temporal.ewmaBounded]]) on `transformWithState`: state
+  * per key is the last seven values (the window the batch operator's
+  * eight lags see), so each arriving point emits its smoothed value
+  * incrementally. The arithmetic replays the batch expression EXACTLY —
+  * same left-associated sum order, same power-of-two weights (exact
+  * binary scalings), same HALF_UP 4-decimal rounding — so on in-order
+  * delivery the emissions are bit-identical to the batch column
+  * (StreamingEventsSpec asserts equality on a shared feed).
+  *
+  * Delivery contract: per-key `seq` strictly increasing ACROSS
+  * micro-batches (rows within one batch are sorted here); a cross-batch
+  * late arrival would smooth against the wrong lag window — the same
+  * ordered-delivery contract TwsScd2 documents.
+  *
+  * Scale posture: one hash shuffle on the key per micro-batch; state is
+  * ≤ 7 doubles per live key in the RocksDB store, independent of stream
+  * length.
+  */
+object TwsEwma {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  case class Point(k: String, seq: Long, v: Double)
+  case class Smoothed(k: String, seq: Long, ewma: Double)
+  /** Newest-first recent values, length <= 7. */
+  case class Lags(vals: Seq[Double])
+
+  private[streaming] def smooth(v: Double, recent: Seq[Double]): Double = {
+    // identical evaluation order to Temporal.ewmaBounded's expressions:
+    // num = v + 0.5·lag1 + 0.25·lag2 + …, den = 1 + the present weights
+    var num = v
+    var den = 1.0
+    var w = 1.0
+    recent.take(7).foreach { x =>
+      w *= 0.5
+      num += w * x
+      den += w
+    }
+    BigDecimal(num / den)
+      .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  class EwmaProcessor extends StatefulProcessor[String, Point, Smoothed] {
+    @transient private var lags: ValueState[Lags] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lags = getHandle.getValueState[Lags]("lags",
+        Encoders.product[Lags], TTLConfig.NONE)
+
+    override def handleInputRows(k: String, rows: Iterator[Point],
+        timerValues: TimerValues): Iterator[Smoothed] = {
+      var recent = if (lags.exists()) lags.get().vals else Seq.empty[Double]
+      val out = rows.toSeq.sortBy(_.seq).map { p =>
+        val s = Smoothed(k, p.seq, smooth(p.v, recent))
+        recent = (p.v +: recent).take(7)
+        s
+      }
+      lags.update(Lags(recent))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(k: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Smoothed] = Iterator.empty
+  }
+
+  /** Incremental bounded-EWMA over a point stream; requires the RocksDB
+    * state store provider on the session.
+    */
+  def smoothed(points: Dataset[Point]): Dataset[Smoothed] = {
+    implicit val se: org.apache.spark.sql.Encoder[Smoothed] =
+      Encoders.product[Smoothed]
+    points.groupByKey(_.k)(Encoders.STRING)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+}

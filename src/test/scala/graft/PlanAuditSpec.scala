@@ -409,4 +409,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_triangle_count")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_containment: shares the jaccard index exchange (ReusedExchange)") {
+    val df = SparkEntry.queries("q_containment")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+    assert(p.contains("ShuffledHashJoin"), "index self-join must not broadcast")
+  }
+
+  test("q_collocations: top-k is TakeOrderedAndProject, no cartesian") {
+    val p = planOf("q_collocations")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pagerank: power iterations are equi-joins, no cartesian") {
+    val p = planOf("q_pagerank")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -89,5 +89,6 @@ object RegistrySpec {
     // round 9: corpus mixing / quality cut / corpus stats / dup-graph QA
     // + analytics (skyline, bounded EWMA)
     "q_corpus_mix", "q_quality_cut", "q_freq_bigrams", "q_triangle_count",
-    "q_skyline", "q_ewma", "q_containment", "q_pagerank", "q_collocations")
+    "q_skyline", "q_ewma", "q_containment", "q_pagerank", "q_collocations",
+    "q_clustering_coef")
 }

@@ -1,0 +1,31 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusteringCoefficients: clique is 1.0, star center is 0.0, leaves degree-1") {
+    // triangle {1,2,3} plus a star leaf 4 hanging off node 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("u", "v")
+    val out = Graph.clusteringCoefficients(edges, col("u"), col("v"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(2L) == ((2L, 1L, 1.0)))   // neighborhood {1,3} fully connected
+    assert(out(3L) == ((2L, 1L, 1.0)))
+    // node 1: deg 3, one triangle of C(3,2)=3 possible wedges closed
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(4L) == ((1L, 0L, 0.0)))   // degree-1 leaf: cc defined as 0
+  }
+
+  test("pagerankFixedPoint: higher-degree nodes rank higher on a star") {
+    // star: center 0 connected to 1..5
+    val star = (1L to 5L).map(i => (0L, i)).toDF("u", "v")
+    val pr = Graph.pagerankFixedPoint(star, col("u"), col("v"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(i => pr(0L) > pr(i)))
+    assert((1L to 5L).map(pr).distinct.size == 1) // leaves symmetric
+  }
+}

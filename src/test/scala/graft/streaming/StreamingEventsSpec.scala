@@ -576,4 +576,48 @@ class StreamingEventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState EWMA emissions are bit-identical to the batch column") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val pe: org.apache.spark.sql.Encoder[TwsEwma.Point] =
+      org.apache.spark.sql.Encoders.product[TwsEwma.Point]
+    import TwsEwma.Point
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two keys, > 8 points each so the lag window saturates; values
+      // chosen non-representable (thirds) to make bit-equality a real test
+      val pts = (1 to 12).flatMap { i =>
+        Seq(Point("a", i.toLong, i / 3.0), Point("b", i.toLong, (100 - i) / 7.0))
+      }
+      val input = MemoryStream[Point]
+      val q = TwsEwma.smoothed(input.toDS())
+        .writeStream.format("memory").queryName("tws_ewma").start()
+      try {
+        val (first, rest) = pts.splitAt(7)
+        input.addData(first: _*)
+        q.processAllAvailable()
+        input.addData(rest: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("tws_ewma").as[TwsEwma.Smoothed].collect()
+          .map(s => (s.k, s.seq) -> s.ewma).toMap
+        val batch = graft.ops.Temporal.ewmaBounded(
+            pts.toDF("k", "seq", "v"), Seq("k"), Seq("seq"), col("v"))
+          .select("k", "seq", "ewma")
+          .as[(String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        assert(streamed.keySet == batch.keySet)
+        assert(streamed.forall { case (k, v) => batch(k) == v },
+          streamed.collect { case (k, v) if batch(k) != v =>
+            s"$k stream=$v batch=${batch(k)}" }.mkString(", "))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
