@@ -364,8 +364,9 @@ object Dedup {
     * and the oracle applies the same hash so results stay comparable.)
     */
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
-                        n: Int, threshold: Double): DataFrame =
-    shingleIntersections(docs, text, id, n)
+                        n: Int, threshold: Double,
+                        maxDf: Option[Long] = None): DataFrame =
+    shingleIntersections(docs, text, id, n, maxDf)
       .select(col("da"), col("db"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
       .filter(col("jacc") >= threshold)
@@ -380,8 +381,9 @@ object Dedup {
     * [[ngramJaccardPairs]].
     */
   def ngramContainmentPairs(docs: DataFrame, text: Column, id: Column,
-                            n: Int, threshold: Double): DataFrame =
-    shingleIntersections(docs, text, id, n)
+                            n: Int, threshold: Double,
+                            maxDf: Option[Long] = None): DataFrame =
+    shingleIntersections(docs, text, id, n, maxDf)
       .select(col("da"), col("db"),
         (col("i").cast("double") / col("na")).as("c_a_in_b"),
         (col("i").cast("double") / col("nb")).as("c_b_in_a"))
@@ -396,9 +398,21 @@ object Dedup {
     * compares by long equality. (Cross-doc hash collisions would merge
     * distinct shingles; at 48 bits that is ~2^-48 per pair — accepted,
     * and the oracle applies the same hash so results stay comparable.)
+    *
+    * `maxDf` is the skew guard for the exact pair family (same hazard
+    * class as minhashLshPairsBounded's bucket cap): a boilerplate
+    * shingle shared by the whole corpus makes the self-join quadratic
+    * in corpus size. With a cap, shingles whose DOCUMENT FREQUENCY
+    * exceeds it are excluded from candidate generation — the df count
+    * is a window riding the existing shingle exchange (zero extra
+    * shuffle). Score contract under the cap: set sizes stay FULL, so
+    * `i` undercounts by the pruned common shingles and the
+    * jaccard/containment become LOWER bounds — pairs held together
+    * only by boilerplate drop out, which is the point.
     */
   private def shingleIntersections(docs: DataFrame, text: Column,
-                                   id: Column, n: Int): DataFrame = {
+                                   id: Column, n: Int,
+                                   maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Per-doc set size rides along as a window count over the exploded
     // index: one lineage, so the expensive shingle+md5 projection is
@@ -410,11 +424,16 @@ object Dedup {
     // dedupes it at plan time — reuse no longer depends on AQE runtime
     // stage matching (callers that scope AQE off, like
     // connectedComponents, would otherwise compute the index twice)
-    val sh = docs.select(id.as("doc_id"),
+    val sh0 = docs.select(id.as("doc_id"),
       explode(array_distinct(
         graft.functions.HashFunctions.shingleHash48(text, n))).as("s"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .repartition(col("s"))
+    // df window partitions on s — satisfied by the repartition exchange
+    // above, so the cap costs zero additional shuffles
+    val sh = maxDf.fold(sh0)(cap => sh0
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= cap).drop("__df"))
     val a = sh.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
     val b = sh.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
     // shuffle-hash, not broadcast: broadcasting would rebuild the whole

@@ -89,6 +89,30 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Deterministic weighted priority sampling WITHOUT replacement:
+    * exactly k rows, chosen as the bottom-k of priority =
+    * hash(key) ÷ weight — the deterministic twin of weighted
+    * reservoir/bottom-k sampling (higher weight ⇒ systematically
+    * smaller priority ⇒ more likely in the bottom-k). Unlike the
+    * Bernoulli samplers above, the OUTPUT SIZE is exact — the contract
+    * a "give me exactly 10k calibration docs, favor long ones" request
+    * needs. Deterministic in (key, weight); raising ONLY a row's
+    * weight can only improve its rank (monotone, refresh-safe).
+    *
+    * Scale posture: pure projection + TakeOrderedAndProject — each
+    * partition keeps its local bottom-k and the driver merges k-sized
+    * heaps; no shuffle of the corpus, no global sort materialization.
+    */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(key.as("key"), weight.cast("long").as("weight"),
+        (baseHash(key.cast("string")).cast("double") / weight.cast("long"))
+          .as("priority"))
+      .orderBy(col("priority"), col("key"))
+      .limit(k)
+  }
+
   /** Concat-and-split sequence packing: documents are laid end-to-end
     * in deterministic (shard, id) order and cut into `contextLen`-token
     * windows; each doc is labeled with the pack (window index) where

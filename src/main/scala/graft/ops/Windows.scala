@@ -46,6 +46,19 @@ object Windows {
       row_number().over(Window.partitionBy(keys: _*).orderBy(priority: _*)))
       .filter(col(rankName) <= k)
 
+  /** Rank-based per-group top-k KEEPING ties (`rank() <= k`) — the
+    * "everything tied at the cutoff makes the list" semantic
+    * row_number-based findFirstK deliberately breaks. Same
+    * WindowGroupLimit pushdown: Spark stops scanning a group once the
+    * rank bound is provably passed, so per-group cost is O(k + ties),
+    * not O(group).
+    */
+  def rankTopK(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+               k: Int, rankName: String): DataFrame =
+    df.withColumn(rankName,
+      rank().over(Window.partitionBy(keys: _*).orderBy(order: _*)))
+      .filter(col(rankName) <= k)
+
   /** Running aggregate over an ordered, partitioned frame
     * (rows from start of partition to current row).
     */

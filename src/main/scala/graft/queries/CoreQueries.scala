@@ -1553,6 +1553,43 @@ object CoreQueries {
         "ORDER BY user_id, event_id"
     })
 
+  /** A14 statistical mode per group (most frequent p_type per brand,
+    * lexicographic tiebreak): hash-agg the (group, value) counts, then
+    * the find-first election over counts — argmax as one
+    * WindowGroupLimit on the aggregate, never a self-join against a
+    * max subquery.
+    */
+  private val qMode = Q("q_mode",
+    (s, d) => Windows.findFirst(
+        t(s, d, "part").groupBy("p_brand", "p_type")
+          .agg(count(lit(1)).as("n")),
+        Seq(col("p_brand")), Seq(col("n").desc, col("p_type")))
+      .orderBy("p_brand"),
+    Some("SELECT p_brand, p_type, n FROM (" +
+      "SELECT p_brand, p_type, count(*) AS n, " +
+      "row_number() OVER (PARTITION BY p_brand " +
+      "ORDER BY count(*) DESC, p_type) AS rn " +
+      "FROM part GROUP BY p_brand, p_type) WHERE rn = 1 ORDER BY p_brand"))
+
+  /** O7 per-group top-k WITH ties ([[Windows.rankTopK]]): everything
+    * tied at the cutoff price makes the list — the rank() semantic
+    * J6's row_number deliberately breaks. Same WindowGroupLimit
+    * pushdown; rows tied at equal (brand, price) are identical, so the
+    * (brand, price desc) ordering is hash-total.
+    */
+  private val qTopkTies = Q("q_topk_ties",
+    (s, d) => Windows.rankTopK(
+        t(s, d, "part").select(col("p_brand"),
+          Scalars.moneyCents(col("p_retailprice")).as("price_c")),
+        Seq(col("p_brand")), Seq(col("price_c").desc), k = 3, rankName = "rk")
+      .select(col("p_brand"), col("price_c"), col("rk").cast("long").as("rk"))
+      .orderBy(col("p_brand"), col("price_c").desc),
+    Some("SELECT p_brand, price_c, CAST(rk AS BIGINT) AS rk FROM (" +
+      "SELECT p_brand, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, " +
+      "rank() OVER (PARTITION BY p_brand " +
+      "ORDER BY CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DESC) AS rk " +
+      "FROM part) WHERE rk <= 3 ORDER BY p_brand, price_c DESC"))
+
   // ---------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(
@@ -1575,5 +1612,5 @@ object CoreQueries {
     qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill, qResampleInterp,
     qMergeUpsert, qScd2, qTableDiff,
     qPivot, qUnpivot,
-    qHistogram, qHistogramEq, qSkyline, qEwma)
+    qHistogram, qHistogramEq, qSkyline, qEwma, qMode, qTopkTies)
 }

@@ -233,6 +233,34 @@ object ExtQueries {
 
   private val duckJaccardCtes = duckJaccardCtesOver("documents")
 
+  /** [EXT] L5b skew-guarded exact Jaccard: shingles with document
+    * frequency above the cap are excluded from candidate generation
+    * (the df window rides the existing shingle exchange — zero extra
+    * shuffles), so a boilerplate shingle can never make the self-join
+    * quadratic in the corpus. Scores become lower bounds (full set
+    * sizes, pruned intersections) — pairs held together only by
+    * boilerplate drop out. Cap 3 bites at sf0.01 (25 → 21 pairs), so
+    * the oracle proves the guard's semantics, not just its presence.
+    */
+  private val qNgramJaccardCapped = Q("q_ngram_jaccard_capped",
+    (s, d) => Dedup.ngramJaccardPairs(
+      t(s, d, "documents"), col("text"), col("doc_id"), n = 3,
+      threshold = 0.5, maxDf = Some(3L))
+      .select(col("da"), col("db"), round(col("jacc"), 4).as("jacc"))
+      .orderBy("da", "db"),
+    Some("WITH " + duckShingleInterOver("documents")
+      .replace("inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)",
+        "dfc AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) " +
+          "WHERE df <= 3), " +
+          "shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s)), " +
+          "inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS i " +
+          "FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id " +
+          "GROUP BY 1, 2)") + " " +
+      "SELECT da, db, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jacc " +
+      "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
+      "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 ORDER BY da, db"))
+
   private val qNgramJaccard = Q("q_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(
       t(s, d, "documents"), col("text"), col("doc_id"), n = 3, threshold = 0.5)
@@ -1163,6 +1191,27 @@ object ExtQueries {
       "* 2 / (d.deg * (d.deg - 1)), 4) ELSE 0.0 END AS cc " +
       "FROM deg d LEFT JOIN tpn t ON d.node = t.node ORDER BY d.node"))
 
+  /** [EXT] L35 exact-k weighted priority sample
+    * ([[Sampling.prioritySample]]): bottom-50 by hash÷n_chars — the
+    * deterministic bottom-k twin of weighted reservoir sampling, for
+    * "exactly k rows, favor long documents" requests. Pure projection
+    * + TakeOrderedAndProject, zero shuffle.
+    */
+  private val qSamplePriority = Q("q_sample_priority",
+    (s, d) => Sampling.prioritySample(t(s, d, "documents"),
+        key = col("doc_id"), weight = col("n_chars"), k = 50)
+      .select(col("key").as("doc_id"), col("weight").as("n_chars"),
+        round(col("priority"), 4).as("priority")),
+    // ORDER BY repeats the EXACT priority expression (not the rounded
+    // output alias): the Spark side sorts pre-rounding, and a rounded
+    // sort could pick different rows at the rank-50 boundary
+    Some("SELECT doc_id, n_chars, round(CAST(" +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
+      " AS DOUBLE) / n_chars, 4) AS priority " +
+      "FROM documents ORDER BY CAST(" +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
+      " AS DOUBLE) / n_chars, doc_id LIMIT 50"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1176,5 +1225,6 @@ object ExtQueries {
     qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs,
     qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
-    qContainment, qPagerank, qCollocations, qClusteringCoef)
+    qContainment, qPagerank, qCollocations, qClusteringCoef,
+    qSamplePriority, qNgramJaccardCapped)
 }

@@ -428,4 +428,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_pagerank")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_mode / q_topk_ties: elections optimize to WindowGroupLimit") {
+    assert(planOf("q_mode").contains("WindowGroupLimit"))
+    assert(planOf("q_topk_ties").contains("WindowGroupLimit"))
+  }
+
+  test("q_sample_priority: exact-k via TakeOrderedAndProject, no global sort") {
+    val p = planOf("q_sample_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -209,6 +209,27 @@ class DedupSpec extends SparkSpec {
     assert(overflow.count() == 0)
   }
 
+  test("df cap bounds the exact-pair family on a boilerplate corpus") {
+    // 40 docs: unique content + one shared boilerplate trigram. Uncapped,
+    // the shared shingle alone generates C(40,2) = 780 candidate pairs;
+    // capped at df<=3 the boilerplate is excluded and nothing pairs.
+    val docs = (1L to 40L).map(i =>
+      (i, s"unique$i token$i word$i common boiler plate")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.0)
+    assert(uncapped.count() == 780L, "shared boilerplate goes quadratic")
+    val capped = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      n = 3, threshold = 0.0, maxDf = Some(3L))
+    assert(capped.count() == 0L, "df cap excludes the boilerplate shingle")
+    // capped scores are lower bounds of uncapped on a real near-dup pair
+    val pair = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    val full = Dedup.ngramJaccardPairs(pair, col("text"), col("doc_id"),
+      n = 3, threshold = 0.0).select("jacc").as[Double].collect().head
+    val low = Dedup.ngramJaccardPairs(pair, col("text"), col("doc_id"),
+      n = 3, threshold = 0.0, maxDf = Some(1L)) // every shared shingle pruned
+    assert(low.count() == 0L || low.select("jacc").as[Double].collect().head <= full)
+  }
+
   test("triangleStats: oriented edges count each triangle exactly once") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
