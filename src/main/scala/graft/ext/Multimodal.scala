@@ -18,11 +18,14 @@ import org.apache.spark.sql.types._
   * (JDK-only `javax.sound.sampled`: WAV/AIFF/AU PCM decode -> mono
   * samples, RMS-energy embed, metadata probe). VIDEO container metadata
   * is real (pure-byte ISO BMFF box-tree parse: mvhd duration, tkhd
-  * dimensions — [[probeMp4]]), and VIDEO FRAME DECODE is real for
+  * dimensions — [[probeMp4]]), VIDEO FRAME DECODE is real for
   * animated GIF (javax.imageio multi-frame read + timed compositing —
-  * [[decodeGifFrames]]); only MP4/MOV frame decode remains a
-  * clearly-marked deterministic STUB, since no H.26x codec library
-  * exists in this environment. Everything around the codecs is real
+  * [[decodeGifFrames]]), and MP4 keyframe DEMUX is real
+  * ([[extractMp4SyncSamples]]: sample-table walk → exact keyframe byte
+  * ranges at true timestamps); only pixel DECODE of those MP4
+  * codestream bytes remains a clearly-marked deterministic STUB, since
+  * no H.26x codec library exists in this environment. Everything
+  * around the codecs is real
   * and load-bearing at scale: schema, encoders, per-partition batching,
   * skew-aware repartitioning, and the transform signatures.
   *
@@ -194,10 +197,10 @@ object Multimodal {
   // screen, so every emitted frame is a full canvas. Disposal methods
   // are treated as draw-over (correct for none/doNotDispose — the
   // common cases; restoreToBackground GIFs composite approximately),
-  // and a 0 delay takes the 100 ms convention players use. MP4/MOV
-  // frame decode stays honestly stubbed below: no H.26x codec exists
-  // in this environment, only the container parse ([[probeMp4]]) is
-  // real for those.
+  // and a 0 delay takes the 100 ms convention players use. For MP4/MOV
+  // the keyframe DEMUX is real ([[extractMp4SyncSamples]]) but pixel
+  // decode of the extracted codestream bytes stays honestly stubbed:
+  // no H.26x codec exists in this environment.
 
   private[ext] def isGif(payload: Array[Byte]): Boolean =
     payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
@@ -481,6 +484,128 @@ object Multimodal {
     if (durationMs >= 0) Some(VideoMeta(durationMs, w, h)) else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Sync-sample (keyframe) BYTE extraction from an MP4 container: the
+    * real demuxer path. Walks moov/trak to the video track's sample
+    * tables — stss (sync list; absent ⇒ every sample is sync), stsz
+    * (sizes), stsc (sample→chunk runs), stco/co64 (chunk offsets),
+    * stts (decode deltas), mdhd (timescale) — and slices each
+    * keyframe's exact byte range out of the file. No codec involved:
+    * the frame BYTES and TIMESTAMPS are real; only pixel decode of
+    * those codestream bytes remains stubbed (no H.264 decoder exists
+    * in this JVM/environment). Returns (syncIdx, tMs, bytes) per sync
+    * sample; None when the payload has no parseable video sample
+    * table. Malformed tables return None, never throw.
+    */
+  private[ext] def extractMp4SyncSamples(
+      payload: Array[Byte]): Option[Vector[(Int, Long, Array[Byte])]] = try {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    // per-trak tables; committed on trak exit iff the handler is video
+    var handler = ""
+    var timescale = 0L
+    var stss: Array[Int] = null
+    var sizes: Array[Long] = null
+    var stsc: Array[(Long, Long)] = null // (firstChunk 1-based, samplesPerChunk)
+    var chunkOffs: Array[Long] = null
+    var stts: Array[(Long, Long)] = null // (sampleCount, delta)
+    var video: Option[(Long, Array[Int], Array[Long], Array[(Long, Long)],
+      Array[Long], Array[(Long, Long)])] = None
+    def u32(at: Long): Long = bb.getInt(at.toInt) & 0xffffffffL
+    def scan(start: Long, end: Long, depth: Int): Unit = {
+      if (depth > 8) return
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = u32(off)
+        val typ = new String(payload, off.toInt + 4, 4, "ISO-8859-1")
+        var hdr = 8L
+        val size =
+          if (size32 == 1) { hdr = 16; bb.getLong(off.toInt + 8) }
+          else if (size32 == 0) end - off
+          else size32
+        if (size < hdr || off + size > end) return
+        val p = off + hdr
+        typ match {
+          case "moov" | "mdia" | "minf" | "stbl" => scan(p, off + size, depth + 1)
+          case "trak" =>
+            handler = ""; timescale = 0L
+            stss = null; sizes = null; stsc = null; chunkOffs = null; stts = null
+            scan(p, off + size, depth + 1)
+            if (handler == "vide" && video.isEmpty && timescale > 0 &&
+                sizes != null && stsc != null && chunkOffs != null && stts != null)
+              video = Some((timescale, stss, sizes, stsc, chunkOffs, stts))
+          case "hdlr" => handler = new String(payload, p.toInt + 8, 4, "ISO-8859-1")
+          case "mdhd" =>
+            val v = payload(p.toInt) & 0xff
+            timescale = if (v == 1) u32(p + 20) else u32(p + 12)
+          case "stss" =>
+            val n = u32(p + 4).toInt
+            stss = Array.tabulate(n)(i => u32(p + 8 + 4L * i).toInt)
+          case "stsz" =>
+            val uniform = u32(p + 4)
+            val n = u32(p + 8).toInt
+            sizes =
+              if (uniform != 0) Array.fill(n)(uniform)
+              else Array.tabulate(n)(i => u32(p + 12 + 4L * i))
+          case "stsc" =>
+            val n = u32(p + 4).toInt
+            stsc = Array.tabulate(n)(i =>
+              (u32(p + 8 + 12L * i), u32(p + 12 + 12L * i)))
+          case "stco" =>
+            val n = u32(p + 4).toInt
+            chunkOffs = Array.tabulate(n)(i => u32(p + 8 + 4L * i))
+          case "co64" =>
+            val n = u32(p + 4).toInt
+            chunkOffs = Array.tabulate(n)(i => bb.getLong((p + 8 + 8L * i).toInt))
+          case "stts" =>
+            val n = u32(p + 4).toInt
+            stts = Array.tabulate(n)(i =>
+              (u32(p + 8 + 8L * i), u32(p + 12 + 8L * i)))
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    scan(0L, payload.length.toLong, 0)
+    video.map { case (ts, sync, szs, sc, chunks, deltas) =>
+      val n = szs.length
+      // sample -> file offset: expand the stsc runs over the chunk list
+      val sampleOff = new Array[Long](n)
+      var s = 0
+      var c = 0
+      while (c < chunks.length && s < n) {
+        val run = sc.lastIndexWhere(_._1 <= c + 1)
+        val perChunk = if (run >= 0) sc(run)._2.toInt else 0
+        var within = 0
+        var at = chunks(c)
+        while (within < perChunk && s < n) {
+          sampleOff(s) = at
+          at += szs(s)
+          within += 1
+          s += 1
+        }
+        c += 1
+      }
+      if (s < n) throw new IllegalArgumentException("stsc/stco underflow")
+      // sample -> decode time (track timescale) via the stts runs
+      val sampleT = new Array[Long](n)
+      var t = 0L
+      var i = 0
+      deltas.foreach { case (cnt, d) =>
+        var k = 0L
+        while (k < cnt && i < n) { sampleT(i) = t; t += d; i += 1; k += 1 }
+      }
+      val syncIdx: Array[Int] =
+        if (sync != null) sync.map(_ - 1).filter(x => x >= 0 && x < n)
+        else Array.range(0, n) // no stss box: every sample is sync
+      syncIdx.toVector.zipWithIndex.map { case (sIdx, outIdx) =>
+        val from = sampleOff(sIdx)
+        val until = math.min(from + szs(sIdx), payload.length.toLong)
+        require(from >= 0 && from <= until, "sample range out of file")
+        (outIdx, sampleT(sIdx) * 1000L / ts,
+          java.util.Arrays.copyOfRange(payload, from.toInt, until.toInt))
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Video metadata probe: fill duration_ms / width / height from the
     * real container parse (the video analog of [[probeAudio]]).
     * Non-video rows and unparseable payloads pass through untouched.
@@ -527,10 +652,15 @@ object Multimodal {
     * payload is the PNG of the composited canvas at the tick, with the
     * animation's own timing deciding the duration (the stored
     * duration_ms metadata is not trusted over the stream). MP4 payloads
-    * take the stub slicer until a real codec binding exists. The PNG
-    * frames feed decodeImage → imageDHash → Dedup.simhashHammingPairs
-    * unchanged, so near-duplicate VIDEO detection runs on real pixels
-    * for GIFs today.
+    * demux for REAL ([[extractMp4SyncSamples]]): each emitted frame is
+    * the exact keyframe codestream byte range at its true decode
+    * timestamp, thinned to one per `everyMs` — only pixel DECODE of
+    * those bytes remains stubbed (no H.264 decoder in this
+    * environment); payloads with no parseable sample table fall back
+    * to the stub slicer. The GIF PNG frames feed decodeImage →
+    * imageDHash → Dedup.simhashHammingPairs unchanged, so
+    * near-duplicate VIDEO detection runs on real pixels for GIFs
+    * today.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
     implicit val enc = Encoders.product[FrameRow]
@@ -548,8 +678,19 @@ object Multimodal {
             }
         case _ => Iterator.empty // corrupt GIF: skip, like every decoder
       }
-      else stubFrames(m.payload, everyMs, m.duration_ms.getOrElse(0L))
-        .map { case (i, t, bytes) => FrameRow(m.media_id, i, t, bytes) }
+      else extractMp4SyncSamples(m.payload) match {
+        case Some(syncs) if syncs.nonEmpty =>
+          // thin to one keyframe per everyMs window (first always kept)
+          var nextAt = Long.MinValue
+          syncs.iterator.filter { case (_, t, _) =>
+            if (t >= nextAt) { nextAt = t + math.max(1L, everyMs); true }
+            else false
+          }.zipWithIndex.map { case ((_, t, bytes), idx) =>
+            FrameRow(m.media_id, idx, t, bytes)
+          }
+        case _ => stubFrames(m.payload, everyMs, m.duration_ms.getOrElse(0L))
+          .map { case (i, t, bytes) => FrameRow(m.media_id, i, t, bytes) }
+      }
     }
   }
 

@@ -109,6 +109,9 @@ object Sampling {
     df.select(key.as("key"), weight.cast("long").as("weight"),
         (baseHash(key.cast("string")).cast("double") / weight.cast("long"))
           .as("priority"))
+      // weight <= 0 means "never sample" (a zero weight would divide to
+      // ±Infinity/NaN and sort unpredictably) — excluded explicitly
+      .filter(col("weight") > 0)
       .orderBy(col("priority"), col("key"))
       .limit(k)
   }
