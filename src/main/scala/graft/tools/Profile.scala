@@ -19,11 +19,19 @@ object Profile {
     val docs = Tables.load(spark, d, "documents")
     time("warmup")(docs.count())
     time("split only")(docs.select(explode(tokens(col("text")))).count())
-    time("shingle strings")(docs.select(explode(shingles(tokens(col("text")), 3))).count())
+    // HOF composition vs the codegen'd kernel (graft_shingles): the HOF
+    // runs interpreted and re-evaluates element_at per element
+    time("shingle strings (HOF)")(docs.select(explode(shingles(tokens(col("text")), 3))).count())
+    time("shingle strings (kernel)")(docs.select(explode(
+      graft.functions.TermFunctions.stringShingles(col("text"), 3))).count())
     time("shingle+distinct")(docs.select(explode(array_distinct(shingles(tokens(col("text")), 3)))).count())
     time("shingle+distinct+hash") {
       docs.select(col("doc_id"), explode(array_distinct(shingles(tokens(col("text")), 3))).as("s0"))
         .select(baseHash(col("s0"))).count()
+    }
+    time("shingle-hash48 (kernel)") {
+      docs.select(explode(array_distinct(
+        graft.functions.HashFunctions.shingleHash48(col("text"), 3)))).count()
     }
     spark.stop()
   }
