@@ -103,6 +103,37 @@ object Dedup {
     * consumer a differently-pruned subplan that AQE cannot reuse, so
     * the whole signature computation would run once per consumer.
     */
+  /** INCREMENTAL near-dup: candidate pairs between a NEW batch and an
+    * existing corpus — the asymmetric form of [[minhashLshPairs]], and
+    * the operation a daily-ingest pipeline actually runs (today's
+    * documents against everything already kept; a full-corpus
+    * self-join per ingest would be quadratic in corpus AGE). Output:
+    * (da = new-side id, db = corpus-side id, est_sim). Same banded
+    * equi-join and cost model — work follows band collisions between
+    * the two sets, never |new| × |corpus|. The new side is typically
+    * orders of magnitude smaller, so Spark may broadcast it; both
+    * shapes are correct here since the sides are DIFFERENT frames (no
+    * self-join exchange to reuse). Ids present in both frames pair
+    * with themselves (est_sim 1); dedup the inputs first if that is
+    * not wanted.
+    */
+  def minhashLshPairsAgainst(newSig: DataFrame, corpusSig: DataFrame,
+                             k: Int, bands: Int): DataFrame = {
+    val (bn, keyCols) = bandedSignature(newSig, k, bands)
+    val (bc, _) = bandedSignature(corpusSig, k, bands)
+    val a = bn.select(keyCols.map(col) ++ Seq(col("doc_id").as("da")) ++
+      (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
+    val b = bc.select(keyCols.map(col) ++ Seq(col("doc_id").as("db")) ++
+      (0 until k).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, keyCols)
+      .select(col("da"), col("db"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_sim"))
+      .distinct()
+  }
+
   private def bandedSignature(sig: DataFrame, k: Int,
       bands: Int): (DataFrame, Seq[String]) = {
     val rows = k / bands

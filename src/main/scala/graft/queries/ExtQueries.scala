@@ -80,6 +80,30 @@ object ExtQueries {
       "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
       duckLshTail))
 
+  /** [EXT] L3c incremental (asymmetric) near-dup
+    * ([[Dedup.minhashLshPairsAgainst]]): today's batch (doc_id >= 400)
+    * against the already-kept corpus — the ingest-time dedup a daily
+    * pipeline runs instead of re-self-joining a corpus that grows with
+    * age. Oracle restricts the band join's two sides the same way.
+    */
+  private val qDedupIncremental = Q("q_dedup_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val newSig = Dedup.minhashSignature(
+        docs.filter(col("doc_id") >= 400), col("text"), col("doc_id"), k = 8)
+      val corpusSig = Dedup.minhashSignature(
+        docs.filter(col("doc_id") < 400), col("text"), col("doc_id"), k = 8)
+      Dedup.minhashLshPairsAgainst(newSig, corpusSig, k = 8, bands = 4)
+        .filter(col("est_sim") >= 0.5)
+        .select(col("da"), col("db"), round(col("est_sim"), 4).as("est_sim"))
+        .orderBy("da", "db")
+    },
+    Some(duckSigCte + ", " + duckBandsCte + ", " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+      "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey " +
+      "AND x.doc_id >= 400 AND y.doc_id < 400) " +
+      duckLshTail))
+
   /** L3b skew-guarded LSH (graft.ext.Dedup.minhashLshPairsBounded): the
     * corpus-scale posture for adversarial boilerplate — band buckets
     * larger than the cap are excluded from pair generation (and
@@ -1226,5 +1250,5 @@ object ExtQueries {
     qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
     qContainment, qPagerank, qCollocations, qClusteringCoef,
-    qSamplePriority, qNgramJaccardCapped)
+    qSamplePriority, qNgramJaccardCapped, qDedupIncremental)
 }

@@ -209,6 +209,30 @@ class DedupSpec extends SparkSpec {
     assert(overflow.count() == 0)
   }
 
+  test("asymmetric LSH pairs the new batch against the corpus only") {
+    // docs 1-3 are the corpus (1 and 2 identical); 4 duplicates 1, and
+    // 5 duplicates... nothing. New batch = {4, 5}.
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "unrelated brand new content nothing shared here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAgainst(
+        Dedup.minhashSignature(fresh, col("text"), col("doc_id"), k = 8),
+        Dedup.minhashSignature(corpus, col("text"), col("doc_id"), k = 8),
+        k = 8, bands = 4)
+      .as[(Long, Long, Double)].collect()
+    // da is always new-side, db corpus-side; the dup is found both ways
+    assert(pairs.forall { case (da, db, _) => da >= 4L && db <= 3L })
+    assert(pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet ==
+      Set((4L, 1L), (4L, 2L)))
+    assert(!pairs.exists(_._1 == 5L))
+  }
+
   test("df cap bounds the exact-pair family on a boilerplate corpus") {
     // 40 docs: unique content + one shared boilerplate trigram. Uncapped,
     // the shared shingle alone generates C(40,2) = 780 candidate pairs;
