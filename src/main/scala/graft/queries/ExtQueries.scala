@@ -506,6 +506,38 @@ object ExtQueries {
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
       "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings)"
 
+  /** [EXT] L7b filtered vector search: top-k cosine neighbors among
+    * corpus vectors matching a metadata predicate (label = 1) —
+    * PRE-filtering, the exact semantics vector stores approximate with
+    * post-filter over-fetch. In Spark the predicate simply composes
+    * under the search (Catalyst pushes it into the corpus scan), so
+    * recall is exact by construction at any selectivity, and the same
+    * broadcast + WindowGroupLimit shape as L7 carries over.
+    */
+  private val qAnnFiltered = Q("q_ann_filtered",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 5)
+      val corpus = Similarity.withNorm(emb.filter(col("label") === 1),
+        col("vec_id"), col("embedding"))
+      Similarity.bruteForceTopK(queries, corpus, k = 10)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some("WITH nf AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings), " +
+      "s AS (SELECT q.vec_id AS qid, c.vec_id, " +
+      "list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos " +
+      "FROM nf q JOIN nf c ON q.vec_id < 5 AND c.label = 1 " +
+      "AND c.vec_id <> q.vec_id), " +
+      "r AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk FROM s) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM r WHERE rnk <= 10 ORDER BY qid, rnk"))
+
   private val qEmbedCosine = Q("q_embed_cosine",
     (s, d) => Similarity.cosinePairs(
       t(s, d, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.4)
@@ -1250,5 +1282,5 @@ object ExtQueries {
     qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
     qContainment, qPagerank, qCollocations, qClusteringCoef,
-    qSamplePriority, qNgramJaccardCapped, qDedupIncremental)
+    qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered)
 }

@@ -91,5 +91,5 @@ object RegistrySpec {
     "q_corpus_mix", "q_quality_cut", "q_freq_bigrams", "q_triangle_count",
     "q_skyline", "q_ewma", "q_containment", "q_pagerank", "q_collocations",
     "q_clustering_coef", "q_mode", "q_topk_ties", "q_sample_priority",
-    "q_ngram_jaccard_capped", "q_dedup_incremental")
+    "q_ngram_jaccard_capped", "q_dedup_incremental", "q_ann_filtered")
 }
