@@ -58,12 +58,20 @@ object BenchFormat {
     * regardless of registry size. `errors` counts query executions that
     * threw — a failing query otherwise times as ~0 s and makes the
     * total look BETTER, so the record must carry the denominator.
+    * `passes` is the CONFIGURED base pass count; `passesRun` is how
+    * many passes actually executed (≥ passes when the load-adaptive
+    * loop extended the run — see [[Bench]]); the calibration array has
+    * one entry per executed pass, so a contended record carries both
+    * the evidence (high early calibrations) and the remedy (a late
+    * quiet pass that min-of-passes picked up).
     */
   def totalLine(total: Double, sfName: String, passes: Int, nQueries: Int,
-                calib: Seq[Double], errors: Long = 0L): String = {
+                calib: Seq[Double], errors: Long = 0L,
+                passesRun: Int = -1): String = {
     val calibJson = calib.map(num(_, 3)).mkString("[", ",", "]")
+    val run = if (passesRun < 0) passes else passesRun
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfName",""" +
-      s""""passes":$passes,"queries_n":$nQueries,"errors":$errors,""" +
+      s""""passes":$passes,"passes_run":$run,"queries_n":$nQueries,"errors":$errors,""" +
       s""""calibration_per_pass_sec":$calibJson}"""
   }
 }
@@ -87,6 +95,14 @@ object BenchFormat {
   * start of every pass; its per-pass times are published on the FINAL
   * line so a contended environment is visible in the driver record
   * rather than inferred from query swings.
+  *
+  * Load-adaptive extension: if after the base passes the MINIMUM
+  * calibration still exceeds the quiet floor (no pass ran on a quiet
+  * host), extra passes run — up to SPARK_GRAFT_BENCH_MAX_PASSES
+  * (default 7) total — until one does. `passes_run` and the
+  * per-executed-pass calibration array on the total line let the
+  * record defend itself: a reader can see both the contention and
+  * whether the mins ultimately came from a quiet sample.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -131,7 +147,7 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val calib = (0 until passes).map { _ =>
+    def runPass(): Double = {
       val c = calibrate()
       names.foreach { n =>
         val s = time(SparkEntry.queries(n)(spark, sfDir).count())
@@ -139,15 +155,33 @@ object Bench {
       }
       c
     }
+    val calibBuf = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until passes).foreach(_ => calibBuf += runPass())
+    // Load-adaptive extension: two consecutive driver records (r8, r9)
+    // were inflated 1.6-2.6x by ambient host load that min-of-3 could
+    // not fully mask. The fixed-work calibration probe tells us whether
+    // ANY pass ran on a quiet host; while even the QUIETEST pass is
+    // above the quiet floor, keep adding passes (bounded) so
+    // min-of-passes gets at least one uncontended sample per query.
+    // The floor default (0.45 s) sits between observed quiet probes
+    // (~0.22-0.31 s) and loaded ones (0.65-1.0+ s).
+    val quietFloor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_FLOOR", "0.45").toDouble
+    val maxPasses =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "7").toInt
+    while (calibBuf.min > quietFloor && calibBuf.size < maxPasses)
+      calibBuf += runPass()
+    val calib = calibBuf.toSeq
+    val passesRun = calib.size
     val mins = names.map(n => n -> samples(n).min)
     val medians = names.map(n => n -> BenchFormat.median(samples(n)))
     val total = mins.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
-    println(BenchFormat.detailLine(mins, medians, sfDir, passes, calib))
-    println(BenchFormat.queriesLine(mins, sfName, passes, decimals = 2))
+    println(BenchFormat.detailLine(mins, medians, sfDir, passesRun, calib))
+    println(BenchFormat.queriesLine(mins, sfName, passesRun, decimals = 2))
     // LAST line = the driver-parsed one; bounded size by construction
     println(BenchFormat.totalLine(total, sfName, passes, names.size, calib,
-      errors))
+      errors, passesRun))
     spark.stop()
   }
 }

@@ -31,12 +31,21 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("total line stays bounded even at 10x the registry and 9 passes") {
     // map-free by construction: only the calibration array grows with
-    // passes, never with registry size
+    // passes (one entry per EXECUTED pass, load-adaptive cap included),
+    // never with registry size
     val calib = Seq.fill(9)(9999.9999)
-    val line = BenchFormat.totalLine(999999.999, "sf100.0", 9,
-      Queries.all.size * 10, calib)
+    val line = BenchFormat.totalLine(999999.999, "sf100.0", 3,
+      Queries.all.size * 10, calib, errors = 9999L, passesRun = 9)
     assert(prefix.length + line.length <= tailBudget,
       s"total line ${line.length} chars — over tail budget")
+  }
+
+  test("total line publishes passes_run when the adaptive loop extended") {
+    val line = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
+      Seq(1.02, 0.66, 0.55, 0.28), passesRun = 4)
+    assert(line.contains(""""passes":3"""))
+    assert(line.contains(""""passes_run":4"""))
+    assert(line.contains(""""calibration_per_pass_sec":[1.020,0.660,0.550,0.280]"""))
   }
 
   test("total line is valid JSON with the driver-contract fields") {
@@ -46,6 +55,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","value":42.400,"unit":"sec""""))
     assert(line.contains(""""sf":"sf0.1""""))
     assert(line.contains(""""passes":3"""))
+    assert(line.contains(""""passes_run":3"""))
     assert(line.contains(s""""queries_n":${Queries.all.size}"""))
     assert(line.contains(""""errors":0"""))
     assert(line.contains(""""calibration_per_pass_sec":[0.550,0.370,0.270]"""))
