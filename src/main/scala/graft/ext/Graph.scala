@@ -29,42 +29,75 @@ object Graph {
     * iteration ONE equi-join of the edge list with the (node, contrib)
     * table and ONE hash aggregate on the destination, both partitioned
     * by node key; degrees and n are computed once up front and n rides
-    * along as a broadcast scalar. Unrolled iterations keep the whole
-    * run a single Catalyst plan (no driver loop state beyond plan
-    * construction). Contract: `edges` is one row per undirected edge
-    * (src < dst convention fine); isolated vertices are not ranked
-    * (every node in the edge list has deg ≥ 1, so there is no dangling
-    * mass to redistribute).
+    * along as a broadcast scalar. The symmetrized edge list is
+    * PERSISTED and every iteration is `localCheckpoint`ed (the
+    * [[Dedup.connectedComponents]] pattern, incl. unpersist-in-finally
+    * and scoped AQE-off): without the persist, all `iters` join
+    * subtrees of one unrolled Catalyst plan re-scan the edge SOURCE
+    * once per iteration — invisible at sf0.1, dominant at 100x — and
+    * without the checkpoint, iteration N's plan replays 1..N-1.
+    * GraphSpec's accumulator-instrumented scan-count audit pins the
+    * source-read count to the cache fill alone. Contract: `edges` is
+    * one row per undirected edge (src < dst convention fine); isolated
+    * vertices are not ranked (every node in the edge list has deg ≥ 1,
+    * so there is no dangling mass to redistribute). Same fault-
+    * tolerance trade as connectedComponents: executor-block state,
+    * re-run from source on loss.
     */
   def pagerankFixedPoint(edges: DataFrame, src: Column, dst: Column,
                          iters: Int, scale: Long = 100000000L): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters out of [1,8]: $iters")
+    val spark = edges.sparkSession
     val sym = edges.select(src.as("u"), dst.as("v"))
       .union(edges.select(dst.as("u"), src.as("v")))
-    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-    val n1 = deg.agg(count(lit(1)).as("n"))
-    // base = scale ÷ n, the uniform start mass (and the teleport basis)
-    val start = deg.crossJoin(broadcast(n1))
-      .select(col("u"), col("deg"),
-        floor(lit(scale) / col("n")).cast("long").as("base"))
-    val init = start.withColumn("pr", col("base"))
-    val ranked = (1 to iters).foldLeft(init) { (pr, _) =>
-      val contrib = pr.select(col("u").as("cu"),
-        floor(col("pr") / col("deg")).cast("long").as("c"))
-      // rename the aggregate key: both join inputs descend from `pr`
-      // (contrib does), so resolving by parent-frame column would be
-      // ambiguous — distinct names keep every reference unique
-      val inbound = sym.join(contrib, col("u") === col("cu"))
-        .groupBy("v").agg(sum("c").as("s"))
-        .withColumnRenamed("v", "iv")
-      pr.drop("pr")
-        .join(inbound, col("u") === col("iv"), "left")
-        .select(col("u"), col("deg"), col("base"),
-          (floor(lit(15L) * col("base") / 100) +
-            floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100))
-            .cast("long").as("pr"))
+      .persist()
+    // fill the cache BEFORE toggling AQE off (the caller's edge plan
+    // may rely on AQE runtime exchange reuse, cf. connectedComponents)
+    sym.count()
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+      val n1 = deg.agg(count(lit(1)).as("n"))
+      // base = scale ÷ n, the uniform start mass (and the teleport basis)
+      var pr = deg.crossJoin(broadcast(n1))
+        .select(col("u"), col("deg"),
+          floor(lit(scale) / col("n")).cast("long").as("base"))
+        .withColumn("pr", col("base"))
+        .localCheckpoint()
+      (1 to iters).foreach { _ => pr = prStep(sym, pr).localCheckpoint() }
+      pr.select(col("u").as("node"), col("pr"))
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      // unpersist on every exit path (idempotent): the returned frame
+      // is checkpointed, so it no longer reads the cached edges
+      sym.unpersist()
     }
-    ranked.select(col("u").as("node"), col("pr"))
+  }
+
+  /** One fixed-point power iteration: contributions out over degrees,
+    * summed in on the destination, damped against the teleport base.
+    * Package-visible so PlanAuditSpec can pin the per-iteration shape
+    * (equi-joins + one hash aggregate, no cartesian) — the post-
+    * checkpoint plan of [[pagerankFixedPoint]]'s result is an opaque
+    * scan and cannot be audited.
+    */
+  private[graft] def prStep(sym: DataFrame, pr: DataFrame): DataFrame = {
+    val contrib = pr.select(col("u").as("cu"),
+      floor(col("pr") / col("deg")).cast("long").as("c"))
+    // rename the aggregate key: both join inputs descend from `pr`
+    // (contrib does), so resolving by parent-frame column would be
+    // ambiguous — distinct names keep every reference unique
+    val inbound = sym.join(contrib, col("u") === col("cu"))
+      .groupBy("v").agg(sum("c").as("s"))
+      .withColumnRenamed("v", "iv")
+    pr.drop("pr")
+      .join(inbound, col("u") === col("iv"), "left")
+      .select(col("u"), col("deg"), col("base"),
+        (floor(lit(15L) * col("base") / 100) +
+          floor(lit(85L) * coalesce(col("s"), lit(0L)) / 100))
+          .cast("long").as("pr"))
   }
 
   /** Per-node local clustering coefficient over a canonically-oriented

@@ -424,9 +424,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_pagerank: power iterations are equi-joins, no cartesian") {
-    val p = planOf("q_pagerank")
+  test("pagerank power iteration is equi-joins + one hash agg, no cartesian") {
+    // q_pagerank's returned frame is localCheckpoint-materialized (the
+    // persist pattern), so ITS plan is an opaque scan — audit the
+    // per-iteration step shape directly instead
+    import spark.implicits._
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val pr = Seq((1L, 1L, 100L, 100L), (2L, 1L, 100L, 100L))
+      .toDF("u", "deg", "base", "pr")
+    val p = graft.ext.Graph.prStep(sym, pr)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("q_mode / q_topk_ties: elections optimize to WindowGroupLimit") {

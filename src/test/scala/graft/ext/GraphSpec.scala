@@ -28,4 +28,34 @@ class GraphSpec extends SparkSpec {
     assert((1L to 5L).forall(i => pr(0L) > pr(i)))
     assert((1L to 5L).map(pr).distinct.size == 1) // leaves symmetric
   }
+
+  test("pagerankFixedPoint reads the edge source only during the cache fill") {
+    // accumulator-instrumented source: every partition evaluation of
+    // the edge input bumps the counter, so the count IS the number of
+    // source scans x partitions. The symmetrizing union reads the
+    // source twice (once per branch) in the single cache-fill job; an
+    // unpersisted plan would instead re-read it in every one of the
+    // `iters` join subtrees (2 x iters x partitions here).
+    val acc = spark.sparkContext.longAccumulator("edge-source-evals")
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("u", "v")
+      .coalesce(1)
+      .as[(Long, Long)]
+      .mapPartitions { it => acc.add(1); it }
+      .toDF("u", "v")
+    Graph.pagerankFixedPoint(edges, col("u"), col("v"), iters = 4).collect()
+    assert(acc.value <= 2L,
+      s"edge source evaluated ${acc.value} times — persist regressed")
+  }
+
+  test("pagerank restores AQE on every exit path") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val star = (1L to 5L).map(i => (0L, i)).toDF("u", "v")
+    Graph.pagerankFixedPoint(star, col("u"), col("v"), iters = 1).collect()
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == prev)
+    // the throwing path (bad iters) must not flip AQE either
+    intercept[IllegalArgumentException] {
+      Graph.pagerankFixedPoint(star, col("u"), col("v"), iters = 0)
+    }
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == prev)
+  }
 }
