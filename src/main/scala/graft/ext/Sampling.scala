@@ -75,10 +75,25 @@ object Sampling {
     * DuckDB oracle reproduces every basis point.
     */
   def tokenBudgetMix(docs: DataFrame, id: Column, text: Column,
-                     source: Column, capTokens: Long): DataFrame = {
+                     source: Column, capTokens: Long): DataFrame =
+    tokenBudgetMixCounted(
+      docs.select(id.as("doc_id"), source.as("source"),
+        size(tokens(text)).cast("long").as("n_tok")),
+      col("doc_id"), source = col("source"), nTok = col("n_tok"), capTokens)
+
+  /** Packing-style "counted" overload of [[tokenBudgetMix]] (cf.
+    * [[packCounted]]): the caller already holds a per-row token count —
+    * the normal case in a pipeline whose earlier stage materialized
+    * `n_tok` (q_token_count-style) — so the tokenizer never re-runs and
+    * the corpus is scanned once for the rate aggregate and once for the
+    * filter, both over the cheap counted projection. Output and rate
+    * arithmetic are identical to the text form (the spec asserts it).
+    */
+  def tokenBudgetMixCounted(counted: DataFrame, id: Column, source: Column,
+                            nTok: Column, capTokens: Long): DataFrame = {
     require(capTokens > 0, "capTokens must be positive")
-    val base = docs.select(id.as("doc_id"), source.as("source"),
-      size(tokens(text)).cast("long").as("n_tok"))
+    val base = counted.select(id.as("doc_id"), source.as("source"),
+      nTok.cast("long").as("n_tok"))
     val rates = base.groupBy("source")
       .agg(sum(col("n_tok")).as("src_tok"))
       .select(col("source"), least(lit(10000L),
@@ -106,12 +121,16 @@ object Sampling {
   def prioritySample(df: DataFrame, key: Column, weight: Column,
                      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    df.select(key.as("key"), weight.cast("long").as("weight"),
-        (baseHash(key.cast("string")).cast("double") / weight.cast("long"))
-          .as("priority"))
-      // weight <= 0 means "never sample" (a zero weight would divide to
-      // ±Infinity/NaN and sort unpredictably) — excluded explicitly
-      .filter(col("weight") > 0)
+    // divide by the un-cast DOUBLE weight: fractional weights in (0,1)
+    // are legal and must scale priority continuously (a long cast would
+    // truncate 0.4 to 0 and silently drop the row despite the exact-k
+    // contract). weight <= 0 means "never sample" (it would divide to
+    // ±Infinity/NaN and sort unpredictably) — excluded BEFORE the
+    // projection so the retained `weight` column keeps its source type.
+    val w = weight.cast("double")
+    df.filter(w > 0)
+      .select(key.as("key"), weight.as("weight"),
+        (baseHash(key.cast("string")).cast("double") / w).as("priority"))
       .orderBy(col("priority"), col("key"))
       .limit(k)
   }

@@ -130,4 +130,44 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.map(_._1).toSet.subsetOf(kept2))
   }
+
+  test("tokenBudgetMixCounted over precomputed counts equals the text form") {
+    val docs = (1L to 40L).map { i =>
+      (i, if (i <= 30) "big" else "small", Seq.fill(10)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val fromText = Sampling.tokenBudgetMix(docs, col("doc_id"), col("text"),
+      col("source"), capTokens = 100L)
+      .select("doc_id", "source", "n_tok")
+      .as[(Long, String, Long)].collect().toSet
+    // the caller's earlier stage already materialized n_tok
+    val counted = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val fromCounts = Sampling.tokenBudgetMixCounted(counted, col("doc_id"),
+      col("source"), col("n_tok"), capTokens = 100L)
+      .select("doc_id", "source", "n_tok")
+      .as[(Long, String, Long)].collect().toSet
+    assert(fromText == fromCounts)
+  }
+
+  test("prioritySample keeps fractional weights and returns exactly k") {
+    // weights in (0,1) must NOT truncate to zero and vanish: with nine
+    // 0.5-weight rows and one zero-weight row, k=5 must come from the
+    // nine, and every returned weight survives un-truncated
+    val d = (1L to 10L)
+      .map(i => (i, if (i == 10) 0.0 else 0.5))
+      .toDF("doc_id", "w")
+    val picked = Sampling.prioritySample(
+        d.select(col("doc_id").as("key"), col("w").as("weight")),
+        col("key"), col("weight"), k = 5)
+      .select("key", "weight").as[(Long, Double)].collect()
+    assert(picked.length == 5)
+    assert(picked.forall(_._2 == 0.5))
+    // doubling every weight halves every priority uniformly — the same
+    // rows are picked (scale-invariance of the bottom-k)
+    val doubled = Sampling.prioritySample(
+        d.select(col("doc_id").as("key"), (col("w") * 2).as("weight")),
+        col("key"), col("weight"), k = 5)
+      .select("key").as[Long].collect().toSet
+    assert(picked.map(_._1).toSet == doubled)
+  }
 }
