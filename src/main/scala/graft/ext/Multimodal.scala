@@ -194,10 +194,13 @@ object Multimodal {
   // natively). Frames carry real presentation timestamps from each
   // frame's GraphicControlExtension delay, and inter-frame patches are
   // composited at their ImageDescriptor offsets onto the logical
-  // screen, so every emitted frame is a full canvas. Disposal methods
-  // are treated as draw-over (correct for none/doNotDispose — the
-  // common cases; restoreToBackground GIFs composite approximately),
-  // and a 0 delay takes the 100 ms convention players use. For MP4/MOV
+  // screen, so every emitted frame is a full canvas. All four GIF
+  // disposal methods are honored: none/doNotDispose draw over,
+  // restoreToBackgroundColor clears the frame's own rect before the
+  // next composite (to the white canvas base — an RGB canvas has no
+  // alpha, matching players that flatten transparency), and
+  // restoreToPrevious rewinds the canvas to its pre-frame state. A 0
+  // delay takes the 100 ms convention players use. For MP4/MOV
   // the keyframe DEMUX is real ([[extractMp4SyncSamples]]) but pixel
   // decode of the extracted codestream bytes stays honestly stubbed:
   // no H.26x codec exists in this environment.
@@ -251,6 +254,7 @@ object Multimodal {
               var delayMs = 100L
               var x = 0
               var y = 0
+              var disposal = "none"
               val root = reader.getImageMetadata(f)
                 .getAsTree("javax_imageio_gif_image_1.0")
                 .asInstanceOf[IIOMetadataNode]
@@ -262,6 +266,8 @@ object Multimodal {
                   case "GraphicControlExtension" =>
                     val d = k.getAttribute("delayTime").toLong * 10L
                     if (d > 0) delayMs = d
+                    val dm = k.getAttribute("disposalMethod")
+                    if (dm != null && dm.nonEmpty) disposal = dm
                   case "ImageDescriptor" =>
                     x = k.getAttribute("imageLeftPosition").toInt
                     y = k.getAttribute("imageTopPosition").toInt
@@ -278,6 +284,15 @@ object Multimodal {
                 try { g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, w, h) }
                 finally g.dispose()
               }
+              // pre-draw copy, taken only when this frame's disposal
+              // will need to rewind to it
+              val pre = if (disposal != "restoreToPrevious") null else {
+                val p = new java.awt.image.BufferedImage(
+                  canvas.getWidth, canvas.getHeight, canvas.getType)
+                val pg = p.createGraphics()
+                try pg.drawImage(canvas, 0, 0, null) finally pg.dispose()
+                p
+              }
               val g = canvas.createGraphics()
               try g.drawImage(patch, x, y, null) finally g.dispose()
               val snap = new java.awt.image.BufferedImage(
@@ -286,6 +301,21 @@ object Multimodal {
               try sg.drawImage(canvas, 0, 0, null) finally sg.dispose()
               out += GifFrame(ts, delayMs, snap)
               ts += delayMs
+              // this frame's disposal prepares the canvas the NEXT
+              // frame composites onto (the emitted snapshot above is
+              // always the on-screen state at this frame's tick)
+              disposal match {
+                case "restoreToBackgroundColor" =>
+                  val dg = canvas.createGraphics()
+                  try {
+                    dg.setColor(java.awt.Color.WHITE)
+                    dg.fillRect(x, y, patch.getWidth, patch.getHeight)
+                  } finally dg.dispose()
+                case "restoreToPrevious" =>
+                  val dg = canvas.createGraphics()
+                  try dg.drawImage(pre, 0, 0, null) finally dg.dispose()
+                case _ => ()
+              }
               f += 1
             }
             Some(out.result())
@@ -670,11 +700,23 @@ object Multimodal {
         case Some(frames) if frames.nonEmpty =>
           val total = frames.last.startMs + frames.last.delayMs
           val step = math.max(1L, everyMs)
+          // ticks advance monotonically, so the on-screen frame index
+          // is non-decreasing: a single cursor walk is O(frames+ticks)
+          // (vs a takeWhile scan per tick), and caching the PNG per
+          // SOURCE frame encodes each frame once even when it spans
+          // many ticks (everyMs << delay)
+          var cursor = 0
+          var cachedFor = -1
+          var cachedPng: Array[Byte] = null
           Iterator.iterate(0L)(_ + step).takeWhile(_ < total).zipWithIndex
             .map { case (t, idx) =>
-              // frame on screen at t: last frame whose start <= t
-              val shown = frames.takeWhile(_.startMs <= t).last
-              FrameRow(m.media_id, idx, t, encodePng(shown.image))
+              while (cursor + 1 < frames.length &&
+                frames(cursor + 1).startMs <= t) cursor += 1
+              if (cachedFor != cursor) {
+                cachedPng = encodePng(frames(cursor).image)
+                cachedFor = cursor
+              }
+              FrameRow(m.media_id, idx, t, cachedPng)
             }
         case _ => Iterator.empty // corrupt GIF: skip, like every decoder
       }

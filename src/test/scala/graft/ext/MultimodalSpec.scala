@@ -215,7 +215,16 @@ class MultimodalSpec extends SparkSpec {
     * apart, written with the JDK imageio GIF writer (delayTime +
     * sequence metadata) — the same stack the decoder reads with.
     */
-  private def gifBytes(colors: Seq[Int], delayMs: Int): Array[Byte] = {
+  private def gifBytes(colors: Seq[Int], delayMs: Int): Array[Byte] =
+    gifBytesFrames(colors.map(c => (c, 8, "none")), delayMs)
+
+  /** Per-frame (color, square size, disposalMethod) variant: solid
+    * size x size patches at (0,0) on an 8x8 logical screen — the shape
+    * disposal semantics are observable on (a partial later frame lets
+    * the disposed region show through).
+    */
+  private def gifBytesFrames(frames: Seq[(Int, Int, String)],
+                             delayMs: Int): Array[Byte] = {
     import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier, ImageWriteParam}
     import javax.imageio.metadata.IIOMetadataNode
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
@@ -223,16 +232,16 @@ class MultimodalSpec extends SparkSpec {
     val ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    colors.foreach { c =>
+    frames.foreach { case (c, size, disposal) =>
       val img = new java.awt.image.BufferedImage(
-        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+        size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until size; x <- 0 until size) img.setRGB(x, y, c)
       val md = writer.getDefaultImageMetadata(
         new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
       val fmt = "javax_imageio_gif_image_1.0"
       val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
       val gce = new IIOMetadataNode("GraphicControlExtension")
-      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("disposalMethod", disposal)
       gce.setAttribute("userInputFlag", "FALSE")
       gce.setAttribute("transparentColorFlag", "FALSE")
       gce.setAttribute("delayTime", (delayMs / 10).toString) // 1/100 s units
@@ -279,6 +288,52 @@ class MultimodalSpec extends SparkSpec {
       "GIF89a garbage".getBytes("ISO-8859-1"), "image/gif",
       None, None, None, Some(500L))).toDS()
     assert(sampleFrames(bad, everyMs = 100).collect().isEmpty)
+  }
+
+  test("GIF disposal: restoreToBackgroundColor clears, restoreToPrevious rewinds") {
+    val red = 0xff0000
+    val green = 0x00ff00
+    val blue = 0x0000ff
+    def dominant(rgb: Int): Int =
+      Seq(rgb >> 16 & 0xff, rgb >> 8 & 0xff, rgb & 0xff).zipWithIndex.maxBy(_._1)._2
+    def px(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+      img.getRGB(x, y) & 0xffffff
+    // frame 0: full-screen red, restoreToBackgroundColor; frame 1: 4x4
+    // green patch. At frame 1 the red must be GONE outside the patch
+    // (draw-over would leave (6,6) red).
+    val bg = Multimodal.decodeGifFrames(gifBytesFrames(
+      Seq((red, 8, "restoreToBackgroundColor"), (green, 4, "none")), 200)).get
+    assert(bg.length == 2)
+    assert(dominant(px(bg(1).image, 1, 1)) == 1, "patch pixel must be green")
+    val cleared = px(bg(1).image, 6, 6)
+    assert((cleared >> 16 & 0xff) > 200 && (cleared >> 8 & 0xff) > 200 &&
+      (cleared & 0xff) > 200, f"expected background white, got $cleared%06x")
+    // frame 0: red, none; frame 1: 4x4 green, restoreToPrevious;
+    // frame 2: 2x2 blue. Frame 2 composites onto the REWOUND canvas:
+    // (3,3) is red again (draw-over would keep it green), (1,1) blue.
+    val prev = Multimodal.decodeGifFrames(gifBytesFrames(
+      Seq((red, 8, "none"), (green, 4, "restoreToPrevious"),
+        (blue, 2, "none")), 200)).get
+    assert(prev.length == 3)
+    assert(dominant(px(prev(1).image, 3, 3)) == 1, "frame 1 patch green")
+    assert(dominant(px(prev(2).image, 1, 1)) == 2, "frame 2 patch blue")
+    assert(dominant(px(prev(2).image, 3, 3)) == 0,
+      "restoreToPrevious must rewind the green patch back to red")
+  }
+
+  test("sampleFrames reuses one PNG encode per source frame when oversampling") {
+    // 2 source frames at 200 ms, sampled every 50 ms -> 8 ticks; ticks
+    // within one source frame must return the IDENTICAL cached payload
+    val gif = gifBytes(Seq(0xff0000, 0x00ff00), delayMs = 200)
+    val vids = Seq(MediaRow(44L, "video", gif, "image/gif",
+      Some(8), Some(8), None, None)).toDS()
+    val frames = sampleFrames(vids, everyMs = 50).collect().sortBy(_.ts_ms)
+    assert(frames.length == 8)
+    val payloads = frames.map(_.frame_payload.toSeq)
+    assert(payloads.distinct.size == 2,
+      "each source frame should encode to exactly one distinct PNG")
+    assert(payloads.take(4).distinct.size == 1 &&
+      payloads.drop(4).distinct.size == 1)
   }
 
   test("schema round-trips through parquet with payload pruning") {
