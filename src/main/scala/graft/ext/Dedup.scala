@@ -93,16 +93,6 @@ object Dedup {
     (bandSelfJoinPairs(kept, keyCols, k), overflow)
   }
 
-  /** Banded signature rows: one row per (doc, band) with the band key
-    * exploded into join columns. Band keys stay numeric: the join key
-    * is (band, h_i..h_j) as long columns — equality semantics identical
-    * to a concatenated string key at 8 bytes per component. The full
-    * signature rides along so the similarity estimate is computed
-    * in-row at the band join; the alternative (re-joining the signature
-    * table per side) costs two more shuffles and — worse — makes every
-    * consumer a differently-pruned subplan that AQE cannot reuse, so
-    * the whole signature computation would run once per consumer.
-    */
   /** INCREMENTAL near-dup: candidate pairs between a NEW batch and an
     * existing corpus — the asymmetric form of [[minhashLshPairs]], and
     * the operation a daily-ingest pipeline actually runs (today's
@@ -134,6 +124,16 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded signature rows: one row per (doc, band) with the band key
+    * exploded into join columns. Band keys stay numeric: the join key
+    * is (band, h_i..h_j) as long columns — equality semantics identical
+    * to a concatenated string key at 8 bytes per component. The full
+    * signature rides along so the similarity estimate is computed
+    * in-row at the band join; the alternative (re-joining the signature
+    * table per side) costs two more shuffles and — worse — makes every
+    * consumer a differently-pruned subplan that AQE cannot reuse, so
+    * the whole signature computation would run once per consumer.
+    */
   private def bandedSignature(sig: DataFrame, k: Int,
       bands: Int): (DataFrame, Seq[String]) = {
     val rows = k / bands

@@ -455,6 +455,16 @@ object TwsScd2 {
   import org.apache.spark.sql.streaming.{
     ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
+  /** NOTE on the `seq` field (added after first release of this
+    * processor): it is part of the ValueState AND input encoder schema,
+    * so a checkpoint written by the seq-less shape fails Spark's
+    * state-schema compatibility check on restore — route such
+    * checkpoints through the batch [[graft.ops.Cdc.scdType2]] rebuild
+    * and restart the stream fresh. The `= 0L` default exists ONLY for
+    * that rebuild path's seq-free feeds; callers with equal-ts
+    * transitions MUST thread a real per-key-unique seq, or equal-ts
+    * folds are nondeterministic (see the delivery contract above).
+    */
   case class Change(id: Long, ts: Long, tier: String, seq: Long = 0L)
   case class ClosedVersion(id: Long, tier: String, valid_from: Long,
                            valid_to: Long)
