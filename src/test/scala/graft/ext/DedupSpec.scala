@@ -254,6 +254,49 @@ class DedupSpec extends SparkSpec {
     assert(low.count() == 0L || low.select("jacc").as[Double].collect().head <= full)
   }
 
+  test("incremental ingest equivalence: against(new, kept) IS the cross-set slice of the self-join") {
+    // The contract a daily-ingest pipeline relies on: banding the new
+    // batch against the kept corpus finds exactly the pairs the full
+    // self-join would have reported BETWEEN the two sets (banding is
+    // deterministic in the signatures, so this is set equality, not
+    // just coverage). Random corpora over a small token pool force
+    // real band collisions; random splits cover empty/full new sides.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val docGen = for {
+      n <- Gen.choose(5, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf(pool))
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      m <- Gen.choose(6, 14)
+      texts <- Gen.listOfN(m, docGen)
+      isNew <- Gen.listOfN(m, Gen.oneOf(true, false))
+    } yield texts.zip(isNew).zipWithIndex
+      .map { case ((t, nw), i) => (i.toLong + 1, t, nw) }
+    val prop = Prop.forAll(corpusGen) { rows =>
+      val all = rows.map(r => (r._1, r._2)).toDF("doc_id", "text")
+      val newIds = rows.filter(_._3).map(_._1).toSet
+      val cross = Dedup.minhashLshPairs(
+          Dedup.minhashSignature(all, col("text"), col("doc_id"), k = 8),
+          k = 8, bands = 4)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+        .filter(p => newIds.contains(p._1) ^ newIds.contains(p._2))
+      val newDf = rows.filter(_._3).map(r => (r._1, r._2)).toDF("doc_id", "text")
+      val keptDf = rows.filterNot(_._3).map(r => (r._1, r._2)).toDF("doc_id", "text")
+      val against = Dedup.minhashLshPairsAgainst(
+          Dedup.minhashSignature(newDf, col("text"), col("doc_id"), k = 8),
+          Dedup.minhashSignature(keptDf, col("text"), col("doc_id"), k = 8),
+          k = 8, bands = 4)
+        .select("da", "db").as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      cross == against
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("triangleStats: oriented edges count each triangle exactly once") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

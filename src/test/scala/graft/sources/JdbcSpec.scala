@@ -47,9 +47,12 @@ class JdbcSpec extends SparkSpec {
     val df = Jdbc.load(spark, url, "registry")
       .filter(col("ID") > 90).select("ID", "N")
     val plan = df.queryExecution.executedPlan.toString
-    // JDBCRelation advertises what it shipped to the DB as SQL
+    // JDBCRelation advertises what it shipped to the DB as SQL: the
+    // REAL predicate must be in the pushed set (IsNotNull alone would
+    // mean the range filter ran in Spark over a full table pull)
     assert(plan.contains("PushedFilters"), plan)
-    assert(plan.contains("IsNotNull(ID)") || plan.contains("GreaterThan(ID,90)"), plan)
+    assert(plan.contains("GreaterThan(ID,90)"), plan)
+    assert(plan.contains("IsNotNull(ID)"), plan)
     assert(!plan.contains("RUN"), s"projection not pruned:\n$plan")
     assert(df.count() == 10)
   }
