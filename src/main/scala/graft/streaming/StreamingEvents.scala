@@ -589,3 +589,102 @@ object TwsEwma {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Incremental exact-k priority sampling on `transformWithState` — the
+  * streaming twin of [[graft.ext.Sampling.prioritySample]]. State per
+  * group is the current bottom-k: (priority, key, weight) entries kept
+  * sorted, priority = md5-48(key) ÷ weight via the SAME scalar kernel
+  * the batch Column form compiles to
+  * ([[graft.functions.HashKernels.md5Prefix48]]), so stream and batch
+  * agree bit-for-bit on every priority.
+  *
+  * Emission contract (append-only, no retractions): a row entering the
+  * bottom-k emits `evicted = false`; the entry it displaces (once the
+  * heap is full) emits `evicted = true`. The current sample is
+  * therefore "keys with an add and no evict" — reconstructible from
+  * the emission log alone, which is what an append-mode sink can
+  * carry. Rows that never enter the bottom-k emit NOTHING, so emission
+  * volume is O(k·log-ish corpus), not O(corpus).
+  *
+  * Determinism/replay: the bottom-k of a fixed input set is fold-order
+  * independent (same contents, any arrival order); within a
+  * micro-batch rows fold in (priority, key) order so the emission LOG
+  * is deterministic too. An at-least-once replay of a current member
+  * is a no-op (key already in state); a replay of an evicted or
+  * never-admitted row cannot re-enter — the admission threshold only
+  * tightens as rows arrive. Weights <= 0 are excluded, exactly like
+  * the batch form.
+  */
+object TwsSampler {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  case class Doc(g: String, key: String, weight: Double)
+  case class SampleEvent(g: String, key: String, weight: Double,
+                         priority: Double, evicted: Boolean)
+  case class Entry(priority: Double, key: String, weight: Double)
+  case class Heap(entries: Seq[Entry])
+
+  /** Scalar twin of the batch priority column
+    * (`baseHash(key).cast("double") / weight`): same md5-48 kernel,
+    * same IEEE division, so equality with batch is exact.
+    */
+  private[streaming] def priorityOf(key: String, weight: Double): Double =
+    graft.functions.HashKernels.md5Prefix48(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key)).toDouble / weight
+
+  private def lt(p: Double, k: String, e: Entry): Boolean =
+    p < e.priority || (p == e.priority && k < e.key)
+
+  class SamplerProcessor(k: Int) extends StatefulProcessor[String, Doc, SampleEvent] {
+    require(k > 0, "k must be positive")
+    @transient private var heap: ValueState[Heap] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      heap = getHandle.getValueState[Heap]("heap",
+        Encoders.product[Heap], TTLConfig.NONE)
+
+    override def handleInputRows(g: String, rows: Iterator[Doc],
+        timerValues: TimerValues): Iterator[SampleEvent] = {
+      var entries = if (heap.exists()) heap.get().entries.toVector
+                    else Vector.empty[Entry]
+      val out = scala.collection.mutable.ArrayBuffer.empty[SampleEvent]
+      val incoming = rows.filter(_.weight > 0)
+        .map(d => Entry(priorityOf(d.key, d.weight), d.key, d.weight))
+        .toSeq.sortBy(e => (e.priority, e.key))
+      incoming.foreach { e =>
+        val replay = entries.exists(_.key == e.key)
+        if (!replay) {
+          if (entries.length < k) {
+            entries = (entries :+ e).sortBy(x => (x.priority, x.key))
+            out += SampleEvent(g, e.key, e.weight, e.priority, evicted = false)
+          } else if (lt(e.priority, e.key, entries.last)) {
+            val ev = entries.last
+            entries = (entries.dropRight(1) :+ e)
+              .sortBy(x => (x.priority, x.key))
+            out += SampleEvent(g, e.key, e.weight, e.priority, evicted = false)
+            out += SampleEvent(g, ev.key, ev.weight, ev.priority, evicted = true)
+          }
+        }
+      }
+      heap.update(Heap(entries))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(g: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SampleEvent] = Iterator.empty
+  }
+
+  /** Incremental per-group exact-k priority sample over a doc stream;
+    * requires the RocksDB state store provider on the session. Use a
+    * constant group for the global-k twin of the batch operator.
+    */
+  def sampled(docs: Dataset[Doc], k: Int): Dataset[SampleEvent] = {
+    implicit val se: org.apache.spark.sql.Encoder[SampleEvent] =
+      Encoders.product[SampleEvent]
+    docs.groupByKey(_.g)(Encoders.STRING)
+      .transformWithState(new SamplerProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -620,4 +620,63 @@ class StreamingEventsSpec extends SparkSpec {
       }
     }
   }
+  test("transformWithState priority sample reconstructs to the exact batch bottom-k") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val de: org.apache.spark.sql.Encoder[TwsSampler.Doc] =
+      org.apache.spark.sql.Encoders.product[TwsSampler.Doc]
+    import TwsSampler.Doc
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two groups, fractional + integer weights (the batch operator's
+      // fractional-weight contract must hold on the stream too)
+      val docs = (1 to 30).flatMap { i =>
+        Seq(Doc("g1", s"d$i", if (i % 3 == 0) 0.5 else i.toDouble),
+          Doc("g2", s"e$i", 1.0 + (i % 5)))
+      }
+      val input = MemoryStream[Doc]
+      val q = TwsSampler.sampled(input.toDS(), k = 7)
+        .writeStream.format("memory").queryName("tws_sample").start()
+      try {
+        val (first, rest) = docs.splitAt(11)
+        input.addData(first: _*)
+        q.processAllAvailable()
+        input.addData(rest: _*)
+        q.processAllAvailable()
+        val events = spark.table("tws_sample")
+          .as[TwsSampler.SampleEvent].collect()
+        // current sample per group = added keys minus evicted keys
+        val streamed = events.groupBy(_.g).map { case (g, evs) =>
+          g -> (evs.filter(!_.evicted).map(_.key).toSet --
+            evs.filter(_.evicted).map(_.key).toSet)
+        }
+        val batchOf = Map("g1" -> "g1", "g2" -> "g2").map { case (g, _) =>
+          g -> graft.ext.Sampling.prioritySample(
+              docs.filter(_.g == g).map(d => (d.key, d.weight))
+                .toDF("key", "weight"),
+              col("key"), col("weight"), k = 7)
+            .select("key").as[String].collect().toSet
+        }
+        assert(streamed.keySet == Set("g1", "g2"))
+        assert(streamed("g1") == batchOf("g1"),
+          s"g1 stream=${streamed("g1")} batch=${batchOf("g1")}")
+        assert(streamed("g2") == batchOf("g2"),
+          s"g2 stream=${streamed("g2")} batch=${batchOf("g2")}")
+        // replaying already-admitted members is a no-op (at-least-once)
+        input.addData(first: _*)
+        q.processAllAvailable()
+        val replayed = spark.table("tws_sample")
+          .as[TwsSampler.SampleEvent].collect()
+        assert(replayed.length == events.length,
+          "replay of current members must not emit")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
