@@ -20,11 +20,13 @@ import org.apache.spark.sql.types._
   * is real (pure-byte ISO BMFF box-tree parse: mvhd duration, tkhd
   * dimensions — [[probeMp4]]), VIDEO FRAME DECODE is real for
   * animated GIF (javax.imageio multi-frame read + timed compositing —
-  * [[decodeGifFrames]]), and MP4 keyframe DEMUX is real
+  * [[decodeGifFrames]]) and for MJPEG-in-MP4 (keyframe demux →
+  * per-sample JPEG codestream → javax.imageio — [[decodeVideoFrame]]),
+  * and MP4 keyframe DEMUX is real for every codec
   * ([[extractMp4SyncSamples]]: sample-table walk → exact keyframe byte
-  * ranges at true timestamps); only pixel DECODE of those MP4
-  * codestream bytes remains a clearly-marked deterministic STUB, since
-  * no H.26x codec library exists in this environment. Everything
+  * ranges at true timestamps); only pixel DECODE of H.26x codestream
+  * bytes remains a clearly-marked deterministic STUB, since no such
+  * codec library exists in this environment. Everything
   * around the codecs is real
   * and load-bearing at scale: schema, encoders, per-partition batching,
   * skew-aware repartitioning, and the transform signatures.
@@ -514,31 +516,40 @@ object Multimodal {
     if (durationMs >= 0) Some(VideoMeta(durationMs, w, h)) else None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** A demuxed video track: the stsd sample-entry fourcc (codec id,
+    * "" when the container carries no stsd) and the sync samples as
+    * (syncIdx, tMs, exact codestream bytes).
+    */
+  private[ext] final case class Mp4Demux(codec: String,
+      frames: Vector[(Int, Long, Array[Byte])])
+
   /** Sync-sample (keyframe) BYTE extraction from an MP4 container: the
     * real demuxer path. Walks moov/trak to the video track's sample
     * tables — stss (sync list; absent ⇒ every sample is sync), stsz
     * (sizes), stsc (sample→chunk runs), stco/co64 (chunk offsets),
-    * stts (decode deltas), mdhd (timescale) — and slices each
-    * keyframe's exact byte range out of the file. No codec involved:
-    * the frame BYTES and TIMESTAMPS are real; only pixel decode of
-    * those codestream bytes remains stubbed (no H.264 decoder exists
-    * in this JVM/environment). Returns (syncIdx, tMs, bytes) per sync
-    * sample; None when the payload has no parseable video sample
-    * table. Malformed tables return None, never throw.
+    * stts (decode deltas), mdhd (timescale), stsd (codec fourcc) — and
+    * slices each keyframe's exact byte range out of the file. The
+    * frame BYTES and TIMESTAMPS are real for every codec; whether the
+    * bytes then DECODE depends on the codec — MJPEG flavors do in-JVM
+    * ([[decodeVideoFrame]]), H.26x stays honestly stubbed (no such
+    * decoder exists in this JVM/environment). Returns None when the
+    * payload has no parseable video sample table; malformed tables
+    * return None, never throw.
     */
   private[ext] def extractMp4SyncSamples(
-      payload: Array[Byte]): Option[Vector[(Int, Long, Array[Byte])]] = try {
+      payload: Array[Byte]): Option[Mp4Demux] = try {
     val bb = java.nio.ByteBuffer.wrap(payload)
     // per-trak tables; committed on trak exit iff the handler is video
     var handler = ""
     var timescale = 0L
+    var fourcc = ""
     var stss: Array[Int] = null
     var sizes: Array[Long] = null
     var stsc: Array[(Long, Long)] = null // (firstChunk 1-based, samplesPerChunk)
     var chunkOffs: Array[Long] = null
     var stts: Array[(Long, Long)] = null // (sampleCount, delta)
-    var video: Option[(Long, Array[Int], Array[Long], Array[(Long, Long)],
-      Array[Long], Array[(Long, Long)])] = None
+    var video: Option[(Long, String, Array[Int], Array[Long],
+      Array[(Long, Long)], Array[Long], Array[(Long, Long)])] = None
     def u32(at: Long): Long = bb.getInt(at.toInt) & 0xffffffffL
     def scan(start: Long, end: Long, depth: Int): Unit = {
       if (depth > 8) return
@@ -556,13 +567,18 @@ object Multimodal {
         typ match {
           case "moov" | "mdia" | "minf" | "stbl" => scan(p, off + size, depth + 1)
           case "trak" =>
-            handler = ""; timescale = 0L
+            handler = ""; timescale = 0L; fourcc = ""
             stss = null; sizes = null; stsc = null; chunkOffs = null; stts = null
             scan(p, off + size, depth + 1)
             if (handler == "vide" && video.isEmpty && timescale > 0 &&
                 sizes != null && stsc != null && chunkOffs != null && stts != null)
-              video = Some((timescale, stss, sizes, stsc, chunkOffs, stts))
+              video = Some((timescale, fourcc, stss, sizes, stsc, chunkOffs, stts))
           case "hdlr" => handler = new String(payload, p.toInt + 8, 4, "ISO-8859-1")
+          case "stsd" =>
+            // version+flags(4) entry_count(4), then first sample entry:
+            // size(4) format-fourcc(4) — the codec identifier
+            if (u32(p + 4) > 0 && p + 16 <= off + size)
+              fourcc = new String(payload, p.toInt + 12, 4, "ISO-8859-1")
           case "mdhd" =>
             val v = payload(p.toInt) & 0xff
             timescale = if (v == 1) u32(p + 20) else u32(p + 12)
@@ -595,7 +611,7 @@ object Multimodal {
       }
     }
     scan(0L, payload.length.toLong, 0)
-    video.map { case (ts, sync, szs, sc, chunks, deltas) =>
+    video.map { case (ts, codec, sync, szs, sc, chunks, deltas) =>
       val n = szs.length
       // sample -> file offset: expand the stsc runs over the chunk list
       val sampleOff = new Array[Long](n)
@@ -626,15 +642,33 @@ object Multimodal {
       val syncIdx: Array[Int] =
         if (sync != null) sync.map(_ - 1).filter(x => x >= 0 && x < n)
         else Array.range(0, n) // no stss box: every sample is sync
-      syncIdx.toVector.zipWithIndex.map { case (sIdx, outIdx) =>
+      Mp4Demux(codec, syncIdx.toVector.zipWithIndex.map { case (sIdx, outIdx) =>
         val from = sampleOff(sIdx)
         val until = math.min(from + szs(sIdx), payload.length.toLong)
         require(from >= 0 && from <= until, "sample range out of file")
         (outIdx, sampleT(sIdx) * 1000L / ts,
           java.util.Arrays.copyOfRange(payload, from.toInt, until.toInt))
-      }
+      })
     }
   } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Pixel decode of one demuxed keyframe codestream, for the codecs
+    * the JVM can actually decode: MJPEG-in-MP4 stores each sample as a
+    * plain JPEG codestream ("jpeg"/"mjpa"/"mjpb" sample entries — or
+    * any sample whose bytes open with the JPEG SOI marker, covering
+    * MJPEG muxed under generic "mp4v" entries), which `javax.imageio`
+    * reads natively. H.26x codestreams return None — THE remaining
+    * stub in the video path (no such decoder exists in this
+    * environment; a real deployment swaps this branch for an ffmpeg
+    * binding without touching the demux or the dataflow around it).
+    */
+  private[ext] def decodeVideoFrame(codec: String,
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val soi = bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+    val mjpeg = codec == "jpeg" || codec == "mjpa" || codec == "mjpb"
+    if (mjpeg || soi) decodeImage(bytes) else None
+  }
 
   /** Video metadata probe: fill duration_ms / width / height from the
     * real container parse (the video analog of [[probeAudio]]).
@@ -684,13 +718,14 @@ object Multimodal {
     * duration_ms metadata is not trusted over the stream). MP4 payloads
     * demux for REAL ([[extractMp4SyncSamples]]): each emitted frame is
     * the exact keyframe codestream byte range at its true decode
-    * timestamp, thinned to one per `everyMs` — only pixel DECODE of
-    * those bytes remains stubbed (no H.264 decoder in this
-    * environment); payloads with no parseable sample table fall back
-    * to the stub slicer. The GIF PNG frames feed decodeImage →
-    * imageDHash → Dedup.simhashHammingPairs unchanged, so
-    * near-duplicate VIDEO detection runs on real pixels for GIFs
-    * today.
+    * timestamp, thinned to one per `everyMs`; MJPEG keyframes then
+    * DECODE for real too ([[decodeVideoFrame]]) and re-emit as PNG —
+    * only H.26x pixel decode stays stubbed (raw codestream bytes
+    * emitted; no such decoder in this environment); payloads with no
+    * parseable sample table fall back to the stub slicer. The GIF and
+    * MJPEG PNG frames feed decodeImage → imageDHash →
+    * Dedup.simhashHammingPairs unchanged, so near-duplicate VIDEO
+    * detection runs on real pixels for GIF and MJPEG corpora today.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
     implicit val enc = Encoders.product[FrameRow]
@@ -721,14 +756,19 @@ object Multimodal {
         case _ => Iterator.empty // corrupt GIF: skip, like every decoder
       }
       else extractMp4SyncSamples(m.payload) match {
-        case Some(syncs) if syncs.nonEmpty =>
+        case Some(demux) if demux.frames.nonEmpty =>
           // thin to one keyframe per everyMs window (first always kept)
           var nextAt = Long.MinValue
-          syncs.iterator.filter { case (_, t, _) =>
+          demux.frames.iterator.filter { case (_, t, _) =>
             if (t >= nextAt) { nextAt = t + math.max(1L, everyMs); true }
             else false
           }.zipWithIndex.map { case ((_, t, bytes), idx) =>
-            FrameRow(m.media_id, idx, t, bytes)
+            // MJPEG keyframes decode to real pixels and re-emit as PNG
+            // (same contract as the GIF path); H.26x keyframes emit
+            // their exact demuxed codestream bytes (decode stubbed)
+            val payload = decodeVideoFrame(demux.codec, bytes)
+              .map(encodePng).getOrElse(bytes)
+            FrameRow(m.media_id, idx, t, payload)
           }
         case _ => stubFrames(m.payload, everyMs, m.duration_ms.getOrElse(0L))
           .map { case (i, t, bytes) => FrameRow(m.media_id, i, t, bytes) }

@@ -475,13 +475,102 @@ class MultimodalSpec extends SparkSpec {
     val (mp4, samples) = syntheticMp4WithSamples()
     val got = Multimodal.extractMp4SyncSamples(mp4)
     assert(got.isDefined)
-    val frames = got.get
+    val frames = got.get.frames
+    assert(got.get.codec == "") // builder writes no stsd box
     assert(frames.map(f => (f._1, f._2)) == Vector((0, 0L), (1, 1000L)))
     assert(frames(0)._3.toSeq == samples(0).toSeq) // sample 1 = the A bytes
     assert(frames(1)._3.toSeq == samples(2).toSeq) // sample 3 = the C bytes
     // corrupt payloads: None, never throw
     assert(Multimodal.extractMp4SyncSamples(mp4.take(40)).isEmpty)
     assert(Multimodal.extractMp4SyncSamples(Array[Byte](9, 9)).isEmpty)
+  }
+
+  /** MJPEG-in-MP4: `jpegs.length` samples in one chunk, timescale
+    * 1000, 500-tick deltas, no stss (every sample sync), stsd sample
+    * entry "jpeg" — each sample a REAL JPEG codestream.
+    */
+  private def syntheticMjpegMp4(jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    def full(typ: String, ints: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * (ints.length + 1))
+      bb.putInt(0)
+      ints.foreach(bb.putInt)
+      box(typ, bb.array())
+    }
+    val ftyp = box("ftyp", "isom0000isom".getBytes("ISO-8859-1"))
+    val mdhd = full("mdhd", Seq(0, 0, 1000, 500 * jpegs.length))
+    val hdlr = box("hdlr", java.nio.ByteBuffer.allocate(12).putInt(0).putInt(0)
+      .put("vide".getBytes("ISO-8859-1")).array())
+    val stsd = box("stsd", java.nio.ByteBuffer.allocate(24).putInt(0).putInt(1)
+      .putInt(16).put("jpeg".getBytes("ISO-8859-1")).array())
+    val stts = full("stts", Seq(1, jpegs.length, 500))
+    val stsz = full("stsz", Seq(0, jpegs.length) ++ jpegs.map(_.length))
+    val stsc = full("stsc", Seq(1, 1, jpegs.length, 1))
+    def assemble(off: Int): Array[Byte] = {
+      val stco = full("stco", Seq(1, off))
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+      val moov = box("moov",
+        box("trak", box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+      ftyp ++ moov ++ box("mdat", jpegs.flatten.toArray)
+    }
+    val probeLen = assemble(0).length
+    assemble(probeLen - jpegs.map(_.length).sum)
+  }
+
+  /** Color on one half, near-black on the other (solid frames would
+    * dHash to 0 — no luminance gradient).
+    */
+  private def jpegBytes(color: Int, leftHalf: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if ((x < 4) == leftHalf) color else 0x101010)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-in-MP4 keyframes decode to REAL pixels and feed the dHash chain") {
+    val mp4 = syntheticMjpegMp4(Seq(
+      jpegBytes(0xff0000, leftHalf = true), jpegBytes(0x0000ff, leftHalf = false)))
+    val demux = Multimodal.extractMp4SyncSamples(mp4).get
+    assert(demux.codec == "jpeg")
+    assert(demux.frames.length == 2)
+    val ds = spark.createDataset(Seq(MediaRow(50L, "video", mp4, "video/mp4",
+      None, None, None, None)))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val frames = Multimodal.sampleFrames(ds, everyMs = 1L)
+      .collect().sortBy(_.ts_ms)
+    assert(frames.length == 2)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 500L))
+    // emitted payloads are PNG re-encodes of decoded pixels, not the
+    // raw JPEG codestream (the GIF-path contract)
+    frames.foreach { f =>
+      assert((f.frame_payload(0) & 0xff) == 0x89 &&
+        f.frame_payload(1) == 'P'.toByte, "expected PNG payload")
+    }
+    def dominant(rgb: Int): Int =
+      Seq(rgb >> 16 & 0xff, rgb >> 8 & 0xff, rgb & 0xff).zipWithIndex.maxBy(_._1)._2
+    val imgs = frames.map(f => javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(f.frame_payload)))
+    assert(dominant(imgs(0).getRGB(1, 4) & 0xffffff) == 0, "frame 0 left red")
+    assert(dominant(imgs(1).getRGB(6, 4) & 0xffffff) == 2, "frame 1 right blue")
+    // and the decoded frames hash in the existing perceptual chain
+    val fps = imgs.map(Multimodal.imageDHash)
+    assert(fps(0) != fps(1), "distinct frames must fingerprint apart")
+    // a frame from an H.26x-style entry (non-JPEG bytes) stays raw
+    val (plain, samples) = syntheticMp4WithSamples()
+    val rawOut = Multimodal.sampleFrames(
+      spark.createDataset(Seq(MediaRow(51L, "video", plain, "video/mp4",
+        None, None, None, None)))(
+        org.apache.spark.sql.Encoders.product[MediaRow]), everyMs = 1L)
+      .collect().sortBy(_.ts_ms)
+    assert(rawOut(0).frame_payload.toSeq == samples(0).toSeq,
+      "non-decodable codec must emit exact demuxed bytes")
   }
 
   test("sampleFrames demuxes MP4 keyframes and thins by everyMs") {
