@@ -569,4 +569,32 @@ object Dedup {
     val m = e.agg(count(lit(1)).as("n_edges"))
     tri.crossJoin(broadcast(m)).select(col("n_triangles"), col("n_edges"))
   }
+
+  /** PASSAGE-granularity duplication profile: per document, how many of
+    * its non-overlapping `win`-token passages also occur (verbatim, by
+    * digest) in at least one OTHER document — the fine-grained signal
+    * whole-document dedup misses (boilerplate headers, quoted blocks,
+    * syndicated paragraphs survive doc-level near-dup at low overall
+    * similarity). dup_frac feeds quality filtering exactly like the
+    * Dolma/RefinedWeb "duplicate n-gram fraction" rules.
+    *
+    * Scale posture: passages come from [[Sampling.chunkTokens]]
+    * (stride = win, pure projection + explode), the occurrence count is
+    * one hash shuffle on the passage digest (the inverted-index shape),
+    * and the per-doc rollup shuffles on doc id — no joins wider than
+    * the digest equi-join, nothing quadratic at any corpus size.
+    */
+  def duplicatePassageStats(docs: DataFrame, id: Column, text: Column,
+                            win: Int): DataFrame = {
+    val ch = Sampling.chunkTokens(docs, id, text, win, win)
+      .select(col("doc_id"), col("chunk_md5"))
+    val occ = ch.groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("__nd"))
+    ch.join(occ, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        round(col("n_dup_passages").cast("double") / col("n_passages"), 4))
+  }
 }

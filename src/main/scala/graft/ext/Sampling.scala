@@ -135,6 +135,31 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-GROUP exact-k priority sampling: the stratified form of
+    * [[prioritySample]] — exactly k rows per group (fewer only when the
+    * group is smaller), chosen as each group's bottom-k of the same
+    * hash ÷ weight priority. The "k calibration docs PER SOURCE" /
+    * "k eval rows per language" contract; determinism and fractional-
+    * weight semantics identical to the global form.
+    *
+    * Scale posture: one shuffle on the group key into a rank window
+    * that Spark optimizes to WindowGroupLimit — each task retains only
+    * k rows per group before any sort materializes (plan-audited), so
+    * a billion-row group costs its scan, not its sort.
+    */
+  def prioritySampleByGroup(df: DataFrame, key: Column, weight: Column,
+                            group: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = weight.cast("double")
+    df.filter(w > 0)
+      .select(group.as("grp"), key.as("key"), weight.as("weight"),
+        (baseHash(key.cast("string")).cast("double") / w).as("priority"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("priority"), col("key"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Concat-and-split sequence packing: documents are laid end-to-end
     * in deterministic (shard, id) order and cut into `contextLen`-token
     * windows; each doc is labeled with the pack (window index) where

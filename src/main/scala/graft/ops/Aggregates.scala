@@ -131,4 +131,30 @@ object Aggregates {
       .filter(col("__pm").isNull || col("y") < col("__pm"))
       .select(col("x"), col("y"))
   }
+
+  /** Per-row percentile rank of an integer-valued score:
+    * pct = count(score' <= score) / n, rounded to 4 — the calibration
+    * step that turns a raw quality score into a corpus-relative one
+    * before mixing/filtering ("keep the top 30%" composed as
+    * `pct >= 0.7` stays meaningful as the corpus shifts).
+    *
+    * Scale posture: the [[boundedQuantileThreshold]] histogram-CDF
+    * argument, extended to every row — aggregate counts per distinct
+    * score (bounded by the score DOMAIN at any corpus size), cumulate
+    * with one domain-bounded window, then broadcast the tiny CDF table
+    * back onto the corpus. A naive `cume_dist()` window would instead
+    * sort the whole corpus through one partition. Integer-valued
+    * scores only, for the same domain-boundedness reason.
+    */
+  def percentileRankBounded(df: DataFrame, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(value.as("__v")).agg(count(lit(1)).as("__c"))
+    val cdf = h.select(col("__v"),
+        sum("__c").over(Window.orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__cf"),
+        sum("__c").over(Window.partitionBy()).as("__n"))
+      .select(col("__v"),
+        round(col("__cf").cast("double") / col("__n"), 4).as("pct"))
+    df.join(broadcast(cdf), value === col("__v")).drop("__v")
+  }
 }

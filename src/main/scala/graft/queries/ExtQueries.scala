@@ -1257,16 +1257,102 @@ object ExtQueries {
     (s, d) => Sampling.prioritySample(t(s, d, "documents"),
         key = col("doc_id"), weight = col("n_chars"), k = 50)
       .select(col("key").as("doc_id"), col("weight").as("n_chars"),
-        round(col("priority"), 4).as("priority")),
-    // ORDER BY repeats the EXACT priority expression (not the rounded
-    // output alias): the Spark side sorts pre-rounding, and a rounded
-    // sort could pick different rows at the rank-50 boundary
-    Some("SELECT doc_id, n_chars, round(CAST(" +
+        col("priority")),
+    // priority is emitted RAW: both engines compute the same IEEE-754
+    // division (bit-identical), whereas round(x, 4) on a ~1e12 value
+    // needs 16+ significant digits and flips the last digit per-engine
+    Some("SELECT doc_id, n_chars, CAST(" +
       TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
-      " AS DOUBLE) / n_chars, 4) AS priority " +
-      "FROM documents ORDER BY CAST(" +
+      " AS DOUBLE) / n_chars AS priority " +
+      "FROM documents WHERE n_chars > 0 ORDER BY priority, doc_id LIMIT 50"))
+
+  /** [EXT] L36 passage-granularity duplication profile
+    * ([[Dedup.duplicatePassageStats]]): per document, the fraction of
+    * its 8-token passages occurring verbatim in other documents — the
+    * fine-grained dup signal (boilerplate, syndication) that doc-level
+    * near-dup misses. Inverted-index shape: one digest shuffle + one
+    * doc rollup, nothing quadratic.
+    */
+  private val qDupPassages = Q("q_dup_passages",
+    (s, d) => Dedup.duplicatePassageStats(t(s, d, "documents"),
+        col("doc_id"), col("text"), win = 8)
+      .orderBy("doc_id"),
+    Some("WITH ch AS (SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, len(string_split(text, ' ')), 8), " +
+      "i -> md5(array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS h " +
+      "FROM documents), " +
+      "nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ch GROUP BY h) " +
+      "SELECT ch.doc_id, count(*) AS n_passages, " +
+      "CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_dup_passages, " +
+      "round(CAST(sum(CASE WHEN nd.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) " +
+      "/ count(*), 4) AS dup_frac " +
+      "FROM ch JOIN nd USING (h) GROUP BY ch.doc_id ORDER BY ch.doc_id"))
+
+  /** [EXT] L37 corpus-relative score calibration
+    * ([[Aggregates.percentileRankBounded]]): every document's quality
+    * score mapped to its exact percentile via the bounded histogram-CDF
+    * (domain-bounded window + broadcast join back — never a corpus-wide
+    * cume_dist sort). "Keep the top 30%" becomes `pct >= 0.7`.
+    */
+  private val qScorePercentile = Q("q_score_percentile",
+    (s, d) => Aggregates.percentileRankBounded(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        col("n_chars"))
+      .select("doc_id", "n_chars", "pct")
+      .orderBy("doc_id"),
+    Some("WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents " +
+      "GROUP BY n_chars), " +
+      "cdf AS (SELECT v, round(CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) " +
+      "/ (SELECT count(*) FROM documents), 4) AS pct FROM h) " +
+      "SELECT doc_id, n_chars, pct FROM documents JOIN cdf ON n_chars = v " +
+      "ORDER BY doc_id"))
+
+  /** [EXT] L38 per-source top terms: each source's 3 most frequent
+    * tokens (rank ties kept) — the domain-profiling probe behind
+    * source-mix audits. Partial-aggregated (source, term) shuffle into
+    * a WindowGroupLimit rank (audited) — per-task state is k rows per
+    * source, never a full sort.
+    */
+  private val qTopTerms = Q("q_top_terms",
+    (s, d) => graft.ops.Windows.rankTopK(
+        t(s, d, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("n")),
+        keys = Seq(col("source")), order = Seq(col("n").desc, col("term")),
+        k = 3, rankName = "rnk")
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("source", "rnk", "term"),
+    Some("WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS term " +
+      "FROM documents), " +
+      "g AS (SELECT source, term, count(*) AS n FROM tc GROUP BY source, term), " +
+      "r AS (SELECT source, term, n, rank() OVER (PARTITION BY source " +
+      "ORDER BY n DESC, term) AS rnk FROM g) " +
+      "SELECT source, term, n, rnk FROM r WHERE rnk <= 3 " +
+      "ORDER BY source, rnk, term"))
+
+  /** [EXT] L39 per-group exact-k priority sample
+    * ([[Sampling.prioritySampleByGroup]]): exactly 5 docs per source,
+    * bottom-k of hash÷n_chars within each stratum — the per-source
+    * calibration-set contract. WindowGroupLimit keeps k rows per group
+    * per task (audited), no global or per-group full sort.
+    */
+  private val qSamplePriorityGrouped = Q("q_sample_priority_grouped",
+    (s, d) => Sampling.prioritySampleByGroup(t(s, d, "documents"),
+        key = col("doc_id"), weight = col("n_chars"),
+        group = col("source"), k = 5)
+      .select(col("grp"), col("key"), col("weight"), col("priority"))
+      .orderBy("grp", "key"),
+    // priority is emitted RAW: both engines compute the same IEEE-754
+    // division (bit-identical), whereas round(x, 4) on a ~1e12 value
+    // needs 16+ significant digits and flips the last digit per-engine
+    Some("WITH p AS (SELECT source, doc_id, n_chars, CAST(" +
       TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
-      " AS DOUBLE) / n_chars, doc_id LIMIT 50"))
+      " AS DOUBLE) / n_chars AS pri FROM documents WHERE n_chars > 0), " +
+      "r AS (SELECT source, doc_id, n_chars, pri, row_number() OVER " +
+      "(PARTITION BY source ORDER BY pri, doc_id) AS rn FROM p) " +
+      "SELECT source AS grp, doc_id AS key, n_chars AS weight, " +
+      "pri AS priority FROM r WHERE rn <= 5 ORDER BY grp, key"))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
@@ -1282,5 +1368,6 @@ object ExtQueries {
     qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
     qContainment, qPagerank, qCollocations, qClusteringCoef,
-    qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered)
+    qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered,
+    qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped)
 }

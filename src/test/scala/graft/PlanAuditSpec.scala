@@ -447,4 +447,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_sample_priority")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q_sample_priority_grouped / q_top_terms: per-group k via WindowGroupLimit") {
+    assert(planOf("q_sample_priority_grouped").contains("WindowGroupLimit"))
+    assert(planOf("q_top_terms").contains("WindowGroupLimit"))
+  }
+
+  test("q_score_percentile: domain-bounded CDF broadcasts back over the corpus") {
+    val p = planOf("q_score_percentile")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -91,5 +91,9 @@ object RegistrySpec {
     "q_corpus_mix", "q_quality_cut", "q_freq_bigrams", "q_triangle_count",
     "q_skyline", "q_ewma", "q_containment", "q_pagerank", "q_collocations",
     "q_clustering_coef", "q_mode", "q_topk_ties", "q_sample_priority",
-    "q_ngram_jaccard_capped", "q_dedup_incremental", "q_ann_filtered")
+    "q_ngram_jaccard_capped", "q_dedup_incremental", "q_ann_filtered",
+    // round 10: passage-granularity dup profile, percentile calibration,
+    // per-source term profile, per-group exact-k sampling
+    "q_dup_passages", "q_score_percentile", "q_top_terms",
+    "q_sample_priority_grouped")
 }

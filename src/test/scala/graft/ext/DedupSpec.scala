@@ -297,6 +297,23 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("duplicatePassageStats: shared passages counted, unique docs at zero") {
+    // docs 1/2 share their first 4-token passage verbatim; doc 3 is
+    // disjoint. win=4 → doc 1 has passages [a b c d]["e1 f1 g1 h1"],
+    // doc 2 [a b c d]["e2 f2"], doc 3 one unique passage.
+    val d = Seq(
+      (1L, "a b c d e1 f1 g1 h1"),
+      (2L, "a b c d e2 f2"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val out = Dedup.duplicatePassageStats(d, col("doc_id"), col("text"), win = 4)
+      .select("doc_id", "n_passages", "n_dup_passages", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
   test("triangleStats: oriented edges count each triangle exactly once") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

@@ -149,6 +149,27 @@ class SamplingSpec extends SparkSpec {
     assert(fromText == fromCounts)
   }
 
+  test("prioritySampleByGroup: exactly k per group, fractional weights kept") {
+    val d = (1L to 30L)
+      .map(i => (i, if (i <= 20) "a" else "b", if (i % 2 == 0) 0.5 else 2.0))
+      .toDF("key", "grp", "weight")
+    val out = Sampling.prioritySampleByGroup(d, col("key"), col("weight"),
+        col("grp"), k = 4)
+      .select("grp", "key", "weight").as[(String, Long, Double)].collect()
+    assert(out.count(_._1 == "a") == 4 && out.count(_._1 == "b") == 4)
+    assert(out.forall(r => r._3 == 0.5 || r._3 == 2.0)) // no truncation
+    // a group smaller than k returns whole
+    val tiny = Sampling.prioritySampleByGroup(
+      d.filter(col("key") <= 2), col("key"), col("weight"), col("grp"), k = 4)
+    assert(tiny.count() == 2)
+    // matches the global sampler run per group (same priority, same k)
+    val globalA = Sampling.prioritySample(
+        d.filter(col("grp") === "a").select(col("key"), col("weight")),
+        col("key"), col("weight"), k = 4)
+      .select("key").as[Long].collect().toSet
+    assert(out.filter(_._1 == "a").map(_._2).toSet == globalA)
+  }
+
   test("prioritySample keeps fractional weights and returns exactly k") {
     // weights in (0,1) must NOT truncate to zero and vanish: with nine
     // 0.5-weight rows and one zero-weight row, k=5 must come from the

@@ -97,4 +97,20 @@ class AggregatesSpec extends SparkSpec {
       assert(thr == expect, s"p=$p: got $thr, want $expect")
     }
   }
+
+  test("percentileRankBounded equals the count(<=)/n definition, ties share pct") {
+    val vals = Seq(5L, 1L, 3L, 3L, 9L, 7L, 3L, 1L)
+    val out = Aggregates.percentileRankBounded(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+        col("v"))
+      .select("id", "v", "pct").as[(Long, Long, Double)].collect()
+    assert(out.length == vals.length)
+    out.foreach { case (_, v, pct) =>
+      val expect = BigDecimal(vals.count(_ <= v).toDouble / vals.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(pct == expect, s"v=$v: got $pct, want $expect")
+    }
+    // the maximum always calibrates to 1.0
+    assert(out.filter(_._2 == 9L).forall(_._3 == 1.0))
+  }
 }
