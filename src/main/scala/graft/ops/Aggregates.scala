@@ -157,4 +157,27 @@ object Aggregates {
         round(col("__cf").cast("double") / col("__n"), 4).as("pct"))
     df.join(broadcast(cdf), value === col("__v")).drop("__v")
   }
+
+  /** One row (med, mad): discrete median and median absolute deviation
+    * of an integer column — the robust location/scale pair behind
+    * outlier cuts that, unlike mean ± k·stddev, a few extreme rows
+    * cannot drag ("drop docs wildly off the typical length" stays
+    * meaningful when the corpus contains megabyte outliers).
+    * Both medians take the ceil(n/2)-ranked element
+    * ([[boundedQuantileThreshold]] p = 0.5 semantics).
+    *
+    * Scale posture: two bounded-histogram passes — the deviation
+    * histogram's domain is at most the value domain's width, so both
+    * windows stay domain-bounded at any corpus size; the 1-row median
+    * broadcasts into the deviation pass.
+    */
+  def medianAbsDeviationBounded(df: DataFrame, value: Column): DataFrame = {
+    val med = boundedQuantileThreshold(df, value, 0.5)
+      .select(col("thr").as("med"))
+    val dev = df.crossJoin(broadcast(med))
+      .select(abs(value - col("med")).as("__d"))
+    val mad = boundedQuantileThreshold(dev, col("__d"), 0.5)
+      .select(col("thr").as("mad"))
+    med.crossJoin(broadcast(mad))
+  }
 }

@@ -226,6 +226,31 @@ object Temporal {
     df.withColumn(as, round(num / den, 4))
   }
 
+  /** Gap detection: per series, the adjacent event pairs whose
+    * event-time distance exceeds `minGapUs` — the time-series QA
+    * operator behind "which sensors went dark" / "where did the feed
+    * stall". `tiebreak` must make the per-key ordering total
+    * ((key, ts) alone is rarely unique; a nondeterministic order
+    * makes gap endpoints flap between runs).
+    *
+    * Scale posture: one shuffle on the series key into one window exec
+    * (both lags share the frame); the filter drops non-gaps before
+    * anything downstream materializes.
+    */
+  def gaps(df: DataFrame, keys: Seq[String], tsUs: Column, tiebreak: Column,
+           minGapUs: Long): DataFrame = {
+    require(minGapUs > 0, "minGapUs must be positive")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(tsUs, tiebreak)
+    df.withColumn("__tus", tsUs)
+      .withColumn("__ptus", lag(tsUs, 1).over(w))
+      .withColumn("prev_id", lag(tiebreak, 1).over(w))
+      .filter(col("__ptus").isNotNull &&
+        col("__tus") - col("__ptus") > minGapUs)
+      .withColumn("gap_us", col("__tus") - col("__ptus"))
+      .drop("__tus", "__ptus")
+  }
+
   private def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                        leftTs: String, rightTs: String,
                        inner: Boolean, backward: Boolean): DataFrame = {

@@ -1590,6 +1590,29 @@ object CoreQueries {
       "ORDER BY CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DESC) AS rk " +
       "FROM part) WHERE rk <= 3 ORDER BY p_brand, price_c DESC"))
 
+  /** T-ext gap detection ([[Temporal.gaps]]): adjacent same-user
+    * events more than one hour apart — the "where did the feed stall"
+    * time-series QA probe. One key shuffle into ONE window exec (both
+    * lags share the frame), gaps filtered before anything downstream
+    * materializes; (ts, event_id) makes the per-user order total.
+    */
+  private val qGaps = Q("q_gaps",
+    (s, d) => Temporal.gaps(
+        t(s, d, "events").select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus")),
+        keys = Seq("user_id"), tsUs = col("tus"), tiebreak = col("event_id"),
+        minGapUs = 3600000000L)
+      .select("user_id", "prev_id", "event_id", "gap_us")
+      .orderBy("user_id", "event_id"),
+    Some("WITH e AS (SELECT user_id, event_id, " +
+      "epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events), " +
+      "l AS (SELECT user_id, event_id, tus, lag(tus) OVER w AS ptus, " +
+      "lag(event_id) OVER w AS prev_id FROM e " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)) " +
+      "SELECT user_id, prev_id, event_id, tus - ptus AS gap_us FROM l " +
+      "WHERE ptus IS NOT NULL AND tus - ptus > 3600000000 " +
+      "ORDER BY user_id, event_id"))
+
   // ---------------------------------------------------------------- all
 
   val all: Seq[Q] = Seq(
@@ -1612,5 +1635,5 @@ object CoreQueries {
     qAsofJoin, qAsofForward, qAsofNearest, qResampleFfill, qResampleInterp,
     qMergeUpsert, qScd2, qTableDiff,
     qPivot, qUnpivot,
-    qHistogram, qHistogramEq, qSkyline, qEwma, qMode, qTopkTies)
+    qHistogram, qHistogramEq, qSkyline, qEwma, qMode, qTopkTies, qGaps)
 }

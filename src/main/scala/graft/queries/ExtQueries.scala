@@ -1354,6 +1354,69 @@ object ExtQueries {
       "SELECT source AS grp, doc_id AS key, n_chars AS weight, " +
       "pri AS priority FROM r WHERE rn <= 5 ORDER BY grp, key"))
 
+  /** [EXT] L40 robust length cut ([[Aggregates.medianAbsDeviationBounded]]):
+    * keep documents within 3 MADs of the median length — the outlier
+    * rule a few megabyte rows cannot drag, unlike mean ± k·stddev.
+    * Two bounded-histogram passes + one broadcast 1-row filter; no
+    * corpus-sized sort or window anywhere.
+    */
+  private val qRobustCut = Q("q_robust_cut",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val stats = Aggregates.medianAbsDeviationBounded(docs, col("n_chars"))
+      docs.crossJoin(broadcast(stats))
+        .filter(abs(col("n_chars") - col("med")) <= lit(3L) * col("mad"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents " +
+      "GROUP BY n_chars), " +
+      "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cf, " +
+      "(SELECT count(*) FROM documents) AS n FROM h), " +
+      "med AS (SELECT min(v) AS med FROM cum WHERE cf >= ceil(n * 0.5)), " +
+      "d AS (SELECT abs(n_chars - med) AS dv FROM documents, med), " +
+      "h2 AS (SELECT dv, count(*) AS c FROM d GROUP BY dv), " +
+      "cum2 AS (SELECT dv, sum(c) OVER (ORDER BY dv) AS cf, " +
+      "(SELECT count(*) FROM d) AS n FROM h2), " +
+      "mad AS (SELECT min(dv) AS mad FROM cum2 WHERE cf >= ceil(n * 0.5)) " +
+      "SELECT doc_id, n_chars FROM documents, med, mad " +
+      "WHERE abs(n_chars - med) <= 3 * mad ORDER BY doc_id"))
+
+  /** [EXT] L41 per-label embedding centroids: the class-mean vectors
+    * behind nearest-centroid classification, per-domain embedding
+    * profiles, and drift monitoring. Components are scaled to exact
+    * BIGINTs (floor(x·10⁴ + ½) — both engines evaluate the identical
+    * IEEE multiply on the same float32 bits) so the per-dimension sums
+    * are associative and bit-stable at any parallelism — a raw float
+    * mean would sum in shuffle order.
+    *
+    * Scale posture: posexplode → ONE (label, dim) hash aggregate with
+    * map-side partial combine — shuffle volume is labels × dims, not
+    * corpus-sized; output is the centroid table itself (tiny, the
+    * natural broadcast side of any downstream assignment join).
+    */
+  private val qLabelCentroids = Q("q_label_centroids",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"),
+        col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * 10000 + 0.5).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      // mean is emitted RAW (exact-int sum / exact-int denominator, one
+      // IEEE division — bit-identical cross-engine; round() at a .5
+      // boundary is not)
+      .withColumn("mean", col("s").cast("double") / (col("n") * 10000))
+      .orderBy("label", "dim"),
+    Some("WITH e AS (SELECT label, unnest(list_transform(" +
+      "generate_series(1, len(embedding)), " +
+      "i -> {'dim': i - 1, 'q': CAST(floor(CAST(embedding[i] AS DOUBLE) " +
+      "* 10000 + 0.5) AS BIGINT)})) AS u FROM embeddings) " +
+      "SELECT label, CAST(u.dim AS BIGINT) AS dim, " +
+      "CAST(sum(u.q) AS BIGINT) AS s, count(*) AS n, " +
+      "CAST(sum(u.q) AS DOUBLE) / (count(*) * 10000) AS mean " +
+      "FROM e GROUP BY label, u.dim ORDER BY label, dim"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1369,5 +1432,6 @@ object ExtQueries {
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
     qContainment, qPagerank, qCollocations, qClusteringCoef,
     qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered,
-    qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped)
+    qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped,
+    qRobustCut, qLabelCentroids)
 }

@@ -457,4 +457,22 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_score_percentile")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_gaps: both lags fuse into ONE window exec") {
+    val p = planOf("q_gaps")
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_robust_cut: 1-row med/mad stats broadcast, never shuffle-joined") {
+    val p = planOf("q_robust_cut")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_label_centroids: map-side partial aggregation before the shuffle") {
+    val p = planOf("q_label_centroids")
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

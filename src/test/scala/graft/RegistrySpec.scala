@@ -95,5 +95,6 @@ object RegistrySpec {
     // round 10: passage-granularity dup profile, percentile calibration,
     // per-source term profile, per-group exact-k sampling
     "q_dup_passages", "q_score_percentile", "q_top_terms",
-    "q_sample_priority_grouped")
+    "q_sample_priority_grouped", "q_robust_cut", "q_label_centroids",
+    "q_gaps")
 }

@@ -113,4 +113,18 @@ class AggregatesSpec extends SparkSpec {
     // the maximum always calibrates to 1.0
     assert(out.filter(_._2 == 9L).forall(_._3 == 1.0))
   }
+
+  test("medianAbsDeviationBounded is outlier-robust where mean/stddev are not") {
+    // tight cluster at 10..14 plus one extreme outlier
+    val vals = Seq(10L, 11L, 12L, 13L, 14L, 1000000L)
+    val r = Aggregates.medianAbsDeviationBounded(vals.toDF("v"), col("v"))
+      .as[(Long, Long)].collect().head
+    // ceil(6*0.5)=3rd ranked: med=12; deviations sorted 0 1 1 2 2 999988
+    assert(r == ((12L, 1L)), r.toString)
+    // a 3-MAD cut keeps the whole cluster (deviations <= 2), drops the
+    // outlier — the robustness a mean/stddev cut lacks (here the mean
+    // is ~166k and stddev-based bounds would keep the outlier itself)
+    val kept = vals.count(v => math.abs(v - r._1) <= 3 * r._2)
+    assert(kept == 5)
+  }
 }

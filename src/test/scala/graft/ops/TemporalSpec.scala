@@ -225,4 +225,20 @@ class TemporalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("(?m)^\\s*[+:-]*\\s*Window ".r.findAllIn(plan).size == 1, plan)
   }
+  test("gaps: only over-threshold adjacent pairs emit, per key, ordered totally") {
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 500L), ("a", 4L, 520L),
+      ("b", 5L, 0L), ("b", 6L, 1000L)).toDF("k", "id", "tus")
+    val out = Temporal.gaps(df, Seq("k"), col("tus"), col("id"),
+        minGapUs = 200L)
+      .select("k", "prev_id", "id", "gap_us")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // a: 100->150 (50, no), 150->500 (350, yes), 500->520 (20, no)
+    // b: 0->1000 (1000, yes)
+    assert(out == Set(("a", 2L, 3L, 350L), ("b", 5L, 6L, 1000L)))
+    // threshold is strict: a gap exactly at the bound does not emit
+    val strict = Temporal.gaps(df, Seq("k"), col("tus"), col("id"),
+      minGapUs = 350L)
+    assert(strict.filter(col("k") === "a").count() == 0)
+  }
 }
