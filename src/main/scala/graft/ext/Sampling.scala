@@ -104,6 +104,45 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Temperature-scaled source mixing at α = ½: allocate a global token
+    * budget across sources proportionally to share^α — the standard
+    * smoothing between proportional sampling (α = 1, big sources
+    * dominate) and uniform ([[tokenBudgetMix]], the α = 0 limit where
+    * every source gets the same cap). Since p_s ∝ (tok_s/T)^½ ∝
+    * √tok_s, each source's target is budget·√tok_s ÷ Σ√tok_t, and its
+    * deterministic per-row rate follows as in [[tokenBudgetMix]].
+    *
+    * α is FIXED at ½ by design, not a parameter: sqrt is the one
+    * fractional power IEEE 754 defines correctly-rounded, so both
+    * engines produce the identical double from the identical BIGINT
+    * token sum — pow(x, α) for general α carries platform-dependent
+    * final ulps that could flip a basis point (§7.5 determinism
+    * contract). √tok floors to a BIGINT before the cross-source
+    * normalizer sums it, so Σ√ is an exact integer too (summation
+    * order cannot matter). Caller bound: budget·√tok_s < 2^53.
+    *
+    * Scale posture: identical to [[tokenBudgetMix]] — one tiny
+    * per-source aggregate + a 1-row normalizer, both broadcast; the
+    * corpus pays one counted scan and one per-row filter.
+    */
+  def temperatureMix(docs: DataFrame, id: Column, text: Column,
+                     source: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = docs.select(id.as("doc_id"), source.as("source"),
+      size(tokens(text)).cast("long").as("n_tok"))
+    val st = base.groupBy("source")
+      .agg(sum(col("n_tok")).as("src_tok"))
+      .withColumn("qs", floor(sqrt(col("src_tok").cast("double"))).cast("long"))
+    val norm = st.agg(sum("qs").as("qtot"))
+    val rates = st.crossJoin(broadcast(norm))
+      .select(col("source"), least(lit(10000L),
+        floor(floor(lit(budgetTokens) * col("qs") / col("qtot")) * lit(10000L)
+          / col("src_tok")).cast("long")).as("rate_bps"))
+    base.join(broadcast(rates), Seq("source"))
+      .filter(baseHash(col("doc_id").cast("string")) % 10000 < col("rate_bps"))
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
   /** Deterministic weighted priority sampling WITHOUT replacement:
     * exactly k rows, chosen as the bottom-k of priority =
     * hash(key) ÷ weight — the deterministic twin of weighted

@@ -95,10 +95,28 @@ object Aggregates {
     * be integer-valued: a double score has an unbounded domain and
     * degrades this plan back to a global sort.
     */
-  def boundedQuantileThreshold(df: DataFrame, value: Column, p: Double): DataFrame = {
+  def boundedQuantileThreshold(df: DataFrame, value: Column, p: Double): DataFrame =
+    boundedWeightedQuantileThreshold(df, value, lit(1L), p)
+
+  /** Weight-aware form of [[boundedQuantileThreshold]]: the smallest
+    * value v whose cumulative WEIGHT reaches ceil(W·p) — e.g. with
+    * weight = token count, p = 0.5 gives the token-mass median length
+    * ("half of all training tokens live in docs at or below this
+    * length"), which is what a packing/budget decision actually needs;
+    * the unweighted doc-count median answers a different question when
+    * long docs carry most of the mass. Weights must be non-negative
+    * integers (exact BIGINT cumulative sums — no float accumulation
+    * order to disagree on).
+    *
+    * Same scale posture: one map-side-combined hash aggregate builds
+    * the weighted histogram; the cumulative window sees only
+    * domain-many rows at any corpus size.
+    */
+  def boundedWeightedQuantileThreshold(df: DataFrame, value: Column,
+                                       weight: Column, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"p out of (0,1]: $p")
     import org.apache.spark.sql.expressions.Window
-    val h = df.groupBy(value.as("v")).agg(count(lit(1)).as("c"))
+    val h = df.groupBy(value.as("v")).agg(sum(weight.cast("long")).as("c"))
     h.select(col("v"),
         sum("c").over(Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cf"),

@@ -1417,6 +1417,78 @@ object ExtQueries {
       "CAST(sum(u.q) AS DOUBLE) / (count(*) * 10000) AS mean " +
       "FROM e GROUP BY label, u.dim ORDER BY label, dim"))
 
+  /** [EXT] L42 token-mass median length
+    * ([[Aggregates.boundedWeightedQuantileThreshold]]): the document
+    * length below which HALF OF ALL TRAINING TOKENS live — the quantity
+    * a context-length / packing decision actually needs (the doc-count
+    * median answers a different question when long docs carry most of
+    * the token mass). One weighted histogram aggregate; the cumulative
+    * window sees only domain-many rows at any corpus size.
+    */
+  private val qWeightedMedian = Q("q_weighted_median",
+    (s, d) => {
+      val (ws, _) = TextAnalysis.tokenCounts(col("text"))
+      Aggregates.boundedWeightedQuantileThreshold(
+        t(s, d, "documents").select(col("n_chars"), ws.as("n_tok")),
+        col("n_chars"), col("n_tok"), 0.5)
+        .select(col("thr").as("wmed_len"))
+    },
+    Some(s"WITH tc AS (SELECT n_chars AS v, CAST($duckNTok AS BIGINT) AS w " +
+      "FROM documents), " +
+      "h AS (SELECT v, sum(w) AS c FROM tc GROUP BY v), " +
+      "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cf, " +
+      "(SELECT sum(w) FROM tc) AS n FROM h) " +
+      "SELECT min(v) AS wmed_len FROM cum WHERE cf >= ceil(n * 0.5)"))
+
+  /** [EXT] L43 temperature-scaled source mixing
+    * ([[Sampling.temperatureMix]], α = ½): allocate a global token
+    * budget ∝ √share — the standard smoothing between proportional
+    * (α=1) and the uniform per-source cap of `q_corpus_mix` (α=0).
+    * α is fixed at ½ because sqrt is the one fractional power IEEE
+    * defines correctly-rounded (pow ulps could flip a basis point
+    * cross-engine). All rate arithmetic is exact-BIGINT-then-one-IEEE-
+    * division, reproduced basis-point-exact by the oracle.
+    */
+  private val qTemperatureMix = Q("q_temperature_mix",
+    (s, d) => Sampling.temperatureMix(t(s, d, "documents"),
+        id = col("doc_id"), text = col("text"), source = col("source"),
+        budgetTokens = 60000L)
+      .orderBy("doc_id"),
+    Some(s"WITH tc AS (SELECT doc_id, source, CAST($duckNTok AS BIGINT) " +
+      "AS n_tok FROM documents), " +
+      "st AS (SELECT source, sum(n_tok) AS src_tok FROM tc GROUP BY source), " +
+      "q AS (SELECT source, src_tok, " +
+      "CAST(floor(sqrt(CAST(src_tok AS DOUBLE))) AS BIGINT) AS qs FROM st), " +
+      "tot AS (SELECT sum(qs) AS qtot FROM q), " +
+      "r AS (SELECT source, least(10000, CAST(floor(" +
+      "CAST(floor(60000 * qs / qtot) AS BIGINT) * 10000 / src_tok) " +
+      "AS BIGINT)) AS rate_bps FROM q, tot) " +
+      "SELECT t.doc_id, t.source, t.n_tok FROM tc t JOIN r USING (source) " +
+      "WHERE " + TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
+      " % 10000 < r.rate_bps ORDER BY doc_id"))
+
+  /** [EXT] L44 shard assignment + balance audit: deterministic
+    * content-hash sharding (shard = hash(id) mod N — the writer-side
+    * partitioner of a training-shard export) with the per-shard
+    * doc/token balance report that validates it ("is any shard hot").
+    * One map-side-combined hash aggregate over a pure projection;
+    * output is N rows regardless of corpus size.
+    */
+  private val qShardAssign = Q("q_shard_assign",
+    (s, d) => {
+      val (ws, _) = TextAnalysis.tokenCounts(col("text"))
+      t(s, d, "documents")
+        .select((TextHash.baseHash(col("doc_id").cast("string")) % 32)
+          .as("shard"), ws.as("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+        .orderBy("shard")
+    },
+    Some("SELECT " + TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
+      s" % 32 AS shard, count(*) AS n_docs, " +
+      s"CAST(sum(CAST($duckNTok AS BIGINT)) AS BIGINT) AS tok_sum " +
+      "FROM documents GROUP BY 1 ORDER BY shard"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1433,5 +1505,6 @@ object ExtQueries {
     qContainment, qPagerank, qCollocations, qClusteringCoef,
     qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered,
     qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped,
-    qRobustCut, qLabelCentroids)
+    qRobustCut, qLabelCentroids,
+    qWeightedMedian, qTemperatureMix, qShardAssign)
 }

@@ -688,3 +688,75 @@ object TwsSampler {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch gap detector ([[graft.ops.Temporal.gaps]])
+  * on `transformWithState`: state per key is the single latest (ts, id)
+  * pair, so each arriving event compares against its in-order
+  * predecessor and emits a gap row the moment the threshold is crossed —
+  * the live form of the feed-stall / sensor-went-dark probe
+  * (StreamingEventsSpec asserts set-equality with the batch operator on
+  * a shared feed).
+  *
+  * Delivery contract: per-key (ts, id) non-decreasing ACROSS
+  * micro-batches (within a batch any order is fine — rows are sorted by
+  * (ts, id) before folding, the same total order the batch window uses).
+  * A cross-batch late arrival would pair against the wrong predecessor —
+  * route such feeds through the batch rebuild, the TwsScd2 contract.
+  * A replayed delivery of the current latest event is a no-op.
+  *
+  * Scale posture: one hash shuffle on the key per micro-batch; state is
+  * exactly one (ts, id) pair per live key, independent of stream length.
+  */
+object TwsGaps {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  case class Ev(k: String, id: Long, tsUs: Long)
+  case class Gap(k: String, prev_id: Long, id: Long, gap_us: Long)
+  case class Last(tsUs: Long, id: Long)
+
+  class GapProcessor(minGapUs: Long) extends StatefulProcessor[String, Ev, Gap] {
+    require(minGapUs > 0, "minGapUs must be positive")
+    @transient private var last: ValueState[Last] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Last]("last",
+        Encoders.product[Last], TTLConfig.NONE)
+
+    override def handleInputRows(k: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[Gap] = {
+      var cur = if (last.exists()) Some(last.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[Gap]
+      rows.toSeq.sortBy(e => (e.tsUs, e.id)).foreach { e =>
+        cur match {
+          case Some(p) if e.tsUs == p.tsUs && e.id == p.id =>
+            () // at-least-once replay of the current latest: no-op
+          case Some(p) if e.tsUs < p.tsUs ||
+              (e.tsUs == p.tsUs && e.id < p.id) =>
+            () // late past the predecessor boundary: drop (see contract)
+          case Some(p) =>
+            if (e.tsUs - p.tsUs > minGapUs)
+              out += Gap(k, p.id, e.id, e.tsUs - p.tsUs)
+            cur = Some(Last(e.tsUs, e.id))
+          case None => cur = Some(Last(e.tsUs, e.id))
+        }
+      }
+      cur.foreach(last.update)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(k: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Gap] = Iterator.empty
+  }
+
+  /** Incremental gap detection over an event stream; requires the
+    * RocksDB state store provider on the session.
+    */
+  def gaps(events: Dataset[Ev], minGapUs: Long): Dataset[Gap] = {
+    implicit val ge: org.apache.spark.sql.Encoder[Gap] = Encoders.product[Gap]
+    events.groupByKey(_.k)(Encoders.STRING)
+      .transformWithState(new GapProcessor(minGapUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

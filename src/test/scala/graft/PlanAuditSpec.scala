@@ -475,4 +475,30 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_temperature_mix: rate table broadcasts, corpus never shuffle-joins") {
+    val p = planOf("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_weighted_median: cumulative windows run over the histogram aggregate") {
+    val p = planOf("q_weighted_median")
+    // corpus-sized work is hash aggregation; the two windows (running
+    // cum-weight + total) both sit ABOVE the histogram aggregate, so
+    // they only ever see domain-many rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).size == 2, p)
+    val firstWindow = p.indexOf("Window ")
+    val histAgg = p.lastIndexOf("HashAggregate")
+    assert(firstWindow >= 0 && histAgg > firstWindow,
+      "histogram aggregate must sit below the windows:\n" + p)
+  }
+
+  test("q_shard_assign: one partial+final aggregate pair, no join, no window") {
+    val p = planOf("q_shard_assign")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
 }

@@ -191,4 +191,29 @@ class SamplingSpec extends SparkSpec {
       .select("key").as[Long].collect().toSet
     assert(picked.map(_._1).toSet == doubled)
   }
+
+  test("temperatureMix: sqrt allocation sits between proportional and uniform") {
+    // big: 90% of tokens, small: 10% — α=½ shares are √.9 and √.1
+    // normalized ≈ 75% / 25%: the big source is downweighted vs its
+    // raw share, the small source upweighted (the point of tempering)
+    val docs = ((1L to 90L).map(i => (i, "big")) ++
+      (91L to 100L).map(i => (i, "small"))).map { case (i, s) =>
+      (i, s, Seq.fill(100)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    // budget 5000 of 10000 total tokens: targets ≈ 3750 / 1250
+    // → rates ≈ 4166 bps (big, 9000 tok) / 10000 capped (small, 1000)
+    val kept = Sampling.temperatureMix(docs, col("doc_id"), col("text"),
+      col("source"), budgetTokens = 5000L)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val (big, small) = kept.partition(_._2 == "big")
+    assert(small.length == 10,
+      "small source's tempered target exceeds its size: passes whole")
+    assert(big.length < 90, "big source must downsample")
+    // raising the budget only ever ADDS docs (incremental-refresh
+    // contract: rates are monotone in the budget, hashes are fixed)
+    val kept2 = Sampling.temperatureMix(docs, col("doc_id"), col("text"),
+      col("source"), budgetTokens = 8000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet.subsetOf(kept2))
+  }
 }

@@ -127,4 +127,20 @@ class AggregatesSpec extends SparkSpec {
     val kept = vals.count(v => math.abs(v - r._1) <= 3 * r._2)
     assert(kept == 5)
   }
+
+  test("boundedWeightedQuantileThreshold: weight mass moves the median") {
+    // values 10 (weight 1 each) vs one value 100 carrying weight 20:
+    // doc-count median is 10, but >half the MASS sits at 100
+    val df = (Seq.fill(10)((10L, 1L)) :+ ((100L, 20L))).toDF("v", "w")
+    val wmed = Aggregates.boundedWeightedQuantileThreshold(
+      df, col("v"), col("w"), 0.5).as[Long].collect().head
+    assert(wmed == 100L, s"weighted median: $wmed")
+    val dmed = Aggregates.boundedQuantileThreshold(df, col("v"), 0.5)
+      .as[Long].collect().head
+    assert(dmed == 10L, s"unweighted median: $dmed")
+    // weight=1 everywhere reduces to the unweighted form exactly
+    val uni = Aggregates.boundedWeightedQuantileThreshold(
+      df, col("v"), lit(1L), 0.5).as[Long].collect().head
+    assert(uni == dmed)
+  }
 }

@@ -679,4 +679,54 @@ class StreamingEventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("transformWithState gap emissions equal the batch gap detector") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ee: org.apache.spark.sql.Encoder[TwsGaps.Ev] =
+      org.apache.spark.sql.Encoders.product[TwsGaps.Ev]
+    import TwsGaps.Ev
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // irregular per-key cadence: some adjacent deltas over the 200us
+      // threshold, some under, one exactly AT it (strict > must exclude)
+      val evs = Seq(
+        Ev("a", 1L, 100L), Ev("a", 2L, 150L), Ev("a", 3L, 500L),
+        Ev("a", 4L, 700L), Ev("a", 5L, 720L), Ev("b", 6L, 0L),
+        Ev("b", 7L, 1000L), Ev("b", 8L, 1010L), Ev("c", 9L, 5L))
+      val input = MemoryStream[Ev]
+      val q = TwsGaps.gaps(input.toDS(), minGapUs = 200L)
+        .writeStream.format("memory").queryName("tws_gaps").start()
+      try {
+        // split mid-key so a gap spans the micro-batch boundary
+        val (first, rest) = evs.splitAt(4)
+        input.addData(first: _*)
+        q.processAllAvailable()
+        input.addData(rest: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("tws_gaps").as[TwsGaps.Gap].collect()
+          .map(g => (g.k, g.prev_id, g.id, g.gap_us)).toSet
+        val batch = graft.ops.Temporal.gaps(
+            evs.map(e => (e.k, e.id, e.tsUs)).toDF("k", "id", "tus"),
+            Seq("k"), col("tus"), col("id"), minGapUs = 200L)
+          .select("k", "prev_id", "id", "gap_us")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(streamed == batch, s"stream=$streamed batch=$batch")
+        // a: 150->500 (350) and 500->700 (200, AT bound: excluded); b: 0->1000
+        assert(batch == Set(("a", 2L, 3L, 350L), ("b", 6L, 7L, 1000L)))
+        // at-least-once replay of each key's current latest event: no-op
+        input.addData(Ev("a", 5L, 720L), Ev("b", 8L, 1010L)): Unit
+        q.processAllAvailable()
+        assert(spark.table("tws_gaps").count() == batch.size,
+          "replay of the latest event must not emit")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
