@@ -265,4 +265,58 @@ object Similarity {
       priority = Seq(col("cos").desc, col("vec_id")),
       k = k, rankName = "rnk")
   }
+
+  /** Spherical k-means Lloyd refinement — the trainer for [[ivfTopK]]'s
+    * `centroids` side (which until now took sampled seeds as-is):
+    * iteratively reassign every corpus vector to its max-cosine
+    * centroid, then recompute each centroid as the FIXED-POINT
+    * per-dimension mean of its members. Components quantize to 1/scale
+    * before an exact-BIGINT sum, so each mean is exact-int ÷ exact-int
+    * — one IEEE division, bit-identical at any parallelism and on any
+    * engine, where a raw float mean depends on partial-sum order.
+    * Assignment ties break on cid, so the whole trajectory (including
+    * which clusters empty out and drop — standard Lloyd degeneracy) is
+    * deterministic.
+    *
+    * Returns the final centroid table as one row per (cid, dim) with
+    * the member count `n` and the mean component — the rows-form twin
+    * of the (cid, v, nm) frame `ivfTopK` consumes (rebuild arrays with
+    * the same array_sort(collect_list) fold used between iterations).
+    *
+    * Scale posture per iteration: centroids broadcast (k·dim doubles),
+    * the corpus is scanned once, the argmax is a WindowGroupLimit
+    * riding the broadcast-join exchange (no per-vector sort), and the
+    * update shuffles only k·dim aggregate cells after map-side combine
+    * — never corpus-sized. `iters` stays a small constant (production
+    * IVF trainers run 2-5 Lloyd passes).
+    */
+  def kmeansRefine(corpus: DataFrame, seeds: DataFrame, iters: Int,
+                   scale: Long = 10000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    def assign(cent: DataFrame): DataFrame = Windows.findFirst(
+      corpus.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn")).as("ccos")),
+      keys = Seq(col("vec_id")),
+      priority = Seq(col("ccos").desc, col("cid")))
+    def update(asg: DataFrame): DataFrame = asg
+      .select(col("cid"), posexplode(col("v")))
+      .select(col("cid"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * scale + 0.5).cast("long").as("q"))
+      .groupBy("cid", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .withColumn("mean", col("s").cast("double") / (col("n") * scale))
+    var cent = seeds.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nm").as("cn"))
+    var upd = update(assign(cent))
+    for (_ <- 2 to iters) {
+      cent = upd.groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+        .select(col("cid"),
+          transform(col("sm"), s => s.getField("mean")).as("cv"))
+        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+      upd = update(assign(cent))
+    }
+    upd.select(col("cid"), col("dim"), col("n"), col("mean"))
+  }
 }

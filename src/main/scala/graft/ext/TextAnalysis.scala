@@ -159,6 +159,42 @@ object TextAnalysis {
     (regexp_replace(text, pattern, replacement),
       regexp_count(text, lit(pattern)))
 
+  /** Composite quality-rule filter (the published Gopher/C4 rule-set
+    * shape): five independent per-document cuts, reported as a failed-
+    * rule BITMASK so a pipeline can both filter (`mask = 0`) and audit
+    * which rule rejects how much of a source. Every rule is exact
+    * integer arithmetic (cross-multiplied ratios — no float division
+    * anywhere), so borderline docs cannot flip between engines:
+    *
+    *   bit 1  token count outside [5, 50000]
+    *   bit 2  mean word length outside [3, 10] chars
+    *          (3·n_tok ≤ chars-excl-separators ≤ 10·n_tok)
+    *   bit 4  fewer than 80% of words contain a letter (5·alpha < 4·n)
+    *   bit 8  fewer than 2 function-word hits ([[StopWords]])
+    *   bit 16 symbol density ≥ 10% (`#` or `...` count ≥ n_tok/10)
+    *
+    * Returns (failMask, keep). Pure per-row projection — zero shuffle
+    * at any corpus size; the audit aggregate the caller adds on top is
+    * a map-side-combined count by mask.
+    */
+  def qualityRules(text: Column): (Column, Column) = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("long")
+    val charsNoSep = (length(text) - nTok + lit(1)).cast("long")
+    val alphaWords = size(filter(tok, t => t.rlike("[a-z]"))).cast("long")
+    val stop = size(filter(tok,
+      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
+    val sym = regexp_count(text, lit("#|\\.\\.\\.")).cast("long")
+    val mask =
+      when(nTok >= 5 && nTok <= 50000, lit(0L)).otherwise(lit(1L)) +
+      when(charsNoSep >= nTok * 3 && charsNoSep <= nTok * 10, lit(0L))
+        .otherwise(lit(2L)) +
+      when(alphaWords * 5 >= nTok * 4, lit(0L)).otherwise(lit(4L)) +
+      when(stop >= 2, lit(0L)).otherwise(lit(8L)) +
+      when(sym * 10 < nTok, lit(0L)).otherwise(lit(16L))
+    (mask, mask === 0L)
+  }
+
   /** Collocation mining: bigrams scored by LINEARIZED pointwise mutual
     * information, `pmi_lin = c_ab·N / (c_a·c_b)` — the same
     * monotone-in-PMI linearization trick as tf-idf's idf (log dropped:

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.model.Tables
-import graft.ext.{Dedup, Graph, Sampling, Similarity, TextAnalysis, TextHash}
+import graft.ext.{Dedup, Drift, Graph, Sampling, Similarity, TextAnalysis, TextHash}
 import graft.ops.Aggregates
 
 /** [EXT] LLM-training-data pipeline operators (builder-prompt north
@@ -1489,6 +1489,119 @@ object ExtQueries {
       s"CAST(sum(CAST($duckNTok AS BIGINT)) AS BIGINT) AS tok_sum " +
       "FROM documents GROUP BY 1 ORDER BY shard"))
 
+  /** [EXT] L45 composite quality-rule filter
+    * ([[TextAnalysis.qualityRules]]): the published Gopher/C4 rule-set
+    * shape — five per-doc cuts reported as a failed-rule bitmask, so
+    * one pass yields both the keep decision (mask = 0) and the
+    * which-rule-rejects-what audit. All rules are cross-multiplied
+    * exact integers: a borderline doc cannot flip between engines.
+    * Pure projection — zero shuffle at any corpus size.
+    */
+  private val qQualityRules = Q("q_quality_rules",
+    (s, d) => {
+      val (mask, keep) = TextAnalysis.qualityRules(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), mask.as("fail_mask"), keep.as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("SELECT doc_id, CAST(" +
+      "(CASE WHEN nt BETWEEN 5 AND 50000 THEN 0 ELSE 1 END) + " +
+      "(CASE WHEN cns >= nt * 3 AND cns <= nt * 10 THEN 0 ELSE 2 END) + " +
+      "(CASE WHEN aw * 5 >= nt * 4 THEN 0 ELSE 4 END) + " +
+      "(CASE WHEN st >= 2 THEN 0 ELSE 8 END) + " +
+      "(CASE WHEN sy * 10 < nt THEN 0 ELSE 16 END) AS BIGINT) AS fail_mask, " +
+      "(nt BETWEEN 5 AND 50000) AND (cns >= nt * 3 AND cns <= nt * 10) " +
+      "AND (aw * 5 >= nt * 4) AND (st >= 2) AND (sy * 10 < nt) AS keep " +
+      "FROM (SELECT doc_id, " +
+      s"CAST($duckNTok AS BIGINT) AS nt, " +
+      s"CAST(length(text) - $duckNTok + 1 AS BIGINT) AS cns, " +
+      "CAST(len(list_filter(string_split(text, ' '), " +
+      "t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS aw, " +
+      "CAST(len(list_filter(string_split(text, ' '), " +
+      "t -> t = 'the' OR t = 'a')) AS BIGINT) AS st, " +
+      "CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS sy " +
+      "FROM documents) ORDER BY doc_id"))
+
+  /** [EXT] L46 snapshot drift monitor ([[Drift.totalVariation]]):
+    * per-source total-variation distance between two corpus snapshots'
+    * length distributions (here: even vs odd doc_id halves standing in
+    * for yesterday/today) — the "did the crawl shift under me" gate a
+    * pipeline runs between ingests. TV over KL/JS: the numerator is
+    * exact BIGINT (no logs, no float accumulation order) and survives
+    * values seen in only one snapshot, where KL is infinite.
+    */
+  private val qSourceDrift = Q("q_source_drift",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      Drift.totalVariation(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          col("source"), col("n_chars"))
+        .select(col("g").as("source"), col("na"), col("nb"), col("tv"))
+        .orderBy("source")
+    },
+    Some("WITH t AS (SELECT source, n_chars AS v, " +
+      "CAST(doc_id % 2 = 0 AS BIGINT) AS ca, " +
+      "CAST(doc_id % 2 = 1 AS BIGINT) AS cb FROM documents), " +
+      "h AS (SELECT source, v, sum(ca) AS ca, sum(cb) AS cb " +
+      "FROM t GROUP BY source, v), " +
+      "tot AS (SELECT source, sum(ca) AS na, sum(cb) AS nb " +
+      "FROM h GROUP BY source), " +
+      "f AS (SELECT h.source, max(tot.na) AS na, max(tot.nb) AS nb, " +
+      "sum(abs(h.ca * tot.nb - h.cb * tot.na)) AS num " +
+      "FROM h JOIN tot USING (source) GROUP BY h.source) " +
+      "SELECT source, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
+      "CASE WHEN na > 0 AND nb > 0 THEN " +
+      "CAST(num AS DOUBLE) / (2 * na * nb) ELSE 1.0 END AS tv " +
+      "FROM f ORDER BY source"))
+
+  /** [EXT] L47 k-means centroid training ([[Similarity.kmeansRefine]],
+    * 2 Lloyd passes from the same sampled seeds `q_ann_ivf` probes):
+    * max-cosine assignment (broadcast centroids + WindowGroupLimit
+    * argmax) alternating with fixed-point per-dimension means (exact
+    * BIGINT sums of 1e-4-quantized components — bit-stable at any
+    * parallelism, which is what lets DuckDB replay the full two-pass
+    * trajectory to the last ulp). Per pass, only k·dim aggregate cells
+    * shuffle after map-side combine; the corpus is scanned once.
+    */
+  private val qKmeans = Q("q_kmeans",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
+          iters = 2)
+        .orderBy("cid", "dim")
+    },
+    Some(duckNormCte + ", " +
+      "c0 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n " +
+      "WHERE vec_id % 100 = 0), " +
+      "a1 AS (SELECT vec_id, v, cid FROM (" +
+      "SELECT n.vec_id, n.v, c.cid, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.cv) / (n.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM n CROSS JOIN c0 c) WHERE rn = 1), " +
+      "u1 AS (SELECT cid, u.dim AS dim, sum(u.q) AS s, count(*) AS n " +
+      "FROM (SELECT cid, unnest(list_transform(" +
+      "generate_series(1, len(v)), i -> {'dim': i - 1, " +
+      "'q': CAST(floor(CAST(v[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
+      "AS u FROM a1) GROUP BY cid, u.dim), " +
+      "c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 10000) " +
+      "ORDER BY dim) AS cv FROM u1 GROUP BY cid), " +
+      "c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn " +
+      "FROM c1), " +
+      "a2 AS (SELECT vec_id, v, cid FROM (" +
+      "SELECT n.vec_id, n.v, c.cid, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.cv) / (n.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM n CROSS JOIN c1n c) WHERE rn = 1), " +
+      "u2 AS (SELECT cid, u.dim AS dim, sum(u.q) AS s, count(*) AS n " +
+      "FROM (SELECT cid, unnest(list_transform(" +
+      "generate_series(1, len(v)), i -> {'dim': i - 1, " +
+      "'q': CAST(floor(CAST(v[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
+      "AS u FROM a2) GROUP BY cid, u.dim) " +
+      "SELECT cid, CAST(dim AS BIGINT) AS dim, n, " +
+      "CAST(s AS DOUBLE) / (n * 10000) AS mean FROM u2 ORDER BY cid, dim"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1506,5 +1619,6 @@ object ExtQueries {
     qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered,
     qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped,
     qRobustCut, qLabelCentroids,
-    qWeightedMedian, qTemperatureMix, qShardAssign)
+    qWeightedMedian, qTemperatureMix, qShardAssign,
+    qQualityRules, qSourceDrift, qKmeans)
 }

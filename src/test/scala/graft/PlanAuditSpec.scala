@@ -501,4 +501,25 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("Join") && !p.contains("Window"), p)
   }
+
+  test("q_quality_rules: pure projection - no join, window, or aggregate") {
+    val p = planOf("q_quality_rules")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q_source_drift: per-group totals broadcast back, no corpus shuffle-join") {
+    val p = planOf("q_source_drift")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_kmeans: centroids broadcast each pass, argmax is a group limit, " +
+      "no cartesian") {
+    val p = planOf("q_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

@@ -234,6 +234,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"int8 recall@10 dropped to $recall%.2f")
   }
 
+  test("kmeansRefine: planted clusters recovered, exact fixed-point means, " +
+      "tied seed empties and drops") {
+    // two planted clusters; seed 200 is PARALLEL to seed 0, so every
+    // vector ties between them and the cid tiebreak sends all members
+    // to 0 -- cluster 200 must empty out and disappear (deterministic
+    // Lloyd degeneracy)
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(1f, 0.1f)),
+      (100L, Seq(0f, 1f)), (101L, Seq(0.1f, 0.9f)), (102L, Seq(0.1f, 1f)),
+      (200L, Seq(2f, 0f))).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val out = Similarity.kmeansRefine(
+        n, n.filter(col("vec_id") % 100 === 0), iters = 2)
+      .select("cid", "dim", "n", "mean")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out.keySet.map(_._1) == Set(0L, 100L), out.keySet)
+    // cluster 0 absorbs ids 0,1,2,200: quantized dim sums are exact
+    assert(out((0L, 0L)) == ((4L, 49000.0 / 40000)), out((0L, 0L)))
+    assert(out((0L, 1L)) == ((4L, 2000.0 / 40000)), out((0L, 1L)))
+    assert(out((100L, 0L)) == ((3L, 2000.0 / 30000)), out((100L, 0L)))
+    assert(out((100L, 1L)) == ((3L, 29000.0 / 30000)), out((100L, 1L)))
+    // stable fixture: a second pass re-derives the identical centroids,
+    // so iters = 1 and iters = 2 agree exactly
+    val one = Similarity.kmeansRefine(
+        n, n.filter(col("vec_id") % 100 === 0), iters = 1)
+      .select("cid", "dim", "n", "mean")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(one == out)
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))

@@ -26,6 +26,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b >= w) // subword count never below word count for [a-z] text
   }
 
+  test("qualityRules: each rule trips independently, keep = (mask == 0)") {
+    val docs = Seq(
+      (1L, "the cat sat with the dog near a tall tree"), // passes all five
+      (2L, "one two"),                          // short (1) + no stopwords (8)
+      (3L, "a b c d e f g h i j the a"),        // mean word length < 3 (2)
+      (4L, "#### #### #### #### ####"),         // alpha (4) + stop (8) + sym (16)
+      (5L, "the cats sat upon a mats ... okay") // ellipsis density alone (16)
+    ).toDF("doc_id", "text")
+    val (mask, keep) = TextAnalysis.qualityRules(col("text"))
+    val out = docs.select(col("doc_id"), mask.as("m"), keep.as("k"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, true)), out(1L))
+    assert(out(2L) == ((9L, false)), out(2L))
+    assert(out(3L) == ((2L, false)), out(3L))
+    assert(out(4L) == ((28L, false)), out(4L))
+    assert(out(5L) == ((16L, false)), out(5L))
+  }
+
   test("qualityScore stays within [0, 1]") {
     val df = Seq("the a the a the a", "x", ("long " * 300).trim).toDF("text")
     val out = df.select(TextAnalysis.qualityScore(col("text")).as("q"))
