@@ -293,12 +293,6 @@ object Similarity {
   def kmeansRefine(corpus: DataFrame, seeds: DataFrame, iters: Int,
                    scale: Long = 10000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    def assign(cent: DataFrame): DataFrame = Windows.findFirst(
-      corpus.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("cid"),
-          cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn")).as("ccos")),
-      keys = Seq(col("vec_id")),
-      priority = Seq(col("ccos").desc, col("cid")))
     def update(asg: DataFrame): DataFrame = asg
       .select(col("cid"), posexplode(col("v")))
       .select(col("cid"), col("pos").cast("long").as("dim"),
@@ -308,15 +302,51 @@ object Similarity {
       .withColumn("mean", col("s").cast("double") / (col("n") * scale))
     var cent = seeds.select(col("vec_id").as("cid"), col("v").as("cv"),
       col("nm").as("cn"))
-    var upd = update(assign(cent))
+    var upd = update(kmeansAssign(corpus, cent))
     for (_ <- 2 to iters) {
-      cent = upd.groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
-        .select(col("cid"),
-          transform(col("sm"), s => s.getField("mean")).as("cv"))
-        .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-      upd = update(assign(cent))
+      upd = update(kmeansAssign(corpus, centroidFrame(upd)))
     }
     upd.select(col("cid"), col("dim"), col("n"), col("mean"))
   }
+
+  /** One Lloyd assignment pass: every corpus vector joined to its
+    * max-cosine centroid (ties break on cid). Centroids broadcast; the
+    * argmax is a WindowGroupLimit riding the broadcast-join output, so
+    * nothing corpus-sized shuffles. Returns (vec_id, v, cid, ccos).
+    */
+  def kmeansAssign(corpus: DataFrame, cent: DataFrame): DataFrame =
+    Windows.findFirst(
+      corpus.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn")).as("ccos")),
+      keys = Seq(col("vec_id")),
+      priority = Seq(col("ccos").desc, col("cid")))
+
+  /** Rebuild the (cid, cv, cn) centroid frame [[ivfTopK]] and
+    * [[kmeansAssign]] consume from [[kmeansRefine]]'s rows-form output
+    * (one deterministic array_sort fold — collect_list order cannot
+    * leak into the result).
+    */
+  def centroidFrame(rows: DataFrame): DataFrame = rows.groupBy("cid")
+    .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+    .select(col("cid"),
+      transform(col("sm"), s => s.getField("mean")).as("cv"))
+    .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+
+  /** Clustering quality report for a trained centroid set: per-cluster
+    * member count and mean member-to-centroid cosine (the spherical
+    * k-means inertia twin — higher is tighter). The per-member cosine
+    * quantizes to 1/scale before an exact-BIGINT sum, so the mean is
+    * exact-int ÷ exact-int: bit-stable at any parallelism, where a
+    * float sum of cosines depends on partition order. One broadcast
+    * assignment pass + one k-cell aggregate.
+    */
+  def kmeansInertia(corpus: DataFrame, cent: DataFrame,
+                    scale: Long = 1000000L): DataFrame =
+    kmeansAssign(corpus, cent)
+      .select(col("cid"),
+        floor(col("ccos") * scale + 0.5).cast("long").as("q"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"))
+      .withColumn("mean_cos", col("s").cast("double") / (col("n") * scale))
 }

@@ -1564,6 +1564,37 @@ object ExtQueries {
     * trajectory to the last ulp). Per pass, only k·dim aggregate cells
     * shuffle after map-side combine; the corpus is scanned once.
     */
+  /** DuckDB fragments replaying [[Similarity.kmeansRefine]]'s Lloyd
+    * trajectory CTE by CTE (assignment / fixed-point update / centroid
+    * rebuild) — shared by `q_kmeans` and `q_kmeans_inertia`.
+    */
+  private def duckKmAssign(name: String, cent: String,
+                           keepCos: Boolean): String = {
+    val cos = "list_dot_product(n.v, c.cv) / (n.nm * c.cn)"
+    s"$name AS (SELECT vec_id, v, cid" + (if (keepCos) ", ccos" else "") +
+      s" FROM (SELECT n.vec_id, n.v, c.cid, $cos AS ccos, " +
+      s"row_number() OVER (PARTITION BY n.vec_id ORDER BY $cos DESC, " +
+      s"c.cid) AS rn FROM n CROSS JOIN $cent c) WHERE rn = 1)"
+  }
+  private def duckKmUpdate(name: String, asg: String): String =
+    s"$name AS (SELECT cid, u.dim AS dim, sum(u.q) AS s, count(*) AS n " +
+      "FROM (SELECT cid, unnest(list_transform(" +
+      "generate_series(1, len(v)), i -> {'dim': i - 1, " +
+      "'q': CAST(floor(CAST(v[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
+      s"AS u FROM $asg) GROUP BY cid, u.dim)"
+  private def duckKmCent(name: String, upd: String): String =
+    s"$name AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn " +
+      "FROM (SELECT cid, list(CAST(s AS DOUBLE) / (n * 10000) " +
+      s"ORDER BY dim) AS cv FROM $upd GROUP BY cid))"
+  private val duckKmTwoIters = duckNormCte + ", " +
+    "c0 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n " +
+    "WHERE vec_id % 100 = 0), " +
+    duckKmAssign("a1", "c0", keepCos = false) + ", " +
+    duckKmUpdate("u1", "a1") + ", " +
+    duckKmCent("c1n", "u1") + ", " +
+    duckKmAssign("a2", "c1n", keepCos = false) + ", " +
+    duckKmUpdate("u2", "a2")
+
   private val qKmeans = Q("q_kmeans",
     (s, d) => {
       val n = Similarity.withNorm(t(s, d, "embeddings"),
@@ -1572,35 +1603,35 @@ object ExtQueries {
           iters = 2)
         .orderBy("cid", "dim")
     },
-    Some(duckNormCte + ", " +
-      "c0 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM n " +
-      "WHERE vec_id % 100 = 0), " +
-      "a1 AS (SELECT vec_id, v, cid FROM (" +
-      "SELECT n.vec_id, n.v, c.cid, row_number() OVER (" +
-      "PARTITION BY n.vec_id ORDER BY " +
-      "list_dot_product(n.v, c.cv) / (n.nm * c.cn) DESC, c.cid) AS rn " +
-      "FROM n CROSS JOIN c0 c) WHERE rn = 1), " +
-      "u1 AS (SELECT cid, u.dim AS dim, sum(u.q) AS s, count(*) AS n " +
-      "FROM (SELECT cid, unnest(list_transform(" +
-      "generate_series(1, len(v)), i -> {'dim': i - 1, " +
-      "'q': CAST(floor(CAST(v[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
-      "AS u FROM a1) GROUP BY cid, u.dim), " +
-      "c1 AS (SELECT cid, list(CAST(s AS DOUBLE) / (n * 10000) " +
-      "ORDER BY dim) AS cv FROM u1 GROUP BY cid), " +
-      "c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn " +
-      "FROM c1), " +
-      "a2 AS (SELECT vec_id, v, cid FROM (" +
-      "SELECT n.vec_id, n.v, c.cid, row_number() OVER (" +
-      "PARTITION BY n.vec_id ORDER BY " +
-      "list_dot_product(n.v, c.cv) / (n.nm * c.cn) DESC, c.cid) AS rn " +
-      "FROM n CROSS JOIN c1n c) WHERE rn = 1), " +
-      "u2 AS (SELECT cid, u.dim AS dim, sum(u.q) AS s, count(*) AS n " +
-      "FROM (SELECT cid, unnest(list_transform(" +
-      "generate_series(1, len(v)), i -> {'dim': i - 1, " +
-      "'q': CAST(floor(CAST(v[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
-      "AS u FROM a2) GROUP BY cid, u.dim) " +
-      "SELECT cid, CAST(dim AS BIGINT) AS dim, n, " +
+    Some(duckKmTwoIters +
+      " SELECT cid, CAST(dim AS BIGINT) AS dim, n, " +
       "CAST(s AS DOUBLE) / (n * 10000) AS mean FROM u2 ORDER BY cid, dim"))
+
+  /** [EXT] L48 clustering quality report
+    * ([[Similarity.kmeansInertia]]): per-cluster size + mean
+    * member-to-centroid cosine for the 2-pass-trained centroids of
+    * `q_kmeans` — the inertia readout that tells an IVF operator
+    * whether its index is tight enough (and when to retrain). Cosines
+    * quantize to 1e-6 before an exact-BIGINT sum, so the mean is
+    * bit-stable at any parallelism; DuckDB replays the full trained
+    * trajectory plus the report pass to the last ulp.
+    */
+  private val qKmeansInertia = Q("q_kmeans_inertia",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val trained = Similarity.centroidFrame(
+        Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
+          iters = 2))
+      Similarity.kmeansInertia(n, trained).orderBy("cid")
+    },
+    Some(duckKmTwoIters + ", " +
+      duckKmCent("c2n", "u2") + ", " +
+      duckKmAssign("a3", "c2n", keepCos = true) +
+      " SELECT cid, n, s, CAST(s AS DOUBLE) / (n * 1000000) AS mean_cos " +
+      "FROM (SELECT cid, count(*) AS n, " +
+      "CAST(sum(CAST(floor(ccos * 1000000 + 0.5) AS BIGINT)) AS BIGINT) " +
+      "AS s FROM a3 GROUP BY cid) ORDER BY cid"))
 
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
@@ -1620,5 +1651,5 @@ object ExtQueries {
     qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped,
     qRobustCut, qLabelCentroids,
     qWeightedMedian, qTemperatureMix, qShardAssign,
-    qQualityRules, qSourceDrift, qKmeans)
+    qQualityRules, qSourceDrift, qKmeans, qKmeansInertia)
 }

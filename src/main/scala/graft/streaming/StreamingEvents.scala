@@ -760,3 +760,81 @@ object TwsGaps {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch drift monitor
+  * ([[graft.ext.Drift.totalVariation]]) on `transformWithState`: the
+  * live side of the data-quality gate. State per group is the value
+  * HISTOGRAM of everything streamed so far (bounded by the value
+  * domain, exactly like the batch plan's post-combine width — NOT by
+  * stream length); the reference snapshot's per-group histogram is a
+  * small plain Map carried in the processor (broadcast with the task
+  * closure, the same "reference side is tiny" contract as the batch
+  * operator's broadcast totals). Each micro-batch updates the touched
+  * groups' histograms and re-emits their exact TV distance, so a
+  * monitor reads the CURRENT drift after every batch rather than
+  * rebuilding the corpus aggregate.
+  *
+  * Arithmetic is the batch operator's exactly: BIGINT cross-products
+  * |c_A·N_B − c_B·N_A| summed exactly, ONE IEEE division at the end —
+  * StreamingEventsSpec asserts the final emission per group is
+  * bit-identical to batch `totalVariation` over the same fed rows.
+  * Order-insensitive by construction (histograms commute), so any
+  * cross-batch delivery order yields the same final value.
+  *
+  * Scale posture: one hash shuffle on the group per micro-batch;
+  * per-group work is O(domain) at emission, state is O(domain) — both
+  * the same bound the batch cumulative plan carries.
+  */
+object TwsDrift {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+
+  case class Obs(g: String, v: Long)
+  case class Tv(g: String, na: Long, nb: Long, tv: Double)
+
+  class DriftProcessor(ref: Map[String, Map[Long, Long]])
+      extends StatefulProcessor[String, Obs, Tv] {
+    @transient private var hist: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long]("hist",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(g: String, rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[Tv] = {
+      rows.foreach { o =>
+        val c = if (hist.containsKey(o.v)) hist.getValue(o.v) else 0L
+        hist.updateValue(o.v, c + 1L)
+      }
+      val cur = hist.iterator().map { case (v, c) => v -> c }.toMap
+      val r = ref.getOrElse(g, Map.empty[Long, Long])
+      val na = cur.valuesIterator.sum
+      val nb = r.valuesIterator.sum
+      // exact BIGINT numerator over the union support, then the same
+      // single IEEE division the batch operator performs
+      val num = (cur.keySet ++ r.keySet).iterator.map { v =>
+        math.abs(cur.getOrElse(v, 0L) * nb - r.getOrElse(v, 0L) * na)
+      }.sum
+      val tv = if (na > 0 && nb > 0) num.toDouble / (2L * na * nb).toDouble
+               else 1.0
+      Iterator.single(Tv(g, na, nb, tv))
+    }
+
+    override def handleExpiredTimer(g: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Tv] = Iterator.empty
+  }
+
+  /** Incremental drift monitoring of an observation stream against a
+    * fixed reference snapshot; requires the RocksDB state store
+    * provider on the session. The latest emission per group (the one
+    * with the max `na`) is the current drift.
+    */
+  def drift(obs: Dataset[Obs],
+            ref: Map[String, Map[Long, Long]]): Dataset[Tv] = {
+    implicit val te: org.apache.spark.sql.Encoder[Tv] = Encoders.product[Tv]
+    obs.groupByKey(_.g)(Encoders.STRING)
+      .transformWithState(new DriftProcessor(ref),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -522,4 +522,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q_kmeans_inertia: report pass keeps the same broadcast + group-limit shape") {
+    val p = planOf("q_kmeans_inertia")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

@@ -266,6 +266,21 @@ class SimilaritySpec extends SparkSpec {
     assert(one == out)
   }
 
+  test("kmeansInertia: exact fixed-point mean cosine per cluster") {
+    // one cluster: two vectors PARALLEL to the centroid (cos exactly 1,
+    // even in floating point: scaling num and den by the same power of
+    // two) and one orthogonal (cos exactly 0) -> mean is exactly 2/3
+    val emb = Seq((0L, Seq(1f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val cent = n.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nm").as("cn"))
+    val out = Similarity.kmeansInertia(n, cent)
+      .select("cid", "n", "s", "mean_cos")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((0L, 3L, 2000000L, 2000000.0 / 3000000)), out.toSeq)
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))

@@ -680,6 +680,60 @@ class StreamingEventsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState drift emissions converge to the batch TV distance") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val oe: org.apache.spark.sql.Encoder[TwsDrift.Obs] =
+      org.apache.spark.sql.Encoders.product[TwsDrift.Obs]
+    import TwsDrift.Obs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ref = Map(
+        "s1" -> Map(1L -> 2L, 2L -> 2L),
+        "s2" -> Map(5L -> 1L))
+      val obs = Seq(
+        Obs("s1", 1L), Obs("s1", 1L), Obs("s1", 2L), Obs("s2", 5L),
+        Obs("s1", 2L), Obs("s1", 3L), Obs("s2", 5L), Obs("s3", 9L))
+      val input = MemoryStream[Obs]
+      val q = TwsDrift.drift(input.toDS(), ref)
+        .writeStream.format("memory").queryName("tws_drift").start()
+      try {
+        val (first, rest) = obs.splitAt(4)
+        input.addData(first: _*)
+        q.processAllAvailable()
+        input.addData(rest: _*)
+        q.processAllAvailable()
+        // latest emission per group = the row with that group's max na
+        val streamed = spark.table("tws_drift").as[TwsDrift.Tv].collect()
+          .groupBy(_.g).map { case (g, rows) =>
+            val last = rows.maxBy(_.na)
+            g -> ((last.na, last.nb, last.tv))
+          }
+        val refDf = ref.toSeq.flatMap { case (g, h) =>
+          h.toSeq.flatMap { case (v, c) => Seq.fill(c.toInt)((g, v)) }
+        }.toDF("g", "v")
+        val batch = graft.ext.Drift.totalVariation(
+            obs.map(o => (o.g, o.v)).toDF("g", "v"), refDf,
+            col("g"), col("v"))
+          .select("g", "na", "nb", "tv")
+          .as[(String, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        assert(streamed == batch, s"stream=$streamed batch=$batch")
+        // spot value: s1 streamed {1:2, 2:2, 3:1} vs ref {1:2, 2:2} ->
+        // num = |2*4-2*5| + |2*4-2*5| + |1*4-0| = 8; 8/(2*5*4) = 0.2
+        assert(batch("s1") == ((5L, 4L, 0.2)), batch("s1"))
+        assert(batch("s3")._3 == 1.0) // group absent from the reference
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState gap emissions equal the batch gap detector") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ee: org.apache.spark.sql.Encoder[TwsGaps.Ev] =
