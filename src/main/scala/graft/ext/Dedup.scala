@@ -308,6 +308,32 @@ object Dedup {
       .select(id.as("doc_id"), col("cluster_id"))
   }
 
+  /** Quality-weighted canonical selection: like [[survivors]], but each
+    * cluster elects its HIGHEST-SCORING member (ties → min id) instead
+    * of the lowest id — the policy a production dedup actually wants
+    * ("keep the best copy, not the first-crawled one"). The score must
+    * be deterministic and exactly comparable (an integer score like
+    * TextAnalysis.qualityBps — a float score compared across engines
+    * can flip ties; SURVEY.md §7.5).
+    *
+    * Scale posture: the same one left join against the pair-graph-sized
+    * cluster table; the election is a WindowGroupLimit over ONLY the
+    * clustered rows (bounded by the dup graph, not the corpus), so
+    * untouched documents never enter the window.
+    */
+  def canonicalSurvivors(docs: DataFrame, id: Column, clusters: DataFrame,
+                         score: Column): DataFrame = {
+    val c = clusters.withColumnRenamed("doc_id", "__cc_node")
+    val joined = docs.join(c, id === col("__cc_node"), "left")
+      .select(id.as("doc_id"), col("cluster_id"), score.as("score"))
+    val unique = joined.filter(col("cluster_id").isNull)
+    val elected = graft.ops.Windows.findFirst(
+      joined.filter(col("cluster_id").isNotNull),
+      keys = Seq(col("cluster_id")),
+      priority = Seq(col("score").desc, col("doc_id")))
+    unique.unionByName(elected)
+  }
+
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set
     * when the (+1/-1) vote sum of token-hash bit j is positive.
     *

@@ -1633,6 +1633,45 @@ object ExtQueries {
       "CAST(sum(CAST(floor(ccos * 1000000 + 0.5) AS BIGINT)) AS BIGINT) " +
       "AS s FROM a3 GROUP BY cid) ORDER BY cid"))
 
+  /** [EXT] L49 quality-weighted canonical selection
+    * ([[Dedup.canonicalSurvivors]]): the dedup decision with the policy
+    * production pipelines actually want — each near-dup cluster keeps
+    * its HIGHEST-QUALITY member (integer quality score, ties → min id)
+    * instead of `q_dedup_corpus`'s first-by-id. Election is a
+    * WindowGroupLimit over only the clustered rows (bounded by the dup
+    * graph, not the corpus); the score is exact BIGINT so the winner
+    * cannot flip between engines.
+    */
+  private val qClusterCanonical = Q("q_cluster_canonical",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5))
+      Dedup.canonicalSurvivors(docs, col("doc_id"), clusters,
+          TextAnalysis.qualityBps(col("text")))
+        .orderBy("doc_id")
+    },
+    Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "clusters AS (SELECT node, min(lab) AS cluster_id FROM reach " +
+      "GROUP BY node), " +
+      "scored AS (SELECT d.doc_id, c.cluster_id, " +
+      "CAST(" + duckQbps + " AS BIGINT) AS score " +
+      "FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node), " +
+      "elected AS (SELECT doc_id, cluster_id, score FROM (" +
+      "SELECT doc_id, cluster_id, score, row_number() OVER (" +
+      "PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn " +
+      "FROM scored WHERE cluster_id IS NOT NULL) WHERE rn = 1) " +
+      "SELECT doc_id, cluster_id, score FROM scored " +
+      "WHERE cluster_id IS NULL " +
+      "UNION ALL SELECT doc_id, cluster_id, score FROM elected " +
+      "ORDER BY doc_id"))
+
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1651,5 +1690,6 @@ object ExtQueries {
     qDupPassages, qScorePercentile, qTopTerms, qSamplePriorityGrouped,
     qRobustCut, qLabelCentroids,
     qWeightedMedian, qTemperatureMix, qShardAssign,
-    qQualityRules, qSourceDrift, qKmeans, qKmeansInertia)
+    qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
+    qClusterCanonical)
 }

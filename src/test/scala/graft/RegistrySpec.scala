@@ -97,5 +97,6 @@ object RegistrySpec {
     "q_dup_passages", "q_score_percentile", "q_top_terms",
     "q_sample_priority_grouped", "q_robust_cut", "q_label_centroids",
     "q_gaps", "q_weighted_median", "q_temperature_mix", "q_shard_assign",
-    "q_quality_rules", "q_source_drift", "q_kmeans", "q_kmeans_inertia")
+    "q_quality_rules", "q_source_drift", "q_kmeans", "q_kmeans_inertia",
+    "q_cluster_canonical")
 }

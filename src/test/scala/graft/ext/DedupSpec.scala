@@ -69,6 +69,25 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() == docs.count()) // nothing clustered: all kept
   }
 
+  test("canonicalSurvivors elects the best-scoring member, min id on ties") {
+    // cluster 1 = {1: 10, 2: 30, 3: 30} -> score tie at 30 -> id 2 wins;
+    // doc 4 is unclustered and passes through with a null cluster_id
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L))
+      .toDF("doc_id", "sc")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val kept = Dedup.canonicalSurvivors(scored, col("doc_id"), clusters,
+        col("sc"))
+      .select("doc_id", "cluster_id", "score")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    assert(kept == Set((2L, Some(1L), 30L), (4L, None, 5L)), kept)
+    // min-id policy (survivors) would have kept doc 1 instead
+    val minId = Dedup.survivors(scored, col("doc_id"), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L))
+  }
+
   test("connectedComponents converges on a long path (jump beats diameter)") {
     // path 0-1-2-...-9: diameter 9; hook+jump must still converge well
     // within maxIter and label everything 0
