@@ -198,6 +198,34 @@ object Similarity {
       k = k, rankName = "rnk")
   }
 
+  /** Hard-negative mining (contrastive-training data prep): for each
+    * query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the near-misses a contrastive or reranker loss
+    * learns the most from (random negatives are too easy; same-label
+    * neighbors are positives). Same broadcast-queries + single corpus
+    * scan + WindowGroupLimit shape as [[bruteForceTopK]], with the
+    * label-mismatch predicate evaluated on the broadcast join — at IVF
+    * scale, compose the same predicate over [[ivfTopK]]'s probed cells
+    * instead.
+    *
+    * Inputs carry (vec_id, v, nm, label) — build with [[withNorm]] plus
+    * a label column.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame,
+                       k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nm").as("qn"), col("label").as("qlabel"))
+    val scored = corpus
+      .join(broadcast(q),
+        col("qid") =!= col("vec_id") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm")).as("cos"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+  }
+
   /** IVF-style search: assign every corpus vector to its nearest
     * centroid (cluster pruning index), then answer each query by
     * scanning its `nprobe` nearest clusters.

@@ -1672,6 +1672,40 @@ object ExtQueries {
       "ORDER BY doc_id"))
 
 
+  /** [EXT] L50 hard-negative mining ([[Similarity.hardNegativeTopK]]):
+    * per-query top-k most-similar vectors with a DIFFERENT label — the
+    * near-miss negatives contrastive/reranker training actually learns
+    * from. Queries broadcast, corpus scanned once, label-mismatch
+    * predicate on the broadcast join, WindowGroupLimit top-k; at IVF
+    * scale the same predicate rides the probed cells.
+    */
+  private val qHardNegatives = Q("q_hard_negatives",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val n = e.select(col("vec_id"), col("embedding").as("v"),
+        Similarity.norm(col("embedding")).as("nm"), col("label"))
+      Similarity.hardNegativeTopK(
+          n.filter(col("vec_id").isin(1, 2, 3, 4)), n, k = 5)
+        .select(col("qid"), col("vec_id"),
+          col("label").cast("long").as("label"),
+          col("rnk").cast("long").as("rnk"), round(col("cos"), 4).as("cos"))
+        .orderBy("qid", "rnk")
+    },
+    Some("WITH n AS (SELECT vec_id, label, " +
+      "CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nm AS qn " +
+      "FROM n WHERE vec_id IN (1, 2, 3, 4)), " +
+      "s AS (SELECT q.qid, n.vec_id, n.label, " +
+      "list_dot_product(q.qv, n.v) / (q.qn * n.nm) AS cos, " +
+      "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+      "list_dot_product(q.qv, n.v) / (q.qn * n.nm) DESC, n.vec_id) AS rnk " +
+      "FROM q JOIN n ON n.vec_id <> q.qid AND n.label <> q.qlabel) " +
+      "SELECT qid, vec_id, CAST(label AS BIGINT) AS label, " +
+      "CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
+      "FROM s WHERE rnk <= 5 ORDER BY qid, rnk"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1691,5 +1725,5 @@ object ExtQueries {
     qRobustCut, qLabelCentroids,
     qWeightedMedian, qTemperatureMix, qShardAssign,
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
-    qClusterCanonical)
+    qClusterCanonical, qHardNegatives)
 }

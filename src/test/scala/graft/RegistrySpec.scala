@@ -98,5 +98,5 @@ object RegistrySpec {
     "q_sample_priority_grouped", "q_robust_cut", "q_label_centroids",
     "q_gaps", "q_weighted_median", "q_temperature_mix", "q_shard_assign",
     "q_quality_rules", "q_source_drift", "q_kmeans", "q_kmeans_inertia",
-    "q_cluster_canonical")
+    "q_cluster_canonical", "q_hard_negatives")
 }

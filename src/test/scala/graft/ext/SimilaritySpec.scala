@@ -281,6 +281,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 2000000L, 2000000.0 / 3000000)), out.toSeq)
   }
 
+  test("hardNegativeTopK: same-label neighbors excluded, rank follows cosine") {
+    // id 1 is the closest vector to the query but shares its label, so
+    // it must never appear; ranks cover only the other-label vectors
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.01f), 0),
+      (2L, Seq(0.9f, 0.1f), 1), (3L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val n = emb.select(col("vec_id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nm"), col("label"))
+    val out = Similarity.hardNegativeTopK(
+        n.filter(col("vec_id") === 0), n, k = 2)
+      .select("qid", "vec_id", "rnk").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L), out.toSeq)
+    assert(out.forall(_._1 == 0L))
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
