@@ -838,3 +838,86 @@ object TwsDrift {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch Misra-Gries heavy-hitter sketch
+  * (`graft.functions.SketchFunctions.freqItems`) on
+  * `transformWithState`: the live "trending terms per source" monitor.
+  * State per group is the classic k-counter Misra-Gries summary plus
+  * the processed-count — BOUNDED at `capacity` entries regardless of
+  * stream length or vocabulary, the same bound the batch sketch's
+  * aggregation buffer carries. Each micro-batch folds its rows into
+  * the summary sequentially (MG is order-insensitive in its
+  * guarantee: ANY interleaving of updates preserves it) and re-emits
+  * the current summary tagged with the running total `n`, so the
+  * latest emission per group is the current answer.
+  *
+  * Deterministic guarantee (StreamingEventsSpec asserts it against
+  * exact counts over the same fed rows): every item with true
+  * frequency > n/(capacity+1) is present, and each reported count_lo
+  * is a lower bound within n/(capacity+1) of the true count — the
+  * identical contract SketchSpec pins on the batch aggregate.
+  *
+  * Scale posture: one hash shuffle on the group per micro-batch;
+  * per-batch work is O(rows + capacity), state is O(capacity).
+  */
+object TwsHeavyHitters {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+  case class Obs(g: String, item: String)
+  case class HH(g: String, n: Long, item: String, count_lo: Long)
+
+  class MgProcessor(capacity: Int)
+      extends StatefulProcessor[String, Obs, HH] {
+    require(capacity > 0, "capacity must be positive")
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(g: String, rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[HH] = {
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      counts.iterator().foreach { case (k, v) => m(k) = v }
+      var seen = if (total.exists()) total.get() else 0L
+      rows.foreach { o =>
+        seen += 1
+        m.get(o.item) match {
+          case Some(c) => m(o.item) = c + 1
+          case None if m.size < capacity => m(o.item) = 1L
+          case None =>
+            // decrement-all step: drains one unit from every counter
+            m.keys.toSeq.foreach { k =>
+              val c = m(k) - 1
+              if (c == 0) m.remove(k) else m(k) = c
+            }
+        }
+      }
+      counts.clear()
+      m.foreach { case (k, v) => counts.updateValue(k, v) }
+      total.update(seen)
+      val n = seen
+      m.iterator.map { case (k, v) => HH(g, n, k, v) }
+    }
+
+    override def handleExpiredTimer(g: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[HH] = Iterator.empty
+  }
+
+  /** Incremental heavy-hitter tracking per group; requires the RocksDB
+    * state store provider. The emission set with each group's max `n`
+    * is the current summary.
+    */
+  def heavyHitters(obs: Dataset[Obs], capacity: Int): Dataset[HH] = {
+    implicit val he: org.apache.spark.sql.Encoder[HH] = Encoders.product[HH]
+    obs.groupByKey(_.g)(Encoders.STRING)
+      .transformWithState(new MgProcessor(capacity),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -734,6 +734,58 @@ class StreamingEventsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState heavy hitters keep the Misra-Gries guarantee " +
+      "across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val oe: org.apache.spark.sql.Encoder[TwsHeavyHitters.Obs] =
+      org.apache.spark.sql.Encoders.product[TwsHeavyHitters.Obs]
+    import TwsHeavyHitters.Obs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // zipf-ish skew + singleton tail, deterministically shuffled so
+      // heavy items arrive interleaved across batch boundaries
+      val items = new scala.util.Random(7L).shuffle(
+        (1 to 10).flatMap(i => Seq.fill(200 / i)(s"item-$i")) ++
+          (1 to 300).map(i => s"tail-$i"))
+      val exact = items.groupBy(identity).map { case (k, v) =>
+        k -> v.size.toLong }
+      val n = items.size.toLong
+      val capacity = 16
+      val input = MemoryStream[Obs]
+      val q = TwsHeavyHitters.heavyHitters(
+          input.toDS(), capacity = capacity)
+        .writeStream.format("memory").queryName("tws_hh").start()
+      try {
+        items.grouped(250).foreach { batch =>
+          input.addData(batch.map(Obs("src", _)): _*)
+          q.processAllAvailable()
+        }
+        val all = spark.table("tws_hh").as[TwsHeavyHitters.HH].collect()
+        val latest = all.filter(_.n == n).map(h => h.item -> h.count_lo).toMap
+        assert(all.map(_.n).max == n, "final emission must cover every row")
+        assert(latest.size <= capacity, s"state exceeded capacity: ${latest.size}")
+        // MG guarantee on the full stream: anything with true frequency
+        // > n/(cap+1) survives, and counts are lower bounds within that slack
+        val slack = n / (capacity + 1)
+        val mustReport = exact.filter { case (_, c) => c > slack }.keySet
+        assert((mustReport -- latest.keySet).isEmpty,
+          s"missing guaranteed heavy hitters: ${mustReport -- latest.keySet}")
+        latest.foreach { case (item, lo) =>
+          assert(lo <= exact(item), s"$item overcounted: $lo > ${exact(item)}")
+          assert(exact(item) - lo <= slack, s"$item drained past the slack")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState gap emissions equal the batch gap detector") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ee: org.apache.spark.sql.Encoder[TwsGaps.Ev] =
