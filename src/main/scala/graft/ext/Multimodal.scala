@@ -391,6 +391,125 @@ object Multimodal {
     }
   }
 
+  /** Iterative radix-2 Cooley-Tukey FFT, in place over (re, im).
+    * Standard public-domain algorithm; length must be a power of two.
+    * Deterministic: fixed evaluation order, no parallelism inside a
+    * frame.
+    */
+  private[ext] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n > 0 && (n & (n - 1)) == 0, s"fft size must be a power of two: $n")
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cwr = 1.0
+        var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ur = re(blk + k); val ui = im(blk + k)
+          val vr0 = re(blk + k + len / 2); val vi0 = im(blk + k + len / 2)
+          val vr = vr0 * cwr - vi0 * cwi
+          val vi = vr0 * cwi + vi0 * cwr
+          re(blk + k) = ur + vr; im(blk + k) = ui + vi
+          re(blk + k + len / 2) = ur - vr; im(blk + k + len / 2) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Spectral profile of a decoded clip: Hann-windowed `fftSize`-point
+    * FFT of the leading mono samples (zero-padded when shorter), folded
+    * to `bands` log-energy bands over the positive spectrum plus the
+    * dominant frequency in Hz (argmax magnitude bin, DC excluded) —
+    * the classic cheap audio descriptor pair (language/music/noise
+    * separation, constant-tone detection) one step up from
+    * [[audioEmbed]]'s time-domain energy profile.
+    */
+  private[ext] def audioSpectral(audio: DecodedAudio, bands: Int,
+      fftSize: Int = 4096): (Array[Float], Float) = {
+    require(bands > 0 && bands <= fftSize / 2, s"bands out of range: $bands")
+    val n = math.min(fftSize, audio.samples.length)
+    val re = new Array[Double](fftSize)
+    val im = new Array[Double](fftSize)
+    var i = 0
+    while (i < n) {
+      // Hann window: kills the rectangular frame's spectral leakage
+      val w = 0.5 * (1 - math.cos(2 * math.Pi * i / (fftSize - 1)))
+      re(i) = audio.samples(i) * w
+      i += 1
+    }
+    fft(re, im)
+    val half = fftSize / 2
+    val mag = new Array[Double](half)
+    var k = 0
+    while (k < half) { mag(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+    val out = new Array[Float](bands)
+    var b = 0
+    while (b < bands) {
+      val s = (1 + (half - 1).toLong * b / bands).toInt
+      val e = math.max(s + 1, (1 + (half - 1).toLong * (b + 1) / bands).toInt)
+      var acc = 0.0
+      var q = s
+      while (q < e) { acc += mag(q); q += 1 }
+      out(b) = (10.0 * math.log10(acc / (e - s) + 1e-12)).toFloat
+      b += 1
+    }
+    var best = 1
+    var bv = -1.0
+    k = 1
+    while (k < half) { if (mag(k) > bv) { bv = mag(k); best = k }; k += 1 }
+    (out, audio.sampleRate.toFloat * best / fftSize)
+  }
+
+  case class SpectralRow(media_id: Long, kind: String,
+      band_db: Array[Float], dominant_hz: Float)
+
+  /** Spectral feature extraction for the audio column: real PCM decode
+    * (any javax.sound container) → Hann-windowed radix-2 FFT →
+    * per-band log energies + dominant frequency. Same broken-blob
+    * policy as [[extractFeatures]]: non-audio or undecodable rows pass
+    * through with empty bands rather than killing the job. Typed
+    * mapPartitions is justified here for the same reason as the other
+    * codec paths — per-row DSP over opaque binary, not relational work.
+    */
+  def spectralFeatures(media: Dataset[MediaRow], bands: Int): Dataset[SpectralRow] = {
+    implicit val enc = Encoders.product[SpectralRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val decoded =
+          if (m.kind == "audio") decodeAudio(m.payload) else None
+        decoded match {
+          case Some(a) if a.samples.nonEmpty && a.sampleRate > 0 =>
+            val (bd, hz) = audioSpectral(a, bands)
+            SpectralRow(m.media_id, m.kind, bd, hz)
+          case _ => SpectralRow(m.media_id, m.kind, Array.empty, 0f)
+        }
+      }
+    }
+  }
+
   /** 64-bit perceptual difference hash (dHash) of a decoded image:
     * scale to 9x8 luma, emit one bit per horizontal neighbor pair
     * (left brighter = 1). Resize/re-encode/small edits preserve most

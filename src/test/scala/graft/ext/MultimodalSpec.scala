@@ -111,6 +111,52 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("spectralFeatures: FFT finds the sine's frequency; non-audio passes through") {
+    // bin width at 8 kHz / 4096-point FFT is ~1.95 Hz; the Hann-windowed
+    // peak must land within one bin of the synthesized tone
+    val rows = Seq(
+      MediaRow(40L, "audio", wavBytes(hz = 440.0), "audio/wav",
+        None, None, Some(8000), Some(500L)),
+      MediaRow(41L, "audio", wavBytes(hz = 1000.0), "audio/wav",
+        None, None, Some(8000), Some(500L)),
+      MediaRow(42L, "audio", Array[Byte](9, 9), "audio/wav",
+        None, None, None, None),               // corrupt: empty bands
+      MediaRow(43L, "image", Array[Byte](1), "image/png",
+        None, None, None, None))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val out = Multimodal.spectralFeatures(ds, bands = 8).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(math.abs(out(40L).dominant_hz - 440.0) < 2.0, out(40L).dominant_hz)
+    assert(math.abs(out(41L).dominant_hz - 1000.0) < 2.0, out(41L).dominant_hz)
+    assert(out(40L).band_db.length == 8)
+    // the band holding the tone carries the max energy: 440 Hz sits in
+    // band floor(440 / (4000/8)) = 0; 1000 Hz in band 2
+    assert(out(40L).band_db.indexOf(out(40L).band_db.max) == 0, out(40L).band_db.toSeq)
+    assert(out(41L).band_db.indexOf(out(41L).band_db.max) == 2, out(41L).band_db.toSeq)
+    assert(out(42L).band_db.isEmpty && out(42L).dominant_hz == 0f)
+    assert(out(43L).band_db.isEmpty)
+  }
+
+  test("fft: parseval + impulse sanity on a known transform") {
+    // impulse -> flat unit spectrum
+    val re = new Array[Double](8); val im = new Array[Double](8)
+    re(0) = 1.0
+    Multimodal.fft(re, im)
+    (0 until 8).foreach { k =>
+      assert(math.abs(re(k) - 1.0) < 1e-12 && math.abs(im(k)) < 1e-12)
+    }
+    // pure cosine at bin 1 of 8 -> spikes only at bins 1 and 7 (n/2 each)
+    val re2 = Array.tabulate(8)(i => math.cos(2 * math.Pi * i / 8))
+    val im2 = new Array[Double](8)
+    Multimodal.fft(re2, im2)
+    (0 until 8).foreach { k =>
+      val mag = math.sqrt(re2(k) * re2(k) + im2(k) * im2(k))
+      val expect = if (k == 1 || k == 7) 4.0 else 0.0
+      assert(math.abs(mag - expect) < 1e-9, s"bin $k: $mag")
+    }
+  }
+
   test("audio codec: real WAV decodes to its sample rate, duration, and samples") {
     val decoded = Multimodal.decodeAudio(wavBytes(seconds = 0.5)).get
     assert(decoded.sampleRate == 8000)
