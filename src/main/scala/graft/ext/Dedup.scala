@@ -569,6 +569,27 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Jaro-Winkler fuzzy match over a value vocabulary: the same
+    * distinct-then-block candidate shape as [[fuzzyPairs]], scored by
+    * the native [[graft.functions.JaroWinklerSim]] kernel instead of
+    * Levenshtein — transposition-tolerant and prefix-boosted, the
+    * classic record-linkage scorer for person/product names. `minSim`
+    * is applied to the 4-decimal-rounded similarity so the keep/drop
+    * decision is stable under last-bit float drift.
+    */
+  def jaroWinklerPairs(df: DataFrame, text: Column, block: Column,
+                       minSim: Double): DataFrame = {
+    val vocab = df.select(text.as("name"), block.as("blk")).distinct()
+    val a = vocab.select(col("name").as("name_a"), col("blk"))
+    val b = vocab.select(col("name").as("name_b"), col("blk"))
+    a.join(b.hint("shuffle_hash"), Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        round(graft.functions.StringSimilarityFunctions.jaroWinkler(
+          col("name_a"), col("name_b")), 4).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Duplicate-graph structure summary: edge and triangle counts over a
     * canonically-oriented edge list (src < dst, the convention every
     * pair generator in this family emits). Triangle density is the

@@ -44,6 +44,34 @@ object Sampling {
     df.filter(baseHash(key.cast("string")) % 10000 < cutoff)
   }
 
+  /** Deterministic train/validation/test assignment: each row lands in
+    * a named split iff hash(key) mod 10000 falls in that split's
+    * basis-point band (bands laid out in `splits` declaration order).
+    * The standard holdout primitive for training pipelines, with the
+    * same determinism contract as [[hashSample]]: a row's split depends
+    * only on its key, so the assignment is stable across runs, engines,
+    * cluster sizes, AND corpus growth — new documents never move an
+    * existing document between splits (the leakage-safety property;
+    * with RNG-based splitting, yesterday's training doc can become
+    * today's eval doc). Because the hash is independent of any grouping
+    * attribute, the split proportions hold within every stratum in
+    * expectation. Pure per-row projection: zero shuffle.
+    */
+  def trainValTestSplit(df: DataFrame, key: Column,
+                        splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val bands = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * 10000)
+    }.tail
+    val h = baseHash(key.cast("string")) % 10000
+    val assign = splits.map(_._1).zip(bands).reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, (name, hi)) =>
+        when(h < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", assign)
+  }
+
   /** Per-row weighted (Poisson) sampling: keep a row iff
     * hash(key) mod 10000 < min(10000, weightBps) — each row's inclusion
     * probability is its own weight in basis points, the importance-
@@ -198,6 +226,17 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Power-of-two length bucket of a token count: the smallest power
+    * of two >= n (n floored at 1). Length-bucketed batching is the
+    * standard padding-waste control for non-packed training/inference
+    * batches — batches draw from one bucket, so pad cost per row is
+    * bounded by the bucket's headroom. Pure projection; composes with
+    * a groupBy(bucket) audit for the capacity-planning report.
+    */
+  def lengthBucket(nTok: Column): Column =
+    pow(lit(2.0), ceil(log2(greatest(nTok.cast("double"), lit(1.0)))))
+      .cast("long")
 
   /** Concat-and-split sequence packing: documents are laid end-to-end
     * in deterministic (shard, id) order and cut into `contextLen`-token

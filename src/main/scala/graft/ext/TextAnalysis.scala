@@ -112,6 +112,38 @@ object TextAnalysis {
       k = k, rankName = "rnk")
   }
 
+  /** Per-document mean document frequency: the LM-free rarity /
+    * perplexity proxy. A document whose token occurrences concentrate
+    * in corpus-common words (boilerplate, navigation chrome, templated
+    * text) scores high; rare-vocabulary documents score low — the
+    * cheap stand-in for the "perplexity of a reference LM" quality
+    * dimension published pipelines filter on, computable inside the
+    * engine with no model artifact.
+    *
+    * Determinism: both aggregates are exact integer sums (sum of tf,
+    * sum of tf x df); the single final division is one correctly-
+    * rounded IEEE op, so scores are bit-identical across engines and
+    * partitionings — no float summation order anywhere.
+    *
+    * Scale: tf is a pure projection (graft_term_counts); the two real
+    * exchanges are df-by-term and the per-doc sum — the inverted-index
+    * cost class (same as tf-idf), linear in token volume.
+    */
+  def meanDocFreq(docs: org.apache.spark.sql.DataFrame, text: Column,
+                  id: Column): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(id.as("doc_id"),
+        explode(graft.functions.TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tok"),
+        (sum(col("tf") * col("df")).cast("double") / sum("tf"))
+          .as("mean_df"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minShared` distinct word n-grams with ANY document of an eval
     * set — the overlap check training pipelines run against held-out

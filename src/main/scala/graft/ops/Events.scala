@@ -33,6 +33,30 @@ object Events {
     df.groupBy(session_window(ts, gap) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Within-session event-type transition counts (path mining): how
+    * often does `a` immediately precede `b` inside one session? A
+    * transition exists iff the next event of the same key arrives
+    * within `gapSeconds` — by the gaps-and-islands session rule
+    * (gap >= threshold starts a new session) that is EXACTLY "next
+    * event is in the same session", so no explicit sessionization pass
+    * is needed: one lead() window over (key, order) and one count
+    * aggregate, a single exchange on the key. `order` must extend to a
+    * tiebreaker column if `ts` can tie (SURVEY §7.5 determinism).
+    */
+  def sessionTransitions(df: DataFrame, key: Column, ts: Column,
+                         kind: Column, order: Seq[Column],
+                         gapSeconds: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*)
+    df.select(kind.as("from_type"),
+        lead(kind, 1).over(w).as("to_type"),
+        (unix_micros(lead(ts, 1).over(w)) - unix_micros(ts)).as("gap_us"))
+      .filter(col("to_type").isNotNull &&
+        col("gap_us") < gapSeconds * 1000000L)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Flatten a window struct into stable BIGINT epoch-micros bounds —
     * dialect-proof for oracle comparison (no timestamp-unit drift,
     * SURVEY.md §7.6).

@@ -1383,6 +1383,31 @@ object CoreQueries {
     * events self-join. The conversion analytic every product pipeline
     * runs.
     */
+  /** W12 session path mining ([[graft.ops.Events.sessionTransitions]]):
+    * event-type transition frequencies within 30-minute sessions — the
+    * "what do users do next" table behind journey analysis. The session
+    * membership test collapses into the lead() window itself (next
+    * event within the gap ⟺ same session), so the whole query is one
+    * window over one exchange on user_id plus one count aggregate — no
+    * sessionization subquery, no self-join, at any event volume.
+    */
+  private val qSessionPaths = Q("q_session_paths",
+    (s, d) => Events.sessionTransitions(
+      t(s, d, "events"), key = col("user_id"), ts = col("ts"),
+      kind = col("event_type"),
+      order = Seq(col("ts"), col("event_id")),
+      gapSeconds = 1800L)
+      .orderBy("from_type", "to_type"),
+    Some("WITH e AS (SELECT user_id, event_id, event_type, " +
+      "CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+      "n AS (SELECT event_type AS from_type, " +
+      "lead(event_type) OVER w AS to_type, " +
+      "lead(ts) OVER w AS next_ts, ts " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT from_type, to_type, count(*) AS n FROM n " +
+      "WHERE to_type IS NOT NULL AND next_ts - ts < INTERVAL 30 MINUTE " +
+      "GROUP BY 1, 2 ORDER BY from_type, to_type"))
+
   private val qFunnel = Q("q_funnel",
     (s, d) => {
       val ev = t(s, d, "events")
@@ -1624,7 +1649,8 @@ object CoreQueries {
     qDistinct, qDedupSubset, qFirstWins, qGroupCount,
     qGroupCollect, qGroupRoute, qRollup, qCube, qGroupingSets, qGroupingId,
     qWindowRunning, qWindowFrame, qWindowRank, qWindowLag, qWindowRange,
-    qWindowRangeTs, qWindowDist, qStreaks, qFunnel, qCohortRetention,
+    qWindowRangeTs, qWindowDist, qStreaks, qFunnel, qSessionPaths,
+    qCohortRetention,
     qMovingZscore,
     qSort, qSortMulti, qTopk,
     qUnion, qExcept, qIntersect, qExceptAll, qIntersectAll,

@@ -350,6 +350,29 @@ object ExtQueries {
       "(CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000 ELSE 10000 END) " +
       "ORDER BY doc_id"))
 
+  /** [EXT] L15d deterministic train/val/test holdout
+    * ([[graft.ext.Sampling.trainValTestSplit]]): 80/10/10 hash-band
+    * assignment keyed on doc_id, audited per (source, split) —
+    * the summary a pipeline owner reads to confirm the bands hold
+    * inside every stratum. Assignment is corpus-growth-stable (new
+    * docs never move old docs between splits), the leakage-safety
+    * property RNG splits lack. Zero-shuffle projection + one audit agg.
+    */
+  private val qTrainSplit = Q("q_train_split",
+    (s, d) => Sampling.trainValTestSplit(
+      t(s, d, "documents"), col("doc_id"),
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "split"),
+    Some("WITH h AS (SELECT source, n_chars, " +
+      TextHash.duckBaseHash("CAST(doc_id AS VARCHAR)") +
+      " % 10000 AS hb FROM documents) " +
+      "SELECT source, CASE WHEN hb < 8000 THEN 'train' " +
+      "WHEN hb < 9000 THEN 'val' ELSE 'test' END AS split, " +
+      "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+      "FROM h GROUP BY 1, 2 ORDER BY source, split"))
+
   /** [EXT] L15b weighted (importance) sampling: inclusion probability
     * proportional to document length — keep iff hash(doc_id) % 10000 <
     * min(10000, n_chars * 25) (graft.ext.Sampling.weightedHashSample).
@@ -962,6 +985,29 @@ object ExtQueries {
       "WHERE levenshtein(a.name, b.name) <= 4 " +
       "ORDER BY name_a, name_b"))
 
+  /** [EXT] L26c Jaro-Winkler vocabulary match
+    * (graft.ext.Dedup.jaroWinklerPairs): the record-linkage scorer —
+    * same blocking as L26, scored by the native codegen'd
+    * [[graft.functions.JaroWinklerSim]] kernel whose semantics are
+    * pinned byte-for-byte to DuckDB's jaro_winkler_similarity (match
+    * window, 0.7 boost threshold, 4-byte prefix cap — see the kernel
+    * scaladoc). Both the threshold and the emitted score use the
+    * 4-decimal rounding so boundary rows agree across engines.
+    */
+  private val qJaroWinkler = Q("q_jaro_winkler",
+    (s, d) => Dedup.jaroWinklerPairs(t(s, d, "part"),
+      text = col("p_name"),
+      block = substring_index(col("p_name"), " ", -1),
+      minSim = 0.85)
+      .orderBy("name_a", "name_b"),
+    Some("WITH names AS (SELECT DISTINCT p_name AS name, " +
+      "split_part(p_name, ' ', -1) AS blk FROM part) " +
+      "SELECT a.name AS name_a, b.name AS name_b, " +
+      "round(jaro_winkler_similarity(a.name, b.name), 4) AS sim " +
+      "FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name " +
+      "WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.85 " +
+      "ORDER BY name_a, name_b"))
+
   /** [EXT] L26b entity resolution end-to-end: fuzzy candidate pairs
     * (L26 blocking + levenshtein) -> connected components (the L13
     * contraction machinery, type-agnostic: nodes here are the name
@@ -1489,6 +1535,54 @@ object ExtQueries {
       s"CAST(sum(CAST($duckNTok AS BIGINT)) AS BIGINT) AS tok_sum " +
       "FROM documents GROUP BY 1 ORDER BY shard"))
 
+  /** [EXT] L46b LM-free perplexity proxy
+    * ([[graft.ext.TextAnalysis.meanDocFreq]]): per-document mean corpus
+    * document-frequency of its token occurrences — boilerplate scores
+    * high, rare-vocabulary documents low; the model-free stand-in for
+    * the reference-LM-perplexity quality cut of published pipelines.
+    * Integer sums + one final division keep scores bit-identical
+    * across engines (no ln(), no float accumulation).
+    */
+  private val qDocRarity = Q("q_doc_rarity",
+    (s, d) => TextAnalysis.meanDocFreq(
+      t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) " +
+      "AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), " +
+      "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1) " +
+      "SELECT doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tok, " +
+      "CAST(sum(tf.tf * df.df) AS DOUBLE) / sum(tf.tf) AS mean_df " +
+      "FROM tf JOIN df USING (term) GROUP BY doc_id ORDER BY doc_id"))
+
+  /** [EXT] L44c length-bucketed batch planning
+    * ([[graft.ext.Sampling.lengthBucket]]): round every document's
+    * token count up to a power-of-two bucket and report docs, tokens,
+    * and total padding waste per bucket — the capacity-planning report
+    * behind bucketed batching (batches draw from one bucket; the
+    * pad_waste column IS the compute you burn on padding at each
+    * capacity). Projection + one audit agg, zero extra scans.
+    */
+  private val qLengthBuckets = Q("q_length_buckets",
+    (s, d) => {
+      val (nTok, _) = TextAnalysis.tokenCounts(col("text"))
+      t(s, d, "documents")
+        .select(nTok.as("n_tok"))
+        .select(col("n_tok"), Sampling.lengthBucket(col("n_tok")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+          sum(col("bucket") - col("n_tok")).as("pad_waste"))
+        .orderBy("bucket")
+    },
+    Some("WITH tk AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)" +
+      " AS n_tok FROM documents), " +
+      "b AS (SELECT n_tok, CAST(power(2, ceil(log2(greatest(" +
+      "CAST(n_tok AS DOUBLE), 1.0)))) AS BIGINT) AS bucket FROM tk) " +
+      "SELECT bucket, count(*) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS sum_tok, " +
+      "CAST(sum(bucket - n_tok) AS BIGINT) AS pad_waste " +
+      "FROM b GROUP BY 1 ORDER BY bucket"))
+
   /** [EXT] L45 composite quality-rule filter
     * ([[TextAnalysis.qualityRules]]): the published Gopher/C4 rule-set
     * shape — five per-doc cuts reported as a failed-rule bitmask, so
@@ -1717,7 +1811,7 @@ object ExtQueries {
     qQuantizeInt8, qAnnQuantized, qAnnAsymmetric, qChunkWindows,
     qDecontaminate, qDecontaminate13, qChunkPack, qRedact, qRepetition,
     qNormalizeNfc, qDomainCap, qInvertedIndex, qFuzzyPairs,
-    qEntityResolution,
+    qJaroWinkler, qEntityResolution,
     qCorpusMix, qQualityCut, qFreqBigrams, qTriangleCount,
     qContainment, qPagerank, qCollocations, qClusteringCoef,
     qSamplePriority, qNgramJaccardCapped, qDedupIncremental, qAnnFiltered,
@@ -1725,5 +1819,6 @@ object ExtQueries {
     qRobustCut, qLabelCentroids,
     qWeightedMedian, qTemperatureMix, qShardAssign,
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
-    qClusterCanonical, qHardNegatives)
+    qClusterCanonical, qHardNegatives,
+    qTrainSplit, qLengthBuckets, qDocRarity)
 }

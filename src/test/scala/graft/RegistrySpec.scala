@@ -83,7 +83,9 @@ object RegistrySpec {
     "q_regr_fit", "q_percentile_cont", "q_except_all", "q_intersect_all",
     "q_histogram_eq", "q_streaks", "q_funnel", "q_cohort_retention",
     "q_moving_zscore",
-    "q_fuzzy_pairs", "q_sample_weighted", "q_entity_resolution",
+    "q_fuzzy_pairs", "q_jaro_winkler", "q_sample_weighted",
+    "q_entity_resolution", "q_train_split", "q_length_buckets",
+    "q_doc_rarity", "q_session_paths",
     // round 9: skew-guarded LSH
     "q_minhash_lsh_bounded",
     // round 9: corpus mixing / quality cut / corpus stats / dup-graph QA

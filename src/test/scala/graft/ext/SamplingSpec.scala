@@ -216,4 +216,40 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.map(_._1).toSet.subsetOf(kept2))
   }
+
+  test("trainValTestSplit: total partition, growth-stable, near-declared fractions") {
+    val d = docs(1000)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Sampling.trainValTestSplit(d, col("doc_id"), splits)
+    val byId = assigned.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(byId.size == 1000)                       // every row assigned once
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash-band proportions land near the declared fractions
+    assert(math.abs(counts("train") - 800) < 60, counts)
+    assert(math.abs(counts("val") - 100) < 40, counts)
+    // growth stability: assignments on a half-corpus agree exactly with
+    // the full corpus (the leakage-safety property)
+    val half = Sampling.trainValTestSplit(docs(500), col("doc_id"), splits)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    half.foreach { case (id, s) => assert(byId(id) == s, s"doc $id moved") }
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.trainValTestSplit(d, col("doc_id"), Seq("a" -> 0.5))
+    }
+  }
+
+  test("lengthBucket: smallest power of two >= n, floored at 1") {
+    val got = Seq(1L, 2L, 3L, 4L, 5L, 63L, 64L, 65L, 1000L)
+      .toDF("n").select(Sampling.lengthBucket(col("n")).as("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 4L, 4L, 8L, 64L, 64L, 128L, 1024L))
+    // exact powers of two waste zero padding; bucket always >= n
+    Seq(1L, 7L, 64L, 100L).foreach { n =>
+      val b = Seq(n).toDF("n")
+        .select(Sampling.lengthBucket(col("n")).as("b")).as[Long].head()
+      assert(b >= n && b < 2 * n)
+    }
+  }
 }

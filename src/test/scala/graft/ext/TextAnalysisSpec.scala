@@ -59,4 +59,17 @@ class TextAnalysisSpec extends SparkSpec {
       .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString)
     assert(h == java.lang.Long.parseLong(m.take(12), 16))
   }
+
+  test("meanDocFreq: boilerplate scores high, rare vocabulary low, hand values exact") {
+    import org.apache.spark.sql.functions.col
+    // 'the' appears in all 3 docs (df=3); rare terms in 1
+    val docs = Seq(
+      (1L, "the the the"),          // all occurrences df=3 -> mean 3.0
+      (2L, "the zebra"),            // (3 + 1) / 2 = 2.0
+      (3L, "the quux corge grault") // (3 + 1 + 1 + 1) / 4 = 1.5
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.meanDocFreq(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 3.0), (2L, 2L, 2.0), (3L, 4L, 1.5)))
+  }
 }

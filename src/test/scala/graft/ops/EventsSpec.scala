@@ -45,4 +45,21 @@ class EventsSpec extends SparkSpec {
     assert(out.filter(_._1 == "u1").map(_._2).sorted.toSeq == Seq(1L, 2L))
     assert(out.count(_._1 == "u2") == 1)
   }
+
+  test("sessionTransitions: counts within-gap successors only, per key") {
+    // u1: view -(5m)-> click -(31m)-> view -(1m)-> buy
+    //     session break at the 31m gap: transitions view->click, view->buy
+    // u2: click -(10m)-> click (same type transition counts too)
+    val df = Seq(
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(5), "click"),
+      (1L, 3L, ts(36), "view"), (1L, 4L, ts(37), "buy"),
+      (2L, 5L, ts(0), "click"), (2L, 6L, ts(10), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Events.sessionTransitions(df, col("user_id"), col("ts"),
+      col("event_type"), Seq(col("ts"), col("event_id")), gapSeconds = 1800L)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("view", "click", 1L), ("view", "buy", 1L),
+      ("click", "click", 1L)))
+    // the 31-minute gap produced NO transition (click -> view absent)
+  }
 }
