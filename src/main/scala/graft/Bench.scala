@@ -58,21 +58,30 @@ object BenchFormat {
     * regardless of registry size. `errors` counts query executions that
     * threw — a failing query otherwise times as ~0 s and makes the
     * total look BETTER, so the record must carry the denominator.
-    * `passes` is the CONFIGURED base pass count; `passesRun` is how
-    * many passes actually executed (≥ passes when the load-adaptive
-    * loop extended the run — see [[Bench]]); the calibration array has
-    * one entry per executed pass, so a contended record carries both
-    * the evidence (high early calibrations) and the remedy (a late
-    * quiet pass that min-of-passes picked up).
+    * `errored` NAMES the distinct failing queries (capped at
+    * [[ErroredCap]] so the line stays inside the driver's stdout-tail
+    * budget even in a mass-failure round; r10's record carried
+    * errors:18 but a reader had to rerun Verify to learn WHICH six
+    * queries were red). `passes` is the CONFIGURED base pass count;
+    * `passesRun` is how many passes actually executed (≥ passes when
+    * the load-adaptive loop extended the run — see [[Bench]]); the
+    * calibration array has one entry per executed pass, so a contended
+    * record carries both the evidence (high early calibrations) and
+    * the remedy (a late quiet pass that min-of-passes picked up).
     */
+  val ErroredCap = 10
+
   def totalLine(total: Double, sfName: String, passes: Int, nQueries: Int,
                 calib: Seq[Double], errors: Long = 0L,
-                passesRun: Int = -1): String = {
+                passesRun: Int = -1,
+                errored: Seq[String] = Nil): String = {
     val calibJson = calib.map(num(_, 3)).mkString("[", ",", "]")
     val run = if (passesRun < 0) passes else passesRun
+    val erroredJson = errored.sorted.take(ErroredCap)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfName",""" +
       s""""passes":$passes,"passes_run":$run,"queries_n":$nQueries,"errors":$errors,""" +
-      s""""calibration_per_pass_sec":$calibJson}"""
+      s""""errored":$erroredJson,"calibration_per_pass_sec":$calibJson}"""
   }
 }
 
@@ -112,6 +121,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -128,19 +138,22 @@ object Bench {
     } catch { case _: Throwable => () }
 
     var errors = 0L
-    def time(body: => Unit): Double = {
+    val erroredNames = scala.collection.mutable.Set.empty[String]
+    def time(label: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       // swallow (one broken query must not kill the whole record) but
-      // COUNT: a throw times as ~0 s, which inflates nothing — the
-      // errors field on the total line keeps the record honest
+      // COUNT and NAME: a throw times as ~0 s, which inflates nothing —
+      // the errors/errored fields on the total line keep the record
+      // honest and point straight at the red queries
       try body catch { case e: Throwable =>
         errors += 1
-        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        if (label.nonEmpty) erroredNames += label
+        System.err.println(s"[bench] query failed ($label): ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
     }
     // fixed-work contention probe: same tiny aggregate every pass
-    def calibrate(): Double = time {
+    def calibrate(): Double = time("") {
       graft.model.Tables.load(spark, sfDir, "orders")
         .groupBy("o_orderstatus").count().count()
     }
@@ -150,7 +163,7 @@ object Bench {
     def runPass(): Double = {
       val c = calibrate()
       names.foreach { n =>
-        val s = time(SparkEntry.queries(n)(spark, sfDir).count())
+        val s = time(n)(SparkEntry.queries(n)(spark, sfDir).count())
         samples(n) = s :: samples.getOrElse(n, Nil)
       }
       c
@@ -181,7 +194,10 @@ object Bench {
     println(BenchFormat.queriesLine(mins, sfName, passesRun, decimals = 2))
     // LAST line = the driver-parsed one; bounded size by construction
     println(BenchFormat.totalLine(total, sfName, passes, names.size, calib,
-      errors, passesRun))
+      errors, passesRun, erroredNames.toSeq))
     spark.stop()
+    // exit nonzero on a red run so an exit-code gate catches it without
+    // parsing the tail (r10 shipped rc:0 with errors:18)
+    if (errors > 0) sys.exit(1)
   }
 }

@@ -16,12 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -40,6 +42,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Name every query that threw (r10: six queries errored before
+    // writing output and simply vanished from the correctness record —
+    // no parquet dir, no entry, nothing to grep). errors.json makes a
+    // red query a first-class artifact next to oracle_sql.json; capped
+    // messages keep the file bounded in a mass-failure round.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} queries failed: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -23,10 +23,19 @@ object Tables {
     * predicate pushdown).
     *
     * Timestamp-unit normalization (FIXTURES.md caveat / SURVEY.md §7.6):
-    * events.ts is TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. We read nanos as INT64 (legacy conf) and truncate to
-    * micros TimestampType — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable.
+    * the testdata generator has shipped events.ts in several physical
+    * encodings across regenerations, so normalize every one of them to
+    * session-TZ TimestampType (micros), which is what the whole events
+    * query family and the DuckDB oracle agree on:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read
+    *     nanos as INT64 (legacy conf) and truncate to micros — the same
+    *     truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *     TIMESTAMP_NTZ, which time functions like unix_micros reject at
+    *     analysis. Session TZ is pinned UTC and DuckDB reads the same
+    *     column as naive TIMESTAMP, so a cast to TimestampType preserves
+    *     the instants the oracle compares.
+    *   - TIMESTAMP(MICROS, UTC): already TimestampType; pass through.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // idempotent, but guard anyway: avoid re-setting session conf (and
@@ -35,9 +44,12 @@ object Tables {
     if (spark.conf.getOption(nanosKey).forall(_ != "true"))
       spark.conf.set(nanosKey, "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -84,4 +84,35 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(BenchFormat.num(1234.5678, 2) == "1234.57")
     assert(BenchFormat.num(0.1, 3) == "0.100")
   }
+
+  test("total line names errored queries, sorted and capped") {
+    val errored = Seq("q_window_sliding", "q_gaps", "q_window_tumbling")
+    val line = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
+      Seq(0.3, 0.3, 0.3), errors = 9L, errored = errored)
+    assert(line.contains(
+      """"errored":["q_gaps","q_window_sliding","q_window_tumbling"]"""))
+    // cap: a mass failure must not flood the line
+    val many = (1 to 50).map(i => f"q_some_long_query_name_$i%02d")
+    val capped = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
+      Seq(0.3), errors = 150L, errored = many)
+    assert(capped.split("\"errored\":\\[")(1).split("]")(0)
+      .count(_ == ',') == BenchFormat.ErroredCap - 1)
+  }
+
+  test("total line fits the tail with the errored cap saturated") {
+    // worst realistic shape: 10 long query names + 9 adaptive passes
+    val errored = (1 to 50).map(i => f"q_sample_priority_grouped_$i%02d")
+    val calib = Seq.fill(9)(9999.9999)
+    val line = BenchFormat.totalLine(999999.999, "sf100.0", 3,
+      Queries.all.size, calib, errors = 9999L, passesRun = 9,
+      errored = errored)
+    assert(prefix.length + line.length <= tailBudget,
+      s"total line ${line.length} chars — over tail budget")
+  }
+
+  test("empty errored renders as an empty array (record stays parseable)") {
+    val line = BenchFormat.totalLine(42.4, "sf0.1", 3, Queries.all.size,
+      Seq(0.55))
+    assert(line.contains(""""errored":[]"""))
+  }
 }
