@@ -317,21 +317,32 @@ object Dedup {
     * can flip ties; SURVEY.md §7.5).
     *
     * Scale posture: the same one left join against the pair-graph-sized
-    * cluster table; the election is a WindowGroupLimit over ONLY the
-    * clustered rows (bounded by the dup graph, not the corpus), so
-    * untouched documents never enter the window.
+    * cluster table, then ONE corpus-wide WindowGroupLimit keyed by
+    * coalesce(cluster_id, doc_id) — singleton groups for untouched
+    * docs cost O(1) each under the map-side partial limit, and the
+    * shuffled rows are the 24-byte (doc_id, cluster_id, score)
+    * projection, never the text.
     */
   def canonicalSurvivors(docs: DataFrame, id: Column, clusters: DataFrame,
                          score: Column): DataFrame = {
     val c = clusters.withColumnRenamed("doc_id", "__cc_node")
     val joined = docs.join(c, id === col("__cc_node"), "left")
       .select(id.as("doc_id"), col("cluster_id"), score.as("score"))
-    val unique = joined.filter(col("cluster_id").isNull)
-    val elected = graft.ops.Windows.findFirst(
-      joined.filter(col("cluster_id").isNotNull),
-      keys = Seq(col("cluster_id")),
+    // ONE window over the whole scored frame, not a unique-filter /
+    // elected-window union: the union shape consumed `joined` twice,
+    // re-running the docs scan, the join, and — the expensive part —
+    // the quality-score projection (a CodegenFallback HOF) once per
+    // branch (the r10 q_cluster_canonical hotspot). Keying the window
+    // by coalesce(cluster_id, doc_id) makes every unclustered doc its
+    // own singleton group (rn = 1, kept as-is) and each cluster elect
+    // its best member, in a single shuffle of 24-byte rows with
+    // WindowGroupLimit's map-side partial limit. Key collision between
+    // the two domains is impossible: cluster_id is the min member
+    // doc_id, so that member is clustered and never appears with a
+    // null cluster_id.
+    graft.ops.Windows.findFirst(joined,
+      keys = Seq(coalesce(col("cluster_id"), col("doc_id"))),
       priority = Seq(col("score").desc, col("doc_id")))
-    unique.unionByName(elected)
   }
 
   /** 16-bit SimHash fingerprint per doc over token hashes: bit j is set

@@ -28,14 +28,26 @@ object Graph {
     * Scale posture: exactly the classic distributed PR shape — per
     * iteration ONE equi-join of the edge list with the (node, contrib)
     * table and ONE hash aggregate on the destination, both partitioned
-    * by node key; degrees and n are computed once up front and n rides
-    * along as a broadcast scalar. The symmetrized edge list is
-    * PERSISTED and every iteration is `localCheckpoint`ed (the
-    * [[Dedup.connectedComponents]] pattern, incl. unpersist-in-finally
-    * and scoped AQE-off): without the persist, all `iters` join
+    * by node key. The DIRECTED edge list and the degree table are
+    * PERSISTED, and ONE action (`deg.count()`, which doubles as the
+    * driver-side node count — n is a scalar, it never needs the r10
+    * crossJoin-broadcast job chain) fills both caches, evaluating the
+    * (possibly expensive) caller edge plan exactly once; persisting
+    * the symmetrized union instead would evaluate the source once per
+    * union branch (the r10 shape — it doubled the fuzzy-pair cost of
+    * q_pagerank's fill). Without any persist, all `iters` join
     * subtrees of one unrolled Catalyst plan re-scan the edge SOURCE
-    * once per iteration — invisible at sf0.1, dominant at 100x — and
-    * without the checkpoint, iteration N's plan replays 1..N-1.
+    * once per iteration — invisible at sf0.1, dominant at 100x.
+    * Lineage is truncated with `localCheckpoint` every SECOND
+    * iteration (and at the end, which also makes the returned frame
+    * independent of the caches so `finally` can unpersist them): `pr`
+    * feeds two places in the next step (contributions + carry-over),
+    * so unchecked lineage doubles per iteration, but across a
+    * 2-iteration gap the duplicated subtree is identical and exchange
+    * reuse dedupes its shuffles — bounded plan, half the eager
+    * checkpoint jobs (and none of the per-checkpoint AQE-off job
+    * shaping) that made r10's per-iteration form ~2.3x slower than r9
+    * at sf0.1.
     * GraphSpec's accumulator-instrumented scan-count audit pins the
     * source-read count to the cache fill alone. Contract: `edges` is
     * one row per undirected edge (src < dst convention fine); isolated
@@ -48,31 +60,32 @@ object Graph {
                          iters: Int, scale: Long = 100000000L): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters out of [1,8]: $iters")
     val spark = edges.sparkSession
-    val sym = edges.select(src.as("u"), dst.as("v"))
-      .union(edges.select(dst.as("u"), src.as("v")))
-      .persist()
-    // fill the cache BEFORE toggling AQE off (the caller's edge plan
-    // may rely on AQE runtime exchange reuse, cf. connectedComponents)
-    sym.count()
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevAqe = spark.conf.get(aqeKey, "true")
-    spark.conf.set(aqeKey, "false")
+    val e = edges.select(src.as("u"), dst.as("v")).persist()
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg")).persist()
     try {
-      val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
-      val n1 = deg.agg(count(lit(1)).as("n"))
+      // node count is a SCALAR, so take it driver-side from the ONE
+      // action that fills BOTH caches (evaluating deg computes through
+      // the persist-marked e, so the possibly-expensive caller edge
+      // plan runs exactly once) — this count() replaces the r10
+      // crossJoin(broadcast(n1)) whose collect-and-broadcast job chain
+      // was pure overhead inside every downstream action, and the
+      // separate edge-fill count() the r10 shape also paid
+      val n = deg.count()
       // base = scale ÷ n, the uniform start mass (and the teleport basis)
-      var pr = deg.crossJoin(broadcast(n1))
-        .select(col("u"), col("deg"),
-          floor(lit(scale) / col("n")).cast("long").as("base"))
-        .withColumn("pr", col("base"))
-        .localCheckpoint()
-      (1 to iters).foreach { _ => pr = prStep(sym, pr).localCheckpoint() }
+      var pr = deg.select(col("u"), col("deg"),
+        lit(scale / n).as("base"), lit(scale / n).as("pr"))
+      (1 to iters).foreach { i =>
+        pr = prStep(sym, pr)
+        if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
+      }
       pr.select(col("u").as("node"), col("pr"))
     } finally {
-      spark.conf.set(aqeKey, prevAqe)
       // unpersist on every exit path (idempotent): the returned frame
-      // is checkpointed, so it no longer reads the cached edges
-      sym.unpersist()
+      // is checkpointed, so it no longer reads the cached edges or
+      // degrees
+      deg.unpersist()
+      e.unpersist()
     }
   }
 

@@ -43,7 +43,16 @@ object Tables {
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.getOption(nanosKey).forall(_ != "true"))
       spark.conf.set(nanosKey, "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+  }
+
+  /** The `ts` normalization alone, for callers that build their own
+    * scan — in particular `readStream` over an events-shaped directory
+    * (a stream can't go through [[load]], but must apply the SAME
+    * unit/zone rules or the r10 NTZ analysis failure reappears on the
+    * streaming path).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -51,7 +60,6 @@ object Tables {
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
-  }
 
   /** Nullable nanosecond validity interval — the reference's Timespan
     * (datasets_parquet.py:119-121): a nullable struct of two int64

@@ -424,6 +424,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_cluster_canonical: one corpus scan, one election window") {
+    // the r10 shape consumed the scored join twice (unique-filter ∪
+    // elected-window), re-running the documents scan and the
+    // CodegenFallback quality-score HOF per branch — the suite's most
+    // expensive query. The single coalesce-keyed window must keep: ONE
+    // documents FileScan, no Union, and a map-side Partial
+    // WindowGroupLimit ahead of the final one.
+    val df = SparkEntry.queries("q_cluster_canonical")(spark, d)
+    df.collect()
+    // the AQE dump repeats the tree under "== Initial Plan ==" — audit
+    // the final plan section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(scans == 1, s"documents scanned $scans times:\n$p")
+    assert(!p.contains("Union"), "election must not re-branch the corpus")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+  }
+
   test("pagerank power iteration is equi-joins + one hash agg, no cartesian") {
     // q_pagerank's returned frame is localCheckpoint-materialized (the
     // persist pattern), so ITS plan is an opaque scan — audit the

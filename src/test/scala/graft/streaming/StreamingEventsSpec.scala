@@ -43,6 +43,48 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer accepts the REAL testdata events schema via " +
+      "Tables.normalizeTs (NTZ regression guard, all sf dirs)") {
+    // The MemoryStream twins construct their own typed data and never
+    // saw the r10 NTZ regeneration; this case streams the actual
+    // events.parquet bytes (TIMESTAMP_NTZ on disk) through the same
+    // normalization Tables.load applies, into the sessionizer.
+    val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    // every sf dir's schema must normalize to TimestampType (cheap)
+    sfDirs.foreach { d =>
+      val t = graft.model.Tables.load(spark, d, "events")
+        .schema("ts").dataType
+      assert(t == org.apache.spark.sql.types.TimestampType, s"$d: $t")
+    }
+    // full stream drive on the smallest dir; the testdata table is a
+    // single FILE and a file-source stream needs a directory, so link
+    // the same bytes under a temp dir
+    val src = s"${sfDirs.head}/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("ntz-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    val raw = spark.read.parquet(src) // schema as the file stores it
+    val stream = graft.model.Tables.normalizeTs(
+        spark.readStream.schema(raw.schema).parquet(dir.toString))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("string").as("user_id"), col("ts"))
+      .as[StatefulSessions.Event]
+    val out = StatefulSessions.sessionize(stream, gapMs = 30 * 60 * 1000L,
+      watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("ntz_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // watermark trails max event time, so only sessions closed behind
+      // it emit — with the full file in one batch there may be none;
+      // the assertion that matters is the stream ANALYZED and RAN (the
+      // r10 failure threw before any batch), plus state was exercised
+      val processed = q.recentProgress.map(_.numInputRows).sum
+      assert(processed > 0, "stream processed no rows")
+    } finally q.stop()
+  }
+
   test("T5: dropDuplicatesWithinWatermark dedups keys within the horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
