@@ -655,4 +655,51 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup_passages").cast("double") / col("n_passages"), 4))
   }
+
+  /** PASSAGE-granularity dedup REMOVAL (the CCNet/Dolma paragraph-dedup
+    * decision, adapted to `win`-token passages since the corpus has no
+    * paragraph breaks): every duplicated passage keeps exactly its
+    * FIRST corpus-wide occurrence (order = (doc_id, position)), all
+    * later occurrences are cut, and each document's text is
+    * reassembled from its surviving passages in original order. Where
+    * [[duplicatePassageStats]] only profiles the duplication, this
+    * applies it — the boilerplate/syndication scrubber that doc-level
+    * near-dup cannot express (it keeps or drops whole documents).
+    *
+    * Scale posture: one explode projection (passage digests), one
+    * WindowGroupLimit election keyed on the digest (map-side partial
+    * limit — a passage duplicated a million times sends a handful of
+    * candidate rows per task, never the million), one hash aggregate
+    * back on doc id to reassemble, one left join to re-attach empty
+    * docs. No joins wider than the digest equi-join; reassembled text
+    * shuffles once, keyed by doc.
+    *
+    * Determinism: the election priority (doc_id, chunk_id) is a total
+    * order, and reassembly sorts by chunk position — byte-stable at
+    * any parallelism (SURVEY.md §7.5).
+    */
+  def dedupPassagesCorpus(docs: DataFrame, id: Column, text: Column,
+                          win: Int): DataFrame = {
+    val tok = graft.ext.TextHash.tokens(text)
+    val ch = docs.select(id.as("doc_id"), tok.as("tok"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(col("tok")) - 1, lit(win)),
+          start => array_join(slice(col("tok"), start + 1, lit(win)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").as("ptxt"))
+    val kept = graft.ops.Windows.findFirst(
+      ch.withColumn("h", md5(col("ptxt"))),
+      keys = Seq(col("h")),
+      priority = Seq(col("doc_id"), col("chunk_id")))
+    val clean = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("ptxt")))),
+        x => x("ptxt")), " ").as("clean_text"))
+    docs.select(id.as("doc_id")).join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

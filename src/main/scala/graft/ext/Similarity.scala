@@ -198,6 +198,34 @@ object Similarity {
       k = k, rankName = "rnk")
   }
 
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * hybrid-retrieval combiner (fuse an exact ranker with a quantized
+    * or lexical one without score calibration):
+    * `rrf = Σ 1/(kConst + rank_i)`, a candidate missing from one list
+    * contributes 0 for that list. Output keeps the fused rank (`frnk`)
+    * and score; final top-`k` per query by (rrf desc, vec_id).
+    *
+    * Inputs carry (qid, vec_id, rnk) — any of the top-k operators here
+    * produce that shape. Scale posture: ONE equi-join on
+    * (qid, vec_id) between two already-k-bounded lists (each ≤ k rows
+    * per query, never corpus-sized) and one WindowGroupLimit on qid.
+    * Determinism: each rrf is two IEEE divisions and one add in fixed
+    * order — no shuffle-order accumulation — and ties break on vec_id,
+    * so the fused list is bit-stable across engines (SURVEY.md §7.5).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, kConst: Int, k: Int): DataFrame = {
+    val ra = a.select(col("qid"), col("vec_id"), col("rnk").as("ra"))
+    val rb = b.select(col("qid"), col("vec_id"), col("rnk").as("rb"))
+    val fused = ra.join(rb, Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"),
+        (coalesce(lit(1.0) / (lit(kConst) + col("ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst) + col("rb")), lit(0.0))).as("rrf"))
+    Windows.findFirstK(fused,
+      keys = Seq(col("qid")),
+      priority = Seq(col("rrf").desc, col("vec_id")),
+      k = k, rankName = "frnk")
+  }
+
   /** Hard-negative mining (contrastive-training data prep): for each
     * query vector, the top-k most-similar corpus vectors with a
     * DIFFERENT label — the near-misses a contrastive or reranker loss

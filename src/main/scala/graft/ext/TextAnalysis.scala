@@ -166,6 +166,54 @@ object TextAnalysis {
       .filter(col("shared_ngrams") >= minShared)
   }
 
+  /** Bloom-prefiltered decontamination: identical RESULTS to
+    * [[contaminated]] (the exact verify stage removes every bloom
+    * false positive; a bloom has no false negatives), but the corpus
+    * side is first screened against a `bloomBits`-bit Bloom filter of
+    * the eval set's shingle hashes — the sketch-accelerated scale
+    * shape. The bloom is `bloomBits/64` (word, bits) rows built by one
+    * `bit_or` aggregate (a mergeable sketch: partial aggregation
+    * combines map-side) and broadcast at a fixed size REGARDLESS of
+    * eval-set cardinality; only bloom-POSITIVE corpus shingles (true
+    * hits + the fp-rate sliver) reach the exact membership join, so
+    * the expensive stage's input shrinks from every corpus shingle to
+    * roughly the contaminated fraction. Single-hash bloom: fp rate ≈
+    * distinct eval shingles / bloomBits — size accordingly (default
+    * 2^20 bits = 16K-row broadcast ≈ one parquet footer).
+    *
+    * Determinism: the screen is pure arithmetic on the same 48-bit
+    * shingle hash the exact stage compares — no RNG, no approximation
+    * in the OUTPUT (TextAnalysisSpec pins equality to [[contaminated]]
+    * even with a deliberately saturated 64-bit bloom).
+    */
+  def contaminatedBloom(corpus: org.apache.spark.sql.DataFrame,
+                        evalDocs: org.apache.spark.sql.DataFrame,
+                        text: Column, id: Column,
+                        n: Int, minShared: Int,
+                        bloomBits: Int = 1 << 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(bloomBits > 0 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64: $bloomBits")
+    val sh = graft.functions.HashFunctions.shingleHash48(text, n)
+    val e = evalDocs.select(explode(array_distinct(sh)).as("s")).distinct()
+    // bit position of hash s: word = (s mod bits) div 64, bit = s mod 64
+    // (bits is a multiple of 64, so (s mod bits) mod 64 == s mod 64)
+    val bloom = e
+      .select(expr(s"cast((s % $bloomBits) div 64 as int)").as("w"),
+        expr("shiftleft(1L, cast(s % 64 as int))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+    val c = corpus.select(id.as("doc_id"), explode(array_distinct(sh)).as("s"))
+      .select(col("doc_id"), col("s"),
+        expr(s"cast((s % $bloomBits) div 64 as int)").as("w"),
+        expr("shiftleft(1L, cast(s % 64 as int))").as("m"))
+    val screened = c.join(broadcast(bloom), Seq("w"))
+      .filter(col("bits").bitwiseAND(col("m")) === col("m"))
+      .select("doc_id", "s")
+    screened.join(broadcast(e), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+  }
+
   /** Within-document n-gram repetition ratio (the Gopher-rule quality
     * signal): 1 - distinct/total word n-grams. High values mean the
     * document repeats itself — boilerplate, keyword stuffing, decode

@@ -1800,6 +1800,111 @@ object ExtQueries {
       "CAST(rnk AS BIGINT) AS rnk, round(cos, 4) AS cos " +
       "FROM s WHERE rnk <= 5 ORDER BY qid, rnk"))
 
+  /** [EXT] L54 passage-granularity dedup removal
+    * ([[Dedup.dedupPassagesCorpus]]): every duplicated 8-token passage
+    * keeps only its first corpus-wide occurrence and documents are
+    * reassembled from their surviving passages — the CCNet/Dolma
+    * paragraph scrubber at passage granularity, the REMOVAL twin of
+    * `q_dup_passages`'s profile. Election is a digest-keyed
+    * WindowGroupLimit; reassembly is one doc-keyed aggregate.
+    */
+  private val qPassageDedup = Q("q_passage_dedup",
+    (s, d) => Dedup.dedupPassagesCorpus(t(s, d, "documents"),
+        col("doc_id"), col("text"), win = 8)
+      .orderBy("doc_id"),
+    Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok " +
+      "FROM documents), " +
+      "st AS (SELECT doc_id, tok, " +
+      "unnest(generate_series(0, len(tok) - 1, 8)) AS start FROM tk), " +
+      "ch AS (SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id, " +
+      "array_to_string(tok[start + 1 : start + 8], ' ') AS ptxt FROM st), " +
+      "kept AS (SELECT doc_id, chunk_id, ptxt FROM (" +
+      "SELECT doc_id, chunk_id, ptxt, row_number() OVER (" +
+      "PARTITION BY md5(ptxt) ORDER BY doc_id, chunk_id) AS rn FROM ch) " +
+      "WHERE rn = 1), " +
+      "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+      "string_agg(ptxt, ' ' ORDER BY chunk_id) AS clean_text FROM kept " +
+      "GROUP BY doc_id) " +
+      "SELECT d.doc_id, CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, " +
+      "coalesce(a.clean_text, '') AS clean_text " +
+      "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id " +
+      "ORDER BY d.doc_id"))
+
+  /** [EXT] L55 Bloom-prefiltered decontamination
+    * ([[TextAnalysis.contaminatedBloom]]): the same 13-gram exact
+    * decontamination decision as `q_decontaminate13`, computed through
+    * a fixed-size Bloom screen of the eval set's shingle hashes (one
+    * mergeable bit_or aggregate, broadcast at bloomBits/64 rows
+    * regardless of eval-set size) so only bloom-positive corpus
+    * shingles reach the exact membership join. The oracle is the EXACT
+    * computation — the sketch must be invisible in the result.
+    */
+  private val qBloomDecontaminate = Q("q_bloom_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.contaminatedBloom(
+        docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+        col("text"), col("doc_id"), n = 13, minShared = 1,
+        bloomBits = 1 << 16)
+        .orderBy("doc_id")
+    },
+    Some("WITH ev AS (SELECT DISTINCT " + TextHash.duckBaseHash("s0") +
+      " AS s FROM (SELECT unnest(list_distinct(" +
+      TextHash.duckShingles("text", 13) +
+      ")) AS s0 FROM documents WHERE doc_id < 25)), " +
+      "co AS (SELECT doc_id, " + TextHash.duckBaseHash("s0") +
+      " AS s FROM (SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 13) +
+      ")) AS s0 FROM documents WHERE doc_id >= 25)) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams " +
+      "FROM co JOIN ev USING (s) GROUP BY doc_id " +
+      "HAVING count(*) >= 1 ORDER BY doc_id"))
+
+  /** [EXT] L56 reciprocal-rank fusion ([[Similarity.rrfFuse]]): hybrid
+    * retrieval's standard combiner — fuse the exact float ranking with
+    * the int8-quantized ranking (top-20 each) into a final top-10 by
+    * `Σ 1/(60 + rank)`. No score calibration needed, bit-stable
+    * arithmetic, and both input rankings plus the fusion replay
+    * exactly in the oracle.
+    */
+  private val qRrfFusion = Q("q_rrf_fusion",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val fn = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+      val qn = Similarity.withQuantNorm(emb, col("vec_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(
+        fn.filter(col("vec_id") < 5), fn, k = 20)
+      val quant = Similarity.quantizedTopK(
+        qn.filter(col("vec_id") < 5), qn, k = 20)
+      Similarity.rrfFuse(exact, quant, kConst = 60, k = 10)
+        .select(col("qid"), col("vec_id"),
+          col("frnk").cast("long").as("frnk"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("qid", "frnk")
+    },
+    Some(duckNormCte + ", " +
+      "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM n), " +
+      "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
+      "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
+      "nn AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qnm FROM qz), " +
+      "ea AS (SELECT qid, vec_id, rnk FROM (SELECT a.vec_id AS qid, b.vec_id, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
+      "FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) " +
+      "WHERE rnk <= 20), " +
+      "eb AS (SELECT qid, vec_id, rnk FROM (SELECT a.vec_id AS qid, b.vec_id, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_dot_product(a.q, b.q) / (a.qnm * b.qnm) DESC, b.vec_id) AS rnk " +
+      "FROM nn a JOIN nn b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) " +
+      "WHERE rnk <= 20), " +
+      "fu AS (SELECT qid, vec_id, " +
+      "coalesce(1.0 / (60 + ea.rnk), 0.0) + coalesce(1.0 / (60 + eb.rnk), 0.0) AS rrf " +
+      "FROM ea FULL JOIN eb USING (qid, vec_id)), " +
+      "r AS (SELECT qid, vec_id, rrf, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY rrf DESC, vec_id) AS frnk FROM fu) " +
+      "SELECT qid, vec_id, CAST(frnk AS BIGINT) AS frnk, round(rrf, 6) AS rrf " +
+      "FROM r WHERE frnk <= 10 ORDER BY qid, frnk"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1820,5 +1925,6 @@ object ExtQueries {
     qWeightedMedian, qTemperatureMix, qShardAssign,
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
-    qTrainSplit, qLengthBuckets, qDocRarity)
+    qTrainSplit, qLengthBuckets, qDocRarity,
+    qPassageDedup, qBloomDecontaminate, qRrfFusion)
 }

@@ -444,6 +444,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
   }
 
+  test("q_passage_dedup: digest election is a partial+final WindowGroupLimit") {
+    val p = planOf("q_passage_dedup")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"),
+      "map-side partial limit missing — a hot passage would ship every copy")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bloom_decontaminate: bit_or bloom broadcast + membership " +
+      "predicate ahead of the exact join") {
+    val p = planOf("q_bloom_decontaminate")
+    assert(p.contains("bit_or"), "bloom must build via the bit_or aggregate")
+    assert(p.contains("partial_bit_or"),
+      "bloom build must combine map-side (mergeable sketch)")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the screen is a join PREDICATE, not a post-filter
+    assert(p.contains("& m#") || p.contains("&"),
+      "bloom membership test missing from the join")
+  }
+
   test("pagerank power iteration is equi-joins + one hash agg, no cartesian") {
     // q_pagerank's returned frame is localCheckpoint-materialized (the
     // persist pattern), so ITS plan is an opaque scan — audit the

@@ -333,6 +333,27 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, 0.0)))
   }
 
+  test("dedupPassagesCorpus: first occurrence survives, later copies cut, " +
+      "text reassembled in order") {
+    // doc 1 owns [a b c d]; doc 2 repeats it (cut) but keeps its own
+    // tail passage; doc 3 is entirely a copy of doc 1's first passage
+    // → reassembles to empty. Within-doc repetition (doc 4) also
+    // collapses to the first occurrence.
+    val d = Seq(
+      (1L, "a b c d e1 f1 g1 h1"),
+      (2L, "a b c d e2 f2"),
+      (3L, "a b c d"),
+      (4L, "p q r s p q r s")).toDF("doc_id", "text")
+    val out = Dedup.dedupPassagesCorpus(d, col("doc_id"), col("text"), win = 4)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((2L, "a b c d e1 f1 g1 h1")))
+    assert(out(2L) == ((1L, "e2 f2")))
+    assert(out(3L) == ((0L, "")))
+    assert(out(4L) == ((1L, "p q r s")))
+  }
+
   test("triangleStats: oriented edges count each triangle exactly once") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

@@ -72,4 +72,27 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 3L, 3.0), (2L, 2L, 2.0), (3L, 4L, 1.5)))
   }
+
+  test("contaminatedBloom equals contaminated exactly — even with a " +
+      "deliberately saturated 64-bit bloom (false positives screened " +
+      "by the exact stage)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.model.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val eval = docs.filter(col("doc_id") < 25)
+    val exact = TextAnalysis.contaminated(corpus, eval,
+        col("text"), col("doc_id"), n = 13, minShared = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(exact.nonEmpty, "fixture must have contaminated docs")
+    // 64 bits << distinct eval shingles: nearly every corpus shingle
+    // is bloom-positive, so this maximally stresses the exact verify
+    for (bits <- Seq(64, 1 << 16)) {
+      val got = TextAnalysis.contaminatedBloom(corpus, eval,
+          col("text"), col("doc_id"), n = 13, minShared = 1,
+          bloomBits = bits)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got == exact, s"bloomBits=$bits diverged from exact")
+    }
+  }
 }
