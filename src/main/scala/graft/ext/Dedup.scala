@@ -217,17 +217,22 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .unionAll(pairs.select(col("db").as("src"), col("da").as("dst")))
-      .persist()
-    // materialize the (potentially expensive) pair subplan BEFORE
-    // toggling AQE off: exchange reuse in an arbitrary caller's pair
-    // plan may be an AQE runtime decision (ngramJaccardPairs reuses
-    // statically via its explicit repartition, but e.g. the MinHash
-    // band join relies on AQE stage matching), and executing it lazily
-    // inside the scoped-off region would compute such a plan once per
-    // self-join side
-    edges.count()
+    // persist the DIRECTED pair list and derive the symmetrized edge
+    // view as two cache reads — persisting the union instead evaluates
+    // the (potentially expensive) caller pair plan once per branch
+    // during the fill (the same shape that doubled q_pagerank's
+    // fuzzy-pair fill; AQE stage reuse dedupes it only when the
+    // branches' exchanges happen to match)
+    val p = pairs.select(col("da"), col("db")).persist()
+    val edges = p.select(col("da").as("src"), col("db").as("dst"))
+      .unionAll(p.select(col("db").as("src"), col("da").as("dst")))
+    // materialize BEFORE toggling AQE off: exchange reuse in an
+    // arbitrary caller's pair plan may be an AQE runtime decision
+    // (ngramJaccardPairs reuses statically via its explicit
+    // repartition, but e.g. the MinHash band join relies on AQE stage
+    // matching), and executing it lazily inside the scoped-off region
+    // would lose that
+    p.count()
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
     // lazy persist, not an eager checkpoint: round 0's own job fills
@@ -273,8 +278,8 @@ object Dedup {
     } finally {
       spark.conf.set(aqeKey, prevAqe)
       // unpersist on every exit path (idempotent): a throw mid-round
-      // must not leave the 2x-pair-graph edge table pinned in cache
-      edges.unpersist()
+      // must not leave the pair table pinned in cache
+      p.unpersist()
       labels0.unpersist()
     }
   }
