@@ -65,6 +65,55 @@ object TextAnalysis {
       least(lit(5000L), floor(stop * lit(50000L) / nTok).cast("long"))
   }
 
+  /** BM25 document ranking for one term query, linearized-idf variant:
+    * per matched term,
+    * `idf_lin · tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/T))` with
+    * `idf_lin = (N − df + 0.5)/(df + 0.5)` — the inside of the classic
+    * log-idf (log dropped for cross-engine bit-stability, the same
+    * convention as the linearized tf-idf and PMI operators; per-term
+    * rankings are identical, multi-term totals weight high-idf terms
+    * more steeply). Every per-term score is quantized to 1e-6 BEFORE
+    * the per-doc sum (floor(x·1e6 + 0.5) as BIGINT), so the total is
+    * an associative integer sum — stable at any parallelism, where a
+    * raw double Σ would depend on shuffle order (SURVEY.md §7.5).
+    * Returns the global top-`k` docs by (score, doc_id).
+    *
+    * Scale posture: term frequencies are a per-row kernel projection
+    * (`graft_term_counts`) filtered to the query's terms BEFORE any
+    * shuffle (rows out ≤ |query| per doc); df is one bounded aggregate
+    * (≤ |query| rows); N and total token mass ride in as ONE broadcast
+    * row (never a driver collect); the final top-k is a
+    * TakeOrderedAndProject — no global sort.
+    */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame, text: Column,
+               id: Column, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(queryTerms.nonEmpty, "empty query")
+    val base = docs.select(id.as("doc_id"),
+      explode(graft.functions.TermFunctions.termCounts(text)).as("e"),
+      size(tokens(text)).cast("long").as("dl"))
+    val tf = base
+      .filter(col("e.term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"), col("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(tokens(text))).cast("long").as("t"))
+    // arithmetic mirrors the oracle token for token (same IEEE op order)
+    val idf = (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val den = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") * col("n") / col("t"))
+    val score = idf * (col("tf") * lit(k1 + 1.0)) / den
+    tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(score * lit(1000000.0) + lit(0.5)).cast("long").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("q").as("bm25_q"))
+      .orderBy(col("bm25_q").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Whitespace token count + BPE-ish subword count (greedy <=4-char
     * chunks), the classic cheap token-budget estimators.
     */

@@ -1905,6 +1905,38 @@ object ExtQueries {
       "SELECT qid, vec_id, CAST(frnk AS BIGINT) AS frnk, round(rrf, 6) AS rrf " +
       "FROM r WHERE frnk <= 10 ORDER BY qid, frnk"))
 
+  /** [EXT] L57 BM25 retrieval ranking ([[TextAnalysis.bm25TopK]]):
+    * top-20 docs for a 3-term query under linearized-idf BM25
+    * (k1 = 1.2, b = 0.75), per-term scores quantized to 1e-6 before
+    * the exact-BIGINT per-doc sum. The oracle replays the identical
+    * IEEE chain (constants cast to DOUBLE — DuckDB numeric literals
+    * are DECIMAL and would silently change the arithmetic).
+    */
+  private val qBm25 = Q("q_bm25",
+    (s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"),
+      col("text"), col("doc_id"),
+      queryTerms = Seq("spark", "join", "stream"), k = 20),
+    Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok " +
+      "FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM tk), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(len(tok)) AS BIGINT) AS t FROM tk), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (" +
+      "SELECT doc_id, unnest(tok) AS term FROM tk) " +
+      "WHERE term IN ('spark', 'join', 'stream') GROUP BY doc_id, term), " +
+      "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf " +
+      "GROUP BY term), " +
+      "sc AS (SELECT tf.doc_id, CAST(floor(" +
+      "(n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) * " +
+      "(tf * CAST(2.2 AS DOUBLE)) / " +
+      "(tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - " +
+      "CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl * n / t)) " +
+      "* 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q " +
+      "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, " +
+      "CAST(sum(q) AS BIGINT) AS bm25_q FROM sc GROUP BY doc_id " +
+      "ORDER BY bm25_q DESC, doc_id LIMIT 20"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1926,5 +1958,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25)
 }

@@ -261,6 +261,40 @@ class StreamingEventsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: bloom screen + exact verify run " +
+      "incrementally on an ingest stream, equal to batch") {
+    // contaminatedBloom is a stream-static shape end to end: the bloom
+    // and the eval shingle set derive from the STATIC eval frame
+    // (broadcast), the ingest stream explodes + joins against them,
+    // and the per-doc shared count is the one stateful aggregation —
+    // so the SAME operator runs unmodified on a stream. Complete mode
+    // (the running contamination report); equality vs the batch path.
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.model.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val eval = docs.filter(col("doc_id") < 25)
+    val corpus = docs.filter(col("doc_id") >= 25)
+    val expected = graft.ext.TextAnalysis.contaminated(corpus, eval,
+        col("text"), col("doc_id"), n = 13, minShared = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must have contaminated docs")
+    val dir = java.nio.file.Files.createTempDirectory("bloom-stream")
+    corpus.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(corpus.schema).parquet(dir.toString)
+    val out = graft.ext.TextAnalysis.contaminatedBloom(stream, eval,
+      col("text"), col("doc_id"), n = 13, minShared = 1,
+      bloomBits = 1 << 16)
+    val q = out.writeStream.format("memory").queryName("bloom_stream_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bloom_stream_out")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"streaming decontamination diverged from batch")
+    } finally q.stop()
+  }
+
   test("transformWithState sessionizer matches the fMGWS semantics (RocksDB store)") {
     implicit val sqlCtx = spark.sqlContext
     import StatefulSessions._
