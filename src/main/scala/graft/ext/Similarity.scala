@@ -405,4 +405,38 @@ object Similarity {
       .groupBy("cid")
       .agg(count(lit(1)).as("n"), sum("q").as("s"))
       .withColumn("mean_cos", col("s").cast("double") / (col("n") * scale))
+
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest trained centroid, enumerate cosine pairs WITHIN each
+    * cluster only, and drop every vector that has a near-duplicate
+    * (cos ≥ threshold) with a lower id in its cluster — first-wins
+    * survivors, the embedding-space analog of the text near-dup
+    * pipeline (catches paraphrases and re-encodings that share no
+    * n-grams).
+    *
+    * Scale posture: THE SemDeDup trick — the quadratic pair
+    * enumeration is confined to cluster buckets (one equi-join on cid;
+    * cost Σ|cluster|², controlled by k), never the corpus; the
+    * centroid set broadcasts; the drop set is one distinct + one
+    * anti-join. Determinism: assignment ties break on cid, the drop
+    * rule compares ids, and the survivor set needs no float
+    * accumulation at all.
+    */
+  def semanticDedup(corpus: DataFrame, cent: DataFrame,
+                    threshold: Double): DataFrame = {
+    val asg = kmeansAssign(corpus, cent)
+      .select(col("vec_id"), col("cid"), col("v"),
+        norm(col("v")).as("nm"))
+    val a = asg.select(col("cid"), col("vec_id").as("va"),
+      col("v").as("xa"), col("nm").as("na"))
+    val b = asg.select(col("cid"), col("vec_id").as("vb"),
+      col("v").as("xb"), col("nm").as("nb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("va") < col("vb"))
+      .filter(cosinePre(dot(col("xa"), col("xb")),
+        col("na"), col("nb")) >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+  }
 }

@@ -1937,6 +1937,34 @@ object ExtQueries {
       "CAST(sum(q) AS BIGINT) AS bm25_q FROM sc GROUP BY doc_id " +
       "ORDER BY bm25_q DESC, doc_id LIMIT 20"))
 
+  /** [EXT] L58 semantic dedup ([[Similarity.semanticDedup]]): the
+    * SemDeDup shape — k-means-bucketed within-cluster cosine pairs at
+    * 0.4, first-wins survivors; the embedding-space near-dup decision
+    * that catches paraphrases sharing no n-grams. Oracle replays the
+    * trained assignment (the q_kmeans trajectory), the cluster-bounded
+    * pair join, and the drop rule exactly.
+    */
+  private val qSemanticDedup = Q("q_semantic_dedup",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val trained = Similarity.centroidFrame(
+        Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
+          iters = 2))
+      Similarity.semanticDedup(n, trained, threshold = 0.4)
+        .orderBy("vec_id")
+    },
+    Some(duckKmTwoIters + ", " +
+      duckKmCent("c2n", "u2") + ", " +
+      duckKmAssign("a3", "c2n", keepCos = false) + ", " +
+      "nn AS (SELECT vec_id, cid, v, sqrt(list_dot_product(v, v)) AS nm " +
+      "FROM a3), " +
+      "pr AS (SELECT a.vec_id AS va, b.vec_id AS vb FROM nn a JOIN nn b " +
+      "ON a.cid = b.cid AND a.vec_id < b.vec_id " +
+      "WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= 0.4) " +
+      "SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM nn " +
+      "WHERE vec_id NOT IN (SELECT vb FROM pr) ORDER BY vec_id"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1958,5 +1986,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup)
 }
