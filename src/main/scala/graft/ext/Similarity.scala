@@ -424,9 +424,16 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, cent: DataFrame,
                     threshold: Double): DataFrame = {
+    // materialized once: the assignment (broadcast cross + group-limit
+    // argmax) has THREE consumers below — both sides of the pair join
+    // and the survivor anti-join — and would re-run per consumer.
+    // localCheckpoint, not persist: checkpoint blocks are
+    // per-invocation (a persist would be deduped by the CacheManager
+    // across bench passes and understate the min; cf. q_pipeline_corpus)
     val asg = kmeansAssign(corpus, cent)
       .select(col("vec_id"), col("cid"), col("v"),
         norm(col("v")).as("nm"))
+      .localCheckpoint()
     val a = asg.select(col("cid"), col("vec_id").as("va"),
       col("v").as("xa"), col("nm").as("na"))
     val b = asg.select(col("cid"), col("vec_id").as("vb"),
