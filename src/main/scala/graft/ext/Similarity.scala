@@ -406,6 +406,45 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("q").as("s"))
       .withColumn("mean_cos", col("s").cast("double") / (col("n") * scale))
 
+  /** Triplet mining for contrastive training: for each anchor, the
+    * most-similar SAME-label vector (the positive) paired with the
+    * most-similar DIFFERENT-label vector (the hardest negative), plus
+    * the cosine margin between them — the (anchor, positive, negative)
+    * rows a triplet/InfoNCE loss consumes, with margin ≤ 0 flagging
+    * the anchors where the negative currently beats the positive (the
+    * examples worth training on first).
+    *
+    * Scale posture: the anchor set broadcasts once and the corpus is
+    * scanned ONCE for both elections (same-label and diff-label are
+    * disjoint predicates over one broadcast join, split into two
+    * WindowGroupLimit argmaxes); the final pair-up is a join of two
+    * |anchors|-sized frames. Determinism: both elections tie-break on
+    * vec_id; the margin is one IEEE subtraction of two already-pinned
+    * cosines.
+    */
+  def tripletMine(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nm").as("qn"), col("label").as("qlabel"))
+    val scored = corpus
+      .join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"), col("qlabel"),
+        cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm")).as("cos"))
+    val pos = Windows.findFirst(
+      scored.filter(col("label") === col("qlabel")),
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")))
+      .select(col("qid"), col("vec_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = Windows.findFirst(
+      scored.filter(col("label") =!= col("qlabel")),
+      keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")))
+      .select(col("qid"), col("vec_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("neg_id"),
+        col("pos_cos"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+  }
+
   /** SemDeDup-style semantic deduplication: assign every vector to its
     * nearest trained centroid, enumerate cosine pairs WITHIN each
     * cluster only, and drop every vector that has a near-duplicate

@@ -1965,6 +1965,47 @@ object ExtQueries {
       "SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM nn " +
       "WHERE vec_id NOT IN (SELECT vb FROM pr) ORDER BY vec_id"))
 
+  /** [EXT] L59 triplet mining ([[Similarity.tripletMine]]): per anchor
+    * the nearest same-label (positive) + nearest different-label
+    * (hardest negative) and the cosine margin — the training rows a
+    * triplet/InfoNCE loss consumes. One broadcast of the anchors, one
+    * corpus scan feeding both elections; oracle replays both argmaxes
+    * and the margin.
+    */
+  private val qTripletMine = Q("q_triplet_mine",
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val n = e.select(col("vec_id"), col("embedding").as("v"),
+        Similarity.norm(col("embedding")).as("nm"), col("label"))
+      Similarity.tripletMine(n.filter(col("vec_id") < 8), n)
+        .select(col("qid"), col("pos_id"), col("neg_id"),
+          round(col("pos_cos"), 4).as("pos_cos"),
+          round(col("neg_cos"), 4).as("neg_cos"),
+          round(col("margin"), 4).as("margin"))
+        .orderBy("qid")
+    },
+    Some("WITH n AS (SELECT vec_id, label, " +
+      "CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings), " +
+      "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nm AS qn " +
+      "FROM n WHERE vec_id < 8), " +
+      "s AS (SELECT q.qid, q.qlabel, n.vec_id, n.label, " +
+      "list_dot_product(q.qv, n.v) / (q.qn * n.nm) AS cos " +
+      "FROM q JOIN n ON n.vec_id <> q.qid), " +
+      "p AS (SELECT qid, vec_id AS pos_id, cos AS pos_cos FROM (" +
+      "SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, vec_id) AS rn FROM s WHERE label = qlabel) " +
+      "WHERE rn = 1), " +
+      "g AS (SELECT qid, vec_id AS neg_id, cos AS neg_cos FROM (" +
+      "SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY cos DESC, vec_id) AS rn FROM s WHERE label <> qlabel) " +
+      "WHERE rn = 1) " +
+      "SELECT qid, pos_id, neg_id, round(pos_cos, 4) AS pos_cos, " +
+      "round(neg_cos, 4) AS neg_cos, " +
+      "round(pos_cos - neg_cos, 4) AS margin " +
+      "FROM p JOIN g USING (qid) ORDER BY qid"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -1986,5 +2027,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine)
 }

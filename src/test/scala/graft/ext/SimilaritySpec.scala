@@ -298,6 +298,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._1 == 0L))
   }
 
+  test("rrfFuse: consensus top-1 wins; one-list-only candidates score " +
+      "half; missing ranks contribute zero") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "vec_id", "rnk")
+    val b = Seq((1L, 10L, 1L), (1L, 12L, 2L), (1L, 13L, 3L))
+      .toDF("qid", "vec_id", "rnk")
+    val out = Similarity.rrfFuse(a, b, kConst = 60, k = 10)
+      .select("vec_id", "frnk", "rrf")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    // 10 is rank-1 in BOTH lists -> must fuse first
+    assert(out.head._1 == 10L)
+    assert(math.abs(out.head._3 - 2.0 / 61) < 1e-12)
+    // 13 only in list b at rank 3 -> exactly one reciprocal term
+    val thirteen = out.find(_._1 == 13L).get
+    assert(math.abs(thirteen._3 - 1.0 / 63) < 1e-12)
+    // all four distinct candidates survive the union
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L, 13L))
+  }
+
+  test("tripletMine: positive is nearest same-label, negative nearest " +
+      "other-label, margin is their gap") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.95f, 0.05f), 0),
+      (2L, Seq(0.9f, 0.1f), 1), (3L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val n = emb.select(col("vec_id"), col("embedding").as("v"),
+      Similarity.norm(col("embedding")).as("nm"), col("label"))
+    val out = Similarity.tripletMine(n.filter(col("vec_id") === 0), n)
+      .select("qid", "pos_id", "neg_id", "margin")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (qid, pos, neg, margin) = out.head
+    assert(qid == 0L && pos == 1L && neg == 2L)
+    // vec 1 (same label) is closer to 0 than vec 2 -> positive margin
+    assert(margin > 0)
+  }
+
   test("bruteForceTopK: k neighbors, self excluded, rank follows cosine") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.05f)))
