@@ -51,4 +51,35 @@ object Drift {
           col("num").cast("double") / (lit(2L) * col("na") * col("nb")))
           .otherwise(lit(1.0)).as("tv"))
   }
+
+  /** One-pass column profile: per column of `df`, row count, non-null
+    * count, null count, and exact distinct count — the table-health
+    * summary a pipeline materializes next to every ingested snapshot
+    * (and diffs between snapshots to catch schema drift a TV monitor
+    * on one column misses: a column going null-heavy, an id column
+    * losing uniqueness, an enum gaining a value).
+    *
+    * Scale posture: ONE aggregate over one scan — Catalyst plans the
+    * N-way distinct via Expand (rows × N before partial aggregation),
+    * the standard multi-distinct shape; counts combine map-side. At
+    * petabyte scale swap the exact distincts for the mergeable HLL
+    * sketch (`SketchExpressions`) — exact here because the oracle
+    * compares exact values. Output is LONG-form (one row per column)
+    * so the profile of any table has the same schema.
+    */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "no columns to profile")
+    val aggs = columns.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"), count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__d_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = columns.map { c =>
+      struct(lit(c).as("column_name"), col(s"__n_$c").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"),
+        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
+        col(s"__d_$c").as("n_distinct"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

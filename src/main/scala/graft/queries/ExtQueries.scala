@@ -2006,6 +2006,26 @@ object ExtQueries {
       "round(pos_cos - neg_cos, 4) AS margin " +
       "FROM p JOIN g USING (qid) ORDER BY qid"))
 
+  /** [EXT] L60 column profile ([[Drift.columnProfile]]): one-pass
+    * per-column row/non-null/null/exact-distinct counts over orders —
+    * the snapshot-health summary diffed between ingests to catch the
+    * schema drift a single-column TV monitor misses. Long-form output
+    * (one row per column), one scan, map-combined counts.
+    */
+  private val qProfile = Q("q_profile",
+    (s, d) => Drift.columnProfile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate"))
+      .orderBy("column_name"),
+    Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate")
+      .map(c => s"SELECT '$c' AS column_name, " +
+        s"CAST(count(*) AS BIGINT) AS n_rows, " +
+        s"CAST(count($c) AS BIGINT) AS n_nonnull, " +
+        s"CAST(count(*) - count($c) AS BIGINT) AS n_null, " +
+        s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders")
+      .mkString("", " UNION ALL ", " ORDER BY column_name")))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2027,5 +2047,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile)
 }

@@ -106,6 +106,41 @@ class PropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("dedupPassagesCorpus: every distinct passage survives exactly once, " +
+      "and the clean corpus is passage-dedup idempotent") {
+    import graft.ext.Dedup
+    // random docs over a tiny vocabulary so passage collisions are common
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(4, 16).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(12, doc)
+    val prop = Prop.forAll(corpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val clean = Dedup.dedupPassagesCorpus(df, col("doc_id"), col("text"),
+        win = 4)
+      val kept = clean.filter(col("clean_text") =!= "")
+        .select(col("doc_id"), col("clean_text").as("text"))
+      // surviving passages are globally unique...
+      val keptPassages = Dedup.dedupPassagesCorpus(kept, col("doc_id"),
+        col("text"), win = 4)
+      val stable = keptPassages.select("doc_id", "n_kept", "clean_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val before = clean.filter(col("clean_text") =!= "")
+        .select("doc_id", "n_kept", "clean_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      // ...so re-running the dedup changes nothing (idempotence), and
+      // every distinct original passage appears in the cleaned corpus
+      val originals = texts.zipWithIndex.flatMap { case (t, _) =>
+        t.split(" ").grouped(4).map(_.mkString(" ")) }.toSet
+      val survivors = before.flatMap(_._3.split(" ").grouped(4)
+        .map(_.mkString(" "))).toSet
+      stable == before && originals == survivors
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("ngramContainmentPairs: exact dup has containment 1.0 both ways; values in (0,1]") {
     import graft.ext.Dedup
     val docs = Seq(
