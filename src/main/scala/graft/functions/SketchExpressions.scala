@@ -317,32 +317,18 @@ case class ApproxQuantiles(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a BIGINT input, got ${child.dataType.sql}")
 
+  // bucket math lives on the companion so the streaming twin
+  // (graft.streaming.TwsQuantiles) replays the IDENTICAL grid
   private val sub = 1 << subBits           // subbuckets per octave
-  // octaves: values up to 2^63-1 -> (64 - subBits) log segments + the
-  // exact unit segment; layout: [0, sub) unit buckets, then per octave
-  // o >= subBits: sub/2 buckets of width 2^(o - subBits + 1)
-  private val nBuckets = sub + (63 - subBits + 1) * (sub / 2)
+  private val nBuckets = ApproxQuantiles.nBucketsOf(subBits)
   // trailing slots: [nBuckets] = total count, [nBuckets+1] = observed max
   private val bufLen = nBuckets + 2
 
-  private def bucketOf(v: Long): Int =
-    if (v < sub) v.toInt
-    else {
-      val octave = 63 - java.lang.Long.numberOfLeadingZeros(v) // >= subBits
-      val width = octave - subBits + 1
-      val offsetInOctave = ((v >>> width) - (sub / 2)).toInt
-      sub + (octave - subBits) * (sub / 2) + offsetInOctave
-    }
+  private def bucketOf(v: Long): Int = ApproxQuantiles.bucketOf(v, subBits)
 
   /** Upper edge of bucket i (its largest representable value). */
   private def bucketHigh(i: Int): Long =
-    if (i < sub) i.toLong
-    else {
-      val octave = subBits + (i - sub) / (sub / 2)
-      val width = octave - subBits + 1
-      val offsetInOctave = (i - sub) % (sub / 2)
-      (((sub / 2) + offsetInOctave + 1L) << width) - 1
-    }
+    ApproxQuantiles.bucketHigh(i, subBits)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
 
@@ -374,17 +360,9 @@ case class ApproxQuantiles(
     val out = new Array[Any](probs.size)
     var pi = 0
     while (pi < probs.size) {
-      // rank of the p-quantile under the nearest-rank definition
-      val target = math.max(1L, math.ceil(probs(pi) * total).toLong)
-      var acc = 0L
-      var i = 0
-      var found = -1
-      while (i < nBuckets && found < 0) {
-        acc += buf(i)
-        if (acc >= target) found = i
-        i += 1
-      }
-      out(pi) = math.min(bucketHigh(found).toDouble, mx.toDouble)
+      // nearest-rank walk, shared with the streaming twin
+      out(pi) = ApproxQuantiles.quantileValue(buf(_), total, mx,
+        probs(pi), subBits)
       pi += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -416,6 +394,59 @@ case class ApproxQuantiles(
 
 object ApproxQuantiles {
   val DefaultSubBits = 7 // 128 subbuckets -> ~1.6% relative value error
+
+  /** Bucket count of the grid (unit segment + log-linear octaves). */
+  def nBucketsOf(subBits: Int): Int = {
+    val sub = 1 << subBits
+    sub + (63 - subBits + 1) * (sub / 2)
+  }
+
+  /** Bucket index of value `v` on the `subBits` grid: values < 2^subBits
+    * go to exact unit buckets, larger values to sub/2 log-linear
+    * subbuckets per octave (the HdrHistogram layout).
+    */
+  def bucketOf(v: Long, subBits: Int): Int = {
+    val sub = 1 << subBits
+    if (v < sub) v.toInt
+    else {
+      val octave = 63 - java.lang.Long.numberOfLeadingZeros(v) // >= subBits
+      val width = octave - subBits + 1
+      val offsetInOctave = ((v >>> width) - (sub / 2)).toInt
+      sub + (octave - subBits) * (sub / 2) + offsetInOctave
+    }
+  }
+
+  /** Upper edge of bucket i (its largest representable value). */
+  def bucketHigh(i: Int, subBits: Int): Long = {
+    val sub = 1 << subBits
+    if (i < sub) i.toLong
+    else {
+      val octave = subBits + (i - sub) / (sub / 2)
+      val width = octave - subBits + 1
+      val offsetInOctave = (i - sub) % (sub / 2)
+      (((sub / 2) + offsetInOctave + 1L) << width) - 1
+    }
+  }
+
+  /** Nearest-rank quantile walk over bucket counts — the exact
+    * evaluation the aggregate's eval() performs, exposed so the
+    * streaming twin is bit-identical by construction. `counts` is a
+    * total function over bucket indices (0 for untouched buckets).
+    */
+  def quantileValue(counts: Int => Long, total: Long, mx: Long,
+                    p: Double, subBits: Int): Double = {
+    val nB = nBucketsOf(subBits)
+    val target = math.max(1L, math.ceil(p * total).toLong)
+    var acc = 0L
+    var i = 0
+    var found = -1
+    while (i < nB && found < 0) {
+      acc += counts(i)
+      if (acc >= target) found = i
+      i += 1
+    }
+    math.min(bucketHigh(found, subBits).toDouble, mx.toDouble)
+  }
 }
 
 /** Column-API surface for the sketch aggregates. */

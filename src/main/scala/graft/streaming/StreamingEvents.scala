@@ -860,6 +860,83 @@ object TwsDrift {
   * Scale posture: one hash shuffle on the group per micro-batch;
   * per-batch work is O(rows + capacity), state is O(capacity).
   */
+/** Streaming twin of the batch log-histogram quantile sketch
+  * (`graft.functions.SketchFunctions.approxQuantiles`) on
+  * `transformWithState`: the live per-group latency/length percentile
+  * monitor. State per group is the sketch itself — occupied bucket
+  * counts in MapState plus (total, max) — BOUNDED by the grid size
+  * (~30 KiB at the default subBits = 7) regardless of stream length,
+  * exactly the batch aggregate's buffer bound. Every micro-batch folds
+  * its rows into the grid with the SAME `ApproxQuantiles.bucketOf` and
+  * re-emits the current estimates through the SAME
+  * `ApproxQuantiles.quantileValue` nearest-rank walk, so after the
+  * last row the emission is bit-identical to the batch aggregate over
+  * the full feed (StreamingEventsSpec pins it).
+  */
+object TwsQuantiles {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import graft.functions.ApproxQuantiles
+
+  case class Obs(g: String, v: Long)
+  case class Qs(g: String, n: Long, qs: Seq[Double])
+
+  class QuantileProcessor(probs: Seq[Double], subBits: Int)
+      extends StatefulProcessor[String, Obs, Qs] {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probabilities must lie in [0, 1], got $probs")
+    @transient private var hist: MapState[Int, Long] = _
+    @transient private var total: ValueState[Long] = _
+    @transient private var mx: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      hist = getHandle.getMapState[Int, Long]("hist",
+        Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+      mx = getHandle.getValueState[Long]("mx", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(g: String, rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[Qs] = {
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      hist.iterator().foreach { case (b, c) => m(b) = c }
+      var n = if (total.exists()) total.get() else 0L
+      var hi = if (mx.exists()) mx.get() else 0L
+      rows.foreach { o =>
+        require(o.v >= 0, s"negative input ${o.v} (shift upstream)")
+        val b = ApproxQuantiles.bucketOf(o.v, subBits)
+        m(b) = m.getOrElse(b, 0L) + 1L
+        n += 1
+        if (o.v > hi) hi = o.v
+      }
+      m.foreach { case (b, c) => hist.updateValue(b, c) }
+      total.update(n)
+      mx.update(hi)
+      val est = probs.map(p =>
+        ApproxQuantiles.quantileValue(m.getOrElse(_, 0L), n, hi, p, subBits))
+      Iterator.single(Qs(g, n, est))
+    }
+
+    override def handleExpiredTimer(g: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Qs] = Iterator.empty
+  }
+
+  /** Incremental per-group quantile estimates; requires the RocksDB
+    * state store provider. The emission with each group's max `n` is
+    * the current summary.
+    */
+  def quantiles(obs: Dataset[Obs], probs: Seq[Double],
+                subBits: Int = ApproxQuantiles.DefaultSubBits): Dataset[Qs] = {
+    implicit val qe: org.apache.spark.sql.Encoder[Qs] = Encoders.product[Qs]
+    obs.groupByKey(_.g)(Encoders.STRING)
+      .transformWithState(new QuantileProcessor(probs, subBits),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
+
 object TwsHeavyHitters {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.{

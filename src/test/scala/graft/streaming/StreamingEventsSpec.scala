@@ -810,6 +810,51 @@ class StreamingEventsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState quantile sketch is bit-identical to the batch " +
+      "aggregate after the last micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val oe: org.apache.spark.sql.Encoder[TwsQuantiles.Obs] =
+      org.apache.spark.sql.Encoders.product[TwsQuantiles.Obs]
+    import TwsQuantiles.Obs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val probs = Seq(0.5, 0.9, 0.99)
+      // long-tailed values spanning unit buckets and several octaves,
+      // deterministically shuffled across micro-batch boundaries
+      val rnd = new scala.util.Random(11L)
+      val values = rnd.shuffle(
+        (1 to 400).map(_.toLong) ++
+          (1 to 100).map(_ => (rnd.nextInt(100000) + 1000).toLong))
+      val input = MemoryStream[Obs]
+      val q = TwsQuantiles.quantiles(input.toDS(), probs)
+        .writeStream.format("memory").queryName("tws_q").start()
+      try {
+        values.grouped(120).foreach { batch =>
+          input.addData(batch.map(Obs("g", _)): _*)
+          q.processAllAvailable()
+        }
+        val n = values.size.toLong
+        val streamed = spark.table("tws_q").as[TwsQuantiles.Qs].collect()
+          .filter(_.n == n)
+        assert(streamed.length == 1, "exactly one final emission")
+        val batchRes = values.toDF("v")
+          .agg(graft.functions.SketchFunctions
+            .approxQuantiles(col("v"), probs).as("qs"))
+          .as[Seq[Double]].collect().head
+        assert(streamed.head.qs == batchRes,
+          s"streaming ${streamed.head.qs} != batch $batchRes")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState heavy hitters keep the Misra-Gries guarantee " +
       "across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
