@@ -483,6 +483,81 @@ object Multimodal {
     (out, audio.sampleRate.toFloat * best / fftSize)
   }
 
+  /** Log-mel filterbank energies over the magnitude spectrum — THE
+    * standard neural-audio front end (what an audio-embedding or ASR
+    * model actually consumes, where [[audioSpectral]]'s linear bands
+    * are a monitoring descriptor). `nMels` triangular filters with
+    * centers equally spaced on the mel scale (m = 2595·log10(1+f/700))
+    * between 0 Hz and Nyquist, unit peak, applied to the Hann-windowed
+    * power spectrum; output is 10·log10(energy). Deterministic pure
+    * DSP — no RNG, no library.
+    */
+  private[ext] def audioMel(audio: DecodedAudio, nMels: Int,
+      fftSize: Int = 4096): Array[Float] = {
+    require(nMels > 0 && nMels <= fftSize / 2, s"nMels out of range: $nMels")
+    val n = math.min(fftSize, audio.samples.length)
+    val re = new Array[Double](fftSize)
+    val im = new Array[Double](fftSize)
+    var i = 0
+    while (i < n) {
+      val w = 0.5 * (1 - math.cos(2 * math.Pi * i / (fftSize - 1)))
+      re(i) = audio.samples(i) * w
+      i += 1
+    }
+    fft(re, im)
+    val half = fftSize / 2
+    val mag = new Array[Double](half)
+    var k = 0
+    while (k < half) { mag(k) = re(k) * re(k) + im(k) * im(k); k += 1 }
+    def mel(f: Double): Double = 2595.0 * math.log10(1.0 + f / 700.0)
+    def invMel(m: Double): Double = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val nyquist = audio.sampleRate / 2.0
+    val melHi = mel(nyquist)
+    // nMels filters need nMels + 2 edge points on the mel grid
+    val edges = (0 to nMels + 1).map(j => invMel(melHi * j / (nMels + 1)))
+    val binHz = audio.sampleRate.toDouble / fftSize
+    val out = new Array[Float](nMels)
+    var b = 0
+    while (b < nMels) {
+      val (lo, c, hi) = (edges(b), edges(b + 1), edges(b + 2))
+      var acc = 0.0
+      var q = 1
+      while (q < half) {
+        val f = q * binHz
+        val w =
+          if (f <= lo || f >= hi) 0.0
+          else if (f <= c) (f - lo) / (c - lo)
+          else (hi - f) / (hi - c)
+        if (w > 0) acc += w * mag(q)
+        q += 1
+      }
+      out(b) = (10.0 * math.log10(acc + 1e-12)).toFloat
+      b += 1
+    }
+    out
+  }
+
+  case class MelRow(media_id: Long, kind: String, mel_db: Array[Float])
+
+  /** Log-mel embedding extraction for the audio column: real PCM
+    * decode → Hann FFT → triangular mel filterbank. Same broken-blob
+    * pass-through policy as [[spectralFeatures]].
+    */
+  def melFeatures(media: Dataset[MediaRow], nMels: Int): Dataset[MelRow] = {
+    implicit val enc = Encoders.product[MelRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val decoded =
+          if (m.kind == "audio") decodeAudio(m.payload) else None
+        decoded match {
+          case Some(a) if a.samples.nonEmpty && a.sampleRate > 0 =>
+            MelRow(m.media_id, m.kind, audioMel(a, nMels))
+          case _ => MelRow(m.media_id, m.kind, Array.empty)
+        }
+      }
+    }
+  }
+
   case class SpectralRow(media_id: Long, kind: String,
       band_db: Array[Float], dominant_hz: Float)
 

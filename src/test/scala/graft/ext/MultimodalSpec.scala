@@ -111,6 +111,30 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("melFeatures: tone energy lands in the filter covering its " +
+      "frequency; higher tone -> higher mel index; corrupt passes through") {
+    val rows = Seq(
+      MediaRow(50L, "audio", wavBytes(hz = 300.0), "audio/wav",
+        None, None, Some(8000), Some(500L)),
+      MediaRow(51L, "audio", wavBytes(hz = 2000.0), "audio/wav",
+        None, None, Some(8000), Some(500L)),
+      MediaRow(52L, "audio", Array[Byte](9, 9), "audio/wav",
+        None, None, None, None))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val out = Multimodal.melFeatures(ds, nMels = 16).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(50L).mel_db.length == 16)
+    val lo = out(50L).mel_db.indexOf(out(50L).mel_db.max)
+    val hi = out(51L).mel_db.indexOf(out(51L).mel_db.max)
+    // mel centers are monotone in Hz: the 2 kHz tone peaks strictly
+    // above the 300 Hz tone's filter index
+    assert(hi > lo, s"mel argmax not monotone: $lo vs $hi")
+    // 300 Hz sits in the lower third of a 0..4 kHz mel grid
+    assert(lo < 8, s"300 Hz tone peaked implausibly high: $lo")
+    assert(out(52L).mel_db.isEmpty)
+  }
+
   test("spectralFeatures: FFT finds the sine's frequency; non-audio passes through") {
     // bin width at 8 kHz / 4096-point FFT is ~1.95 Hz; the Hann-windowed
     // peak must land within one bin of the synthesized tone
