@@ -125,6 +125,41 @@ object Aggregates {
       .agg(min("v").as("thr"))
   }
 
+  /** Winsorized per-group means: every value clipped to the corpus-wide
+    * exact [pLo, pHi] quantile band before an exact-integer mean — the
+    * robust location statistic a monitoring dashboard wants for
+    * integer scores (a handful of pathological documents cannot drag a
+    * source's mean; unlike trimming, the clipped rows still count, so
+    * group sizes stay comparable).
+    *
+    * Scale posture: ONE bounded-domain histogram (map-combined hash
+    * agg; the cumulative window sees ≤ domain-many rows at any corpus
+    * size — the [[boundedQuantileThreshold]] argument) yields BOTH
+    * thresholds in one pass; the 1-row band broadcasts back over the
+    * corpus; the per-group rollup is exact BIGINT sums with ONE final
+    * IEEE division per group (bit-stable at any parallelism).
+    */
+  def winsorizedMeans(df: DataFrame, group: Column, value: Column,
+                      pLo: Double, pHi: Double): DataFrame = {
+    require(0.0 < pLo && pLo < pHi && pHi <= 1.0, s"bad band [$pLo, $pHi]")
+    import org.apache.spark.sql.expressions.Window
+    val s = df.select(group.as("g"), value.cast("long").as("v"))
+    val h = s.groupBy("v").agg(count(lit(1)).as("c"))
+    val band = h.select(col("v"),
+        sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cf"),
+        sum("c").over(Window.partitionBy()).as("n"))
+      .agg(
+        min(when(col("cf") >= ceil(col("n") * pLo), col("v"))).as("lo"),
+        min(when(col("cf") >= ceil(col("n") * pHi), col("v"))).as("hi"))
+    s.crossJoin(broadcast(band))
+      .select(col("g"), greatest(col("lo"), least(col("hi"), col("v"))).as("w"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("w").as("s"))
+      .select(col("g"), col("n"), col("s"),
+        (col("s").cast("double") / col("n")).as("wmean"))
+  }
+
   /** 2-D Pareto frontier, both dimensions minimized: the points
     * (x, min y at x) not dominated by any other point (one with <= on
     * both coordinates and < on at least one). Skyline/dominance is the

@@ -2026,6 +2026,36 @@ object ExtQueries {
         s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders")
       .mkString("", " UNION ALL ", " ORDER BY column_name")))
 
+  /** [EXT] L61 winsorized per-source quality means
+    * ([[graft.ops.Aggregates.winsorizedMeans]]): every doc's integer
+    * quality score clipped to the corpus-wide exact [p05, p95] band
+    * (one bounded-histogram pass yields both thresholds), then exact
+    * per-source means — the robust dashboard statistic outlier docs
+    * cannot drag. Oracle replays histogram, band, clip, and the single
+    * final division.
+    */
+  private val qWinsorize = Q("q_winsorize",
+    (s, d) => graft.ops.Aggregates.winsorizedMeans(
+        t(s, d, "documents"), col("source"),
+        TextAnalysis.qualityBps(col("text")), pLo = 0.05, pHi = 0.95)
+      .withColumnRenamed("g", "source")
+      .orderBy("source"),
+    Some(s"WITH sc AS (SELECT source, CAST($duckQbps AS BIGINT) AS v " +
+      "FROM documents), " +
+      "h AS (SELECT v, count(*) AS c FROM sc GROUP BY v), " +
+      "cw AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) AS cf, sum(c) OVER () AS n FROM h), " +
+      "t AS (SELECT min(CASE WHEN cf >= ceil(n * CAST(0.05 AS DOUBLE)) " +
+      "THEN v END) AS lo, " +
+      "min(CASE WHEN cf >= ceil(n * CAST(0.95 AS DOUBLE)) THEN v END) " +
+      "AS hi FROM cw), " +
+      "w AS (SELECT source, greatest(lo, least(hi, v)) AS wv " +
+      "FROM sc CROSS JOIN t) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(wv) AS BIGINT) AS s, " +
+      "CAST(sum(wv) AS DOUBLE) / count(*) AS wmean " +
+      "FROM w GROUP BY source ORDER BY source"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2047,5 +2077,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize)
 }
