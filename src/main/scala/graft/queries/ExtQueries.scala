@@ -2056,6 +2056,46 @@ object ExtQueries {
       "CAST(sum(wv) AS DOUBLE) / count(*) AS wmean " +
       "FROM w GROUP BY source ORDER BY source"))
 
+  /** [EXT] L62 LSH quality evaluation: recall/precision of the banded
+    * MinHash candidate generator against the EXACT Jaccard pairs at
+    * the same 0.5 threshold — the tuning readout that says whether
+    * (k, bands) is adequate before a production run trusts the sketch.
+    * Deterministic end to end (fixed hash family, no RNG); one
+    * full-outer join of two pair sets + one aggregate. The oracle
+    * replays both generators and the same confusion counts.
+    */
+  private val qLshRecall = Q("q_lsh_recall",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5)
+        .select(col("da"), col("db"), lit(1L).as("tr"))
+      val cand = Dedup.minhashLshPairs(
+          Dedup.minhashSignature(docs, col("text"), col("doc_id"), k = 8),
+          k = 8, bands = 4)
+        .select(col("da"), col("db"), lit(1L).as("cd"))
+      exact.join(cand, Seq("da", "db"), "full_outer")
+        .agg(sum(coalesce(col("tr"), lit(0L))).as("n_true"),
+          sum(coalesce(col("cd"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("tr"), lit(0L)) * coalesce(col("cd"), lit(0L)))
+            .as("n_hit"))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"),
+          (col("n_hit").cast("double") / col("n_cand")).as("precision"))
+    },
+    Some(duckSigCte + ", " + duckBandsCte + ", " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+      "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      duckJaccardCtes + ", " +
+      "f AS (SELECT CASE WHEN j.da IS NOT NULL THEN 1 ELSE 0 END AS t, " +
+      "CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS cd " +
+      "FROM jpairs j FULL JOIN cand c ON j.da = c.da AND j.db = c.db) " +
+      "SELECT CAST(sum(t) AS BIGINT) AS n_true, " +
+      "CAST(sum(cd) AS BIGINT) AS n_cand, " +
+      "CAST(sum(t * cd) AS BIGINT) AS n_hit, " +
+      "CAST(sum(t * cd) AS DOUBLE) / sum(t) AS recall, " +
+      "CAST(sum(t * cd) AS DOUBLE) / sum(cd) AS precision FROM f"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2077,5 +2117,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall)
 }
