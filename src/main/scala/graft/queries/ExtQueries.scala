@@ -250,10 +250,13 @@ object ExtQueries {
       "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)"
 
   private def duckJaccardCtesOver(src: String): String =
+    duckJaccardCtesAt(src, 0.5)
+
+  private def duckJaccardCtesAt(src: String, thr: Double): String =
     duckShingleInterOver(src) + ", " +
       "jpairs AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jacc " +
       "FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id " +
-      "WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5)"
+      s"WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= $thr)"
 
   private val duckJaccardCtes = duckJaccardCtesOver("documents")
 
@@ -2096,6 +2099,86 @@ object ExtQueries {
       "CAST(sum(t * cd) AS DOUBLE) / sum(t) AS recall, " +
       "CAST(sum(t * cd) AS DOUBLE) / sum(cd) AS precision FROM f"))
 
+  /** [EXT] L63 ANN recall evaluation: per-query recall@5 of the
+    * IVF-pruned search against the brute-force truth — the index
+    * quality readout that decides nlist/nprobe before serving trusts
+    * the index (the vector-side sibling of `q_lsh_recall`). Both
+    * searches and the overlap count replay exactly in the oracle.
+    */
+  private val qAnnRecall = Q("q_ann_recall",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
+      val truth = Similarity.bruteForceTopK(queries, n, k = 5)
+        .select(col("qid"), col("vec_id"))
+      val approx = Similarity.ivfTopK(corpus = n,
+          centroids = n.filter(col("vec_id") % 100 === 0),
+          queries = queries, k = 5)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("found"))
+        .select(col("qid"), col("k"), col("found"),
+          (col("found").cast("double") / col("k")).as("recall"))
+        .orderBy("qid")
+    },
+    Some(duckNormCte + ", " +
+      "tr AS (SELECT qid, vec_id FROM (SELECT a.vec_id AS qid, b.vec_id, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
+      "FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
+      "AND b.vec_id <> a.vec_id) WHERE rnk <= 5), " +
+      "cent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
+      "asg AS (SELECT vec_id, v, nm, cid FROM (" +
+      "SELECT n.vec_id, n.v, n.nm, c.vec_id AS cid, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
+      "FROM n CROSS JOIN cent c) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, nm AS qn, cid FROM asg " +
+      "WHERE vec_id IN (1, 2, 3, 4)), " +
+      "ap AS (SELECT qid, vec_id FROM (SELECT q.qid, a.vec_id, " +
+      "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+      "list_dot_product(q.qv, a.v) / (q.qn * a.nm) DESC, a.vec_id) AS rnk " +
+      "FROM asg a JOIN q ON a.cid = q.cid AND a.vec_id <> q.qid) " +
+      "WHERE rnk <= 5) " +
+      "SELECT tr.qid, CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS found, " +
+      "CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS DOUBLE) / count(*) AS recall " +
+      "FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id " +
+      "GROUP BY tr.qid ORDER BY tr.qid"))
+
+  /** [EXT] L64 dedup threshold sweep: the pair-count curve over
+    * Jaccard bands (0.3 + 0.05 bins) from ONE pair enumeration — the
+    * sensitivity table that picks a dedup threshold ("how many more
+    * pairs does lowering to 0.45 admit?") without re-running the
+    * expensive candidate join per candidate threshold.
+    */
+  private val qDedupSweep = Q("q_dedup_sweep",
+    (s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        col("text"), col("doc_id"), n = 3, threshold = 0.3)
+      val binned = pairs.select(
+        (floor(col("jacc") * 20).cast("long") / lit(20.0)).as("band"))
+      binned.groupBy("band").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_at_or_above",
+          sum("n_pairs").over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("band").desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .orderBy("band")
+    },
+    Some("WITH " + duckJaccardCtesAt("documents", 0.3) + ", " +
+      "bn AS (SELECT floor(jacc * 20) / 20.0 AS band FROM jpairs), " +
+      "h AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM bn " +
+      "GROUP BY band) " +
+      "SELECT band, n_pairs, CAST(sum(n_pairs) OVER (ORDER BY band DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "AS n_at_or_above FROM h ORDER BY band"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2117,5 +2200,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep)
 }
