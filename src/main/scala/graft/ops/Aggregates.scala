@@ -160,6 +160,38 @@ object Aggregates {
         (col("s").cast("double") / col("n")).as("wmean"))
   }
 
+  /** Per-GROUP exact quantiles of an integer-valued column via the
+    * bounded histogram — the per-source length/score profile
+    * (p50/p90/p99 per domain) a corpus dashboard tabulates, where
+    * [[boundedQuantileThreshold]] answers the corpus-wide question.
+    * One row per group with one column per requested probability
+    * (nearest-rank, exact).
+    *
+    * Scale posture: one map-side-combined hash aggregate builds the
+    * (group, value) histogram — bounded by groups × value domain, not
+    * the corpus; the cumulative window partitions BY GROUP over that
+    * bounded frame (each partition ≤ domain-many rows), so no
+    * corpus-sized sort exists anywhere. The same bounded-domain
+    * argument as the global threshold, applied per partition.
+    */
+  def boundedGroupQuantiles(df: DataFrame, group: Column, value: Column,
+                            ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0.0 && p <= 1.0 },
+      s"probabilities out of (0,1]: $ps")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("g"), col("v"),
+      sum("c").over(w).as("cf"),
+      sum("c").over(Window.partitionBy("g")).as("n"))
+    val aggs = ps.map { case (name, p) =>
+      min(when(col("cf") >= ceil(col("n") * p), col("v"))).as(name)
+    }
+    cum.groupBy("g").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** 2-D Pareto frontier, both dimensions minimized: the points
     * (x, min y at x) not dominated by any other point (one with <= on
     * both coordinates and < on at least one). Skyline/dominance is the

@@ -2179,6 +2179,33 @@ object ExtQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
       "AS n_at_or_above FROM h ORDER BY band"))
 
+  /** [EXT] L65 per-source length profile
+    * ([[graft.ops.Aggregates.boundedGroupQuantiles]]): exact
+    * nearest-rank p50/p90/p99 token counts PER SOURCE via the bounded
+    * (group, value) histogram — the per-domain dashboard row where
+    * `q_quality_cut`/`q_weighted_median` answer corpus-wide questions.
+    * The cumulative window partitions by source over the bounded
+    * histogram, never the corpus.
+    */
+  private val qSourceLengths = Q("q_source_lengths",
+    (s, d) => graft.ops.Aggregates.boundedGroupQuantiles(
+        t(s, d, "documents"), col("source"),
+        size(split(col("text"), " ")).cast("long"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .withColumnRenamed("g", "source")
+      .orderBy("source"),
+    Some(s"WITH sc AS (SELECT source, CAST($duckNTok AS BIGINT) AS v " +
+      "FROM documents), " +
+      "h AS (SELECT source, v, count(*) AS c FROM sc GROUP BY source, v), " +
+      "cw AS (SELECT source, v, sum(c) OVER (PARTITION BY source " +
+      "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf, " +
+      "sum(c) OVER (PARTITION BY source) AS n FROM h) " +
+      "SELECT source, " +
+      "min(CASE WHEN cf >= ceil(n * CAST(0.5 AS DOUBLE)) THEN v END) AS p50, " +
+      "min(CASE WHEN cf >= ceil(n * CAST(0.9 AS DOUBLE)) THEN v END) AS p90, " +
+      "min(CASE WHEN cf >= ceil(n * CAST(0.99 AS DOUBLE)) THEN v END) AS p99 " +
+      "FROM cw GROUP BY source ORDER BY source"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2200,5 +2227,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths)
 }
