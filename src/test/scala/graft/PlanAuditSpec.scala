@@ -464,6 +464,32 @@ class PlanAuditSpec extends SparkSpec {
       "bloom membership test missing from the join")
   }
 
+  test("q_bm25: global top-k is TakeOrderedAndProject, no global sort") {
+    val p = planOf("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats must broadcast, not shuffle the corpus")
+  }
+
+  test("q_winsorize: one-row quantile band broadcasts back over the corpus") {
+    val p = planOf("q_winsorize")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_source_lengths / q_winsorize: corpus pays hash aggregates, " +
+      "the quantile window rides the bounded histogram") {
+    // the window's input must be the aggregated histogram, never the
+    // corpus: assert a HashAggregate sits below the Window in the tree
+    Seq("q_source_lengths", "q_winsorize").foreach { n =>
+      val lines = planOf(n).linesIterator.toSeq
+      val wi = lines.indexWhere(_.contains("Window"))
+      assert(wi >= 0, s"$n: no window exec")
+      assert(lines.drop(wi).exists(_.contains("HashAggregate")),
+        s"$n: window does not ride an aggregate (corpus-sized sort?)")
+    }
+  }
+
   test("pagerank power iteration is equi-joins + one hash agg, no cartesian") {
     // q_pagerank's returned frame is localCheckpoint-materialized (the
     // persist pattern), so ITS plan is an opaque scan — audit the
