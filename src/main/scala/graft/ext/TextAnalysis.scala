@@ -114,6 +114,47 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus vocabulary + token-id mapping: build the top-`vocabSize`
+    * term vocabulary (by total frequency, ties → lexicographic — a
+    * total order, so the id assignment is deterministic; ids start at
+    * 1 by frequency rank) and map every document to its ordered id
+    * sequence with OOV → 0 — the tokenize-to-ids step every training
+    * loader runs after text curation.
+    *
+    * Scale posture: term counts are the per-row kernel projection
+    * (`graft_term_counts`) aggregated once (map-combined, vocabulary-
+    * bounded); the vocabulary is a TakeOrderedAndProject (never a
+    * global sort) and BROADCASTS to the mapping join; the id sequence
+    * reassembles with one doc-keyed aggregate over (doc, position)
+    * rows. OOV handling is a left join + coalesce, not a filter — the
+    * sequence keeps its length, which packing depends on.
+    */
+  def tokenIds(docs: org.apache.spark.sql.DataFrame, text: Column,
+               id: Column, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tf = docs
+      .select(explode(graft.functions.TermFunctions.termCounts(text)).as("e"))
+      .select(col("e.term").as("term"), col("e.tf").cast("long").as("tf"))
+      .groupBy("term").agg(sum("tf").as("n"))
+    val vocab = tf
+      .orderBy(col("n").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("term")))).cast("long").as("tok_id"))
+    val toks = docs.select(id.as("doc_id"),
+        posexplode(tokens(text)).as(Seq("pos", "term")))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("tok_id"), lit(0L)).as("tid")))),
+        x => x("tid").cast("string")), ",").as("ids"),
+        count(lit(1)).as("n_tok"),
+        sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Whitespace token count + BPE-ish subword count (greedy <=4-char
     * chunks), the classic cheap token-budget estimators.
     */

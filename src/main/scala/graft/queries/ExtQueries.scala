@@ -2206,6 +2206,34 @@ object ExtQueries {
       "min(CASE WHEN cf >= ceil(n * CAST(0.99 AS DOUBLE)) THEN v END) AS p99 " +
       "FROM cw GROUP BY source ORDER BY source"))
 
+  /** [EXT] L66 vocabulary token-id mapping ([[TextAnalysis.tokenIds]]):
+    * top-1000 frequency-ranked vocabulary (ties lexicographic — total
+    * order), every doc mapped to its ordered id sequence with OOV → 0
+    * plus the OOV audit — the tokenize-to-ids step between curation
+    * and packing. Vocabulary broadcasts; ids reassemble per doc.
+    */
+  private val qTokenIds = Q("q_token_ids",
+    (s, d) => TextAnalysis.tokenIds(t(s, d, "documents"),
+        col("text"), col("doc_id"), vocabSize = 1000)
+      .orderBy("doc_id"),
+    Some("WITH tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+      "GROUP BY t), " +
+      "vocab AS (SELECT term, CAST(row_number() OVER (ORDER BY n DESC, " +
+      "term) AS BIGINT) AS tok_id FROM tf ORDER BY n DESC, term " +
+      "LIMIT 1000), " +
+      "toks AS (SELECT doc_id, i - 1 AS pos, " +
+      "string_split(text, ' ')[i] AS term FROM (SELECT doc_id, text, " +
+      "unnest(generate_series(1, len(string_split(text, ' ')))) AS i " +
+      "FROM documents)), " +
+      "j AS (SELECT doc_id, pos, coalesce(v.tok_id, 0) AS tid, " +
+      "CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov " +
+      "FROM toks t LEFT JOIN vocab v USING (term)) " +
+      "SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) " +
+      "AS ids, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY doc_id " +
+      "ORDER BY doc_id"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2227,5 +2255,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds)
 }
