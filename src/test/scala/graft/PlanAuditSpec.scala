@@ -490,6 +490,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_token_ids: vocabulary is TakeOrderedAndProject and broadcasts " +
+      "to the mapping join") {
+    val p = planOf("q_token_ids")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab selection must not be a global sort")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("pagerank power iteration is equi-joins + one hash agg, no cartesian") {
     // q_pagerank's returned frame is localCheckpoint-materialized (the
     // persist pattern), so ITS plan is an opaque scan — audit the
