@@ -2234,6 +2234,38 @@ object ExtQueries {
       "CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY doc_id " +
       "ORDER BY doc_id"))
 
+  /** [EXT] L67 dup-cluster size distribution: histogram of near-dup
+    * cluster sizes plus the doc mass per size — the FIRST QA table
+    * after any dedup run ("how much of the corpus sits in pairs vs
+    * giant boilerplate blobs"); a fat tail here says raise the
+    * threshold or cap the bucket, before survivors are even elected.
+    * Rides one contraction; the histogram aggregates the cluster
+    * table (pair-graph-sized), never the corpus.
+    */
+  private val qClusterSizes = Q("q_cluster_sizes",
+    (s, d) => {
+      val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), col("text"),
+          col("doc_id"), n = 3, threshold = 0.5))
+      clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("sz")
+    },
+    Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "clusters AS (SELECT node, min(lab) AS cluster_id FROM reach " +
+      "GROUP BY node), " +
+      "cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz " +
+      "FROM clusters GROUP BY cluster_id) " +
+      "SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters, " +
+      "CAST(sz * count(*) AS BIGINT) AS n_docs FROM cs GROUP BY sz " +
+      "ORDER BY sz"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2255,5 +2287,5 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes)
 }

@@ -87,7 +87,7 @@ object RegistrySpec {
     "q_entity_resolution", "q_train_split", "q_length_buckets",
     "q_doc_rarity", "q_session_paths",
     "q_passage_dedup", "q_bloom_decontaminate", "q_rrf_fusion", "q_bm25",
-    "q_semantic_dedup", "q_triplet_mine", "q_profile", "q_winsorize", "q_lsh_recall", "q_ann_recall", "q_dedup_sweep", "q_source_lengths", "q_token_ids",
+    "q_semantic_dedup", "q_triplet_mine", "q_profile", "q_winsorize", "q_lsh_recall", "q_ann_recall", "q_dedup_sweep", "q_source_lengths", "q_token_ids", "q_cluster_sizes",
     // round 9: skew-guarded LSH
     "q_minhash_lsh_bounded",
     // round 9: corpus mixing / quality cut / corpus stats / dup-graph QA
