@@ -10,7 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// run/runMain MUST fork: Bench calls sys.exit on a red run (the
+// exit-code gate), which on modern JDKs would kill the sbt JVM itself
+// if run in-process; forking also makes the add-opens javaOptions
+// below take effect at all. Explicit in both scopes so a future
+// config-scoped override can't silently un-fork runMain.
 run / fork := true
+Compile / run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

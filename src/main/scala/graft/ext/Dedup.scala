@@ -686,13 +686,21 @@ object Dedup {
   def dedupPassagesCorpus(docs: DataFrame, id: Column, text: Column,
                           win: Int): DataFrame = {
     val tok = graft.ext.TextHash.tokens(text)
+    // null/empty text makes size(tok) - 1 negative and the positive-
+    // step sequence() would throw; such docs carry no passages, so
+    // drop them here — the trailing left join re-attaches them with
+    // n_kept = 0 / empty clean_text like every other text operator
     val ch = docs.select(id.as("doc_id"), tok.as("tok"))
+      .where(size(col("tok")) > 0)
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), size(col("tok")) - 1, lit(win)),
           start => array_join(slice(col("tok"), start + 1, lit(win)), " "))))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         col("col").as("ptxt"))
+      // split("") yields [""] — an empty-text doc would otherwise carry
+      // one empty "passage"; drop those so it lands at n_kept = 0 too
+      .where(col("ptxt") =!= "")
     val kept = graft.ops.Windows.findFirst(
       ch.withColumn("h", md5(col("ptxt"))),
       keys = Seq(col("h")),

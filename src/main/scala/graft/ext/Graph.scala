@@ -72,6 +72,12 @@ object Graph {
       // was pure overhead inside every downstream action, and the
       // separate edge-fill count() the r10 shape also paid
       val n = deg.count()
+      // empty edge frame: no nodes to rank. Guard BEFORE building the
+      // lit(scale / n) literal (division by zero is driver-side here);
+      // eager checkpoint so the empty result outlives the unpersist
+      if (n == 0L) return deg
+        .select(col("u").as("node"), lit(0L).as("pr"))
+        .localCheckpoint()
       // base = scale ÷ n, the uniform start mass (and the teleport basis)
       var pr = deg.select(col("u"), col("deg"),
         lit(scale / n).as("base"), lit(scale / n).as("pr"))

@@ -421,6 +421,14 @@ object Similarity {
     * |anchors|-sized frames. Determinism: both elections tie-break on
     * vec_id; the margin is one IEEE subtraction of two already-pinned
     * cosines.
+    *
+    * Contract: an anchor appears in the output ONLY if the corpus
+    * holds at least one same-label candidate AND at least one
+    * different-label candidate (both elections are inner-joined into
+    * the pair-up) — an anchor whose label is unique corpus-wide, or
+    * one facing a single-label corpus, is omitted rather than emitted
+    * with a null pos/neg. Rows out ≤ anchors in, by design: a triplet
+    * loss cannot consume a one-sided pair.
     */
   def tripletMine(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),

@@ -354,6 +354,21 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((1L, "p q r s")))
   }
 
+  test("dedupPassagesCorpus: null and empty text pass through with n_kept=0") {
+    // a null text column used to make size(tokens) negative and blow up
+    // the passage sequence(); both shapes must ride the left-join
+    // re-attach path instead
+    val d = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupPassagesCorpus(d, col("doc_id"), col("text"), win = 4)
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, "a b c d")))
+    assert(out(2L) == ((0L, "")))
+    assert(out(3L) == ((0L, "")))
+  }
+
   test("triangleStats: oriented edges count each triangle exactly once") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))

@@ -47,6 +47,13 @@ class GraphSpec extends SparkSpec {
       s"edge source evaluated ${acc.value} times — persist regressed")
   }
 
+  test("pagerankFixedPoint: empty edge frame returns empty, not divide-by-zero") {
+    val none = Seq.empty[(Long, Long)].toDF("u", "v")
+    val out = Graph.pagerankFixedPoint(none, col("u"), col("v"), iters = 2)
+    assert(out.columns.toSeq == Seq("node", "pr"))
+    assert(out.count() == 0L)
+  }
+
   test("pagerank restores AQE on every exit path") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val star = (1L to 5L).map(i => (0L, i)).toDF("u", "v")
