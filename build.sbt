@@ -15,7 +15,6 @@ Test / fork := true
 // if run in-process; forking also makes the add-opens javaOptions
 // below take effect at all. Explicit in both scopes so a future
 // config-scoped override can't silently un-fork runMain.
-run / fork := true
 Compile / run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -715,4 +715,115 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+
+  /** Token-level cut decisions for OVERLAPPING-span exact-substring
+    * dedup (the Lee et al. "Deduplicating Training Data Makes Language
+    * Models Better" decision, at arbitrary offsets — the refinement of
+    * [[dedupPassagesCorpus]]'s fixed non-overlapping grid): a token is
+    * cut when some duplicated `spanLen`-token window covers it. Two
+    * election modes:
+    *  - `keepFirst = true`: the corpus-wide FIRST occurrence of each
+    *    duplicated window (order = (doc_id, off)) is ELECTED, and
+    *    tokens covered by an elected window are protected — one copy
+    *    of each duplicated span survives, later copies are cut.
+    *  - `keepFirst = false`: every occurrence of a duplicated window
+    *    is cut ("remove all copies" — the released exact-substring
+    *    tooling default). This mode is span-idempotent: re-running it
+    *    over the kept spans cuts nothing (every surviving window was
+    *    unique, and spans introduce no new windows).
+    * keepFirst is deliberately NOT strictly idempotent: protection
+    * derives from windows being duplicated NOW, so cutting the other
+    * copies can dissolve the protection a second pass would have
+    * relied on. One pass is the operator's contract.
+    *
+    * Returns (doc_id, pos, tk, cut) — one row per token, `cut` 0/1.
+    * Docs shorter than `spanLen` tokens carry no windows and are never
+    * cut, mirroring the published minimum-match-length threshold.
+    *
+    * Scale posture: the window digests are one fused codegen'd
+    * projection ([[graft.functions.HashExpressions]] ShingleHash48 —
+    * one md5 per window over the source bytes, no intermediate
+    * strings); the election is a digest-keyed hash AGGREGATE
+    * (count + min(struct(doc_id, off))) with map-side partials, so a
+    * boilerplate window duplicated a million times sends one partial
+    * row per task — no hot-digest window partition anywhere. Flags
+    * come back via one digest-keyed equi-join, coverage is two sliding
+    * maxima in ONE doc-keyed Window exec (frame = spanLen-1 preceding),
+    * and everything downstream reuses the doc_id partitioning. Cost is
+    * linear in corpus tokens plus collision mass.
+    *
+    * Determinism: the election priority (doc_id, off) is a total
+    * order; coverage and cut flags are integer arithmetic — bit-stable
+    * at any parallelism (SURVEY.md §7.5).
+    */
+  def spanCutFlags(docs: DataFrame, id: Column, text: Column,
+                   spanLen: Int, keepFirst: Boolean = true): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2: $spanLen")
+    import org.apache.spark.sql.expressions.Window
+    // (doc_id, off, dg): one 48-bit digest per sliding spanLen-token
+    // window, off 0-based
+    val w = docs
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.HashFunctions.shingleHash48(text, spanLen)))
+      .select(col("doc_id"), col("pos").cast("long").as("off"),
+        col("col").as("dg"))
+    // per-digest stats via groupBy (partial-agg, skew-safe — NOT a
+    // row_number window, which would serialize a hot digest's rows
+    // into one partition)
+    val st = w.groupBy("dg").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("off"))).as("fst"))
+    val elected = col("cnt") > 1 &&
+      col("fst.doc_id") === col("doc_id") && col("fst.off") === col("off")
+    val fl = w.join(st, "dg").select(
+      col("doc_id"), col("off"),
+      when(col("cnt") > 1 && (if (keepFirst) !elected else lit(true)),
+        lit(1)).otherwise(lit(0)).as("lose"),
+      when(if (keepFirst) elected else lit(false), lit(1))
+        .otherwise(lit(0)).as("prot"))
+    // every token position, zipped with its flags (positions past the
+    // last window start have no flag row — coalesce to 0)
+    val tp = docs
+      .select(id.as("doc_id"), posexplode(TextHash.tokens(text)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("tk"))
+    val cover = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(spanLen - 1), Window.currentRow)
+    tp.join(fl, tp("doc_id") === fl("doc_id") && col("pos") === col("off"),
+        "left")
+      .select(tp("doc_id"), col("pos"), col("tk"),
+        coalesce(col("lose"), lit(0)).as("lose"),
+        coalesce(col("prot"), lit(0)).as("prot"))
+      .select(col("doc_id"), col("pos"), col("tk"),
+        (max(col("lose")).over(cover) === 1 &&
+          max(col("prot")).over(cover) === 0).cast("int").as("cut"))
+  }
+
+  /** Overlapping-span exact-substring dedup REMOVAL over a corpus:
+    * applies [[spanCutFlags]] and reassembles each document from its
+    * surviving tokens in original order. Output: (doc_id, n_tokens,
+    * n_cut, clean_text) for EVERY input document (null-text docs pass
+    * through at zero).
+    *
+    * Scale posture: spanCutFlags' shapes plus ONE doc-keyed hash
+    * aggregate for reassembly (reuses the coverage window's doc_id
+    * partitioning) and a doc-keyed left join to re-attach degenerate
+    * docs. Reassembled text shuffles once.
+    */
+  def dedupSpansCorpus(docs: DataFrame, id: Column, text: Column,
+                       spanLen: Int, keepFirst: Boolean = true): DataFrame = {
+    val flags = spanCutFlags(docs, id, text, spanLen, keepFirst)
+    val agg = flags.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("cut")).cast("long").as("n_cut"),
+      array_join(transform(
+        array_sort(collect_list(
+          when(col("cut") === 0, struct(col("pos"), col("tk"))))),
+        x => x("tk")), " ").as("clean_text"))
+    docs.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

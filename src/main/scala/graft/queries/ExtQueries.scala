@@ -1833,6 +1833,56 @@ object ExtQueries {
       "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id " +
       "ORDER BY d.doc_id"))
 
+  /** [EXT] L61 overlapping-span exact-substring dedup
+    * ([[Dedup.dedupSpansCorpus]]): the Lee-et-al exact-substring
+    * decision at ARBITRARY offsets — any duplicated 8-token window
+    * marks its tokens for removal, the corpus-wide first occurrence is
+    * elected and protected, and documents are reassembled from the
+    * surviving tokens. The refinement of `q_passage_dedup`'s fixed
+    * non-overlapping grid: boilerplate that straddles the grid is now
+    * caught. Digest election is a skew-safe hash aggregate (never a
+    * hot-digest window); coverage is two sliding maxima in one
+    * doc-keyed Window exec.
+    */
+  private val qSpanDedup = Q("q_span_dedup",
+    (s, d) => Dedup.dedupSpansCorpus(t(s, d, "documents"),
+        col("doc_id"), col("text"), spanLen = 8)
+      .orderBy("doc_id"),
+    Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok " +
+      "FROM documents), " +
+      "st AS (SELECT doc_id, tok, " +
+      "unnest(generate_series(1, len(tok) - 7)) AS i FROM tk), " +
+      "w AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS off, " +
+      "CAST(concat('0x', substr(md5(array_to_string(tok[i:i+7], ' ')), " +
+      "1, 12)) AS BIGINT) AS dg FROM st), " +
+      "f AS (SELECT doc_id, off, " +
+      "CASE WHEN cnt > 1 AND rn > 1 THEN 1 ELSE 0 END AS lose, " +
+      "CASE WHEN cnt > 1 AND rn = 1 THEN 1 ELSE 0 END AS prot " +
+      "FROM (SELECT doc_id, off, count(*) OVER (PARTITION BY dg) AS cnt, " +
+      "row_number() OVER (PARTITION BY dg ORDER BY doc_id, off) AS rn " +
+      "FROM w)), " +
+      "tp AS (SELECT doc_id, " +
+      "unnest(generate_series(0, len(tok) - 1)) AS pos, " +
+      "unnest(tok) AS tk FROM tk), " +
+      "c AS (SELECT t.doc_id, t.pos, t.tk, " +
+      "max(coalesce(f.lose, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos " +
+      "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lc, " +
+      "max(coalesce(f.prot, 0)) OVER (PARTITION BY t.doc_id ORDER BY t.pos " +
+      "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS pc " +
+      "FROM tp t LEFT JOIN f ON t.doc_id = f.doc_id AND t.pos = f.off), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(CASE WHEN lc = 1 AND pc = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+      "AS n_cut, " +
+      "coalesce(string_agg(tk, ' ' ORDER BY pos) " +
+      "FILTER (WHERE NOT (lc = 1 AND pc = 0)), '') AS clean_text " +
+      "FROM c GROUP BY doc_id) " +
+      "SELECT d.doc_id, " +
+      "CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens, " +
+      "CAST(coalesce(a.n_cut, 0) AS BIGINT) AS n_cut, " +
+      "coalesce(a.clean_text, '') AS clean_text " +
+      "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id " +
+      "ORDER BY d.doc_id"))
+
   /** [EXT] L55 Bloom-prefiltered decontamination
     * ([[TextAnalysis.contaminatedBloom]]): the same 13-gram exact
     * decontamination decision as `q_decontaminate13`, computed through
@@ -2287,5 +2337,7 @@ object ExtQueries {
     qQualityRules, qSourceDrift, qKmeans, qKmeansInertia,
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
-    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes)
+    qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
+    // round 12: overlapping-span exact-substring dedup
+    qSpanDedup)
 }

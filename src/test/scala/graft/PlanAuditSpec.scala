@@ -603,4 +603,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q_span_dedup: digest election is a hash-style aggregate (never a " +
+      "hot-digest window), both coverage maxima fuse into ONE window exec") {
+    val p = planOf("q_span_dedup")
+    // exactly one Window exec: the doc-keyed sliding coverage pair.
+    // A second one would mean the election regressed to a row_number
+    // window over the digest key — the skewable shape this operator
+    // deliberately avoids (count+min(struct) groupBy has map-side
+    // partials; a mega-duplicated boilerplate digest stays bounded)
+    assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -106,6 +106,82 @@ class PropertiesSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("dedupSpansCorpus keepFirst: appending a copy of the corpus fully " +
+      "cuts every long copy and never cuts MORE from the originals") {
+    import graft.ext.Dedup
+    // copies come after every original in (doc_id, off) order, so no
+    // copy window is ever elected: long copies are scrubbed to nothing,
+    // short ones (< spanLen, no windows) pass untouched. In the
+    // originals, doubling turns previously-unique windows into elected
+    // duplicates — protection only GROWS, so the original cut set can
+    // only shrink (equality is not guaranteed: a new elected window can
+    // shield a token an intra-original duplicate had cut).
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(8, doc)
+    val prop = Prop.forAll(corpus) { texts =>
+      val orig = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val copies = texts.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      def flags(rows: Seq[(Long, String)]) =
+        Dedup.spanCutFlags(rows.toDF("doc_id", "text"),
+            col("doc_id"), col("text"), spanLen = 4)
+          .select("doc_id", "pos", "cut")
+          .as[(Long, Long, Int)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      val alone = flags(orig)
+      val doubled = flags(orig ++ copies)
+      val origShrinks = alone.forall { case (k, c1) => doubled(k) <= c1 }
+      val copiesCut = copies.forall { case (i, t) =>
+        val nTok = t.split(" ").length
+        val cuts = (0L until nTok.toLong).map(p => doubled((i, p)))
+        if (nTok >= 4) cuts.forall(_ == 1) else cuts.forall(_ == 0)
+      }
+      origShrinks && copiesCut
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("spanCutFlags remove-all mode is span-idempotent: re-running over " +
+      "the kept spans cuts nothing") {
+    import graft.ext.Dedup
+    // every window surviving pass 1 was corpus-unique, and spans add no
+    // new windows — so a second pass over the spans finds no duplicates
+    val word = Gen.oneOf("a", "b", "c")
+    val doc = Gen.choose(2, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(10, doc)
+    val prop = Prop.forAll(corpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val flags = Dedup.spanCutFlags(df, col("doc_id"), col("text"),
+          spanLen = 3, keepFirst = false)
+        .select("doc_id", "pos", "tk", "cut")
+        .as[(Long, Long, String, Int)].collect()
+      // maximal runs of kept tokens per doc become standalone span-docs
+      val spans = flags.groupBy(_._1).toSeq.flatMap { case (d, rows) =>
+        val toks = rows.sortBy(_._2)
+        val runs = scala.collection.mutable.ListBuffer.empty[List[String]]
+        var cur = List.empty[String]
+        toks.foreach { r =>
+          if (r._4 == 0) cur = cur :+ r._3
+          else { if (cur.nonEmpty) runs += cur; cur = Nil }
+        }
+        if (cur.nonEmpty) runs += cur
+        runs.zipWithIndex.map { case (run, j) =>
+          (d * 1000 + j, run.mkString(" ")) }
+      }
+      spans.isEmpty || {
+        val again = Dedup.spanCutFlags(spans.toDF("doc_id", "text"),
+            col("doc_id"), col("text"), spanLen = 3, keepFirst = false)
+        again.agg(sum("cut")).as[Long].head() == 0L
+      }
+    }
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedupPassagesCorpus: every distinct passage survives exactly once, " +
       "and the clean corpus is passage-dedup idempotent") {
     import graft.ext.Dedup

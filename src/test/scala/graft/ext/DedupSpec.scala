@@ -369,6 +369,41 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((0L, "")))
   }
 
+  test("dedupSpansCorpus keepFirst: later copies cut at arbitrary offsets, " +
+      "first copy protected, short docs untouched") {
+    val d = Seq(
+      (1L, "p q r s"),            // first occurrence: elected, intact
+      (2L, "x p q r s"),          // dup span at off 1 — cut despite the
+                                  // unique "x p q r" window overlapping it
+      (3L, "a a a a a"),          // self-overlap: first window protects
+                                  // tokens 0-3, token 4 is a later copy
+      (4L, "u v w")               // 3 tokens < spanLen: no windows, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansCorpus(d, col("doc_id"), col("text"),
+        spanLen = 4)
+      .select("doc_id", "n_tokens", "n_cut", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 0L, "p q r s")))
+    assert(out(2L) == ((5L, 4L, "x")))
+    assert(out(3L) == ((5L, 1L, "a a a a")))
+    assert(out(4L) == ((3L, 0L, "u v w")))
+  }
+
+  test("dedupSpansCorpus keepFirst=false removes every copy; null text at zero") {
+    val d = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpansCorpus(d, col("doc_id"), col("text"),
+        spanLen = 4, keepFirst = false)
+      .select("doc_id", "n_tokens", "n_cut", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 4L, "")))
+    assert(out(2L) == ((4L, 4L, "")))
+    assert(out(3L) == ((0L, 0L, "")))
+  }
+
   test("triangleStats: oriented edges count each triangle exactly once") {
     // K4 on {1,2,3,4} minus edge (3,4): triangles {1,2,3} and {1,2,4}
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
