@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Q
 import graft.model.Tables
-import graft.ext.{Dedup, Drift, Graph, Sampling, Similarity, TextAnalysis, TextHash}
+import graft.ext.{Dedup, Drift, Graph, Sampling, Similarity, TextAnalysis, TextHash, Urls}
 import graft.ops.Aggregates
 
 /** [EXT] LLM-training-data pipeline operators (builder-prompt north
@@ -952,6 +952,62 @@ object ExtQueries {
       "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
       "ORDER BY " + TextHash.duckBaseHash("text") + ", doc_id) AS rnk " +
       "FROM documents) WHERE rnk <= 10 ORDER BY doc_id"))
+
+  /** [EXT] URL → registrable-domain canonicalization
+    * ([[graft.ext.Urls.registrableDomain]]): the crawl-curation step
+    * BEFORE q_domain_cap / q_corpus_mix can key on a real domain.
+    * The fixture synthesizes 8 URL shapes per corpus row (scheme case,
+    * userinfo, port, deep subdomains, a 2-label ccTLD registry, a
+    * private-registry suffix, an IPv4 literal, an unknown TLD) from
+    * (doc_id, source) — both engines build the identical strings, so
+    * the oracle checks the whole parse+suffix pipeline, not the
+    * generator. Canonicalization itself is a zero-shuffle codegen'd
+    * projection; the only exchange is the per-domain count.
+    */
+  private val qUrlDomain = Q("q_url_domain",
+    (s, d) => {
+      val m = col("doc_id") % 8
+      val url = when(m === 0,
+          concat(lit("https://www."), col("source"), lit(".com/a/b?x=1")))
+        .when(m === 1,
+          concat(lit("http://blog."), col("source"), lit(".co.uk:8080/path/index.html")))
+        .when(m === 2,
+          concat(lit("https://user:pw@sub."), col("source"), lit(".org/")))
+        .when(m === 3,
+          concat(lit("https://cdn.media."), col("source"), lit(".io/file.bin")))
+        .when(m === 4,
+          concat(lit("https://"), col("source"), lit(".github.io/page#frag")))
+        .when(m === 5,
+          concat(lit("http://192.168.0."),
+            (col("doc_id") % 200 + 1).cast("string"), lit("/x")))
+        .when(m === 6,
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM.AU/Q?u=v")))
+        .otherwise(concat(lit("https://"), col("source"), lit(".dev/about")))
+      t(s, d, "documents")
+        .select(Urls.registrableDomain(url).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_docs"))
+        .orderBy("domain")
+    },
+    Some("WITH u AS (SELECT CASE doc_id % 8 " +
+      "WHEN 0 THEN 'https://www.' || source || '.com/a/b?x=1' " +
+      "WHEN 1 THEN 'http://blog.' || source || '.co.uk:8080/path/index.html' " +
+      "WHEN 2 THEN 'https://user:pw@sub.' || source || '.org/' " +
+      "WHEN 3 THEN 'https://cdn.media.' || source || '.io/file.bin' " +
+      "WHEN 4 THEN 'https://' || source || '.github.io/page#frag' " +
+      "WHEN 5 THEN 'http://192.168.0.' || CAST(doc_id % 200 + 1 AS VARCHAR) || '/x' " +
+      "WHEN 6 THEN 'HTTPS://WWW.' || upper(source) || '.COM.AU/Q?u=v' " +
+      "ELSE 'https://' || source || '.dev/about' END AS url FROM documents), " +
+      "h AS (SELECT nullif(regexp_replace(lower(regexp_extract(url, " +
+      "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)), '\\.$', ''), '') " +
+      "AS host FROM u), " +
+      "s AS (SELECT host, string_split(host, '.') AS ls FROM h) " +
+      "SELECT CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$') THEN host " +
+      "WHEN len(ls) >= 3 AND array_to_string(ls[-2:], '.') IN (" +
+      Urls.TwoLabelSuffixes.map(x => s"'$x'").mkString(", ") +
+      ") THEN array_to_string(ls[-3:], '.') " +
+      "WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.') " +
+      "ELSE host END AS domain, count(*) AS n_docs " +
+      "FROM s GROUP BY 1 ORDER BY domain"))
 
   /** L24 inverted index build: token -> document frequency + sorted
     * posting list, with a stop-word cap (df <= 78% of the corpus — a
@@ -2338,6 +2394,6 @@ object ExtQueries {
     qClusterCanonical, qHardNegatives,
     qTrainSplit, qLengthBuckets, qDocRarity,
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
-    // round 12: overlapping-span exact-substring dedup
-    qSpanDedup)
+    // round 12: overlapping-span exact-substring dedup + URL domains
+    qSpanDedup, qUrlDomain)
 }

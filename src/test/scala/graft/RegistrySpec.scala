@@ -103,6 +103,6 @@ object RegistrySpec {
     "q_gaps", "q_weighted_median", "q_temperature_mix", "q_shard_assign",
     "q_quality_rules", "q_source_drift", "q_kmeans", "q_kmeans_inertia",
     "q_cluster_canonical", "q_hard_negatives",
-    // round 12: overlapping-span exact-substring dedup
-    "q_span_dedup")
+    // round 12: overlapping-span exact-substring dedup + URL domains
+    "q_span_dedup", "q_url_domain")
 }
