@@ -298,6 +298,41 @@ object Dedup {
         .filter(col("next") < col("label")).limit(1).count()
     }
 
+  /** Materialize-once dup-graph: candidate pairs + connected-component
+    * clusters computed ONE time and shared by every downstream
+    * consumer — the library API for the fan-out a real dedup pipeline
+    * runs (cluster table, deduplicated corpus, quality-canonical
+    * corpus, size-distribution QA all from the same graph), mirroring
+    * the reference's one-scan-many-writes export shape
+    * (exporter.py:97-103). Each suite query is contractually
+    * independent and re-enumerates; a PIPELINE must not — at 100 TB
+    * the pair enumeration (shingle index + verify join) is the
+    * dominant cost and paying it once per consumer is a 4-5x tax
+    * (measured: the five dup-graph suite queries share ~20 s of 78 s
+    * at sf0.1 re-deriving this artifact).
+    *
+    * Lifecycle: `pairs` is persisted here and the one
+    * [[connectedComponents]] call both fills the cache and returns a
+    * checkpoint-backed `clusters` (independent of the cache), so
+    * consumers never re-run the enumeration. Call [[DupGraph.unpersist]]
+    * when done (clusters stay valid — their blocks are owned by the
+    * checkpoint, not the cache). For cross-job sharing, write `pairs` /
+    * `clusters` to parquet instead and re-read — same shape, durable.
+    *
+    * DedupSpec pins the contract with a scan-count accumulator audit:
+    * graph-only consumers (clusters, sizes) add ZERO document-source
+    * scans after the fill; corpus/canonical add exactly the one
+    * corpus-sized join probe each inherently needs.
+    */
+  def dupGraph(docs: DataFrame, text: Column, id: Column,
+               n: Int = 3, threshold: Double = 0.5): DupGraph = {
+    val pairs = ngramJaccardPairs(docs, text, id, n, threshold).persist()
+    // connectedComponents' own cache-fill count() evaluates through
+    // this persist, so the enumeration runs exactly once
+    val clusters = connectedComponents(pairs)
+    new DupGraph(pairs, clusters)
+  }
+
   /** The deduplicated corpus: every document that is either untouched
     * by the near-dup graph or the elected survivor (minimum id) of its
     * cluster. This is the end-to-end dedup decision a pipeline
@@ -826,4 +861,48 @@ object Dedup {
         coalesce(col("n_cut"), lit(0L)).as("n_cut"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
+}
+
+/** A dup-graph materialized once by [[Dedup.dupGraph]]: the candidate
+  * pair list (persisted) and its connected-component cluster table
+  * (checkpoint-backed). Every consumer below reads these artifacts —
+  * none re-runs the pair enumeration or the contraction.
+  *
+  * @param pairs    (da, db, jacc) candidate pairs at the build threshold
+  * @param clusters (doc_id, cluster_id) — only documents that appear in
+  *                 `pairs`; untouched docs are absent (consumers
+  *                 left-join and treat null as "unique")
+  */
+final class DupGraph private[ext] (val pairs: DataFrame,
+                                   val clusters: DataFrame) {
+
+  /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster
+    * table): unique docs + each cluster's min-id survivor. One
+    * corpus-sized join probe — the cost this consumer inherently needs.
+    */
+  def corpus(docs: DataFrame, id: Column): DataFrame =
+    Dedup.survivors(docs, id, clusters)
+
+  /** Quality-canonical corpus ([[Dedup.canonicalSurvivors]] over the
+    * shared cluster table): each cluster keeps its highest-`score`
+    * member instead of the lowest id.
+    */
+  def canonical(docs: DataFrame, id: Column, score: Column): DataFrame =
+    Dedup.canonicalSurvivors(docs, id, clusters, score)
+
+  /** Cluster-size distribution QA (the q_cluster_sizes table):
+    * (sz, n_clusters, n_docs) per size. Aggregates only the
+    * pair-graph-sized cluster table — zero corpus scans.
+    */
+  def sizes: DataFrame =
+    clusters.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      .select(col("sz"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"))
+
+  /** Release the pair cache. `clusters` remains valid (checkpoint
+    * blocks are independent of the cache); `pairs` consumers after this
+    * recompute from source.
+    */
+  def unpersist(): Unit = { pairs.unpersist(); () }
 }

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.model.Tables
+
+/** One-enumeration dup-graph fan-out ([[graft.ext.Dedup.dupGraph]]):
+  * builds the pair graph + clusters ONCE, then writes the four
+  * consumer tables (clusters, dedup corpus, quality-canonical corpus,
+  * size-distribution QA) — the pipeline shape the independent suite
+  * queries deliberately do not share (each re-enumerates by contract;
+  * the library API is how a real run avoids paying enumeration
+  * per consumer). Mirrors the reference's one-scan-many-writes export
+  * fan-out (exporter.py:97-103).
+  *
+  * Prints build time vs per-consumer time: consumers are cluster-table
+  * joins/aggregates, each a small fraction of the one-time build.
+  *
+  * Usage: DupGraphDemo [sfDir] [outRoot]
+  */
+object DupGraphDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft-dupgraph-demo"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[dup-graph] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val g = timed("build (once)") {
+      val g0 = Dedup.dupGraph(docs, col("text"), col("doc_id"))
+      g0.clusters.count() // clusters are checkpoint-backed after this
+      g0
+    }
+    try {
+      timed("clusters") {
+        g.clusters.orderBy("doc_id")
+          .write.mode("overwrite").parquet(s"$out/clusters")
+      }
+      timed("corpus") {
+        g.corpus(docs, col("doc_id")).orderBy("doc_id")
+          .write.mode("overwrite").parquet(s"$out/corpus")
+      }
+      timed("canonical") {
+        g.canonical(docs, col("doc_id"),
+            TextAnalysis.qualityBps(col("text"))).orderBy("doc_id")
+          .write.mode("overwrite").parquet(s"$out/canonical")
+      }
+      timed("sizes") {
+        g.sizes.orderBy("sz")
+          .write.mode("overwrite").parquet(s"$out/sizes")
+      }
+    } finally g.unpersist()
+    println(s"[dup-graph] 4 consumer tables under $out from ONE enumeration")
+    spark.stop()
+  }
+}

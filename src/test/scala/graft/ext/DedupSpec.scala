@@ -416,4 +416,55 @@ class DedupSpec extends SparkSpec {
     val r2 = Dedup.triangleStats(path, col("u"), col("v")).collect().head
     assert(r2.getLong(0) == 0L && r2.getLong(1) == 3L)
   }
+
+  test("dupGraph: four consumers, one pair enumeration (scan-count audited)") {
+    // accumulator-instrumented corpus source, GraphSpec-style: every
+    // partition evaluation bumps the counter, so acc = source scans x
+    // partitions (1 partition here). The enumeration's self-join +
+    // contraction fill may read the source a small constant number of
+    // times; the audit pins that AFTER the build, graph-only consumers
+    // (clusters, sizes) add ZERO further scans and corpus/canonical add
+    // exactly the ONE probe each inherently needs.
+    val acc = spark.sparkContext.longAccumulator("docs-source-evals")
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over a lazy cat"),
+      (4L, "completely different text with no overlap at all"),
+      (5L, "another unrelated document about spark plans"))
+      .toDF("doc_id", "text").coalesce(1)
+      .as[(Long, String)].mapPartitions { it => acc.add(1); it }
+      .toDF("doc_id", "text")
+    val g = Dedup.dupGraph(base, col("text"), col("doc_id"))
+    val fillScans = acc.value
+    try {
+      // graph-only consumers: zero additional source scans
+      val clusters = g.clusters.as[(Long, Long)].collect().toMap
+      val sizes = g.sizes.as[(Long, Long, Long)].collect().toSet
+      assert(acc.value == fillScans,
+        s"graph-only consumers re-scanned the corpus (${acc.value - fillScans} extra)")
+      // corpus + canonical: one probe scan each
+      val corpus = g.corpus(base, col("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      val canon = g.canonical(base, col("doc_id"), length(col("text")))
+        .select("doc_id").as[Long].collect().toSet
+      assert(acc.value <= fillScans + 2,
+        s"corpus/canonical consumers cost ${acc.value - fillScans} scans (expected <= 2)")
+      // results identical to the per-query (re-enumerating) formulations
+      // (1-2 exact dup clusters; 3 at jacc ~0.4 < 0.5 stays unique)
+      assert(clusters == Map(1L -> 1L, 2L -> 1L))
+      assert(sizes == Set((2L, 1L, 2L)))
+      assert(corpus == Set(1L, 3L, 4L, 5L))
+      assert(canon == Set(1L, 3L, 4L, 5L)) // equal lengths tie -> min id
+    } finally g.unpersist()
+  }
+
+  test("dupGraph: clusters survive unpersist; consumers agree with direct ops") {
+    val g = Dedup.dupGraph(docs, col("text"), col("doc_id"))
+    val direct = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        n = 3, threshold = 0.5)).as[(Long, Long)].collect().toSet
+    g.unpersist() // clusters are checkpoint-backed, not cache-backed
+    assert(g.clusters.as[(Long, Long)].collect().toSet == direct)
+  }
 }
