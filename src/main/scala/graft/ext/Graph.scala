@@ -78,14 +78,27 @@ object Graph {
       if (n == 0L) return deg
         .select(col("u").as("node"), lit(0L).as("pr"))
         .localCheckpoint()
-      // base = scale ÷ n, the uniform start mass (and the teleport basis)
-      var pr = deg.select(col("u"), col("deg"),
-        lit(scale / n).as("base"), lit(scale / n).as("pr"))
-      (1 to iters).foreach { i =>
-        pr = prStep(sym, pr)
-        if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
-      }
-      pr.select(col("u").as("node"), col("pr"))
+      // Iterations + checkpoints run with AQE scoped OFF (restored in
+      // finally), the connectedComponents discipline: with AQE on,
+      // every localCheckpoint materialization splinters into one job
+      // PER STAGE (join + agg + join per iteration pair), and at toy
+      // scale that per-job scheduling overhead IS the query's residual
+      // cost. The caches are already filled (the count() above ran
+      // under the caller's AQE), so nothing here needs runtime
+      // re-planning: inputs are cached frames with known sizes.
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prevAqe = spark.conf.get(aqeKey, "true")
+      spark.conf.set(aqeKey, "false")
+      try {
+        // base = scale ÷ n, the uniform start mass (and teleport basis)
+        var pr = deg.select(col("u"), col("deg"),
+          lit(scale / n).as("base"), lit(scale / n).as("pr"))
+        (1 to iters).foreach { i =>
+          pr = prStep(sym, pr)
+          if (i % 2 == 0 || i == iters) pr = pr.localCheckpoint()
+        }
+        pr.select(col("u").as("node"), col("pr"))
+      } finally spark.conf.set(aqeKey, prevAqe)
     } finally {
       // unpersist on every exit path (idempotent): the returned frame
       // is checkpointed, so it no longer reads the cached edges or
