@@ -336,4 +336,72 @@ class EtlPipelineSpec extends SparkSpec {
     // fragment stripped from the target
     assert(Files.readSymbolicLink(a2).toString == "/data/src/a2.fits")
   }
+
+  test("staged-promote crash safety: mid-stage failure leaves the target intact; re-run completes") {
+    // The documented weaker-than-ACID guarantee (Import.scala staging
+    // contract) exercised for real: a failure AFTER several staging
+    // writes but BEFORE promote must leave the previously-imported
+    // target untouched, and a corrected re-run must complete
+    // idempotently over the leftover staging dir. The injected crash
+    // is genuine, not a test seam — the datastore path mapper's
+    // absolute-path guard (mappedPath raise_error, mirroring
+    // import_dp1.py:92-97) fires inside the LAST staging write, after
+    // dimensions/datasets/associations are already staged.
+    val exportDir = mkTmp("graft-crash-export")
+    val targetDir = mkTmp("graft-crash-target")
+    val refs = Seq(("id-a", "runs/v1", "runs/v1", 10),
+      ("id-b", "runs/v1", "runs/v1", 20)).toDF("dataset_id", "run", "collection", "visit")
+    val visits = Seq((10, "r"), (20, "g")).toDF("visit", "band")
+    val datastore = Seq(("main", 0, "id-a", "s3://bucket/a.fits"),
+      ("main", 0, "id-b", "s3://bucket/b.fits"))
+      .toDF("datastore_name", "priority", "dataset_id", "path")
+    Export.run(exportDir,
+      types = Seq(Export.DatasetTypeInput("raw", "Exp", refs, Seq("visit"),
+        findFirst = true)),
+      dimensions = Seq(Export.DimensionInput("visit", visits, Seq("visit"))),
+      datastore = datastore,
+      collections = Seq(
+        CollectionExport("root", "CHAINED", Seq("runs/v1")),
+        CollectionExport("runs/v1", "TAGGED", Nil)),
+      rootCollection = "root")
+    val dimKeys = Map("visit" -> Seq("visit"))
+    val dimDeps = Map("visit" -> Seq.empty[String])
+    val goodRemap = Seq("s3://bucket/" -> "local/")
+
+    // successful first import establishes the "previous target" state
+    Import.run(spark, exportDir, targetDir, Seq("raw"), dimKeys, dimDeps,
+      pathRemap = goodRemap)
+    def targetState() = (
+      spark.read.parquet(s"$targetDir/datasets/raw")
+        .select("dataset_id").as[String].collect().toSet,
+      spark.read.parquet(s"$targetDir/dimensions/visit").count(),
+      spark.read.parquet(s"$targetDir/datastore").count())
+    val before = targetState()
+    assert(before._1 == Set("id-a", "id-b"))
+
+    // crash: the remap rules miss the s3 prefix, so paths stay
+    // absolute and the guard throws mid-staging (before promote)
+    val e = intercept[Exception] {
+      Import.run(spark, exportDir, targetDir, Seq("raw"), dimKeys, dimDeps,
+        pathRemap = Seq("file://" -> "never/"))
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("Unhandled absolute path"),
+      s"unexpected failure: $messages")
+    // previous target state is untouched — promote never ran
+    assert(targetState() == before)
+    // the crash leaves an inert staging dir behind (never promoted)
+    assert(Files.exists(Paths.get(s"$targetDir/.staging")))
+
+    // corrected re-run completes idempotently over the leftover staging:
+    // dimension inserts drop to zero (anti-join skip-existing), staging
+    // is promoted and removed
+    val again = Import.run(spark, exportDir, targetDir, Seq("raw"),
+      dimKeys, dimDeps, pathRemap = goodRemap)
+    assert(again.dimensionsInserted == Map("visit" -> 0L))
+    assert(!Files.exists(Paths.get(s"$targetDir/.staging")))
+    assert(targetState() == before)
+  }
 }
