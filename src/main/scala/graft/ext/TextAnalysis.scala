@@ -129,6 +129,25 @@ object TextAnalysis {
     * rows. OOV handling is a left join + coalesce, not a filter — the
     * sequence keeps its length, which packing depends on.
     */
+  /** Greedy wordpiece subword encode
+    * ([[graft.functions.WordpieceKernels]]): per-doc segmented text +
+    * whole-word and wordpiece token counts. Whole-word mapping
+    * ([[tokenIds]]) under-counts the sequence length a subword
+    * tokenizer produces; packing and token-budget decisions need the
+    * SUBWORD count. Zero shuffle — one codegen'd kernel projection per
+    * row; the static vocabulary lives in the kernel (a trained
+    * deployment loads its table into the same structure), so unlike
+    * tokenIds there is no vocabulary join at all.
+    */
+  def wordpiece(docs: org.apache.spark.sql.DataFrame, text: Column,
+                id: Column): org.apache.spark.sql.DataFrame =
+    docs.select(id.as("doc_id"),
+        size(tokens(text)).cast("long").as("n_tok"),
+        graft.functions.WordpieceFunctions.wordpiece(text).as("wp_text"))
+      .select(col("doc_id"), col("n_tok"),
+        size(tokens(col("wp_text"))).cast("long").as("n_wp"),
+        col("wp_text"))
+
   def tokenIds(docs: org.apache.spark.sql.DataFrame, text: Column,
                id: Column, vocabSize: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast

@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_approx_quantiles",
       "mergeable log-histogram quantile estimates (probs as array literal arg 2)",
       args => ApproxQuantiles(args(0), expectDoubleArray(args(1), "probs")))
+    register(ext, "graft_wordpiece",
+      "greedy longest-prefix wordpiece segmentation (pieces space-joined)",
+      args => WordpieceSegment(args(0)))
     register(ext, "graft_zorder",
       "Morton z-order interleave of 2 or 3 normalized BIGINT dimensions",
       args => args match {

@@ -2340,6 +2340,50 @@ object ExtQueries {
       "CAST(sum(oov) AS BIGINT) AS n_oov FROM j GROUP BY doc_id " +
       "ORDER BY doc_id"))
 
+  /** DuckDB fragment: the greedy wordpiece step length at position
+    * `pos` of word `w` — generated from the SAME vocabulary Seq the
+    * Spark kernel uses (one source of truth), longest length first,
+    * single char as the ELSE fallback.
+    */
+  private def duckWpStep: String = {
+    val byLen = graft.functions.WordpieceVocab.Pieces
+      .groupBy(_.length).toSeq.sortBy(-_._1)
+    "CASE " + byLen.map { case (l, ps) =>
+      s"WHEN substr(w,pos+1,$l) IN (${ps.sorted.map(p => s"'$p'").mkString(",")}) THEN $l"
+    }.mkString(" ") + " ELSE 1 END"
+  }
+
+  /** [EXT] Greedy wordpiece subword encode
+    * ([[graft.ext.TextAnalysis.wordpiece]]): per-doc segmented pieces
+    * + whole-word vs subword token counts — the SUBWORD count is what
+    * sequence packing and token budgets actually consume (q_token_ids'
+    * whole-word mapping under-counts it). Spark runs one codegen'd
+    * kernel projection (zero shuffle, no vocabulary join); the oracle
+    * replays the greedy longest-prefix automaton as a recursive CTE
+    * over the DISTINCT words (word-domain-sized, not corpus-sized)
+    * with the step CASE generated from the same vocabulary constant.
+    */
+  private val qWordpiece = Q("q_wordpiece",
+    (s, d) => TextAnalysis.wordpiece(
+        t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH RECURSIVE words AS (SELECT DISTINCT " +
+      "unnest(string_split(text, ' ')) AS w FROM documents), " +
+      "seg(w, pos, ps) AS (SELECT w, 0, '' FROM words " +
+      "UNION ALL SELECT w, pos + s, CASE WHEN ps = '' THEN " +
+      "substr(w, pos+1, s) ELSE ps || ' ' || substr(w, pos+1, s) END " +
+      "FROM (SELECT w, pos, ps, " + duckWpStep + " AS s FROM seg " +
+      "WHERE pos < len(w)) q), " +
+      "wseg AS (SELECT w, ps FROM seg WHERE pos = len(w)), " +
+      "toks AS (SELECT doc_id, i-1 AS pos, string_split(text,' ')[i] AS w " +
+      "FROM (SELECT doc_id, text, unnest(generate_series(1, " +
+      "len(string_split(text,' ')))) AS i FROM documents)), " +
+      "j AS (SELECT doc_id, pos, ps FROM toks JOIN wseg USING (w)), " +
+      "o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "string_agg(ps, ' ' ORDER BY pos) AS wp_text FROM j GROUP BY doc_id) " +
+      "SELECT doc_id, n_tok, CAST(len(string_split(wp_text,' ')) AS BIGINT) " +
+      "AS n_wp, wp_text FROM o ORDER BY doc_id"))
+
   /** [EXT] L67 dup-cluster size distribution: histogram of near-dup
     * cluster sizes plus the doc mass per size — the FIRST QA table
     * after any dedup run ("how much of the corpus sits in pairs vs
@@ -2395,5 +2439,5 @@ object ExtQueries {
     qTrainSplit, qLengthBuckets, qDocRarity,
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
     // round 12: overlapping-span exact-substring dedup + URL domains
-    qSpanDedup, qUrlDomain)
+    qSpanDedup, qUrlDomain, qWordpiece)
 }

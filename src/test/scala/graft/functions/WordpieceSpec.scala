@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seg(s: String): String =
+    WordpieceKernels.segment(UTF8String.fromString(s)).toString
+
+  test("greedy longest-prefix segmentation: pinned corpus words") {
+    assert(seg("window") == "wind ow")     // wind(4) beats win-less vocab
+    assert(seg("table") == "tab le")
+    assert(seg("customer") == "custom er") // 6-char piece wins over cust…
+    assert(seg("stream") == "str eam")
+    assert(seg("query") == "qu ery")
+    assert(seg("spark") == "spark")        // whole-word piece
+    assert(seg("the") == "the")
+    assert(seg("a") == "a")                // single-char fallback
+    assert(seg("zzz") == "z z z")          // fully out-of-vocab word
+  }
+
+  test("multi-word text: word boundaries never crossed; counts add up") {
+    assert(seg("the fast window") == "the fast wind ow")
+    // 'windowthe' as ONE word segments differently than across a space
+    assert(seg("windowthe") == "wind ow the")
+    assert(seg("") == "")
+  }
+
+  test("property: pieces concatenate back to the word; every multi-char piece is in vocab") {
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val prop = Prop.forAll(word) { w =>
+      val pieces = seg(w).split(" ").toSeq
+      // greedy first step: the LONGEST vocab prefix of the word wins
+      val longest = (math.min(WordpieceVocab.MaxLen, w.length) to 2 by -1)
+        .find(l => WordpieceVocab.Pieces.contains(w.take(l)))
+      pieces.mkString == w &&
+        pieces.forall(p => p.length == 1 || WordpieceVocab.Pieces.contains(p)) &&
+        longest.forall(l => pieces.head.length == l)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("wordpiece operator: subword count >= word count; null-safe") {
+    val docs = Seq((1L, "the fast window table"), (2L, "spark"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.wordpiece(docs, col("text"), col("doc_id"))
+      .as[(Long, Option[Long], Option[Long], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Some(4L), Some(6L), Some("the fast wind ow tab le"))))
+    assert(out(2L) == ((Some(1L), Some(1L), Some("spark"))))
+    assert(out(3L) == ((None, None, None))) // null text passes through
+  }
+
+  test("Column API matches the kernel directly") {
+    val viaColumn = Seq("customer query").toDF("t")
+      .select(WordpieceFunctions.wordpiece(col("t")))
+      .as[String].head()
+    assert(viaColumn == "custom er qu ery")
+  }
+}
