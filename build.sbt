@@ -9,6 +9,17 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// No "[success] Total time: ..." epilogue: the round driver parses the
+// LAST stdout line of `sbt "runMain graft.Bench"` as the bench JSON
+// record, and sbt's success banner printed after the forked JVM exits
+// made that parse fail every round. Errors still print (and Bench
+// exits nonzero on a red run), so nothing diagnostic is lost.
+Global / showSuccess := false
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every program line with "[info] ", which breaks
+// the driver's strict JSON parse of the bench total line even with the
+// success banner gone.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Test / fork := true
 // run/runMain MUST fork: Bench calls sys.exit on a red run (the
 // exit-code gate), which on modern JDKs would kill the sbt JVM itself
