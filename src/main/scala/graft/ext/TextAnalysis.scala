@@ -129,6 +129,58 @@ object TextAnalysis {
     * rows. OOV handling is a left join + coalesce, not a filter — the
     * sequence keeps its length, which packing depends on.
     */
+  /** Unigram-LM cross-entropy scoring (the CCNet-shape quality
+    * signal): train a unigram language model on the corpus itself
+    * (term frequency / total tokens), then score every document by its
+    * per-token cross-entropy in bits — low = typical prose, high =
+    * rare-token noise (gibberish, boilerplate codes, wrong-language
+    * fragments). The published pipeline ranks a crawl by LM perplexity
+    * and keeps the head/middle; per-token bits is the log2 of that
+    * perplexity, monotone-equivalent and cheaper to compare.
+    *
+    * Determinism: per-term costs are quantized to integer MICRO-BITS
+    * (round(-log2(p)·1e6)) so every cross-row sum is exact BIGINT —
+    * a raw double sum is shuffle-order-dependent — and the per-doc
+    * mean stays integer via floor division (a double mean rounded to
+    * 4 decimals flipped on a representation boundary at sf0.1; an
+    * integer cannot). The log itself is evaluated on identical doubles
+    * both engines; a last-ulp divergence would need to land within
+    * ~1e-15 of the micro-bit rounding boundary to matter.
+    *
+    * Scale posture: the honest two-pass shape — pass 1 aggregates the
+    * vocabulary-sized LM table (map-side partial counts), pass 2
+    * re-scans the corpus and joins the BROADCAST LM (never a corpus
+    * shuffle-join); per-doc aggregation rides the term-counts kernel
+    * (distinct-term rows, not token rows). A 100 TB run materializes
+    * the LM table once and feeds both passes; here the plan keeps the
+    * two scans explicit for per-query independence.
+    */
+  def unigramCrossEntropy(docs: DataFrame, text: Column,
+                          id: Column): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.functions.TermFunctions
+    val dt = docs
+      .select(id.as("doc_id"), explode(TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"))
+    val tf = dt.groupBy("term").agg(sum("tf").as("n"))
+    val tot = tf.agg(sum("n").as("nn"))
+    val lm = tf.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(-log(2.0, col("n").cast("double") / col("nn")) * 1e6)
+          .cast("long").as("cost"))
+    dt.join(broadcast(lm), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("cost")).as("cost"), sum("tf").as("n_tok"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        // per-token mean kept in exact micro-bits (floor division):
+        // a double mean rounded to 4 decimals flips on representation
+        // boundaries between engines (observed at sf0.1); an integer
+        // never does. bits = bits_micro / 1e6 when a float readout is
+        // wanted downstream.
+        expr("CAST(cost DIV n_tok AS BIGINT)").as("bits_micro"))
+  }
+
   /** Greedy wordpiece subword encode
     * ([[graft.functions.WordpieceKernels]]): per-doc segmented text +
     * whole-word and wordpiece token counts. Whole-word mapping

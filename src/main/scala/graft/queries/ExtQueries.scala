@@ -2384,6 +2384,36 @@ object ExtQueries {
       "SELECT doc_id, n_tok, CAST(len(string_split(wp_text,' ')) AS BIGINT) " +
       "AS n_wp, wp_text FROM o ORDER BY doc_id"))
 
+  /** [EXT] Unigram-LM cross-entropy quality signal
+    * ([[graft.ext.TextAnalysis.unigramCrossEntropy]]): per-doc
+    * per-token bits under a corpus-trained unigram LM — the
+    * CCNet-shape perplexity ranking that keeps typical prose and
+    * surfaces rare-token noise. Costs quantized to integer micro-bits
+    * so every cross-row sum AND the per-doc mean (floor division) are
+    * exact BIGINT (shuffle-order-safe, no float rounding boundary);
+    * the LM table is vocabulary-sized and broadcast back, never a
+    * corpus shuffle-join. The oracle trains the identical LM and
+    * replays the same integer quantization.
+    */
+  private val qUnigramLm = Q("q_unigram_lm",
+    (s, d) => TextAnalysis.unigramCrossEntropy(
+        t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+      "GROUP BY t), " +
+      "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM tf), " +
+      "lm AS (SELECT term, CAST(round(-(ln(CAST(n AS DOUBLE) / nn) / ln(2.0)) " +
+      "* 1000000) AS BIGINT) AS cost FROM tf, tot), " +
+      "dt AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
+      "FROM documents) GROUP BY 1, 2), " +
+      "c AS (SELECT doc_id, CAST(sum(dt.tf * lm.cost) AS BIGINT) AS cost, " +
+      "CAST(sum(dt.tf) AS BIGINT) AS n_tok FROM dt JOIN lm USING (term) " +
+      "GROUP BY doc_id) " +
+      "SELECT doc_id, n_tok, CAST(cost // n_tok AS BIGINT) AS bits_micro " +
+      "FROM c ORDER BY doc_id"))
+
   /** [EXT] L67 dup-cluster size distribution: histogram of near-dup
     * cluster sizes plus the doc mass per size — the FIRST QA table
     * after any dedup run ("how much of the corpus sits in pairs vs
@@ -2439,5 +2469,5 @@ object ExtQueries {
     qTrainSplit, qLengthBuckets, qDocRarity,
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
     // round 12: overlapping-span exact-substring dedup + URL domains
-    qSpanDedup, qUrlDomain, qWordpiece)
+    qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm)
 }

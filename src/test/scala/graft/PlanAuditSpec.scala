@@ -615,4 +615,29 @@ class PlanAuditSpec extends SparkSpec {
     assert("(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(p).size == 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_url_domain: canonicalization is projection-only — the sole " +
+      "exchange is the per-domain count, no join for the suffix table") {
+    val p = planOf("q_url_domain")
+    assert(!p.contains("Join"), "suffix table must fold into the expression tree: " + p)
+    assert(!p.contains("Window"), p)
+    // partial+final aggregate around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_wordpiece: one codegen'd kernel projection, no join/aggregate/window") {
+    val p = planOf("q_wordpiece")
+    assert(p.contains("graft_wordpiece") || p.contains("WordpieceSegment"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(!p.contains("HashAggregate"), "vocabulary must not become a join/agg: " + p)
+  }
+
+  test("q_unigram_lm: LM table broadcasts back over the corpus, never a " +
+      "corpus shuffle-join") {
+    val p = planOf("q_unigram_lm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // 1-row total attaches by broadcast
+  }
 }

@@ -95,4 +95,25 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got == exact, s"bloomBits=$bits diverged from exact")
     }
   }
+
+  test("unigramCrossEntropy: rare-token docs score more bits than typical docs") {
+    import org.apache.spark.sql.functions.col
+    // 'the' dominates the corpus; doc 4 is all rare singletons
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the the cat sat"),
+      (3L, "the cat sat mat"),
+      (4L, "qux zil vop wug")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramCrossEntropy(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) < got(2L) && got(2L) < got(3L) && got(3L) < got(4L),
+      s"monotone rarity ordering violated: $got")
+    // all-singleton doc: every token has p = 1/16 -> exactly 4e6 micro-bits
+    assert(got(4L) == 4000000L)
+    // counts: 4 tokens per doc
+    val nTok = TextAnalysis.unigramCrossEntropy(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().map(_._2).toSet
+    assert(nTok == Set(4L))
+  }
 }
