@@ -474,4 +474,85 @@ object TextAnalysis {
         round(col("cab").cast("double") * col("n") / (col("c1") * col("c2")), 4)
           .as("pmi_lin"))
   }
+
+  /** Corpus n-gram novelty by ingest order: per document, the fraction
+    * of its DISTINCT word n-gram shingles whose first corpus
+    * occurrence (minimum doc_id) is this document. The standard
+    * redundancy dashboard for an append-ordered crawl — a falling
+    * novelty curve says later snapshots mostly repeat earlier ones and
+    * dedup should gate ingest; a per-source average locates the
+    * boilerplate emitter. Ratio reported in exact integer basis
+    * points (floor(n_novel·10000/n_shingles)) — bit-stable on any
+    * engine; n_novel·10⁴ ≪ 2⁵³ so the IEEE division is exact before
+    * the floor.
+    *
+    * Contract: documents with fewer than `n` tokens have no shingles
+    * and are omitted (novelty of an empty set is undefined, not 0).
+    *
+    * Scale posture: one exchange on the shingle (the window min and
+    * the per-shingle first-doc election share it), one bounded
+    * per-doc aggregate — both row-linear in total shingle mass; no
+    * join against a materialized index, no driver state. At 100 TB
+    * the shingle exchange is the same cost class as the n-gram
+    * Jaccard index this pipeline already pays for.
+    */
+  def noveltyRate(docs: DataFrame, text: Column, id: Column,
+                  n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs.select(id.as("doc_id"),
+      explode(array_distinct(shingles(tokens(text), n))).as("sh"))
+    ex.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("sh")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        floor(col("n_novel") * lit(10000L) / col("n_shingles"))
+          .cast("long").as("novelty_bps"))
+  }
+
+  /** Linear quality-classifier margin (fastText/CCNet filtering
+    * shape): a fixed-weight linear model over four surface features —
+    * length credit, function-word density, bigram repetition mass,
+    * and mean-word-length deviation — emitting the raw margin and the
+    * keep/drop decision. This is the deployment half of the classic
+    * quality-classifier filter; a trained deployment swaps the weight
+    * constants, the plan is identical. Every feature and the margin
+    * are exact BIGINT basis points (multiply-before-divide, floor
+    * division), so the keep/drop boundary cannot flip between engines
+    * the way a double sigmoid threshold can — the margin is monotone
+    * in the logistic score, so thresholding it IS thresholding the
+    * probability.
+    *
+    * Features (all per-row, zero shuffle):
+    *   len_bps  = min(5000, 25·n_tok)            — length credit
+    *   stop_bps = min(5000, ⌊stop·50000/n_tok⌋)  — function-word credit
+    *   rep_bps  = 10000 − ⌊distinct₂·10000/total₂⌋ — repetition penalty
+    *   wdev_mil = ⌊|10·chars − 45·n_tok|·100/n_tok⌋ — word-length dev
+    * margin = 2·len_bps + 3·stop_bps − 4·rep_bps − wdev_mil − bias
+    */
+  def qualityLogit(text: Column, bias: Long = 8000L)
+      : (Column, Column) = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("long")
+    val stop = size(filter(tok,
+      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
+    val lenBps = least(lit(5000L), nTok * 25)
+    val stopBps = least(lit(5000L),
+      floor(stop * lit(50000L) / nTok).cast("long"))
+    val grams = graft.functions.TermFunctions.stringShingles(text, 2)
+    val total = size(grams).cast("long")
+    val dist = size(array_distinct(grams)).cast("long")
+    val repBps = when(total > 0,
+      lit(10000L) - floor(dist * lit(10000L) / total).cast("long"))
+      .otherwise(lit(0L))
+    // chars excluding separating spaces, vs the 4.5-char prose center
+    val chars = (length(text) - nTok + lit(1)).cast("long")
+    val wdevMil = floor(abs(chars * 10 - nTok * 45) * lit(100L) / nTok)
+      .cast("long")
+    val margin = lenBps * 2 + stopBps * 3 - repBps * 4 - wdevMil -
+      lit(bias)
+    (margin, when(margin >= 0, lit("keep")).otherwise(lit("drop")))
+  }
 }

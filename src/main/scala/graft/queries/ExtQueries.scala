@@ -2414,6 +2414,65 @@ object ExtQueries {
       "SELECT doc_id, n_tok, CAST(cost // n_tok AS BIGINT) AS bits_micro " +
       "FROM c ORDER BY doc_id"))
 
+  /** [EXT] L72 corpus n-gram novelty by ingest order
+    * ([[TextAnalysis.noveltyRate]]): per doc, the share of its distinct
+    * 3-gram shingles first seen in THIS doc (min corpus doc_id) — the
+    * redundancy dashboard that says whether later crawl snapshots are
+    * still contributing new text. One shingle exchange (window min
+    * rides it) + one per-doc aggregate, row-linear; the ratio is exact
+    * integer basis points, docs too short to shingle are omitted by
+    * contract. Oracle replays the same window election and floor
+    * arithmetic.
+    */
+  private val qNgramNovelty = Q("q_ngram_novelty",
+    (s, d) => TextAnalysis.noveltyRate(
+        t(s, d, "documents"), col("text"), col("doc_id"), n = 3)
+      .orderBy("doc_id"),
+    Some("WITH ex AS (SELECT doc_id, unnest(list_distinct(" +
+      TextHash.duckShingles("text", 3) + ")) AS sh FROM documents), " +
+      "f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) " +
+      "AS first_doc FROM ex) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+      "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_novel, " +
+      "CAST(floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) " +
+      "* 10000 / count(*)) AS BIGINT) AS novelty_bps " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id"))
+
+  /** [EXT] L73 linear quality-classifier margin
+    * ([[TextAnalysis.qualityLogit]]): fixed-weight four-feature linear
+    * model (length, function-word density, bigram repetition,
+    * word-length deviation) emitting the raw margin and the keep/drop
+    * decision — the deployment half of the fastText/CCNet quality
+    * filter; a trained model swaps the constants, the plan is
+    * identical. Margin is exact BIGINT bps end-to-end, so the decision
+    * boundary cannot flip between engines. Pure per-row projection,
+    * zero shuffle at any corpus size.
+    */
+  private val qQualityLogit = Q("q_quality_logit",
+    (s, d) => {
+      val (margin, label) = TextAnalysis.qualityLogit(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        margin.as("margin"), label.as("label"))
+        .orderBy("doc_id")
+    },
+    Some({
+      val grams2 = TextHash.duckShingles("text", 2)
+      val lenBps = s"least(5000, $duckNTok * 25)"
+      val stopBps =
+        s"least(5000, CAST(floor($duckStop * 50000 / $duckNTok) AS BIGINT))"
+      val repBps = s"(CASE WHEN len($grams2) > 0 THEN 10000 - " +
+        s"CAST(floor(len(list_distinct($grams2)) * 10000 / len($grams2)) " +
+        "AS BIGINT) ELSE 0 END)"
+      val wdevMil = s"CAST(floor(abs((length(text) - $duckNTok + 1) * 10 " +
+        s"- $duckNTok * 45) * 100 / $duckNTok) AS BIGINT)"
+      s"SELECT doc_id, CAST($lenBps * 2 + $stopBps * 3 - $repBps * 4 " +
+        s"- $wdevMil - 8000 AS BIGINT) AS margin, " +
+        s"CASE WHEN $lenBps * 2 + $stopBps * 3 - $repBps * 4 " +
+        s"- $wdevMil - 8000 >= 0 THEN 'keep' ELSE 'drop' END AS label " +
+        "FROM documents ORDER BY doc_id"
+    }))
+
   /** [EXT] L67 dup-cluster size distribution: histogram of near-dup
     * cluster sizes plus the doc mass per size — the FIRST QA table
     * after any dedup run ("how much of the corpus sits in pairs vs
@@ -2469,5 +2528,6 @@ object ExtQueries {
     qTrainSplit, qLengthBuckets, qDocRarity,
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
     // round 12: overlapping-span exact-substring dedup + URL domains
-    qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm)
+    qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
+    qNgramNovelty, qQualityLogit)
 }

@@ -640,4 +640,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") ||
       p.contains("BroadcastNestedLoopJoin"), p) // 1-row total attaches by broadcast
   }
+
+  test("q_ngram_novelty: window min rides ONE shingle exchange, no join") {
+    val p = planOf("q_ngram_novelty")
+    // single Window exec over a single hashpartitioning(sh) exchange,
+    // then the per-doc aggregate exchange — nothing else may shuffle
+    assert("Window ".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning\\(sh".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("Join"), "novelty must not self-join: " + p)
+  }
+
+  test("q_quality_logit: pure per-row projection — no shuffle, no join") {
+    val p = planOf("q_quality_logit")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"classifier scoring must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
 }

@@ -116,4 +116,60 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(_._2).toSet
     assert(nTok == Set(4L))
   }
+
+  test("noveltyRate: first occurrence owns the shingle; exact copies score 0") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),  // everything first-seen
+      (2L, "the cat sat on the mat"),  // exact copy -> novelty 0
+      (3L, "the cat sat on a mat"),    // shares its 2 leading shingles
+      (4L, "a b")                      // too short for 3-grams -> omitted
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyRate(docs, col("text"), col("doc_id"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.contains(4L), "sub-shingle doc must be omitted")
+    assert(got(1L)._3 == 10000L, s"first doc fully novel: ${got(1L)}")
+    assert(got(2L)._3 == 0L, s"exact copy has zero novelty: ${got(2L)}")
+    val (n3, nov3, bps3) = got(3L)
+    assert(nov3 > 0 && nov3 < n3 && bps3 == nov3 * 10000 / n3,
+      s"partial overlap must land strictly between: ${got(3L)}")
+  }
+
+  test("noveltyRate: per-shingle novel credit is granted exactly once corpus-wide") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 20L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 5} tok${i % 3}"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyRate(docs, col("text"), col("doc_id"), n = 3)
+    val totalNovel = out.agg(sum("n_novel")).head().getLong(0)
+    val distinctShingles = docs
+      .select(explode(array_distinct(
+        TextHash.shingles(TextHash.tokens(col("text")), 3))).as("sh"))
+      .select("sh").distinct().count()
+    assert(totalNovel == distinctShingles,
+      s"sum(n_novel)=$totalNovel != corpus distinct shingles $distinctShingles")
+  }
+
+  test("qualityLogit: repetition and word-length deviation push toward drop") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the quick brown fox jumped over a lazy dog while the tall " +
+        "man walked near a quiet river and the old woman read a small " +
+        "book under the green tree as the young child played with a " +
+        "red ball beside the warm fire"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "pneumonoultramicroscopic silicovolcanoconiosis electrophotomicrographically")
+    ).toDF("doc_id", "text")
+    val (margin, label) = TextAnalysis.qualityLogit(col("text"))
+    val got = docs.select(col("doc_id"), margin.as("m"), label.as("l"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._2 == "keep" && got(1L)._1 >= 0, s"prose row: ${got(1L)}")
+    assert(got(2L)._2 == "drop", s"pure repetition must drop: ${got(2L)}")
+    assert(got(3L)._2 == "drop", s"extreme word length must drop: ${got(3L)}")
+    // decision is exactly margin >= 0 (integer boundary, no float gap)
+    got.values.foreach { case (m, l) =>
+      assert((m >= 0) == (l == "keep"))
+    }
+  }
 }
