@@ -489,27 +489,75 @@ object TextAnalysis {
     * Contract: documents with fewer than `n` tokens have no shingles
     * and are omitted (novelty of an empty set is undefined, not 0).
     *
-    * Scale posture: one exchange on the shingle (the window min and
-    * the per-shingle first-doc election share it), one bounded
-    * per-doc aggregate — both row-linear in total shingle mass; no
-    * join against a materialized index, no driver state. At 100 TB
-    * the shingle exchange is the same cost class as the n-gram
-    * Jaccard index this pipeline already pays for.
+    * Scale posture: shingles ride the fused codegen'd `ShingleHash48`
+    * kernel (one md5 per window, 8-byte keys over the wire — the HOF
+    * string-shingle composition runs interpreted and measured 3.5×
+    * slower); the per-doc denominator is a pure per-row projection
+    * (never shuffled); the first-doc election is a map-side-combinable
+    * min hash aggregate on the shingle hash (NO sort — a window
+    * formulation would sort the entire exploded shingle mass), and the
+    * per-doc novel counts that come back are a doc-count-sized frame
+    * joined on doc_id. Row-linear in shingle mass; at 100 TB the
+    * shingle exchange is the same cost class as the n-gram Jaccard
+    * index this pipeline already pays for.
     */
   def noveltyRate(docs: DataFrame, text: Column, id: Column,
                   n: Int): DataFrame = {
+    val hs = array_distinct(
+      graft.functions.HashFunctions.shingleHash48(text, n))
+    // per-doc denominator: per-row, zero shuffle
+    val base = docs.select(id.as("doc_id"),
+      size(hs).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    // per-shingle first-occurrence election: map-combined hash agg,
+    // then a doc-count-sized novel tally
+    val novel = docs.select(id.as("doc_id"), explode(hs).as("sh"))
+      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    base.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        floor(coalesce(col("n_novel"), lit(0L)) * lit(10000L)
+          / col("n_shingles")).cast("long").as("novelty_bps"))
+  }
+
+  /** Corpus vocabulary growth curve (Heaps-law diagnostic): new
+    * distinct word n-gram shingles contributed per ingest-order
+    * decile, plus the running cumulative — the saturation curve that
+    * says when a crawl stops adding new text (a flattening tail means
+    * further snapshots are redundant and ingest can stop early). Each
+    * distinct shingle is credited to the decile of its FIRST corpus
+    * occurrence (min doc_id), so the deciles partition the vocabulary
+    * exactly: sum(n_new) = corpus distinct shingle count.
+    *
+    * Scale posture: shingles ride the fused codegen'd `ShingleHash48`
+    * kernel (8-byte keys, one md5 per window); one shingle exchange
+    * for the first-doc election (map-side-combined hash aggregate —
+    * same cost class as [[noveltyRate]]), the max-doc bound rides in
+    * as ONE broadcast row, and everything after the decile aggregate
+    * is `buckets` rows (the cumulative window is over the decile
+    * table, never the corpus).
+    */
+  def vocabGrowth(docs: DataFrame, text: Column, id: Column,
+                  n: Int, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ex = docs.select(id.as("doc_id"),
-      explode(array_distinct(shingles(tokens(text), n))).as("sh"))
-    ex.withColumn("first_doc",
-        min(col("doc_id")).over(Window.partitionBy("sh")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
-        floor(col("n_novel") * lit(10000L) / col("n_shingles"))
-          .cast("long").as("novelty_bps"))
+    val ex = docs.select(id.as("doc_id"), explode(array_distinct(
+      graft.functions.HashFunctions.shingleHash48(text, n))).as("sh"))
+    val firsts = ex.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    val bound = docs.agg((max(id) + 1).as("n_docs"))
+    firsts.crossJoin(broadcast(bound))
+      // exact integer decile in [0, buckets): multiply before divide;
+      // doc ids start at 0, so the divisor is max+1
+      .select(col("first_doc") * buckets / col("n_docs"))
+      .toDF("bucket")
+      .select(floor(col("bucket")).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      .select(col("bucket"), col("n_new"),
+        sum(col("n_new")).over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_vocab"))
+      .orderBy("bucket")
   }
 
   /** Linear quality-classifier margin (fastText/CCNet filtering

@@ -2418,26 +2418,55 @@ object ExtQueries {
     * ([[TextAnalysis.noveltyRate]]): per doc, the share of its distinct
     * 3-gram shingles first seen in THIS doc (min corpus doc_id) — the
     * redundancy dashboard that says whether later crawl snapshots are
-    * still contributing new text. One shingle exchange (window min
-    * rides it) + one per-doc aggregate, row-linear; the ratio is exact
-    * integer basis points, docs too short to shingle are omitted by
-    * contract. Oracle replays the same window election and floor
-    * arithmetic.
+    * still contributing new text. The election is a map-combined hash
+    * aggregate on one shingle exchange (never a sorting window); the
+    * denominator is a per-row projection; the ratio is exact integer
+    * basis points; docs too short to shingle are omitted by contract.
+    * Oracle replays the same election and floor arithmetic.
     */
   private val qNgramNovelty = Q("q_ngram_novelty",
     (s, d) => TextAnalysis.noveltyRate(
         t(s, d, "documents"), col("text"), col("doc_id"), n = 3)
       .orderBy("doc_id"),
-    Some("WITH ex AS (SELECT doc_id, unnest(list_distinct(" +
-      TextHash.duckShingles("text", 3) + ")) AS sh FROM documents), " +
-      "f AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) " +
-      "AS first_doc FROM ex) " +
-      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
-      "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) " +
-      "AS BIGINT) AS n_novel, " +
-      "CAST(floor(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) " +
-      "* 10000 / count(*)) AS BIGINT) AS novelty_bps " +
-      "FROM f GROUP BY doc_id ORDER BY doc_id"))
+    Some("WITH ex AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      TextHash.duckShingles("text", 3) + ", s -> " +
+      TextHash.duckBaseHash("s") + "))) AS sh FROM documents), " +
+      "base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles " +
+      "FROM ex GROUP BY doc_id), " +
+      "f AS (SELECT sh, min(doc_id) AS doc_id FROM ex GROUP BY sh), " +
+      "nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel " +
+      "FROM f GROUP BY doc_id) " +
+      "SELECT b.doc_id, b.n_shingles, " +
+      "CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel, " +
+      "CAST(floor(COALESCE(nv.n_novel, 0) * 10000 / b.n_shingles) " +
+      "AS BIGINT) AS novelty_bps " +
+      "FROM base b LEFT JOIN nv USING (doc_id) ORDER BY doc_id"))
+
+  /** [EXT] L74 corpus vocabulary growth curve
+    * ([[TextAnalysis.vocabGrowth]]): new distinct 3-gram shingles per
+    * ingest-order decile + running cumulative — the Heaps-law
+    * saturation diagnostic ("is this crawl still adding new text").
+    * Rides the same shingle election cost class as q_ngram_novelty;
+    * the max-doc bound is one broadcast row and the cumulative window
+    * runs over the 10-row decile table, never the corpus. Deciles
+    * partition the vocabulary exactly (property-tested:
+    * sum(n_new) = corpus distinct shingles).
+    */
+  private val qVocabGrowth = Q("q_vocab_growth",
+    (s, d) => TextAnalysis.vocabGrowth(
+      t(s, d, "documents"), col("text"), col("doc_id"), n = 3),
+    Some("WITH ex AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      TextHash.duckShingles("text", 3) + ", s -> " +
+      TextHash.duckBaseHash("s") + "))) AS sh FROM documents), " +
+      "f AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY sh), " +
+      "m AS (SELECT max(doc_id) + 1 AS n_docs FROM documents), " +
+      "b AS (SELECT CAST(floor(first_doc * 10 / n_docs) AS BIGINT) " +
+      "AS bucket FROM f, m), " +
+      "g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new " +
+      "FROM b GROUP BY bucket) " +
+      "SELECT bucket, n_new, CAST(sum(n_new) OVER (ORDER BY bucket " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+      "AS cum_vocab FROM g ORDER BY bucket"))
 
   /** [EXT] L73 linear quality-classifier margin
     * ([[TextAnalysis.qualityLogit]]): fixed-weight four-feature linear
@@ -2529,5 +2558,5 @@ object ExtQueries {
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
-    qNgramNovelty, qQualityLogit)
+    qNgramNovelty, qQualityLogit, qVocabGrowth)
 }

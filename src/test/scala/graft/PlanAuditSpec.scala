@@ -641,14 +641,27 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p) // 1-row total attaches by broadcast
   }
 
-  test("q_ngram_novelty: window min rides ONE shingle exchange, no join") {
+  test("q_ngram_novelty: election is a sort-free hash agg; denominator never shuffles") {
     val p = planOf("q_ngram_novelty")
-    // single Window exec over a single hashpartitioning(sh) exchange,
-    // then the per-doc aggregate exchange — nothing else may shuffle
-    assert("Window ".r.findAllIn(p).size == 1, p)
+    // the first-doc election must be a map-combinable hash aggregate on
+    // ONE shingle exchange — a window formulation would SORT the whole
+    // exploded shingle mass
+    assert(!p.contains("Window "), "no sort-based window over shingles: " + p)
     assert("Exchange hashpartitioning\\(sh".r.findAllIn(p).size == 1, p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
-    assert(!p.contains("Join"), "novelty must not self-join: " + p)
+    assert(p.contains("HashAggregate"), p)
+    // the exploded shingles feed the election only; the per-doc
+    // denominator is a per-row projection joined doc-count-sized
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_vocab_growth: max-doc bound broadcasts, no corpus sort-merge") {
+    val p = planOf("q_vocab_growth")
+    // the 1-row max(doc_id) frame must attach by broadcast, never shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // shingle election is one hash exchange; decile agg is the second
+    assert("Exchange hashpartitioning\\(sh".r.findAllIn(p).size == 1, p)
   }
 
   test("q_quality_logit: pure per-row projection — no shuffle, no join") {

@@ -151,6 +151,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"sum(n_novel)=$totalNovel != corpus distinct shingles $distinctShingles")
   }
 
+  test("vocabGrowth: deciles partition the vocabulary; cumulative is monotone") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7} tok${i % 11} tok${i % 13}"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, col("text"), col("doc_id"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val distinctShingles = docs
+      .select(explode(array_distinct(
+        TextHash.shingles(TextHash.tokens(col("text")), 3))).as("sh"))
+      .select("sh").distinct().count()
+    assert(out.map(_._2).sum == distinctShingles,
+      s"decile n_new must partition the vocabulary: $out")
+    assert(out.last._3 == distinctShingles, s"final cumulative: ${out.last}")
+    assert(out.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"cumulative must strictly increase: $out")
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 9), s"bucket range: $out")
+  }
+
   test("qualityLogit: repetition and word-length deviation push toward drop") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
