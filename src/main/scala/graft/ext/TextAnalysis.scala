@@ -560,6 +560,63 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** BPE tokenizer TRAINING (merge learning): the `k` highest-count
+    * symbol-pair merges, learned iteratively — the other half of the
+    * subword story from [[wordpiece]] (which APPLIES a vocabulary).
+    * Classic Sennrich-style byte-pair encoding: start from characters,
+    * repeatedly (1) count adjacent symbol pairs weighted by word
+    * frequency, (2) merge the highest-count pair everywhere
+    * (left-to-right, non-overlapping — plain literal replace on the
+    * space-delimited symbol string), deterministic tie-break
+    * (count desc, pair asc). Returns the learned merge table
+    * (step, pair, merged, score) — the artifact a tokenizer ships.
+    *
+    * Fully declarative: the corpus is touched ONCE (the word-frequency
+    * aggregate — word-domain-sized, map-side-combinable); every
+    * learning iteration runs over that vocabulary table only, and the
+    * per-iteration argmax stays IN the plan as a 1-row
+    * TakeOrderedAndProject broadcast back over the vocabulary — no
+    * driver-side collect, no mutable state, the whole k-step training
+    * is one lazy plan. Pair enumeration rides the codegen'd
+    * `graft_shingles` kernel over the symbol string.
+    *
+    * Scale posture: at 100 TB the corpus pass is one term aggregate
+    * (the same cost class as TF-IDF's); training cost then follows
+    * |vocabulary| × k, independent of corpus row count. For web-scale
+    * vocabularies, pre-filter `wf` by a minimum frequency — the merge
+    * ranking only ever depends on high-count pairs.
+    */
+  def bpeTrain(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    // one corpus pass: word frequencies (vocabulary-sized thereafter)
+    val wf = docs.select(explode(tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // " a b c " — space-delimited symbols, padded so a merge pattern
+    // " x y " can never straddle a symbol boundary
+    var state = wf.select(col("w"), col("f"),
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("enc"))
+    val steps = (1 to k).map { i =>
+      // lazily cache each vocabulary generation: state_i is referenced
+      // TWICE downstream (by its own argmax and by state_{i+1}), so
+      // without the shared InMemoryRelation the plan tree doubles per
+      // iteration — exponential in k
+      state = state.persist()
+      val pairs = state.select(col("f"),
+        explode(graft.functions.TermFunctions.stringShingles(
+          trim(col("enc")), 2)).as("p"))
+        .groupBy("p").agg(sum(col("f")).as("score"))
+      val best = pairs.orderBy(col("score").desc, col("p").asc).limit(1)
+        .select(lit(i.toLong).as("step"), col("p").as("pair"),
+          replace(col("p"), lit(" ")).as("merged"), col("score"))
+      state = state.crossJoin(broadcast(best.select("pair", "merged")))
+        .select(col("w"), col("f"),
+          replace(col("enc"),
+            concat(lit(" "), col("pair"), lit(" ")),
+            concat(lit(" "), col("merged"), lit(" "))).as("enc"))
+      best
+    }
+    steps.reduce(_ union _).orderBy("step")
+  }
+
   /** Linear quality-classifier margin (fastText/CCNet filtering
     * shape): a fixed-weight linear model over four surface features —
     * length credit, function-word density, bigram repetition mass,

@@ -2468,6 +2468,40 @@ object ExtQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
       "AS cum_vocab FROM g ORDER BY bucket"))
 
+  /** [EXT] L75 BPE tokenizer training ([[TextAnalysis.bpeTrain]]):
+    * learn the top-k symbol-pair merges (Sennrich byte-pair encoding)
+    * as ONE declarative plan — corpus touched once for the
+    * word-frequency table, then every iteration (pair count → argmax →
+    * merge-apply) runs over the vocabulary only, with the argmax
+    * staying in-plan as a 1-row TakeOrderedAndProject broadcast.
+    * Deterministic tie-break (count desc, pair asc); the oracle
+    * replays all four iterations as a generated CTE chain.
+    */
+  private val qBpeTrain = Q("q_bpe_train",
+    (s, d) => TextAnalysis.bpeTrain(t(s, d, "documents"), col("text"), k = 4),
+    Some {
+      val pairsOf = TextHash.duckShingles("trim(enc)", 2)
+      val head = "WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+        "GROUP BY w), " +
+        "s0 AS (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') " +
+        "AS enc FROM wf)"
+      val iters = (1 to 4).map { i =>
+        s"p$i AS (SELECT p, CAST(sum(f) AS BIGINT) AS score " +
+          s"FROM (SELECT f, unnest($pairsOf) AS p FROM s${i - 1}) " +
+          "GROUP BY p), " +
+          s"b$i AS (SELECT CAST($i AS BIGINT) AS step, p AS pair, " +
+          "replace(p, ' ', '') AS merged, score " +
+          "FROM p" + i + " ORDER BY score DESC, p ASC LIMIT 1), " +
+          s"s$i AS (SELECT w, f, replace(enc, " +
+          s"' ' || (SELECT pair FROM b$i) || ' ', " +
+          s"' ' || (SELECT merged FROM b$i) || ' ') AS enc FROM s${i - 1})"
+      }.mkString(", ")
+      head + ", " + iters + " " +
+        (1 to 4).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+        " ORDER BY step"
+    })
+
   /** [EXT] L73 linear quality-classifier margin
     * ([[TextAnalysis.qualityLogit]]): fixed-weight four-feature linear
     * model (length, function-word density, bigram repetition,
@@ -2558,5 +2592,5 @@ object ExtQueries {
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
-    qNgramNovelty, qQualityLogit, qVocabGrowth)
+    qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain)
 }

@@ -664,6 +664,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(sh".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_bpe_train: per-iteration argmax is in-plan; generations cached, no cartesian") {
+    val p = planOf("q_bpe_train")
+    // each learning iteration elects its merge via a 1-row
+    // TakeOrderedAndProject that broadcasts back — never a driver
+    // collect, never a cartesian (exact node counts are not assertable
+    // from plan text: InMemoryRelation PRINTS its cached child plan, so
+    // shared subtrees appear duplicated in text while executing once)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // vocabulary generations are shared InMemoryRelations (without the
+    // cache the plan tree doubles per iteration)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q_quality_logit: pure per-row projection — no shuffle, no join") {
     val p = planOf("q_quality_logit")
     val exchanges = p.linesIterator.count(l =>

@@ -170,6 +170,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(r => r._1 >= 0 && r._1 <= 9), s"bucket range: $out")
   }
 
+  test("bpeTrain: learns chained merges with exact counts; exhausts gracefully") {
+    import org.apache.spark.sql.functions.col
+    // aab×3 + ab×1: iter1 'a b' wins 4-3 over 'a a'; iter2 merges the
+    // iter-1 product ('a ab' -> aab); iter3 has no pairs left
+    val docs = Seq((1L, "aab aab aab ab")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, col("text"), k = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a b", "ab", 4L),
+      (2L, "a ab", "aab", 3L)),
+      s"merge table mismatch: $got")
+  }
+
   test("qualityLogit: repetition and word-length deviation push toward drop") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
