@@ -469,6 +469,35 @@ object Similarity {
     * rule compares ids, and the survivor set needs no float
     * accumulation at all.
     */
+  /** Embedding-based contamination screening: flag every corpus vector
+    * whose nearest eval-set vector is at cosine >= threshold, reporting
+    * that nearest offender — the semantic complement of exact n-gram
+    * decontamination (paraphrased eval leakage survives token-level
+    * screens; it does not survive an embedding screen). Inputs are
+    * [[withNorm]] frames; corpus and eval rows sharing an id are not
+    * compared (supports screening a corpus against an eval slice drawn
+    * from itself in tests).
+    *
+    * Scale posture: eval sets are small by nature — the eval frame
+    * broadcasts, the corpus streams through ONE scan, and the
+    * per-corpus-vector argmax is a WindowGroupLimit (top-1 per id held
+    * during the sort, never the full |corpus|x|eval| score table).
+    * For very large eval suites, pre-bucket both sides with
+    * [[signLshPairs]]'s hyperplanes and screen bucket-mates only.
+    */
+  def semanticScreen(corpus: DataFrame, evalSet: DataFrame,
+                     threshold: Double): DataFrame = {
+    val ev = evalSet.select(col("vec_id").as("eid"), col("v").as("ev"),
+      col("nm").as("en"))
+    val scored = corpus.join(broadcast(ev), col("vec_id") =!= col("eid"))
+      .select(col("vec_id"), col("eid"),
+        cosinePre(dot(col("v"), col("ev")), col("nm"), col("en")).as("cos"))
+    Windows.findFirst(scored, keys = Seq(col("vec_id")),
+        priority = Seq(col("cos").desc, col("eid")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id"), col("eid"), col("cos"))
+  }
+
   def semanticDedup(corpus: DataFrame, cent: DataFrame,
                     threshold: Double): DataFrame = {
     // materialized once: the assignment (broadcast cross + group-limit

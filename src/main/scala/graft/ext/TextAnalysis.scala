@@ -595,11 +595,15 @@ object TextAnalysis {
     var state = wf.select(col("w"), col("f"),
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("enc"))
     val steps = (1 to k).map { i =>
-      // lazily cache each vocabulary generation: state_i is referenced
-      // TWICE downstream (by its own argmax and by state_{i+1}), so
-      // without the shared InMemoryRelation the plan tree doubles per
-      // iteration — exponential in k
-      state = state.persist()
+      // lazily checkpoint each vocabulary generation: state_i is
+      // referenced TWICE downstream (by its own argmax and by
+      // state_{i+1}), so without the shared materialization the plan
+      // tree doubles per iteration — exponential in k. localCheckpoint
+      // (lazy), not persist: checkpoint blocks are per-invocation,
+      // where a persist would be deduped by the CacheManager across
+      // repeated invocations and understate benchmark minima (same
+      // reasoning as semanticDedup)
+      state = state.localCheckpoint(false)
       val pairs = state.select(col("f"),
         explode(graft.functions.TermFunctions.stringShingles(
           trim(col("enc")), 2)).as("p"))

@@ -2468,6 +2468,36 @@ object ExtQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
       "AS cum_vocab FROM g ORDER BY bucket"))
 
+  /** [EXT] L76 semantic decontamination
+    * ([[Similarity.semanticScreen]]): flag corpus vectors whose nearest
+    * eval-set vector sits at cosine >= 0.3 and report the offender —
+    * the embedding-based complement of the exact-13-gram and Bloom
+    * decontamination screens (paraphrased leakage passes a token
+    * screen; it does not pass this one). Eval set = vec_id % 50 == 1
+    * (the driver tables carry no separate eval corpus). Eval frame
+    * broadcasts; corpus streams through one scan; per-vector argmax is
+    * a WindowGroupLimit. Oracle replays the argmax + threshold.
+    */
+  private val qSemanticDecontaminate = Q("q_semantic_decontaminate",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      Similarity.semanticScreen(n, n.filter(col("vec_id") % 50 === 1),
+          threshold = 0.3)
+        .select(col("vec_id"), col("eid"), round(col("cos"), 4).as("cos"))
+        .orderBy("vec_id")
+    },
+    Some(duckNormCte + ", " +
+      "ev AS (SELECT vec_id AS eid, v AS evv, nm AS enm FROM n " +
+      "WHERE vec_id % 50 = 1), " +
+      "s AS (SELECT c.vec_id, e.eid, " +
+      "list_dot_product(c.v, e.evv) / (c.nm * e.enm) AS cos " +
+      "FROM n c JOIN ev e ON c.vec_id <> e.eid), " +
+      "r AS (SELECT vec_id, eid, cos, row_number() OVER (" +
+      "PARTITION BY vec_id ORDER BY cos DESC, eid) AS rnk FROM s) " +
+      "SELECT vec_id, eid, round(cos, 4) AS cos FROM r " +
+      "WHERE rnk = 1 AND cos >= 0.3 ORDER BY vec_id"))
+
   /** [EXT] L75 BPE tokenizer training ([[TextAnalysis.bpeTrain]]):
     * learn the top-k symbol-pair merges (Sennrich byte-pair encoding)
     * as ONE declarative plan — corpus touched once for the
@@ -2592,5 +2622,6 @@ object ExtQueries {
     qPassageDedup, qBloomDecontaminate, qRrfFusion, qBm25, qSemanticDedup, qTripletMine, qProfile, qWinsorize, qLshRecall, qAnnRecall, qDedupSweep, qSourceLengths, qTokenIds, qClusterSizes,
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
-    qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain)
+    qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
+    qSemanticDecontaminate)
 }

@@ -40,8 +40,9 @@ object ScaleSmoke {
     val queries = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_dedup_clusters", "q_dedup_corpus", "q_cluster_canonical",
       "q_minhash_lsh", "q_simhash_pairs64", "q_passage_dedup",
-      "q_span_dedup",
+      "q_span_dedup", "q_ngram_novelty", "q_vocab_growth", "q_bpe_train",
       "q_bloom_decontaminate", "q_bm25", "q_semantic_dedup",
+      "q_semantic_decontaminate",
       "q_embed_lsh", "q_ann_ivf", "q_pagerank", "q_entity_resolution",
       "q_window_session", "q_gaps", "q_session_paths", "q_source_drift",
       "q_pipeline_corpus")

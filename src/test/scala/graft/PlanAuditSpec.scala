@@ -668,14 +668,23 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_bpe_train")
     // each learning iteration elects its merge via a 1-row
     // TakeOrderedAndProject that broadcasts back — never a driver
-    // collect, never a cartesian (exact node counts are not assertable
-    // from plan text: InMemoryRelation PRINTS its cached child plan, so
-    // shared subtrees appear duplicated in text while executing once)
-    assert(p.contains("TakeOrderedAndProject"), p)
+    // collect, never a cartesian
     assert(!p.contains("CartesianProduct"), p)
-    // vocabulary generations are shared InMemoryRelations (without the
-    // cache the plan tree doubles per iteration)
-    assert(p.contains("InMemoryTableScan"), p)
+    // vocabulary generations are lazily checkpointed (LogicalRDD), so
+    // the plan stays LINEAR in k: each argmax appears at most twice in
+    // text (once in the union, once inside the next pending
+    // checkpoint) — the uncheckpointed tree would hold 2^k - 1 = 15
+    assert(p.contains("Scan ExistingRDD"), p)
+    val argmaxes = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(argmaxes >= 4 && argmaxes <= 8, s"argmax count $argmaxes:\n$p")
+  }
+
+  test("q_semantic_decontaminate: eval set broadcasts; argmax is WindowGroupLimit") {
+    val p = planOf("q_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("q_quality_logit: pure per-row projection — no shuffle, no join") {

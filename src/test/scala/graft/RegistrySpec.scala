@@ -105,5 +105,6 @@ object RegistrySpec {
     "q_cluster_canonical", "q_hard_negatives",
     // round 12: overlapping-span exact-substring dedup + URL domains
     "q_span_dedup", "q_url_domain", "q_wordpiece", "q_unigram_lm",
-    "q_ngram_novelty", "q_quality_logit", "q_vocab_growth", "q_bpe_train")
+    "q_ngram_novelty", "q_quality_logit", "q_vocab_growth", "q_bpe_train",
+    "q_semantic_decontaminate")
 }

@@ -347,4 +347,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists(_._2 == 0L))        // no self-match
     assert(out.map(_._2).toSeq == Seq(3L, 1L)) // 3 is closer to 0 than 1
   }
+
+  test("semanticScreen: flags only vectors near an eval vector, names the offender") {
+    // eval = {10}; 1 is a scaled copy of 10 (cos 1.0), 2 is orthogonal,
+    // 3 is a near-copy; eval vectors themselves screen against each other
+    val emb = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val out = Similarity.semanticScreen(n, n.filter(col("vec_id") === 10),
+        threshold = 0.9)
+      .select("vec_id", "eid").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 10L, 3L -> 10L), s"flagged set: $out")
+    // threshold is respected: orthogonal vector never flagged
+    val all = Similarity.semanticScreen(n, n.filter(col("vec_id") === 10),
+        threshold = -1.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L), "argmax emits every non-eval vector")
+  }
 }
