@@ -469,6 +469,96 @@ object Similarity {
     * rule compares ids, and the survivor set needs no float
     * accumulation at all.
     */
+  // ------------------------------------------------- product quantization
+
+  /** Subvector frame for product quantization: each vector split into
+    * `m` contiguous `subDim`-wide subspaces → (vec_id, s, sv). Pure
+    * per-row projection (one generate per row, never a shuffle).
+    */
+  def pqSubvectors(corpus: DataFrame, m: Int, subDim: Int): DataFrame =
+    corpus.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** One PQ assignment pass: every subvector to its nearest subspace
+    * centroid by the L2-equivalent inner-product rule
+    * argmin ‖x−c‖² = argmax (x·c − ‖c‖²/2) — ties break on cid.
+    * Centroids broadcast (m·k rows); the argmax is a WindowGroupLimit
+    * per (vec_id, s); nothing corpus-sized shuffles.
+    */
+  def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    Windows.findFirst(
+      sub.join(broadcast(cent), Seq("s"))
+        .select(col("vec_id"), col("s"), col("cid"), col("sv"),
+          (dot(col("sv"), col("cv")) - dot(col("cv"), col("cv")) / 2)
+            .as("score")),
+      keys = Seq(col("vec_id"), col("s")),
+      priority = Seq(col("score").desc, col("cid")))
+      .drop("score")
+
+  /** PQ codebook training: seeded subspace centroids (vec_id % 100 = 0,
+    * the k-means seeding convention) + one exact fixed-point Lloyd
+    * update per subspace — component sums quantized to 1/scale and
+    * aggregated as BIGINT (map-side-combinable, bit-stable at any
+    * parallelism; same arithmetic as [[kmeansRefine]]), so the DuckDB
+    * oracle replays the trajectory to the last ulp. Returns
+    * (s, cid, cv) — m independent codebooks in one frame.
+    *
+    * Scale posture: the corpus is scanned once per Lloyd pass; only
+    * m·k·subDim aggregate cells shuffle after map-side combine.
+    */
+  def pqTrain(corpus: DataFrame, m: Int, subDim: Int,
+              scale: Long = 10000L): DataFrame = {
+    val sub = pqSubvectors(corpus, m, subDim)
+    val seeds = sub.filter(col("vec_id") % 100 === 0)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
+    pqAssign(sub, seeds)
+      .select(col("s"), col("cid"), posexplode(col("sv")))
+      .select(col("s"), col("cid"), col("pos").cast("long").as("dim"),
+        floor(col("col").cast("double") * scale + 0.5).cast("long").as("q"))
+      .groupBy("s", "cid", "dim")
+      .agg(sum("q").as("sm"), count(lit(1)).as("n"))
+      .groupBy("s", "cid")
+      .agg(array_sort(collect_list(struct(col("dim"),
+        (col("sm").cast("double") / (col("n") * scale)).as("mean"))))
+        .as("smeans"))
+      .select(col("s"), col("cid"),
+        transform(col("smeans"), x => x.getField("mean")).as("cv"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: FLOAT queries against the
+    * code table. Per query, ONE lookup table of m·k quantized partial
+    * dots (micro-units, exact BIGINT) joins the corpus codes on
+    * (s, cid); each corpus vector's score is the exact integer sum of
+    * its m table cells — shuffle-order-proof where a float Σ is not —
+    * and the per-query top-k is a WindowGroupLimit.
+    *
+    * Scale posture: the corpus vectors are never read at query time —
+    * only the m-cell code rows (the whole point of PQ: memory/IO drops
+    * from dim floats to m bytes per vector); the LUT is
+    * queries × m·k rows, broadcast.
+    */
+  def pqSearch(queries: DataFrame, cent: DataFrame, codes: DataFrame,
+               m: Int, subDim: Int, k: Int): DataFrame = {
+    val lut = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(cent))
+      .select(col("qid"), col("s"), col("cid"),
+        floor(dot(slice(col("qv"), col("s") * subDim + 1, lit(subDim)),
+          col("cv")) * 1000000L + 0.5).cast("long").as("d"))
+    val scored = codes
+      .join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("score"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("score").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("score"))
+  }
+
   /** Embedding-based contamination screening: flag every corpus vector
     * whose nearest eval-set vector is at cosine >= threshold, reporting
     * that nearest offender — the semantic complement of exact n-gram

@@ -2468,6 +2468,72 @@ object ExtQueries {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
       "AS cum_vocab FROM g ORDER BY bucket"))
 
+  /** DuckDB fragments replaying the PQ trajectory: subvector split,
+    * L2-equivalent assignment (x·c − ‖c‖²/2 argmax), fixed-point Lloyd
+    * update, ADC lookup-table search — shared CTE chain for `q_ann_pq`.
+    */
+  private def duckPqAssign(name: String, cent: String): String = {
+    val sc = "(list_dot_product(sub.sv, c.cv) - " +
+      "list_dot_product(c.cv, c.cv) / 2)"
+    s"$name AS (SELECT vec_id, s, cid, sv FROM (" +
+      s"SELECT sub.vec_id, sub.s, c.cid, sub.sv, $sc AS score, " +
+      s"row_number() OVER (PARTITION BY sub.vec_id, sub.s " +
+      s"ORDER BY $sc DESC, c.cid) AS rn " +
+      s"FROM sub JOIN $cent c ON sub.s = c.s) WHERE rn = 1)"
+  }
+
+  /** [EXT] L77 product-quantization ANN ([[Similarity.pqTrain]] /
+    * [[Similarity.pqSearch]]): the standard 100 TB ANN compression —
+    * m=4 per-subspace codebooks (seeded + one exact fixed-point Lloyd
+    * pass, the k-means arithmetic), corpus encoded to m code cells,
+    * queries answered by asymmetric-distance lookup tables whose
+    * partial dots are quantized to exact BIGINT micro-units before the
+    * per-vector sum (shuffle-order-proof). Corpus vectors are never
+    * read at query time — only the m-cell codes. Oracle replays the
+    * whole trajectory: split, seeded assignment, Lloyd update,
+    * re-encode, LUT search.
+    */
+  private val qAnnPq = Q("q_ann_pq",
+    (s, d) => {
+      val (m, subDim) = (4, 16)
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      // codebook materialized once: it has two consumers (encode + LUT)
+      val cent = Similarity.pqTrain(n, m, subDim).localCheckpoint(false)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubvectors(n, m, subDim), cent)
+        .select(col("vec_id"), col("s"), col("cid"))
+      Similarity.pqSearch(n.filter(col("vec_id") < 4), cent, codes,
+          m, subDim, k = 10)
+        .orderBy("qid", "rnk")
+    },
+    Some(duckNormCte + ", " +
+      "sub AS (SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv " +
+      "FROM n, (SELECT unnest([0, 1, 2, 3]) AS s) ss), " +
+      "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub " +
+      "WHERE vec_id % 100 = 0), " +
+      duckPqAssign("a1", "c0") + ", " +
+      "u1 AS (SELECT s, cid, u.dim AS dim, sum(u.q) AS sm, count(*) AS n " +
+      "FROM (SELECT s, cid, unnest(list_transform(" +
+      "generate_series(1, len(sv)), i -> {'dim': i - 1, " +
+      "'q': CAST(floor(CAST(sv[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
+      "AS u FROM a1) GROUP BY s, cid, u.dim), " +
+      "c1 AS (SELECT s, cid, list(CAST(sm AS DOUBLE) / (n * 10000) " +
+      "ORDER BY dim) AS cv FROM u1 GROUP BY s, cid), " +
+      duckPqAssign("codes", "c1") + ", " +
+      "lut AS (SELECT q.vec_id AS qid, c.s, c.cid, " +
+      "CAST(floor(list_dot_product(q.v[c.s * 16 + 1 : c.s * 16 + 16], " +
+      "c.cv) * 1000000 + 0.5) AS BIGINT) AS d " +
+      "FROM n q CROSS JOIN c1 c WHERE q.vec_id < 4), " +
+      "sc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.d) AS BIGINT) " +
+      "AS score FROM codes JOIN lut ON codes.s = lut.s " +
+      "AND codes.cid = lut.cid AND codes.vec_id <> lut.qid " +
+      "GROUP BY lut.qid, codes.vec_id), " +
+      "r AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
+      "WHERE rnk <= 10 ORDER BY qid, rnk"))
+
   /** [EXT] L76 semantic decontamination
     * ([[Similarity.semanticScreen]]): flag corpus vectors whose nearest
     * eval-set vector sits at cosine >= 0.3 and report the offender —
@@ -2623,5 +2689,5 @@ object ExtQueries {
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
-    qSemanticDecontaminate)
+    qSemanticDecontaminate, qAnnPq)
 }

@@ -679,6 +679,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(argmaxes >= 4 && argmaxes <= 8, s"argmax count $argmaxes:\n$p")
   }
 
+  test("q_ann_pq: codebook and LUT broadcast; elections are WindowGroupLimit") {
+    val p = planOf("q_ann_pq")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // codes ⋈ LUT on (s, cid)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q_semantic_decontaminate: eval set broadcasts; argmax is WindowGroupLimit") {
     val p = planOf("q_semantic_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin") ||

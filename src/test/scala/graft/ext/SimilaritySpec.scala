@@ -348,6 +348,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).toSeq == Seq(3L, 1L)) // 3 is closer to 0 than 1
   }
 
+  test("pq: exact on cluster-degenerate corpora — codes reconstruct, ADC ranks right") {
+    // two seed clusters (ids 0 and 100, the %100 seeding rule), each
+    // with exact copies: Lloyd keeps centroids at the duplicates, so
+    // ADC scores are exact dots and ranking is fully determined
+    val v0 = Array(1f, 0f, 0f, 1f)
+    val v1 = Array(0f, 1f, 1f, 0f)
+    val emb = Seq((0L, v0), (1L, v0), (2L, v0),
+      (100L, v1), (101L, v1), (102L, v1)).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val cent = Similarity.pqTrain(n, m = 2, subDim = 2)
+    // centroids must sit exactly on the duplicated vectors
+    val c = cent.orderBy("s", "cid")
+      .select("s", "cid", "cv").as[(Int, Long, Seq[Double])].collect()
+    assert(c.toSeq == Seq((0, 0L, Seq(1.0, 0.0)), (0, 100L, Seq(0.0, 1.0)),
+      (1, 0L, Seq(0.0, 1.0)), (1, 100L, Seq(1.0, 0.0))), c.toSeq)
+    val codes = Similarity.pqAssign(
+      Similarity.pqSubvectors(n, 2, 2), cent)
+      .select(col("vec_id"), col("s"), col("cid"))
+    val out = Similarity.pqSearch(n.filter(col("vec_id") === 1), cent,
+        codes, m = 2, subDim = 2, k = 3)
+      .orderBy("rnk").select("vec_id", "score")
+      .as[(Long, Long)].collect().toSeq
+    // own cluster first (score 2.0 -> 2e6 micro), ties by vec_id; the
+    // orthogonal cluster scores exactly 0
+    assert(out == Seq((0L, 2000000L), (2L, 2000000L), (100L, 0L)), out)
+  }
+
   test("semanticScreen: flags only vectors near an eval vector, names the offender") {
     // eval = {10}; 1 is a scaled copy of 10 (cos 1.0), 2 is orthogonal,
     // 3 is a near-copy; eval vectors themselves screen against each other
