@@ -2507,7 +2507,16 @@ object ExtQueries {
           m, subDim, k = 10)
         .orderBy("qid", "rnk")
     },
-    Some(duckNormCte + ", " +
+    Some(duckPqCtes("q.vec_id < 4") +
+      " SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
+      "WHERE rnk <= 10 ORDER BY qid, rnk"))
+
+  /** Full PQ trajectory CTE chain (split → seed → Lloyd → encode →
+    * LUT → ranked scores in `r`), parameterized by the query-set
+    * predicate — shared by `q_ann_pq` and `q_pq_recall`.
+    */
+  private def duckPqCtes(queryPred: String): String =
+    duckNormCte + ", " +
       "sub AS (SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv " +
       "FROM n, (SELECT unnest([0, 1, 2, 3]) AS s) ss), " +
       "c0 AS (SELECT s, vec_id AS cid, sv AS cv FROM sub " +
@@ -2524,15 +2533,56 @@ object ExtQueries {
       "lut AS (SELECT q.vec_id AS qid, c.s, c.cid, " +
       "CAST(floor(list_dot_product(q.v[c.s * 16 + 1 : c.s * 16 + 16], " +
       "c.cv) * 1000000 + 0.5) AS BIGINT) AS d " +
-      "FROM n q CROSS JOIN c1 c WHERE q.vec_id < 4), " +
+      s"FROM n q CROSS JOIN c1 c WHERE $queryPred), " +
       "sc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.d) AS BIGINT) " +
       "AS score FROM codes JOIN lut ON codes.s = lut.s " +
       "AND codes.cid = lut.cid AND codes.vec_id <> lut.qid " +
       "GROUP BY lut.qid, codes.vec_id), " +
       "r AS (SELECT qid, vec_id, score, row_number() OVER (" +
-      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
-      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
-      "WHERE rnk <= 10 ORDER BY qid, rnk"))
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)"
+
+  /** [EXT] L78 PQ recall evaluation: recall@5 of the ADC ranking
+    * against exact brute-force cosine truth, per query — the
+    * compression-loss dial for [[qAnnPq]]'s m/subDim choice, the same
+    * harness shape as `q_ann_recall` (IVF) and `q_lsh_recall`
+    * (MinHash bands). Truth pays the deliberate exact enumeration the
+    * eval grades against.
+    */
+  private val qPqRecall = Q("q_pq_recall",
+    (s, d) => {
+      val (m, subDim) = (4, 16)
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
+      val truth = Similarity.bruteForceTopK(queries, n, k = 5)
+        .select(col("qid"), col("vec_id"))
+      val cent = Similarity.pqTrain(n, m, subDim).localCheckpoint(false)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubvectors(n, m, subDim), cent)
+        .select(col("vec_id"), col("s"), col("cid"))
+      val approx = Similarity.pqSearch(queries, cent, codes, m, subDim,
+          k = 5)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("found"))
+        .select(col("qid"), col("k"), col("found"),
+          (col("found").cast("double") / col("k")).as("recall"))
+        .orderBy("qid")
+    },
+    Some(duckPqCtes("q.vec_id IN (1, 2, 3, 4)") + ", " +
+      "tr AS (SELECT qid, vec_id FROM (SELECT a.vec_id AS qid, b.vec_id, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
+      "FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
+      "AND b.vec_id <> a.vec_id) WHERE rnk <= 5), " +
+      "ap AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rnk <= 5) " +
+      "SELECT tr.qid, CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(sum(COALESCE(ap.hit, 0)) AS BIGINT) AS found, " +
+      "CAST(sum(COALESCE(ap.hit, 0)) AS DOUBLE) / count(*) AS recall " +
+      "FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id " +
+      "GROUP BY tr.qid ORDER BY tr.qid"))
 
   /** [EXT] L76 semantic decontamination
     * ([[Similarity.semanticScreen]]): flag corpus vectors whose nearest
@@ -2689,5 +2739,5 @@ object ExtQueries {
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
-    qSemanticDecontaminate, qAnnPq)
+    qSemanticDecontaminate, qAnnPq, qPqRecall)
 }
