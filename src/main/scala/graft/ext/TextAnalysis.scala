@@ -586,7 +586,35 @@ object TextAnalysis {
     * vocabularies, pre-filter `wf` by a minimum frequency — the merge
     * ranking only ever depends on high-count pairs.
     */
-  def bpeTrain(docs: DataFrame, text: Column, k: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, text: Column, k: Int): DataFrame =
+    bpeFold(docs, text, k)._1.reduce(_ union _).orderBy("step")
+
+  /** Token counts under the LEARNED tokenizer: train `k` BPE merges
+    * ([[bpeTrain]]) and encode the corpus with them, reporting per-doc
+    * whitespace vs post-merge subword counts — the budget estimator a
+    * packing decision should actually use (the regex "BPE-ish" counter
+    * in [[tokenCounts]] approximates; this one IS the trained
+    * tokenizer's length). The final vocabulary state already holds
+    * every distinct word's encoding, so application is ONE broadcast
+    * join of the corpus words against the vocabulary-sized table —
+    * the per-doc sum never touches character level again.
+    */
+  def bpeEncodeCounts(docs: DataFrame, text: Column, id: Column,
+                      k: Int): DataFrame = {
+    val state = bpeFold(docs, text, k)._2
+    val vocab = state.select(col("w"),
+      size(split(trim(col("enc")), " ")).cast("long").as("pieces"))
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("pieces")).as("n_bpe"))
+  }
+
+  /** Shared k-step BPE training fold: (per-step merge frames, final
+    * vocabulary state (w, f, enc)).
+    */
+  private def bpeFold(docs: DataFrame, text: Column,
+                      k: Int): (Seq[DataFrame], DataFrame) = {
     // one corpus pass: word frequencies (vocabulary-sized thereafter)
     val wf = docs.select(explode(tokens(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -611,14 +639,22 @@ object TextAnalysis {
       val best = pairs.orderBy(col("score").desc, col("p").asc).limit(1)
         .select(lit(i.toLong).as("step"), col("p").as("pair"),
           replace(col("p"), lit(" ")).as("merged"), col("score"))
-      state = state.crossJoin(broadcast(best.select("pair", "merged")))
+      // LEFT join against the 1-row winner: when merges exhaust before
+      // step k, `best` is EMPTY and a plain cross join would wipe the
+      // vocabulary state (breaking encode-count consumers); the null
+      // sentinel U+0001 can never match a real pair, so exhausted
+      // steps leave the encoding untouched
+      state = state.join(broadcast(best.select("pair", "merged")),
+          lit(true), "left")
         .select(col("w"), col("f"),
           replace(col("enc"),
-            concat(lit(" "), col("pair"), lit(" ")),
-            concat(lit(" "), col("merged"), lit(" "))).as("enc"))
+            concat(lit(" "), coalesce(col("pair"), lit("\u0001")),
+              lit(" ")),
+            concat(lit(" "), coalesce(col("merged"), lit("")),
+              lit(" "))).as("enc"))
       best
     }
-    steps.reduce(_ union _).orderBy("step")
+    (steps, state)
   }
 
   /** Linear quality-classifier margin (fastText/CCNet filtering

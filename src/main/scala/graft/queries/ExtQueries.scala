@@ -2623,30 +2623,59 @@ object ExtQueries {
     * Deterministic tie-break (count desc, pair asc); the oracle
     * replays all four iterations as a generated CTE chain.
     */
+  /** Shared BPE-training CTE chain (word frequencies → char split →
+    * k iterations of pair-count/argmax/merge-apply): exposes b1..bk
+    * (per-step merges) and s&lt;k&gt; (final vocabulary state) — used
+    * by `q_bpe_train` and `q_bpe_apply`.
+    */
+  private def duckBpeCtes(k: Int): String = {
+    val pairsOf = TextHash.duckShingles("trim(enc)", 2)
+    val head = "WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "GROUP BY w), " +
+      "s0 AS (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') " +
+      "AS enc FROM wf)"
+    val iters = (1 to k).map { i =>
+      s"p$i AS (SELECT p, CAST(sum(f) AS BIGINT) AS score " +
+        s"FROM (SELECT f, unnest($pairsOf) AS p FROM s${i - 1}) " +
+        "GROUP BY p), " +
+        s"b$i AS (SELECT CAST($i AS BIGINT) AS step, p AS pair, " +
+        "replace(p, ' ', '') AS merged, score " +
+        "FROM p" + i + " ORDER BY score DESC, p ASC LIMIT 1), " +
+        s"s$i AS (SELECT w, f, replace(enc, " +
+        s"' ' || (SELECT pair FROM b$i) || ' ', " +
+        s"' ' || (SELECT merged FROM b$i) || ' ') AS enc FROM s${i - 1})"
+    }.mkString(", ")
+    head + ", " + iters
+  }
+
   private val qBpeTrain = Q("q_bpe_train",
     (s, d) => TextAnalysis.bpeTrain(t(s, d, "documents"), col("text"), k = 4),
-    Some {
-      val pairsOf = TextHash.duckShingles("trim(enc)", 2)
-      val head = "WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f " +
-        "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
-        "GROUP BY w), " +
-        "s0 AS (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') " +
-        "AS enc FROM wf)"
-      val iters = (1 to 4).map { i =>
-        s"p$i AS (SELECT p, CAST(sum(f) AS BIGINT) AS score " +
-          s"FROM (SELECT f, unnest($pairsOf) AS p FROM s${i - 1}) " +
-          "GROUP BY p), " +
-          s"b$i AS (SELECT CAST($i AS BIGINT) AS step, p AS pair, " +
-          "replace(p, ' ', '') AS merged, score " +
-          "FROM p" + i + " ORDER BY score DESC, p ASC LIMIT 1), " +
-          s"s$i AS (SELECT w, f, replace(enc, " +
-          s"' ' || (SELECT pair FROM b$i) || ' ', " +
-          s"' ' || (SELECT merged FROM b$i) || ' ') AS enc FROM s${i - 1})"
-      }.mkString(", ")
-      head + ", " + iters + " " +
-        (1 to 4).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
-        " ORDER BY step"
-    })
+    Some(duckBpeCtes(4) + " " +
+      (1 to 4).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+      " ORDER BY step"))
+
+  /** [EXT] L79 BPE corpus encoding ([[TextAnalysis.bpeEncodeCounts]]):
+    * per-doc whitespace vs post-merge subword counts under the
+    * tokenizer `q_bpe_train` just learned — the budget estimator a
+    * packing decision should actually use (the regex "BPE-ish" counter
+    * approximates; this IS the trained tokenizer's length). The final
+    * training state already encodes every distinct word, so
+    * application is one broadcast join of corpus words against the
+    * vocabulary-sized table; character level is never revisited.
+    */
+  private val qBpeApply = Q("q_bpe_apply",
+    (s, d) => TextAnalysis.bpeEncodeCounts(
+        t(s, d, "documents"), col("text"), col("doc_id"), k = 4)
+      .orderBy("doc_id"),
+    Some(duckBpeCtes(4) + ", " +
+      "vocab AS (SELECT w, CAST(len(string_split(trim(enc), ' ')) " +
+      "AS BIGINT) AS pieces FROM s4), " +
+      "dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
+      "FROM documents) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "CAST(sum(pieces) AS BIGINT) AS n_bpe FROM dt JOIN vocab USING (w) " +
+      "GROUP BY doc_id ORDER BY doc_id"))
 
   /** [EXT] L73 linear quality-classifier margin
     * ([[TextAnalysis.qualityLogit]]): fixed-weight four-feature linear
@@ -2739,5 +2768,5 @@ object ExtQueries {
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
-    qSemanticDecontaminate, qAnnPq, qPqRecall)
+    qSemanticDecontaminate, qAnnPq, qPqRecall, qBpeApply)
 }

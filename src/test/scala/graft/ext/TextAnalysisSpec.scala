@@ -183,6 +183,23 @@ class TextAnalysisSpec extends SparkSpec {
       s"merge table mismatch: $got")
   }
 
+  test("bpeEncodeCounts: trained-tokenizer lengths; survives merge exhaustion") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "aab aab aab ab"), (2L, "ab aab")).toDF("doc_id", "text")
+    // k=3 exceeds the 2 learnable merges — the vocabulary state must
+    // survive the empty step (left-join sentinel), with both words
+    // fully merged to single pieces
+    val got = TextAnalysis.bpeEncodeCounts(docs, col("text"), col("doc_id"),
+        k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 4L), (2L, 2L, 2L)), got)
+    // with only one merge learned ('a b' -> ab), aab = [a, ab] = 2 pieces
+    val one = TextAnalysis.bpeEncodeCounts(docs, col("text"), col("doc_id"),
+        k = 1)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 4L, 3L * 2 + 1L), (2L, 2L, 3L)), one)
+  }
+
   test("qualityLogit: repetition and word-length deviation push toward drop") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
