@@ -72,6 +72,32 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Leakage-safe holdout split: assign splits by NEAR-DUP CLUSTER,
+    * not by document — the published dedup-aware eval hygiene
+    * (near-identical docs straddling train/eval silently inflate eval
+    * scores; Lee et al.'s dedup paper measures the effect). Every doc
+    * in a cluster shares the cluster id as its split key (singletons
+    * key on themselves), then [[trainValTestSplit]]'s deterministic
+    * hash banding applies — so the no-straddle guarantee composes with
+    * the stable-under-growth guarantee: adding documents can merge
+    * clusters (moving a WHOLE cluster together) but never splits one
+    * across sets.
+    *
+    * Scale posture: the cluster table is pair-graph-sized (≪ corpus)
+    * and joins the corpus once on doc_id (broadcast when it fits);
+    * everything after is the zero-shuffle hash projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, id: Column, clusters: DataFrame,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    val keyed = docs.select(id.as("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).cast("long")
+          .as("split_key"))
+    trainValTestSplit(keyed, col("split_key"), splits)
+  }
+
   /** Per-row weighted (Poisson) sampling: keep a row iff
     * hash(key) mod 10000 < min(10000, weightBps) — each row's inclusion
     * probability is its own weight in basis points, the importance-

@@ -2584,6 +2584,40 @@ object ExtQueries {
       "FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id " +
       "GROUP BY tr.qid ORDER BY tr.qid"))
 
+  /** [EXT] L80 leakage-safe split ([[Sampling.leakageSafeSplit]]):
+    * holdout assignment by NEAR-DUP CLUSTER, not by document — no
+    * near-duplicate pair can straddle train/eval (the silent
+    * eval-inflation mode the dedup literature measures). Cluster
+    * members share the cluster id as split key; singletons key on
+    * themselves; then the deterministic hash banding of q_train_split.
+    * One contraction + one doc-keyed join; the split itself is the
+    * zero-shuffle hash projection. Oracle replays the recursive-CTE
+    * clustering and the same banding.
+    */
+  private val qLeakageSafeSplit = Q("q_leakage_safe_split",
+    (s, d) => Sampling.leakageSafeSplit(
+        t(s, d, "documents"), col("doc_id"),
+        Dedup.connectedComponents(Dedup.ngramJaccardPairs(
+          t(s, d, "documents"), col("text"), col("doc_id"),
+          n = 3, threshold = 0.5)),
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id"),
+    Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "cl AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node), " +
+      "j AS (SELECT d.doc_id, CAST(COALESCE(cl.cluster_id, d.doc_id) " +
+      "AS BIGINT) AS split_key FROM documents d " +
+      "LEFT JOIN cl ON d.doc_id = cl.node), " +
+      "h AS (SELECT doc_id, split_key, " +
+      TextHash.duckBaseHash("CAST(split_key AS VARCHAR)") +
+      " % 10000 AS hb FROM j) " +
+      "SELECT doc_id, split_key, CASE WHEN hb < 8000 THEN 'train' " +
+      "WHEN hb < 9000 THEN 'val' ELSE 'test' END AS split FROM h " +
+      "ORDER BY doc_id"))
+
   /** [EXT] L76 semantic decontamination
     * ([[Similarity.semanticScreen]]): flag corpus vectors whose nearest
     * eval-set vector sits at cosine >= 0.3 and report the offender —
@@ -2768,5 +2802,6 @@ object ExtQueries {
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
-    qSemanticDecontaminate, qAnnPq, qPqRecall, qBpeApply)
+    qSemanticDecontaminate, qAnnPq, qPqRecall, qBpeApply,
+    qLeakageSafeSplit)
 }

@@ -252,4 +252,23 @@ class SamplingSpec extends SparkSpec {
       assert(b >= n && b < 2 * n)
     }
   }
+
+  test("leakageSafeSplit: cluster members never straddle splits; singletons keep trainValTestSplit fate") {
+    // clusters {1,2,3} and {10,11}; 20 and 21 are singletons
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L)).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val out = Sampling.leakageSafeSplit(docs, col("doc_id"), clusters, splits)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 7)
+    // no-straddle: every cluster member shares key AND split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1, out)
+    assert(Set(out(10L), out(11L)).size == 1, out)
+    // singleton fate identical to the plain per-doc split (same hash key)
+    val plain = Sampling.trainValTestSplit(
+        Seq(20L, 21L).toDF("doc_id"), col("doc_id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(out(20L)._2 == plain(20L) && out(21L)._2 == plain(21L))
+  }
 }
