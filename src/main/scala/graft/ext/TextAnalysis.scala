@@ -521,6 +521,40 @@ object TextAnalysis {
           / col("n_shingles")).cast("long").as("novelty_bps"))
   }
 
+  /** Incremental novelty: [[noveltyRate]] for ONE new batch against a
+    * persisted seen-shingle index — the production shape for
+    * append-ordered ingest (daily crawl snapshots; a Structured
+    * Streaming `foreachBatch` maintains the index between batches). A
+    * shingle is novel for doc d iff it is absent from `seen` AND its
+    * first occurrence WITHIN the batch is d; processing a corpus in
+    * id-ordered batches therefore reproduces the full-corpus
+    * [[noveltyRate]] exactly (equivalence property-tested). The
+    * caller appends the batch's first-occurrence shingles to the index
+    * afterwards.
+    *
+    * Scale posture: same shapes as [[noveltyRate]] plus one anti-join
+    * against the index on the 8-byte shingle hash — at scale the index
+    * is a bucketed table co-located on `sh`, making the anti-join
+    * exchange-free on the index side.
+    */
+  def noveltyRateIncremental(newDocs: DataFrame, text: Column, id: Column,
+                             n: Int, seen: DataFrame): DataFrame = {
+    val hs = array_distinct(
+      graft.functions.HashFunctions.shingleHash48(text, n))
+    val base = newDocs.select(id.as("doc_id"),
+      size(hs).cast("long").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val novel = newDocs.select(id.as("doc_id"), explode(hs).as("sh"))
+      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+      .join(seen.select(col("sh")), Seq("sh"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    base.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        floor(coalesce(col("n_novel"), lit(0L)) * lit(10000L)
+          / col("n_shingles")).cast("long").as("novelty_bps"))
+  }
+
   /** Corpus vocabulary growth curve (Heaps-law diagnostic): new
     * distinct word n-gram shingles contributed per ingest-order
     * decile, plus the running cumulative — the saturation curve that

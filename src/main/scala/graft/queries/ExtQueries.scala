@@ -2711,6 +2711,48 @@ object ExtQueries {
       "CAST(sum(pieces) AS BIGINT) AS n_bpe FROM dt JOIN vocab USING (w) " +
       "GROUP BY doc_id ORDER BY doc_id"))
 
+  /** [EXT] L81 incremental novelty
+    * ([[TextAnalysis.noveltyRateIncremental]]): novelty of one new
+    * ingest batch (doc_id >= 250) against the seen-shingle index of
+    * the earlier corpus — the production shape for daily snapshots (a
+    * foreachBatch maintains the index). Id-ordered batches reproduce
+    * full-corpus q_ngram_novelty exactly (property-tested); the only
+    * addition is one anti-join on the 8-byte shingle hash, bucketable
+    * at scale. Oracle replays index, election, and anti-join.
+    */
+  private val qNoveltyIncremental = Q("q_novelty_incremental",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.filter(col("doc_id") < 250)
+        .select(explode(array_distinct(
+          graft.functions.HashFunctions.shingleHash48(col("text"), 3)))
+          .as("sh"))
+        .distinct()
+      TextAnalysis.noveltyRateIncremental(
+          docs.filter(col("doc_id") >= 250), col("text"), col("doc_id"),
+          n = 3, seen)
+        .orderBy("doc_id")
+    },
+    Some {
+      val hashed = "unnest(list_distinct(list_transform(" +
+        TextHash.duckShingles("text", 3) + ", s -> " +
+        TextHash.duckBaseHash("s") + ")))"
+      s"WITH seen AS (SELECT DISTINCT $hashed AS sh FROM documents " +
+        "WHERE doc_id < 250), " +
+        s"ex AS (SELECT doc_id, $hashed AS sh FROM documents " +
+        "WHERE doc_id >= 250), " +
+        "base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles " +
+        "FROM ex GROUP BY doc_id), " +
+        "f AS (SELECT sh, min(doc_id) AS doc_id FROM ex GROUP BY sh), " +
+        "nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel " +
+        "FROM f WHERE sh NOT IN (SELECT sh FROM seen) GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_shingles, " +
+        "CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel, " +
+        "CAST(floor(COALESCE(nv.n_novel, 0) * 10000 / b.n_shingles) " +
+        "AS BIGINT) AS novelty_bps " +
+        "FROM base b LEFT JOIN nv USING (doc_id) ORDER BY doc_id"
+    })
+
   /** [EXT] L73 linear quality-classifier margin
     * ([[TextAnalysis.qualityLogit]]): fixed-weight four-feature linear
     * model (length, function-word density, bigram repetition,
@@ -2803,5 +2845,5 @@ object ExtQueries {
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
     qSemanticDecontaminate, qAnnPq, qPqRecall, qBpeApply,
-    qLeakageSafeSplit)
+    qLeakageSafeSplit, qNoveltyIncremental)
 }

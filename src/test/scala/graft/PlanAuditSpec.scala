@@ -686,6 +686,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q_bpe_apply: vocabulary joins by broadcast; no cartesian reaches the corpus") {
+    val p = planOf("q_bpe_apply")
+    // corpus words ⋈ vocabulary-sized encode table must broadcast —
+    // a shuffle join would move the whole exploded corpus on the word
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_leakage_safe_split: split is a projection over the cluster join — no extra shuffle") {
+    val p = planOf("q_leakage_safe_split")
+    // the hash banding itself must not add exchanges beyond the
+    // contraction + doc-keyed cluster join and the final order
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_md5_prefix48") || p.contains("md5"), p)
+  }
+
+  test("q_pq_recall: truth and ADC elections are both WindowGroupLimit") {
+    val p = planOf("q_pq_recall")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_semantic_decontaminate: eval set broadcasts; argmax is WindowGroupLimit") {
     val p = planOf("q_semantic_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin") ||

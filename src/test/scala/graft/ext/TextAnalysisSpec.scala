@@ -200,6 +200,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 4L, 3L * 2 + 1L), (2L, 2L, 3L)), one)
   }
 
+  test("noveltyRateIncremental: id-ordered batches reproduce the full-corpus novelty") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 30L).map(i =>
+      (i, s"w${i % 6} w${(i + 1) % 6} w${(i + 2) % 6} w${i % 4} w${i % 9}"))
+      .toDF("doc_id", "text")
+    val full = TextAnalysis.noveltyRate(docs, col("text"), col("doc_id"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val b1 = docs.filter(col("doc_id") <= 15)
+    val b2 = docs.filter(col("doc_id") > 15)
+    val seen = b1.select(explode(array_distinct(
+      graft.functions.HashFunctions.shingleHash48(col("text"), 3))).as("sh"))
+      .distinct()
+    val inc1 = TextAnalysis.noveltyRate(b1, col("text"), col("doc_id"), n = 3)
+    val inc2 = TextAnalysis.noveltyRateIncremental(b2, col("text"),
+      col("doc_id"), n = 3, seen)
+    val stitched = inc1.union(inc2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(stitched == full,
+      s"incremental batches diverged from the full corpus:\n$stitched\nvs\n$full")
+  }
+
   test("qualityLogit: repetition and word-length deviation push toward drop") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
