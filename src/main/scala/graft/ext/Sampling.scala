@@ -89,12 +89,15 @@ object Sampling {
     */
   def leakageSafeSplit(docs: DataFrame, id: Column, clusters: DataFrame,
                        splits: Seq[(String, Double)]): DataFrame = {
-    val keyed = docs.select(id.as("doc_id"))
-      .join(clusters.select(col("doc_id"), col("cluster_id")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).cast("long")
-          .as("split_key"))
+    // preserves the input frame (same contract as trainValTestSplit):
+    // callers get their columns back plus split_key/split — no
+    // corpus-sized re-join to recover text/source afterwards
+    val keyed = docs.withColumn("__lss_id", id.cast("long"))
+      .join(clusters.select(col("doc_id").as("__lss_id"),
+        col("cluster_id")), Seq("__lss_id"), "left")
+      .withColumn("split_key",
+        coalesce(col("cluster_id"), col("__lss_id")).cast("long"))
+      .drop("__lss_id", "cluster_id")
     trainValTestSplit(keyed, col("split_key"), splits)
   }
 

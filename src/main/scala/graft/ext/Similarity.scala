@@ -509,9 +509,14 @@ object Similarity {
     * m·k·subDim aggregate cells shuffle after map-side combine.
     */
   def pqTrain(corpus: DataFrame, m: Int, subDim: Int,
+              seedPred: Column = col("vec_id") % 100 === 0,
               scale: Long = 10000L): DataFrame = {
+    // seedPred selects the codebook seeds (default: the % 100 k-means
+    // seeding convention). Callers with sparse or hashed vec_ids MUST
+    // pass a predicate that actually selects rows — an empty seed set
+    // yields an empty codebook and silently empty search results.
     val sub = pqSubvectors(corpus, m, subDim)
-    val seeds = sub.filter(col("vec_id") % 100 === 0)
+    val seeds = sub.filter(seedPred)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cv"))
     pqAssign(sub, seeds)
       .select(col("s"), col("cid"), posexplode(col("sv")))
@@ -576,10 +581,17 @@ object Similarity {
     * [[signLshPairs]]'s hyperplanes and screen bucket-mates only.
     */
   def semanticScreen(corpus: DataFrame, evalSet: DataFrame,
-                     threshold: Double): DataFrame = {
+                     threshold: Double,
+                     excludeSameId: Boolean = false): DataFrame = {
+    // excludeSameId supports screening a corpus against an eval slice
+    // drawn from ITSELF (tests, self-audit). Leave it false for a
+    // genuinely separate eval table: its vec_ids are unrelated to the
+    // corpus ids, and excluding equal ids there would silently skip
+    // real comparisons (both id spaces are commonly 0-based).
     val ev = evalSet.select(col("vec_id").as("eid"), col("v").as("ev"),
       col("nm").as("en"))
-    val scored = corpus.join(broadcast(ev), col("vec_id") =!= col("eid"))
+    val cond = if (excludeSameId) col("vec_id") =!= col("eid") else lit(true)
+    val scored = corpus.join(broadcast(ev), cond)
       .select(col("vec_id"), col("eid"),
         cosinePre(dot(col("v"), col("ev")), col("nm"), col("en")).as("cos"))
     Windows.findFirst(scored, keys = Seq(col("vec_id")),

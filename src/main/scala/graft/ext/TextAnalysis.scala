@@ -15,6 +15,24 @@ object TextAnalysis {
   /** Function-word markers for the language heuristic. */
   val StopWords: Seq[String] = Seq("the", "a")
 
+  /** Function-word count over a token array — the ONE definition of
+    * the stopword feature shared by stats / qualityBps / qualityLogit
+    * (three call sites; a recalibration must hit all of them at once).
+    */
+  private def stopCount(tok: Column): Column =
+    size(filter(tok, t => StopWords.map(w => t === w).reduce(_ || _)))
+      .cast("long")
+
+  /** Exact-BIGINT length credit: min(5000, 25·n_tok). */
+  private def lengthCreditBps(nTok: Column): Column =
+    least(lit(5000L), nTok * 25)
+
+  /** Exact-BIGINT function-word credit:
+    * min(5000, ⌊stop·50000/n_tok⌋).
+    */
+  private def stopCreditBps(stop: Column, nTok: Column): Column =
+    least(lit(5000L), floor(stop * lit(50000L) / nTok).cast("long"))
+
   /** Per-doc surface statistics reused by langId / quality:
     * n_tok, avg word length, stopword ratio.
     */
@@ -23,9 +41,7 @@ object TextAnalysis {
     val nTok = size(tok).cast("long")
     // chars excluding the (n_tok - 1) separating spaces, per token
     val avgWlen = (length(text) - nTok + lit(1)).cast("double") / nTok
-    val stopCount = size(filter(tok,
-      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
-    val stopRatio = stopCount.cast("double") / nTok
+    val stopRatio = stopCount(tok).cast("double") / nTok
     (nTok, avgWlen, stopRatio)
   }
 
@@ -59,10 +75,7 @@ object TextAnalysis {
   def qualityBps(text: Column): Column = {
     val tok = tokens(text)
     val nTok = size(tok).cast("long")
-    val stop = size(filter(tok,
-      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
-    least(lit(5000L), nTok * 25) +
-      least(lit(5000L), floor(stop * lit(50000L) / nTok).cast("long"))
+    lengthCreditBps(nTok) + stopCreditBps(stopCount(tok), nTok)
   }
 
   /** BM25 document ranking for one term query, linearized-idf variant:
@@ -502,7 +515,15 @@ object TextAnalysis {
     * index this pipeline already pays for.
     */
   def noveltyRate(docs: DataFrame, text: Column, id: Column,
-                  n: Int): DataFrame = {
+                  n: Int): DataFrame =
+    noveltyReport(docs, text, id, n, seen = None)
+
+  /** Shared novelty shape for the full-corpus and incremental forms —
+    * one body so the bps arithmetic and the distinct-shingle contract
+    * cannot drift between the two.
+    */
+  private def noveltyReport(docs: DataFrame, text: Column, id: Column,
+                            n: Int, seen: Option[DataFrame]): DataFrame = {
     val hs = array_distinct(
       graft.functions.HashFunctions.shingleHash48(text, n))
     // per-doc denominator: per-row, zero shuffle
@@ -510,9 +531,12 @@ object TextAnalysis {
       size(hs).cast("long").as("n_shingles"))
       .filter(col("n_shingles") > 0)
     // per-shingle first-occurrence election: map-combined hash agg,
-    // then a doc-count-sized novel tally
-    val novel = docs.select(id.as("doc_id"), explode(hs).as("sh"))
+    // (minus the already-seen index in the incremental form), then a
+    // doc-count-sized novel tally
+    val firsts = docs.select(id.as("doc_id"), explode(hs).as("sh"))
       .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
+    val novel = seen.fold(firsts)(idx =>
+        firsts.join(idx.select(col("sh")), Seq("sh"), "left_anti"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
     base.join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -538,22 +562,8 @@ object TextAnalysis {
     * exchange-free on the index side.
     */
   def noveltyRateIncremental(newDocs: DataFrame, text: Column, id: Column,
-                             n: Int, seen: DataFrame): DataFrame = {
-    val hs = array_distinct(
-      graft.functions.HashFunctions.shingleHash48(text, n))
-    val base = newDocs.select(id.as("doc_id"),
-      size(hs).cast("long").as("n_shingles"))
-      .filter(col("n_shingles") > 0)
-    val novel = newDocs.select(id.as("doc_id"), explode(hs).as("sh"))
-      .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
-      .join(seen.select(col("sh")), Seq("sh"), "left_anti")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
-    base.join(novel, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        floor(coalesce(col("n_novel"), lit(0L)) * lit(10000L)
-          / col("n_shingles")).cast("long").as("novelty_bps"))
-  }
+                             n: Int, seen: DataFrame): DataFrame =
+    noveltyReport(newDocs, text, id, n, Some(seen))
 
   /** Corpus vocabulary growth curve (Heaps-law diagnostic): new
     * distinct word n-gram shingles contributed per ingest-order
@@ -637,7 +647,7 @@ object TextAnalysis {
                       k: Int): DataFrame = {
     val state = bpeFold(docs, text, k)._2
     val vocab = state.select(col("w"),
-      size(split(trim(col("enc")), " ")).cast("long").as("pieces"))
+      size(split(trim(col("enc")), "  ")).cast("long").as("pieces"))
     docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
       .join(broadcast(vocab), Seq("w"))
       .groupBy("doc_id")
@@ -652,10 +662,16 @@ object TextAnalysis {
     // one corpus pass: word frequencies (vocabulary-sized thereafter)
     val wf = docs.select(explode(tokens(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-    // " a b c " — space-delimited symbols, padded so a merge pattern
-    // " x y " can never straddle a symbol boundary
+    // " a  b  c  " — TWO-space symbol separators, one space of padding
+    // at the head. With single-space separators a merge pattern " x y "
+    // CONSUMES the shared boundary space, so string replace resumes
+    // past it and under-merges same-symbol runs ("o o o o" became
+    // [oo,o,o] instead of [oo,oo]). With two-space separators the
+    // pattern " x  y " takes one space from each side's own pair of
+    // delimiters, leaving the neighbors' intact — plain left-to-right
+    // literal replace IS exact list-scan BPE merge application.
     var state = wf.select(col("w"), col("f"),
-      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("enc"))
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1  ")).as("enc"))
     val steps = (1 to k).map { i =>
       // lazily checkpoint each vocabulary generation: state_i is
       // referenced TWICE downstream (by its own argmax and by
@@ -666,25 +682,33 @@ object TextAnalysis {
       // repeated invocations and understate benchmark minima (same
       // reasoning as semanticDedup)
       state = state.localCheckpoint(false)
+      // adjacent symbol pairs keyed "a b" (single space) — enumerated
+      // over the vocabulary-sized state, off the corpus path
+      val syms = split(trim(col("enc")), "  ")
       val pairs = state.select(col("f"),
-        explode(graft.functions.TermFunctions.stringShingles(
-          trim(col("enc")), 2)).as("p"))
+        explode(when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1), j =>
+            concat(element_at(syms, j), lit(" "),
+              element_at(syms, j + lit(1)))))
+          .otherwise(array().cast("array<string>"))).as("p"))
         .groupBy("p").agg(sum(col("f")).as("score"))
       val best = pairs.orderBy(col("score").desc, col("p").asc).limit(1)
         .select(lit(i.toLong).as("step"), col("p").as("pair"),
           replace(col("p"), lit(" ")).as("merged"), col("score"))
       // LEFT join against the 1-row winner: when merges exhaust before
       // step k, `best` is EMPTY and a plain cross join would wipe the
-      // vocabulary state (breaking encode-count consumers); the null
-      // sentinel U+0001 can never match a real pair, so exhausted
-      // steps leave the encoding untouched
+      // vocabulary state (breaking encode-count consumers). The
+      // exhausted-step fallback makes search == replacement (" " -> " ")
+      // — a guaranteed no-op on ANY text, unlike a sentinel character
+      // corpus text could collide with.
       state = state.join(broadcast(best.select("pair", "merged")),
           lit(true), "left")
         .select(col("w"), col("f"),
           replace(col("enc"),
-            concat(lit(" "), coalesce(col("pair"), lit("\u0001")),
+            coalesce(concat(lit(" "),
+              replace(col("pair"), lit(" "), lit("  ")), lit(" ")),
               lit(" ")),
-            concat(lit(" "), coalesce(col("merged"), lit("")),
+            coalesce(concat(lit(" "), col("merged"), lit(" ")),
               lit(" "))).as("enc"))
       best
     }
@@ -715,11 +739,8 @@ object TextAnalysis {
       : (Column, Column) = {
     val tok = tokens(text)
     val nTok = size(tok).cast("long")
-    val stop = size(filter(tok,
-      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
-    val lenBps = least(lit(5000L), nTok * 25)
-    val stopBps = least(lit(5000L),
-      floor(stop * lit(50000L) / nTok).cast("long"))
+    val lenBps = lengthCreditBps(nTok)
+    val stopBps = stopCreditBps(stopCount(tok), nTok)
     val grams = graft.functions.TermFunctions.stringShingles(text, 2)
     val total = size(grams).cast("long")
     val dist = size(array_distinct(grams)).cast("long")

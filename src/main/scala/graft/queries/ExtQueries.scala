@@ -2601,6 +2601,7 @@ object ExtQueries {
           t(s, d, "documents"), col("text"), col("doc_id"),
           n = 3, threshold = 0.5)),
         splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split_key", "split")
       .orderBy("doc_id"),
     Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
       "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
@@ -2633,7 +2634,7 @@ object ExtQueries {
       val n = Similarity.withNorm(t(s, d, "embeddings"),
         col("vec_id"), col("embedding"))
       Similarity.semanticScreen(n, n.filter(col("vec_id") % 50 === 1),
-          threshold = 0.3)
+          threshold = 0.3, excludeSameId = true)
         .select(col("vec_id"), col("eid"), round(col("cos"), 4).as("cos"))
         .orderBy("vec_id")
     },
@@ -2663,11 +2664,16 @@ object ExtQueries {
     * by `q_bpe_train` and `q_bpe_apply`.
     */
   private def duckBpeCtes(k: Int): String = {
-    val pairsOf = TextHash.duckShingles("trim(enc)", 2)
+    // two-space symbol separators (see TextAnalysis.bpeFold): the merge
+    // pattern ' x  y ' consumes one delimiter space from each side's
+    // own pair, so literal replace is exact list-scan BPE application
+    val syms = "string_split(trim(enc), '  ')"
+    val pairsOf = s"list_transform(generate_series(1, len($syms) - 1), " +
+      s"i -> $syms[i] || ' ' || $syms[i + 1])"
     val head = "WITH wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
       "GROUP BY w), " +
-      "s0 AS (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') " +
+      "s0 AS (SELECT w, f, ' ' || regexp_replace(w, '(.)', '\\1  ', 'g') " +
       "AS enc FROM wf)"
     val iters = (1 to k).map { i =>
       s"p$i AS (SELECT p, CAST(sum(f) AS BIGINT) AS score " +
@@ -2676,9 +2682,13 @@ object ExtQueries {
         s"b$i AS (SELECT CAST($i AS BIGINT) AS step, p AS pair, " +
         "replace(p, ' ', '') AS merged, score " +
         "FROM p" + i + " ORDER BY score DESC, p ASC LIMIT 1), " +
+        // exhausted steps coalesce to search ' ' -> replace ' ': a
+        // guaranteed no-op, mirroring the Spark-side fallback exactly
         s"s$i AS (SELECT w, f, replace(enc, " +
-        s"' ' || (SELECT pair FROM b$i) || ' ', " +
-        s"' ' || (SELECT merged FROM b$i) || ' ') AS enc FROM s${i - 1})"
+        s"COALESCE(' ' || replace((SELECT pair FROM b$i), ' ', '  ') " +
+        "|| ' ', ' '), " +
+        s"COALESCE(' ' || (SELECT merged FROM b$i) || ' ', ' ')) " +
+        s"AS enc FROM s${i - 1})"
     }.mkString(", ")
     head + ", " + iters
   }
@@ -2703,7 +2713,7 @@ object ExtQueries {
         t(s, d, "documents"), col("text"), col("doc_id"), k = 4)
       .orderBy("doc_id"),
     Some(duckBpeCtes(4) + ", " +
-      "vocab AS (SELECT w, CAST(len(string_split(trim(enc), ' ')) " +
+      "vocab AS (SELECT w, CAST(len(string_split(trim(enc), '  ')) " +
       "AS BIGINT) AS pieces FROM s4), " +
       "dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w " +
       "FROM documents) " +

@@ -386,12 +386,12 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
     val out = Similarity.semanticScreen(n, n.filter(col("vec_id") === 10),
-        threshold = 0.9)
+        threshold = 0.9, excludeSameId = true)
       .select("vec_id", "eid").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 10L, 3L -> 10L), s"flagged set: $out")
     // threshold is respected: orthogonal vector never flagged
     val all = Similarity.semanticScreen(n, n.filter(col("vec_id") === 10),
-        threshold = -1.0)
+        threshold = -1.0, excludeSameId = true)
       .select("vec_id").as[Long].collect().toSet
     assert(all == Set(1L, 2L, 3L), "argmax emits every non-eval vector")
   }

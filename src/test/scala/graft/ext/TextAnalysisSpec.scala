@@ -183,6 +183,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"merge table mismatch: $got")
   }
 
+  test("bpeTrain: same-symbol runs merge left-to-right non-overlapping (list-scan BPE)") {
+    import org.apache.spark.sql.functions.col
+    // 'oooo' must encode [oo, oo] after the 'o o' merge — the shared-
+    // delimiter string-replace formulation yielded [oo, o, o], skewing
+    // the next round's pair counts
+    val docs = Seq((1L, "oooo oooo")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, col("text"), k = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(merges == Seq(
+      (1L, "o o", "oo", 6L),     // 3 adjacent pairs per word x 2 words
+      (2L, "oo oo", "oooo", 2L)), // exact pairing makes oooo reachable
+      s"run merge trajectory: $merges")
+    val counts = TextAnalysis.bpeEncodeCounts(docs, col("text"),
+        col("doc_id"), k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(counts == Seq((1L, 2L, 2L)), counts) // both words one piece
+  }
+
   test("bpeEncodeCounts: trained-tokenizer lengths; survives merge exhaustion") {
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, "aab aab aab ab"), (2L, "ab aab")).toDF("doc_id", "text")
