@@ -3,13 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, TextAnalysis}
+import graft.ext.{Dedup, Sampling, TextAnalysis}
 import graft.model.Tables
 
 /** One-enumeration dup-graph fan-out ([[graft.ext.Dedup.dupGraph]]):
-  * builds the pair graph + clusters ONCE, then writes the four
+  * builds the pair graph + clusters ONCE, then writes the five
   * consumer tables (clusters, dedup corpus, quality-canonical corpus,
-  * size-distribution QA) — the pipeline shape the independent suite
+  * size-distribution QA, leakage-safe split) — the pipeline shape the
+  * independent suite
   * queries deliberately do not share (each re-enumerates by contract;
   * the library API is how a real run avoids paying enumeration
   * per consumer). Mirrors the reference's one-scan-many-writes export
@@ -61,8 +62,14 @@ object DupGraphDemo {
         g.sizes.orderBy("sz")
           .write.mode("overwrite").parquet(s"$out/sizes")
       }
+      timed("split") {
+        Sampling.leakageSafeSplit(docs, col("doc_id"), g.clusters,
+            splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select("doc_id", "split_key", "split").orderBy("doc_id")
+          .write.mode("overwrite").parquet(s"$out/split")
+      }
     } finally g.unpersist()
-    println(s"[dup-graph] 4 consumer tables under $out from ONE enumeration")
+    println(s"[dup-graph] 5 consumer tables under $out from ONE enumeration")
     spark.stop()
   }
 }

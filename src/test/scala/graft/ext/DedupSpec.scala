@@ -417,7 +417,7 @@ class DedupSpec extends SparkSpec {
     assert(r2.getLong(0) == 0L && r2.getLong(1) == 3L)
   }
 
-  test("dupGraph: four consumers, one pair enumeration (scan-count audited)") {
+  test("dupGraph: five consumers, one pair enumeration (scan-count audited)") {
     // accumulator-instrumented corpus source, GraphSpec-style: every
     // partition evaluation bumps the counter, so acc = source scans x
     // partitions (1 partition here). The enumeration's self-join +
@@ -456,6 +456,15 @@ class DedupSpec extends SparkSpec {
       assert(sizes == Set((2L, 1L, 2L)))
       assert(corpus == Set(1L, 3L, 4L, 5L))
       assert(canon == Set(1L, 3L, 4L, 5L)) // equal lengths tie -> min id
+      // fifth consumer: the leakage-safe split rides the same cluster
+      // table (one probe scan), and cluster members land together
+      val split = Sampling.leakageSafeSplit(base, col("doc_id"),
+          g.clusters, Seq("train" -> 0.5, "val" -> 0.5))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(acc.value <= fillScans + 3,
+        s"split consumer re-enumerated (${acc.value - fillScans} scans)")
+      assert(split(1L) == split(2L), "cluster {1,2} straddled the split")
+      assert(split.size == 5)
     } finally g.unpersist()
   }
 
