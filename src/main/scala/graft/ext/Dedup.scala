@@ -328,8 +328,13 @@ object Dedup {
                n: Int = 3, threshold: Double = 0.5): DupGraph = {
     val pairs = ngramJaccardPairs(docs, text, id, n, threshold).persist()
     // connectedComponents' own cache-fill count() evaluates through
-    // this persist, so the enumeration runs exactly once
-    val clusters = connectedComponents(pairs)
+    // this persist, so the enumeration runs exactly once. If the
+    // contraction dies mid-build (executor loss, OOM) the handle that
+    // owns unpersist() never exists — release the pair cache before
+    // rethrowing, or it stays pinned for the session.
+    val clusters = try connectedComponents(pairs) catch {
+      case e: Throwable => pairs.unpersist(); throw e
+    }
     new DupGraph(pairs, clusters)
   }
 

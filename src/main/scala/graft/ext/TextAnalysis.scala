@@ -127,21 +127,6 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Corpus vocabulary + token-id mapping: build the top-`vocabSize`
-    * term vocabulary (by total frequency, ties → lexicographic — a
-    * total order, so the id assignment is deterministic; ids start at
-    * 1 by frequency rank) and map every document to its ordered id
-    * sequence with OOV → 0 — the tokenize-to-ids step every training
-    * loader runs after text curation.
-    *
-    * Scale posture: term counts are the per-row kernel projection
-    * (`graft_term_counts`) aggregated once (map-combined, vocabulary-
-    * bounded); the vocabulary is a TakeOrderedAndProject (never a
-    * global sort) and BROADCASTS to the mapping join; the id sequence
-    * reassembles with one doc-keyed aggregate over (doc, position)
-    * rows. OOV handling is a left join + coalesce, not a filter — the
-    * sequence keeps its length, which packing depends on.
-    */
   /** Unigram-LM cross-entropy scoring (the CCNet-shape quality
     * signal): train a unigram language model on the corpus itself
     * (term frequency / total tokens), then score every document by its
@@ -182,6 +167,13 @@ object TextAnalysis {
       .select(col("term"),
         round(-log(2.0, col("n").cast("double") / col("nn")) * 1e6)
           .cast("long").as("cost"))
+    // Contract: docs with no scoreable tokens (null/empty text) have
+    // no dt rows and are OMITTED — same convention as noveltyRate's
+    // sub-shingle omission. A docs-keyed left-join re-attach would
+    // cost a corpus-sized shuffle join (measured: it turns the
+    // broadcast-only plan into a SortMergeJoin) for rows whose score
+    // is undefined; a quality gate that must fail-closed on them
+    // should left-join this output and treat null as reject.
     dt.join(broadcast(lm), Seq("term"))
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("cost")).as("cost"), sum("tf").as("n_tok"))
@@ -213,6 +205,21 @@ object TextAnalysis {
         size(tokens(col("wp_text"))).cast("long").as("n_wp"),
         col("wp_text"))
 
+  /** Corpus vocabulary + token-id mapping: build the top-`vocabSize`
+    * term vocabulary (by total frequency, ties → lexicographic — a
+    * total order, so the id assignment is deterministic; ids start at
+    * 1 by frequency rank) and map every document to its ordered id
+    * sequence with OOV → 0 — the tokenize-to-ids step every training
+    * loader runs after text curation.
+    *
+    * Scale posture: term counts are the per-row kernel projection
+    * (`graft_term_counts`) aggregated once (map-combined, vocabulary-
+    * bounded); the vocabulary is a TakeOrderedAndProject (never a
+    * global sort) and BROADCASTS to the mapping join; the id sequence
+    * reassembles with one doc-keyed aggregate over (doc, position)
+    * rows. OOV handling is a left join + coalesce, not a filter — the
+    * sequence keeps its length, which packing depends on.
+    */
   def tokenIds(docs: org.apache.spark.sql.DataFrame, text: Column,
                id: Column, vocabSize: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.broadcast

@@ -92,10 +92,18 @@ object WordpieceKernels {
     var firstPiece = true
     while (pos < until) {
       var len = math.min(WordpieceVocab.MaxLen, until - pos)
-      var step = 1
-      while (len >= 2 && step == 1) {
+      var step = 0
+      while (len >= 2 && step == 0) {
         if (WordpieceVocab.set.contains(s.substring(pos, pos + len))) step = len
         len -= 1
+      }
+      if (step == 0) {
+        // single-CODEPOINT fallback: a non-BMP char is a surrogate
+        // pair of two UTF-16 units — splitting it would emit lone
+        // surrogates (encoded '?'), destroying the 'concat of pieces
+        // restores the word' invariant for any emoji/CJK-ext corpus
+        step = Character.charCount(s.codePointAt(pos))
+        if (pos + step > until) step = until - pos // defensive: never cross the word
       }
       if (!firstPiece) sb.append(' ')
       firstPiece = false

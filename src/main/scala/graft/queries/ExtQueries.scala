@@ -963,6 +963,15 @@ object ExtQueries {
     * the oracle checks the whole parse+suffix pipeline, not the
     * generator. Canonicalization itself is a zero-shuffle codegen'd
     * projection; the only exchange is the per-domain count.
+    *
+    * Oracle parity envelope: the DuckDB host regex `([^/:?#]+)` and
+    * Spark's `try_parse_url` (java.net.URI) agree on ASCII
+    * alphanumeric/hyphen/dot hosts — the fixture's entire domain.
+    * They diverge outside it: IPv6 bracket literals (`[::1]` — the
+    * regex stops at `:`) and RFC-invalid hosts java.net.URI rejects
+    * (underscores → Spark null, regex captures). Extending the
+    * fixture toward raw-crawl URLs requires teaching the oracle
+    * fragment the same bracket/validity rules first.
     */
   private val qUrlDomain = Q("q_url_domain",
     (s, d) => {
@@ -2381,8 +2390,12 @@ object ExtQueries {
       "j AS (SELECT doc_id, pos, ps FROM toks JOIN wseg USING (w)), " +
       "o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
       "string_agg(ps, ' ' ORDER BY pos) AS wp_text FROM j GROUP BY doc_id) " +
-      "SELECT doc_id, n_tok, CAST(len(string_split(wp_text,' ')) AS BIGINT) " +
-      "AS n_wp, wp_text FROM o ORDER BY doc_id"))
+      // re-attach via documents so a null-text doc yields a null row
+      // (the Spark side is a pure select and keeps every doc)
+      "SELECT d.doc_id, o.n_tok, " +
+      "CAST(len(string_split(o.wp_text,' ')) AS BIGINT) AS n_wp, " +
+      "o.wp_text FROM documents d LEFT JOIN o USING (doc_id) " +
+      "ORDER BY doc_id"))
 
   /** [EXT] Unigram-LM cross-entropy quality signal
     * ([[graft.ext.TextAnalysis.unigramCrossEntropy]]): per-doc

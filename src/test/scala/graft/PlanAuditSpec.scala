@@ -637,8 +637,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = planOf("q_unigram_lm")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
-    assert(!p.contains("CartesianProduct") ||
-      p.contains("BroadcastNestedLoopJoin"), p) // 1-row total attaches by broadcast
+    // the 1-row total attaches as BroadcastNestedLoopJoin (a distinct
+    // node name), so a genuine CartesianProduct must never appear
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q_ngram_novelty: election is a sort-free hash agg; denominator never shuffles") {

@@ -65,4 +65,19 @@ class WordpieceSpec extends SparkSpec {
       .as[String].head()
     assert(viaColumn == "custom er qu ery")
   }
+
+  test("non-BMP codepoints segment whole — surrogate pairs never split") {
+    // U+1F600 is two UTF-16 units; the single-unit fallback used to
+    // emit each lone surrogate as its own piece (encoded '?'),
+    // breaking the concat-of-pieces-restores-the-word invariant
+    val emoji = new String(Character.toChars(0x1F600))
+    val out = Seq(s"hi $emoji${emoji}x").toDF("t")
+      .select(WordpieceFunctions.wordpiece(col("t")))
+      .as[String].head()
+    // 'hi' is not in the static vocab, so it falls back to chars —
+    // the emoji must come through whole either way
+    assert(out == s"h i $emoji $emoji x", out.codePoints().toArray.toSeq)
+    // restoration invariant holds for every word
+    assert(out.split(" ", -1).mkString("") == s"hi$emoji${emoji}x".replace(" ", ""))
+  }
 }
