@@ -624,4 +624,196 @@ object Similarity {
     asg.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
+
+  /** Rank-weighted retrieval quality: NDCG@k of an approximate
+    * ranking against an exact-truth ranking — the eval-harness row
+    * recall@k can't provide (recall treats rank 1 and rank k the
+    * same; NDCG pays log-discounted credit, so a system that finds
+    * the right vectors in the wrong ORDER scores below one that
+    * ranks them correctly). Graded relevance is positional:
+    * truth rank r earns gain k+1−r, so ideal DCG is a closed-form
+    * constant ([[ndcgIdealMicro]]).
+    *
+    * Inputs are the (qid, vec_id, rnk ∈ 1..k) frames
+    * [[bruteForceTopK]] / [[ivfTopK]] emit. Determinism: per-position
+    * discounts are integer MICRO-credits precomputed ONCE driver-side
+    * ([[ndcgDiscountMicro]]) and generated verbatim into the oracle
+    * CASE — gain·discount sums are exact BIGINT, so no float ever
+    * crosses a shuffle; the final ratio is one double division
+    * rounded to 4.
+    *
+    * Scale posture: both inputs are k·|queries| rows (the top-k
+    * frames), so the join and the per-query aggregate are
+    * queries-sized — the expensive part of an NDCG eval is always
+    * producing the truth ranking, and that cost is the caller's
+    * explicit choice of truth enumerator.
+    */
+  def ndcgAt(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val disc = ndcgDiscountMicro(k)
+    val tr = truth.select(col("qid"), col("vec_id"),
+      (lit(k + 1) - col("rnk")).cast("long").as("gain"))
+    val ap = approx.select(col("qid"), col("vec_id"),
+      col("rnk").cast("int").as("p"))
+    ap.join(tr, Seq("qid", "vec_id"), "left")
+      .select(col("qid"),
+        (coalesce(col("gain"), lit(0L)) *
+          element_at(array(disc.map(lit(_)): _*), col("p"))).as("contrib"))
+      .groupBy("qid")
+      .agg(sum("contrib").as("dcg_micro"))
+      .select(col("qid"), col("dcg_micro"),
+        round(col("dcg_micro").cast("double") /
+          lit(ndcgIdealMicro(k).toDouble), 4).as("ndcg"))
+  }
+
+  /** Micro-units of the NDCG position discount 1/log2(p+1), p = 1..k —
+    * ONE source of truth for the Spark literal array and the generated
+    * oracle CASE (each engine evaluating its own log2 could diverge in
+    * the last ulp at a rounding boundary; a shared integer table
+    * cannot).
+    */
+  def ndcgDiscountMicro(k: Int): IndexedSeq[Long] =
+    (1 to k).map(p =>
+      math.round(1e6 / (math.log(p + 1.0) / math.log(2.0))))
+
+  /** Ideal DCG in micro-units under positional gains k+1−p. */
+  def ndcgIdealMicro(k: Int): Long =
+    (1 to k).zip(ndcgDiscountMicro(k))
+      .map { case (p, d) => (k + 1 - p).toLong * d }.sum
+
+  /** Output width of [[signProject]] / the [[JlSigns]] matrix. */
+  val JlOutDim = 8
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix
+    * (JlOutDim × inDim), row k / column j from the md5 parity of
+    * "jl_k_j" — reproducible on any engine with no RNG state to ship.
+    * Shared source of truth for the Spark expression tree and the
+    * generated oracle arithmetic.
+    */
+  def jlSigns(inDim: Int): IndexedSeq[IndexedSeq[Int]] =
+    (0 until JlOutDim).map { k =>
+      (0 until inDim).map { j =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl_${k}_$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+
+  /** Johnson–Lindenstrauss ±1 sign projection: reduce `inDim`-float
+    * embeddings to [[JlOutDim]] dense double components, p_k = Σ_j
+    * s_kj·x_j — the dimensionality-REDUCTION half of the sign-LSH
+    * story ([[signLshPairs]] keeps only the SIGN bit of each
+    * component to bucket; this keeps the value, preserving pairwise
+    * distances to JL tolerance for downstream coarse clustering /
+    * visualization / cheap pre-filters on compressed vectors).
+    *
+    * Determinism: strictly left-to-right accumulation in double on
+    * both engines (the generated oracle spells the same ±-term chain
+    * in the same order), so the sums are bit-identical and the
+    * 4-decimal rounding cannot flip.
+    *
+    * Scale posture: a pure zero-shuffle projection — the sign matrix
+    * folds into the expression tree (never a join), each output row
+    * reads only its own vector, and downstream consumers shuffle
+    * JlOutDim doubles instead of inDim floats.
+    */
+  def signProject(emb: DataFrame, id: Column, vec: Column,
+                  inDim: Int = 64): DataFrame = {
+    val signs = jlSigns(inDim)
+    val outCols = (0 until JlOutDim).map { k =>
+      val terms = (0 until inDim).map { j =>
+        val e = element_at(vec, j + 1).cast("double")
+        if (signs(k)(j) > 0) e else -e
+      }
+      // + 0.0 folds IEEE −0.0 to +0.0 (DuckDB's round preserves the
+      // sign of a tiny negative, Spark's BigDecimal round drops it;
+      // mirrored in the generated oracle)
+      (round(terms.reduceLeft(_ + _), 4) + lit(0.0)).as(s"p$k")
+    }
+    emb.select(id.as("vec_id") +: outCols: _*)
+  }
+
+  /** Upper-triangular embedding covariance, one row per dimension pair
+    * (i ≤ j, 0-based): the dim×dim second-moment statistics PCA /
+    * whitening / feature-correlation audits start from. Components
+    * quantize to 1/scale before exact-BIGINT moment sums (the
+    * [[kmeansRefine]] arithmetic — a raw float sum depends on
+    * partition merge order), then the one closed-form double division
+    * per cell, rounded to 4.
+    *
+    * Scale posture: each vector explodes to its dim(dim+1)/2 products
+    * (per-row compute, embarrassingly parallel), and the aggregate is
+    * map-side combined — the shuffle carries ~dim²/2 cells PER TASK
+    * regardless of corpus size, and the output is dim²-sized, never
+    * corpus-sized. At 100 TB this is the textbook
+    * giant-rows × tiny-state statistics pass.
+    */
+  def covarianceCells(emb: DataFrame, vec: Column, dim: Int = 64,
+                      scale: Long = 1000L): DataFrame = {
+    val vq = emb.select(
+      transform(vec, x => floor(x.cast("double") * scale + 0.5)
+        .cast("long")).as("vq"))
+    val ex = vq.select(col("vq"), posexplode(col("vq")))
+      .toDF("vq", "i", "xi")
+    val pr = ex
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("vq"), col("i") + 1, lit(dim) - col("i"))))
+      .toDF("i", "xi", "p2", "xj")
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("p2")).cast("long").as("j"),
+        col("xi"), col("xj"))
+    val m = pr.groupBy("i", "j").agg(
+      count(lit(1)).as("n"),
+      sum("xi").as("sx"), sum("xj").as("sy"),
+      sum(col("xi") * col("xj")).as("sxy"))
+    val nd = col("n").cast("double")
+    // `+ 0.0` normalizes IEEE −0.0 → 0.0 (a tiny negative covariance
+    // rounds to −0.0 in DuckDB while Spark's BigDecimal round yields
+    // +0.0; the driver's hash is sign-sensitive) — applied on BOTH
+    // engines so the arithmetic stays mirrored.
+    m.select(col("i"), col("j"), col("n"),
+      (round((col("sxy").cast("double") * nd -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (nd * nd * lit((scale * scale).toDouble)), 4) + lit(0.0))
+        .as("cov"))
+  }
+
+  /** Top principal component by power iteration over a
+    * [[covarianceCells]] frame. The collect is dim²-sized STATISTICS
+    * (never corpus data) — the same justified-driver-side class as the
+    * z-order bounds fetch; the O(dim²·iters) matvec loop runs on the
+    * driver in microseconds while the corpus-sized work stayed in the
+    * one covariance pass. Returns (unit eigenvector, eigenvalue);
+    * the eigenvalue is the variance captured along the component.
+    * Deterministic: fixed start 1/√dim and a fixed iteration count
+    * (covariance is PSD, so power iteration converges to the top
+    * eigenpair; sign follows the start vector).
+    */
+  def principalComponent(cov: DataFrame, dim: Int,
+                         iters: Int = 30): (Array[Double], Double) = {
+    val m = Array.ofDim[Double](dim, dim)
+    cov.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getDouble(2)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + m(i)(j) * v(j)))
+      val n = math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x))
+      if (n > 0) { v = w.map(_ / n); lambda = n }
+    }
+    (v, lambda)
+  }
+
+  /** Per-vector score along a fixed component (e.g.
+    * [[principalComponent]]'s): one zero-shuffle projection — the
+    * component folds into the plan as a literal array, never a join.
+    */
+  def componentScores(emb: DataFrame, id: Column, vec: Column,
+                      component: Array[Double]): DataFrame =
+    emb.select(id.as("vec_id"),
+      round(dot(transform(vec, x => x.cast("double")),
+        typedLit(component.toSeq)), 4).as("score"))
 }

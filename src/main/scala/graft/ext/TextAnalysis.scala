@@ -205,6 +205,34 @@ object TextAnalysis {
         size(tokens(col("wp_text"))).cast("long").as("n_wp"),
         col("wp_text"))
 
+  /** Tokenizer fertility per source: subword pieces per whitespace
+    * word under the wordpiece vocabulary ([[wordpiece]]) — the
+    * tokenizer-quality dial (a fertility of 1.0 means every word is
+    * in-vocabulary; high fertility marks domains the tokenizer
+    * fragments, which inflates their token budget and training cost).
+    * Reported per source so corpus mixing can price each domain in
+    * ACTUAL subword tokens rather than whitespace words.
+    *
+    * Determinism: the ratio is exact µ-units via
+    * multiply-before-floor-divide on BIGINT sums. Scale posture: the
+    * kernel projection is per-row; the only shuffles are the
+    * doc-keyed source join and the source-sized aggregate. Docs with
+    * no tokens (null text) are omitted, matching the oracle's
+    * token-derived frame.
+    */
+  def wordpieceFertility(docs: DataFrame, text: Column, id: Column,
+                         source: Column): DataFrame =
+    wordpiece(docs, text, id)
+      .filter(col("n_tok").isNotNull)
+      .join(docs.select(id.as("doc_id"), source.as("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_words"),
+        sum("n_wp").as("n_pieces"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_pieces"),
+        expr("CAST(n_pieces * 1000000 DIV n_words AS BIGINT)")
+          .as("fertility_micro"))
+
   /** Corpus vocabulary + token-id mapping: build the top-`vocabSize`
     * term vocabulary (by total frequency, ties → lexicographic — a
     * total order, so the id assignment is deterministic; ids start at
@@ -762,4 +790,98 @@ object TextAnalysis {
       lit(bias)
     (margin, when(margin >= 0, lit("keep")).otherwise(lit("drop")))
   }
+
+  /** Zipf-law fit over the frequency-ranked vocabulary: OLS of
+    * ln(frequency) against ln(rank) for the top-`topK` terms (ties →
+    * lexicographic, a total order), slope ≈ −1 for natural language —
+    * the standard "is this corpus shaped like text" diagnostic
+    * (template/boilerplate corpora flatten the line or step it).
+    * Complements [[zipfFit]]'s corpus-growth twin `q_vocab_growth`
+    * (Heaps law): growth watches NEW vocabulary, this watches the
+    * frequency SHAPE of the existing one.
+    *
+    * Determinism: both coordinates quantize to integer MICRO-NATS
+    * (round(ln·1e6) → BIGINT) so every regression moment is an exact
+    * integer sum — shuffle-order-safe, same contract as
+    * [[graft.ops.Aggregates.linearFit]]; the closed forms evaluate
+    * once on doubles and round to 4 decimals. Slope and Pearson r are
+    * unit-free (µnat/µnat cancels); the INTERCEPT is in micro-nats —
+    * divide by 1e6 to read the Zipf constant ln C. The ln itself runs on
+    * identical integer inputs on both engines; a last-ulp divergence
+    * would have to land within ~1e-15 of a micro-nat rounding
+    * boundary to matter (the `q_unigram_lm` envelope).
+    *
+    * Scale posture: the vocabulary aggregate is map-side combined on
+    * one term exchange; the top-K cut is a TakeOrderedAndProject
+    * (never a global sort); the rank window runs over the K retained
+    * rows only; the moment aggregate is one partial-combined pass
+    * over K rows.
+    */
+  def zipfFit(docs: DataFrame, text: Column, topK: Int = 500): DataFrame = {
+    import graft.functions.TermFunctions
+    val tf = docs
+      .select(explode(TermFunctions.termCounts(text)).as("e"))
+      .groupBy(col("e.term").as("term"))
+      .agg(sum(col("e.tf").cast("long")).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(topK)
+    val ranked = tf.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("term"))).cast("long"))
+    val pts = ranked.select(
+      round(log(col("r").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("n").cast("double")) * 1e6).cast("long").as("y"))
+    graft.ops.Aggregates.linearFit(pts, groupKeys = Seq.empty,
+      x = col("x"), y = col("y"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every doc against the
+    * corpus-trained unigram LM ([[unigramCrossEntropy]]) and cut the
+    * corpus into head / middle / tail thirds at exact nearest-rank
+    * cross-entropy thresholds, reporting per-(source, bucket) doc
+    * counts and mean bits — the released-pipeline step that keeps
+    * head+middle and drops the noisy tail, with the per-source mix
+    * showing WHICH domains the tail eats.
+    *
+    * Determinism + scale: thresholds are computed on MILLI-bit costs
+    * through the bounded-domain histogram
+    * ([[graft.ops.Aggregates.boundedGroupQuantiles]]) — the milli
+    * domain is a few thousand distinct values at ANY corpus size,
+    * where µbit resolution would make the histogram corpus-sized —
+    * and docs bucket on the same milli value, so the cut is identical
+    * on both engines and the histogram window never sees more rows
+    * than the domain. Per-bucket means stay exact µbit BIGINT (floor
+    * division). Docs with no scoreable tokens are omitted
+    * (the [[unigramCrossEntropy]] contract).
+    */
+  def perplexityBuckets(docs: DataFrame, text: Column, id: Column,
+                        source: Column): DataFrame = {
+    val scored = unigramCrossEntropy(docs, text, id)
+      .withColumn("bits_milli",
+        expr("CAST(bits_micro DIV 1000 AS BIGINT)"))
+    val thr = graft.ops.Aggregates.boundedGroupQuantiles(
+        scored, lit(1), col("bits_milli"),
+        Seq("t1" -> PerplexityHeadP, "t2" -> PerplexityMiddleP))
+      .select("t1", "t2")
+    scored
+      .join(docs.select(id.as("doc_id"), source.as("source")), "doc_id")
+      .crossJoin(broadcast(thr))
+      .select(col("source"),
+        when(col("bits_milli") <= col("t1"), lit("head"))
+          .when(col("bits_milli") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("bits_micro"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("bits_micro").as("__s"))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        expr("CAST(__s DIV n_docs AS BIGINT)").as("mean_bits_micro"))
+  }
+
+  /** Bucket cut points for [[perplexityBuckets]] — ONE source of truth
+    * for the Spark plan and the generated oracle literal (the double
+    * must be bit-identical on both engines for the nearest-rank ceil
+    * to agree).
+    */
+  val PerplexityHeadP: Double = 1.0 / 3
+  val PerplexityMiddleP: Double = 2.0 / 3
 }

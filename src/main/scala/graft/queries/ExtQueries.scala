@@ -2372,11 +2372,14 @@ object ExtQueries {
     * over the DISTINCT words (word-domain-sized, not corpus-sized)
     * with the step CASE generated from the same vocabulary constant.
     */
-  private val qWordpiece = Q("q_wordpiece",
-    (s, d) => TextAnalysis.wordpiece(
-        t(s, d, "documents"), col("text"), col("doc_id"))
-      .orderBy("doc_id"),
-    Some("WITH RECURSIVE words AS (SELECT DISTINCT " +
+  /** Shared wordpiece oracle CTEs (words / seg / wseg / toks / j / o):
+    * the greedy segmentation automaton replayed over DISTINCT words
+    * and re-attached per doc — ONE definition consumed by q_wordpiece
+    * and q_tokenizer_fertility. A `def` (not val) so declaration
+    * order vs its consumers cannot bite.
+    */
+  private def duckWordpieceCtes: String =
+    "WITH RECURSIVE words AS (SELECT DISTINCT " +
       "unnest(string_split(text, ' ')) AS w FROM documents), " +
       "seg(w, pos, ps) AS (SELECT w, 0, '' FROM words " +
       "UNION ALL SELECT w, pos + s, CASE WHEN ps = '' THEN " +
@@ -2389,9 +2392,15 @@ object ExtQueries {
       "len(string_split(text,' ')))) AS i FROM documents)), " +
       "j AS (SELECT doc_id, pos, ps FROM toks JOIN wseg USING (w)), " +
       "o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, " +
-      "string_agg(ps, ' ' ORDER BY pos) AS wp_text FROM j GROUP BY doc_id) " +
-      // re-attach via documents so a null-text doc yields a null row
-      // (the Spark side is a pure select and keeps every doc)
+      "string_agg(ps, ' ' ORDER BY pos) AS wp_text FROM j GROUP BY doc_id)"
+
+  private val qWordpiece = Q("q_wordpiece",
+    (s, d) => TextAnalysis.wordpiece(
+        t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    // re-attach via documents so a null-text doc yields a null row
+    // (the Spark side is a pure select and keeps every doc)
+    Some(duckWordpieceCtes + " " +
       "SELECT d.doc_id, o.n_tok, " +
       "CAST(len(string_split(o.wp_text,' ')) AS BIGINT) AS n_wp, " +
       "o.wp_text FROM documents d LEFT JOIN o USING (doc_id) " +
@@ -2408,11 +2417,14 @@ object ExtQueries {
     * corpus shuffle-join. The oracle trains the identical LM and
     * replays the same integer quantization.
     */
-  private val qUnigramLm = Q("q_unigram_lm",
-    (s, d) => TextAnalysis.unigramCrossEntropy(
-        t(s, d, "documents"), col("text"), col("doc_id"))
-      .orderBy("doc_id"),
-    Some("WITH tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n " +
+  /** Shared unigram-LM oracle CTEs (tf / tot / lm / dt / c): the
+    * corpus-trained LM and per-doc exact µbit costs — ONE definition
+    * consumed by q_unigram_lm and q_perplexity_bucket (the same
+    * single-source-of-truth discipline as duckWpStep). Declared
+    * before its consumers: object vals initialize in order.
+    */
+  private val duckUnigramCtes =
+    "tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n " +
       "FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
       "GROUP BY t), " +
       "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM tf), " +
@@ -2423,8 +2435,14 @@ object ExtQueries {
       "FROM documents) GROUP BY 1, 2), " +
       "c AS (SELECT doc_id, CAST(sum(dt.tf * lm.cost) AS BIGINT) AS cost, " +
       "CAST(sum(dt.tf) AS BIGINT) AS n_tok FROM dt JOIN lm USING (term) " +
-      "GROUP BY doc_id) " +
-      "SELECT doc_id, n_tok, CAST(cost // n_tok AS BIGINT) AS bits_micro " +
+      "GROUP BY doc_id)"
+
+  private val qUnigramLm = Q("q_unigram_lm",
+    (s, d) => TextAnalysis.unigramCrossEntropy(
+        t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH " + duckUnigramCtes +
+      " SELECT doc_id, n_tok, CAST(cost // n_tok AS BIGINT) AS bits_micro " +
       "FROM c ORDER BY doc_id"))
 
   /** [EXT] L72 corpus n-gram novelty by ingest order
@@ -2842,6 +2860,220 @@ object ExtQueries {
       "CAST(sz * count(*) AS BIGINT) AS n_docs FROM cs GROUP BY sz " +
       "ORDER BY sz"))
 
+  /** [EXT] L82 NDCG@10 retrieval eval ([[Similarity.ndcgAt]]): the
+    * rank-WEIGHTED companion to q_ann_recall — recall@k treats rank 1
+    * and rank k alike, NDCG pays log-discounted credit, so an index
+    * that finds the right vectors in the wrong ORDER scores lower.
+    * Truth = brute-force cosine top-10 (positional gains 11−r);
+    * approx = the IVF ranking. Discounts are integer micro-credits
+    * precomputed driver-side and generated verbatim into the oracle
+    * CASE (no engine evaluates its own log2), so DCG sums are exact
+    * BIGINT; the truth side deliberately pays the exact enumeration —
+    * the eval-harness cost class (cf. q_lsh_recall / q_pq_recall).
+    */
+  private val qNdcg = Q("q_ndcg",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
+      val truth = Similarity.bruteForceTopK(queries, n, k = 10)
+      val approx = Similarity.ivfTopK(corpus = n,
+        centroids = n.filter(col("vec_id") % 100 === 0),
+        queries = queries, k = 10)
+      Similarity.ndcgAt(truth, approx, k = 10).orderBy("qid")
+    },
+    Some {
+      val discCase = "CASE ap.p " +
+        Similarity.ndcgDiscountMicro(10).zipWithIndex
+          .map { case (dm, i) => s"WHEN ${i + 1} THEN $dm" }
+          .mkString(" ") + " ELSE 0 END"
+      val dcg = s"sum(coalesce(tr.gain, 0) * ($discCase))"
+      duckNormCte + ", " +
+        "tr AS (SELECT qid, vec_id, 11 - rnk AS gain FROM " +
+        "(SELECT a.vec_id AS qid, b.vec_id, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
+        "FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
+        "AND b.vec_id <> a.vec_id) WHERE rnk <= 10), " +
+        "cent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
+        "asg AS (SELECT vec_id, v, nm, cid FROM (" +
+        "SELECT n.vec_id, n.v, n.nm, c.vec_id AS cid, row_number() OVER (" +
+        "PARTITION BY n.vec_id ORDER BY " +
+        "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
+        "FROM n CROSS JOIN cent c) WHERE rn = 1), " +
+        "q AS (SELECT vec_id AS qid, v AS qv, nm AS qn, cid FROM asg " +
+        "WHERE vec_id IN (1, 2, 3, 4)), " +
+        "ap AS (SELECT qid, vec_id, rnk AS p FROM (SELECT q.qid, a.vec_id, " +
+        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+        "list_dot_product(q.qv, a.v) / (q.qn * a.nm) DESC, a.vec_id) AS rnk " +
+        "FROM asg a JOIN q ON a.cid = q.cid AND a.vec_id <> q.qid) " +
+        "WHERE rnk <= 10) " +
+        s"SELECT ap.qid, CAST($dcg AS BIGINT) AS dcg_micro, " +
+        s"round(CAST($dcg AS DOUBLE) / ${Similarity.ndcgIdealMicro(10)}.0, " +
+        "4) AS ndcg " +
+        "FROM ap LEFT JOIN tr ON ap.qid = tr.qid AND ap.vec_id = tr.vec_id " +
+        "GROUP BY ap.qid ORDER BY ap.qid"
+    })
+
+  /** [EXT] L83 Zipf-law fit ([[TextAnalysis.zipfFit]]): OLS slope of
+    * ln(freq) vs ln(rank) over the top-500 vocabulary — natural text
+    * sits near −1; template/boilerplate corpora flatten or step the
+    * line, so the slope is a one-row corpus-health dial next to the
+    * Heaps-law growth curve (q_vocab_growth). Coordinates quantize to
+    * micro-nat BIGINT so the regression moments are exact integer
+    * sums (the q_regr_fit contract); the top-K cut is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private val qZipfFit = Q("q_zipf_fit",
+    (s, d) => TextAnalysis.zipfFit(t(s, d, "documents"), col("text"),
+      topK = 500),
+    Some("WITH tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+      "GROUP BY t), " +
+      "rk AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, term) " +
+      "AS BIGINT) AS r, n FROM tf ORDER BY n DESC, term LIMIT 500), " +
+      "pts AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) " +
+      "AS BIGINT) AS x, CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) " +
+      "AS BIGINT) AS y FROM rk), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+      "CAST(sum(x * x) AS BIGINT) AS sxx, " +
+      "CAST(sum(x * y) AS BIGINT) AS sxy, " +
+      "CAST(sum(y * y) AS BIGINT) AS syy FROM pts), " +
+      "md AS (SELECT n, CAST(n AS DOUBLE) AS nd, " +
+      "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+      "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, " +
+      "CAST(syy AS DOUBLE) AS syyd FROM m) " +
+      "SELECT n, " +
+      "round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) " +
+      "AS slope, " +
+      "round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) " +
+      "* sxd) / nd, 4) AS intercept, " +
+      "round((nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * " +
+      "sqrt(nd * syyd - syd * syd)), 4) AS r FROM md"))
+
+  /** [EXT] L84 perplexity bucketing
+    * ([[TextAnalysis.perplexityBuckets]]): the CCNet release step on
+    * top of q_unigram_lm's scores — cut the corpus into head / middle
+    * / tail thirds at exact nearest-rank cross-entropy thresholds and
+    * report the per-(source, bucket) mix ("which domains does the
+    * noisy tail eat"). Thresholds ride the bounded-domain MILLI-bit
+    * histogram (domain-sized at any corpus scale; µbit resolution
+    * would make it corpus-sized) and broadcast back; means stay exact
+    * µbit BIGINT. Oracle re-derives the LM from the shared CTEs and
+    * replays the identical cut.
+    */
+  private val qPerplexityBucket = Q("q_perplexity_bucket",
+    (s, d) => TextAnalysis.perplexityBuckets(t(s, d, "documents"),
+        col("text"), col("doc_id"), col("source"))
+      .orderBy("source", "bucket"),
+    Some("WITH " + duckUnigramCtes + ", " +
+      "sc AS (SELECT doc_id, CAST(cost // n_tok AS BIGINT) AS bits_micro, " +
+      "CAST((cost // n_tok) // 1000 AS BIGINT) AS bits_milli FROM c), " +
+      "h AS (SELECT bits_milli AS v, count(*) AS cg FROM sc GROUP BY v), " +
+      "cw AS (SELECT v, sum(cg) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
+      "PRECEDING AND CURRENT ROW) AS cf, sum(cg) OVER () AS n FROM h), " +
+      "thr AS (SELECT " +
+      "min(CASE WHEN cf >= ceil(n * CAST(" +
+      s"${TextAnalysis.PerplexityHeadP} AS DOUBLE)) THEN v END) AS t1, " +
+      "min(CASE WHEN cf >= ceil(n * CAST(" +
+      s"${TextAnalysis.PerplexityMiddleP} AS DOUBLE)) THEN v END) AS t2 " +
+      "FROM cw), " +
+      "b AS (SELECT d.source, CASE WHEN sc.bits_milli <= thr.t1 " +
+      "THEN 'head' WHEN sc.bits_milli <= thr.t2 THEN 'middle' " +
+      "ELSE 'tail' END AS bucket, sc.bits_micro " +
+      "FROM sc JOIN documents d USING (doc_id), thr) " +
+      "SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(bits_micro) // count(*) AS BIGINT) AS mean_bits_micro " +
+      "FROM b GROUP BY source, bucket ORDER BY source, bucket"))
+
+  /** [EXT] L85 Johnson–Lindenstrauss sign projection
+    * ([[Similarity.signProject]]): reduce 64-float embeddings to 8
+    * dense double components via the deterministic ±1 md5-parity sign
+    * matrix — the dimensionality-REDUCTION half of the sign-LSH story
+    * (q_embed_lsh keeps only each component's SIGN bit to bucket;
+    * this keeps the value, JL-preserving pairwise distances for
+    * coarse clustering and cheap pre-filters on 8× smaller vectors).
+    * Pure zero-shuffle projection; the sign matrix folds into the
+    * expression tree (never a join), and the oracle spells the SAME
+    * left-to-right ±-term chain so the double sums are bit-identical.
+    */
+  private val qJlProject = Q("q_jl_project",
+    (s, d) => Similarity.signProject(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), inDim = 64)
+      .orderBy("vec_id"),
+    Some {
+      val signs = Similarity.jlSigns(64)
+      val exprs = (0 until Similarity.JlOutDim).map { k =>
+        val chain = (0 until 64).map { j =>
+          val term = s"CAST(embedding[${j + 1}] AS DOUBLE)"
+          if (j == 0) { if (signs(k)(j) > 0) term else s"- $term" }
+          else { if (signs(k)(j) > 0) s"+ $term" else s"- $term" }
+        }.mkString(" ")
+        // + 0.0 folds IEEE −0.0 to +0.0 (mirrored in signProject)
+        s"round($chain, 4) + 0.0 AS p$k"
+      }
+      s"SELECT vec_id, ${exprs.mkString(", ")} FROM embeddings " +
+        "ORDER BY vec_id"
+    })
+
+  /** [EXT] L86 tokenizer fertility per source
+    * ([[TextAnalysis.wordpieceFertility]]): subword pieces per
+    * whitespace word under the wordpiece vocabulary — the
+    * tokenizer-quality dial that prices each domain in ACTUAL subword
+    * tokens (fertility 1.0 = fully in-vocabulary; high fertility
+    * marks domains the tokenizer fragments, inflating their token
+    * budget). Exact µ-unit ratio over BIGINT sums; kernel projection
+    * per row, shuffles only the doc-keyed source join + source-sized
+    * aggregate. Oracle replays the shared segmentation CTEs grouped
+    * by source.
+    */
+  private val qTokenizerFertility = Q("q_tokenizer_fertility",
+    (s, d) => TextAnalysis.wordpieceFertility(t(s, d, "documents"),
+        col("text"), col("doc_id"), col("source"))
+      .orderBy("source"),
+    Some(duckWordpieceCtes + ", " +
+      "f AS (SELECT d.source, o.n_tok, " +
+      "CAST(len(string_split(o.wp_text, ' ')) AS BIGINT) AS n_wp " +
+      "FROM o JOIN documents d USING (doc_id)) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_words, " +
+      "CAST(sum(n_wp) AS BIGINT) AS n_pieces, " +
+      "CAST((sum(n_wp) * 1000000) // sum(n_tok) AS BIGINT) " +
+      "AS fertility_micro FROM f GROUP BY source ORDER BY source"))
+
+  /** [EXT] L87 embedding covariance ([[Similarity.covarianceCells]]):
+    * the upper-triangular dim×dim second-moment table PCA / whitening
+    * / feature-correlation audits start from — computed as the
+    * textbook giant-rows × tiny-state pass (per-row product explode,
+    * map-side-combined cell aggregate; the shuffle carries ~dim²/2
+    * cells per task at ANY corpus size). Components quantize to
+    * 1/1000 before exact-BIGINT moment sums, one closed-form double
+    * division per cell; [[Similarity.principalComponent]] consumes
+    * this frame driver-side (dim²-sized statistics, never corpus
+    * data) for the power-iteration eigenpair.
+    */
+  private val qEmbedCovariance = Q("q_embed_covariance",
+    (s, d) => Similarity.covarianceCells(t(s, d, "embeddings"),
+        col("embedding"), dim = 64)
+      .orderBy("i", "j"),
+    Some("WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), " +
+      "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vq " +
+      "FROM embeddings), " +
+      "ex AS (SELECT vq, unnest(generate_series(1, 64)) AS ii FROM e), " +
+      "pr AS (SELECT ii - 1 AS i, jj - 1 AS j, vq[ii] AS xi, " +
+      "vq[jj] AS xj FROM (SELECT vq, ii, " +
+      "unnest(generate_series(ii, 64)) AS jj FROM ex)), " +
+      "m AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS sx, " +
+      "CAST(sum(xj) AS BIGINT) AS sy, " +
+      "CAST(sum(xi * xj) AS BIGINT) AS sxy FROM pr GROUP BY i, j) " +
+      // + 0.0 folds IEEE −0.0 to +0.0 (mirrored in covarianceCells)
+      "SELECT i, j, n, round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0), 4) + 0.0 " +
+      "AS cov FROM m ORDER BY i, j"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -2868,5 +3100,9 @@ object ExtQueries {
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
     qSemanticDecontaminate, qAnnPq, qPqRecall, qBpeApply,
-    qLeakageSafeSplit, qNoveltyIncremental)
+    qLeakageSafeSplit, qNoveltyIncremental,
+    // round-12 session 2: rank-weighted retrieval eval, corpus-shape
+    // diagnostics, CCNet bucketing, JL reduction
+    qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
+    qTokenizerFertility, qEmbedCovariance)
 }

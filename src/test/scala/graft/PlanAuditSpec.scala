@@ -718,6 +718,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_jl_project: zero-shuffle projection — sign matrix folded into " +
+      "the expression tree, never a join") {
+    val p = planOf("q_jl_project")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
+  }
+
+  test("q_ndcg: truth and approx elections are WindowGroupLimit; " +
+      "queries broadcast; no cartesian") {
+    val p = planOf("q_ndcg")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_zipf_fit: vocabulary cut is TakeOrderedAndProject (never a " +
+      "global sort); moment aggregate is partial-combined") {
+    val p = planOf("q_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only wide exchange is the vocabulary aggregate's
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 1, s"expected one vocab exchange:\n$p")
+  }
+
+  test("q_perplexity_bucket: LM and milli-bit thresholds broadcast back " +
+      "over the corpus; no cartesian") {
+    val p = planOf("q_perplexity_bucket")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_embed_covariance: one map-side-combined cell aggregate; no join") {
+    val p = planOf("q_embed_covariance")
+    assert(!p.contains("Join"), p)
+    // the only wide exchange carries dim²/2 cells per task, never rows
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 1, s"expected exactly the cell exchange:\n$p")
+  }
+
   test("q_quality_logit: pure per-row projection — no shuffle, no join") {
     val p = planOf("q_quality_logit")
     val exchanges = p.linesIterator.count(l =>

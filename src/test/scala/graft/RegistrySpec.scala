@@ -107,5 +107,9 @@ object RegistrySpec {
     "q_span_dedup", "q_url_domain", "q_wordpiece", "q_unigram_lm",
     "q_ngram_novelty", "q_quality_logit", "q_vocab_growth", "q_bpe_train",
     "q_semantic_decontaminate", "q_ann_pq", "q_pq_recall", "q_bpe_apply",
-    "q_leakage_safe_split", "q_novelty_incremental")
+    "q_leakage_safe_split", "q_novelty_incremental",
+    // round-12 session 2: rank-weighted retrieval eval, corpus-shape
+    // diagnostics, CCNet bucketing, JL reduction
+    "q_ndcg", "q_zipf_fit", "q_perplexity_bucket", "q_jl_project",
+    "q_tokenizer_fertility", "q_embed_covariance")
 }

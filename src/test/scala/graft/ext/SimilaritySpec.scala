@@ -395,4 +395,116 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(all == Set(1L, 2L, 3L), "argmax emits every non-eval vector")
   }
+
+  test("ndcgAt: perfect ranking scores exactly 1.0; reversal and misses degrade") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "vec_id", "rnk")
+    val perfect = Similarity.ndcgAt(truth, truth, k = 3).collect().head
+    // gains line up with ideal positions → dcg == ideal, exactly 1.0
+    assert(perfect.getAs[Double]("ndcg") == 1.0, perfect.toString)
+    assert(perfect.getAs[Long]("dcg_micro") ==
+      Similarity.ndcgIdealMicro(3))
+    val reversed = Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3))
+      .toDF("qid", "vec_id", "rnk")
+    val rev = Similarity.ndcgAt(truth, reversed, k = 3)
+      .collect().head.getAs[Double]("ndcg")
+    assert(rev > 0.0 && rev < 1.0, s"reversed ranking scored $rev")
+    val misses = Seq((1L, 97L, 1), (1L, 98L, 2), (1L, 99L, 3))
+      .toDF("qid", "vec_id", "rnk")
+    assert(Similarity.ndcgAt(truth, misses, k = 3)
+      .collect().head.getAs[Long]("dcg_micro") == 0L,
+      "all-miss ranking must earn zero credit")
+  }
+
+  test("ndcgAt: order matters more at the top (rank-1 swap costs more than rank-k swap)") {
+    val truth = (1 to 4).map(r => (1L, (9 + r).toLong, r))
+      .toDF("qid", "vec_id", "rnk")
+    def swapped(a: Int, b: Int) = (1 to 4).map { r =>
+      val v = if (r == a) 9 + b else if (r == b) 9 + a else 9 + r
+      (1L, v.toLong, r)
+    }.toDF("qid", "vec_id", "rnk")
+    def score(ap: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ndcgAt(truth, ap, k = 4).collect().head.getAs[Double]("ndcg")
+    // swapping ranks 1↔2 must cost strictly more than swapping 3↔4
+    assert(score(swapped(1, 2)) < score(swapped(3, 4)),
+      "top-of-list inversions must be penalized harder")
+  }
+
+  test("signProject: one-hot vectors read the sign matrix back verbatim") {
+    val dim = 16
+    val signs = Similarity.jlSigns(dim)
+    val oneHots = (0 until dim).map(j =>
+      (j.toLong, Seq.tabulate(dim)(i => if (i == j) 1.0f else 0.0f)))
+    val df = oneHots.toDF("vec_id", "embedding")
+    val out = Similarity.signProject(df, col("vec_id"), col("embedding"),
+        inDim = dim)
+      .orderBy("vec_id").collect()
+    out.zipWithIndex.foreach { case (row, j) =>
+      (0 until Similarity.JlOutDim).foreach { k =>
+        assert(row.getAs[Double](s"p$k") == signs(k)(j).toDouble,
+          s"one-hot dim $j, output $k")
+      }
+    }
+  }
+
+  test("signProject: linear in the input and sign-flip symmetric") {
+    val dim = 8
+    val vecs = Gen.listOfN(10, Gen.listOfN(dim, Gen.choose(-8f, 8f)))
+    val prop = Prop.forAll(vecs) { data =>
+      val rows = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("vec_id", "embedding")
+      val neg = rows.map { case (i, v) => (i, v.map(x => -x)) }
+        .toDF("vec_id", "embedding")
+      val p = Similarity.signProject(df, col("vec_id"), col("embedding"), dim)
+        .orderBy("vec_id").collect()
+      val pn = Similarity.signProject(neg, col("vec_id"), col("embedding"), dim)
+        .orderBy("vec_id").collect()
+      // P(−x) = −P(x) component-wise (modulo the ±0.0 of rounding)
+      p.zip(pn).forall { case (a, b) =>
+        (0 until Similarity.JlOutDim).forall { k =>
+          math.abs(a.getAs[Double](s"p$k") + b.getAs[Double](s"p$k")) == 0.0
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("covarianceCells + principalComponent: recovers a planted direction") {
+    // points t·(0.6, 0.8), t ∈ {±1, ±2}: population covariance is
+    // 2.5·d·dᵀ → cells (.9, 1.2, 1.6), top eigenpair (d, 2.5)
+    val dir = Array(0.6, 0.8)
+    val pts = Seq(-2.0, -1.0, 1.0, 2.0).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq((t * dir(0)).toFloat, (t * dir(1)).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceCells(df, col("embedding"), dim = 2)
+    val cells = cov.orderBy("i", "j").collect()
+    assert(cells.length == 3, "upper triangle of a 2×2 has 3 cells")
+    val m = cells.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(m((0L, 0L)) - 0.9) < 0.01, m.toString)
+    assert(math.abs(m((0L, 1L)) - 1.2) < 0.01, m.toString)
+    assert(math.abs(m((1L, 1L)) - 1.6) < 0.01, m.toString)
+    val (pc, l) = Similarity.principalComponent(cov, dim = 2)
+    assert(math.abs(math.abs(pc(0) * dir(0) + pc(1) * dir(1)) - 1.0) < 1e-6,
+      s"PC1 ${pc.toSeq} must align with the planted direction")
+    assert(math.abs(l - 2.5) < 0.02, s"eigenvalue $l")
+    // componentScores projects each point back to (a sign of) its t
+    val scores = Similarity.componentScores(df, col("vec_id"),
+        col("embedding"), pc)
+      .orderBy("vec_id").collect().map(_.getAs[Double]("score"))
+    scores.zip(Seq(-2.0, -1.0, 1.0, 2.0)).foreach { case (s, t) =>
+      assert(math.abs(math.abs(s) - math.abs(t)) < 0.01, s"score $s vs $t")
+    }
+  }
+
+  test("principalComponent: zero covariance degenerates gracefully") {
+    val zeros = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceCells(zeros, col("embedding"), dim = 2)
+    val (pc, l) = Similarity.principalComponent(cov, dim = 2)
+    assert(l == 0.0 && pc.forall(!_.isNaN),
+      "zero matrix must not divide by zero")
+  }
 }

@@ -262,4 +262,67 @@ class TextAnalysisSpec extends SparkSpec {
       assert((m >= 0) == (l == "keep"))
     }
   }
+
+  test("zipfFit: an exact 1/r frequency law fits slope −1, r = −1") {
+    // freqs 12, 6, 4, 3 = 12/r for r = 1..4; terms named so frequency
+    // rank and lexicographic tie-break agree
+    val freqs = Seq("ta" -> 12, "tb" -> 6, "tc" -> 4, "td" -> 3)
+    val docs = freqs.zipWithIndex.map { case ((term, f), i) =>
+      (i.toLong, Seq.fill(f)(term).mkString(" "))
+    }.toDF("doc_id", "text")
+    val row = TextAnalysis.zipfFit(docs, col("text"), topK = 10)
+      .collect().head
+    assert(row.getAs[Long]("n") == 4)
+    assert(row.getAs[Double]("slope") == -1.0, row.toString)
+    // intercept = ln 12 in MICRO-nats (the fit's coordinate unit;
+    // slope and r are unit-free ratios), i.e. the Zipf constant
+    assert(math.abs(row.getAs[Double]("intercept") / 1e6 - math.log(12.0))
+      < 1e-3, row.toString)
+    assert(row.getAs[Double]("r") == -1.0, row.toString)
+  }
+
+  test("zipfFit: topK caps the fitted vocabulary") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(docs, col("text"), topK = 2)
+      .collect().head.getAs[Long]("n") == 2)
+  }
+
+  test("perplexityBuckets: buckets partition the scored corpus; head beats tail") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.model.Tables.load(spark, d, "documents")
+    val out = TextAnalysis.perplexityBuckets(docs, col("text"),
+      col("doc_id"), col("source")).collect()
+    val scored = TextAnalysis.unigramCrossEntropy(docs, col("text"),
+      col("doc_id")).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == scored,
+      "every scored doc lands in exactly one bucket")
+    // corpus-wide head mean must be strictly below the tail mean
+    def weighted(b: String): Double = {
+      val rows = out.filter(_.getAs[String]("bucket") == b)
+      val n = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(n > 0, s"bucket $b is empty at sf0.001")
+      rows.map(r => r.getAs[Long]("mean_bits_micro").toDouble *
+        r.getAs[Long]("n_docs")).sum / n
+    }
+    assert(weighted("head") < weighted("tail"),
+      "cross-entropy must increase head → tail")
+  }
+
+  test("wordpieceFertility: fertility ≥ 1 and sums reconcile with the corpus") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.model.Tables.load(spark, d, "documents")
+    val out = TextAnalysis.wordpieceFertility(docs, col("text"),
+      col("doc_id"), col("source")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      // a subword encode never produces fewer pieces than words
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"), r.toString)
+      assert(r.getAs[Long]("fertility_micro") >= 1000000L, r.toString)
+      assert(r.getAs[Long]("fertility_micro") ==
+        r.getAs[Long]("n_pieces") * 1000000L / r.getAs[Long]("n_words"),
+        "ratio must be the exact floor division of the sums")
+    }
+    // per-source doc counts partition the corpus
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
 }
