@@ -816,4 +816,75 @@ object Similarity {
     emb.select(id.as("vec_id"),
       round(dot(transform(vec, x => x.cast("double")),
         typedLit(component.toSeq)), 4).as("score"))
+
+  /** Maximal-marginal-relevance selection (Carbonell–Goldstein MMR):
+    * from each query's top-`c` cosine candidates, greedily pick `k`
+    * items maximizing λ·rel(cand) − (1−λ)·max_{s∈picked} sim(cand, s)
+    * — the diversity re-rank retrieval and training-data selection
+    * run on top of ANN so near-duplicate hits don't crowd out
+    * coverage (pick 1 is pure relevance; later picks trade relevance
+    * against similarity to what is already chosen). Returns
+    * (qid, pick ∈ 1..k, vec_id, score), score = the criterion that
+    * won the pick (pick 1's is raw relevance).
+    *
+    * Determinism: relevance and pairwise sims are the engine-portable
+    * cosine; each pick's criterion is λ·rel − (1−λ)·red evaluated in
+    * that order on both engines over identical doubles, argmax ties
+    * break on vec_id, and the emitted score folds −0.0 → +0.0.
+    *
+    * Scale posture: the expensive part is the candidate generation
+    * the caller chooses (brute force here; IVF at scale). Everything
+    * after runs on c·|queries| rows: the candidate frame and its c²
+    * pairwise sims materialize ONCE (lazy per-invocation
+    * localCheckpoint — the k−1 greedy steps each reread them), and
+    * each step is a selected-sized join + WindowGroupLimit argmax.
+    * The k-step loop is inherently sequential (that IS the MMR
+    * semantics), but every step's cost is candidate-sized, never
+    * corpus-sized.
+    */
+  def mmrSelect(queries: DataFrame, corpus: DataFrame, c: Int, k: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && c >= k, s"need c >= k >= 1: c=$c k=$k")
+    val cands = bruteForceTopK(queries, corpus, c)
+      .select(col("qid"), col("vec_id"), col("cos").as("rel"))
+    val cv = corpus.select(col("vec_id"), col("v"), col("nm"))
+    val cd = cands.join(cv, "vec_id")
+      .select(col("qid"), col("vec_id"), col("rel"), col("v"), col("nm"))
+      .localCheckpoint(false)
+    val a = cd.select(col("qid"), col("vec_id").as("a"),
+      col("v").as("va"), col("nm").as("na"))
+    val b = cd.select(col("qid"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nm").as("nb"))
+    val sims = a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        cosinePre(dot(col("va"), col("vb")), col("na"), col("nb"))
+          .as("sim"))
+      .localCheckpoint(false)
+    val base = cd.select("qid", "vec_id", "rel")
+    var picks = Windows.findFirst(base, keys = Seq(col("qid")),
+        priority = Seq(col("rel").desc, col("vec_id")))
+      .select(col("qid"), col("vec_id"), lit(1L).as("pick"),
+        col("rel").as("score"))
+    var selected = picks.select("qid", "vec_id")
+    for (step <- 2 to k) {
+      val red = sims
+        .join(selected.withColumnRenamed("vec_id", "b"), Seq("qid", "b"))
+        .groupBy("qid", "a").agg(max("sim").as("red"))
+        .withColumnRenamed("a", "vec_id")
+      val scored = base
+        .join(selected, Seq("qid", "vec_id"), "left_anti")
+        .join(red, Seq("qid", "vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (lit(lambda) * col("rel") - lit(1 - lambda) * col("red"))
+            .as("score"))
+      val next = Windows.findFirst(scored, keys = Seq(col("qid")),
+          priority = Seq(col("score").desc, col("vec_id")))
+        .select(col("qid"), col("vec_id"), lit(step.toLong).as("pick"),
+          col("score"))
+      picks = picks.unionAll(next)
+      selected = selected.unionAll(next.select("qid", "vec_id"))
+    }
+    picks.select(col("qid"), col("pick"), col("vec_id"),
+      (round(col("score"), 4) + lit(0.0)).as("score"))
+  }
 }

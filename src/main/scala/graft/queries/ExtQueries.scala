@@ -3074,6 +3074,63 @@ object ExtQueries {
       "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0), 4) + 0.0 " +
       "AS cov FROM m ORDER BY i, j"))
 
+  /** [EXT] L88 MMR diversity re-rank ([[Similarity.mmrSelect]]):
+    * greedy maximal-marginal-relevance selection of 4 from each
+    * query's top-12 cosine candidates (λ = 0.5) — the standard
+    * diversity step on top of ANN so near-duplicate hits don't crowd
+    * out coverage. The greedy trajectory is replayed step-for-step in
+    * the oracle as a generated CTE chain (same argmax order, same
+    * λ·rel − (1−λ)·red arithmetic, ties on vec_id), the same
+    * chain-generation discipline as q_bpe_train.
+    */
+  private val qMmrDiversify = Q("q_mmr_diversify",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      Similarity.mmrSelect(
+          queries = n.filter(col("vec_id").isin(1, 2, 3, 4)),
+          corpus = n, c = 12, k = 4, lambda = 0.5)
+        .orderBy("qid", "pick")
+    },
+    Some {
+      val lam = 0.5
+      val crit = s"$lam * rel - ${1 - lam} * red"
+      val steps = (2 to 4).map { st =>
+        s"cand$st AS (SELECT c.qid, c.vec_id, c.rel, max(m.sim) AS red " +
+          s"FROM cands c JOIN sims m ON m.qid = c.qid AND m.a = c.vec_id " +
+          s"JOIN sel${st - 1} s ON s.qid = m.qid AND s.vec_id = m.b " +
+          s"WHERE NOT EXISTS (SELECT 1 FROM sel${st - 1} z " +
+          "WHERE z.qid = c.qid AND z.vec_id = c.vec_id) " +
+          "GROUP BY c.qid, c.vec_id, c.rel), " +
+          s"s$st AS (SELECT qid, vec_id, $st AS pick, score FROM " +
+          s"(SELECT qid, vec_id, $crit AS score, " +
+          s"row_number() OVER (PARTITION BY qid ORDER BY $crit DESC, " +
+          s"vec_id) AS rn FROM cand$st) WHERE rn = 1), " +
+          s"sel$st AS (SELECT qid, vec_id FROM sel${st - 1} " +
+          s"UNION ALL SELECT qid, vec_id FROM s$st)"
+      }.mkString(", ")
+      duckNormCte + ", " +
+        "cands AS (SELECT qid, vec_id, rel FROM (SELECT a.vec_id AS qid, " +
+        "b.vec_id, list_dot_product(a.v, b.v) / (a.nm * b.nm) AS rel, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+        "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) " +
+        "AS rnk FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
+        "AND b.vec_id <> a.vec_id) WHERE rnk <= 12), " +
+        "sims AS (SELECT c1.qid, c1.vec_id AS a, c2.vec_id AS b, " +
+        "list_dot_product(x.v, y.v) / (x.nm * y.nm) AS sim FROM cands c1 " +
+        "JOIN cands c2 ON c1.qid = c2.qid AND c1.vec_id <> c2.vec_id " +
+        "JOIN n x ON x.vec_id = c1.vec_id JOIN n y ON y.vec_id = c2.vec_id), " +
+        "s1 AS (SELECT qid, vec_id, 1 AS pick, rel AS score FROM " +
+        "(SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY rel DESC, vec_id) AS rn FROM cands) WHERE rn = 1), " +
+        "sel1 AS (SELECT qid, vec_id FROM s1), " + steps + " " +
+        "SELECT qid, CAST(pick AS BIGINT) AS pick, vec_id, " +
+        "round(score, 4) + 0.0 AS score FROM " +
+        "(SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL " +
+        "SELECT * FROM s3 UNION ALL SELECT * FROM s4) " +
+        "ORDER BY qid, pick"
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -3104,5 +3161,5 @@ object ExtQueries {
     // round-12 session 2: rank-weighted retrieval eval, corpus-shape
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
-    qTokenizerFertility, qEmbedCovariance)
+    qTokenizerFertility, qEmbedCovariance, qMmrDiversify)
 }

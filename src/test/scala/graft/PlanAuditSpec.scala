@@ -753,6 +753,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_mmr_diversify: greedy argmaxes are WindowGroupLimit; no cartesian") {
+    val p = planOf("q_mmr_diversify")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_embed_covariance: one map-side-combined cell aggregate; no join") {
     val p = planOf("q_embed_covariance")
     assert(!p.contains("Join"), p)

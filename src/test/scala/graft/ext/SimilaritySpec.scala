@@ -499,6 +499,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrSelect: picks the diverse candidate a pure-relevance top-k would skip") {
+    // 10 is the best hit (NOT identical to the query — a pick-1 equal
+    // to q makes every step-2 criterion collapse to 0); 11 is 10's
+    // near-duplicate and marginally more relevant than 12; 12 is
+    // diverse. Relevance-only top-2 = {10, 11}; MMR must swap the
+    // redundant 11 for 12.
+    val emb = Seq(
+      (1L, Seq(1f, 0f)),
+      (10L, Seq(0.9f, 0.1f)),
+      (11L, Seq(0.9f, 0.105f)),
+      (12L, Seq(0.7f, -0.7f))
+    ).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val q = n.filter(col("vec_id") === 1)
+    val relOnly = Similarity.bruteForceTopK(q, n, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(relOnly == Set(10L, 11L), s"relevance-only picked $relOnly")
+    val mmr = Similarity.mmrSelect(q, n, c = 3, k = 2, lambda = 0.5)
+      .orderBy("pick").collect()
+    assert(mmr.map(_.getAs[Long]("vec_id")).toSeq == Seq(10L, 12L),
+      mmr.mkString(", "))
+    // pick 1 carries raw relevance; later picks carry the MMR criterion
+    assert(mmr.head.getAs[Double]("score") > 0.99, mmr.head.toString)
+    assert(mmr.last.getAs[Double]("score") <= 0.5, mmr.last.toString)
+  }
+
   test("principalComponent: zero covariance degenerates gracefully") {
     val zeros = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)))
       .toDF("vec_id", "embedding")
