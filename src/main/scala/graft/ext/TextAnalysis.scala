@@ -877,6 +877,63 @@ object TextAnalysis {
         expr("CAST(__s DIV n_docs AS BIGINT)").as("mean_bits_micro"))
   }
 
+  /** Moore–Lewis cross-entropy-difference selection (the intelligent-
+    * selection / DSIR shape): score every doc by
+    * H_target(doc) − H_corpus(doc) under two unigram LMs — one trained
+    * on the in-domain `inTarget` slice (add-1 smoothed over the corpus
+    * vocabulary, so out-of-target terms stay finite), one on the whole
+    * corpus — and keep docs that look MORE like the target than like
+    * the average (negative difference). This is the published recipe
+    * for skimming a huge crawl for domain-relevant training data with
+    * two cheap LMs instead of a classifier.
+    *
+    * Determinism: both per-term costs quantize to integer µbits; the
+    * per-doc sum of tf·(ct − cc) is exact BIGINT, the keep/drop
+    * decision compares THAT integer against zero (never a rounded
+    * double), and the reported per-token mean is one double division
+    * rounded to 4 (+0.0 folds −0.0).
+    *
+    * Scale posture: the same two-pass LM shape as
+    * [[unigramCrossEntropy]] — vocabulary-sized aggregates (map-side
+    * combined), the joint LM table broadcast back over one corpus
+    * re-scan; per-doc aggregation rides distinct-term rows. Docs with
+    * no scoreable tokens are omitted (same contract).
+    */
+  def mooreLewisScore(docs: DataFrame, text: Column, id: Column,
+                      inTarget: Column): DataFrame = {
+    import graft.functions.TermFunctions
+    val dt = docs
+      .select(id.as("doc_id"), inTarget.as("tgt"),
+        explode(TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"), col("tgt"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"))
+    val cf = dt.groupBy("term").agg(sum("tf").as("n"))
+    val ctot = cf.agg(sum("n").as("nn"))
+    val tf2 = dt.filter(col("tgt")).groupBy("term").agg(sum("tf").as("nt"))
+    val vsize = cf.agg(count(lit(1)).as("v"))
+    val ttot = tf2.agg(coalesce(sum("nt"), lit(0L)).as("nnt"))
+    val lm = cf.join(tf2, Seq("term"), "left")
+      .crossJoin(broadcast(ctot)).crossJoin(broadcast(ttot))
+      .crossJoin(broadcast(vsize))
+      .select(col("term"),
+        round(-log(2.0, col("n").cast("double") / col("nn")) * 1e6)
+          .cast("long").as("cc"),
+        round(-log(2.0,
+            (coalesce(col("nt"), lit(0L)) + lit(1L)).cast("double") /
+              (col("nnt") + col("v")).cast("double")) * 1e6)
+          .cast("long").as("ct"))
+    dt.join(broadcast(lm), Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * (col("ct") - col("cc"))).as("dsum"),
+        sum("tf").as("n_tok"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("dsum").cast("long").as("ml_sum_micro"),
+        (round(col("dsum").cast("double") / col("n_tok").cast("double"),
+          4) + lit(0.0)).as("ml_bits"),
+        when(col("dsum") < 0, lit("keep")).otherwise(lit("drop"))
+          .as("label"))
+  }
+
   /** Bucket cut points for [[perplexityBuckets]] — ONE source of truth
     * for the Spark plan and the generated oracle literal (the double
     * must be bit-identical on both engines for the nearest-rank ceil

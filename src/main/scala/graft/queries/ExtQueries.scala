@@ -3131,6 +3131,47 @@ object ExtQueries {
         "ORDER BY qid, pick"
     })
 
+  /** [EXT] L89 Moore–Lewis cross-entropy-difference selection
+    * ([[TextAnalysis.mooreLewisScore]]): the published
+    * intelligent-selection / DSIR recipe — per-doc
+    * H_target − H_corpus under an add-1-smoothed target-slice LM
+    * (src0 as the in-domain seed) vs the corpus LM, keep = the exact
+    * integer difference sum is negative. Two vocabulary-sized LM
+    * aggregates, the joint table broadcast back over one corpus
+    * re-scan; every cross-row quantity is exact µbit BIGINT and the
+    * decision never touches a rounded double.
+    */
+  private val qMooreLewis = Q("q_moore_lewis",
+    (s, d) => TextAnalysis.mooreLewisScore(t(s, d, "documents"),
+        col("text"), col("doc_id"), col("source") === "src0")
+      .orderBy("doc_id"),
+    Some("WITH dt AS (SELECT doc_id, source, t AS term, " +
+      "CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, source, " +
+      "unnest(string_split(text, ' ')) AS t FROM documents) " +
+      "GROUP BY 1, 2, 3), " +
+      "cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM dt " +
+      "GROUP BY term), " +
+      "ctot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cf), " +
+      "tf2 AS (SELECT term, CAST(sum(tf) AS BIGINT) AS nt FROM dt " +
+      "WHERE source = 'src0' GROUP BY term), " +
+      "vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cf), " +
+      "ttot AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS nnt " +
+      "FROM tf2), " +
+      "lm AS (SELECT cf.term, " +
+      "CAST(round(-(ln(CAST(cf.n AS DOUBLE) / nn) / ln(2.0)) * 1000000) " +
+      "AS BIGINT) AS cc, " +
+      "CAST(round(-(ln(CAST(coalesce(tf2.nt, 0) + 1 AS DOUBLE) / " +
+      "CAST(nnt + v AS DOUBLE)) / ln(2.0)) * 1000000) AS BIGINT) AS ct " +
+      "FROM cf LEFT JOIN tf2 USING (term), ctot, ttot, vsize), " +
+      "c AS (SELECT doc_id, " +
+      "CAST(sum(dt.tf * (lm.ct - lm.cc)) AS BIGINT) AS dsum, " +
+      "CAST(sum(dt.tf) AS BIGINT) AS n_tok FROM dt JOIN lm USING (term) " +
+      "GROUP BY doc_id) " +
+      "SELECT doc_id, n_tok, dsum AS ml_sum_micro, " +
+      "round(CAST(dsum AS DOUBLE) / CAST(n_tok AS DOUBLE), 4) + 0.0 " +
+      "AS ml_bits, CASE WHEN dsum < 0 THEN 'keep' ELSE 'drop' END " +
+      "AS label FROM c ORDER BY doc_id"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -3161,5 +3202,5 @@ object ExtQueries {
     // round-12 session 2: rank-weighted retrieval eval, corpus-shape
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
-    qTokenizerFertility, qEmbedCovariance, qMmrDiversify)
+    qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis)
 }

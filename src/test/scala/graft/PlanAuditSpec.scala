@@ -753,6 +753,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_moore_lewis: joint LM broadcasts back over the corpus; no cartesian") {
+    val p = planOf("q_moore_lewis")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_mmr_diversify: greedy argmaxes are WindowGroupLimit; no cartesian") {
     val p = planOf("q_mmr_diversify")
     assert(p.contains("WindowGroupLimit"), p)

@@ -111,5 +111,6 @@ object RegistrySpec {
     // round-12 session 2: rank-weighted retrieval eval, corpus-shape
     // diagnostics, CCNet bucketing, JL reduction
     "q_ndcg", "q_zipf_fit", "q_perplexity_bucket", "q_jl_project",
-    "q_tokenizer_fertility", "q_embed_covariance", "q_mmr_diversify")
+    "q_tokenizer_fertility", "q_embed_covariance", "q_mmr_diversify",
+    "q_moore_lewis")
 }

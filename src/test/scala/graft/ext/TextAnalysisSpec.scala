@@ -325,4 +325,26 @@ class TextAnalysisSpec extends SparkSpec {
     // per-source doc counts partition the corpus
     assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
+
+  test("mooreLewisScore: target-like docs keep, out-of-domain docs drop") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta beta alpha", "tgt"),
+      (3L, "gamma delta gamma delta", "web"),
+      (4L, "alpha beta alpha beta", "web"), // target-shaped web doc
+      (5L, "gamma delta delta gamma", "web")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.mooreLewisScore(docs, col("text"),
+        col("doc_id"), col("source") === "tgt")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("label"), r.getAs[Long]("ml_sum_micro")))).toMap
+    // the point of the method: a web doc written in target vocabulary
+    // is kept even though its source label says otherwise
+    assert(out(4L)._1 == "keep", out.toString)
+    assert(out(1L)._1 == "keep" && out(2L)._1 == "keep", out.toString)
+    assert(out(3L)._1 == "drop" && out(5L)._1 == "drop", out.toString)
+    // decision is exactly sign(integer sum) — no float boundary
+    out.values.foreach { case (l, s) => assert((s < 0) == (l == "keep")) }
+  }
 }
