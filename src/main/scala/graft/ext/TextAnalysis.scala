@@ -154,26 +154,52 @@ object TextAnalysis {
     * two scans explicit for per-query independence.
     */
   def unigramCrossEntropy(docs: DataFrame, text: Column,
-                          id: Column): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+                          id: Column): DataFrame =
+    scoreAgainstLm(docs, text, id, trainUnigramLm(docs, text))
+
+  /** Pass 1 of [[unigramCrossEntropy]]: the corpus-trained unigram LM
+    * as a (term, cost) table, cost = round(−log2(p)·1e6) µbits. A
+    * production pipeline materializes this table once and feeds every
+    * scorer — including the STREAMING gate ([[scoreAgainstLm]] inside
+    * foreachBatch).
+    */
+  def trainUnigramLm(docs: DataFrame, text: Column): DataFrame = {
+    import graft.functions.TermFunctions
+    val tf = docs
+      .select(explode(TermFunctions.termCounts(text)).as("e"))
+      .groupBy(col("e.term").as("term"))
+      .agg(sum(col("e.tf").cast("long")).as("n"))
+    val tot = tf.agg(sum("n").as("nn"))
+    tf.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(-log(2.0, col("n").cast("double") / col("nn")) * 1e6)
+          .cast("long").as("cost"))
+  }
+
+  /** Pass 2 of [[unigramCrossEntropy]]: score docs against a FIXED
+    * (term, cost) LM table — broadcast back, never a corpus
+    * shuffle-join. Factored out so a streaming ingest gate can run it
+    * per micro-batch against the offline-trained LM (the CCNet deploy
+    * shape: train once, gate the stream).
+    *
+    * Contract: docs with no scoreable tokens (null/empty text) have
+    * no term rows and are OMITTED — same convention as noveltyRate's
+    * sub-shingle omission. A docs-keyed left-join re-attach would
+    * cost a corpus-sized shuffle join (measured: it turns the
+    * broadcast-only plan into a SortMergeJoin) for rows whose score
+    * is undefined; a quality gate that must fail-closed on them
+    * should left-join this output and treat null as reject. Terms
+    * absent from the LM (possible only when scoring data the LM was
+    * not trained on) are likewise omitted from the cost — pass a
+    * smoothed LM when OOV mass matters.
+    */
+  def scoreAgainstLm(docs: DataFrame, text: Column, id: Column,
+                     lm: DataFrame): DataFrame = {
     import graft.functions.TermFunctions
     val dt = docs
       .select(id.as("doc_id"), explode(TermFunctions.termCounts(text)).as("e"))
       .select(col("doc_id"), col("e.term").as("term"),
         col("e.tf").cast("long").as("tf"))
-    val tf = dt.groupBy("term").agg(sum("tf").as("n"))
-    val tot = tf.agg(sum("n").as("nn"))
-    val lm = tf.crossJoin(broadcast(tot))
-      .select(col("term"),
-        round(-log(2.0, col("n").cast("double") / col("nn")) * 1e6)
-          .cast("long").as("cost"))
-    // Contract: docs with no scoreable tokens (null/empty text) have
-    // no dt rows and are OMITTED — same convention as noveltyRate's
-    // sub-shingle omission. A docs-keyed left-join re-attach would
-    // cost a corpus-sized shuffle join (measured: it turns the
-    // broadcast-only plan into a SortMergeJoin) for rows whose score
-    // is undefined; a quality gate that must fail-closed on them
-    // should left-join this output and treat null as reject.
     dt.join(broadcast(lm), Seq("term"))
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("cost")).as("cost"), sum("tf").as("n_tok"))

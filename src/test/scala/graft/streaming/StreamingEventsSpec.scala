@@ -956,4 +956,42 @@ class StreamingEventsSpec extends SparkSpec {
       }
     }
   }
+
+  test("foreachBatch LM quality gate: streamed micro-batches score " +
+      "bit-identically to the batch scorer") {
+    // The CCNet deploy shape: train the unigram LM OFFLINE on the
+    // corpus, then gate the ingest stream per micro-batch against the
+    // frozen table (TextAnalysis.scoreAgainstLm inside foreachBatch —
+    // stateless, no watermark, no store). Per-doc scores must equal
+    // the batch scorer exactly: every cost is integer µbits, so batch
+    // boundaries cannot perturb a sum.
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.model.Tables.load(spark, d, "documents")
+    // freeze the trained table — the stream must not retrain per batch
+    val lm = graft.ext.TextAnalysis.trainUnigramLm(docs, col("text"))
+      .localCheckpoint()
+    val expected = graft.ext.TextAnalysis.unigramCrossEntropy(
+        docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ext.TextAnalysis.scoreAgainstLm(
+            b, col("text"), col("doc_id"), lm)
+          .as[(Long, Long, Long)](implicitly).collect()
+        ()
+      }.start()
+    try {
+      rows.grouped(170).foreach { chunk =>
+        input.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream scored ${got.size} docs vs batch ${expected.size}")
+  }
 }
