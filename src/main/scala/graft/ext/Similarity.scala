@@ -877,10 +877,15 @@ object Similarity {
         .select(col("qid"), col("vec_id"),
           (lit(lambda) * col("rel") - lit(1 - lambda) * col("red"))
             .as("score"))
+      // checkpoint each pick (a |queries|-row frame): step t's plan
+      // references step t−1 TWICE (redundancy join + anti-join), so an
+      // un-materialized chain re-embeds every earlier window 2^k times
+      // in the final plan — measured 2.8 s vs ~1 s at sf0.1
       val next = Windows.findFirst(scored, keys = Seq(col("qid")),
           priority = Seq(col("score").desc, col("vec_id")))
         .select(col("qid"), col("vec_id"), lit(step.toLong).as("pick"),
           col("score"))
+        .localCheckpoint(false)
       picks = picks.unionAll(next)
       selected = selected.unionAll(next.select("qid", "vec_id"))
     }

@@ -882,9 +882,15 @@ object TextAnalysis {
     */
   def perplexityBuckets(docs: DataFrame, text: Column, id: Column,
                         source: Column): DataFrame = {
+    // materialized once: the scored table has TWO consumers (the
+    // threshold histogram and the bucket classification) and would
+    // re-run the full two-pass LM per consumer. Lazy localCheckpoint —
+    // per-invocation, so bench minima stay honest (the persist/
+    // CacheManager dedup lesson).
     val scored = unigramCrossEntropy(docs, text, id)
       .withColumn("bits_milli",
         expr("CAST(bits_micro DIV 1000 AS BIGINT)"))
+      .localCheckpoint(false)
     val thr = graft.ops.Aggregates.boundedGroupQuantiles(
         scored, lit(1), col("bits_milli"),
         Seq("t1" -> PerplexityHeadP, "t2" -> PerplexityMiddleP))

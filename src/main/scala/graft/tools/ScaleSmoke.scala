@@ -45,7 +45,9 @@ object ScaleSmoke {
       "q_semantic_decontaminate",
       "q_embed_lsh", "q_ann_ivf", "q_pagerank", "q_entity_resolution",
       "q_window_session", "q_gaps", "q_session_paths", "q_source_drift",
-      "q_pipeline_corpus")
+      "q_pipeline_corpus",
+      "q_perplexity_bucket", "q_zipf_fit", "q_moore_lewis",
+      "q_embed_covariance", "q_ndcg", "q_mmr_diversify")
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_${factor}x"
     val spark = SparkSession.builder().master("local[32]")
