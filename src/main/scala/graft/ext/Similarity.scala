@@ -715,6 +715,11 @@ object Similarity {
     * folds into the expression tree (never a join), each output row
     * reads only its own vector, and downstream consumers shuffle
     * JlOutDim doubles instead of inDim floats.
+    *
+    * Contract: vectors must carry at least `inDim` components — a
+    * shorter array fails loud under ANSI element_at (a silent
+    * null/zero fill would corrupt distances); null vectors project to
+    * null components.
     */
   def signProject(emb: DataFrame, id: Column, vec: Column,
                   inDim: Int = 64): DataFrame = {

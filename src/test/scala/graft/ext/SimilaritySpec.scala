@@ -525,6 +525,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mmr.last.getAs[Double]("score") <= 0.5, mmr.last.toString)
   }
 
+  test("new embedding operators degrade gracefully on empty input") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(empty, col("vec_id"), col("embedding"))
+    assert(Similarity.mmrSelect(n, n, c = 4, k = 2).count() == 0)
+    assert(Similarity.covarianceCells(empty, col("embedding"), dim = 2)
+      .count() == 0)
+    assert(Similarity.signProject(empty, col("vec_id"), col("embedding"),
+      inDim = 2).count() == 0)
+    val noTruth = Seq.empty[(Long, Long, Int)].toDF("qid", "vec_id", "rnk")
+    assert(Similarity.ndcgAt(noTruth, noTruth, k = 3).count() == 0)
+  }
+
   test("principalComponent: zero covariance degenerates gracefully") {
     val zeros = Seq((0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)))
       .toDF("vec_id", "embedding")

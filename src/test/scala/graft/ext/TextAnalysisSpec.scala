@@ -347,4 +347,23 @@ class TextAnalysisSpec extends SparkSpec {
     // decision is exactly sign(integer sum) — no float boundary
     out.values.foreach { case (l, s) => assert((s < 0) == (l == "keep")) }
   }
+
+  test("new text operators degrade gracefully on empty / null-text input") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    val nulls = Seq((1L, null.asInstanceOf[String], "s"))
+      .toDF("doc_id", "text", "source")
+    for (docs <- Seq(empty, nulls)) {
+      // no scoreable tokens anywhere → empty outputs, never a throw
+      assert(TextAnalysis.perplexityBuckets(docs, col("text"),
+        col("doc_id"), col("source")).count() == 0)
+      assert(TextAnalysis.mooreLewisScore(docs, col("text"),
+        col("doc_id"), col("source") === "s").count() == 0)
+      assert(TextAnalysis.wordpieceFertility(docs, col("text"),
+        col("doc_id"), col("source")).count() == 0)
+      // zipfFit emits its single closed-form row with n = 0 (NaN fit)
+      val z = TextAnalysis.zipfFit(docs, col("text")).collect()
+      assert(z.length == 1 && z.head.getAs[Long]("n") == 0L)
+    }
+  }
 }
