@@ -966,6 +966,40 @@ object TextAnalysis {
           .as("label"))
   }
 
+  /** Hashing-trick featurization (Weinberger et al.): map every doc
+    * to a k-bucket sparse count vector, dim = hash(term) mod k, with
+    * the SIGNED variant alongside (sign from the next hash bit, so
+    * collision noise cancels in expectation — the property that makes
+    * hashed features usable for linear classifiers). This is the
+    * featurize step between curation and training a fastText-style
+    * quality/language classifier, with no vocabulary table to build,
+    * ship, or grow.
+    *
+    * Output: (doc_id, dim, cnt, sval) rows, ≤ min(k, distinct terms)
+    * per doc — the sparse form downstream trainers consume directly.
+    *
+    * Determinism + scale: the dim/sign assignment is the portable
+    * 48-bit md5 hash (the [[graft.ext.TextHash]] contract — DuckDB
+    * replays it exactly); counts are exact BIGINT. One
+    * map-side-combined (doc, dim) aggregate over kernel term counts;
+    * no join, no vocabulary state, row-linear at any corpus size.
+    */
+  def featureHash(docs: DataFrame, text: Column, id: Column,
+                  k: Int = 64): DataFrame = {
+    import graft.functions.TermFunctions
+    docs
+      .select(id.as("doc_id"), explode(TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"),
+        (TextHash.baseHash(col("e.term")) % k).as("dim"),
+        // the next hash "bit" (h mod 2k >= k) decides the sign: ±1 per
+        // TERM, stable across docs, integer-only arithmetic
+        when(TextHash.baseHash(col("e.term")) % (2 * k) >= k, lit(-1L))
+          .otherwise(lit(1L)).as("sgn"),
+        col("e.tf").cast("long").as("tf"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("tf").as("cnt"), sum(col("sgn") * col("tf")).as("sval"))
+  }
+
   /** Bucket cut points for [[perplexityBuckets]] — ONE source of truth
     * for the Spark plan and the generated oracle literal (the double
     * must be bit-identical on both engines for the nearest-rank ceil

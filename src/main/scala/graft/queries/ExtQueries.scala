@@ -3172,6 +3172,31 @@ object ExtQueries {
       "AS ml_bits, CASE WHEN dsum < 0 THEN 'keep' ELSE 'drop' END " +
       "AS label FROM c ORDER BY doc_id"))
 
+  /** [EXT] L90 hashing-trick featurization
+    * ([[TextAnalysis.featureHash]]): 64-bucket sparse count vectors
+    * per doc with the signed variant alongside (sign from the next
+    * hash bit so collision noise cancels in expectation) — the
+    * featurize step for a fastText-style classifier with no
+    * vocabulary table to build or ship. Dim/sign come from the
+    * portable 48-bit md5 hash the oracle replays exactly; one
+    * map-side-combined (doc, dim) aggregate, no join, row-linear.
+    */
+  private val qFeatureHash = Q("q_feature_hash",
+    (s, d) => TextAnalysis.featureHash(t(s, d, "documents"),
+        col("text"), col("doc_id"), k = 64)
+      .orderBy("doc_id", "dim"),
+    Some {
+      val h = TextHash.duckBaseHash("term")
+      "WITH dt AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) " +
+        "AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
+        "FROM documents) GROUP BY 1, 2) " +
+        s"SELECT doc_id, CAST($h % 64 AS BIGINT) AS dim, " +
+        "CAST(sum(tf) AS BIGINT) AS cnt, " +
+        s"CAST(sum((CASE WHEN $h % 128 >= 64 THEN -1 ELSE 1 END) * tf) " +
+        "AS BIGINT) AS sval " +
+        "FROM dt GROUP BY doc_id, dim ORDER BY doc_id, dim"
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -3202,5 +3227,6 @@ object ExtQueries {
     // round-12 session 2: rank-weighted retrieval eval, corpus-shape
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
-    qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis)
+    qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
+    qFeatureHash)
 }

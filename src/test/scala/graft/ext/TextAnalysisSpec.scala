@@ -348,6 +348,26 @@ class TextAnalysisSpec extends SparkSpec {
     out.values.foreach { case (l, s) => assert((s < 0) == (l == "keep")) }
   }
 
+  test("featureHash: buckets partition the token mass; signs are per-term stable") {
+    val docs = Seq((1L, "a b a c"), (2L, "a a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(docs, col("text"), col("doc_id"),
+      k = 8).collect()
+    out.foreach { r =>
+      val dim = r.getAs[Long]("dim")
+      assert(dim >= 0 && dim < 8, r.toString)
+      // signed value can never exceed the unsigned count, same parity
+      assert(math.abs(r.getAs[Long]("sval")) <= r.getAs[Long]("cnt"))
+      assert((r.getAs[Long]("sval") - r.getAs[Long]("cnt")) % 2 == 0)
+    }
+    // bucket counts reconstruct each doc's token count exactly
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    assert(byDoc == Map(1L -> 4L, 2L -> 4L), byDoc.toString)
+    // doc 2 is one term ×4: exactly one bucket, |sval| = cnt = 4
+    val d2 = out.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.length == 1 && math.abs(d2.head.getAs[Long]("sval")) == 4L)
+  }
+
   test("new text operators degrade gracefully on empty / null-text input") {
     val empty = Seq.empty[(Long, String, String)]
       .toDF("doc_id", "text", "source")
