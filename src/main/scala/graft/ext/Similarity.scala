@@ -751,6 +751,10 @@ object Similarity {
     * regardless of corpus size, and the output is dim²-sized, never
     * corpus-sized. At 100 TB this is the textbook
     * giant-rows × tiny-state statistics pass.
+    *
+    * Contract: `dim` must equal the vector length — a LONGER vector
+    * makes the tail slice length negative (ANSI error, fail-loud);
+    * shorter/null vectors contribute only their present components.
     */
   def covarianceCells(emb: DataFrame, vec: Column, dim: Int = 64,
                       scale: Long = 1000L): DataFrame = {

@@ -822,8 +822,8 @@ object TextAnalysis {
     * lexicographic, a total order), slope ≈ −1 for natural language —
     * the standard "is this corpus shaped like text" diagnostic
     * (template/boilerplate corpora flatten the line or step it).
-    * Complements [[zipfFit]]'s corpus-growth twin `q_vocab_growth`
-    * (Heaps law): growth watches NEW vocabulary, this watches the
+    * Complements the Heaps-law growth curve (`q_vocab_growth`):
+    * growth watches NEW vocabulary arriving, this watches the
     * frequency SHAPE of the existing one.
     *
     * Determinism: both coordinates quantize to integer MICRO-NATS

@@ -998,3 +998,103 @@ object TwsHeavyHitters {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch embedding-covariance pass
+  * (`graft.ext.Similarity.covarianceCells`) on `transformWithState`:
+  * the live embedding-statistics monitor (distribution shift in a
+  * vector ingest shows up here before any model does). State per group
+  * is the moment cells themselves — n, the dim per-component sums, and
+  * the dim(dim+1)/2 product sums — BOUNDED by dim² at any stream
+  * length, exactly the batch aggregate's post-combine width. Each
+  * micro-batch folds its vectors' 1/scale-quantized products into the
+  * exact-BIGINT cells and re-emits the covariance table; emissions are
+  * bit-identical to the batch operator on the same prefix because
+  * every moment is an exact integer and the closed form replays the
+  * identical double arithmetic (same order, same HALF_UP rounding,
+  * same −0.0 fold).
+  */
+object TwsCov {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig,
+    TimeMode, TimerValues, ValueState}
+
+  case class Vec(g: String, v: Seq[Float])
+  case class Cell(g: String, i: Long, j: Long, n: Long, cov: Double)
+
+  class CovProcessor(dim: Int, scale: Long)
+      extends StatefulProcessor[String, Vec, Cell] {
+    @transient private var n: ValueState[Long] = _
+    @transient private var sx: MapState[Long, Long] = _
+    @transient private var sxy: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+      sx = getHandle.getMapState[Long, Long]("sx",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      sxy = getHandle.getMapState[Long, Long]("sxy",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def bump(m: MapState[Long, Long], k: Long, d: Long): Unit = {
+      val c = if (m.containsKey(k)) m.getValue(k) else 0L
+      m.updateValue(k, c + d)
+    }
+
+    override def handleInputRows(g: String, rows: Iterator[Vec],
+        timerValues: TimerValues): Iterator[Cell] = {
+      var cnt = if (n.exists()) n.get() else 0L
+      rows.foreach { r =>
+        // same quantization as the batch pass: floor(x·scale + 0.5)
+        // on the float widened to double — bit-identical inputs
+        val vq = r.v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+        cnt += 1L
+        var i = 0
+        while (i < dim) {
+          bump(sx, i.toLong, vq(i))
+          var j = i
+          while (j < dim) {
+            bump(sxy, i.toLong * dim + j, vq(i) * vq(j))
+            j += 1
+          }
+          i += 1
+        }
+      }
+      n.update(cnt)
+      val nd = cnt.toDouble
+      val den = nd * nd * (scale * scale).toDouble
+      val out = for {
+        i <- (0 until dim).iterator
+        j <- (i until dim).iterator
+      } yield {
+        val sxyv = if (sxy.containsKey(i.toLong * dim + j))
+          sxy.getValue(i.toLong * dim + j) else 0L
+        val sxi = if (sx.containsKey(i.toLong)) sx.getValue(i.toLong) else 0L
+        val sxj = if (sx.containsKey(j.toLong)) sx.getValue(j.toLong) else 0L
+        // the batch closed form verbatim: (sxy·n − sx·sy)/(n²·scale²),
+        // HALF_UP to 4, −0.0 folded
+        val raw = (sxyv.toDouble * nd - sxi.toDouble * sxj.toDouble) / den
+        val cov = BigDecimal(raw)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        Cell(g, i.toLong, j.toLong, cnt, cov)
+      }
+      out
+    }
+
+    override def handleExpiredTimer(g: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Cell] = Iterator.empty
+  }
+
+  /** Incremental covariance per group; requires the RocksDB state
+    * store provider. The emission set with each group's max `n` is the
+    * current table.
+    */
+  def covariance(vecs: Dataset[Vec], dim: Int,
+                 scale: Long = 1000L): Dataset[Cell] = {
+    implicit val ce: org.apache.spark.sql.Encoder[Cell] = Encoders.product[Cell]
+    vecs.groupByKey(_.g)(Encoders.STRING)
+      .transformWithState(new CovProcessor(dim, scale),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -753,6 +753,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_feature_hash: one map-side-combined (doc, dim) aggregate; no join") {
+    val p = planOf("q_feature_hash")
+    assert(!p.contains("Join"), p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 1, s"expected exactly the (doc, dim) exchange:\n$p")
+  }
+
   test("q_moore_lewis: joint LM broadcasts back over the corpus; no cartesian") {
     val p = planOf("q_moore_lewis")
     assert(p.contains("BroadcastHashJoin"), p)

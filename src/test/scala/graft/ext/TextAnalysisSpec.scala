@@ -381,6 +381,8 @@ class TextAnalysisSpec extends SparkSpec {
         col("doc_id"), col("source") === "s").count() == 0)
       assert(TextAnalysis.wordpieceFertility(docs, col("text"),
         col("doc_id"), col("source")).count() == 0)
+      assert(TextAnalysis.featureHash(docs, col("text"),
+        col("doc_id")).count() == 0)
       // zipfFit emits its single closed-form row with n = 0 (NaN fit)
       val z = TextAnalysis.zipfFit(docs, col("text")).collect()
       assert(z.length == 1 && z.head.getAs[Long]("n") == 0L)

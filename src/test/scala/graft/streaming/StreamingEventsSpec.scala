@@ -957,6 +957,57 @@ class StreamingEventsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState covariance is bit-identical to the batch pass " +
+      "after the last micro-batch (RocksDB store)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ve: org.apache.spark.sql.Encoder[TwsCov.Vec] =
+      org.apache.spark.sql.Encoders.product[TwsCov.Vec]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dim = 3
+      val vecs = Seq(
+        TwsCov.Vec("g", Seq(1.5f, -0.25f, 2f)),
+        TwsCov.Vec("g", Seq(0.5f, 0.75f, -1f)),
+        TwsCov.Vec("g", Seq(-1.25f, 0.1f, 0.3f)),
+        TwsCov.Vec("g", Seq(2.25f, -0.6f, 1.1f)),
+        TwsCov.Vec("g", Seq(0.05f, 0.9f, -0.7f)))
+      val input = MemoryStream[TwsCov.Vec]
+      val q = TwsCov.covariance(input.toDS(), dim)
+        .writeStream.format("memory").queryName("tws_cov").start()
+      try {
+        // split mid-stream so moments accumulate across batch boundaries
+        val (first, rest) = vecs.splitAt(2)
+        input.addData(first: _*)
+        q.processAllAvailable()
+        input.addData(rest: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("tws_cov").as[TwsCov.Cell].collect()
+          .filter(_.n == vecs.size) // final emission
+          .map(c => (c.i, c.j) -> c.cov).toMap
+        val batch = graft.ext.Similarity.covarianceCells(
+            vecs.map(v => (v.g, v.v)).toDF("g", "embedding"),
+            col("embedding"), dim = dim)
+          .collect()
+          .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+            r.getAs[Double]("cov")).toMap
+        assert(streamed.keySet == batch.keySet)
+        // bit-identical, not approximate: exact integer moments + the
+        // same closed-form double arithmetic on both paths
+        streamed.foreach { case (k, v) =>
+          assert(v == batch(k), s"cell $k: stream $v vs batch ${batch(k)}")
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("foreachBatch LM quality gate: streamed micro-batches score " +
       "bit-identically to the batch scorer") {
     // The CCNet deploy shape: train the unigram LM OFFLINE on the
