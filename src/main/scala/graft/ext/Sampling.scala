@@ -322,4 +322,35 @@ object Sampling {
         size(col("col")).cast("long").as("n_tok"),
         md5(array_join(col("col"), " ")).as("chunk_md5"))
   }
+
+  /** Deterministic source-interleaved training order: assign every doc
+    * a global `slot` such that reading in slot order round-robins
+    * across sources — position p of source s lands at
+    * slot = (p−1)·n_sources + rank(s). Long single-source runs in a
+    * training shard (loss spikes, momentum skew toward whichever
+    * domain came last) are the failure this prevents; interleaving by
+    * construction beats global RNG shuffles because it is stable,
+    * engine-portable, and preserves each source's internal order.
+    * Slots are unique and monotone but GAPPY once smaller sources
+    * exhaust — an ordering key, not a dense index.
+    *
+    * Scale posture: no corpus-global window — per-source positions
+    * ride ONE source-keyed window exchange; the source-rank table is
+    * domain-sized and broadcast, n_sources is one broadcast scalar.
+    */
+  def interleaveOrder(docs: DataFrame, id: Column,
+                      source: Column): DataFrame = {
+    val ranked = docs.select(source.as("source")).distinct()
+      .withColumn("src_rank",
+        (row_number().over(Window.orderBy("source")) - 1).cast("long"))
+    val nSrc = ranked.agg(count(lit(1)).as("n_src"))
+    docs.select(id.as("doc_id"), source.as("source"))
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        .cast("long"))
+      .join(broadcast(ranked), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("p"),
+        ((col("p") - 1) * col("n_src") + col("src_rank")).as("slot"))
+  }
 }

@@ -3197,6 +3197,29 @@ object ExtQueries {
         "FROM dt GROUP BY doc_id, dim ORDER BY doc_id, dim"
     })
 
+  /** [EXT] L91 training-order interleave
+    * ([[Sampling.interleaveOrder]]): deterministic source round-robin
+    * — position p of source s lands at slot (p−1)·n_sources + rank(s),
+    * so reading in slot order never dwells on one domain (the
+    * loss-spike failure a trainer hits when shards arrive
+    * source-clumped). No corpus-global window: per-source positions
+    * ride one source-keyed window exchange, source ranks broadcast.
+    */
+  private val qInterleave = Q("q_interleave",
+    (s, d) => Sampling.interleaveOrder(t(s, d, "documents"),
+        col("doc_id"), col("source"))
+      .orderBy("slot"),
+    Some("WITH s AS (SELECT source, CAST(row_number() OVER " +
+      "(ORDER BY source) - 1 AS BIGINT) AS src_rank FROM " +
+      "(SELECT DISTINCT source FROM documents)), " +
+      "c AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM s), " +
+      "p AS (SELECT doc_id, source, CAST(row_number() OVER " +
+      "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS p " +
+      "FROM documents) " +
+      "SELECT p.doc_id, p.source, p.p, " +
+      "CAST((p.p - 1) * c.n_src + s.src_rank AS BIGINT) AS slot " +
+      "FROM p JOIN s USING (source), c ORDER BY slot"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -3228,5 +3251,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash)
+    qFeatureHash, qInterleave)
 }

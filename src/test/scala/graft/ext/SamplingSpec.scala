@@ -271,4 +271,33 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(out(20L)._2 == plain(20L) && out(21L)._2 == plain(21L))
   }
+
+  test("interleaveOrder: slot order round-robins sources and keeps per-source order") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (10L, "b"), (11L, "b"),
+      (20L, "c"), (21L, "c"), (22L, "c")
+    ).toDF("doc_id", "source")
+    val out = Sampling.interleaveOrder(docs, col("doc_id"), col("source"))
+      .orderBy("slot").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("slot")))
+    assert(out.length == 9)
+    // slots unique and monotone in read order
+    assert(out.map(_._3).distinct.length == 9)
+    // while every source still has docs, consecutive slots alternate:
+    // first 6 reads touch each source twice, never twice in a row
+    val firstSix = out.take(6).map(_._2)
+    assert(firstSix.sliding(2).forall(w => w(0) != w(1)), firstSix.toSeq)
+    assert(firstSix.groupBy(identity).forall(_._2.length == 2), firstSix.toSeq)
+    // per-source internal order is doc_id order
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ids = rows.sortBy(_._3).map(_._1)
+      assert(ids.sameElements(ids.sorted), ids.toSeq)
+    }
+    // exhausted sources leave gaps, never reorderings: 'a' and 'c'
+    // keep alternating after 'b' runs out
+    val tail3 = out.drop(6).map(_._2)
+    assert(!tail3.contains("b") && tail3.toSet == Set("a", "c"))
+  }
 }
