@@ -2445,6 +2445,47 @@ object ExtQueries {
       " SELECT doc_id, n_tok, CAST(cost // n_tok AS BIGINT) AS bits_micro " +
       "FROM c ORDER BY doc_id"))
 
+  /** [EXT] L92 interpolated bigram-LM cross-entropy
+    * ([[TextAnalysis.bigramCrossEntropy]]): per-doc mean µbits per
+    * token TRANSITION under a Jelinek–Mercer bigram LM
+    * (0.9·p_ML(w2|w1) + 0.1·p_uni(w2)) trained on the corpus itself —
+    * the first-order-sequence upgrade over q_unigram_lm's
+    * bag-of-words signal (scrambled word salad is invisible to a
+    * unigram, visibly worse here; CCNet's 5-gram KenLM is the same
+    * idea at higher order). All count tables vocabulary-bounded, the
+    * LM broadcast back over one corpus re-scan; exact BIGINT µbits
+    * end-to-end. Sub-2-token docs have no transitions and are omitted
+    * by contract. Oracle trains the identical LM with the identical
+    * double literals (0.9/0.1 — NOT 1.0−0.9, a different double) and
+    * replays the µbit quantization.
+    */
+  private val qBigramLm = Q("q_bigram_lm",
+    (s, d) => TextAnalysis.bigramCrossEntropy(
+        t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH b AS (SELECT doc_id, unnest(" +
+      TextHash.duckShingles("text", 2) + ") AS bigram FROM documents), " +
+      "bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n12 " +
+      "FROM b GROUP BY bigram), " +
+      "bw AS (SELECT bigram, n12, split_part(bigram, ' ', 1) AS w1, " +
+      "split_part(bigram, ' ', -1) AS w2 FROM bc), " +
+      "ctx AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 " +
+      "FROM bw GROUP BY w1), " +
+      "tf AS (SELECT t AS w2, CAST(count(*) AS BIGINT) AS n2 FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS t FROM documents) " +
+      "GROUP BY t), " +
+      "tot AS (SELECT CAST(sum(n2) AS BIGINT) AS nn FROM tf), " +
+      "lm AS (SELECT bigram, CAST(round(-(ln(" +
+      "0.9 * (CAST(n12 AS DOUBLE) / n1) + " +
+      "0.1 * (CAST(n2 AS DOUBLE) / nn)) / ln(2.0)) * 1000000) " +
+      "AS BIGINT) AS cost " +
+      "FROM bw JOIN ctx USING (w1) JOIN tf USING (w2), tot), " +
+      "c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big, " +
+      "CAST(sum(cost) AS BIGINT) AS cost FROM b JOIN lm USING (bigram) " +
+      "GROUP BY doc_id) " +
+      "SELECT doc_id, n_big, CAST(cost // n_big AS BIGINT) AS bits_micro " +
+      "FROM c ORDER BY doc_id"))
+
   /** [EXT] L72 corpus n-gram novelty by ingest order
     * ([[TextAnalysis.noveltyRate]]): per doc, the share of its distinct
     * 3-gram shingles first seen in THIS doc (min corpus doc_id) — the
@@ -3251,5 +3292,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave)
+    qFeatureHash, qInterleave, qBigramLm)
 }

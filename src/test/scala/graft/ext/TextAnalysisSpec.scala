@@ -388,4 +388,32 @@ class TextAnalysisSpec extends SparkSpec {
       assert(z.length == 1 && z.head.getAs[Long]("n") == 0L)
     }
   }
+
+  test("bigramCrossEntropy: word salad invisible to the unigram scores worse here") {
+    // docs 1-3 are identical prose; doc 4 is a SCRAMBLE of the same
+    // token multiset (identical unigram distribution by construction);
+    // doc 5 has one token -> no transitions -> omitted by contract
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "mat the on sat cat the"),
+      (5L, "the")
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramCrossEntropy(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // the unigram CANNOT tell the scramble from the prose
+    assert(uni(4L) == uni(1L), s"unigram should be order-blind: $uni")
+    val big = TextAnalysis.bigramCrossEntropy(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_big"), r.getAs[Long]("bits_micro"))).toMap
+    // the bigram LM does: scrambled transitions are corpus-rare
+    assert(big(4L)._2 > big(1L)._2,
+      s"scramble should score more bits than prose: $big")
+    // n_big = n_tok - 1 transitions; identical docs score identically
+    assert(big(1L)._1 == 5L && big(4L)._1 == 5L)
+    assert(big(1L) == big(2L) && big(2L) == big(3L))
+    // sub-2-token doc omitted
+    assert(!big.contains(5L) && big.size == 4)
+  }
 }
