@@ -1066,6 +1066,50 @@ object TextAnalysis {
     * lever is a shuffle-hash join on the bigram key; the per-doc
     * rollup shape is unchanged.
     */
+  /** Cross-source text-overlap matrix: for every ordered source pair
+    * (a, b) sharing at least one distinct word n-gram shingle, the
+    * share of a's shingle vocabulary that also occurs in b (exact
+    * integer basis points) — the corpus-composition QA that surfaces
+    * mirror/syndication structure BETWEEN domains before mixing
+    * weights are chosen (two sources that are 80% the same text
+    * should not both get full quota; doc-level containment cannot see
+    * this because the shared text is spread across different docs).
+    * Zero-overlap pairs are omitted (inner-join frame, mirrored by
+    * the oracle); the matrix is asymmetric by construction
+    * (overlap(a,b) normalizes by |a|).
+    *
+    * Scale posture: the candidate join is the shared-shingle
+    * inverted-index shape on 8-byte hashes (the [[Dedup]] family's
+    * cost class) — both sides are the SAME distinct (source, shingle)
+    * frame shuffled on the shingle key, shuffle-hash-hinted so AQE
+    * reuses one exchange; a shingle present in k sources contributes
+    * k² pair rows, bounded by the domain size squared, never by
+    * corpus rows. The per-source denominators ride a domain-sized
+    * broadcast.
+    */
+  def sourceOverlap(docs: DataFrame, text: Column, source: Column,
+                    n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(source.as("src"),
+        explode(array_distinct(
+          graft.functions.HashFunctions.shingleHash48(text, n))).as("sh"))
+      .distinct()
+    val per = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("src").as("src_a"), col("sh"))
+    val b = sh.select(col("src").as("src_b"), col("sh"))
+    a.join(b.hint("shuffle_hash"), Seq("sh"))
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(per.select(col("src").as("src_a"), col("n_sh"))),
+        Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("n_sh").as("n_a"),
+        col("n_shared"),
+        floor(col("n_shared") * lit(10000L) / col("n_sh")).cast("long")
+          .as("overlap_bps"))
+      .orderBy("src_a", "src_b")
+  }
+
   def bigramCrossEntropy(docs: DataFrame, text: Column,
                          id: Column): DataFrame = {
     import graft.functions.TermFunctions

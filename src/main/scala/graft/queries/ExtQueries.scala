@@ -2486,6 +2486,33 @@ object ExtQueries {
       "SELECT doc_id, n_big, CAST(cost // n_big AS BIGINT) AS bits_micro " +
       "FROM c ORDER BY doc_id"))
 
+  /** [EXT] L93 cross-source overlap matrix
+    * ([[TextAnalysis.sourceOverlap]]): per ordered source pair, the
+    * share of a's distinct 3-gram shingles also present in b (exact
+    * bps) — the mirror/syndication detector doc-level containment
+    * cannot see (shared text spread across different docs). The
+    * candidate join is the shared-shingle inverted index on 8-byte
+    * hashes, both sides one reused exchange; pair rows are bounded by
+    * domain², never corpus rows; zero-overlap pairs omitted by
+    * contract on both engines.
+    */
+  private val qSourceOverlap = Q("q_source_overlap",
+    (s, d) => TextAnalysis.sourceOverlap(
+      t(s, d, "documents"), col("text"), col("source"), n = 3),
+    Some("WITH sh AS (SELECT DISTINCT src, sh FROM " +
+      "(SELECT source AS src, unnest(list_distinct(list_transform(" +
+      TextHash.duckShingles("text", 3) + ", s -> " +
+      TextHash.duckBaseHash("s") + "))) AS sh FROM documents)), " +
+      "per AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh " +
+      "FROM sh GROUP BY src), " +
+      "pr AS (SELECT a.src AS src_a, b.src AS src_b, " +
+      "CAST(count(*) AS BIGINT) AS n_shared FROM sh a JOIN sh b " +
+      "USING (sh) WHERE a.src <> b.src GROUP BY 1, 2) " +
+      "SELECT src_a, src_b, per.n_sh AS n_a, n_shared, " +
+      "CAST(floor(n_shared * 10000 / per.n_sh) AS BIGINT) " +
+      "AS overlap_bps FROM pr JOIN per ON per.src = pr.src_a " +
+      "ORDER BY src_a, src_b"))
+
   /** [EXT] L72 corpus n-gram novelty by ingest order
     * ([[TextAnalysis.noveltyRate]]): per doc, the share of its distinct
     * 3-gram shingles first seen in THIS doc (min corpus doc_id) — the
@@ -3292,5 +3319,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap)
 }

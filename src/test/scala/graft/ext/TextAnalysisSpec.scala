@@ -389,6 +389,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlap: asymmetric bps; zero-overlap pairs omitted") {
+    val docs = Seq(
+      (1L, "a b c d e", "A"), // shingles: "a b c","b c d","c d e"
+      (2L, "a b c", "B"),     // 1 shingle, shared with A
+      (3L, "z z z z", "C")    // 1 distinct shingle, shared with no one
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceOverlap(docs, col("text"), col("source"))
+      .collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("overlap_bps"))).toMap
+    // asymmetric: 1 of A's 3 shingles is in B; B's single shingle is in A
+    assert(out(("A", "B")) == ((3L, 1L, 3333L)), out)
+    assert(out(("B", "A")) == ((1L, 1L, 10000L)), out)
+    // C overlaps nothing -> no C rows at all
+    assert(out.size == 2 && !out.keySet.exists(k => k._1 == "C" || k._2 == "C"))
+  }
+
   test("bigramCrossEntropy: word salad invisible to the unigram scores worse here") {
     // docs 1-3 are identical prose; doc 4 is a SCRAMBLE of the same
     // token multiset (identical unigram distribution by construction);
