@@ -406,6 +406,49 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("q").as("s"))
       .withColumn("mean_cos", col("s").cast("double") / (col("n") * scale))
 
+  /** Simplified (centroid-based) silhouette per cluster: for each
+    * vector, a = cosine distance to its OWN (max-cosine) centroid,
+    * b = distance to the nearest OTHER centroid, sil = (b−a)/max(a,b)
+    * — the standard clustering-separation readout computed against
+    * centroids instead of all pairwise members (the only form that
+    * scales: the classic silhouette is corpus² while this is one
+    * broadcast scoring pass). Complements [[kmeansInertia]]: inertia
+    * says clusters are TIGHT, silhouette says they are SEPARATED — a
+    * near-zero mean flags clusters whose members sit on the boundary
+    * to a neighbor (merge candidates / over-split k). Under argmax
+    * assignment a ≤ b always, so sil = (c1−c2)/(1−c2) ∈ [0, 1].
+    *
+    * Determinism: per-vector sil quantizes to 1/scale before an
+    * exact-BIGINT sum (bit-stable mean, same discipline as inertia);
+    * the top-2 election ties break on cid. Degenerate guard: with one
+    * centroid (no c2) or a duplicate-centroid c2 at distance 0, sil
+    * is 0 by contract rather than null/∞.
+    *
+    * Scale posture: centroids broadcast (k·dim doubles), corpus
+    * scanned once, top-2 is a WindowGroupLimit riding the broadcast
+    * join; only k aggregate cells shuffle after map-side combine.
+    */
+  def silhouette(corpus: DataFrame, cent: DataFrame,
+                 scale: Long = 1000000L): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn")).as("ccos"))
+    val top2 = Windows.findFirstK(scored, keys = Seq(col("vec_id")),
+      priority = Seq(col("ccos").desc, col("cid")), k = 2, rankName = "rn")
+    top2.groupBy("vec_id")
+      .agg(max(when(col("rn") === 1, col("ccos"))).as("c1"),
+        max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 2, col("ccos"))).as("c2"))
+      .select(col("cid"),
+        floor(when(col("c2").isNull || lit(1.0) - col("c2") === lit(0.0),
+            lit(0.0))
+          .otherwise((col("c1") - col("c2")) / (lit(1.0) - col("c2")))
+          * scale + 0.5).cast("long").as("q"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"))
+      .withColumn("mean_sil", col("s").cast("double") / (col("n") * scale))
+  }
+
   /** Triplet mining for contrastive training: for each anchor, the
     * most-similar SAME-label vector (the positive) paired with the
     * most-similar DIFFERENT-label vector (the hardest negative), plus

@@ -1795,6 +1795,47 @@ object ExtQueries {
       "CAST(sum(CAST(floor(ccos * 1000000 + 0.5) AS BIGINT)) AS BIGINT) " +
       "AS s FROM a3 GROUP BY cid) ORDER BY cid"))
 
+  /** [EXT] L94 simplified silhouette ([[Similarity.silhouette]]) for
+    * the q_kmeans-trained centroids: per cluster, mean of
+    * (b−a)/max(a,b) with a = cosine distance to the own centroid and
+    * b = to the nearest other — the SEPARATION readout that
+    * complements q_kmeans_inertia's tightness (near-zero = boundary
+    * members, merge-candidate clusters). Centroid-based, so one
+    * broadcast scoring pass instead of the classic corpus² pairwise
+    * form; per-vector sil quantizes to 1e-6 before an exact-BIGINT
+    * sum. DuckDB replays the trained trajectory, the top-2 election
+    * (ties on cid), and the identical IEEE ratio.
+    */
+  private val qSilhouette = Q("q_silhouette",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val trained = Similarity.centroidFrame(
+        Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
+          iters = 2))
+      Similarity.silhouette(n, trained).orderBy("cid")
+    },
+    Some(duckKmTwoIters + ", " +
+      duckKmCent("c2n", "u2") + ", " +
+      "sc AS (SELECT vec_id, cid, ccos, rn FROM " +
+      "(SELECT n.vec_id, c.cid, " +
+      "list_dot_product(n.v, c.cv) / (n.nm * c.cn) AS ccos, " +
+      "row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.cv) / (n.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM n CROSS JOIN c2n c) WHERE rn <= 2), " +
+      "p AS (SELECT vec_id, " +
+      "max(CASE WHEN rn = 1 THEN ccos END) AS c1, " +
+      "max(CASE WHEN rn = 1 THEN cid END) AS cid, " +
+      "max(CASE WHEN rn = 2 THEN ccos END) AS c2 FROM sc " +
+      "GROUP BY vec_id), " +
+      "q AS (SELECT cid, CAST(floor((CASE WHEN c2 IS NULL OR " +
+      "1.0 - c2 = 0.0 THEN 0.0 ELSE (c1 - c2) / (1.0 - c2) END) " +
+      "* 1000000 + 0.5) AS BIGINT) AS q FROM p) " +
+      "SELECT cid, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(q) AS BIGINT) AS s, " +
+      "CAST(sum(q) AS DOUBLE) / (count(*) * 1000000) AS mean_sil " +
+      "FROM q GROUP BY cid ORDER BY cid"))
+
   /** [EXT] L49 quality-weighted canonical selection
     * ([[Dedup.canonicalSurvivors]]): the dedup decision with the policy
     * production pipelines actually want — each near-dup cluster keeps
@@ -3319,5 +3360,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette)
 }

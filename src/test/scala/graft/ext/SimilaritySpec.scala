@@ -281,6 +281,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 2000000L, 2000000.0 / 3000000)), out.toSeq)
   }
 
+  test("silhouette: separated clusters near 1, boundary vector low, k=1 is 0") {
+    // centroids on the two axes; members hug their own axis except
+    // vec 4 which sits exactly on the diagonal (boundary: c1 = c2)
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(10f, 1f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(1f, 10f)),
+      (4L, Seq(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val cent = n.filter(col("vec_id") isin (0L, 2L))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nm").as("cn"))
+    val out = Similarity.silhouette(n, cent).orderBy("cid")
+      .select("cid", "n", "mean_sil")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 2L) && out.map(_._2) == Seq(3L, 2L))
+    // the boundary vector (cos equal to both centroids -> sil 0, ties
+    // to cid 0) drags cluster 0's mean below cluster 2's
+    assert(out.head._3 < out.last._3 && out.forall(_._3 > 0.5), out)
+    // single centroid: no c2 -> sil 0 by contract for every member
+    val one = Similarity.silhouette(n,
+        cent.filter(col("cid") === 0L))
+      .select("cid", "n", "s").as[(Long, Long, Long)].collect().toSeq
+    assert(one == Seq((0L, 5L, 0L)), one)
+  }
+
   test("hardNegativeTopK: same-label neighbors excluded, rank follows cosine") {
     // id 1 is the closest vector to the query but shares its label, so
     // it must never appear; ranks cover only the other-label vectors
