@@ -323,6 +323,48 @@ object Sampling {
         md5(array_join(col("col"), " ")).as("chunk_md5"))
   }
 
+  /** Content-defined chunking (the Rabin/CDC boundary rule adapted to
+    * token streams): a chunk ENDS at every token whose 48-bit content
+    * hash ≡ 0 (mod `b`), so boundaries are properties of the TEXT, not
+    * of positions — insert a sentence into a document and only the
+    * chunks touching the insertion change, where [[chunkTokens]]'s
+    * fixed grid shifts every downstream chunk (the property that makes
+    * CDC the storage-dedup standard, and here lets chunk-level dedup
+    * survive edits/insertions between crawl snapshots). Expected chunk
+    * length is `b` tokens; a production path adds a max-length cap via
+    * the sessionizer kernel (the cap needs a resetting counter, which
+    * is a stateful scan, not a window).
+    *
+    * One row per chunk: (doc_id, chunk_idx, n_tok, chunk_md5), digest
+    * over the space-joined tokens in order. Docs with null text yield
+    * no rows (no token stream to cut).
+    *
+    * Scale posture: one doc-keyed window (the running boundary count)
+    * and one (doc, chunk) aggregate riding the same exchange; the
+    * within-chunk order is an array_sort fold, never an order-sensitive
+    * collect. Nothing corpus-global at any size.
+    */
+  def cdcChunks(docs: DataFrame, id: Column, text: Column,
+                b: Int): DataFrame = {
+    require(b > 1, s"modulus b must be > 1: $b")
+    val tok = docs
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .withColumn("cut",
+        when(pmod(baseHash(col("tok")), lit(b.toLong)) === 0, 1L)
+          .otherwise(0L))
+    tok
+      .withColumn("chunk_idx",
+        sum(col("cut")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+          - col("cut"))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_tok"),
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("st"))
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        md5(array_join(transform(col("st"), s => s.getField("tok")), " "))
+          .as("chunk_md5"))
+  }
+
   /** Deterministic source-interleaved training order: assign every doc
     * a global `slot` such that reading in slot order round-robins
     * across sources — position p of source s lands at

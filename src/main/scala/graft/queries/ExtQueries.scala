@@ -3306,6 +3306,35 @@ object ExtQueries {
         "FROM dt GROUP BY doc_id, dim ORDER BY doc_id, dim"
     })
 
+  /** [EXT] L95 content-defined chunking ([[Sampling.cdcChunks]]):
+    * chunk boundaries where the token's 48-bit content hash ≡ 0
+    * (mod 8) — boundaries are properties of the TEXT, so an insertion
+    * changes only the chunks touching it while q_chunk_windows' fixed
+    * grid shifts every downstream chunk (the CDC property that lets
+    * chunk-level dedup survive edits between crawl snapshots;
+    * DedupSpec pins it). One doc-keyed window + one (doc, chunk)
+    * aggregate on the same exchange; within-chunk order via an
+    * array_sort fold, never an order-sensitive collect.
+    */
+  private val qCdcChunks = Q("q_cdc_chunks",
+    (s, d) => Sampling.cdcChunks(t(s, d, "documents"),
+        col("doc_id"), col("text"), b = 8)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("WITH tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM " +
+      "(SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, len(toks)), i -> {'pos': i - 1, " +
+      "'tok': toks[i]})) AS u FROM (SELECT doc_id, " +
+      "string_split(text, ' ') AS toks FROM documents))), " +
+      "c AS (SELECT doc_id, pos, tok, CASE WHEN (" +
+      TextHash.duckBaseHash("tok") + ") % 8 = 0 THEN 1 ELSE 0 END " +
+      "AS cut FROM tk), " +
+      "ch AS (SELECT doc_id, pos, tok, sum(cut) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) - cut AS chunk_idx FROM c) " +
+      "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, " +
+      "CAST(count(*) AS BIGINT) AS n_tok, " +
+      "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 " +
+      "FROM ch GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"))
+
   /** [EXT] L91 training-order interleave
     * ([[Sampling.interleaveOrder]]): deterministic source round-robin
     * — position p of source s lands at slot (p−1)·n_sources + rank(s),
@@ -3360,5 +3389,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks)
 }

@@ -272,6 +272,34 @@ class SamplingSpec extends SparkSpec {
     assert(out(20L)._2 == plain(20L) && out(21L)._2 == plain(21L))
   }
 
+  test("cdcChunks: an insertion disturbs only local chunks; fixed grid shifts everything") {
+    val base = (0 until 60).map(i => s"w$i")
+    val edited = (base.take(10) :+ "zzz") ++ base.drop(10)
+    val docs = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    def digests(df: org.apache.spark.sql.DataFrame, id: Long): Set[String] =
+      df.filter(col("doc_id") === id).select("chunk_md5")
+        .as[String].collect().toSet
+    val cdc = Sampling.cdcChunks(docs, col("doc_id"), col("text"), b = 4)
+    val (ca, cb) = (digests(cdc, 1L), digests(cdc, 2L))
+    // CDC: only the chunk(s) touching the insertion differ — the one
+    // split chunk can become at most two, everything else re-aligns
+    assert((ca diff cb).size <= 1 && (cb diff ca).size <= 2,
+      s"CDC should localize the edit: ${ca diff cb} / ${cb diff ca}")
+    assert((ca intersect cb).size >= ca.size - 1)
+    // same edit under the fixed grid shifts every window at/after it
+    val grid = Sampling.chunkTokens(docs, col("doc_id"), col("text"),
+      win = 4, stride = 4)
+    val (ga, gb) = (digests(grid, 1L), digests(grid, 2L))
+    assert((ga intersect gb).size < (ca intersect cb).size,
+      s"fixed grid should share fewer chunks: grid=${(ga intersect gb).size} " +
+        s"cdc=${(ca intersect cb).size}")
+    // chunks tile the doc: token counts sum to the doc length
+    val n = cdc.filter(col("doc_id") === 1L)
+      .agg(sum("n_tok")).as[Long].head()
+    assert(n == 60L)
+  }
+
   test("interleaveOrder: slot order round-robins sources and keeps per-source order") {
     val docs = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
