@@ -966,6 +966,61 @@ object TextAnalysis {
           .as("label"))
   }
 
+  /** DSIR hashed-ngram importance weights (the Xie-et-al data
+    * selection recipe): per doc, log p_target/p_raw over HASHED bigram
+    * features — bigrams bucketed into a FIXED k-cell space
+    * (dim = hash(bigram) mod k), with both distributions add-1
+    * smoothed over the k buckets. Where [[mooreLewisScore]] prices
+    * whole-word unigrams against a vocabulary-sized LM (a table that
+    * grows with the corpus and must be joined), the hashed feature
+    * space is k rows by CONSTRUCTION at any corpus size — the two
+    * distribution tables broadcast trivially forever, bigram features
+    * see first-order sequence structure, and there is no vocabulary
+    * state to ship (the reason the published pipeline scales to
+    * full-crawl selection). Positive weight = the doc looks more like
+    * the target slice than the raw corpus; importance resampling keeps
+    * docs by weight rank.
+    *
+    * Determinism: per-bucket log-ratio deltas quantize to integer
+    * µbits; the per-doc sum of cnt·delta is exact BIGINT
+    * (shuffle-order-safe). Docs with no bigrams (< 2 tokens) are
+    * omitted by the frame contract.
+    *
+    * Scale posture: one corpus scan builds the (doc, dim) counts and
+    * both k-cell distributions (map-side combined); the delta table is
+    * ≤ k rows, broadcast back over the doc-dim counts; nothing
+    * vocabulary-sized anywhere.
+    */
+  def dsirWeights(docs: DataFrame, text: Column, id: Column,
+                  inTarget: Column, k: Int = 256): DataFrame = {
+    import graft.functions.TermFunctions
+    require(k > 1, s"bucket count k must be > 1: $k")
+    val f = docs
+      .select(id.as("doc_id"), inTarget.as("tgt"),
+        explode(TermFunctions.stringShingles(text, 2)).as("bg"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(TextHash.baseHash(col("bg")), lit(k.toLong)).as("d"))
+    val cnt = f.groupBy("doc_id", "d").agg(count(lit(1)).as("c"))
+    val raw = f.groupBy("d").agg(count(lit(1)).as("nr"))
+    val tg = f.filter(col("tgt")).groupBy("d").agg(count(lit(1)).as("nt"))
+    val rt = raw.agg(sum("nr").as("nnr"))
+    val tt = tg.agg(coalesce(sum("nt"), lit(0L)).as("nnt"))
+    val delta = raw.join(tg, Seq("d"), "left")
+      .crossJoin(broadcast(rt)).crossJoin(broadcast(tt))
+      .select(col("d"),
+        round((log(2.0,
+            (coalesce(col("nt"), lit(0L)) + lit(1L)).cast("double") /
+              (col("nnt") + lit(k.toLong)).cast("double")) -
+          log(2.0,
+            (col("nr") + lit(1L)).cast("double") /
+              (col("nnr") + lit(k.toLong)).cast("double"))) * 1e6)
+          .cast("long").as("delta"))
+    cnt.join(broadcast(delta), Seq("d"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("long").as("n_feat"),
+        sum(col("c") * col("delta")).cast("long").as("dsir_micro"))
+  }
+
   /** Hashing-trick featurization (Weinberger et al.): map every doc
     * to a k-bucket sparse count vector, dim = hash(term) mod k, with
     * the SIGNED variant alongside (sign from the next hash bit, so

@@ -3335,6 +3335,44 @@ object ExtQueries {
       "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 " +
       "FROM ch GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"))
 
+  /** [EXT] L96 DSIR hashed-ngram importance weights
+    * ([[TextAnalysis.dsirWeights]]): per-doc log p_target/p_raw over
+    * hashed bigram features in a FIXED 256-bucket space, both
+    * distributions add-1 smoothed over the buckets — the published
+    * full-crawl selection recipe whose state is k rows at ANY corpus
+    * size (vs q_moore_lewis's vocabulary-sized LM join); bigram
+    * features see sequence structure a unigram LM cannot. Exact-BIGINT
+    * µbit sums; sub-2-token docs omitted. The oracle replays the
+    * 48-bit hash bucketing, the identical double literals, and the
+    * µbit quantization.
+    */
+  private val qDsirWeights = Q("q_dsir_weights",
+    (s, d) => TextAnalysis.dsirWeights(t(s, d, "documents"),
+        col("text"), col("doc_id"), col("lang") === "en", k = 256)
+      .orderBy("doc_id"),
+    Some("WITH f AS (SELECT doc_id, (lang = 'en') AS tgt, (" +
+      TextHash.duckBaseHash("bg") + ") % 256 AS d FROM " +
+      "(SELECT doc_id, lang, unnest(" + TextHash.duckShingles("text", 2) +
+      ") AS bg FROM documents)), " +
+      "cnt AS (SELECT doc_id, d, CAST(count(*) AS BIGINT) AS c " +
+      "FROM f GROUP BY 1, 2), " +
+      "raw AS (SELECT d, CAST(count(*) AS BIGINT) AS nr FROM f " +
+      "GROUP BY d), " +
+      "tg AS (SELECT d, CAST(count(*) AS BIGINT) AS nt FROM f " +
+      "WHERE tgt GROUP BY d), " +
+      "rt AS (SELECT CAST(sum(nr) AS BIGINT) AS nnr FROM raw), " +
+      "tt AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS nnt " +
+      "FROM tg), " +
+      "dl AS (SELECT raw.d, CAST(round((" +
+      "ln(CAST(coalesce(tg.nt, 0) + 1 AS DOUBLE) / " +
+      "CAST(nnt + 256 AS DOUBLE)) / ln(2.0) - " +
+      "ln(CAST(raw.nr + 1 AS DOUBLE) / " +
+      "CAST(nnr + 256 AS DOUBLE)) / ln(2.0)) * 1000000) AS BIGINT) " +
+      "AS delta FROM raw LEFT JOIN tg USING (d), rt, tt) " +
+      "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feat, " +
+      "CAST(sum(c * delta) AS BIGINT) AS dsir_micro " +
+      "FROM cnt JOIN dl USING (d) GROUP BY doc_id ORDER BY doc_id"))
+
   /** [EXT] L91 training-order interleave
     * ([[Sampling.interleaveOrder]]): deterministic source round-robin
     * — position p of source s lands at slot (p−1)·n_sources + rank(s),
@@ -3389,5 +3427,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights)
 }

@@ -389,6 +389,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights: target-like docs weigh positive, off-target negative") {
+    // target slice speaks in "the cat sat" bigrams; the off-target
+    // mass is "buy pills now" spam. Doc 5 echoes the target, doc 6
+    // echoes the spam, doc 7 is too short to have a bigram.
+    val docs = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat sat by the door", true),
+      (3L, "buy pills now cheap pills now", false),
+      (4L, "buy pills now best price now", false),
+      (5L, "the cat sat quietly", false),
+      (6L, "buy pills now", false),
+      (7L, "hello", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirWeights(docs, col("text"), col("doc_id"),
+        col("tgt"), k = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feat"), r.getAs[Long]("dsir_micro"))).toMap
+    // DSIR weights are a RANKING signal (tiny-sample smoothing shifts
+    // the absolute zero): every target-echoing doc must out-rank every
+    // spam doc on per-feature weight
+    def perFeat(id: Long): Double = out(id)._2.toDouble / out(id)._1
+    val targetLike = Seq(1L, 2L, 5L).map(perFeat)
+    val spamLike = Seq(3L, 4L, 6L).map(perFeat)
+    assert(targetLike.min > spamLike.max,
+      s"target docs should out-rank spam docs per feature: $out")
+    // n_feat = bigram occurrences = n_tok - 1
+    assert(out(1L)._1 == 5L && out(6L)._1 == 2L)
+    // sub-2-token doc omitted
+    assert(!out.contains(7L))
+  }
+
   test("sourceOverlap: asymmetric bps; zero-overlap pairs omitted") {
     val docs = Seq(
       (1L, "a b c d e", "A"), // shingles: "a b c","b c d","c d e"
