@@ -789,4 +789,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 0, s"classifier scoring must not shuffle:\n$p")
     assert(!p.contains("Join") && !p.contains("HashAggregate"), p)
   }
+
+  test("q_silhouette: top-2 election is WindowGroupLimit over broadcast centroids") {
+    val p = planOf("q_silhouette")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_source_overlap: shingle self-join is equi-hash with reused exchange") {
+    val df = SparkEntry.queries("q_source_overlap")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("ReusedExchange") || p.contains("reused"), p)
+  }
+
+  test("q_cdc_chunks: one window over one doc-keyed exchange, no join") {
+    val p = planOf("q_cdc_chunks")
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Window")) == 1, p)
+  }
+
+  test("q_dsir_weights / q_bigram_lm: LM/delta tables broadcast back, corpus side never sort-merges") {
+    for (n <- Seq("q_dsir_weights", "q_bigram_lm")) {
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n lost the broadcast-back join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n corpus side must not sort-merge:\n$p")
+    }
+  }
 }

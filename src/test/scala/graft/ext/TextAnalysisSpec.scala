@@ -386,6 +386,17 @@ class TextAnalysisSpec extends SparkSpec {
       // zipfFit emits its single closed-form row with n = 0 (NaN fit)
       val z = TextAnalysis.zipfFit(docs, col("text")).collect()
       assert(z.length == 1 && z.head.getAs[Long]("n") == 0L)
+      // session-3 operators: same empty-output-never-throw contract
+      assert(TextAnalysis.bigramCrossEntropy(docs, col("text"),
+        col("doc_id")).count() == 0)
+      assert(TextAnalysis.sourceOverlap(docs, col("text"),
+        col("source")).count() == 0)
+      assert(TextAnalysis.dsirWeights(docs, col("text"), col("doc_id"),
+        col("source") === "s").count() == 0)
+      assert(Sampling.cdcChunks(docs, col("doc_id"), col("text"),
+        b = 8).count() == 0)
+      assert(Sampling.interleaveOrder(docs, col("doc_id"),
+        col("source")).count() == docs.count())
     }
   }
 
