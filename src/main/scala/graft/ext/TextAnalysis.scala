@@ -966,6 +966,43 @@ object TextAnalysis {
           .as("label"))
   }
 
+  /** Data-driven blocklist filter (the C4/RefinedWeb bad-word rule as
+    * a TABLE join, not a regex): per doc, total tokens, blocklisted
+    * occurrences, density in exact bps, and the keep decision at
+    * `maxBps`. The blocklist is a DataFrame, which is the shape that
+    * survives production lists — a 100k-entry list compiled into a
+    * regex alternation blows up the NFA and scans per pattern, while
+    * a broadcast hash join costs the same lookup per token regardless
+    * of list size (and the list can live in a table under version
+    * control, updated without code changes). [[redact]] stays the
+    * right tool for PATTERN-shaped scrubbing (emails, phone numbers);
+    * this is the term-set rule.
+    *
+    * Determinism: counts and the bps division are exact BIGINT; the
+    * keep decision compares integers. Docs with no tokens are omitted
+    * (the termCounts frame contract). Scale posture: blocklist
+    * broadcast once; one corpus scan, one doc-keyed aggregate riding
+    * the kernel term counts — row-linear at any corpus or list size.
+    */
+  def blocklistFilter(docs: DataFrame, text: Column, id: Column,
+                      blocklist: DataFrame, maxBps: Long): DataFrame = {
+    import graft.functions.TermFunctions
+    val dt = docs
+      .select(id.as("doc_id"), explode(TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").cast("long").as("tf"))
+    dt.join(broadcast(blocklist.select(col("term"), lit(1L).as("__hit"))),
+        Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tok"),
+        sum(when(col("__hit").isNotNull, col("tf")).otherwise(0L))
+          .cast("long").as("n_bad"))
+      .select(col("doc_id"), col("n_tok"), col("n_bad"),
+        floor(col("n_bad") * lit(10000L) / col("n_tok")).cast("long")
+          .as("bad_bps"))
+      .withColumn("keep", col("bad_bps") <= maxBps)
+  }
+
   /** DSIR hashed-ngram importance weights (the Xie-et-al data
     * selection recipe): per doc, log p_target/p_raw over HASHED bigram
     * features — bigrams bucketed into a FIXED k-cell space

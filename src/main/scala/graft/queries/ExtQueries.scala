@@ -3335,6 +3335,35 @@ object ExtQueries {
       "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 " +
       "FROM ch GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"))
 
+  /** [EXT] L97 data-driven blocklist filter
+    * ([[TextAnalysis.blocklistFilter]]): per-doc blocklisted-token
+    * density in exact bps + the keep decision at 5% — the C4-style
+    * bad-word rule as a broadcast TABLE join, the shape that survives
+    * 100k-entry production lists where a regex alternation cannot
+    * (q_redact remains the pattern-shaped scrub). One corpus scan,
+    * one doc-keyed aggregate; list size never touches the plan.
+    */
+  private val qBlocklist = Q("q_blocklist",
+    (s, d) => {
+      import s.implicits._
+      val bl = Seq("slow", "legacy", "batch").toDF("term")
+      TextAnalysis.blocklistFilter(t(s, d, "documents"),
+          col("text"), col("doc_id"), bl, maxBps = 500L)
+        .orderBy("doc_id")
+    },
+    Some("WITH bl(term) AS (VALUES ('slow'), ('legacy'), ('batch')), " +
+      "dt AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
+      "FROM documents) GROUP BY 1, 2), " +
+      "c AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok, " +
+      "CAST(sum(CASE WHEN bl.term IS NOT NULL THEN tf ELSE 0 END) " +
+      "AS BIGINT) AS n_bad FROM dt LEFT JOIN bl USING (term) " +
+      "GROUP BY doc_id) " +
+      "SELECT doc_id, n_tok, n_bad, " +
+      "CAST(floor(n_bad * 10000 / n_tok) AS BIGINT) AS bad_bps, " +
+      "(floor(n_bad * 10000 / n_tok) <= 500) AS keep " +
+      "FROM c ORDER BY doc_id"))
+
   /** [EXT] L96 DSIR hashed-ngram importance weights
     * ([[TextAnalysis.dsirWeights]]): per-doc log p_target/p_raw over
     * hashed bigram features in a FIXED 256-bucket space, both
@@ -3427,5 +3456,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist)
 }

@@ -400,6 +400,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("blocklistFilter: exact density bps; keep decision at the threshold") {
+    val docs = Seq(
+      (1L, "clean words only here"),            // 0 bps -> keep
+      (2L, "one bad word here in twenty " +
+        "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"), // 1/20 = 500 bps -> keep (boundary)
+      (3L, "spam spam spam ok")                 // 7500 bps -> drop
+    ).toDF("doc_id", "text")
+    val bl = Seq("spam", "bad").toDF("term")
+    val out = TextAnalysis.blocklistFilter(docs, col("text"), col("doc_id"),
+        bl, maxBps = 500L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_bad"),
+          r.getAs[Long]("bad_bps"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((4L, 0L, 0L, true)), out)
+    assert(out(2L) == ((20L, 1L, 500L, true)), out) // boundary is inclusive
+    assert(out(3L) == ((4L, 3L, 7500L, false)), out)
+  }
+
   test("dsirWeights: target-like docs weigh positive, off-target negative") {
     // target slice speaks in "the cat sat" bigrams; the off-target
     // mass is "buy pills now" spam. Doc 5 echoes the target, doc 6
