@@ -966,6 +966,47 @@ object TextAnalysis {
           .as("label"))
   }
 
+  /** Per-source corpus data card (the "datasheets for datasets"
+    * deliverable): one row per source with doc count, token count,
+    * token share of the corpus, mean quality score, and the dominant
+    * language with its share — the composition table a dataset release
+    * ships and a mixing step reads FIRST (share tells you what a
+    * temperature re-weight will actually move; dominant-lang share
+    * flags mislabeled or mixed-language sources before they poison a
+    * monolingual run). All ratios exact BIGINT bps; the mean quality
+    * is floor-division of the exact bps sum.
+    *
+    * Scale posture: two source-keyed aggregates over one corpus scan
+    * each (map-side combined), a domain-sized dominant-lang election
+    * (WindowGroupLimit), and domain-sized broadcasts — nothing
+    * corpus-global at any size.
+    */
+  def dataCard(docs: DataFrame, text: Column, source: Column,
+               lang: Column): DataFrame = {
+    val base = docs.select(source.as("source"), lang.as("lang"),
+      when(text.isNull, lit(0L))
+        .otherwise(size(split(text, " ")).cast("long")).as("n_tok"),
+      qualityBps(text).as("q"))
+    val per = base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
+        sum("q").as("qsum"))
+    val tot = per.agg(sum("n_tok").as("t"))
+    val tl = graft.ops.Windows.findFirst(
+        base.groupBy("source", "lang").agg(count(lit(1)).as("c")),
+        keys = Seq(col("source")),
+        priority = Seq(col("c").desc, col("lang")))
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_c"))
+    per.join(broadcast(tl), Seq("source")).crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        floor(col("n_tok") * lit(10000L) / col("t")).cast("long")
+          .as("tok_share_bps"),
+        expr("CAST(qsum DIV n_docs AS BIGINT)").as("mean_quality_bps"),
+        col("top_lang"),
+        floor(col("top_c") * lit(10000L) / col("n_docs")).cast("long")
+          .as("top_lang_bps"))
+  }
+
   /** Data-driven blocklist filter (the C4/RefinedWeb bad-word rule as
     * a TABLE join, not a regex): per doc, total tokens, blocklisted
     * occurrences, density in exact bps, and the keep decision at

@@ -3335,6 +3335,36 @@ object ExtQueries {
       "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 " +
       "FROM ch GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx"))
 
+  /** [EXT] L98 per-source data card ([[TextAnalysis.dataCard]]): the
+    * datasheets-for-datasets composition table — per source, docs,
+    * tokens, token share of corpus, mean quality bps, and the
+    * dominant language with its share (what a mixing step reads first;
+    * dominant-lang share flags mislabeled sources before they poison
+    * a monolingual run). Two source-keyed aggregates + a domain-sized
+    * dominant-lang election; all ratios exact BIGINT bps.
+    */
+  private val qDataCard = Q("q_data_card",
+    (s, d) => TextAnalysis.dataCard(t(s, d, "documents"),
+        col("text"), col("source"), col("lang"))
+      .orderBy("source"),
+    Some(s"WITH b AS (SELECT source, lang, " +
+      "CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT) " +
+      s"AS n_tok, $duckQbps AS q FROM documents), " +
+      "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tok, CAST(sum(q) AS BIGINT) " +
+      "AS qsum FROM b GROUP BY source), " +
+      "tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM per), " +
+      "tl AS (SELECT source, lang AS top_lang, c AS top_c FROM " +
+      "(SELECT source, lang, c, row_number() OVER " +
+      "(PARTITION BY source ORDER BY c DESC, lang) AS rn FROM " +
+      "(SELECT source, lang, CAST(count(*) AS BIGINT) AS c FROM b " +
+      "GROUP BY 1, 2)) WHERE rn = 1) " +
+      "SELECT per.source, n_docs, per.n_tok, " +
+      "CAST(floor(per.n_tok * 10000 / t) AS BIGINT) AS tok_share_bps, " +
+      "CAST(qsum // n_docs AS BIGINT) AS mean_quality_bps, top_lang, " +
+      "CAST(floor(top_c * 10000 / n_docs) AS BIGINT) AS top_lang_bps " +
+      "FROM per JOIN tl USING (source), tot ORDER BY source"))
+
   /** [EXT] L97 data-driven blocklist filter
     * ([[TextAnalysis.blocklistFilter]]): per-doc blocklisted-token
     * density in exact bps + the keep decision at 5% — the C4-style
@@ -3456,5 +3486,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard)
 }

@@ -400,6 +400,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("dataCard: shares reconcile; dominant lang elected with tie-break") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "A", "en"),   // 6 tok
+      (2L, "the dog sat", "A", "en"),               // 3 tok
+      (3L, "le chat", "A", "fr"),                   // 2 tok
+      (4L, "ein hund und eine katze hier", "B", "de") // 6 tok
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.dataCard(docs, col("text"), col("source"),
+        col("lang"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("tok_share_bps"), r.getAs[String]("top_lang"),
+          r.getAs[Long]("top_lang_bps"))).toMap
+    val a = out("A"); val b = out("B")
+    assert(a._1 == 3L && a._2 == 11L && b._1 == 1L && b._2 == 6L)
+    // shares over the 17-token corpus, floored bps
+    assert(a._3 == 11L * 10000 / 17 && b._3 == 6L * 10000 / 17)
+    // dominant lang: en 2 of 3 docs in A; de 1 of 1 in B
+    assert(a._4 == "en" && a._5 == 6666L)
+    assert(b._4 == "de" && b._5 == 10000L)
+  }
+
   test("blocklistFilter: exact density bps; keep decision at the threshold") {
     val docs = Seq(
       (1L, "clean words only here"),            // 0 bps -> keep
