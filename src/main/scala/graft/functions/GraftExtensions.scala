@@ -54,6 +54,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_approx_quantiles",
       "mergeable log-histogram quantile estimates (probs as array literal arg 2)",
       args => ApproxQuantiles(args(0), expectDoubleArray(args(1), "probs")))
+    register(ext, "graft_cms",
+      "mergeable Count-Min sketch of a string column (optional depth, width)",
+      args => args match {
+        case Seq(c) => CountMin(c)
+        case Seq(c, d) => CountMin(c, expectInt(d, "depth"))
+        case Seq(c, d, w) => CountMin(c, expectInt(d, "depth"), expectInt(w, "width"))
+        case other => throw new IllegalArgumentException(
+          s"graft_cms takes 1-3 arguments, got ${other.size}")
+      })
+    register(ext, "graft_cms_estimate",
+      "point-query a graft_cms sketch: estimated count of item (never an undercount)",
+      args => CmsEstimate(args(0), args(1)))
     register(ext, "graft_wordpiece",
       "greedy longest-prefix wordpiece segmentation (pieces space-joined)",
       args => WordpieceSegment(args(0)))

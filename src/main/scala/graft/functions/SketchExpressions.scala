@@ -479,4 +479,21 @@ object SketchFunctions {
     GraftBridge.column(
       ApproxQuantiles(GraftBridge.expression(c), probs, subBits)
         .toAggregateExpression())
+
+  /** Mergeable Count-Min sketch of string column `c` (see
+    * [[CountMin]]): array<bigint> of [depth, width, N, counters…],
+    * point-queried later with [[cmsEstimate]].
+    */
+  def countMin(c: Column, depth: Int = CountMin.DefaultDepth,
+               width: Int = CountMin.DefaultWidth): Column =
+    GraftBridge.column(
+      CountMin(GraftBridge.expression(c), depth, width)
+        .toAggregateExpression())
+
+  /** Point query against a [[countMin]] sketch: estimated count of
+    * `item`, never an undercount, at most ε·N over.
+    */
+  def cmsEstimate(sketch: Column, item: Column): Column =
+    GraftBridge.column(
+      CmsEstimate(GraftBridge.expression(sketch), GraftBridge.expression(item)))
 }

@@ -98,6 +98,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_cms / graft_cms_estimate are SQL-callable end to end") {
+    withExtendedSession { spark =>
+      spark.sql("SELECT explode(array('x','x','x','y','y','z')) AS v")
+        .createOrReplaceTempView("cms_src")
+      val r = spark.sql(
+        """SELECT graft_cms_estimate(sk, 'x') AS ex,
+          |       graft_cms_estimate(sk, 'z') AS ez,
+          |       graft_cms_estimate(sk, 'absent') AS ea
+          |FROM (SELECT graft_cms(v, 4, 64) AS sk FROM cms_src)""".stripMargin)
+        .collect().head
+      // 6 rows, width 64: collisions possible but never undercounts;
+      // with 3 distinct items the estimates are exact in practice
+      assert(r.getLong(0) >= 3L && r.getLong(0) <= 6L, r.toString)
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 6L, r.toString)
+      assert(r.getLong(2) <= 6L, r.toString)
+    }
+  }
+
   test("graft_approx_quantiles rejects a non-BIGINT column at analysis time") {
     withExtendedSession { spark =>
       spark.range(10).selectExpr("cast(id as int) AS i", "cast(id as string) AS s")

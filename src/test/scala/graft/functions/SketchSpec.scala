@@ -245,6 +245,69 @@ class SketchSpec extends SparkSpec {
     ru.foreach(r => assert(!r.isNullAt(2), r.toString))
   }
 
+  // ---------------------------------------------- Count-Min sketch
+
+  import graft.functions.SketchFunctions.{countMin, cmsEstimate}
+
+  /** Zipf-ish stream: "w1" 1000x, "w2" 500x, ..., plus a 2000-item
+    * distinct tail — point queries must hold for heavy AND tail items.
+    */
+  private def cmsCorpus = {
+    val heavy = (1 to 10).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val tail = (1 to 2000).map(i => s"t$i")
+    (heavy ++ tail).toDF("v")
+  }
+
+  test("cms never undercounts; overcount bounded by eN (property)") {
+    val df = cmsCorpus
+    val n = df.count()
+    val sk = df.agg(countMin(col("v")).as("sk"))
+    val probes = (1 to 10).map(i => s"w$i") ++ Seq("t1", "t1999", "absent")
+    val exact = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    val est = probes.map(p => p -> sk.select(cmsEstimate(col("sk"), lit(p)))
+      .as[Long].head()).toMap
+    val epsN = math.ceil(math.E / 256 * n).toLong
+    probes.foreach { p =>
+      val t = exact.getOrElse(p, 0L)
+      assert(est(p) >= t, s"$p undercounted: ${est(p)} < $t")
+      assert(est(p) <= t + epsN, s"$p overcounted past eN: ${est(p)} vs $t + $epsN")
+    }
+  }
+
+  test("cms merge is exact: merged counters identical to the one-pass sketch") {
+    val df = cmsCorpus
+    // partial sketches per split, merged by re-aggregation, vs one pass
+    val one = df.agg(countMin(col("v")).as("sk")).as[Seq[Long]].head()
+    val split = df.repartition(16).agg(countMin(col("v")).as("sk"))
+      .as[Seq[Long]].head()
+    assert(one == split, "CMS merge must be counter-wise exact")
+  }
+
+  test("cms nulls ignored; grouped sketches independent; width knob honors layout") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("v")
+    val sk = df.agg(countMin(col("v")).as("sk"))
+    assert(sk.select(cmsEstimate(col("sk"), lit("a"))).as[Long].head() >= 2L)
+    val arr = sk.as[Seq[Long]].head()
+    assert(arr(0) == 4L && arr(1) == 256L && arr(2) == 3L) // depth, width, N(non-null)
+    val g = spark.range(200)
+      .select((col("id") % 2).as("g"),
+        concat(lit("k"), (col("id") % 5)).as("v"))
+      .groupBy("g").agg(countMin(col("v"), depth = 3, width = 64).as("sk"))
+      .select(col("g"), cmsEstimate(col("sk"), lit("k0")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    // k0 occurs 20x in each of the two groups (ids ≡ 0 mod 10 per parity)
+    assert(g.values.forall(v => v >= 20L && v <= 20L + 200 / 64 * 3), g.toString)
+  }
+
+  test("cms combines map-side like the other sketches (object hash aggregate)") {
+    val df = spark.range(10000)
+      .select(concat(lit("k"), col("id") % 7).as("v"))
+      .agg(countMin(col("v")).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("graft_cms".r.findAllIn(plan).size >= 2, plan)
+  }
+
   // SQL-callable registration is covered in GraftExtensionsSpec (it
   // needs the cleared-session dance extensions binding requires).
 }
