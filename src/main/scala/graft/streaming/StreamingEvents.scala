@@ -1098,3 +1098,93 @@ object TwsCov {
         TimeMode.None(), OutputMode.Append())
   }
 }
+
+/** Streaming twin of the batch Count-Min sketch
+  * ([[graft.functions.CountMin]]) on `transformWithState`: live
+  * per-item rate estimates over unbounded key domains (URL hit rates,
+  * shingle frequencies) with depth·width counters per group regardless
+  * of stream length. State is the SPARSE counter map (only touched
+  * cells hit RocksDB); each micro-batch folds its items in with the
+  * IDENTICAL hash trajectory as the batch aggregate (same
+  * `CountMin.Seed`, same XxHash64 rows), so the streaming counters —
+  * and therefore every point estimate — are BIT-IDENTICAL to a batch
+  * `graft_cms` over the same prefix (CMS accumulation is counter-wise
+  * exact; the spec asserts the equality). Emits the current estimates
+  * for a fixed probe list per micro-batch, the monitoring shape.
+  */
+object TwsCms {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.unsafe.types.UTF8String
+  import graft.functions.CountMin
+
+  case class Obs(g: String, item: String)
+  case class Est(g: String, n: Long, item: String, est: Long)
+
+  private def cellOf(item: String, r: Int, width: Int): Int =
+    (r * width + java.lang.Math.floorMod(
+      XxHash64Function.hash(UTF8String.fromString(item), StringType,
+        CountMin.Seed + r), width.toLong)).toInt
+
+  class CmsProcessor(depth: Int, width: Int, probes: Seq[String])
+      extends StatefulProcessor[String, Obs, Est] {
+    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2 required")
+    @transient private var cells: MapState[Int, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cells = getHandle.getMapState[Int, Long]("cms",
+        Encoders.scalaInt, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("n",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(g: String, rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[Est] = {
+      val m = scala.collection.mutable.Map.empty[Int, Long]
+      cells.iterator().foreach { case (i, c) => m(i) = c }
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { o =>
+        n += 1
+        var r = 0
+        while (r < depth) {
+          val i = cellOf(o.item, r, width)
+          m(i) = m.getOrElse(i, 0L) + 1L
+          r += 1
+        }
+      }
+      m.foreach { case (i, c) => cells.updateValue(i, c) }
+      total.update(n)
+      val nn = n
+      probes.iterator.map { p =>
+        var min = Long.MaxValue
+        var r = 0
+        while (r < depth) {
+          val c = m.getOrElse(cellOf(p, r, width), 0L)
+          if (c < min) min = c
+          r += 1
+        }
+        Est(g, nn, p, min)
+      }
+    }
+
+    override def handleExpiredTimer(g: String, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Est] = Iterator.empty
+  }
+
+  /** Incremental CMS per group; requires the RocksDB state store
+    * provider. The emission set with each group's max `n` holds the
+    * current estimates for `probes`.
+    */
+  def estimates(obs: Dataset[Obs], probes: Seq[String],
+                depth: Int = CountMin.DefaultDepth,
+                width: Int = CountMin.DefaultWidth): Dataset[Est] = {
+    implicit val ee: org.apache.spark.sql.Encoder[Est] = Encoders.product[Est]
+    obs.groupByKey(_.g)(Encoders.STRING)
+      .transformWithState(new CmsProcessor(depth, width, probes),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

@@ -907,6 +907,54 @@ class StreamingEventsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState CMS estimates are bit-identical to the batch " +
+      "sketch after the last micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val oe: org.apache.spark.sql.Encoder[TwsCms.Obs] =
+      org.apache.spark.sql.Encoders.product[TwsCms.Obs]
+    import TwsCms.Obs
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // zipf-ish skew + tail, shuffled across micro-batch boundaries
+      val rnd = new scala.util.Random(13L)
+      val items = rnd.shuffle(
+        (1 to 10).flatMap(i => Seq.fill(200 / i)(s"w$i")) ++
+          (1 to 300).map(i => s"t$i"))
+      val probes = Seq("w1", "w5", "t1", "absent")
+      val input = MemoryStream[Obs]
+      val q = TwsCms.estimates(input.toDS(), probes, depth = 4, width = 64)
+        .writeStream.format("memory").queryName("tws_cms").start()
+      try {
+        items.grouped(150).foreach { batch =>
+          input.addData(batch.map(Obs("g", _)): _*)
+          q.processAllAvailable()
+        }
+        val n = items.size.toLong
+        val streamed = spark.table("tws_cms").as[TwsCms.Est].collect()
+          .filter(_.n == n).map(e => e.item -> e.est).toMap
+        assert(streamed.size == probes.size, "one final emission per probe")
+        val sk = items.toDF("v")
+          .agg(graft.functions.SketchFunctions
+            .countMin(col("v"), depth = 4, width = 64).as("sk"))
+        val batchEst = probes.map(p => p -> sk
+          .select(graft.functions.SketchFunctions
+            .cmsEstimate(col("sk"), lit(p))).as[Long].head()).toMap
+        // CMS accumulation is counter-wise exact -> strict equality
+        assert(streamed == batchEst, s"streaming $streamed != batch $batchEst")
+        // sanity on the estimator itself: the true heavy count survives
+        assert(streamed("w1") >= 200L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState gap emissions equal the batch gap detector") {
     implicit val sqlCtx = spark.sqlContext
     implicit val ee: org.apache.spark.sql.Encoder[TwsGaps.Ev] =
