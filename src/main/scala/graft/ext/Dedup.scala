@@ -93,6 +93,53 @@ object Dedup {
     (bandSelfJoinPairs(kept, keyCols, k), overflow)
   }
 
+  /** b-bit minhash pairs (Li–König, "b-Bit Minwise Hashing"): the same
+    * banded candidate generation as [[minhashLshPairs]], but similarity
+    * estimated from only the LOW `b` bits of each signature component,
+    * with the published collision correction
+    * Ĵ = (p̂ − c)/(1 − c), c = 2^−b (p̂ = matching-low-bits fraction) —
+    * the storage story for planet-scale signatures: a k=8 × 48-bit
+    * signature shrinks 6× at b=8 while the estimator stays unbiased,
+    * which is what makes shipping per-doc sketches to every ingest
+    * site affordable. Emitted beside the full-width estimate so the
+    * query IS the accuracy eval (the L51/L56 harness class): both
+    * estimates in exact µ-units (floor quantization — deterministic
+    * for the negative values the corrected estimator can produce,
+    * where decimal rounding modes differ across engines).
+    *
+    * Scale posture: identical to [[minhashLshPairs]] — one banded
+    * exchange reused by both sides, cost follows band collisions; the
+    * masking is free in-row arithmetic.
+    */
+  def bbitMinhashPairs(sig: DataFrame, k: Int, bands: Int,
+                       b: Int): DataFrame = {
+    require(b >= 1 && b < 48, s"b must be in [1, 47]: $b")
+    val (banded, keyCols) = bandedSignature(sig, k, bands)
+    val mask = (1L << b) - 1
+    val a = banded.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("da")) ++
+      (0 until k).map(i => col(s"h$i").as(s"a$i")): _*)
+    val bb = banded.select(keyCols.map(col) ++
+      Seq(col("doc_id").as("db")) ++
+      (0 until k).map(i => col(s"h$i").as(s"b$i")): _*)
+    val matchesFull = (0 until k)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val matchesB = (0 until k)
+      .map(i => when(col(s"a$i").bitwiseAND(lit(mask)) ===
+        col(s"b$i").bitwiseAND(lit(mask)), 1).otherwise(0))
+      .reduce(_ + _)
+    val c = 1.0 / (1L << b)
+    a.join(bb.hint("shuffle_hash"), keyCols)
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        floor(matchesFull.cast("double") / lit(k.toDouble) * 1e6 + 0.5)
+          .cast("long").as("est_full_micro"),
+        floor((matchesB.cast("double") / lit(k.toDouble) - lit(c)) /
+          lit(1.0 - c) * 1e6 + 0.5).cast("long").as("est_b_micro"))
+      .distinct()
+  }
+
   /** INCREMENTAL near-dup: candidate pairs between a NEW batch and an
     * existing corpus — the asymmetric form of [[minhashLshPairs]], and
     * the operation a daily-ingest pipeline actually runs (today's

@@ -80,6 +80,44 @@ object ExtQueries {
       "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
       duckLshTail))
 
+  /** [EXT] L99 b-bit minhash ([[Dedup.bbitMinhashPairs]], Li–König):
+    * the same banded candidates as q_minhash_lsh, similarity estimated
+    * from only the LOW 8 bits of each component with the published
+    * collision correction (p̂ − 2⁻⁸)/(1 − 2⁻⁸), emitted beside the
+    * full-width estimate so the query IS the compression-accuracy
+    * eval — the 6× signature-storage lever for shipping per-doc
+    * sketches at corpus scale. Both estimates exact µ-units via floor
+    * quantization (decimal rounding modes differ across engines for
+    * the negatives the corrected estimator can produce); one banded
+    * exchange reused by both sides.
+    */
+  private val qMinhashBbit = Q("q_minhash_bbit",
+    (s, d) => {
+      val sig = Dedup.minhashSignature(
+        t(s, d, "documents"), col("text"), col("doc_id"), k = 8)
+      Dedup.bbitMinhashPairs(sig, k = 8, bands = 4, b = 8)
+        .filter(col("est_full_micro") >= 500000L)
+        .orderBy("da", "db")
+    },
+    Some(duckSigCte + ", " + duckBandsCte + ", " +
+      "cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db FROM bands x " +
+      "JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "j AS (SELECT da, db, CAST(" +
+      (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ") + " AS BIGINT) AS mf, CAST(" +
+      (0 until 8).map(i =>
+        s"(CASE WHEN (sa.h$i & 255) = (sb.h$i & 255) THEN 1 ELSE 0 END)")
+        .mkString(" + ") + " AS BIGINT) AS mb " +
+      "FROM cand JOIN sig sa ON da = sa.doc_id " +
+      "JOIN sig sb ON db = sb.doc_id) " +
+      "SELECT da, db, " +
+      "CAST(floor(CAST(mf AS DOUBLE) / 8.0 * 1000000 + 0.5) AS BIGINT) " +
+      "AS est_full_micro, " +
+      "CAST(floor((CAST(mb AS DOUBLE) / 8.0 - (1.0/256)) / (1.0 - 1.0/256) " +
+      "* 1000000 + 0.5) AS BIGINT) AS est_b_micro FROM j " +
+      "WHERE floor(CAST(mf AS DOUBLE) / 8.0 * 1000000 + 0.5) >= 500000 " +
+      "ORDER BY da, db"))
+
   /** [EXT] L3c incremental (asymmetric) near-dup
     * ([[Dedup.minhashLshPairsAgainst]]): today's batch (doc_id >= 400)
     * against the already-kept corpus — the ingest-time dedup a daily
@@ -3486,5 +3524,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit)
 }

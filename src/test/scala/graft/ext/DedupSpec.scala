@@ -476,4 +476,26 @@ class DedupSpec extends SparkSpec {
     g.unpersist() // clusters are checkpoint-backed, not cache-backed
     assert(g.clusters.as[(Long, Long)].collect().toSet == direct)
   }
+
+  test("bbitMinhashPairs: low-bit masking and the Li-Konig correction, exactly") {
+    // synthetic signatures, band 0 = (h0, h1) shared by all three docs:
+    // doc 2's components agree with doc 1 ONLY in the low 8 bits,
+    // doc 3's differ everywhere past the band
+    def sig(id: Long, hi: Long, lo: Long) =
+      (id, 10L, 20L, hi * 0x100 + lo, (hi + 1) * 0x100 + lo,
+        (hi + 2) * 0x100 + lo, (hi + 3) * 0x100 + lo,
+        (hi + 4) * 0x100 + lo, (hi + 5) * 0x100 + lo)
+    val sigs = Seq(sig(1L, 1L, 5L), sig(2L, 9L, 5L), sig(3L, 17L, 77L))
+      .toDF("doc_id", "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7")
+    val out = Dedup.bbitMinhashPairs(sigs, k = 8, bands = 4, b = 8)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        (r.getAs[Long]("est_full_micro"), r.getAs[Long]("est_b_micro"))).toMap
+    // (1,2): full matches only the 2 band components -> 250000; the low
+    // 8 bits agree on all 8 -> p=1 -> corrected estimate exactly 1
+    assert(out((1L, 2L)) == ((250000L, 1000000L)), out)
+    // (1,3)/(2,3): 2 matches both ways -> p=0.25,
+    // corrected (0.25 - 1/256)/(1 - 1/256) = 0.24705882... -> 247059
+    assert(out((1L, 3L)) == ((250000L, 247059L)), out)
+    assert(out((2L, 3L)) == ((250000L, 247059L)), out)
+  }
 }
