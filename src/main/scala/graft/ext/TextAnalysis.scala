@@ -1133,6 +1133,61 @@ object TextAnalysis {
       .agg(sum("tf").as("cnt"), sum(col("sgn") * col("tf")).as("sval"))
   }
 
+  /** In-engine logistic-regression training over the hashed feature
+    * space ([[featureHash]] + a bias dimension): full-batch gradient
+    * descent, `steps` passes at learning rate 1/2 — the "train the
+    * fastText-style quality/language classifier WHERE the data lives"
+    * step, closing the loop that [[qualityLogit]] scores with
+    * hand-fixed weights. The model is k+1 integer µ-weights; margins
+    * are exact-BIGINT sums of cnt·w_µ (a float dot product would be
+    * hash-agg-order-dependent), the per-doc residual σ(margin) − y
+    * quantizes to µ-units before the gradient sum, and the weight
+    * update is one floor-quantized double division — so the ENTIRE
+    * trajectory is integer state and DuckDB replays it to the last
+    * digit (the q_kmeans discipline applied to a learner; the only
+    * cross-engine exposure is exp()'s last ulp under the µ rounding,
+    * the accepted µbit class).
+    *
+    * Scale posture: the feature frame materializes ONCE (lazy
+    * localCheckpoint — per-invocation, so bench passes stay honest);
+    * per step: one broadcast of the (k+1)-row weight table, one
+    * doc-keyed margin aggregate, one doc-keyed residual join, one
+    * k-cell gradient aggregate (map-side combined). Nothing grows
+    * with the corpus except the two scans per step.
+    */
+  def lrTrain(docs: DataFrame, text: Column, id: Column, label: Column,
+              k: Int = 64, steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps must be in [1, 8]: $steps")
+    val fh = featureHash(docs, text, id, k)
+      .select(col("doc_id"), col("dim"), col("cnt"))
+    val bias = docs.select(id.as("doc_id"), lit(k.toLong).as("dim"),
+      lit(1L).as("cnt"))
+    val feats = fh.unionAll(bias).localCheckpoint(false)
+    val lab = docs.select(id.as("doc_id"), label.cast("long").as("y"))
+    val nf = docs.agg(count(lit(1)).as("nn"))
+    val spark = docs.sparkSession
+    var w = spark.range(k + 1L)
+      .select(col("id").as("dim"), lit(0L).as("w_micro"))
+    for (_ <- 1 to steps) {
+      val margins = feats.join(broadcast(w), Seq("dim"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt") * col("w_micro")).as("mm"))
+      val resid = margins.join(lab, Seq("doc_id"))
+        .select(col("doc_id"),
+          floor((lit(1.0) / (lit(1.0) +
+              exp(-(col("mm").cast("double") / lit(1000000.0)))) -
+            col("y").cast("double")) * 1000000.0 + 0.5)
+            .cast("long").as("rq"))
+      val grad = feats.join(resid, Seq("doc_id"))
+        .groupBy("dim").agg(sum(col("cnt") * col("rq")).as("g"))
+      w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(nf))
+        .select(col("dim"),
+          (col("w_micro") - floor(coalesce(col("g"), lit(0L)).cast("double") /
+            (col("nn") * 2) + 0.5).cast("long")).as("w_micro"))
+    }
+    w
+  }
+
   /** Bucket cut points for [[perplexityBuckets]] — ONE source of truth
     * for the Spark plan and the generated oracle literal (the double
     * must be bit-identical on both engines for the nearest-rank ceil

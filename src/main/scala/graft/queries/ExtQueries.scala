@@ -3344,6 +3344,56 @@ object ExtQueries {
         "FROM dt GROUP BY doc_id, dim ORDER BY doc_id, dim"
     })
 
+  /** [EXT] L100 in-engine logistic-regression training
+    * ([[TextAnalysis.lrTrain]]): 3 full-batch GD steps over the L90
+    * hashed feature space + bias, label = (lang = 'en') — the
+    * train-the-classifier-where-the-data-lives step that closes the
+    * loop q_quality_logit scores with fixed weights. The model is 65
+    * integer µ-weights; margins are exact-BIGINT dot products,
+    * residuals quantize to µ before the k-cell gradient aggregate, so
+    * the oracle replays the ENTIRE trajectory (the q_kmeans
+    * discipline applied to a learner). Feature frame materializes
+    * once; per step one (k+1)-row broadcast + two doc-keyed passes.
+    */
+  private val qLrTrain = Q("q_lr_train",
+    (s, d) => TextAnalysis.lrTrain(t(s, d, "documents"),
+        col("text"), col("doc_id"), col("lang") === "en",
+        k = 64, steps = 3)
+      .orderBy("dim"),
+    Some {
+      val h = TextHash.duckBaseHash("term")
+      def step(i: Int): String = {
+        val pw = s"w${i - 1}"
+        s"m$i AS (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) " +
+          s"AS mm FROM ff f JOIN $pw w USING (dim) GROUP BY f.doc_id), " +
+          s"r$i AS (SELECT m.doc_id, CAST(floor((1.0 / (1.0 + " +
+          "exp(-(CAST(m.mm AS DOUBLE) / 1000000.0))) - " +
+          "CAST(y.y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS rq " +
+          s"FROM m$i m JOIN lab y USING (doc_id)), " +
+          s"g$i AS (SELECT f.dim, CAST(sum(f.cnt * r.rq) AS BIGINT) " +
+          s"AS g FROM ff f JOIN r$i r USING (doc_id) GROUP BY f.dim), " +
+          s"w$i AS (SELECT w.dim, CAST(w.w - CAST(floor(" +
+          "CAST(COALESCE(g.g, 0) AS DOUBLE) / (nn * 2) + 0.5) " +
+          s"AS BIGINT) AS BIGINT) AS w FROM $pw w " +
+          s"LEFT JOIN g$i g USING (dim) CROSS JOIN tot)"
+      }
+      "WITH dtf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) " +
+        "AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
+        "FROM documents) GROUP BY 1, 2), " +
+        s"fh AS (SELECT doc_id, CAST($h % 64 AS BIGINT) AS dim, " +
+        "CAST(sum(tf) AS BIGINT) AS cnt FROM dtf GROUP BY doc_id, dim), " +
+        "ff AS (SELECT doc_id, dim, cnt FROM fh UNION ALL " +
+        "SELECT doc_id, CAST(64 AS BIGINT) AS dim, CAST(1 AS BIGINT) " +
+        "AS cnt FROM documents), " +
+        "lab AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y " +
+        "FROM documents), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents), " +
+        "w0 AS (SELECT CAST(unnest(generate_series(0, 64)) AS BIGINT) " +
+        "AS dim, CAST(0 AS BIGINT) AS w), " +
+        step(1) + ", " + step(2) + ", " + step(3) +
+        " SELECT dim, w AS w_micro FROM w3 ORDER BY dim"
+    })
+
   /** [EXT] L95 content-defined chunking ([[Sampling.cdcChunks]]):
     * chunk boundaries where the token's 48-bit content hash ≡ 0
     * (mod 8) — boundaries are properties of the TEXT, so an insertion
@@ -3524,5 +3574,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain)
 }

@@ -400,6 +400,31 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("lrTrain: gradient steps separate a linearly separable corpus") {
+    val docs = ((1 to 10).map(i =>
+        (i.toLong, "good clean quality prose here", true)) ++
+      (11 to 20).map(i =>
+        (i.toLong, "bad noisy spam junk here", false)))
+      .toDF("doc_id", "text", "y")
+    val w = TextAnalysis.lrTrain(docs, col("text"), col("doc_id"),
+      col("y"), k = 64, steps = 3)
+    // weights moved off the zero init
+    assert(w.filter(col("w_micro") =!= 0L).count() > 0)
+    // re-score the corpus with the trained integer weights: every
+    // positive doc's margin must exceed every negative doc's
+    val feats = TextAnalysis.featureHash(docs, col("text"), col("doc_id"))
+      .select(col("doc_id"), col("dim"), col("cnt"))
+      .unionAll(docs.select(col("doc_id"), lit(64L).as("dim"),
+        lit(1L).as("cnt")))
+    val m = feats.join(w, Seq("dim"))
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w_micro")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val pos = (1 to 10).map(i => m(i.toLong))
+    val neg = (11 to 20).map(i => m(i.toLong))
+    assert(pos.min > neg.max,
+      s"trained margins must separate: pos=$pos neg=$neg")
+  }
+
   test("dataCard: shares reconcile; dominant lang elected with tie-break") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "A", "en"),   // 6 tok
