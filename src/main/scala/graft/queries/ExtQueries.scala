@@ -2951,6 +2951,23 @@ object ExtQueries {
     * boundary cannot flip between engines. Pure per-row projection,
     * zero shuffle at any corpus size.
     */
+  /** DuckDB twin of the [[TextAnalysis.qualityLogit]] margin — ONE
+    * definition shared by q_quality_logit and q_calibration (a weight
+    * recalibration must hit both oracles at once).
+    */
+  private val duckLogitMargin: String = {
+    val grams2 = TextHash.duckShingles("text", 2)
+    val lenBps = s"least(5000, $duckNTok * 25)"
+    val stopBps =
+      s"least(5000, CAST(floor($duckStop * 50000 / $duckNTok) AS BIGINT))"
+    val repBps = s"(CASE WHEN len($grams2) > 0 THEN 10000 - " +
+      s"CAST(floor(len(list_distinct($grams2)) * 10000 / len($grams2)) " +
+      "AS BIGINT) ELSE 0 END)"
+    val wdevMil = s"CAST(floor(abs((length(text) - $duckNTok + 1) * 10 " +
+      s"- $duckNTok * 45) * 100 / $duckNTok) AS BIGINT)"
+    s"$lenBps * 2 + $stopBps * 3 - $repBps * 4 - $wdevMil - 8000"
+  }
+
   private val qQualityLogit = Q("q_quality_logit",
     (s, d) => {
       val (margin, label) = TextAnalysis.qualityLogit(col("text"))
@@ -2958,22 +2975,52 @@ object ExtQueries {
         margin.as("margin"), label.as("label"))
         .orderBy("doc_id")
     },
-    Some({
-      val grams2 = TextHash.duckShingles("text", 2)
-      val lenBps = s"least(5000, $duckNTok * 25)"
-      val stopBps =
-        s"least(5000, CAST(floor($duckStop * 50000 / $duckNTok) AS BIGINT))"
-      val repBps = s"(CASE WHEN len($grams2) > 0 THEN 10000 - " +
-        s"CAST(floor(len(list_distinct($grams2)) * 10000 / len($grams2)) " +
-        "AS BIGINT) ELSE 0 END)"
-      val wdevMil = s"CAST(floor(abs((length(text) - $duckNTok + 1) * 10 " +
-        s"- $duckNTok * 45) * 100 / $duckNTok) AS BIGINT)"
-      s"SELECT doc_id, CAST($lenBps * 2 + $stopBps * 3 - $repBps * 4 " +
-        s"- $wdevMil - 8000 AS BIGINT) AS margin, " +
-        s"CASE WHEN $lenBps * 2 + $stopBps * 3 - $repBps * 4 " +
-        s"- $wdevMil - 8000 >= 0 THEN 'keep' ELSE 'drop' END AS label " +
-        "FROM documents ORDER BY doc_id"
-    }))
+    Some(s"SELECT doc_id, CAST($duckLogitMargin AS BIGINT) AS margin, " +
+      s"CASE WHEN $duckLogitMargin >= 0 THEN 'keep' ELSE 'drop' END " +
+      "AS label FROM documents ORDER BY doc_id"))
+
+  /** [EXT] L101 calibration / reliability table: the q_quality_logit
+    * margin read as a probability (σ(margin/1e4), µ-quantized) binned
+    * into deciles against a GOLD label (the exact quality-bps rule at
+    * ≥ 7500) — per bin, docs, mean predicted probability, and the
+    * empirical keep rate. A well-calibrated classifier has
+    * mean_p_micro ≈ keep_bps·100 per bin; the divergence pattern is
+    * what decides whether the cheap filter's threshold can be trusted
+    * before running it over a full crawl. All bin arithmetic exact
+    * BIGINT (floor-division means); one per-row projection + a
+    * 10-cell aggregate, nothing corpus-global.
+    */
+  private val qCalibration = Q("q_calibration",
+    (s, d) => {
+      val (margin, _) = TextAnalysis.qualityLogit(col("text"))
+      t(s, d, "documents")
+        .select(
+          floor((lit(1.0) / (lit(1.0) +
+              exp(-(margin.cast("double") / lit(10000.0))))) *
+            1000000.0 + 0.5).cast("long").as("pq"),
+          (TextAnalysis.qualityBps(col("text")) >= 7500).cast("long")
+            .as("y"))
+        .select(least(lit(9L), expr("pq DIV 100000")).as("bin"),
+          col("pq"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pq").as("sp"), sum("y").as("sy"))
+        .select(col("bin"), col("n"),
+          expr("CAST(sp DIV n AS BIGINT)").as("mean_p_micro"),
+          floor(col("sy") * lit(10000L) / col("n")).cast("long")
+            .as("keep_bps"))
+        .orderBy("bin")
+    },
+    Some("WITH b AS (SELECT CAST(floor((1.0 / (1.0 + " +
+      s"exp(-(CAST($duckLogitMargin AS DOUBLE) / 10000.0)))) " +
+      "* 1000000.0 + 0.5) AS BIGINT) AS pq, " +
+      s"CAST(($duckQbps) >= 7500 AS BIGINT) AS y FROM documents), " +
+      "g AS (SELECT least(9, pq // 100000) AS bin, " +
+      "CAST(count(*) AS BIGINT) AS n, CAST(sum(pq) AS BIGINT) AS sp, " +
+      "CAST(sum(y) AS BIGINT) AS sy FROM b GROUP BY 1) " +
+      "SELECT CAST(bin AS BIGINT) AS bin, n, " +
+      "CAST(sp // n AS BIGINT) AS mean_p_micro, " +
+      "CAST(floor(sy * 10000 / n) AS BIGINT) AS keep_bps " +
+      "FROM g ORDER BY bin"))
 
   /** [EXT] L67 dup-cluster size distribution: histogram of near-dup
     * cluster sizes plus the doc mass per size — the FIRST QA table
@@ -3574,5 +3621,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration)
 }
