@@ -829,6 +829,43 @@ object Similarity {
         .as("cov"))
   }
 
+  /** Per-dimension standardization (z-scoring) of an embedding corpus
+    * — the feature-preprocessing step before distance-based anything
+    * (a dimension with 10× the variance silently dominates every
+    * cosine/L2 decision; whitening the diagonal is the cheap fix that
+    * needs no matrix inversion). Components quantize to 1/scale, so
+    * the per-dim moment sums are exact BIGINT (variance numerator
+    * sqq·n − sq² is exactly ≥ 0 in integers — no negative-variance
+    * float edge), and each z quantizes to µ-units; the mean/std/z
+    * double shapes are mirrored verbatim by the oracle. Zero-variance
+    * dimensions emit z = 0 by contract rather than NaN.
+    *
+    * Scale posture: one corpus scan into a dim-sized moment aggregate
+    * (map-side combined), the 64-row stats table broadcast back over
+    * the exploded components; nothing corpus-global.
+    */
+  def standardize(emb: DataFrame, id: Column, vec: Column,
+                  scale: Long = 1000L): DataFrame = {
+    val ex = emb.select(id.as("vec_id"),
+        posexplode(transform(vec,
+          x => floor(x.cast("double") * scale + 0.5).cast("long"))))
+      .toDF("vec_id", "dim", "q")
+    val nd = col("n").cast("double")
+    val stats = ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(col("dim"),
+        (col("sq").cast("double") / (nd * scale)).as("mu"),
+        sqrt((col("sqq").cast("double") * nd -
+            col("sq").cast("double") * col("sq").cast("double")) /
+          (nd * nd * lit((scale * scale).toDouble))).as("sd"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("sd") === 0.0, lit(0L))
+          .otherwise(floor((col("q").cast("double") / scale - col("mu")) /
+            col("sd") * 1e6 + 0.5).cast("long")).as("z_micro"))
+  }
+
   /** Top principal component by power iteration over a
     * [[covarianceCells]] frame. The collect is dim²-sized STATISTICS
     * (never corpus data) — the same justified-driver-side class as the

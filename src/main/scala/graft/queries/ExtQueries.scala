@@ -3247,6 +3247,40 @@ object ExtQueries {
     * this frame driver-side (dim²-sized statistics, never corpus
     * data) for the power-iteration eigenpair.
     */
+  /** [EXT] L102 per-dimension embedding standardization
+    * ([[Similarity.standardize]]): z-score every component against its
+    * dimension's corpus mean/std — the preprocessing that stops a
+    * high-variance dimension from silently dominating every cosine/L2
+    * decision (diagonal whitening, no matrix inversion). Moments are
+    * exact BIGINT over 1/1000-quantized components (the integer
+    * variance numerator cannot go negative), z quantizes to µ-units;
+    * the 64-row stats table broadcasts back over one corpus re-scan.
+    * Zero-variance dims emit z = 0 by contract.
+    */
+  private val qEmbedStandardize = Q("q_embed_standardize",
+    (s, d) => Similarity.standardize(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      .orderBy("vec_id", "dim"),
+    Some("WITH q AS (SELECT vec_id, u.dim AS dim, u.q AS q FROM " +
+      "(SELECT vec_id, unnest(list_transform(" +
+      "generate_series(1, len(embedding)), i -> {'dim': " +
+      "CAST(i - 1 AS BIGINT), 'q': CAST(floor(" +
+      "CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)})) AS u " +
+      "FROM embeddings)), " +
+      "st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq " +
+      "FROM q GROUP BY dim), " +
+      "sts AS (SELECT dim, CAST(sq AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * 1000) AS mu, " +
+      "sqrt((CAST(sqq AS DOUBLE) * CAST(n AS DOUBLE) - " +
+      "CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0)) AS sd " +
+      "FROM st) " +
+      "SELECT q.vec_id, q.dim, CASE WHEN sd = 0.0 THEN 0 ELSE " +
+      "CAST(floor((CAST(q.q AS DOUBLE) / 1000 - mu) / sd * 1000000 " +
+      "+ 0.5) AS BIGINT) END AS z_micro FROM q JOIN sts USING (dim) " +
+      "ORDER BY vec_id, dim"))
+
   private val qEmbedCovariance = Q("q_embed_covariance",
     (s, d) => Similarity.covarianceCells(t(s, d, "embeddings"),
         col("embedding"), dim = 64)
@@ -3621,5 +3655,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize)
 }

@@ -281,6 +281,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 2000000L, 2000000.0 / 3000000)), out.toSeq)
   }
 
+  test("standardize: exact z-scores; constant dimension maps to 0") {
+    val emb = Seq((1L, Seq(1f, 5f)), (2L, Seq(3f, 5f)), (3L, Seq(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardize(emb, col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim")) ->
+        r.getAs[Long]("z_micro")).toMap
+    // dim 0: mean 3, population sd sqrt(8/3) -> z = ±1.224745, 0
+    assert(out((1L, 0L)) == -1224745L && out((2L, 0L)) == 0L &&
+      out((3L, 0L)) == 1224745L, out)
+    // dim 1 constant -> sd 0 -> z 0 by contract, never NaN
+    assert(Seq(1L, 2L, 3L).forall(v => out((v, 1L)) == 0L), out)
+  }
+
   test("silhouette: separated clusters near 1, boundary vector low, k=1 is 0") {
     // centroids on the two axes; members hug their own axis except
     // vec 4 which sits exactly on the diagonal (boundary: c1 = c2)
