@@ -2293,6 +2293,51 @@ object ExtQueries {
       "CAST(sum(t * cd) AS DOUBLE) / sum(t) AS recall, " +
       "CAST(sum(t * cd) AS DOUBLE) / sum(cd) AS precision FROM f"))
 
+  /** [EXT] L103 SimHash quality evaluation: recall/precision of the
+    * 16-bit banded hamming candidate generator (the q_simhash_pairs
+    * config, maxDist 2) against the EXACT Jaccard pairs at 0.5 — the
+    * third leg of the sketch-eval harness beside q_lsh_recall
+    * (MinHash) and q_ann_recall (IVF): SimHash approximates COSINE of
+    * the term vectors, so its recall against a Jaccard truth is
+    * exactly the number a pipeline needs before swapping one sketch
+    * family for the other. One full-outer join of two pair sets; both
+    * generators and the confusion counts replay in the oracle.
+    */
+  private val qSimhashRecall = Q("q_simhash_recall",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val exact = Dedup.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          n = 3, threshold = 0.5)
+        .select(col("da"), col("db"), lit(1L).as("tr"))
+      val cand = Dedup.simhashHammingPairs(
+          Dedup.simhash16(docs, col("text"), col("doc_id")), maxDist = 2)
+        .select(col("da"), col("db"), lit(1L).as("cd"))
+      exact.join(cand, Seq("da", "db"), "full_outer")
+        .agg(sum(coalesce(col("tr"), lit(0L))).as("n_true"),
+          sum(coalesce(col("cd"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("tr"), lit(0L)) * coalesce(col("cd"), lit(0L)))
+            .as("n_hit"))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true")).as("recall"),
+          (col("n_hit").cast("double") / col("n_cand")).as("precision"))
+    },
+    Some(s"WITH $duckSimhashCtes, " +
+      "hbands AS (SELECT doc_id, fp, b, (fp >> (b * 4)) & 15 AS key " +
+      "FROM fps CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "hcand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db " +
+      "FROM hbands x JOIN hbands y ON x.b = y.b AND x.key = y.key " +
+      "AND x.doc_id < y.doc_id " +
+      "AND bit_count(xor(x.fp, y.fp)) <= 2), " +
+      duckJaccardCtes + ", " +
+      "f AS (SELECT CASE WHEN j.da IS NOT NULL THEN 1 ELSE 0 END AS t, " +
+      "CASE WHEN c.da IS NOT NULL THEN 1 ELSE 0 END AS cd " +
+      "FROM jpairs j FULL JOIN hcand c ON j.da = c.da AND j.db = c.db) " +
+      "SELECT CAST(sum(t) AS BIGINT) AS n_true, " +
+      "CAST(sum(cd) AS BIGINT) AS n_cand, " +
+      "CAST(sum(t * cd) AS BIGINT) AS n_hit, " +
+      "CAST(sum(t * cd) AS DOUBLE) / sum(t) AS recall, " +
+      "CAST(sum(t * cd) AS DOUBLE) / sum(cd) AS precision FROM f"))
+
   /** [EXT] L63 ANN recall evaluation: per-query recall@5 of the
     * IVF-pruned search against the brute-force truth — the index
     * quality readout that decides nlist/nprobe before serving trusts
@@ -3655,5 +3700,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall)
 }
