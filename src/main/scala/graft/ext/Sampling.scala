@@ -323,6 +323,40 @@ object Sampling {
         md5(array_join(col("col"), " ")).as("chunk_md5"))
   }
 
+  /** Token-budget quality cut (data pruning at a budget): keep the
+    * highest-quality documents until `budget` tokens are filled — the
+    * "we can afford to train on B tokens, take the best B" decision,
+    * which is a token-WEIGHTED quantile of the quality score (a
+    * doc-count quantile over-admits long low-quality docs). The
+    * threshold is the lowest quality bucket still reached while the
+    * running token mass above it is under budget; every doc at or
+    * above it is kept, so the kept mass can overshoot by at most one
+    * bucket (threshold granularity — documented, oracle-mirrored).
+    * An under-budget corpus keeps everything.
+    *
+    * Scale posture: the histogram is bounded by the quality-bps
+    * DOMAIN (≤ ~20k distinct values at any corpus size), so the
+    * global cumulative window sees domain-sized rows, never the
+    * corpus — the [[graft.ops.Aggregates]] bounded-quantile argument
+    * with token weights; the threshold broadcasts back as one row.
+    */
+  def tokenBudgetCut(docs: DataFrame, text: Column, id: Column,
+                     budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val q = docs.select(id.as("doc_id"),
+      TextAnalysis.qualityBps(text).as("quality_bps"),
+      size(split(text, " ")).cast("long").as("n_tok"))
+    val h = q.groupBy("quality_bps").agg(sum("n_tok").as("tok"))
+    val thr = h
+      .withColumn("cum", sum("tok").over(
+        Window.orderBy(col("quality_bps").desc)))
+      .filter(col("cum") - col("tok") < budget)
+      .agg(min("quality_bps").as("thr"))
+    q.crossJoin(broadcast(thr))
+      .filter(col("quality_bps") >= col("thr"))
+      .select(col("doc_id"), col("quality_bps"), col("n_tok"))
+  }
+
   /** Content-defined chunking (the Rabin/CDC boundary rule adapted to
     * token streams): a chunk ENDS at every token whose 48-bit content
     * hash ≡ 0 (mod `b`), so boundaries are properties of the TEXT, not

@@ -3646,6 +3646,30 @@ object ExtQueries {
       "CAST(sum(c * delta) AS BIGINT) AS dsir_micro " +
       "FROM cnt JOIN dl USING (d) GROUP BY doc_id ORDER BY doc_id"))
 
+  /** [EXT] L104 token-budget quality cut
+    * ([[Sampling.tokenBudgetCut]]): keep the highest-quality docs
+    * until 20k tokens are filled — the "train on the best B tokens"
+    * pruning decision as a token-WEIGHTED quality quantile (a
+    * doc-count quantile over-admits long low-quality docs). The
+    * histogram is quality-DOMAIN-bounded so the cumulative window
+    * never sees corpus-sized rows; the threshold broadcasts back as
+    * one row; kept mass overshoots by at most one quality bucket.
+    */
+  private val qTokenBudgetCut = Q("q_token_budget_cut",
+    (s, d) => Sampling.tokenBudgetCut(t(s, d, "documents"),
+        col("text"), col("doc_id"), budget = 20000L)
+      .orderBy("doc_id"),
+    Some(s"WITH q AS (SELECT doc_id, $duckQbps AS quality_bps, " +
+      s"CAST($duckNTok AS BIGINT) AS n_tok FROM documents), " +
+      "h AS (SELECT quality_bps, CAST(sum(n_tok) AS BIGINT) AS tok " +
+      "FROM q GROUP BY 1), " +
+      "c AS (SELECT quality_bps, tok, CAST(sum(tok) OVER " +
+      "(ORDER BY quality_bps DESC) AS BIGINT) AS cum FROM h), " +
+      "thr AS (SELECT min(quality_bps) AS thr FROM c " +
+      "WHERE cum - tok < 20000) " +
+      "SELECT doc_id, quality_bps, n_tok FROM q, thr " +
+      "WHERE quality_bps >= thr ORDER BY doc_id"))
+
   /** [EXT] L91 training-order interleave
     * ([[Sampling.interleaveOrder]]): deterministic source round-robin
     * — position p of source s lands at slot (p−1)·n_sources + rank(s),
@@ -3700,5 +3724,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut)
 }

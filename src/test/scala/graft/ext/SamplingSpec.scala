@@ -272,6 +272,34 @@ class SamplingSpec extends SparkSpec {
     assert(out(20L)._2 == plain(20L) && out(21L)._2 == plain(21L))
   }
 
+  test("tokenBudgetCut: best-quality-first fill; overshoot bounded; under-budget keeps all") {
+    // quality rises with doc structure: long prose with stopwords
+    // scores high, short fragments low
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog sat by the door again"),
+      (2L, "the quick brown fox jumps over the lazy dog near the gate"),
+      (3L, "ab cd"),
+      (4L, "xy zw qq")
+    ).toDF("doc_id", "text")
+    val q = docs.select(col("doc_id"),
+      graft.ext.TextAnalysis.qualityBps(col("text")).as("qb"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val cut = Sampling.tokenBudgetCut(docs, col("text"), col("doc_id"), 13L)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    // every kept doc's quality >= every dropped doc's quality
+    val (kept, dropped) = q.partition { case (id, _) => cut(id) }
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    assert(kept.values.map(_._1).min >= dropped.values.map(_._1).max)
+    // budget reached: kept tokens >= 13; overshoot <= one quality bucket
+    val keptTok = kept.values.map(_._2).sum
+    assert(keptTok >= 13L, s"budget not reached: $keptTok")
+    // under-budget corpus keeps everything
+    val all = Sampling.tokenBudgetCut(docs, col("text"), col("doc_id"),
+      1000000L).count()
+    assert(all == 4L)
+  }
+
   test("cdcChunks: an insertion disturbs only local chunks; fixed grid shifts everything") {
     val base = (0 until 60).map(i => s"w$i")
     val edited = (base.take(10) :+ "zzz") ++ base.drop(10)
