@@ -343,7 +343,10 @@ object Sampling {
   def tokenBudgetCut(docs: DataFrame, text: Column, id: Column,
                      budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val q = docs.select(id.as("doc_id"),
+    // null text carries no tokens and no score — excluded up front on
+    // BOTH engines (the oracle filters identically) rather than
+    // relying on null-ordering subtleties in the cumulative window
+    val q = docs.filter(text.isNotNull).select(id.as("doc_id"),
       TextAnalysis.qualityBps(text).as("quality_bps"),
       size(split(text, " ")).cast("long").as("n_tok"))
     val h = q.groupBy("quality_bps").agg(sum("n_tok").as("tok"))

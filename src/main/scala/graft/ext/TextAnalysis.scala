@@ -75,7 +75,12 @@ object TextAnalysis {
   def qualityBps(text: Column): Column = {
     val tok = tokens(text)
     val nTok = size(tok).cast("long")
-    lengthCreditBps(nTok) + stopCreditBps(stopCount(tok), nTok)
+    // null text must score NULL, not 10000: least() IGNORES nulls, so
+    // both credits would silently collapse to their caps — while every
+    // DuckDB oracle twin null-propagates. Masked on the synthetic data
+    // (no null text) but a real crawl hits it immediately.
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(lengthCreditBps(nTok) + stopCreditBps(stopCount(tok), nTok))
   }
 
   /** BM25 document ranking for one term query, linearized-idf variant:
@@ -1032,7 +1037,11 @@ object TextAnalysis {
       .select(id.as("doc_id"), explode(TermFunctions.termCounts(text)).as("e"))
       .select(col("doc_id"), col("e.term").as("term"),
         col("e.tf").cast("long").as("tf"))
-    dt.join(broadcast(blocklist.select(col("term"), lit(1L).as("__hit"))),
+    // distinct: a duplicated blocklist entry would fan out the left
+    // join and inflate BOTH counts (and flip keep decisions); list
+    // hygiene is not the caller's problem
+    dt.join(broadcast(blocklist.select(col("term")).distinct()
+          .withColumn("__hit", lit(1L))),
         Seq("term"), "left")
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("n_tok"),
@@ -1180,10 +1189,14 @@ object TextAnalysis {
             .cast("long").as("rq"))
       val grad = feats.join(resid, Seq("doc_id"))
         .groupBy("dim").agg(sum(col("cnt") * col("rq")).as("g"))
+      // checkpoint the 65-row weight state: it feeds BOTH the next
+      // step's broadcast and the update join, so an unmaterialized
+      // lineage doubles per step (the q_mmr_diversify 2^k plan blowup)
       w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(nf))
         .select(col("dim"),
           (col("w_micro") - floor(coalesce(col("g"), lit(0L)).cast("double") /
             (col("nn") * 2) + 0.5).cast("long")).as("w_micro"))
+        .localCheckpoint(false)
     }
     w
   }
@@ -1239,21 +1252,6 @@ object TextAnalysis {
           .cast("long").as("cost"))
   }
 
-  /** Per-doc cross-entropy under the corpus-trained interpolated
-    * bigram LM ([[trainBigramLm]]): mean µbits per TRANSITION
-    * (tokens 2..n — n_big = n_tok−1 transitions per doc). Trained and
-    * scored on the same corpus, so every scored bigram is in the LM
-    * by construction (no OOV path); docs with fewer than two tokens
-    * have no transitions and are OMITTED, the same frame convention
-    * as [[scoreAgainstLm]]. Costs are exact BIGINT µbits end-to-end
-    * (shuffle-order-safe sums, floor-division mean).
-    *
-    * Scale posture: the honest two-pass shape — vocabulary-bounded LM
-    * aggregation, then one corpus re-scan joining the broadcast LM.
-    * Past the broadcast threshold (a web-scale bigram table) the
-    * lever is a shuffle-hash join on the bigram key; the per-doc
-    * rollup shape is unchanged.
-    */
   /** Cross-source text-overlap matrix: for every ordered source pair
     * (a, b) sharing at least one distinct word n-gram shingle, the
     * share of a's shingle vocabulary that also occurs in b (exact
@@ -1298,6 +1296,21 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** Per-doc cross-entropy under the corpus-trained interpolated
+    * bigram LM ([[trainBigramLm]]): mean µbits per TRANSITION
+    * (tokens 2..n — n_big = n_tok−1 transitions per doc). Trained and
+    * scored on the same corpus, so every scored bigram is in the LM
+    * by construction (no OOV path); docs with fewer than two tokens
+    * have no transitions and are OMITTED, the same frame convention
+    * as [[scoreAgainstLm]]. Costs are exact BIGINT µbits end-to-end
+    * (shuffle-order-safe sums, floor-division mean).
+    *
+    * Scale posture: the honest two-pass shape — vocabulary-bounded LM
+    * aggregation, then one corpus re-scan joining the broadcast LM.
+    * Past the broadcast threshold (a web-scale bigram table) the
+    * lever is a shuffle-hash join on the bigram key; the per-doc
+    * rollup shape is unchanged.
+    */
   def bigramCrossEntropy(docs: DataFrame, text: Column,
                          id: Column): DataFrame = {
     import graft.functions.TermFunctions

@@ -67,8 +67,7 @@ case class CountMin(
       buf(0) += 1
       var r = 0
       while (r < depth) {
-        val h = XxHash64Function.hash(v, StringType, CountMin.Seed + r)
-        buf(1 + r * width + java.lang.Math.floorMod(h, width.toLong).toInt) += 1
+        buf(1 + CountMin.cell(v.asInstanceOf[UTF8String], r, width)) += 1
         r += 1
       }
     }
@@ -120,6 +119,16 @@ object CountMin {
   val DefaultWidth = 256  // ε = e/256 ≈ 1.1% of N
   val Seed = 77L
 
+  /** THE hash-to-cell mapping: row-major index of `item`'s counter in
+    * hash row `r`. The single definition behind the aggregate's
+    * update, the point-query estimator, and the streaming twin
+    * (`TwsCms`) — the three surfaces whose bit-identity contract
+    * breaks silently if any copy drifts.
+    */
+  def cell(item: UTF8String, r: Int, width: Int): Int =
+    (r * width + java.lang.Math.floorMod(
+      XxHash64Function.hash(item, StringType, Seed + r), width.toLong)).toInt
+
   /** Point query against a [[CountMin]] sketch array: min over the
     * depth rows of the item's counter — the CMS estimator. Shared by
     * the interpreted and codegen'd paths of [[CmsEstimate]] so the
@@ -131,8 +140,7 @@ object CountMin {
     var min = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val h = XxHash64Function.hash(item, StringType, Seed + r)
-      val c = sk.getLong(3 + r * width + java.lang.Math.floorMod(h, width.toLong).toInt)
+      val c = sk.getLong(3 + cell(item, r, width))
       if (c < min) min = c
       r += 1
     }

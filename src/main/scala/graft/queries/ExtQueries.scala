@@ -3660,7 +3660,8 @@ object ExtQueries {
         col("text"), col("doc_id"), budget = 20000L)
       .orderBy("doc_id"),
     Some(s"WITH q AS (SELECT doc_id, $duckQbps AS quality_bps, " +
-      s"CAST($duckNTok AS BIGINT) AS n_tok FROM documents), " +
+      s"CAST($duckNTok AS BIGINT) AS n_tok FROM documents " +
+      "WHERE text IS NOT NULL), " +
       "h AS (SELECT quality_bps, CAST(sum(n_tok) AS BIGINT) AS tok " +
       "FROM q GROUP BY 1), " +
       "c AS (SELECT quality_bps, tok, CAST(sum(tok) OVER " +

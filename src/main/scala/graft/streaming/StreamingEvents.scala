@@ -1124,10 +1124,11 @@ object TwsCms {
   case class Obs(g: String, item: String)
   case class Est(g: String, n: Long, item: String, est: Long)
 
+  // delegate to the ONE hash-to-cell definition (CountMin.cell) — the
+  // batch==streaming bit-identity contract breaks silently if this
+  // mapping is re-implemented here
   private def cellOf(item: String, r: Int, width: Int): Int =
-    (r * width + java.lang.Math.floorMod(
-      XxHash64Function.hash(UTF8String.fromString(item), StringType,
-        CountMin.Seed + r), width.toLong)).toInt
+    CountMin.cell(UTF8String.fromString(item), r, width)
 
   class CmsProcessor(depth: Int, width: Int, probes: Seq[String])
       extends StatefulProcessor[String, Obs, Est] {
@@ -1147,16 +1148,21 @@ object TwsCms {
       val m = scala.collection.mutable.Map.empty[Int, Long]
       cells.iterator().foreach { case (i, c) => m(i) = c }
       var n = if (total.exists()) total.get() else 0L
+      val touched = scala.collection.mutable.Set.empty[Int]
       rows.foreach { o =>
         n += 1
         var r = 0
         while (r < depth) {
           val i = cellOf(o.item, r, width)
           m(i) = m.getOrElse(i, 0L) + 1L
+          touched += i
           r += 1
         }
       }
-      m.foreach { case (i, c) => cells.updateValue(i, c) }
+      // write back ONLY this batch's touched cells — rewriting the
+      // whole map would cost up to depth·width RocksDB puts for a
+      // 1-item batch (the "only touched cells hit RocksDB" claim)
+      touched.foreach(i => cells.updateValue(i, m(i)))
       total.update(n)
       val nn = n
       probes.iterator.map { p =>

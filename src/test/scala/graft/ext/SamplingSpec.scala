@@ -298,6 +298,12 @@ class SamplingSpec extends SparkSpec {
     val all = Sampling.tokenBudgetCut(docs, col("text"), col("doc_id"),
       1000000L).count()
     assert(all == 4L)
+    // null-text docs are excluded up front, never scored or budgeted
+    val withNull = docs.unionAll(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val ids = Sampling.tokenBudgetCut(withNull, col("text"),
+      col("doc_id"), 1000000L).as[(Long, Long, Long)].collect().map(_._1)
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L, 4L), ids.toSeq)
   }
 
   test("cdcChunks: an insertion disturbs only local chunks; fixed grid shifts everything") {

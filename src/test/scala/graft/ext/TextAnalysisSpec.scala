@@ -386,6 +386,13 @@ class TextAnalysisSpec extends SparkSpec {
       // zipfFit emits its single closed-form row with n = 0 (NaN fit)
       val z = TextAnalysis.zipfFit(docs, col("text")).collect()
       assert(z.length == 1 && z.head.getAs[Long]("n") == 0L)
+      // null text scores NULL — least() would otherwise collapse both
+      // credits to their caps (10000) while every oracle null-propagates
+      if (docs.count() > 0) {
+        val qb = docs.select(TextAnalysis.qualityBps(col("text")))
+          .collect().head
+        assert(qb.isNullAt(0), s"qualityBps(null) must be NULL, got $qb")
+      }
       // session-3 operators: same empty-output-never-throw contract
       assert(TextAnalysis.bigramCrossEntropy(docs, col("text"),
         col("doc_id")).count() == 0)
@@ -463,6 +470,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((4L, 0L, 0L, true)), out)
     assert(out(2L) == ((20L, 1L, 500L, true)), out) // boundary is inclusive
     assert(out(3L) == ((4L, 3L, 7500L, false)), out)
+    // a duplicated blocklist entry must not fan out the join and
+    // inflate counts (list hygiene is not the caller's problem)
+    val dup = Seq("spam", "bad", "spam").toDF("term")
+    val out2 = TextAnalysis.blocklistFilter(docs, col("text"),
+        col("doc_id"), dup, maxBps = 500L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_bad"),
+          r.getAs[Long]("bad_bps"), r.getAs[Boolean]("keep"))).toMap
+    assert(out2 == out, s"duplicate blocklist entries changed counts: $out2")
   }
 
   test("dsirWeights: target-like docs weigh positive, off-target negative") {
