@@ -402,6 +402,78 @@ object Sampling {
           .as("chunk_md5"))
   }
 
+  /** T5-style span corruption (Raffel et al.): build
+    * (corrupted input, target) training pairs by masking token spans —
+    * span SEEDS are content-deterministic (48-bit hash of "docid:pos"
+    * ≡ 0 mod `rate`), each seed masks 3 tokens, overlapping spans
+    * merge into one run, run i is replaced by the sentinel `<Xi>` in
+    * the input and introduces the masked tokens in the target (the
+    * published denoising objective, reproducible across runs/engines
+    * with no RNG state to ship). Docs with no seeded span pass through
+    * with an empty target, never dropped.
+    *
+    * Output: (doc_id, n_masked, corrupted, target).
+    *
+    * Scale posture: three window passes (seed spreading, run starts,
+    * run numbering) all ride ONE doc-keyed exchange; reassembly is
+    * two doc-keyed aggregates with array_sort folds (never an
+    * order-sensitive collect). Row-linear at any corpus size.
+    */
+  def spanCorrupt(docs: DataFrame, id: Column, text: Column,
+                  rate: Int = 8): DataFrame = {
+    require(rate > 1, s"rate must be > 1: $rate")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok = docs
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "tok")))
+      .withColumn("seed",
+        pmod(baseHash(concat_ws(":", col("doc_id"), col("pos"))),
+          lit(rate.toLong)) === 0)
+    val masked = tok.withColumn("masked",
+      col("seed") ||
+        coalesce(lag(col("seed"), 1).over(w), lit(false)) ||
+        coalesce(lag(col("seed"), 2).over(w), lit(false)))
+    val runs = masked
+      .withColumn("run_start",
+        col("masked") &&
+          !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("run",
+        sum(when(col("run_start"), 1L).otherwise(0L)).over(w))
+    val corrupted = runs
+      .select(col("doc_id"),
+        struct(col("pos"),
+          when(!col("masked"), col("tok"))
+            .when(col("run_start"),
+              concat(lit("<X"), col("run").cast("string"), lit(">")))
+            .otherwise(lit(null)).as("out")).as("st"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("st"))).as("sts"))
+      .select(col("doc_id"),
+        array_join(filter(transform(col("sts"), s => s.getField("out")),
+          x => x.isNotNull), " ").as("corrupted"))
+    val targets = runs.filter(col("masked"))
+      .groupBy("doc_id", "run")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("sts"))
+      .select(col("doc_id"), col("run"),
+        concat(lit("<X"), col("run").cast("string"), lit("> "),
+          array_join(transform(col("sts"), s => s.getField("tok")), " "))
+          .as("run_str"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"),
+        array_sort(collect_list(struct(col("run"), col("run_str"))))
+          .as("rs"))
+      .select(col("doc_id"), col("n_runs"),
+        array_join(transform(col("rs"), s => s.getField("run_str")), " ")
+          .as("target"))
+    val nMasked = runs.groupBy("doc_id")
+      .agg(sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    corrupted.join(nMasked, Seq("doc_id"))
+      .join(targets.select(col("doc_id"), col("target")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_masked"), col("corrupted"),
+        coalesce(col("target"), lit("")).as("target"))
+  }
+
   /** Deterministic source-interleaved training order: assign every doc
     * a global `slot` such that reading in slot order round-robins
     * across sources — position p of source s lands at

@@ -3646,6 +3646,54 @@ object ExtQueries {
       "CAST(sum(c * delta) AS BIGINT) AS dsir_micro " +
       "FROM cnt JOIN dl USING (d) GROUP BY doc_id ORDER BY doc_id"))
 
+  /** [EXT] L105 T5-style span corruption ([[Sampling.spanCorrupt]]):
+    * deterministic masked-span (corrupted, target) training pairs —
+    * span seeds where hash("docid:pos") ≡ 0 mod 8, 3-token spans,
+    * overlaps merged into sentinel runs `<Xi>` exactly as the
+    * published denoising objective, with no RNG state to ship (the
+    * same hash-not-RNG reproducibility contract as the samplers).
+    * Three window passes ride ONE doc-keyed exchange; reassembly is
+    * array_sort folds. Unseeded docs pass through with target ''.
+    */
+  private val qSpanCorrupt = Q("q_span_corrupt",
+    (s, d) => Sampling.spanCorrupt(t(s, d, "documents"),
+        col("doc_id"), col("text"), rate = 8)
+      .orderBy("doc_id"),
+    Some("WITH tk AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM " +
+      "(SELECT doc_id, unnest(list_transform(" +
+      "generate_series(1, len(toks)), i -> {'pos': i - 1, " +
+      "'tok': toks[i]})) AS u FROM (SELECT doc_id, " +
+      "string_split(text, ' ') AS toks FROM documents))), " +
+      "sd AS (SELECT doc_id, pos, tok, ((" +
+      TextHash.duckBaseHash(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))") +
+      ") % 8 = 0) AS seed FROM tk), " +
+      "mk AS (SELECT doc_id, pos, tok, (seed OR " +
+      "coalesce(lag(seed, 1) OVER w, false) OR " +
+      "coalesce(lag(seed, 2) OVER w, false)) AS masked FROM sd " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "rs AS (SELECT doc_id, pos, tok, masked, (masked AND NOT " +
+      "coalesce(lag(masked, 1) OVER w, false)) AS run_start FROM mk " +
+      "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+      "rn AS (SELECT doc_id, pos, tok, masked, run_start, " +
+      "CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS run FROM rs), " +
+      "co AS (SELECT doc_id, string_agg(o, ' ' ORDER BY pos) " +
+      "AS corrupted FROM (SELECT doc_id, pos, CASE WHEN NOT masked " +
+      "THEN tok WHEN run_start THEN '<X' || CAST(run AS VARCHAR) || " +
+      "'>' ELSE NULL END AS o FROM rn) WHERE o IS NOT NULL " +
+      "GROUP BY doc_id), " +
+      "nm AS (SELECT doc_id, CAST(sum(CASE WHEN masked THEN 1 ELSE 0 " +
+      "END) AS BIGINT) AS n_masked FROM rn GROUP BY doc_id), " +
+      "tg1 AS (SELECT doc_id, run, '<X' || CAST(run AS VARCHAR) || " +
+      "'> ' || string_agg(tok, ' ' ORDER BY pos) AS run_str FROM rn " +
+      "WHERE masked GROUP BY doc_id, run), " +
+      "tg AS (SELECT doc_id, string_agg(run_str, ' ' ORDER BY run) " +
+      "AS target FROM tg1 GROUP BY doc_id) " +
+      "SELECT co.doc_id, nm.n_masked, co.corrupted, " +
+      "coalesce(tg.target, '') AS target FROM co JOIN nm USING (doc_id) " +
+      "LEFT JOIN tg USING (doc_id) ORDER BY doc_id"))
+
   /** [EXT] L104 token-budget quality cut
     * ([[Sampling.tokenBudgetCut]]): keep the highest-quality docs
     * until 20k tokens are filled — the "train on the best B tokens"
@@ -3725,5 +3773,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt)
 }

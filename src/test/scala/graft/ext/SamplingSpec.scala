@@ -306,6 +306,37 @@ class SamplingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L, 4L), ids.toSeq)
   }
 
+  test("spanCorrupt: corrupted + target reconstruct the original (property)") {
+    val docs = (1 to 30).map(i =>
+        (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val orig = docs.as[(Long, String)].collect().toMap
+    val out = Sampling.spanCorrupt(docs, col("doc_id"), col("text"),
+        rate = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_masked"),
+        r.getAs[String]("corrupted"), r.getAs[String]("target")))
+    assert(out.length == 30 && out.exists(_._2 > 0))
+    val sentinel = "<X\\d+>".r
+    out.foreach { case (id, nMasked, corrupted, target) =>
+      // parse target into run -> tokens
+      val runs = scala.collection.mutable.Map.empty[String, Seq[String]]
+      var cur: String = null
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (sentinel.matches(t)) { cur = t; runs(cur) = Seq.empty }
+        else runs(cur) = runs(cur) :+ t
+      }
+      // splice each sentinel's tokens back into the corrupted stream
+      val rebuilt = corrupted.split(" ").flatMap { t =>
+        if (sentinel.matches(t)) runs(t) else Seq(t)
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id failed round-trip")
+      // n_masked = target tokens minus sentinels
+      assert(nMasked == runs.values.map(_.size).sum, s"doc $id count")
+      // an unseeded doc passes through verbatim with an empty target
+      if (nMasked == 0) assert(corrupted == orig(id) && target.isEmpty)
+    }
+  }
+
   test("cdcChunks: an insertion disturbs only local chunks; fixed grid shifts everything") {
     val base = (0 until 60).map(i => s"w$i")
     val edited = (base.take(10) :+ "zzz") ++ base.drop(10)
