@@ -474,6 +474,38 @@ object Sampling {
         coalesce(col("target"), lit("")).as("target"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al., "Efficient
+    * Training of Language Models to Fill in the Middle"): split every
+    * doc at two content-deterministic token cuts and emit the PSM
+    * reordering `<PRE> prefix <SUF> suffix <MID> middle` — the
+    * data-side half of FIM training (the model learns infilling from
+    * reordered plain text; the published recipe applies it to a
+    * fraction of docs, here every doc with the rate decision left to
+    * the caller's filter). Cut points are hashes of "docid:1/2" mod
+    * n_tok, so the transform is reproducible with no RNG state;
+    * coincident cuts yield an empty middle, cuts at the edges an
+    * empty prefix/suffix — all legal FIM examples.
+    *
+    * Pure per-row projection (slice + join on the token array):
+    * ZERO shuffle at any corpus size. Null text is omitted (no token
+    * array to cut).
+    */
+  def fimTransform(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = tokens(text)
+    val n = size(tok)
+    val c1 = pmod(baseHash(concat_ws(":", id, lit(1))), n)
+    val c2 = pmod(baseHash(concat_ws(":", id, lit(2))), n)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    docs.filter(text.isNotNull)
+      .select(id.as("doc_id"), n.cast("long").as("n_tok"),
+        lo.cast("long").as("lo"), hi.cast("long").as("hi"),
+        concat(lit("<PRE> "), array_join(slice(tok, lit(1), lo), " "),
+          lit(" <SUF> "), array_join(slice(tok, hi + 1, n - hi), " "),
+          lit(" <MID> "), array_join(slice(tok, lo + 1, hi - lo), " "))
+          .as("fim"))
+  }
+
   /** Deterministic source-interleaved training order: assign every doc
     * a global `slot` such that reading in slot order round-robins
     * across sources — position p of source s lands at

@@ -3646,6 +3646,42 @@ object ExtQueries {
       "CAST(sum(c * delta) AS BIGINT) AS dsir_micro " +
       "FROM cnt JOIN dl USING (d) GROUP BY doc_id ORDER BY doc_id"))
 
+  /** [EXT] L106 fill-in-the-middle transform
+    * ([[Sampling.fimTransform]]): PSM reordering
+    * `<PRE> prefix <SUF> suffix <MID> middle` at two
+    * content-deterministic token cuts (hash of docid:1/2 mod n_tok) —
+    * the data-side half of FIM training with no RNG state to ship.
+    * Pure per-row slice/join projection, ZERO shuffle at any corpus
+    * size; the oracle replays the same cuts and slices.
+    */
+  private val qFim = Q("q_fim",
+    (s, d) => Sampling.fimTransform(t(s, d, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id"),
+    Some({
+      val h1 = TextHash.duckBaseHash(
+        "concat(CAST(doc_id AS VARCHAR), ':1')")
+      val h2 = TextHash.duckBaseHash(
+        "concat(CAST(doc_id AS VARCHAR), ':2')")
+      "WITH tkz AS (SELECT doc_id, string_split(text, ' ') AS toks, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM " +
+        "documents WHERE text IS NOT NULL), " +
+        s"cz AS (SELECT doc_id, toks, n, ($h1) % n AS c1, " +
+        s"($h2) % n AS c2 FROM tkz), " +
+        "cut AS (SELECT doc_id, toks, n, least(c1, c2) AS lo, " +
+        "greatest(c1, c2) AS hi FROM cz) " +
+        "SELECT doc_id, n AS n_tok, CAST(lo AS BIGINT) AS lo, " +
+        "CAST(hi AS BIGINT) AS hi, " +
+        // array_to_string([]) is NULL in DuckDB (Spark array_join
+        // gives '') — coalesce each piece so empty segments stay ''
+        "'<PRE> ' || coalesce(array_to_string(toks[1:lo], ' '), '') " +
+        "|| ' <SUF> ' || " +
+        "coalesce(array_to_string(toks[hi+1:n], ' '), '') || " +
+        "' <MID> ' || " +
+        "coalesce(array_to_string(toks[lo+1:hi], ' '), '') AS fim " +
+        "FROM cut ORDER BY doc_id"
+    }))
+
   /** [EXT] L105 T5-style span corruption ([[Sampling.spanCorrupt]]):
     * deterministic masked-span (corrupted, target) training pairs —
     * span seeds where hash("docid:pos") ≡ 0 mod 8, 3-token spans,
@@ -3773,5 +3809,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim)
 }

@@ -306,6 +306,35 @@ class SamplingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L, 4L), ids.toSeq)
   }
 
+  test("fimTransform: PSM pieces reconstruct the original in PMS order (property)") {
+    val docs = (1 to 25).map(i =>
+        (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val orig = docs.as[(Long, String)].collect().toMap
+    val out = Sampling.fimTransform(docs, col("doc_id"), col("text"))
+      .collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      val (id, n, lo, hi) = (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+      val fim = r.getAs[String]("fim")
+      // parse "<PRE> p <SUF> s <MID> m" and reassemble p + m + s
+      val pre = fim.substring("<PRE> ".length, fim.indexOf(" <SUF> "))
+      val suf = fim.substring(fim.indexOf(" <SUF> ") + " <SUF> ".length,
+        fim.indexOf(" <MID> "))
+      val mid = fim.substring(fim.indexOf(" <MID> ") + " <MID> ".length)
+      val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id failed round-trip: $fim")
+      // segment token counts = lo / hi-lo / n-hi
+      def count(s: String) = if (s.isEmpty) 0L else s.split(" ").length.toLong
+      assert(count(pre) == lo && count(mid) == hi - lo &&
+        count(suf) == n - hi, s"doc $id segment lengths")
+    }
+    // cuts vary across docs (content-hash, not a fixed split)
+    assert(out.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .distinct.length > 5)
+  }
+
   test("spanCorrupt: corrupted + target reconstruct the original (property)") {
     val docs = (1 to 30).map(i =>
         (i.toLong, (0 until 20).map(j => s"w${i}_$j").mkString(" ")))
