@@ -47,7 +47,10 @@ object ScaleSmoke {
       "q_window_session", "q_gaps", "q_session_paths", "q_source_drift",
       "q_pipeline_corpus",
       "q_perplexity_bucket", "q_zipf_fit", "q_moore_lewis",
-      "q_embed_covariance", "q_ndcg", "q_mmr_diversify")
+      "q_embed_covariance", "q_ndcg", "q_mmr_diversify",
+      // round-12 session 3: LM / training-prep / eval heavies
+      "q_bigram_lm", "q_source_overlap", "q_silhouette", "q_lr_train",
+      "q_simhash_recall", "q_span_corrupt")
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_${factor}x"
     val spark = SparkSession.builder().master("local[32]")
