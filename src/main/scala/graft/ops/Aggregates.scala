@@ -243,6 +243,31 @@ object Aggregates {
     df.join(broadcast(cdf), value === col("__v")).drop("__v")
   }
 
+  /** Per-GROUP twin of [[percentileRankBounded]]: every row's exact
+    * percentile within its group's value distribution — the
+    * normalization that makes scores comparable ACROSS groups ("keep
+    * the top 30% per source" instead of a global cut that lets one
+    * well-scoring domain crowd out the rest). Same bounded-histogram
+    * CDF shape, partitioned: the windows see at most
+    * |groups|·|value domain| rows at any corpus size, and the CDF
+    * broadcasts back.
+    */
+  def percentileRankBoundedBy(df: DataFrame, group: Column,
+                              value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.groupBy(group.as("__g"), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cdf = h.select(col("__g"), col("__v"),
+        sum("__c").over(Window.partitionBy("__g").orderBy("__v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("__cf"),
+        sum("__c").over(Window.partitionBy("__g")).as("__n"))
+      .select(col("__g"), col("__v"),
+        round(col("__cf").cast("double") / col("__n"), 4).as("pct"))
+    df.join(broadcast(cdf), group === col("__g") && value === col("__v"))
+      .drop("__g", "__v")
+  }
+
   /** One row (med, mad): discrete median and median absolute deviation
     * of an integer column — the robust location/scale pair behind
     * outlier cuts that, unlike mean ± k·stddev, a few extreme rows

@@ -1460,6 +1460,33 @@ object ExtQueries {
       "SELECT doc_id, n_chars, pct FROM documents JOIN cdf ON n_chars = v " +
       "ORDER BY doc_id"))
 
+  /** [EXT] L107 per-source score normalization
+    * ([[Aggregates.percentileRankBoundedBy]]): every doc's quality
+    * score mapped to its percentile WITHIN its source — the
+    * normalization that makes "keep the top 30% per source" a fair
+    * cross-source cut (a global percentile lets one well-scoring
+    * domain crowd out the rest; L37 is the global form). Bounded
+    * histogram-CDF per source: windows see |sources|·|score domain|
+    * rows at any corpus size, CDF broadcast back.
+    */
+  private val qScoreNorm = Q("q_score_norm",
+    (s, d) => Aggregates.percentileRankBoundedBy(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.qualityBps(col("text")).as("quality_bps")),
+        col("source"), col("quality_bps"))
+      .select("doc_id", "source", "quality_bps", "pct")
+      .orderBy("doc_id"),
+    Some(s"WITH q AS (SELECT doc_id, source, $duckQbps AS qb " +
+      "FROM documents), " +
+      "h AS (SELECT source, qb AS v, count(*) AS c FROM q " +
+      "GROUP BY 1, 2), " +
+      "cdf AS (SELECT source, v, round(CAST(sum(c) OVER " +
+      "(PARTITION BY source ORDER BY v) AS DOUBLE) / " +
+      "sum(c) OVER (PARTITION BY source), 4) AS pct FROM h) " +
+      "SELECT doc_id, q.source, q.qb AS quality_bps, pct FROM q " +
+      "JOIN cdf ON q.source = cdf.source AND q.qb = cdf.v " +
+      "ORDER BY doc_id"))
+
   /** [EXT] L38 per-source top terms: each source's 3 most frequent
     * tokens (rank ties kept) — the domain-profiling probe behind
     * source-mix audits. Partial-aggregated (source, term) shuffle into
@@ -3809,5 +3836,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm)
 }

@@ -114,6 +114,22 @@ class AggregatesSpec extends SparkSpec {
     assert(out.filter(_._2 == 9L).forall(_._3 == 1.0))
   }
 
+  test("percentileRankBoundedBy: per-group CDFs are independent") {
+    // same value 3 sits at different ranks in each group
+    val rows = Seq(("a", 1L), ("a", 3L), ("a", 9L),
+      ("b", 3L), ("b", 5L), ("b", 7L), ("b", 9L))
+    val out = Aggregates.percentileRankBoundedBy(
+        rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+          .toDF("id", "g", "v"),
+        col("g"), col("v"))
+      .select("g", "v", "pct").as[(String, Long, Double)].collect()
+    val m = out.map(r => (r._1, r._2) -> r._3).toMap
+    // v=3 is 2/3 of group a but 1/4 of group b
+    assert(m(("a", 3L)) == 0.6667 && m(("b", 3L)) == 0.25, m)
+    // each group's maximum calibrates to 1.0 independently
+    assert(m(("a", 9L)) == 1.0 && m(("b", 9L)) == 1.0)
+  }
+
   test("medianAbsDeviationBounded is outlier-robust where mean/stddev are not") {
     // tight cluster at 10..14 plus one extreme outlier
     val vals = Seq(10L, 11L, 12L, 13L, 14L, 1000000L)
