@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden e2e for the composed pretraining-prep pipeline: the point is
+  * operator INTEROP — every stage's frame must feed the next without
+  * adapters, and the funnel invariants must hold end to end.
+  */
+class PretrainDemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pretrain pipeline: monotone funnel, budget honored, shard invariants") {
+    val out = java.nio.file.Files.createTempDirectory("pretrain").toString
+    val budget = 15000L
+    val funnel = PretrainDemo.run(spark, "/root/testdata/sf0.001", out,
+      budget).toMap
+    // all stages present, docs monotone non-increasing down the funnel
+    val order = Seq("raw", "filtered", "deduped", "decontaminated",
+      "budgeted")
+    assert(funnel.keySet == order.toSet)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(funnel(a)._1 >= funnel(b)._1, s"$a -> $b grew")
+    }
+    // every stage cut something on this corpus (the gates all bite)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(funnel(a)._1 > funnel(b)._1, s"$a -> $b was a no-op")
+    }
+    // budget honored: supply exceeded it, so kept tokens reach the
+    // budget and overshoot by at most one quality bucket (well under
+    // 20% here)
+    val keptTok = funnel("budgeted")._2
+    assert(funnel("decontaminated")._2 > budget)
+    assert(keptTok >= budget && keptTok <= budget * 12 / 10,
+      s"kept tokens $keptTok vs budget $budget")
+    // shard table: one training pair per budgeted doc, slots unique,
+    // reconstruction columns present
+    val shards = spark.read.parquet(s"$out/shards")
+    assert(shards.count() == funnel("budgeted")._1)
+    assert(shards.select("slot").distinct().count() == shards.count())
+    assert(shards.columns.toSet ==
+      Set("doc_id", "n_masked", "corrupted", "target", "slot"))
+    // data cards: post-curation sources are a subset of pre-curation,
+    // and the post card's doc total reconciles with the funnel
+    val pre = spark.read.parquet(s"$out/card_pre")
+    val post = spark.read.parquet(s"$out/card_post")
+    val preSrc = pre.select("source").as[String].collect().toSet
+    val postSrc = post.select("source").as[String].collect().toSet
+    assert(postSrc.subsetOf(preSrc))
+    assert(post.agg(sum("n_docs")).as[Long].head() ==
+      funnel("budgeted")._1)
+    // dedup QA table exists and its cluster mass is within the corpus
+    val sizes = spark.read.parquet(s"$out/dedup_sizes")
+    assert(sizes.agg(sum(col("sz") * col("n_clusters"))).as[Long].head()
+      <= funnel("filtered")._1)
+  }
+}
