@@ -432,12 +432,18 @@ object Sampling {
       col("seed") ||
         coalesce(lag(col("seed"), 1).over(w), lit(false)) ||
         coalesce(lag(col("seed"), 2).over(w), lit(false)))
+    // materialize ONCE (lazy localCheckpoint — the cached-plan-reuse
+    // hazard of persist() documented in SCALE.md): three consumers
+    // (corrupted stream, targets, mask counts) would otherwise each
+    // re-run the full window chain — measured as three doc-keyed
+    // exchanges in the executed plan, now one (PlanAuditSpec pins it)
     val runs = masked
       .withColumn("run_start",
         col("masked") &&
           !coalesce(lag(col("masked"), 1).over(w), lit(false)))
       .withColumn("run",
         sum(when(col("run_start"), 1L).otherwise(0L)).over(w))
+      .localCheckpoint(false)
     val corrupted = runs
       .select(col("doc_id"),
         struct(col("pos"),

@@ -818,4 +818,34 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"$n corpus side must not sort-merge:\n$p")
     }
   }
+
+  test("q_fim: pure projection — no shuffle before the final sort, no join") {
+    val p = planOf("q_fim")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"FIM must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_span_corrupt: window chain materializes once; consumers share the checkpoint") {
+    val df = SparkEntry.queries("q_span_corrupt")(spark, d)
+    df.collect() // materializes the lazy localCheckpoint
+    val p = df.queryExecution.executedPlan.toString
+    // after materialization the three consumers scan the ONE
+    // checkpointed RDD — no Window node may remain in any branch
+    // (a remaining Window means a consumer re-ran the chain)
+    assert(p.contains("ExistingRDD"), s"checkpoint scan missing:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) == 0,
+      s"a consumer re-ran the window chain:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_score_norm / q_token_budget_cut: CDF/threshold broadcast back, never a corpus sort-merge") {
+    for (n <- Seq("q_score_norm", "q_token_budget_cut")) {
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n lost the broadcast-back:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n must not sort-merge the corpus:\n$p")
+    }
+  }
 }
