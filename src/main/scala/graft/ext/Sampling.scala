@@ -480,6 +480,56 @@ object Sampling {
         coalesce(col("target"), lit("")).as("target"))
   }
 
+  /** Deterministic negative sampling from the unigram^0.75
+    * distribution (the word2vec/contrastive-training noise
+    * distribution, Mikolov et al.): every token position draws one
+    * negative term, where term j's probability mass ∝ count_j^0.75 —
+    * the published tempering that keeps rare words reachable without
+    * letting stopwords dominate. The draw is the content hash of
+    * "neg:doc:pos" mod the total quantized mass mapped through the
+    * vocabulary's cumulative intervals — reproducible across runs and
+    * engines with no RNG state.
+    *
+    * Cross-engine exactness: n^0.75 is computed as sqrt(n·sqrt(n)) —
+    * sqrt and multiply are IEEE correctly-rounded where pow() is not,
+    * so the quantized weights are bit-identical on both engines; the
+    * cumulative interval table is then exact BIGINT.
+    *
+    * Scale posture: the interval lookup is a BANDED equi-join — each
+    * vocab interval explodes to the fixed-width mass bands it spans
+    * and draws join on their band, so the match is hash-partitionable
+    * (never a nested-loop range probe); the cumulative window is
+    * vocabulary-sized, the banded table vocab-sized and broadcast,
+    * the total one broadcast scalar. Row-linear in corpus tokens.
+    */
+  def negativeSamples(docs: DataFrame, id: Column, text: Column,
+                      scale: Long = 1000L, band: Long = 4096L): DataFrame = {
+    import graft.functions.TermFunctions
+    val tf = docs.select(explode(TermFunctions.termCounts(text)).as("e"))
+      .groupBy(col("e.term").as("term"))
+      .agg(sum(col("e.tf").cast("long")).as("n"))
+    val cum = tf.select(col("term"),
+        floor(sqrt(col("n").cast("double") * sqrt(col("n").cast("double")))
+          * scale + 0.5).cast("long").as("w"))
+      .withColumn("hi", sum("w").over(Window.orderBy("term")))
+      .withColumn("lo", col("hi") - col("w"))
+    val tot = cum.agg(max("hi").as("t"))
+    val banded = cum.select(col("term").as("neg_term"), col("lo"),
+      col("hi"),
+      explode(sequence(expr(s"lo DIV $band"), expr(s"(hi - 1) DIV $band")))
+        .as("b"))
+    docs.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "term")))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("term"),
+        pmod(baseHash(concat_ws(":", lit("neg"), col("doc_id"),
+          col("pos"))), col("t")).as("u"))
+      .withColumn("b", expr(s"u DIV $band"))
+      .join(broadcast(banded), Seq("b"))
+      .filter(col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("doc_id"), col("pos"), col("term"), col("neg_term"))
+  }
+
   /** Fill-in-the-middle transformation (Bavarian et al., "Efficient
     * Training of Language Models to Fill in the Middle"): split every
     * doc at two content-deterministic token cuts and emit the PSM

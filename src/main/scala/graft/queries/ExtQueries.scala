@@ -3673,6 +3673,46 @@ object ExtQueries {
       "CAST(sum(c * delta) AS BIGINT) AS dsir_micro " +
       "FROM cnt JOIN dl USING (d) GROUP BY doc_id ORDER BY doc_id"))
 
+  /** [EXT] L108 deterministic negative sampling
+    * ([[Sampling.negativeSamples]]): one unigram^0.75 negative per
+    * token position (the word2vec/contrastive noise distribution) —
+    * draw = hash("neg:doc:pos") mod total mass mapped through the
+    * vocabulary's cumulative intervals. n^0.75 via sqrt(n·sqrt(n))
+    * (correctly-rounded ops where pow() is not), so the quantized
+    * interval table is bit-identical cross-engine; the lookup is a
+    * BANDED equi-join (never a nested-loop range probe), vocab-sized
+    * and broadcast. Oracle replays the weights and does the interval
+    * join directly.
+    */
+  private val qNegativeSamples = Q("q_negative_samples",
+    (s, d) => Sampling.negativeSamples(t(s, d, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id", "pos"),
+    Some({
+      val h = TextHash.duckBaseHash(
+        "concat('neg:', CAST(doc_id AS VARCHAR), ':', CAST(pos AS VARCHAR))")
+      "WITH tf AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS n " +
+        "FROM (SELECT unnest(string_split(text, ' ')) AS t " +
+        "FROM documents) GROUP BY t), " +
+        "wq AS (SELECT term, CAST(floor(sqrt(CAST(n AS DOUBLE) * " +
+        "sqrt(CAST(n AS DOUBLE))) * 1000 + 0.5) AS BIGINT) AS w " +
+        "FROM tf), " +
+        "cum AS (SELECT term, w, CAST(sum(w) OVER (ORDER BY term) " +
+        "AS BIGINT) AS hi FROM wq), " +
+        "iv AS (SELECT term, hi - w AS lo, hi FROM cum), " +
+        "tot AS (SELECT CAST(max(hi) AS BIGINT) AS t FROM cum), " +
+        "tk AS (SELECT doc_id, u.pos AS pos, u.tok AS term FROM " +
+        "(SELECT doc_id, unnest(list_transform(" +
+        "generate_series(1, len(toks)), i -> {'pos': " +
+        "CAST(i - 1 AS BIGINT), 'tok': toks[i]})) AS u FROM " +
+        "(SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents))), " +
+        s"dr AS (SELECT doc_id, pos, term, ($h) % t AS u FROM tk, tot) " +
+        "SELECT d.doc_id, d.pos, d.term, c.term AS neg_term FROM dr d " +
+        "JOIN iv c ON d.u >= c.lo AND d.u < c.hi " +
+        "ORDER BY doc_id, pos"
+    }))
+
   /** [EXT] L106 fill-in-the-middle transform
     * ([[Sampling.fimTransform]]): PSM reordering
     * `<PRE> prefix <SUF> suffix <MID> middle` at two
@@ -3836,5 +3876,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples)
 }

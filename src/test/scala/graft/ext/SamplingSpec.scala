@@ -306,6 +306,25 @@ class SamplingSpec extends SparkSpec {
     assert(ids.sorted.toSeq == Seq(1L, 2L, 3L, 4L), ids.toSeq)
   }
 
+  test("negativeSamples: one draw per position; draws follow the tempered mass") {
+    // vocabulary of two words with 16:1 counts -> 8:1 tempered mass
+    // (160^0.75 / 10^0.75 = 16^0.75 = 8)
+    val docs = (1 to 17).map(i =>
+        (i.toLong, (if (i <= 16) Seq.fill(10)("aa") else Seq.fill(10)("zz"))
+          .mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.negativeSamples(docs, col("doc_id"), col("text"))
+      .collect().map(r => ((r.getAs[Long]("doc_id"), r.getAs[Long]("pos")),
+        r.getAs[String]("neg_term")))
+    // exactly one negative per token position
+    assert(out.length == 170 && out.map(_._1).distinct.length == 170)
+    val byNeg = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // expected ~8:1 'aa' to 'zz'; allow wide hash noise but the
+    // ordering and a 3x margin must hold
+    assert(byNeg("aa") > 3 * byNeg.getOrElse("zz", 0), byNeg.toString)
+    assert(byNeg.values.sum == 170)
+  }
+
   test("fimTransform: PSM pieces reconstruct the original in PMS order (property)") {
     val docs = (1 to 25).map(i =>
         (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" ")))
