@@ -465,10 +465,9 @@ object Sampling {
           array_join(transform(col("sts"), s => s.getField("tok")), " "))
           .as("run_str"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_runs"),
-        array_sort(collect_list(struct(col("run"), col("run_str"))))
-          .as("rs"))
-      .select(col("doc_id"), col("n_runs"),
+      .agg(array_sort(collect_list(struct(col("run"), col("run_str"))))
+        .as("rs"))
+      .select(col("doc_id"),
         array_join(transform(col("rs"), s => s.getField("run_str")), " ")
           .as("target"))
     val nMasked = runs.groupBy("doc_id")
@@ -496,14 +495,15 @@ object Sampling {
     * cumulative interval table is then exact BIGINT.
     *
     * Scale posture: the interval lookup is a BANDED equi-join — each
-    * vocab interval explodes to the fixed-width mass bands it spans
-    * and draws join on their band, so the match is hash-partitionable
-    * (never a nested-loop range probe); the cumulative window is
-    * vocabulary-sized, the banded table vocab-sized and broadcast,
-    * the total one broadcast scalar. Row-linear in corpus tokens.
+    * vocab interval explodes to the mass bands it spans and draws
+    * join on their band, so the match is hash-partitionable (never a
+    * nested-loop range probe). The band width adapts to the total
+    * mass (~8 bands per vocab term on average), keeping the exploded
+    * table VOCABULARY-bounded at any corpus size; it and the 1-row
+    * stats broadcast. Row-linear in corpus tokens.
     */
   def negativeSamples(docs: DataFrame, id: Column, text: Column,
-                      scale: Long = 1000L, band: Long = 4096L): DataFrame = {
+                      scale: Long = 1000L): DataFrame = {
     import graft.functions.TermFunctions
     val tf = docs.select(explode(TermFunctions.termCounts(text)).as("e"))
       .groupBy(col("e.term").as("term"))
@@ -513,19 +513,27 @@ object Sampling {
           * scale + 0.5).cast("long").as("w"))
       .withColumn("hi", sum("w").over(Window.orderBy("term")))
       .withColumn("lo", col("hi") - col("w"))
-    val tot = cum.agg(max("hi").as("t"))
-    val banded = cum.select(col("term").as("neg_term"), col("lo"),
-      col("hi"),
-      explode(sequence(expr(s"lo DIV $band"), expr(s"(hi - 1) DIV $band")))
-        .as("b"))
+    // band width ADAPTS to the mass: ~8 bands per vocab term on
+    // average, so the exploded table stays vocabulary-bounded at any
+    // corpus size (a fixed width would make it mass-sized: one
+    // 10^6-count term alone would explode to thousands of band rows,
+    // and the broadcast below would grow with the corpus)
+    val stats = cum.agg(max("hi").as("t"), count(lit(1)).as("v"))
+    val banded = cum.crossJoin(broadcast(stats))
+      .withColumn("band", greatest(lit(1L), expr("t DIV (v * 8)")))
+      .select(col("term").as("neg_term"), col("lo"), col("hi"),
+        col("band"),
+        explode(sequence(expr("lo DIV band"), expr("(hi - 1) DIV band")))
+          .as("b"))
     docs.select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("pos", "term")))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("term"),
         pmod(baseHash(concat_ws(":", lit("neg"), col("doc_id"),
-          col("pos"))), col("t")).as("u"))
-      .withColumn("b", expr(s"u DIV $band"))
-      .join(broadcast(banded), Seq("b"))
+          col("pos"))), col("t")).as("u"),
+        greatest(lit(1L), expr("t DIV (v * 8)")).as("band"))
+      .withColumn("b", expr("u DIV band"))
+      .join(broadcast(banded.drop("band")), Seq("b"))
       .filter(col("u") >= col("lo") && col("u") < col("hi"))
       .select(col("doc_id"), col("pos"), col("term"), col("neg_term"))
   }

@@ -233,7 +233,12 @@ object Aggregates {
     */
   def percentileRankBounded(df: DataFrame, value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = df.groupBy(value.as("__v")).agg(count(lit(1)).as("__c"))
+    // NULL values stay out of the histogram: Spark's ORDER BY sorts
+    // NULLS FIRST (the null bucket would pollute every cumulative
+    // count) while the join below drops null rows anyway — the
+    // percentile contract is over non-null values on both engines
+    val h = df.filter(value.isNotNull)
+      .groupBy(value.as("__v")).agg(count(lit(1)).as("__c"))
     val cdf = h.select(col("__v"),
         sum("__c").over(Window.orderBy("__v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__cf"),
@@ -255,7 +260,10 @@ object Aggregates {
   def percentileRankBoundedBy(df: DataFrame, group: Column,
                               value: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = df.groupBy(group.as("__g"), value.as("__v"))
+    // same non-null contract as [[percentileRankBounded]] (Spark's
+    // NULLS FIRST would fold a null bucket into every cumulative sum)
+    val h = df.filter(value.isNotNull)
+      .groupBy(group.as("__g"), value.as("__v"))
       .agg(count(lit(1)).as("__c"))
     val cdf = h.select(col("__g"), col("__v"),
         sum("__c").over(Window.partitionBy("__g").orderBy("__v")

@@ -1456,7 +1456,7 @@ object ExtQueries {
     Some("WITH h AS (SELECT n_chars AS v, count(*) AS c FROM documents " +
       "GROUP BY n_chars), " +
       "cdf AS (SELECT v, round(CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) " +
-      "/ (SELECT count(*) FROM documents), 4) AS pct FROM h) " +
+      "/ (SELECT count(n_chars) FROM documents), 4) AS pct FROM h) " +
       "SELECT doc_id, n_chars, pct FROM documents JOIN cdf ON n_chars = v " +
       "ORDER BY doc_id"))
 
@@ -1479,7 +1479,7 @@ object ExtQueries {
     Some(s"WITH q AS (SELECT doc_id, source, $duckQbps AS qb " +
       "FROM documents), " +
       "h AS (SELECT source, qb AS v, count(*) AS c FROM q " +
-      "GROUP BY 1, 2), " +
+      "WHERE qb IS NOT NULL GROUP BY 1, 2), " +
       "cdf AS (SELECT source, v, round(CAST(sum(c) OVER " +
       "(PARTITION BY source ORDER BY v) AS DOUBLE) / " +
       "sum(c) OVER (PARTITION BY source), 4) AS pct FROM h) " +

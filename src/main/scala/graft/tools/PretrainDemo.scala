@@ -73,10 +73,15 @@ object PretrainDemo {
     val deduped = try {
       val surv = g.canonical(filtered, col("doc_id"),
         TextAnalysis.qualityBps(col("text"))).select("doc_id")
-      val d = stage("deduped",
-        filtered.join(surv, Seq("doc_id"), "left_semi"))
+      // checkpoint FIRST: the funnel count below is the action that
+      // materializes it, so the canonical election (and its HOF score
+      // projection) runs exactly once — and before unpersist releases
+      // the pair cache it reads through
+      val d = filtered.join(surv, Seq("doc_id"), "left_semi")
+        .localCheckpoint(false)
+      stage("deduped", d)
       g.sizes.write.mode("overwrite").parquet(s"$out/dedup_sizes")
-      d.localCheckpoint(false)
+      d
     } finally g.unpersist()
 
     // 3. decontamination: Bloom-prefiltered exact 13-gram screen

@@ -130,6 +130,26 @@ class AggregatesSpec extends SparkSpec {
     assert(m(("a", 9L)) == 1.0 && m(("b", 9L)) == 1.0)
   }
 
+  test("percentile ranks: NULL values stay out of histogram, counts, and output") {
+    // Spark sorts NULLS FIRST — an unfiltered null bucket would fold
+    // into every cumulative count and shift every pct
+    val rows = Seq(("a", Some(1L)), ("a", Some(3L)), ("a", None),
+      ("b", Some(5L)))
+    val df = rows.zipWithIndex.map { case ((g, v), i) =>
+      (i.toLong, g, v.map(java.lang.Long.valueOf).orNull) }
+      .toDF("id", "g", "v")
+    val grouped = Aggregates.percentileRankBoundedBy(df, col("g"), col("v"))
+      .select("g", "v", "pct").as[(String, Long, Double)].collect()
+    // the null row is absent; group a's two non-null values calibrate
+    // over n=2, unpolluted by the null
+    assert(grouped.length == 3)
+    val m = grouped.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("a", 1L)) == 0.5 && m(("a", 3L)) == 1.0 && m(("b", 5L)) == 1.0, m)
+    val global = Aggregates.percentileRankBounded(df, col("v"))
+      .select("v", "pct").as[(Long, Double)].collect().toMap
+    assert(global.size == 3 && global(5L) == 1.0)
+  }
+
   test("medianAbsDeviationBounded is outlier-robust where mean/stddev are not") {
     // tight cluster at 10..14 plus one extreme outlier
     val vals = Seq(10L, 11L, 12L, 13L, 14L, 1000000L)
