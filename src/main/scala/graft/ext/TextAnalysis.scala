@@ -1053,6 +1053,38 @@ object TextAnalysis {
       .withColumn("keep", col("bad_bps") <= maxBps)
   }
 
+  /** PHRASE-level blocklist screen (the C4 rule as published: a page
+    * containing ANY listed phrase is dropped, not density-thresholded
+    * like [[blocklistFilter]]'s term rule): per doc, the number of
+    * blocklisted two-word phrase occurrences and the keep decision
+    * (keep = zero hits). The phrase list is a DataFrame of
+    * space-joined bigrams — same versioned-table, size-independent
+    * broadcast-join shape as the term rule; a regex alternation over
+    * phrases is even worse than over terms (multi-word patterns
+    * backtrack).
+    *
+    * Contract: docs with fewer than two tokens have no phrases to
+    * match and are OMITTED (the shingle frame convention); a consumer
+    * joining back treats absent as keep. Scale posture: one corpus
+    * scan over the fused bigram kernel, one doc-keyed aggregate; the
+    * deduplicated list broadcasts once.
+    */
+  def blocklistPhrases(docs: DataFrame, text: Column, id: Column,
+                       phrases: DataFrame): DataFrame = {
+    import graft.functions.TermFunctions
+    docs
+      .select(id.as("doc_id"),
+        explode(TermFunctions.stringShingles(text, 2)).as("phrase"))
+      .join(broadcast(phrases.select(col("phrase")).distinct()
+          .withColumn("__hit", lit(1L))),
+        Seq("phrase"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_phrases"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_hits"))
+      .withColumn("keep", col("n_hits") === 0L)
+  }
+
   /** DSIR hashed-ngram importance weights (the Xie-et-al data
     * selection recipe): per doc, log p_target/p_raw over HASHED bigram
     * features — bigrams bucketed into a FIXED k-cell space

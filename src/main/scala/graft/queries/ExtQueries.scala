@@ -3635,6 +3635,32 @@ object ExtQueries {
       "(floor(n_bad * 10000 / n_tok) <= 500) AS keep " +
       "FROM c ORDER BY doc_id"))
 
+  /** [EXT] L109 phrase-level blocklist screen
+    * ([[TextAnalysis.blocklistPhrases]]): the C4 rule as published —
+    * a doc containing ANY listed two-word phrase is dropped (zero
+    * tolerance, vs q_blocklist's density threshold for single terms).
+    * Phrase list as a versioned broadcast table; one scan over the
+    * fused bigram kernel + one doc-keyed aggregate; sub-2-token docs
+    * omitted by the shingle frame convention.
+    */
+  private val qBlocklistPhrases = Q("q_blocklist_phrases",
+    (s, d) => {
+      import s.implicits._
+      val phrases = Seq("slow filter", "legacy batch").toDF("phrase")
+      TextAnalysis.blocklistPhrases(t(s, d, "documents"),
+          col("text"), col("doc_id"), phrases)
+        .orderBy("doc_id")
+    },
+    Some("WITH pl(phrase) AS (VALUES ('slow filter'), ('legacy batch')), " +
+      "b AS (SELECT doc_id, unnest(" + TextHash.duckShingles("text", 2) +
+      ") AS phrase FROM documents), " +
+      "c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_phrases, " +
+      "CAST(sum(CASE WHEN pl.phrase IS NOT NULL THEN 1 ELSE 0 END) " +
+      "AS BIGINT) AS n_hits FROM b LEFT JOIN pl USING (phrase) " +
+      "GROUP BY doc_id) " +
+      "SELECT doc_id, n_phrases, n_hits, (n_hits = 0) AS keep " +
+      "FROM c ORDER BY doc_id"))
+
   /** [EXT] L96 DSIR hashed-ngram importance weights
     * ([[TextAnalysis.dsirWeights]]): per-doc log p_target/p_raw over
     * hashed bigram features in a FIXED 256-bucket space, both
@@ -3876,5 +3902,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases)
 }

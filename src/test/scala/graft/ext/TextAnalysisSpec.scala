@@ -481,6 +481,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out2 == out, s"duplicate blocklist entries changed counts: $out2")
   }
 
+  test("blocklistPhrases: any phrase hit drops; single words alone never match") {
+    val docs = Seq(
+      (1L, "a perfectly clean document here"),
+      (2L, "one bad phrase appears right here"),      // "bad phrase" hits
+      (3L, "bad things and another phrase apart"),    // words apart: no hit
+      (4L, "bad phrase bad phrase twice"),            // two hits
+      (5L, "solo")                                    // <2 tokens: omitted
+    ).toDF("doc_id", "text")
+    val pl = Seq("bad phrase", "bad phrase").toDF("phrase") // dup-proof
+    val out = TextAnalysis.blocklistPhrases(docs, col("text"),
+        col("doc_id"), pl)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((0L, true)) && out(3L) == ((0L, true)), out)
+    assert(out(2L) == ((1L, false)) && out(4L) == ((2L, false)), out)
+    assert(!out.contains(5L) && out.size == 4)
+  }
+
   test("dsirWeights: target-like docs weigh positive, off-target negative") {
     // target slice speaks in "the cat sat" bigrams; the off-target
     // mass is "buy pills now" spam. Doc 5 echoes the target, doc 6
