@@ -93,6 +93,42 @@ object Dedup {
     (bandSelfJoinPairs(kept, keyCols, k), overflow)
   }
 
+  /** Dedup impact by source: per source, docs and token mass
+    * before/after min-id survivor dedup plus the doc loss in exact
+    * bps — the "which domains are duplicated" QA that decides whether
+    * a source's mixing quota should be priced pre- or post-dedup (a
+    * mirror-heavy source's raw token count wildly overstates its
+    * usable mass; this table is what q_corpus_mix should read instead
+    * of raw counts on a duplicated crawl).
+    *
+    * Scale posture: one pair enumeration + contraction (the
+    * q_dedup_corpus cost class — compose via [[dupGraph]] when other
+    * consumers share the run), then one cluster-table join and a
+    * domain-sized rollup; the kept flag never materializes a second
+    * corpus.
+    */
+  def dedupBySource(docs: DataFrame, text: Column, id: Column,
+                    source: Column): DataFrame = {
+    val clusters = connectedComponents(
+      ngramJaccardPairs(docs, text, id, n = 3, threshold = 0.5))
+    val c = clusters.withColumnRenamed("doc_id", "__n")
+    docs.select(id.as("doc_id"), source.as("source"),
+        when(text.isNull, 0L)
+          .otherwise(size(split(text, " ")).cast("long")).as("n_tok"))
+      .join(c, col("doc_id") === col("__n"), "left")
+      .withColumn("kept",
+        col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tok").as("n_tok"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        floor((col("n_docs") - col("n_kept")) * lit(10000L) /
+          col("n_docs")).cast("long").as("lost_bps"),
+        col("n_tok"), col("tok_kept"))
+  }
+
   /** b-bit minhash pairs (Li–König, "b-Bit Minwise Hashing"): the same
     * banded candidate generation as [[minhashLshPairs]], but similarity
     * estimated from only the LOW `b` bits of each signature component,

@@ -356,6 +356,18 @@ object ExtQueries {
     * unique docs plus each cluster's min-id survivor. Same recursive-CTE
     * fixpoint oracle as q_dedup_clusters, applied back to documents.
     */
+  /** Shared recursive-CTE near-dup cluster table (edges → reachability
+    * → min-label clusters over the exact Jaccard pairs) — ONE
+    * definition consumed by q_dedup_corpus and q_dedup_by_source.
+    */
+  private val duckCcClusters: String =
+    "WITH RECURSIVE " + duckJaccardCtes + ", " +
+      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
+      "UNION ALL SELECT db, da FROM jpairs), " +
+      "reach(node, lab) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
+      "clusters AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)"
+
   private val qDedupCorpus = Q("q_dedup_corpus",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -364,16 +376,39 @@ object ExtQueries {
           n = 3, threshold = 0.5))
       Dedup.survivors(docs, col("doc_id"), clusters).orderBy("doc_id")
     },
-    Some("WITH RECURSIVE " + duckJaccardCtes + ", " +
-      "edges AS (SELECT da AS src, db AS dst FROM jpairs " +
-      "UNION ALL SELECT db, da FROM jpairs), " +
-      "reach(node, lab) AS (SELECT src, src FROM edges " +
-      "UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.node), " +
-      "clusters AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node) " +
-      "SELECT d.doc_id, c.cluster_id FROM documents d " +
+    Some(duckCcClusters +
+      " SELECT d.doc_id, c.cluster_id FROM documents d " +
       "LEFT JOIN clusters c ON d.doc_id = c.node " +
       "WHERE c.cluster_id IS NULL OR d.doc_id = c.cluster_id " +
       "ORDER BY d.doc_id"))
+
+  /** [EXT] L110 dedup impact by source ([[Dedup.dedupBySource]]): per
+    * source, docs and token mass before/after min-id survivor dedup,
+    * with the doc loss in exact bps — the "WHICH domains are
+    * duplicated" QA that decides whether a source's quota should be
+    * priced pre- or post-dedup (a mirror-heavy source's raw token
+    * count wildly overstates its usable mass). One pair enumeration +
+    * contraction (the q_dedup_corpus cost class), then a domain-sized
+    * rollup riding a cluster-table join. The oracle shares ONE
+    * recursive-CTE cluster definition with q_dedup_corpus.
+    */
+  private val qDedupBySource = Q("q_dedup_by_source",
+    (s, d) => Dedup.dedupBySource(t(s, d, "documents"),
+        col("text"), col("doc_id"), col("source"))
+      .orderBy("source"),
+    Some(duckCcClusters +
+      ", q AS (SELECT d.doc_id, d.source, " +
+      "CAST(coalesce(len(string_split(d.text, ' ')), 0) AS BIGINT) " +
+      "AS n_tok, (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) " +
+      "AS kept FROM documents d LEFT JOIN clusters c " +
+      "ON d.doc_id = c.node) " +
+      "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "CAST(floor((count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END)) " +
+      "* 10000 / count(*)) AS BIGINT) AS lost_bps, " +
+      "CAST(sum(n_tok) AS BIGINT) AS n_tok, " +
+      "CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) " +
+      "AS tok_kept FROM q GROUP BY source ORDER BY source"))
 
   // --------------------------------------------------- corpus assembly
 
@@ -3902,5 +3937,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource)
 }

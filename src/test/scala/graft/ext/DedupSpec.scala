@@ -477,6 +477,23 @@ class DedupSpec extends SparkSpec {
     assert(g.clusters.as[(Long, Long)].collect().toSet == direct)
   }
 
+  test("dedupBySource: duplicated source loses mass, clean source untouched") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today fine", "A"),
+      (2L, "the cat sat on the mat today fine", "A"), // exact dup of 1
+      (3L, "completely different text in this row", "B"),
+      (4L, "another unrelated document body here now", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dedupBySource(docs, col("text"), col("doc_id"),
+        col("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("lost_bps"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("tok_kept"))).toMap
+    assert(out("A") == ((2L, 1L, 5000L, 16L, 8L)), out)
+    assert(out("B") == ((2L, 2L, 0L, 12L, 12L)), out)
+  }
+
   test("bbitMinhashPairs: low-bit masking and the Li-Konig correction, exactly") {
     // synthetic signatures, band 0 = (h0, h1) shared by all three docs:
     // doc 2's components agree with doc 1 ONLY in the low 8 bits,
