@@ -708,6 +708,28 @@ object Similarity {
           lit(ndcgIdealMicro(k).toDouble), 4).as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank readout per query: where did the TRUE
+    * nearest neighbor (truth rank 1) land in the approximate list —
+    * truth_rank (0 = missed entirely) and rr = 1/rank in exact µ-units
+    * (integer floor division; 1/3 is not a finite double). The
+    * first-relevant-result metric that complements [[ndcgAt]]'s
+    * graded-list view: an index can have decent NDCG while burying
+    * the single best hit, and MRR is what catches it. Same eval-class
+    * cost as NDCG (the truth side pays the exact enumeration); the
+    * comparison itself is one |queries|-sized left join.
+    */
+  def mrrAt(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t1 = truth.filter(col("rnk") === 1)
+      .select(col("qid"), col("vec_id"))
+    t1.join(approx.select(col("qid"), col("vec_id"),
+        col("rnk").cast("long").as("p")),
+        Seq("qid", "vec_id"), "left")
+      .select(col("qid"),
+        coalesce(col("p"), lit(0L)).as("truth_rank"),
+        when(col("p").isNull, 0L)
+          .otherwise(expr("CAST(1000000 DIV p AS BIGINT)")).as("rr_micro"))
+  }
+
   /** Micro-units of the NDCG position discount 1/log2(p+1), p = 1..k —
     * ONE source of truth for the Spark literal array and the generated
     * oracle CASE (each engine evaluating its own log2 could diverge in

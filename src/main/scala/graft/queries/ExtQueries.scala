@@ -3172,6 +3172,33 @@ object ExtQueries {
     * BIGINT; the truth side deliberately pays the exact enumeration —
     * the eval-harness cost class (cf. q_lsh_recall / q_pq_recall).
     */
+  /** Shared retrieval-eval oracle chain (n / tr truth / cent / asg /
+    * q / ap approx CTEs, queries 1-4, k = 10) — ONE definition
+    * consumed by q_ndcg and q_mrr (both score the same IVF search
+    * against the same brute-force truth).
+    */
+  private val duckRetrievalCtes: String =
+    duckNormCte + ", " +
+      "tr AS (SELECT qid, vec_id, 11 - rnk AS gain, rnk FROM " +
+      "(SELECT a.vec_id AS qid, b.vec_id, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
+      "FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
+      "AND b.vec_id <> a.vec_id) WHERE rnk <= 10), " +
+      "cent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
+      "asg AS (SELECT vec_id, v, nm, cid FROM (" +
+      "SELECT n.vec_id, n.v, n.nm, c.vec_id AS cid, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
+      "FROM n CROSS JOIN cent c) WHERE rn = 1), " +
+      "q AS (SELECT vec_id AS qid, v AS qv, nm AS qn, cid FROM asg " +
+      "WHERE vec_id IN (1, 2, 3, 4)), " +
+      "ap AS (SELECT qid, vec_id, rnk AS p FROM (SELECT q.qid, a.vec_id, " +
+      "row_number() OVER (PARTITION BY q.qid ORDER BY " +
+      "list_dot_product(q.qv, a.v) / (q.qn * a.nm) DESC, a.vec_id) AS rnk " +
+      "FROM asg a JOIN q ON a.cid = q.cid AND a.vec_id <> q.qid) " +
+      "WHERE rnk <= 10)"
+
   private val qNdcg = Q("q_ndcg",
     (s, d) => {
       val n = Similarity.withNorm(t(s, d, "embeddings"),
@@ -3189,32 +3216,39 @@ object ExtQueries {
           .map { case (dm, i) => s"WHEN ${i + 1} THEN $dm" }
           .mkString(" ") + " ELSE 0 END"
       val dcg = s"sum(coalesce(tr.gain, 0) * ($discCase))"
-      duckNormCte + ", " +
-        "tr AS (SELECT qid, vec_id, 11 - rnk AS gain FROM " +
-        "(SELECT a.vec_id AS qid, b.vec_id, " +
-        "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
-        "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
-        "FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
-        "AND b.vec_id <> a.vec_id) WHERE rnk <= 10), " +
-        "cent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
-        "asg AS (SELECT vec_id, v, nm, cid FROM (" +
-        "SELECT n.vec_id, n.v, n.nm, c.vec_id AS cid, row_number() OVER (" +
-        "PARTITION BY n.vec_id ORDER BY " +
-        "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
-        "FROM n CROSS JOIN cent c) WHERE rn = 1), " +
-        "q AS (SELECT vec_id AS qid, v AS qv, nm AS qn, cid FROM asg " +
-        "WHERE vec_id IN (1, 2, 3, 4)), " +
-        "ap AS (SELECT qid, vec_id, rnk AS p FROM (SELECT q.qid, a.vec_id, " +
-        "row_number() OVER (PARTITION BY q.qid ORDER BY " +
-        "list_dot_product(q.qv, a.v) / (q.qn * a.nm) DESC, a.vec_id) AS rnk " +
-        "FROM asg a JOIN q ON a.cid = q.cid AND a.vec_id <> q.qid) " +
-        "WHERE rnk <= 10) " +
-        s"SELECT ap.qid, CAST($dcg AS BIGINT) AS dcg_micro, " +
+      duckRetrievalCtes +
+        s" SELECT ap.qid, CAST($dcg AS BIGINT) AS dcg_micro, " +
         s"round(CAST($dcg AS DOUBLE) / ${Similarity.ndcgIdealMicro(10)}.0, " +
         "4) AS ndcg " +
         "FROM ap LEFT JOIN tr ON ap.qid = tr.qid AND ap.vec_id = tr.vec_id " +
         "GROUP BY ap.qid ORDER BY ap.qid"
     })
+
+  /** [EXT] L111 mean reciprocal rank ([[Similarity.mrrAt]]): where the
+    * TRUE nearest neighbor landed in the IVF list — truth_rank (0 =
+    * missed) and 1/rank in exact µ-units (integer floor division;
+    * 1/3 is not a finite double). Complements q_ndcg's graded-list
+    * view: an index can score decent NDCG while burying the single
+    * best hit. Same truth enumeration, one |queries|-sized join; the
+    * oracle shares q_ndcg's retrieval CTE chain.
+    */
+  private val qMrr = Q("q_mrr",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
+      val truth = Similarity.bruteForceTopK(queries, n, k = 10)
+      val approx = Similarity.ivfTopK(corpus = n,
+        centroids = n.filter(col("vec_id") % 100 === 0),
+        queries = queries, k = 10)
+      Similarity.mrrAt(truth, approx).orderBy("qid")
+    },
+    Some(duckRetrievalCtes + ", " +
+      "t1 AS (SELECT qid, vec_id FROM tr WHERE rnk = 1) " +
+      "SELECT t1.qid, CAST(coalesce(ap.p, 0) AS BIGINT) AS truth_rank, " +
+      "CAST(CASE WHEN ap.p IS NULL THEN 0 ELSE 1000000 // ap.p END " +
+      "AS BIGINT) AS rr_micro FROM t1 LEFT JOIN ap " +
+      "ON t1.qid = ap.qid AND t1.vec_id = ap.vec_id ORDER BY t1.qid"))
 
   /** [EXT] L83 Zipf-law fit ([[TextAnalysis.zipfFit]]): OLS slope of
     * ln(freq) vs ln(rank) over the top-500 vocabulary — natural text
@@ -3937,5 +3971,5 @@ object ExtQueries {
     // diagnostics, CCNet bucketing, JL reduction
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
-    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource)
+    qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr)
 }

@@ -281,6 +281,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 3L, 2000000L, 2000000.0 / 3000000)), out.toSeq)
   }
 
+  test("mrrAt: exact reciprocal ranks; a missed truth scores 0") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (3L, 30L, 1)).toDF("qid", "vec_id", "rnk")
+    val approx = Seq(
+      (1L, 10L, 1),            // truth #1 found at rank 1 -> 1e6
+      (2L, 99L, 1), (2L, 20L, 3), // found at rank 3 -> 333333
+      (3L, 98L, 1)             // truth #1 missing -> 0
+    ).toDF("qid", "vec_id", "rnk")
+    val out = Similarity.mrrAt(truth, approx)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((1L, 1000000L)), out)
+    assert(out(2L) == ((3L, 333333L)), out) // exact floor division
+    assert(out(3L) == ((0L, 0L)), out)
+  }
+
   test("standardize: exact z-scores; constant dimension maps to 0") {
     val emb = Seq((1L, Seq(1f, 5f)), (2L, Seq(3f, 5f)), (3L, Seq(5f, 5f)))
       .toDF("vec_id", "embedding")
