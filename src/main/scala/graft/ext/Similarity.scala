@@ -696,7 +696,11 @@ object Similarity {
     val tr = truth.select(col("qid"), col("vec_id"),
       (lit(k + 1) - col("rnk")).cast("long").as("gain"))
     val ap = approx.select(col("qid"), col("vec_id"),
-      col("rnk").cast("int").as("p"))
+        col("rnk").cast("int").as("p"))
+      // positions beyond k carry zero discount by DEFINITION of @k —
+      // filter them rather than let element_at return null past the
+      // k-element discount array and silently drop rows from the sum
+      .filter(col("p") <= k)
     ap.join(tr, Seq("qid", "vec_id"), "left")
       .select(col("qid"),
         (coalesce(col("gain"), lit(0L)) *

@@ -994,7 +994,7 @@ object TextAnalysis {
       qualityBps(text).as("q"))
     val per = base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"),
-        sum("q").as("qsum"))
+        sum("q").as("qsum"), count(col("q")).as("n_q"))
     val tot = per.agg(sum("n_tok").as("t"))
     val tl = graft.ops.Windows.findFirst(
         base.groupBy("source", "lang").agg(count(lit(1)).as("c")),
@@ -1006,7 +1006,12 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_tok"),
         floor(col("n_tok") * lit(10000L) / col("t")).cast("long")
           .as("tok_share_bps"),
-        expr("CAST(qsum DIV n_docs AS BIGINT)").as("mean_quality_bps"),
+        // divide by the SCORED doc count (sum skips NULL quality from
+        // null-text docs; dividing by n_docs would deflate the mean);
+        // an all-null-text source reports NULL, not a fake zero
+        when(col("n_q") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST(qsum DIV n_q AS BIGINT)"))
+          .as("mean_quality_bps"),
         col("top_lang"),
         floor(col("top_c") * lit(10000L) / col("n_docs")).cast("long")
           .as("top_lang_bps"))

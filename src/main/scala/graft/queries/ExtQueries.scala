@@ -3662,7 +3662,7 @@ object ExtQueries {
       s"AS n_tok, $duckQbps AS q FROM documents), " +
       "per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(n_tok) AS BIGINT) AS n_tok, CAST(sum(q) AS BIGINT) " +
-      "AS qsum FROM b GROUP BY source), " +
+      "AS qsum, CAST(count(q) AS BIGINT) AS n_q FROM b GROUP BY source), " +
       "tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM per), " +
       "tl AS (SELECT source, lang AS top_lang, c AS top_c FROM " +
       "(SELECT source, lang, c, row_number() OVER " +
@@ -3671,7 +3671,8 @@ object ExtQueries {
       "GROUP BY 1, 2)) WHERE rn = 1) " +
       "SELECT per.source, n_docs, per.n_tok, " +
       "CAST(floor(per.n_tok * 10000 / t) AS BIGINT) AS tok_share_bps, " +
-      "CAST(qsum // n_docs AS BIGINT) AS mean_quality_bps, top_lang, " +
+      "CASE WHEN n_q = 0 THEN NULL ELSE CAST(qsum // n_q AS BIGINT) END " +
+      "AS mean_quality_bps, top_lang, " +
       "CAST(floor(top_c * 10000 / n_docs) AS BIGINT) AS top_lang_bps " +
       "FROM per JOIN tl USING (source), tot ORDER BY source"))
 

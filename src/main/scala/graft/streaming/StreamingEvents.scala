@@ -1011,75 +1011,75 @@ object TwsHeavyHitters {
   * bit-identical to the batch operator on the same prefix because
   * every moment is an exact integer and the closed form replays the
   * identical double arithmetic (same order, same HALF_UP rounding,
-  * same −0.0 fold).
+  * same −0.0 fold). Moments are kept PER CELL — (n, sx, sy, sxy) keyed
+  * by the (i, j) pair, exactly the batch groupBy's accumulator — so
+  * malformed input matches the batch contract too: a null vector
+  * contributes nothing anywhere (batch: posexplode(null) emits no
+  * rows) and a shorter vector contributes only the cells where both
+  * components are present, with that cell's own count.
   */
 object TwsCov {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.{
     ExpiredTimerInfo, MapState, OutputMode, StatefulProcessor, TTLConfig,
-    TimeMode, TimerValues, ValueState}
+    TimeMode, TimerValues}
 
   case class Vec(g: String, v: Seq[Float])
   case class Cell(g: String, i: Long, j: Long, n: Long, cov: Double)
+  /** Per-cell exact-BIGINT moments: row count, Σxi, Σxj, Σxi·xj over
+    * rows where BOTH components exist — the batch groupBy(i,j) state.
+    */
+  case class CellAcc(n: Long, sx: Long, sy: Long, sxy: Long)
 
   class CovProcessor(dim: Int, scale: Long)
       extends StatefulProcessor[String, Vec, Cell] {
-    @transient private var n: ValueState[Long] = _
-    @transient private var sx: MapState[Long, Long] = _
-    @transient private var sxy: MapState[Long, Long] = _
+    @transient private var cells: MapState[Long, CellAcc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
-        TTLConfig.NONE)
-      sx = getHandle.getMapState[Long, Long]("sx",
-        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
-      sxy = getHandle.getMapState[Long, Long]("sxy",
-        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
-    }
-
-    private def bump(m: MapState[Long, Long], k: Long, d: Long): Unit = {
-      val c = if (m.containsKey(k)) m.getValue(k) else 0L
-      m.updateValue(k, c + d)
+      cells = getHandle.getMapState[Long, CellAcc]("cells",
+        Encoders.scalaLong, Encoders.product[CellAcc], TTLConfig.NONE)
     }
 
     override def handleInputRows(g: String, rows: Iterator[Vec],
         timerValues: TimerValues): Iterator[Cell] = {
-      var cnt = if (n.exists()) n.get() else 0L
+      // fold the micro-batch locally, then one state write per cell
+      val m = scala.collection.mutable.Map.empty[Long, CellAcc]
+      cells.iterator().foreach { case (k, a) => m(k) = a }
       rows.foreach { r =>
-        // same quantization as the batch pass: floor(x·scale + 0.5)
-        // on the float widened to double — bit-identical inputs
-        val vq = r.v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
-        cnt += 1L
-        var i = 0
-        while (i < dim) {
-          bump(sx, i.toLong, vq(i))
-          var j = i
-          while (j < dim) {
-            bump(sxy, i.toLong * dim + j, vq(i) * vq(j))
-            j += 1
+        if (r.v != null) {
+          // same quantization as the batch pass: floor(x·scale + 0.5)
+          // on the float widened to double — bit-identical inputs.
+          // A vector LONGER than dim fails loudly (batch: negative
+          // slice length is an ANSI error); shorter contributes only
+          // its present components.
+          require(r.v.length <= dim,
+            s"vector length ${r.v.length} exceeds dim=$dim")
+          val vq = r.v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+          var i = 0
+          while (i < vq.length) {
+            var j = i
+            while (j < vq.length) {
+              val k = i.toLong * dim + j
+              val a = m.getOrElse(k, CellAcc(0L, 0L, 0L, 0L))
+              m(k) = CellAcc(a.n + 1L, a.sx + vq(i), a.sy + vq(j),
+                a.sxy + vq(i) * vq(j))
+              j += 1
+            }
+            i += 1
           }
-          i += 1
         }
       }
-      n.update(cnt)
-      val nd = cnt.toDouble
-      val den = nd * nd * (scale * scale).toDouble
-      val out = for {
-        i <- (0 until dim).iterator
-        j <- (i until dim).iterator
-      } yield {
-        val sxyv = if (sxy.containsKey(i.toLong * dim + j))
-          sxy.getValue(i.toLong * dim + j) else 0L
-        val sxi = if (sx.containsKey(i.toLong)) sx.getValue(i.toLong) else 0L
-        val sxj = if (sx.containsKey(j.toLong)) sx.getValue(j.toLong) else 0L
+      m.foreach { case (k, a) => cells.updateValue(k, a) }
+      m.toSeq.sortBy(_._1).iterator.map { case (k, a) =>
         // the batch closed form verbatim: (sxy·n − sx·sy)/(n²·scale²),
-        // HALF_UP to 4, −0.0 folded
-        val raw = (sxyv.toDouble * nd - sxi.toDouble * sxj.toDouble) / den
+        // HALF_UP to 4, −0.0 folded — per-cell n, like groupBy(i,j)
+        val nd = a.n.toDouble
+        val den = nd * nd * (scale * scale).toDouble
+        val raw = (a.sxy.toDouble * nd - a.sx.toDouble * a.sy.toDouble) / den
         val cov = BigDecimal(raw)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-        Cell(g, i.toLong, j.toLong, cnt, cov)
+        Cell(g, k / dim, k % dim, a.n, cov)
       }
-      out
     }
 
     override def handleExpiredTimer(g: String, timerValues: TimerValues,
@@ -1132,7 +1132,13 @@ object TwsCms {
 
   class CmsProcessor(depth: Int, width: Int, probes: Seq[String])
       extends StatefulProcessor[String, Obs, Est] {
-    require(depth >= 1 && width >= 2, "depth >= 1 and width >= 2 required")
+    // the batch CmsAgg bounds verbatim (CmsExpressions.scala) — beyond
+    // them CountMin.cell's Int cell index (r*width + mod) can overflow,
+    // silently breaking the batch==streaming bit-identity cell() carries
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16], got $depth")
+    require(width >= 2 && width <= (1 << 20),
+      s"width must be in [2, 2^20], got $width")
     @transient private var cells: MapState[Int, Long] = _
     @transient private var total: ValueState[Long] = _
 

@@ -469,6 +469,21 @@ class SimilaritySpec extends SparkSpec {
       "all-miss ranking must earn zero credit")
   }
 
+  test("ndcgAt: approx positions deeper than k carry zero credit, not nulls") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "vec_id", "rnk")
+    // a caller passing a 5-deep ranking to @3: positions 4 and 5 are
+    // outside the metric's window — they must contribute exactly
+    // nothing (same score as the truncated list), never poison the
+    // sum with a null element_at lookup past the discount array
+    val deep = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+        (1L, 13L, 4), (1L, 10L, 5))
+      .toDF("qid", "vec_id", "rnk")
+    val r = Similarity.ndcgAt(truth, deep, k = 3).collect().head
+    assert(r.getAs[Double]("ndcg") == 1.0, r.toString)
+    assert(r.getAs[Long]("dcg_micro") == Similarity.ndcgIdealMicro(3))
+  }
+
   test("ndcgAt: order matters more at the top (rank-1 swap costs more than rank-k swap)") {
     val truth = (1 to 4).map(r => (1L, (9 + r).toLong, r))
       .toDF("qid", "vec_id", "rnk")

@@ -454,6 +454,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(b._4 == "de" && b._5 == 10000L)
   }
 
+  test("dataCard: mean quality divides by SCORED docs, not all docs") {
+    // null-text docs produce NULL quality (sum skips them); the mean
+    // must divide by the scored count or it deflates — and an
+    // all-null-text source reports NULL, not a fake zero
+    val docs = Seq(
+      (1L, "the cat sat on the mat today", "A", "en"),
+      (2L, null.asInstanceOf[String], "A", "en"),
+      (3L, null.asInstanceOf[String], "B", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val scoredOnly = TextAnalysis.dataCard(
+        docs.filter(col("doc_id") === 1L), col("text"), col("source"),
+        col("lang"))
+      .collect().head.getAs[Long]("mean_quality_bps")
+    val rows = TextAnalysis.dataCard(docs, col("text"), col("source"),
+        col("lang"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // source A: 1 scored + 1 null-text doc -> same mean as scored-only
+    assert(rows("A").getAs[Long]("mean_quality_bps") == scoredOnly)
+    assert(rows("A").getAs[Long]("n_docs") == 2L)
+    // source B: zero scored docs -> NULL mean, not 0
+    assert(rows("B").isNullAt(rows("B").fieldIndex("mean_quality_bps")))
+  }
+
   test("blocklistFilter: exact density bps; keep decision at the threshold") {
     val docs = Seq(
       (1L, "clean words only here"),            // 0 bps -> keep

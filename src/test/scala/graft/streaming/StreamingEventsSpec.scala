@@ -1056,6 +1056,61 @@ class StreamingEventsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState covariance matches batch on null and short " +
+      "vectors (per-cell counts)") {
+    implicit val sqlCtx = spark.sqlContext
+    implicit val ve: org.apache.spark.sql.Encoder[TwsCov.Vec] =
+      org.apache.spark.sql.Encoders.product[TwsCov.Vec]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dim = 3
+      // a null vector (contributes nothing — batch posexplode(null)
+      // emits no rows) and a 2-element vector (contributes only cells
+      // (0,0),(0,1),(1,1), each with its OWN count) interleaved with
+      // full-length rows — the batch contract on malformed input
+      val vecs = Seq(
+        TwsCov.Vec("g", Seq(1.5f, -0.25f, 2f)),
+        TwsCov.Vec("g", null),
+        TwsCov.Vec("g", Seq(0.5f, 0.75f)),
+        TwsCov.Vec("g", Seq(-1.25f, 0.1f, 0.3f)))
+      val input = MemoryStream[TwsCov.Vec]
+      val q = TwsCov.covariance(input.toDS(), dim)
+        .writeStream.format("memory").queryName("tws_cov_ragged").start()
+      try {
+        input.addData(vecs.take(2): _*)
+        q.processAllAvailable()
+        input.addData(vecs.drop(2): _*)
+        q.processAllAvailable()
+        // final emission = the micro-batch 2 output (every cell was
+        // touched there); keep the last row per cell
+        val rows = spark.table("tws_cov_ragged").as[TwsCov.Cell].collect()
+        val streamed = rows.groupBy(c => (c.i, c.j))
+          .map { case (k, cs) => k -> cs.maxBy(_.n) }
+        val batch = graft.ext.Similarity.covarianceCells(
+            vecs.map(v => (v.g, v.v)).toDF("g", "embedding"),
+            col("embedding"), dim = dim)
+          .collect()
+          .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+            (r.getAs[Long]("n"), r.getAs[Double]("cov"))).toMap
+        assert(streamed.keySet == batch.keySet)
+        streamed.foreach { case (k, c) =>
+          assert((c.n, c.cov) == batch(k),
+            s"cell $k: stream (${c.n}, ${c.cov}) vs batch ${batch(k)}")
+        }
+        // short cells carry their own counts: (0,1) saw 3 rows, (0,2) 2
+        assert(streamed((0L, 1L)).n == 3L && streamed((0L, 2L)).n == 2L)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("foreachBatch LM quality gate: streamed micro-batches score " +
       "bit-identically to the batch scorer") {
     // The CCNet deploy shape: train the unigram LM OFFLINE on the
