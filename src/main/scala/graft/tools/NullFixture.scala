@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Null-injected twin of a testdata directory — the second correctness
+  * fixture (VERDICT r12 item 1). The synthetic tables are null-free, so
+  * every oracle row can be green while Spark and DuckDB silently
+  * disagree on NULL semantics (`least()` null-skipping, NULLS FIRST
+  * ordering defaults, `array_to_string` on empty input — all three
+  * classes were caught by hand in r12 code review, never by the
+  * harness). A user's first real corpus has NULL text, empty arrays,
+  * and NULL keys on day one; this fixture makes that a gate instead of
+  * review luck.
+  *
+  * Injection is DETERMINISTIC (key-mod rules, no RNG) so the fixture is
+  * reproducible from the read-only testdata at any time — nothing
+  * binary needs committing:
+  *
+  *   documents:  doc_id%19==3 → NULL text (n_chars NULL too),
+  *               doc_id%19==7 → empty text (n_chars 0),
+  *               doc_id%23==5 → NULL lang, doc_id%23==11 → NULL source
+  *   embeddings: vec_id%29==3 → NULL embedding,
+  *               vec_id%29==7 → EMPTY embedding, vec_id%31==5 → NULL label
+  *   events:     event_id%19==3 → NULL props, event_id%19==7 → NULL
+  *               user_id (null join/group key), event_id%23==5 → NULL
+  *               value, event_id%101==13 → NULL ts (the reference's
+  *               open-ended nullable timespan, datasets_parquet.py:119)
+  *   customer:   c_custkey%17==3 → NULL c_acctbal,
+  *               c_custkey%17==7 → NULL c_mktsegment
+  *   orders:     o_orderkey%19==5 → NULL o_orderpriority
+  *   region/nation/part/supplier/lineitem: copied unchanged (join keys
+  *   and the measure columns the money-sum determinism rules depend on
+  *   stay intact; the null surface above already exercises every
+  *   divergence class).
+  *
+  * The events `ts` column is written as TIMESTAMP_NTZ — one of the
+  * three physical encodings the generator has actually shipped
+  * (TablesSpec pins all three), so `Tables.load` normalizes it
+  * identically to the primary fixture and DuckDB reads the same naive
+  * micros.
+  *
+  * Usage: `runMain graft.tools.NullFixture SRC_SF_DIR DST_DIR`, then
+  * the standard gate pair (`graft.Verify DST_DIR OUT` +
+  * `tools/local_verify.py DST_DIR OUT`).
+  */
+object NullFixture {
+
+  def nullify(name: String, df: DataFrame): DataFrame = name match {
+    case "documents" =>
+      df.select(
+        col("doc_id"),
+        when(col("doc_id") % 19 === 3, lit(null).cast("string"))
+          .when(col("doc_id") % 19 === 7, lit(""))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 23 === 5, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 23 === 11, lit(null).cast("string"))
+          .otherwise(col("source")).as("source"),
+        when(col("doc_id") % 19 === 3, lit(null).cast("long"))
+          .when(col("doc_id") % 19 === 7, lit(0L))
+          .otherwise(col("n_chars")).as("n_chars"))
+    case "embeddings" =>
+      df.select(
+        col("vec_id"),
+        when(col("vec_id") % 29 === 3, lit(null).cast("array<float>"))
+          .when(col("vec_id") % 29 === 7,
+            array().cast("array<float>"))
+          .otherwise(col("embedding")).as("embedding"),
+        when(col("vec_id") % 31 === 5, lit(null).cast("int"))
+          .otherwise(col("label")).as("label"))
+    case "events" =>
+      df.select(
+        col("event_id"),
+        when(col("event_id") % 101 === 13,
+            lit(null).cast(TimestampNTZType))
+          .otherwise(col("ts").cast(TimestampNTZType)).as("ts"),
+        when(col("event_id") % 19 === 7, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("user_id"),
+        col("event_type"),
+        when(col("event_id") % 23 === 5, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"),
+        when(col("event_id") % 19 === 3, lit(null).cast("string"))
+          .otherwise(col("props")).as("props"))
+    case "customer" =>
+      df.select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        when(col("c_custkey") % 17 === 3, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 17 === 7, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+    case "orders" =>
+      df.withColumn("o_orderpriority",
+        when(col("o_orderkey") % 19 === 5, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+    case _ => df
+  }
+
+  /** Write each table as a SINGLE `name.parquet` FILE (the testdata
+    * layout both `Tables.load` and the DuckDB oracle views read) by
+    * relocating the one part file out of Spark's output directory.
+    */
+  def generate(spark: SparkSession, src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dst))
+    graft.model.Tables.names.foreach { name =>
+      val tmp = s"$dst/_tmp_$name"
+      nullify(name, graft.model.Tables.load(spark, src, name))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val it = new scala.collection.Iterator[java.nio.file.Path] {
+        def hasNext = part.hasNext; def next() = part.next()
+      }
+      val one = it.find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      Files.move(one, Paths.get(s"$dst/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      // drop the now-empty Spark output dir (part markers, _SUCCESS)
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst) = args.take(2)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst)
+    spark.stop()
+  }
+}
