@@ -37,8 +37,17 @@ object Similarity {
     dotAb / (na * nb)
 
   /** Corpus with an attached norm column — compute once, reuse. */
+  /** Id + vector + L2 norm — the single entry frame of the cosine
+    * family. Rows with a NULL or EMPTY vector are EXCLUDED here: they
+    * carry no direction, so neither a query nor a corpus entry is
+    * meaningful (and a 0-norm row would turn every downstream cosine
+    * into a divide-by-zero). Real corpora hit both on day one — the
+    * null fixture gates this contract, mirrored in every oracle's
+    * norm CTE.
+    */
   def withNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
-    emb.select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
+    emb.filter(vec.isNotNull && size(vec) > 0)
+      .select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
 
   /** All pairs (a < b) with cosine >= threshold via the triangular
     * self-join — a SMALL-CORPUS utility (O(n²) BroadcastNestedLoopJoin).
@@ -139,7 +148,7 @@ object Similarity {
     * [[withNorm]]. Norms are exact (integer dot, then one sqrt).
     */
   def withQuantNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
-    quantizeInt8(emb, id, vec)
+    quantizeInt8(emb.filter(vec.isNotNull && size(vec) > 0), id, vec)
       .select(col("vec_id"), col("q"),
         sqrt(VectorFunctions.dotIntNative(col("q"), col("q")).cast("double")).as("nm"))
 
@@ -786,13 +795,15 @@ object Similarity {
     * JlOutDim doubles instead of inDim floats.
     *
     * Contract: vectors must carry at least `inDim` components — a
-    * shorter array fails loud under ANSI element_at (a silent
-    * null/zero fill would corrupt distances); null vectors project to
-    * null components.
+    * shorter NON-EMPTY array fails loud under ANSI element_at (a
+    * silent null/zero fill would corrupt distances); NULL and EMPTY
+    * vectors are excluded, the [[withNorm]] row-drop rule (a
+    * projection of nothing is not a point in the reduced space).
     */
   def signProject(emb: DataFrame, id: Column, vec: Column,
                   inDim: Int = 64): DataFrame = {
     val signs = jlSigns(inDim)
+    val valid = emb.filter(vec.isNotNull && size(vec) > 0)
     val outCols = (0 until JlOutDim).map { k =>
       val terms = (0 until inDim).map { j =>
         val e = element_at(vec, j + 1).cast("double")
@@ -803,7 +814,7 @@ object Similarity {
       // mirrored in the generated oracle)
       (round(terms.reduceLeft(_ + _), 4) + lit(0.0)).as(s"p$k")
     }
-    emb.select(id.as("vec_id") +: outCols: _*)
+    valid.select(id.as("vec_id") +: outCols: _*)
   }
 
   /** Upper-triangular embedding covariance, one row per dimension pair

@@ -101,7 +101,9 @@ object Temporal {
       .when(col(PF).isNull, col(PB))
       .when(distB <= distF, col(PB))
       .otherwise(col(PF))
-    val withChoice = attached.withColumn(P, chosen)
+    // same null-match contract as the directional carries
+    val withChoice = attached.withColumn(P,
+      when(asofMatchable(keys), chosen))
     val unpacked = payload.foldLeft(withChoice) { (df, c) =>
       df.withColumn(c, col(P).getField(c))
     }.drop(SIDE, T, P, PB, PF)
@@ -287,9 +289,23 @@ object Temporal {
       else first(col(P), ignoreNulls = true)
     val attached = u.withColumn(P, carry.over(w))
     val joined = attached.filter(col(SIDE) === 1)
+      // null-match contract: a left row with an UNKNOWN key or time has
+      // no defined as-of partner — SQL-equality semantics, like the
+      // equi-join every as-of degenerates to. Without this, the window
+      // PARTITION BY groups null keys TOGETHER (a null-key left would
+      // silently match null-key rights), and a null-ts left under the
+      // forward sort sees the whole partition as "after" it.
+      .withColumn(P, when(asofMatchable(keys), col(P)))
     val unpacked = payload.foldLeft(joined) { (df, c) =>
       df.withColumn(c, col(P).getField(c))
     }.drop(SIDE, T, P)
     if (inner) unpacked.filter(col(rightTs).isNotNull) else unpacked
   }
+
+  /** True when every join key and the left timestamp are known — the
+    * rows an as-of match is defined for (the null-match contract at
+    * each carry site).
+    */
+  private def asofMatchable(keys: Seq[String]): Column =
+    (keys.map(col(_).isNotNull) :+ col(T).isNotNull).reduce(_ && _)
 }

@@ -182,13 +182,17 @@ object CoreQueries {
       t(s, d, "orders"),
       keys = Seq(col("o_custkey")),
       priority = Seq(
-        substring(col("o_orderpriority"), 1, 1).cast("int"), col("o_orderkey")))
+        // an order with UNKNOWN priority must not outrank a ranked one
+        // — nulls last, made explicit on BOTH engines (their defaults
+        // disagree; null-fixture class)
+        substring(col("o_orderpriority"), 1, 1).cast("int").asc_nulls_last,
+        col("o_orderkey")))
       .select("o_custkey", "o_orderkey", "o_orderpriority")
       .orderBy("o_custkey"),
     Some("SELECT o_custkey, o_orderkey, o_orderpriority FROM (" +
       "SELECT o_custkey, o_orderkey, o_orderpriority, row_number() OVER (" +
       "PARTITION BY o_custkey " +
-      "ORDER BY CAST(substr(o_orderpriority, 1, 1) AS INT), o_orderkey) AS rn " +
+      "ORDER BY CAST(substr(o_orderpriority, 1, 1) AS INT) NULLS LAST, o_orderkey) AS rn " +
       "FROM orders) WHERE rn = 1 ORDER BY o_custkey"))
 
   /** J7 interval/range join (calibration validity, exporter.py:81-84,129):
@@ -380,13 +384,19 @@ object CoreQueries {
     (s, d) => t(s, d, "orders")
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .cube(col("c_mktsegment"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("c_mktsegment").asc_nulls_first,
+      // gid disambiguates a DATA NULL group from a cube subtotal: with
+      // nullable group keys the two print identically and (keys…) alone
+      // is no longer a total order (null-fixture class)
+      .agg(grouping_id(col("c_mktsegment"), col("o_orderpriority")).as("gid"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first),
-    Some("SELECT c_mktsegment, o_orderpriority, count(*) AS n FROM orders " +
+    Some("SELECT c_mktsegment, o_orderpriority, " +
+      "CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid, " +
+      "count(*) AS n FROM orders " +
       "JOIN customer ON o_custkey = c_custkey " +
       "GROUP BY CUBE(c_mktsegment, o_orderpriority) " +
-      "ORDER BY c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"))
+      "ORDER BY gid, c_mktsegment NULLS FIRST, o_orderpriority NULLS FIRST"))
 
   /** grouping()/grouping_id() marker columns over a rollup: the only
     * way to distinguish a data NULL from a subtotal row — without them
@@ -430,15 +440,20 @@ object CoreQueries {
           Seq(col("c_mktsegment")),
           Seq.empty[Column]),
         col("r_name"), col("n_name"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), Scalars.sumCents(col("c_acctbal")).as("bal_cents"))
-      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first,
-        col("c_mktsegment").asc_nulls_first),
-    Some("SELECT r_name, n_name, c_mktsegment, count(*) AS n, " +
+      // gid: same DATA-NULL-vs-subtotal disambiguation as q_cube — a
+      // null c_mktsegment data group and the (r_name, n_name) sets'
+      // padding print identically without it (null-fixture class)
+      .agg(grouping_id(col("r_name"), col("n_name"), col("c_mktsegment")).as("gid"),
+        count(lit(1)).as("n"), Scalars.sumCents(col("c_acctbal")).as("bal_cents"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first),
+    Some("SELECT r_name, n_name, c_mktsegment, " +
+      "CAST(GROUPING(r_name, n_name, c_mktsegment) AS BIGINT) AS gid, count(*) AS n, " +
       "CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents " +
       "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
       "JOIN region ON n_regionkey = r_regionkey " +
       "GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (c_mktsegment), ()) " +
-      "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST"))
+      "ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST, c_mktsegment NULLS FIRST"))
 
   // ---------------------------------------------------------------- windows
 
@@ -620,7 +635,8 @@ object CoreQueries {
       .select("o_orderpriority", "o_orderdate", "o_orderkey")
       .orderBy("o_orderpriority", "o_orderdate", "o_orderkey"),
     Some("SELECT o_orderpriority, o_orderdate, o_orderkey FROM orders " +
-      "ORDER BY o_orderpriority, o_orderdate, o_orderkey"))
+      // NULLS FIRST = Spark's ASC default (null fixture: priority is nullable)
+      "ORDER BY o_orderpriority NULLS FIRST, o_orderdate, o_orderkey"))
 
   /** O6 top-k: Spark plans TakeOrderedAndProject (no global sort). */
   private val qTopk = Q("q_topk",
@@ -938,9 +954,11 @@ object CoreQueries {
         aggs = Seq(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))))
       .select("ws", "event_type", "n", "sv")
       .orderBy("ws", "event_type"),
+    // WHERE ts IS NOT NULL: Spark's TimeWindowing rule filters null
+    // event times out of every time window (null-fixture class)
     Some("SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000 AS ws, " +
       "event_type, count(*) AS n, round(sum(value), 4) AS sv " +
-      "FROM events GROUP BY 1, 2 ORDER BY ws, event_type"))
+      "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY ws, event_type"))
 
   /** T2 sliding window aggregate (1 hour window, 15 minute slide). */
   private val qWindowSliding = Q("q_window_sliding",
@@ -953,7 +971,8 @@ object CoreQueries {
     Some("SELECT ws, count(*) AS n FROM (" +
       "SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000 " +
       "- CAST(k AS BIGINT) * 900000000 AS ws " +
-      "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)) " +
+      "FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) " +
+      "WHERE ts IS NOT NULL) " + // Spark time windows drop null ts
       "GROUP BY ws ORDER BY ws"))
 
   /** T3 session window (30 minute gap) per user; oracle via
@@ -969,7 +988,10 @@ object CoreQueries {
         unix_micros(col("session_window.end")).as("s_end"),
         col("n"))
       .orderBy("user_id", "s_start"),
-    Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+    // ts filter: Spark session windows drop null times; user_id NULLS
+    // FIRST mirrors Spark's ASC output order (user_id is nullable)
+    Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events " +
+      "WHERE ts IS NOT NULL), " +
       "m AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL " +
       "OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns " +
       "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
@@ -977,7 +999,7 @@ object CoreQueries {
       "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
       "SELECT user_id, epoch_us(min(ts)) AS s_start, " +
       "epoch_us(max(ts) + INTERVAL 30 MINUTE) AS s_end, count(*) AS n " +
-      "FROM s GROUP BY user_id, sid ORDER BY user_id, s_start"))
+      "FROM s GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, s_start"))
 
   // ------------------------------------------- temporal / CDC / reshape
 
@@ -1003,12 +1025,19 @@ object CoreQueries {
         .select("event_id", "user_id", "ts", "view_ts", "view_id", "view_value")
         .orderBy("event_id")
     },
+    // null-match contract mirrored: clicks with unknown user/time keep
+    // left-outer NULLs (DuckDB's native ASOF would otherwise sort a
+    // NULL c.ts last and hand it the final view — null-fixture class)
     Some("WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id, " +
-      "max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
-      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') " +
-      "SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_id, v.view_value " +
-      "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.view_ts " +
-      "ORDER BY c.event_id"))
+      "max(value) AS view_value FROM events WHERE event_type = 'view' " +
+      "AND ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2), " +
+      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), " +
+      "m AS (SELECT cm.event_id, cm.user_id, cm.ts, v.view_ts, v.view_id, v.view_value " +
+      "FROM (SELECT * FROM c WHERE ts IS NOT NULL AND user_id IS NOT NULL) cm " +
+      "ASOF LEFT JOIN v ON cm.user_id = v.user_id AND cm.ts >= v.view_ts) " +
+      "SELECT * FROM m UNION ALL " +
+      "SELECT event_id, user_id, ts, NULL, NULL, NULL FROM c " +
+      "WHERE ts IS NULL OR user_id IS NULL ORDER BY event_id"))
 
   /** J8b forward as-of join: each click attached to the NEXT view at or
     * after it — the mirror of q_asof_join ("what did the user do next"),
@@ -1029,12 +1058,17 @@ object CoreQueries {
         .select("event_id", "user_id", "ts", "view_ts", "view_id", "view_value")
         .orderBy("event_id")
     },
+    // same null-match mirror as q_asof_join, time-reversed
     Some("WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id, " +
-      "max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
-      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') " +
-      "SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_id, v.view_value " +
-      "FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.view_ts " +
-      "ORDER BY c.event_id"))
+      "max(value) AS view_value FROM events WHERE event_type = 'view' " +
+      "AND ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2), " +
+      "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), " +
+      "m AS (SELECT cm.event_id, cm.user_id, cm.ts, v.view_ts, v.view_id, v.view_value " +
+      "FROM (SELECT * FROM c WHERE ts IS NOT NULL AND user_id IS NOT NULL) cm " +
+      "ASOF LEFT JOIN v ON cm.user_id = v.user_id AND cm.ts <= v.view_ts) " +
+      "SELECT * FROM m UNION ALL " +
+      "SELECT event_id, user_id, ts, NULL, NULL, NULL FROM c " +
+      "WHERE ts IS NULL OR user_id IS NULL ORDER BY event_id"))
 
   /** J8c nearest as-of join: each click attached to the time-CLOSEST
     * view in either direction, backward winning ties — the attribution
@@ -1058,13 +1092,17 @@ object CoreQueries {
         .select("event_id", "user_id", "ts", "view_ts", "view_id", "view_value")
         .orderBy("event_id")
     },
+    // null-match mirror: null-ts clicks produce no candidates (their
+    // NULL distance would otherwise rank arbitrarily); null users die
+    // in the join equality on both engines
     Some("WITH v AS (SELECT user_id, ts AS view_ts, max(event_id) AS view_id, " +
-      "max(value) AS view_value FROM events WHERE event_type = 'view' GROUP BY 1, 2), " +
+      "max(value) AS view_value FROM events WHERE event_type = 'view' " +
+      "AND ts IS NOT NULL GROUP BY 1, 2), " +
       "c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'), " +
       "cand AS (SELECT c.event_id AS ce, v.view_ts, v.view_id, v.view_value, " +
       "row_number() OVER (PARTITION BY c.event_id " +
       "ORDER BY abs(epoch_ns(c.ts) - epoch_ns(v.view_ts)), v.view_ts) AS rn " +
-      "FROM c JOIN v ON c.user_id = v.user_id) " +
+      "FROM c JOIN v ON c.user_id = v.user_id WHERE c.ts IS NOT NULL) " +
       "SELECT c.event_id, c.user_id, c.ts, cand.view_ts, cand.view_id, cand.view_value " +
       "FROM c LEFT JOIN cand ON c.event_id = cand.ce AND cand.rn = 1 " +
       "ORDER BY c.event_id"))
@@ -1101,7 +1139,7 @@ object CoreQueries {
       "SELECT user_id, day, n_buys, " +
       "last_value(spend_cents IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_cents, is_gap " +
-      "FROM j ORDER BY user_id, day"))
+      "FROM j ORDER BY user_id NULLS FIRST, day"))
 
   /** Time-series resample with LINEAR INTERPOLATION across gaps
     * (graft.ops.Temporal.resampleDailyInterp): the continuous-measure
@@ -1149,7 +1187,7 @@ object CoreQueries {
       "SELECT user_id, day, is_gap, " +
       "CASE WHEN NOT is_gap THEN round(CAST(spend_cents AS DOUBLE), 4) " +
       "ELSE round(pv + (nv - pv) * (dd - pd) / (nd - pd), 4) END AS interp " +
-      "FROM c ORDER BY user_id, day"))
+      "FROM c ORDER BY user_id NULLS FIRST, day"))
 
   /** CDC merge (MERGE INTO semantics): orders replayed as a changelog
     * over customer — latest order per customer wins; status P deletes,
@@ -1193,16 +1231,18 @@ object CoreQueries {
           col("valid_from"), col("valid_to"), col("is_current"))
         .orderBy("user_id", "valid_from", "event_id")
     },
+    // ts/user_id are nullable in the null fixture: NULLS FIRST makes
+    // DuckDB's window + output order match Spark's ASC default
     Some("WITH src AS (SELECT user_id, ts, event_id, event_type AS tier " +
       "FROM events WHERE event_type IN ('purchase', 'refund', 'signup')), " +
       "collapsed AS (SELECT user_id, ts, event_id, tier FROM (" +
-      "SELECT src.*, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier " +
+      "SELECT src.*, lag(tier) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_tier " +
       "FROM src) WHERE prev_tier IS NULL OR prev_tier IS DISTINCT FROM tier) " +
       "SELECT user_id, event_id, tier, ts AS valid_from, " +
       "lead(ts) OVER w AS valid_to, " +
       "lead(ts) OVER w IS NULL AS is_current " +
-      "FROM collapsed WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
-      "ORDER BY user_id, valid_from, event_id"))
+      "FROM collapsed WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) " +
+      "ORDER BY user_id NULLS FIRST, valid_from NULLS FIRST, event_id"))
 
   /** Keyed snapshot diff (graft.ops.Cdc.snapshotDiff): two order-book
     * snapshots derived from the same table by deterministic key rules —
@@ -1314,7 +1354,7 @@ object CoreQueries {
       "FROM days) " +
       "SELECT user_id, min(day) AS streak_start, max(day) AS streak_end, " +
       "count(*) AS len FROM isl GROUP BY user_id, island " +
-      "ORDER BY user_id, streak_start"))
+      "ORDER BY user_id NULLS FIRST, streak_start NULLS FIRST"))
 
   /** W10 moving z-score anomaly flags: each event scored against the
     * trailing 20-event mean/std of ITS OWN history (current row
@@ -1339,7 +1379,9 @@ object CoreQueries {
         // all three moments in ONE Window exec (a derived input would
         // split a second Window node off)
         .withColumn("cents2", col("cents") * col("cents"))
-        .withColumn("n", count(lit(1)).over(w))
+        // count(cents), not count(*): a null-value purchase must not
+        // inflate n while the moment sums skip it (null-fixture class)
+        .withColumn("n", count(col("cents")).over(w))
         .withColumn("sx", sum(col("cents")).over(w))
         .withColumn("sxx", sum(col("cents2")).over(w))
       val nD = col("n").cast("double")
@@ -1352,16 +1394,19 @@ object CoreQueries {
       val z = (col("cents").cast("double") - mean) / when(varS > 0, sqrt(varS))
       m.select(col("user_id"), col("ts"), col("event_id"), col("cents"),
         when(col("n") >= 3 && varS > 0, round(z, 4)).as("zscore"),
-        (col("n") >= 3 && varS > 0 && abs(z) > 2.0).as("is_anomaly"))
+        // a row with no observable value cannot be flagged — false,
+        // not three-valued NULL (the oracle's coalesce mirrors this)
+        coalesce(col("n") >= 3 && varS > 0 && abs(z) > 2.0, lit(false))
+          .as("is_anomaly"))
         .orderBy("user_id", "ts", "event_id")
     },
     Some("WITH p AS (SELECT user_id, ts, event_id, " +
       "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
       "FROM events WHERE event_type = 'purchase'), " +
       "m AS (SELECT user_id, ts, event_id, cents, " +
-      "count(*) OVER w AS n, sum(cents) OVER w AS sx, " +
+      "count(cents) OVER w AS n, sum(cents) OVER w AS sx, " +
       "sum(cents * cents) OVER w AS sxx " +
-      "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+      "FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id " +
       "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)), " +
       "z AS (SELECT user_id, ts, event_id, cents, n, " +
       "(CAST(cents AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / " +
@@ -1372,7 +1417,7 @@ object CoreQueries {
       "SELECT user_id, ts, event_id, cents, " +
       "CASE WHEN n >= 3 AND vars > 0 THEN round(zraw, 4) END AS zscore, " +
       "coalesce(n >= 3 AND vars > 0 AND abs(zraw) > 2.0, FALSE) AS is_anomaly " +
-      "FROM z ORDER BY user_id, ts, event_id"))
+      "FROM z ORDER BY user_id NULLS FIRST, ts NULLS FIRST, event_id"))
 
   /** W9 ordered funnel: per user, the earliest view -> first click
     * AFTER that view -> first purchase AFTER that click, then the
@@ -1443,7 +1488,7 @@ object CoreQueries {
       "CAST(CASE WHEN t_purchase IS NOT NULL THEN 3 " +
       "WHEN t_click IS NOT NULL THEN 2 " +
       "WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage " +
-      "FROM s3 ORDER BY user_id"))
+      "FROM s3 ORDER BY user_id NULLS FIRST"))
 
   /** A11 cohort retention matrix: users cohorted by first-purchase
     * week, counted per week offset of their later purchase activity —
@@ -1474,7 +1519,8 @@ object CoreQueries {
       "cells AS (SELECT DISTINCT b.user_id, c.cohort_week, b.week - c.cohort_week AS week_offset " +
       "FROM buys b JOIN cohort c ON b.user_id = c.user_id) " +
       "SELECT cohort_week, week_offset, count(*) AS users FROM cells " +
-      "GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset"))
+      "GROUP BY cohort_week, week_offset " +
+      "ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST"))
 
   /** A10 fixed-width histogram — single hash aggregate over a computed
     * bucket key; the profile primitive behind the reference's summary
@@ -1574,8 +1620,8 @@ object CoreQueries {
         s" + CASE WHEN lag(value, $i) OVER w IS NOT NULL " +
           s"THEN ${EwmaW(i)} ELSE 0.0 END").mkString
       s"SELECT user_id, event_id, round((value$num) / (1.0$den), 4) AS ewma " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
-        "ORDER BY user_id, event_id"
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) " +
+        "ORDER BY user_id NULLS FIRST, event_id"
     })
 
   /** A14 statistical mode per group (most frequent p_type per brand,
@@ -1633,10 +1679,10 @@ object CoreQueries {
       "epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events), " +
       "l AS (SELECT user_id, event_id, tus, lag(tus) OVER w AS ptus, " +
       "lag(event_id) OVER w AS prev_id FROM e " +
-      "WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)) " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tus NULLS FIRST, event_id)) " +
       "SELECT user_id, prev_id, event_id, tus - ptus AS gap_us FROM l " +
       "WHERE ptus IS NOT NULL AND tus - ptus > 3600000000 " +
-      "ORDER BY user_id, event_id"))
+      "ORDER BY user_id NULLS FIRST, event_id"))
 
   // ---------------------------------------------------------------- all
 

@@ -600,10 +600,17 @@ object ExtQueries {
 
   // ------------------------------------------------- similarity search
 
+  /** Valid-vector predicate mirroring [[Similarity.withNorm]]'s
+    * row-drop contract: NULL and empty vectors carry no direction and
+    * never enter the cosine family on either engine.
+    */
+  private val duckEmbValid =
+    "embedding IS NOT NULL AND len(embedding) > 0"
+
   private val duckNormCte =
     "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings)"
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid)"
 
   /** [EXT] L7b filtered vector search: top-k cosine neighbors among
     * corpus vectors matching a metadata predicate (label = 1) —
@@ -627,7 +634,7 @@ object ExtQueries {
     },
     Some("WITH nf AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid), " +
       "s AS (SELECT q.vec_id AS qid, c.vec_id, " +
       "list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos " +
       "FROM nf q JOIN nf c ON q.vec_id < 5 AND c.label = 1 " +
@@ -783,7 +790,10 @@ object ExtQueries {
       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
       "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m) " +
       "SELECT vec_id, round(scale, 6) AS scale, " +
-      "array_to_string(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ',') AS q " +
+      // array_to_string([]) is NULL in DuckDB but '' in Spark; only a
+      // NULL vector maps to NULL q (null-fixture class)
+      "CASE WHEN v IS NULL THEN NULL ELSE coalesce(" +
+      "array_to_string(list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)), ','), '') END AS q " +
       "FROM sc ORDER BY vec_id"))
 
   /** ANN over the int8-quantized corpus: integer dot products in the
@@ -802,7 +812,7 @@ object ExtQueries {
           round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rnk")
     },
-    Some("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    Some(s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $duckEmbValid), " +
       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
       "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
       "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
@@ -831,7 +841,7 @@ object ExtQueries {
           round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rnk")
     },
-    Some("WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+    Some(s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $duckEmbValid), " +
       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
       "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
       "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
@@ -1629,7 +1639,8 @@ object ExtQueries {
       "SELECT label, CAST(u.dim AS BIGINT) AS dim, " +
       "CAST(sum(u.q) AS BIGINT) AS s, count(*) AS n, " +
       "CAST(sum(u.q) AS DOUBLE) / (count(*) * 10000) AS mean " +
-      "FROM e GROUP BY label, u.dim ORDER BY label, dim"))
+      // NULLS FIRST: Spark ASC default; null labels are a real group
+      "FROM e GROUP BY label, u.dim ORDER BY label NULLS FIRST, dim"))
 
   /** [EXT] L42 token-mass median length
     * ([[Aggregates.boundedWeightedQuantileThreshold]]): the document
@@ -1985,8 +1996,10 @@ object ExtQueries {
   private val qHardNegatives = Q("q_hard_negatives",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      val n = e.select(col("vec_id"), col("embedding").as("v"),
-        Similarity.norm(col("embedding")).as("nm"), col("label"))
+      // withNorm's row-drop rule, kept inline because label rides along
+      val n = e.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("nm"), col("label"))
       Similarity.hardNegativeTopK(
           n.filter(col("vec_id").isin(1, 2, 3, 4)), n, k = 5)
         .select(col("qid"), col("vec_id"),
@@ -1997,7 +2010,7 @@ object ExtQueries {
     Some("WITH n AS (SELECT vec_id, label, " +
       "CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid), " +
       "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nm AS qn " +
       "FROM n WHERE vec_id IN (1, 2, 3, 4)), " +
       "s AS (SELECT q.qid, n.vec_id, n.label, " +
@@ -2234,8 +2247,10 @@ object ExtQueries {
   private val qTripletMine = Q("q_triplet_mine",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      val n = e.select(col("vec_id"), col("embedding").as("v"),
-        Similarity.norm(col("embedding")).as("nm"), col("label"))
+      // withNorm's row-drop rule, kept inline because label rides along
+      val n = e.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"), col("embedding").as("v"),
+          Similarity.norm(col("embedding")).as("nm"), col("label"))
       Similarity.tripletMine(n.filter(col("vec_id") < 8), n)
         .select(col("qid"), col("pos_id"), col("neg_id"),
           round(col("pos_cos"), 4).as("pos_cos"),
@@ -2246,7 +2261,7 @@ object ExtQueries {
     Some("WITH n AS (SELECT vec_id, label, " +
       "CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      "CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid), " +
       "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nm AS qn " +
       "FROM n WHERE vec_id < 8), " +
       "s AS (SELECT q.qid, q.qlabel, n.vec_id, n.label, " +
@@ -3349,7 +3364,7 @@ object ExtQueries {
         s"round($chain, 4) + 0.0 AS p$k"
       }
       s"SELECT vec_id, ${exprs.mkString(", ")} FROM embeddings " +
-        "ORDER BY vec_id"
+        s"WHERE $duckEmbValid ORDER BY vec_id"
     })
 
   /** [EXT] L86 tokenizer fertility per source
@@ -3429,10 +3444,13 @@ object ExtQueries {
     Some("WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), " +
       "x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS vq " +
       "FROM embeddings), " +
-      "ex AS (SELECT vq, unnest(generate_series(1, 64)) AS ii FROM e), " +
+      // series bounded by len(vq), not the fixed dim: a NULL/short
+      // vector contributes only its present components, exactly the
+      // posexplode contract (null fixture: fixed 64 counted null cells)
+      "ex AS (SELECT vq, unnest(generate_series(1, len(vq))) AS ii FROM e), " +
       "pr AS (SELECT ii - 1 AS i, jj - 1 AS j, vq[ii] AS xi, " +
       "vq[jj] AS xj FROM (SELECT vq, ii, " +
-      "unnest(generate_series(ii, 64)) AS jj FROM ex)), " +
+      "unnest(generate_series(ii, len(vq))) AS jj FROM ex)), " +
       "m AS (SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
       "CAST(count(*) AS BIGINT) AS n, CAST(sum(xi) AS BIGINT) AS sx, " +
       "CAST(sum(xj) AS BIGINT) AS sy, " +
