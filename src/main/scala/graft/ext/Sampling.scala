@@ -587,7 +587,11 @@ object Sampling {
     */
   def interleaveOrder(docs: DataFrame, id: Column,
                       source: Column): DataFrame = {
-    val ranked = docs.select(source.as("source")).distinct()
+    // a doc with UNKNOWN source can't be round-robined; excluding it
+    // here (not just at the join) keeps the rank space dense and n_src
+    // honest (null-fixture class)
+    val ranked = docs.select(source.as("source"))
+      .filter(col("source").isNotNull).distinct()
       .withColumn("src_rank",
         (row_number().over(Window.orderBy("source")) - 1).cast("long"))
     val nSrc = ranked.agg(count(lit(1)).as("n_src"))

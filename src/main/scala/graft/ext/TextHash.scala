@@ -57,9 +57,13 @@ object TextHash {
   // -------- DuckDB oracle fragments (kept next to the Spark twins so
   // -------- the two dialects can't drift apart silently)
 
-  /** DuckDB twin of baseHash. */
+  /** DuckDB twin of baseHash. `||`, not concat(): DuckDB's concat
+    * IGNORES nulls, so a NULL input would yield the unparseable '0x'
+    * instead of null-propagating like the Spark twin (null-fixture
+    * class).
+    */
   def duckBaseHash(s: String): String =
-    s"CAST(concat('0x', substr(md5($s), 1, 12)) AS BIGINT)"
+    s"CAST('0x' || substr(md5($s), 1, 12) AS BIGINT)"
 
   /** DuckDB twin of hashAB. */
   def duckHashAB(h: String, a: Long, b: Long): String =

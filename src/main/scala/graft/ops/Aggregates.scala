@@ -116,7 +116,10 @@ object Aggregates {
                                        weight: Column, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"p out of (0,1]: $p")
     import org.apache.spark.sql.expressions.Window
-    val h = df.groupBy(value.as("v")).agg(sum(weight.cast("long")).as("c"))
+    // a quantile is a statistic of OBSERVED values: null values carry
+    // no rank and must not shift cf/n (null-fixture class)
+    val h = df.filter(value.isNotNull)
+      .groupBy(value.as("v")).agg(sum(weight.cast("long")).as("c"))
     h.select(col("v"),
         sum("c").over(Window.orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cf"),
@@ -143,7 +146,11 @@ object Aggregates {
                       pLo: Double, pHi: Double): DataFrame = {
     require(0.0 < pLo && pLo < pHi && pHi <= 1.0, s"bad band [$pLo, $pHi]")
     import org.apache.spark.sql.expressions.Window
+    // null values can be neither ranked nor clipped (least/greatest
+    // IGNORE nulls — a null row would silently clip to the hi band);
+    // winsorized means are statistics of observed values only
     val s = df.select(group.as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val h = s.groupBy("v").agg(count(lit(1)).as("c"))
     val band = h.select(col("v"),
         sum("c").over(Window.orderBy("v")
@@ -180,6 +187,7 @@ object Aggregates {
       s"probabilities out of (0,1]: $ps")
     import org.apache.spark.sql.expressions.Window
     val h = df.select(group.as("g"), value.cast("long").as("v"))
+      .filter(col("v").isNotNull) // observed values only (see threshold op)
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -306,7 +306,7 @@ object CoreQueries {
     Some("SELECT doc_id, lang, source FROM (" +
       "SELECT doc_id, lang, source, row_number() OVER (" +
       "PARTITION BY lang, source ORDER BY doc_id) AS rn FROM documents) " +
-      "WHERE rn = 1 ORDER BY lang, source"))
+      "WHERE rn = 1 ORDER BY lang NULLS FIRST, source NULLS FIRST"))
 
   /** A3 first-wins by priority (datastore_parquet.py:66-76): per part, the
     * earliest shipped lineitem wins.
@@ -733,8 +733,12 @@ object CoreQueries {
         Scalars.PathOps.fragment(path).as("frag"))
         .orderBy("doc_id")
     },
-    Some("SELECT doc_id, split_part(source || '#unzip=' || lang, '#', 1) AS base, " +
-      "split_part(source || '#unzip=' || lang, '#', 2) AS frag " +
+    // the null guard mirrors Spark's null-propagating concat: DuckDB's
+    // split_part(NULL, …) returns '' rather than NULL
+    Some("SELECT doc_id, CASE WHEN source IS NULL OR lang IS NULL THEN NULL " +
+      "ELSE split_part(source || '#unzip=' || lang, '#', 1) END AS base, " +
+      "CASE WHEN source IS NULL OR lang IS NULL THEN NULL " +
+      "ELSE split_part(source || '#unzip=' || lang, '#', 2) END AS frag " +
       "FROM documents ORDER BY doc_id"))
 
   /** F7 binary <-> hex round trip (datasets_parquet.py:70; utils.py:24-26
@@ -917,9 +921,14 @@ object CoreQueries {
           lit(0.0), (acc, x) => acc + x), 4).as("dot"))
         .orderBy("vec_id")
     },
+    // the guard mirrors zip_with's null-pad: a null/short/empty vector
+    // dots to NULL in Spark, while DuckDB's list_dot_product ERRORS on
+    // null elements (null-fixture class)
     Some("WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) " +
-      "SELECT vec_id, round(list_dot_product(" +
-      "CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) AS dot " +
+      "SELECT vec_id, CASE WHEN e.embedding IS NULL " +
+      "OR len(e.embedding) <> len(q.qe) THEN NULL ELSE " +
+      "round(list_dot_product(" +
+      "CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) END AS dot " +
       "FROM embeddings e, q ORDER BY vec_id"))
 
   /** F11 JSON extraction from the events props payload. */

@@ -36,7 +36,12 @@ object ExtQueries {
   }
 
   private def duckSigCte: String =
-    "WITH sh0 AS (SELECT doc_id, " + TextHash.duckShingles("text", 3) + " AS sh FROM documents), " +
+    "WITH sh0 AS (SELECT doc_id, " + TextHash.duckShingles("text", 3) +
+      // the >=3-token pre-filter mirrors minhashSignature: a null/short
+      // doc has NO signature, and DuckDB concat() IGNORES nulls, so an
+      // unfiltered null signature would band-collide every null-text
+      // doc on ':' keys (null-fixture catch: 1403 bogus candidates)
+      " AS sh FROM documents WHERE coalesce(len(string_split(text, ' ')), 0) >= 3), " +
       "sig AS (SELECT doc_id, " +
       (0 until 8).map(i => s"${duckMinhash(i)} AS h$i").mkString(", ") +
       " FROM sh0)"
@@ -46,7 +51,8 @@ object ExtQueries {
       t(s, d, "documents"), col("text"), col("doc_id"), k = 4)
       .orderBy("doc_id"),
     Some("WITH sh0 AS (SELECT doc_id, " + TextHash.duckShingles("text", 3) +
-      " AS sh FROM documents) SELECT doc_id, " +
+      // same >=3-token pre-filter as minhashSignature (see duckSigCte)
+      " AS sh FROM documents WHERE coalesce(len(string_split(text, ' ')), 0) >= 3) SELECT doc_id, " +
       (0 until 4).map(i => s"${duckMinhash(i)} AS h$i").mkString(", ") +
       " FROM sh0 ORDER BY doc_id"))
 
@@ -408,7 +414,7 @@ object ExtQueries {
       "* 10000 / count(*)) AS BIGINT) AS lost_bps, " +
       "CAST(sum(n_tok) AS BIGINT) AS n_tok, " +
       "CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) " +
-      "AS tok_kept FROM q GROUP BY source ORDER BY source"))
+      "AS tok_kept FROM q GROUP BY source ORDER BY source NULLS FIRST"))
 
   // --------------------------------------------------- corpus assembly
 
@@ -447,7 +453,7 @@ object ExtQueries {
       "SELECT source, CASE WHEN hb < 8000 THEN 'train' " +
       "WHEN hb < 9000 THEN 'val' ELSE 'test' END AS split, " +
       "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
-      "FROM h GROUP BY 1, 2 ORDER BY source, split"))
+      "FROM h GROUP BY 1, 2 ORDER BY source NULLS FIRST, split"))
 
   /** [EXT] L15b weighted (importance) sampling: inclusion probability
     * proportional to document length — keep iff hash(doc_id) % 10000 <
@@ -1027,13 +1033,15 @@ object ExtQueries {
   private val qDomainCap = Q("q_domain_cap",
     (s, d) => graft.ops.Windows.findFirstK(
       t(s, d, "documents"), Seq(col("source")),
-      Seq(TextHash.baseHash(col("text")), col("doc_id")), k = 10,
-      rankName = "rnk")
+      // nulls LAST explicitly on both engines: a doc with no content
+      // hash must not win a cap slot over hashed ones
+      Seq(TextHash.baseHash(col("text")).asc_nulls_last, col("doc_id")),
+      k = 10, rankName = "rnk")
       .select(col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
       .orderBy("doc_id"),
     Some("SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk FROM (" +
       "SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
-      "ORDER BY " + TextHash.duckBaseHash("text") + ", doc_id) AS rnk " +
+      "ORDER BY " + TextHash.duckBaseHash("text") + " NULLS LAST, doc_id) AS rnk " +
       "FROM documents) WHERE rnk <= 10 ORDER BY doc_id"))
 
   /** [EXT] URL → registrable-domain canonicalization
@@ -1099,7 +1107,7 @@ object ExtQueries {
       ") THEN array_to_string(ls[-3:], '.') " +
       "WHEN len(ls) >= 2 THEN array_to_string(ls[-2:], '.') " +
       "ELSE host END AS domain, count(*) AS n_docs " +
-      "FROM s GROUP BY 1 ORDER BY domain"))
+      "FROM s GROUP BY 1 ORDER BY domain NULLS FIRST"))
 
   /** L24 inverted index build: token -> document frequency + sorted
     * posting list, with a stop-word cap (df <= 78% of the corpus — a
@@ -1252,11 +1260,16 @@ object ExtQueries {
       " % 10000 < r.rate_bps ORDER BY doc_id"))
 
   /** DuckDB twin of TextAnalysis.qualityBps (exact BIGINT arithmetic —
-    * no double score ever crosses an engine boundary).
+    * no double score ever crosses an engine boundary). The explicit
+    * NULL-text guard is LOAD-BEARING: DuckDB's least() ignores NULLs
+    * exactly like Spark's, so without it a null-text doc silently
+    * scores least(5000, NULL) + least(5000, NULL) = a perfect 10000
+    * while qualityBps scores NULL — the least()-collapse class on the
+    * ORACLE side this time (null-fixture catch).
     */
   private val duckQbps =
-    s"least(5000, $duckNTok * 25) + least(5000, " +
-      s"CAST(floor(($duckStop * 50000) / $duckNTok) AS BIGINT))"
+    s"CASE WHEN text IS NULL THEN NULL ELSE least(5000, $duckNTok * 25) " +
+      s"+ least(5000, CAST(floor(($duckStop * 50000) / $duckNTok) AS BIGINT)) END"
 
   /** [EXT] L28 quality-percentile cut: keep documents at or above the
     * corpus p75 of the INTEGER quality score. The threshold comes from
@@ -1279,9 +1292,10 @@ object ExtQueries {
     },
     Some(s"WITH q AS (SELECT doc_id, source, $duckQbps AS quality_bps " +
       "FROM documents), " +
-      "h AS (SELECT quality_bps AS v, count(*) AS c FROM q GROUP BY quality_bps), " +
+      "h AS (SELECT quality_bps AS v, count(*) AS c FROM q " +
+      "WHERE quality_bps IS NOT NULL GROUP BY quality_bps), " +
       "cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cf, " +
-      "(SELECT count(*) FROM q) AS n FROM h), " +
+      "(SELECT count(quality_bps) FROM q) AS n FROM h), " +
       "thr AS (SELECT min(v) AS thr FROM cum WHERE cf >= ceil(n * 0.75)) " +
       "SELECT doc_id, source, quality_bps FROM q, thr " +
       "WHERE quality_bps >= thr ORDER BY doc_id"))
@@ -1553,7 +1567,7 @@ object ExtQueries {
       "r AS (SELECT source, term, n, rank() OVER (PARTITION BY source " +
       "ORDER BY n DESC, term) AS rnk FROM g) " +
       "SELECT source, term, n, rnk FROM r WHERE rnk <= 3 " +
-      "ORDER BY source, rnk, term"))
+      "ORDER BY source NULLS FIRST, rnk, term"))
 
   /** [EXT] L39 per-group exact-k priority sample
     * ([[Sampling.prioritySampleByGroup]]): exactly 5 docs per source,
@@ -1576,7 +1590,7 @@ object ExtQueries {
       "r AS (SELECT source, doc_id, n_chars, pri, row_number() OVER " +
       "(PARTITION BY source ORDER BY pri, doc_id) AS rn FROM p) " +
       "SELECT source AS grp, doc_id AS key, n_chars AS weight, " +
-      "pri AS priority FROM r WHERE rn <= 5 ORDER BY grp, key"))
+      "pri AS priority FROM r WHERE rn <= 5 ORDER BY grp NULLS FIRST, key"))
 
   /** [EXT] L40 robust length cut ([[Aggregates.medianAbsDeviationBounded]]):
     * keep documents within 3 MADs of the median length — the outlier
@@ -1783,8 +1797,9 @@ object ExtQueries {
       "(CASE WHEN aw * 5 >= nt * 4 THEN 0 ELSE 4 END) + " +
       "(CASE WHEN st >= 2 THEN 0 ELSE 8 END) + " +
       "(CASE WHEN sy * 10 < nt THEN 0 ELSE 16 END) AS BIGINT) AS fail_mask, " +
-      "(nt BETWEEN 5 AND 50000) AND (cns >= nt * 3 AND cns <= nt * 10) " +
-      "AND (aw * 5 >= nt * 4) AND (st >= 2) AND (sy * 10 < nt) AS keep " +
+      // coalesce: NULL text must DECIDE keep=false, not stay three-valued
+      "coalesce((nt BETWEEN 5 AND 50000) AND (cns >= nt * 3 AND cns <= nt * 10) " +
+      "AND (aw * 5 >= nt * 4) AND (st >= 2) AND (sy * 10 < nt), FALSE) AS keep " +
       "FROM (SELECT doc_id, " +
       s"CAST($duckNTok AS BIGINT) AS nt, " +
       s"CAST(length(text) - $duckNTok + 1 AS BIGINT) AS cns, " +
@@ -1826,7 +1841,7 @@ object ExtQueries {
       "SELECT source, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
       "CASE WHEN na > 0 AND nb > 0 THEN " +
       "CAST(num AS DOUBLE) / (2 * na * nb) ELSE 1.0 END AS tv " +
-      "FROM f ORDER BY source"))
+      "FROM f ORDER BY source NULLS FIRST"))
 
   /** [EXT] L47 k-means centroid training ([[Similarity.kmeansRefine]],
     * 2 Lloyd passes from the same sampled seeds `q_ann_ivf` probes):
@@ -2035,7 +2050,7 @@ object ExtQueries {
         col("doc_id"), col("text"), win = 8)
       .orderBy("doc_id"),
     Some("WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tok " +
-      "FROM documents), " +
+      "FROM documents WHERE text IS NOT NULL AND text <> ''), " + // no passages in an empty doc
       "st AS (SELECT doc_id, tok, " +
       "unnest(generate_series(0, len(tok) - 1, 8)) AS start FROM tk), " +
       "ch AS (SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_id, " +
@@ -2315,7 +2330,7 @@ object ExtQueries {
       .withColumnRenamed("g", "source")
       .orderBy("source"),
     Some(s"WITH sc AS (SELECT source, CAST($duckQbps AS BIGINT) AS v " +
-      "FROM documents), " +
+      "FROM documents WHERE text IS NOT NULL), " + // observed values only
       "h AS (SELECT v, count(*) AS c FROM sc GROUP BY v), " +
       "cw AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED " +
       "PRECEDING AND CURRENT ROW) AS cf, sum(c) OVER () AS n FROM h), " +
@@ -2328,7 +2343,7 @@ object ExtQueries {
       "SELECT source, CAST(count(*) AS BIGINT) AS n, " +
       "CAST(sum(wv) AS BIGINT) AS s, " +
       "CAST(sum(wv) AS DOUBLE) / count(*) AS wmean " +
-      "FROM w GROUP BY source ORDER BY source"))
+      "FROM w GROUP BY source ORDER BY source NULLS FIRST"))
 
   /** [EXT] L62 LSH quality evaluation: recall/precision of the banded
     * MinHash candidate generator against the EXACT Jaccard pairs at
@@ -2511,7 +2526,7 @@ object ExtQueries {
       .withColumnRenamed("g", "source")
       .orderBy("source"),
     Some(s"WITH sc AS (SELECT source, CAST($duckNTok AS BIGINT) AS v " +
-      "FROM documents), " +
+      "FROM documents WHERE text IS NOT NULL), " + // observed values only
       "h AS (SELECT source, v, count(*) AS c FROM sc GROUP BY source, v), " +
       "cw AS (SELECT source, v, sum(c) OVER (PARTITION BY source " +
       "ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf, " +
@@ -2520,7 +2535,7 @@ object ExtQueries {
       "min(CASE WHEN cf >= ceil(n * CAST(0.5 AS DOUBLE)) THEN v END) AS p50, " +
       "min(CASE WHEN cf >= ceil(n * CAST(0.9 AS DOUBLE)) THEN v END) AS p90, " +
       "min(CASE WHEN cf >= ceil(n * CAST(0.99 AS DOUBLE)) THEN v END) AS p99 " +
-      "FROM cw GROUP BY source ORDER BY source"))
+      "FROM cw GROUP BY source ORDER BY source NULLS FIRST"))
 
   /** [EXT] L66 vocabulary token-id mapping ([[TextAnalysis.tokenIds]]):
     * top-1000 frequency-ranked vocabulary (ties lexicographic — total
@@ -3335,7 +3350,7 @@ object ExtQueries {
       "FROM sc JOIN documents d USING (doc_id), thr) " +
       "SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
       "CAST(sum(bits_micro) // count(*) AS BIGINT) AS mean_bits_micro " +
-      "FROM b GROUP BY source, bucket ORDER BY source, bucket"))
+      "FROM b GROUP BY source, bucket ORDER BY source NULLS FIRST, bucket"))
 
   /** [EXT] L85 Johnson–Lindenstrauss sign projection
     * ([[Similarity.signProject]]): reduce 64-float embeddings to 8
@@ -3390,7 +3405,7 @@ object ExtQueries {
       "CAST(sum(n_tok) AS BIGINT) AS n_words, " +
       "CAST(sum(n_wp) AS BIGINT) AS n_pieces, " +
       "CAST((sum(n_wp) * 1000000) // sum(n_tok) AS BIGINT) " +
-      "AS fertility_micro FROM f GROUP BY source ORDER BY source"))
+      "AS fertility_micro FROM f GROUP BY source ORDER BY source NULLS FIRST"))
 
   /** [EXT] L87 embedding covariance ([[Similarity.covarianceCells]]):
     * the upper-triangular dim×dim second-moment table PCA / whitening
@@ -3692,7 +3707,7 @@ object ExtQueries {
       "CASE WHEN n_q = 0 THEN NULL ELSE CAST(qsum // n_q AS BIGINT) END " +
       "AS mean_quality_bps, top_lang, " +
       "CAST(floor(top_c * 10000 / n_docs) AS BIGINT) AS top_lang_bps " +
-      "FROM per JOIN tl USING (source), tot ORDER BY source"))
+      "FROM per JOIN tl USING (source), tot ORDER BY source NULLS FIRST"))
 
   /** [EXT] L97 data-driven blocklist filter
     * ([[TextAnalysis.blocklistFilter]]): per-doc blocklisted-token
@@ -3950,7 +3965,8 @@ object ExtQueries {
       .orderBy("slot"),
     Some("WITH s AS (SELECT source, CAST(row_number() OVER " +
       "(ORDER BY source) - 1 AS BIGINT) AS src_rank FROM " +
-      "(SELECT DISTINCT source FROM documents)), " +
+      // null sources can't be round-robined (see interleaveOrder)
+      "(SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)), " +
       "c AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM s), " +
       "p AS (SELECT doc_id, source, CAST(row_number() OVER " +
       "(PARTITION BY source ORDER BY doc_id) AS BIGINT) AS p " +
