@@ -418,7 +418,56 @@ object Dedup {
     val clusters = try connectedComponents(pairs) catch {
       case e: Throwable => pairs.unpersist(); throw e
     }
-    new DupGraph(pairs, clusters)
+    // index materializes lazily (write()/refresh need it; in-session
+    // consumers of pairs/clusters never pay for it)
+    new DupGraph(pairs, clusters, () => shingleIndex(docs, text, id, n))
+  }
+
+  /** Day-2 incremental dup-graph refresh: fold a NEW batch into a
+    * stored graph WITHOUT re-enumerating the stored corpus. The new
+    * batch's shingle index self-joins for new-new pairs and cross-joins
+    * the STORED index for new-old pairs — the stored side is read, never
+    * re-derived from text — and the merged clusters come from one
+    * contraction over (new pairs ∪ stored clusters-as-edges). The
+    * cluster table is the transitive-closure summary of the old pairs,
+    * so seeding the contraction with it yields exactly the components a
+    * full rebuild on the union corpus would find, with min-id labels
+    * (old cluster_id IS the min of its old component; the union
+    * component's min is the min over its members) — DedupSpec pins
+    * refresh == rebuild as a property.
+    *
+    * Contract: `newDocs` ids must be disjoint from the stored corpus
+    * ids (same rule as any append-only ingest; a re-ingested id would
+    * alias two shingle sets).
+    *
+    * Scale posture: day-2 cost is batch-index build + one co-located
+    * cross join whose volume follows batch-vs-corpus shared shingles +
+    * one contraction over (new pairs + cluster summary edges) — the
+    * day-1 pair enumeration (the dominant cost at 100 TB) is never
+    * repeated, the q_novelty_incremental discipline applied to the
+    * graph.
+    */
+  def refreshDupGraph(stored: DupGraph, newDocs: DataFrame, text: Column,
+                      id: Column, n: Int = 3,
+                      threshold: Double = 0.5): DupGraph = {
+    val shNew = shingleIndex(newDocs, text, id, n).persist()
+    val shOld = stored.index
+    val newPairs = jaccardFromIntersections(indexSelfIntersections(shNew), threshold)
+      .unionByName(
+        jaccardFromIntersections(indexCrossIntersections(shNew, shOld), threshold))
+      .persist()
+    val seedEdges = stored.clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("da"), col("cluster_id").as("db"))
+    val clusters = try connectedComponents(
+      newPairs.select("da", "db").unionByName(seedEdges)) catch {
+      case e: Throwable => newPairs.unpersist(); shNew.unpersist(); throw e
+    }
+    shNew.unpersist()
+    // the refreshed graph owns the new-batch pair cache (its `pairs` is
+    // a union view, which unpersist() could not reach)
+    new DupGraph(stored.pairs.unionByName(newPairs), clusters,
+      () => shOld.unionByName(shNew), owned = Seq(newPairs))
   }
 
   /** The deduplicated corpus: every document that is either untouched
@@ -610,36 +659,84 @@ object Dedup {
                                    id: Column, n: Int,
                                    maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Per-doc set size rides along as a window count over the exploded
-    // index: one lineage, so the expensive shingle+md5 projection is
-    // computed once and the self-join's two sides reuse one shuffle
-    // (ReusedExchange) instead of recomputing it, and no separate
-    // `sizes` aggregate + two back-joins are needed.
-    // explicit repartition on the join key: both self-join sides project
-    // from the SAME exchange subtree, so the static ReuseExchange rule
-    // dedupes it at plan time — reuse no longer depends on AQE runtime
-    // stage matching (callers that scope AQE off, like
-    // connectedComponents, would otherwise compute the index twice)
-    val sh0 = docs.select(id.as("doc_id"),
+    val sh0 = shingleIndex(docs, text, id, n)
+    // df window partitions on s — satisfied by the repartition exchange
+    // inside shingleIndex, so the cap costs zero additional shuffles
+    val sh = maxDf.fold(sh0)(cap => sh0
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= cap).drop("__df"))
+    indexSelfIntersections(sh)
+  }
+
+  /** The 48-bit shingle inverted index with per-doc set size —
+    * (doc_id, s, sz). This IS the durable dedup artifact
+    * ([[DupGraph.write]] persists it): a day-2 batch joins its own
+    * index against the stored one and never re-enumerates day-1.
+    *
+    * Per-doc set size rides along as a window count over the exploded
+    * index: one lineage, so the expensive shingle+md5 projection is
+    * computed once and a self-join's two sides reuse one shuffle
+    * (ReusedExchange) instead of recomputing it, and no separate
+    * `sizes` aggregate + two back-joins are needed.
+    * Explicit repartition on the join key: both self-join sides project
+    * from the SAME exchange subtree, so the static ReuseExchange rule
+    * dedupes it at plan time — reuse no longer depends on AQE runtime
+    * stage matching (callers that scope AQE off, like
+    * connectedComponents, would otherwise compute the index twice).
+    */
+  private[ext] def shingleIndex(docs: DataFrame, text: Column,
+                                id: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(id.as("doc_id"),
       explode(array_distinct(
         graft.functions.HashFunctions.shingleHash48(text, n))).as("s"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .repartition(col("s"))
-    // df window partitions on s — satisfied by the repartition exchange
-    // above, so the cap costs zero additional shuffles
-    val sh = maxDf.fold(sh0)(cap => sh0
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("__df") <= cap).drop("__df"))
+  }
+
+  /** Self-join intersections over one index: (da < db, na, nb, i).
+    * Shuffle-hash, not broadcast: broadcasting would rebuild the whole
+    * shingle+md5 subplan into the broadcast exchange (computed twice);
+    * shuffling both sides on `s` lets ReusedExchange compute it ONCE,
+    * and at scale the exploded index is never broadcastable anyway.
+    */
+  private def indexSelfIntersections(sh: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
     val b = sh.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
-    // shuffle-hash, not broadcast: broadcasting would rebuild the whole
-    // shingle+md5 subplan into the broadcast exchange (computed twice);
-    // shuffling both sides on `s` lets ReusedExchange compute it ONCE,
-    // and at scale the exploded index is never broadcastable anyway.
     a.join(b.hint("shuffle_hash"), Seq("s"))
       .filter(col("da") < col("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("i"))
   }
+
+  /** Cross intersections: every NEW-index doc against every STORED-index
+    * doc sharing a shingle — the day-2 candidate join that replaces a
+    * full union-corpus re-enumeration. Ids must be disjoint between the
+    * two indexes (a re-ingested id would pair with itself; such rows are
+    * filtered, not matched). Both sides are partitioned on `s` by
+    * [[shingleIndex]]/parquet scan, so the join is one co-located
+    * shuffle-hash exchange pair; cost follows shared shingles between
+    * the BATCH and the corpus, never corpus².
+    */
+  private[ext] def indexCrossIntersections(shNew: DataFrame,
+                                           shOld: DataFrame): DataFrame = {
+    val a = shNew.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
+    val b = shOld.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
+    a.join(b.hint("shuffle_hash"), Seq("s"))
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("i"))
+  }
+
+  /** Exact Jaccard + threshold over an intersections frame, with the
+    * (da < db) pair orientation normalized LAST so cross-batch pairs
+    * (where `da` is always the new doc) land in the same convention as
+    * self-join pairs.
+    */
+  private def jaccardFromIntersections(ints: DataFrame,
+                                       threshold: Double): DataFrame =
+    ints.select(least(col("da"), col("db")).as("da"),
+        greatest(col("da"), col("db")).as("db"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
+      .filter(col("jacc") >= threshold)
 
   /** Corpus-level MinHash: ONE union signature per group. MinHash is a
     * mergeable sketch — the signature of a union of shingle sets is the
@@ -962,7 +1059,34 @@ object Dedup {
   *                 left-join and treat null as "unique")
   */
 final class DupGraph private[ext] (val pairs: DataFrame,
-                                   val clusters: DataFrame) {
+                                   val clusters: DataFrame,
+                                   mkIndex: () => DataFrame,
+                                   owned: Seq[DataFrame] = Nil) {
+
+  private val ownedCaches: Seq[DataFrame] =
+    if (owned.nonEmpty) owned else Seq(pairs)
+
+  /** The 48-bit shingle inverted index (doc_id, s, sz) — the durable
+    * artifact [[Dedup.refreshDupGraph]] joins a new batch against.
+    * Materializes lazily: in-session pair/cluster consumers never pay
+    * for it; [[write]] and refresh do.
+    */
+  lazy val index: DataFrame = mkIndex()
+
+  /** Persist the graph for cross-job sharing: pairs + clusters +
+    * shingle index as three parquet tables under `path`. A daily-crawl
+    * pipeline writes day-1's graph once; day-2 reads it back
+    * ([[DupGraph.read]]) and folds the new batch in with
+    * [[Dedup.refreshDupGraph]] — the stored corpus is never
+    * re-enumerated. Index volume is shingles × 16 bytes (hash + size),
+    * pair volume follows actual duplication — both orders of magnitude
+    * under the corpus text at any scale.
+    */
+  def write(path: String): Unit = {
+    pairs.write.mode("overwrite").parquet(s"$path/pairs")
+    clusters.write.mode("overwrite").parquet(s"$path/clusters")
+    index.write.mode("overwrite").parquet(s"$path/index")
+  }
 
   /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster
     * table): unique docs + each cluster's min-id survivor. One
@@ -988,9 +1112,25 @@ final class DupGraph private[ext] (val pairs: DataFrame,
       .select(col("sz"), col("n_clusters"),
         (col("sz") * col("n_clusters")).as("n_docs"))
 
-  /** Release the pair cache. `clusters` remains valid (checkpoint
-    * blocks are independent of the cache); `pairs` consumers after this
-    * recompute from source.
+  /** Release the caches this graph owns (the pair table, plus — for a
+    * refreshed graph — the new-batch pair table). `clusters` remains
+    * valid (checkpoint blocks are independent of the cache); `pairs`
+    * consumers after this recompute from source.
     */
-  def unpersist(): Unit = { pairs.unpersist(); () }
+  def unpersist(): Unit = { ownedCaches.foreach(_.unpersist()); () }
+}
+
+object DupGraph {
+  /** Re-open a graph persisted by [[DupGraph.write]]. Nothing is
+    * cached on read (parquet scans are already cheap and columnar);
+    * [[Dedup.refreshDupGraph]] reads the index side exactly once per
+    * batch.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DupGraph =
+    new DupGraph(
+      spark.read.parquet(s"$path/pairs"),
+      spark.read.parquet(s"$path/clusters"),
+      () => spark.read.parquet(s"$path/index"),
+      // a read graph owns no caches — unpersist is a no-op
+      owned = Seq.empty)
 }

@@ -68,8 +68,33 @@ object DupGraphDemo {
           .select("doc_id", "split_key", "split").orderBy("doc_id")
           .write.mode("overwrite").parquet(s"$out/split")
       }
+      // durability: persist the graph itself (pairs + clusters + the
+      // shingle index) — the artifact a daily pipeline carries forward
+      timed("write graph") { g.write(s"$out/graph") }
     } finally g.unpersist()
-    println(s"[dup-graph] 5 consumer tables under $out from ONE enumeration")
+
+    // ---- day-2 ingest: reopen the stored graph and fold a new batch
+    // in WITHOUT re-enumerating day-1 (Dedup.refreshDupGraph — the
+    // only day-1 input is the stored index/cluster parquet). The demo
+    // batch: half fresh docs, half copies of existing text, so the
+    // refresh exercises both cross-batch edges and new clusters.
+    val stored = timed("read graph") { graft.ext.DupGraph.read(spark, s"$out/graph") }
+    val nextId = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val day2 = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + nextId).as("doc_id"),
+        when(col("doc_id") % 100 === 0, col("text"))
+          .otherwise(concat(lit("fresh day two variant "), col("text")))
+          .as("text"))
+    val g2 = timed("refresh (day 2)") {
+      val r = Dedup.refreshDupGraph(stored, day2, col("text"), col("doc_id"))
+      r.clusters.count()
+      r
+    }
+    try {
+      timed("day-2 write") { g2.write(s"$out/graph_day2") }
+    } finally g2.unpersist()
+    println(s"[dup-graph] 5 consumer tables + durable graph under $out " +
+      "from ONE enumeration; day-2 batch folded in without re-enumerating day-1")
     spark.stop()
   }
 }

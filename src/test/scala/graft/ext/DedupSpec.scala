@@ -477,6 +477,62 @@ class DedupSpec extends SparkSpec {
     assert(g.clusters.as[(Long, Long)].collect().toSet == direct)
   }
 
+  test("dupGraph: write/read round trip preserves pairs, clusters, index") {
+    val g = Dedup.dupGraph(docs, col("text"), col("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph").toString
+    try {
+      g.write(dir)
+      val r = DupGraph.read(spark, dir)
+      assert(r.clusters.as[(Long, Long)].collect().toSet ==
+        g.clusters.as[(Long, Long)].collect().toSet)
+      assert(r.pairs.select("da", "db").as[(Long, Long)].collect().toSet ==
+        g.pairs.select("da", "db").as[(Long, Long)].collect().toSet)
+      assert(r.index.count() == g.index.count())
+      // a read graph's consumers work without any in-session build
+      assert(r.sizes.count() >= 0)
+    } finally g.unpersist()
+  }
+
+  test("dupGraph refresh: day-2 ingest equals a full rebuild on the union corpus") {
+    // day-1: two exact dups + a unique; day-2 adds a copy of day-1 text
+    // (cross-batch edge), an intra-batch dup pair, and a unique doc —
+    // every merge shape: extend an old cluster, create a new one, none
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // joins {1,2}
+      (11L, "fresh pair of near identical day two documents"),
+      (12L, "fresh pair of near identical day two documents"),
+      (13L, "nothing like anything else in either batch"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_inc").toString
+    val g1 = Dedup.dupGraph(day1, col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+
+    // day-2 path: read the stored graph, fold the new batch in — the
+    // day-1 corpus frame is NOT an input (nothing re-enumerates it)
+    val stored = DupGraph.read(spark, dir)
+    val g2 = Dedup.refreshDupGraph(stored, day2, col("text"), col("doc_id"))
+    val full = Dedup.dupGraph(day1.unionByName(day2), col("text"), col("doc_id"))
+    try {
+      // THE property: refreshed == rebuilt-from-scratch on the union
+      assert(g2.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+      assert(g2.pairs.select("da", "db").as[(Long, Long)].collect().toSet ==
+        full.pairs.select("da", "db").as[(Long, Long)].collect().toSet)
+      // and the expected shape: {1,2,10} under label 1, {11,12} under 11
+      val c = g2.clusters.as[(Long, Long)].collect().toMap
+      assert(c == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 11L, 12L -> 11L))
+      // the refreshed graph is itself durable (day-3 continues the loop)
+      val dir3 = java.nio.file.Files.createTempDirectory("dupgraph_d3").toString
+      g2.write(dir3)
+      assert(DupGraph.read(spark, dir3).index.count() == full.index.count())
+    } finally { g2.unpersist(); full.unpersist() }
+  }
+
   test("dedupBySource: duplicated source loses mass, clean source untouched") {
     val docs = Seq(
       (1L, "the cat sat on the mat today fine", "A"),
