@@ -616,6 +616,69 @@ object Similarity {
         col("score"))
   }
 
+  /** IVF-PQ search — the standard FAISS IndexIVFPQ composition and the
+    * shipped 100 TB ANN shape: IVF cluster pruning bounds WHICH vectors
+    * are scored (probe the query's `nprobe` nearest Voronoi cells,
+    * [[ivfTopK]]'s candidate rule), PQ asymmetric-distance lookup
+    * bounds WHAT is read per candidate ([[pqSearch]]'s ADC — m code
+    * cells, never the corpus vector). Recall composes multiplicatively:
+    * cell pruning can drop a true neighbor assigned elsewhere (the
+    * nprobe dial), ADC can misrank within the candidate set (the
+    * m/subDim dial) — q_ivfpq_recall reads both against exact truth.
+    *
+    * Determinism: identical argmax/tiebreak rules as the components
+    * (cell assignment ties on cell id, ADC scores are exact BIGINT
+    * micro-unit sums, final ties on vec_id).
+    *
+    * Scale posture: one broadcast centroid pass assigns the corpus
+    * (linear scan); the probe frame is queries×nprobe rows
+    * (broadcast); the candidate join touches only probed cells' code
+    * rows; the LUT is queries×m·k cells (broadcast). Nothing
+    * corpus-sized shuffles, and corpus VECTORS are read only by the
+    * one-off assignment pass — query-time IO is the m-byte codes.
+    */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                pqCent: DataFrame, codes: DataFrame,
+                m: Int, subDim: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    val c = centroids.select(col("vec_id").as("icell"), col("v").as("cv"),
+      col("nm").as("cn"))
+    val assigned = Windows.findFirst(
+      corpus.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("icell"),
+          cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn")).as("ccos")),
+      keys = Seq(col("vec_id")),
+      priority = Seq(col("ccos").desc, col("icell")))
+      .select(col("vec_id"), col("icell"))
+    val probes = Windows.findFirstK(
+      queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nm").as("qn"))
+        .crossJoin(broadcast(c))
+        .select(col("qid"), col("icell"),
+          cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn")).as("pcos")),
+      keys = Seq(col("qid")),
+      priority = Seq(col("pcos").desc, col("icell")),
+      k = nprobe, rankName = "__pr")
+      .select(col("qid"), col("icell"))
+    val cand = assigned.join(broadcast(probes), Seq("icell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val lut = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(pqCent))
+      .select(col("qid"), col("s"), col("cid"),
+        floor(dot(slice(col("qv"), col("s") * subDim + 1, lit(subDim)),
+          col("cv")) * 1000000L + 0.5).cast("long").as("d"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("qid", "s", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("score"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("score").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("score"))
+  }
+
   /** Embedding-based contamination screening: flag every corpus vector
     * whose nearest eval-set vector is at cosine >= threshold, reporting
     * that nearest offender — the semantic complement of exact n-gram

@@ -2826,11 +2826,12 @@ object ExtQueries {
       " SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
       "WHERE rnk <= 10 ORDER BY qid, rnk"))
 
-  /** Full PQ trajectory CTE chain (split → seed → Lloyd → encode →
-    * LUT → ranked scores in `r`), parameterized by the query-set
-    * predicate — shared by `q_ann_pq` and `q_pq_recall`.
+  /** PQ trajectory prefix (split → seed → Lloyd → encode → LUT),
+    * parameterized by the query-set predicate — shared by the PQ ADC
+    * scan ([[duckPqCtes]]) and the IVF-PQ composition, which restricts
+    * the scored set to probed cells before the same LUT sum.
     */
-  private def duckPqCtes(queryPred: String): String =
+  private def duckPqPrefix(queryPred: String): String =
     duckNormCte + ", " +
       "sub AS (SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv " +
       "FROM n, (SELECT unnest([0, 1, 2, 3]) AS s) ss), " +
@@ -2848,13 +2849,126 @@ object ExtQueries {
       "lut AS (SELECT q.vec_id AS qid, c.s, c.cid, " +
       "CAST(floor(list_dot_product(q.v[c.s * 16 + 1 : c.s * 16 + 16], " +
       "c.cv) * 1000000 + 0.5) AS BIGINT) AS d " +
-      s"FROM n q CROSS JOIN c1 c WHERE $queryPred), " +
+      s"FROM n q CROSS JOIN c1 c WHERE $queryPred)"
+
+  /** Full PQ trajectory CTE chain (the prefix + full-corpus ADC scan →
+    * ranked scores in `r`) — shared by `q_ann_pq` and `q_pq_recall`.
+    */
+  private def duckPqCtes(queryPred: String): String =
+    duckPqPrefix(queryPred) + ", " +
       "sc AS (SELECT lut.qid, codes.vec_id, CAST(sum(lut.d) AS BIGINT) " +
       "AS score FROM codes JOIN lut ON codes.s = lut.s " +
       "AND codes.cid = lut.cid AND codes.vec_id <> lut.qid " +
       "GROUP BY lut.qid, codes.vec_id), " +
       "r AS (SELECT qid, vec_id, score, row_number() OVER (" +
       "PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)"
+
+  /** IVF assignment + probe + candidate CTEs over the norm frame `n`
+    * (icent/iasg/qp/cand), shared by the IVF-PQ pair. `icell` naming
+    * avoids colliding with the PQ codebooks' `cid`.
+    */
+  private def duckIvfCand(queryPred: String, nprobe: Int): String =
+    "icent AS (SELECT * FROM n WHERE vec_id % 100 = 0), " +
+      "iasg AS (SELECT vec_id, icell FROM (" +
+      "SELECT n.vec_id, c.vec_id AS icell, row_number() OVER (" +
+      "PARTITION BY n.vec_id ORDER BY " +
+      "list_dot_product(n.v, c.v) / (n.nm * c.nm) DESC, c.vec_id) AS rn " +
+      "FROM n CROSS JOIN icent c) WHERE rn = 1), " +
+      "qp AS (SELECT qid, icell FROM (" +
+      "SELECT q.vec_id AS qid, c.vec_id AS icell, row_number() OVER (" +
+      "PARTITION BY q.vec_id ORDER BY " +
+      "list_dot_product(q.v, c.v) / (q.nm * c.nm) DESC, c.vec_id) AS rn " +
+      s"FROM n q CROSS JOIN icent c WHERE $queryPred) WHERE rn <= $nprobe), " +
+      "cand AS (SELECT qp.qid, iasg.vec_id FROM iasg " +
+      "JOIN qp USING (icell) WHERE iasg.vec_id <> qp.qid)"
+
+  /** ADC scoring restricted to the IVF candidates + ranked `r` — the
+    * IVF-PQ tail shared by `q_ann_ivfpq` and `q_ivfpq_recall`.
+    */
+  private def duckIvfPqRanked(queryPred: String, nprobe: Int): String =
+    duckPqPrefix(queryPred) + ", " + duckIvfCand(queryPred, nprobe) + ", " +
+      "sc AS (SELECT cand.qid, cand.vec_id, CAST(sum(lut.d) AS BIGINT) " +
+      "AS score FROM cand JOIN codes ON codes.vec_id = cand.vec_id " +
+      "JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s " +
+      "AND lut.cid = codes.cid GROUP BY cand.qid, cand.vec_id), " +
+      "r AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc)"
+
+  /** [EXT] L112 IVF-PQ composed ANN ([[Similarity.ivfPqTopK]]): the
+    * standard FAISS IndexIVFPQ shape — IVF cluster pruning bounds
+    * WHICH vectors are scored (nprobe = 3 cells per query), PQ
+    * asymmetric-distance lookup bounds WHAT is read per candidate
+    * (m = 4 code cells, never the vector). Oracle replays the full
+    * composed trajectory: codebook Lloyd pass, corpus encode, IVF
+    * assignment, probe election, candidate-restricted ADC ranking.
+    */
+  private val qAnnIvfPq = Q("q_ann_ivfpq",
+    (s, d) => {
+      val (m, subDim) = (4, 16)
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val cent = Similarity.pqTrain(n, m, subDim).localCheckpoint(false)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubvectors(n, m, subDim), cent)
+        .select(col("vec_id"), col("s"), col("cid"))
+      Similarity.ivfPqTopK(
+          corpus = n,
+          centroids = n.filter(col("vec_id") % 100 === 0),
+          queries = n.filter(col("vec_id").isin(1, 2, 3, 4)),
+          pqCent = cent, codes = codes,
+          m = m, subDim = subDim, k = 5, nprobe = 3)
+        .orderBy("qid", "rnk")
+    },
+    Some(duckIvfPqRanked("q.vec_id IN (1, 2, 3, 4)", nprobe = 3) +
+      " SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
+      "WHERE rnk <= 5 ORDER BY qid, rnk"))
+
+  /** [EXT] L113 IVF-PQ recall evaluation: recall@5 of the composed
+    * index against exact brute-force truth — the row beside
+    * `q_pq_recall` (ADC-only) and `q_ann_recall` (IVF-only) that
+    * prices the COMPOSITION: cell pruning and code compression lose
+    * recall multiplicatively, and this is the dial that says whether
+    * nprobe or m is the binding constraint. Truth pays the deliberate
+    * exact enumeration the eval grades against.
+    */
+  private val qIvfPqRecall = Q("q_ivfpq_recall",
+    (s, d) => {
+      val (m, subDim) = (4, 16)
+      val n = Similarity.withNorm(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"))
+      val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
+      val truth = Similarity.bruteForceTopK(queries, n, k = 5)
+        .select(col("qid"), col("vec_id"))
+      val cent = Similarity.pqTrain(n, m, subDim).localCheckpoint(false)
+      val codes = Similarity.pqAssign(
+        Similarity.pqSubvectors(n, m, subDim), cent)
+        .select(col("vec_id"), col("s"), col("cid"))
+      val approx = Similarity.ivfPqTopK(
+          corpus = n,
+          centroids = n.filter(col("vec_id") % 100 === 0),
+          queries = queries, pqCent = cent, codes = codes,
+          m = m, subDim = subDim, k = 5, nprobe = 3)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("found"))
+        .select(col("qid"), col("k"), col("found"),
+          (col("found").cast("double") / col("k")).as("recall"))
+        .orderBy("qid")
+    },
+    Some(duckIvfPqRanked("q.vec_id IN (1, 2, 3, 4)", nprobe = 3) + ", " +
+      "tr AS (SELECT qid, vec_id FROM (SELECT a.vec_id AS qid, b.vec_id, " +
+      "row_number() OVER (PARTITION BY a.vec_id ORDER BY " +
+      "list_dot_product(a.v, b.v) / (a.nm * b.nm) DESC, b.vec_id) AS rnk " +
+      "FROM n a JOIN n b ON a.vec_id IN (1, 2, 3, 4) " +
+      "AND b.vec_id <> a.vec_id) WHERE rnk <= 5), " +
+      "ap AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rnk <= 5) " +
+      "SELECT tr.qid, CAST(count(*) AS BIGINT) AS k, " +
+      "CAST(sum(COALESCE(ap.hit, 0)) AS BIGINT) AS found, " +
+      "CAST(sum(COALESCE(ap.hit, 0)) AS DOUBLE) / count(*) AS recall " +
+      "FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id " +
+      "GROUP BY tr.qid ORDER BY tr.qid"))
 
   /** [EXT] L78 PQ recall evaluation: recall@5 of the ADC ranking
     * against exact brute-force cosine truth, per query — the
@@ -4000,7 +4114,8 @@ object ExtQueries {
     // round 12: overlapping-span exact-substring dedup + URL domains
     qSpanDedup, qUrlDomain, qWordpiece, qUnigramLm,
     qNgramNovelty, qQualityLogit, qVocabGrowth, qBpeTrain,
-    qSemanticDecontaminate, qAnnPq, qPqRecall, qBpeApply,
+    qSemanticDecontaminate, qAnnPq, qPqRecall, qAnnIvfPq, qIvfPqRecall,
+    qBpeApply,
     qLeakageSafeSplit, qNoveltyIncremental,
     // round-12 session 2: rank-weighted retrieval eval, corpus-shape
     // diagnostics, CCNet bucketing, JL reduction

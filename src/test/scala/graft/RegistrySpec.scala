@@ -106,7 +106,8 @@ object RegistrySpec {
     // round 12: overlapping-span exact-substring dedup + URL domains
     "q_span_dedup", "q_url_domain", "q_wordpiece", "q_unigram_lm",
     "q_ngram_novelty", "q_quality_logit", "q_vocab_growth", "q_bpe_train",
-    "q_semantic_decontaminate", "q_ann_pq", "q_pq_recall", "q_bpe_apply",
+    "q_semantic_decontaminate", "q_ann_pq", "q_pq_recall", "q_ann_ivfpq",
+    "q_ivfpq_recall", "q_bpe_apply",
     "q_leakage_safe_split", "q_novelty_incremental",
     // round-12 session 2: rank-weighted retrieval eval, corpus-shape
     // diagnostics, CCNet bucketing, JL reduction

@@ -428,6 +428,37 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 2000000L), (2L, 2000000L), (100L, 0L)), out)
   }
 
+  test("ivfPqTopK: probing every cell degenerates to the plain ADC scan; " +
+      "nprobe=1 restricts candidates to the probed cell") {
+    val v0 = Array(1f, 0f, 0f, 1f)
+    val v1 = Array(0f, 1f, 1f, 0f)
+    val emb = Seq((0L, v0), (1L, v0), (2L, v0),
+      (100L, v1), (101L, v1), (102L, v1)).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val cent = Similarity.pqTrain(n, m = 2, subDim = 2)
+    val codes = Similarity.pqAssign(
+      Similarity.pqSubvectors(n, 2, 2), cent)
+      .select(col("vec_id"), col("s"), col("cid"))
+    val ivfCent = n.filter(col("vec_id") % 100 === 0) // 2 cells: 0, 100
+    val q = n.filter(col("vec_id") === 1)
+    // nprobe = nlist: IVF pruning is a no-op, so the composition must
+    // reproduce pqSearch's ADC ranking exactly
+    val full = Similarity.ivfPqTopK(n, ivfCent, q, cent, codes,
+        m = 2, subDim = 2, k = 3, nprobe = 2)
+      .orderBy("rnk").select("vec_id", "score")
+      .as[(Long, Long)].collect().toSeq
+    val adc = Similarity.pqSearch(q, cent, codes, m = 2, subDim = 2, k = 3)
+      .orderBy("rnk").select("vec_id", "score")
+      .as[(Long, Long)].collect().toSeq
+    assert(full == adc, s"full-probe $full vs ADC $adc")
+    // nprobe = 1: only the query's own cell is scanned — the orthogonal
+    // cluster (cell 100) must vanish from the candidate set
+    val pruned = Similarity.ivfPqTopK(n, ivfCent, q, cent, codes,
+        m = 2, subDim = 2, k = 3, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pruned == Set(0L, 2L), s"probed-cell candidates: $pruned")
+  }
+
   test("semanticScreen: flags only vectors near an eval vector, names the offender") {
     // eval = {10}; 1 is a scaled copy of 10 (cos 1.0), 2 is orthogonal,
     // 3 is a near-copy; eval vectors themselves screen against each other
