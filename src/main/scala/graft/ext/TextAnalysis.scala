@@ -720,6 +720,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("pieces")).as("n_bpe"))
   }
 
+  /** Encode the corpus under a SHIPPED merge table — [[bpeTrain]]'s
+    * (step, pair, merged) artifact or any externally trained one read
+    * back from parquet — reporting the same per-doc whitespace vs
+    * subword counts as [[bpeEncodeCounts]]. Application decoupled from
+    * training is the deploy path: the tokenizer is trained once,
+    * versioned as a table, and every downstream corpus pays only
+    * encoding. Property-tested: given bpeTrain's own table, this
+    * reproduces bpeEncodeCounts exactly.
+    *
+    * The merge list is collected driver-side (justified class: a
+    * tokenizer merge table is a bounded artifact, never corpus-scaled)
+    * and folds into a chain of LITERAL replaces over the
+    * vocabulary-sized word table — no per-step checkpoint needed,
+    * because unlike training each step is consumed exactly once (no
+    * argmax side-branch), so the plan is a linear projection chain.
+    * Suited to the bounded merge tables the oracle replays; a
+    * production 30k-merge artifact would precompute the word→pieces
+    * dictionary offline once and broadcast-join it, which is exactly
+    * the `vocab` frame this function ends with.
+    */
+  def bpeApplyMerges(docs: DataFrame, text: Column, id: Column,
+                     merges: DataFrame): DataFrame = {
+    val ms = merges
+      .select(col("step").cast("long").as("step"),
+        col("pair").cast("string").as("pair"),
+        col("merged").cast("string").as("merged"))
+      .orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val wf = docs.select(explode(tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    // the bpeFold two-space symbol encoding and search/replace shapes,
+    // with literal merge strings (the table is already materialized)
+    val enc0: Column = concat(lit(" "),
+      regexp_replace(col("w"), "(.)", "$1  "))
+    val enc = ms.foldLeft(enc0) { case (e, (pair, merged)) =>
+      replace(e, lit(" " + pair.replace(" ", "  ") + " "),
+        lit(" " + merged + " "))
+    }
+    val vocab = wf.select(col("w"),
+      size(split(trim(enc), "  ")).cast("long").as("pieces"))
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("pieces")).as("n_bpe"))
+  }
+
   /** Shared k-step BPE training fold: (per-step merge frames, final
     * vocabulary state (w, f, enc)).
     */

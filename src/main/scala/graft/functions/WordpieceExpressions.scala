@@ -39,11 +39,33 @@ object WordpieceVocab {
 
   val MaxLen: Int = Pieces.map(_.length).max
 
-  private[functions] val set: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](Pieces.size * 2)
-    Pieces.foreach(s.add)
+  private[functions] val set: java.util.HashSet[String] = toSet(Pieces)
+
+  private[functions] def toSet(pieces: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](pieces.size * 2)
+    pieces.foreach(s.add)
     s
   }
+
+  /** Load an EXTERNAL vocabulary artifact from a table — the deploy
+    * path (a shipped tokenizer's piece list read from parquet/JSON)
+    * where [[Pieces]] is the oracle-replayable library constant. Keeps
+    * only multi-character pieces (single characters are the encoder's
+    * implicit fallbacks), distinct, sorted for a deterministic
+    * expression tree.
+    *
+    * Driver-side collect, justified class: a tokenizer vocabulary is a
+    * bounded artifact (30k-250k rows for every published tokenizer) —
+    * the broadcast-table size class, never corpus-scaled.
+    */
+  def fromTable(vocab: org.apache.spark.sql.DataFrame,
+                piece: org.apache.spark.sql.Column): Seq[String] =
+    vocab.select(piece.cast("string").as("p"))
+      .filter(org.apache.spark.sql.functions.col("p").isNotNull &&
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("p")) >= 2)
+      .distinct().orderBy("p")
+      .collect().map(_.getString(0)).toSeq
 }
 
 /** Greedy longest-prefix wordpiece segmentation kernel: one pass per
@@ -63,7 +85,15 @@ object WordpieceVocab {
   */
 object WordpieceKernels {
 
-  def segment(text: UTF8String): UTF8String = {
+  def segment(text: UTF8String): UTF8String =
+    segment(text, WordpieceVocab.set, WordpieceVocab.MaxLen)
+
+  /** Vocabulary-parameterized form: same greedy longest-prefix walk
+    * against an arbitrary piece set (the [[WordpieceVocab.fromTable]]
+    * deploy path).
+    */
+  def segment(text: UTF8String, vocab: java.util.HashSet[String],
+              maxLen: Int): UTF8String = {
     val s = text.toString
     val sb = new java.lang.StringBuilder(s.length * 2)
     var i = 0
@@ -74,7 +104,7 @@ object WordpieceKernels {
       if (i == n || s.charAt(i) == ' ') {
         if (!first) sb.append(' ')
         first = false
-        segmentWord(s, wordStart, i, sb)
+        segmentWord(s, wordStart, i, sb, vocab, maxLen)
         wordStart = i + 1
       }
       i += 1
@@ -87,14 +117,16 @@ object WordpieceKernels {
     * oracle's string_agg of an empty segmentation).
     */
   private def segmentWord(s: String, from: Int, until: Int,
-                          sb: java.lang.StringBuilder): Unit = {
+                          sb: java.lang.StringBuilder,
+                          vocab: java.util.HashSet[String],
+                          maxLen: Int): Unit = {
     var pos = from
     var firstPiece = true
     while (pos < until) {
-      var len = math.min(WordpieceVocab.MaxLen, until - pos)
+      var len = math.min(maxLen, until - pos)
       var step = 0
       while (len >= 2 && step == 0) {
-        if (WordpieceVocab.set.contains(s.substring(pos, pos + len))) step = len
+        if (vocab.contains(s.substring(pos, pos + len))) step = len
         len -= 1
       }
       if (step == 0) {
@@ -113,8 +145,23 @@ object WordpieceKernels {
   }
 }
 
-/** `graft_wordpiece(text)` — see [[WordpieceKernels.segment]]. */
-case class WordpieceSegment(child: Expression) extends UnaryExpression {
+/** `graft_wordpiece(text)` — see [[WordpieceKernels.segment]].
+  * `pieces = None` runs the library-constant vocabulary through the
+  * static set (the oracle-replayable path); `Some(pieces)` carries an
+  * external vocabulary into codegen as a reference object — same
+  * kernel, zero per-row overhead beyond the hash probes it already
+  * does. The vocabulary participates in expression equality via the
+  * piece SEQUENCE (a HashSet field would break semanticEquals).
+  */
+case class WordpieceSegment(child: Expression,
+                            pieces: Option[Seq[String]] = None)
+    extends UnaryExpression {
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] =
+    pieces.fold(WordpieceVocab.set)(WordpieceVocab.toSet)
+  @transient private lazy val vocabMaxLen: Int =
+    pieces.fold(WordpieceVocab.MaxLen)(p =>
+      if (p.isEmpty) 2 else p.map(_.length).max)
 
   override def dataType: DataType = StringType
 
@@ -126,11 +173,20 @@ case class WordpieceSegment(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string input, got ${child.dataType.sql}")
 
   override def nullSafeEval(s: Any): Any =
-    WordpieceKernels.segment(s.asInstanceOf[UTF8String])
+    WordpieceKernels.segment(s.asInstanceOf[UTF8String], vocabSet,
+      vocabMaxLen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordpieceKernels.segment($c)")
+    pieces match {
+      case None =>
+        defineCodeGen(ctx, ev, c =>
+          s"graft.functions.WordpieceKernels.segment($c)")
+      case Some(_) =>
+        val setRef = ctx.addReferenceObj("wordpieceVocab", vocabSet,
+          "java.util.HashSet<String>")
+        defineCodeGen(ctx, ev, c =>
+          s"graft.functions.WordpieceKernels.segment($c, $setRef, $vocabMaxLen)")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -140,4 +196,12 @@ case class WordpieceSegment(child: Expression) extends UnaryExpression {
 object WordpieceFunctions {
   def wordpiece(text: Column): Column =
     GraftBridge.column(WordpieceSegment(GraftBridge.expression(text)))
+
+  /** Encode against an EXTERNAL vocabulary (a shipped tokenizer
+    * artifact loaded via [[WordpieceVocab.fromTable]]) — same greedy
+    * encoder, caller-supplied piece table.
+    */
+  def wordpiece(text: Column, pieces: Seq[String]): Column =
+    GraftBridge.column(WordpieceSegment(GraftBridge.expression(text),
+      Some(pieces)))
 }

@@ -218,6 +218,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == Seq((1L, 4L, 3L * 2 + 1L), (2L, 2L, 3L)), one)
   }
 
+  test("bpeApplyMerges: a shipped merge table round-tripped through " +
+      "parquet reproduces bpeEncodeCounts exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "aab aab aab ab"), (2L, "ab aab"),
+      (3L, "o o oo aab xyz")).toDF("doc_id", "text")
+    // train once, version the artifact, encode from the ARTIFACT — the
+    // deploy path where training and application are different jobs
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    TextAnalysis.bpeTrain(docs, col("text"), k = 3)
+      .write.mode("overwrite").parquet(dir)
+    val applied = TextAnalysis.bpeApplyMerges(docs, col("text"),
+        col("doc_id"), spark.read.parquet(dir))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val trained = TextAnalysis.bpeEncodeCounts(docs, col("text"),
+        col("doc_id"), k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(applied == trained, s"applied $applied vs trained $trained")
+    // an empty merge table degrades to character-level counts
+    val none = TextAnalysis.bpeApplyMerges(docs.filter(col("doc_id") === 2),
+        col("text"), col("doc_id"),
+        spark.read.parquet(dir).filter(col("step") < 0))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(none == Seq((2L, 2L, 5L)), none) // 'ab'=2 chars + 'aab'=3 chars
+  }
+
   test("noveltyRateIncremental: id-ordered batches reproduce the full-corpus novelty") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 30L).map(i =>

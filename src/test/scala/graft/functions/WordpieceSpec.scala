@@ -80,4 +80,31 @@ class WordpieceSpec extends SparkSpec {
     // restoration invariant holds for every word
     assert(out.split(" ", -1).mkString("") == s"hi$emoji${emoji}x".replace(" ", ""))
   }
+
+  test("external vocabulary: fromTable(parquet) reproduces the library " +
+      "constant, and a custom artifact changes the segmentation") {
+    // round-trip the library pieces through a parquet artifact — the
+    // shipped-tokenizer deploy path — and require bit-identical output
+    val dir = java.nio.file.Files.createTempDirectory("wp_vocab").toString
+    WordpieceVocab.Pieces.toDF("piece").write.mode("overwrite").parquet(dir)
+    val loaded = WordpieceVocab.fromTable(spark.read.parquet(dir), col("piece"))
+    assert(loaded.sorted == WordpieceVocab.Pieces.sorted)
+    val docs = Seq("customer query", "sparkle datastream", "the big sort")
+      .toDF("t")
+    val viaConst = docs.select(WordpieceFunctions.wordpiece(col("t")))
+      .as[String].collect().toSeq
+    val viaLoaded = docs
+      .select(WordpieceFunctions.wordpiece(col("t"), loaded))
+      .as[String].collect().toSeq
+    assert(viaLoaded == viaConst)
+    // a DIFFERENT artifact actually drives the encoder: with only
+    // 'customer' in the vocabulary, 'custom'/'er' no longer win
+    val custom = WordpieceVocab.fromTable(
+      Seq("customer", "x", null).toDF("piece"), col("piece")) // 1-char + null dropped
+    assert(custom == Seq("customer"))
+    val out = Seq("customer query").toDF("t")
+      .select(WordpieceFunctions.wordpiece(col("t"), custom))
+      .as[String].head()
+    assert(out == "customer q u e r y", out)
+  }
 }
