@@ -101,27 +101,8 @@ object NullFixture {
     * layout both `Tables.load` and the DuckDB oracle views read) by
     * relocating the one part file out of Spark's output directory.
     */
-  def generate(spark: SparkSession, src: String, dst: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(dst))
-    graft.model.Tables.names.foreach { name =>
-      val tmp = s"$dst/_tmp_$name"
-      nullify(name, graft.model.Tables.load(spark, src, name))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      val it = new scala.collection.Iterator[java.nio.file.Path] {
-        def hasNext = part.hasNext; def next() = part.next()
-      }
-      val one = it.find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written for $name"))
-      Files.move(one, Paths.get(s"$dst/$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-      // drop the now-empty Spark output dir (part markers, _SUCCESS)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
-  }
+  def generate(spark: SparkSession, src: String, dst: String): Unit =
+    FixtureIo.writeTwin(spark, src, dst, nullify)
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
