@@ -47,9 +47,19 @@ object PretrainDemo {
       df
     }
 
+    // staged-promote (the Import.scala discipline applied to the EXT
+    // pipeline): every output lands under $out/.staging first and is
+    // promoted into place only after the WHOLE chain succeeds. A crash
+    // mid-pipeline — after some staged writes, before promote — leaves
+    // any previously-promoted outputs untouched and an inert staging
+    // dir behind; the re-run overwrites the leftover staging and
+    // promotes atomically per table (weaker than ACID across tables,
+    // documented: moves are ordered, each individually atomic).
+    val staging = s"$out/.staging"
+
     stage("raw", docs)
     TextAnalysis.dataCard(docs, col("text"), col("source"), col("lang"))
-      .write.mode("overwrite").parquet(s"$out/card_pre")
+      .write.mode("overwrite").parquet(s"$staging/card_pre")
 
     // 1. cheap per-row gates FIRST, before anything pair-shaped:
     //    term blocklist density + a per-source quality floor (bottom
@@ -80,7 +90,7 @@ object PretrainDemo {
       val d = filtered.join(surv, Seq("doc_id"), "left_semi")
         .localCheckpoint(false)
       stage("deduped", d)
-      g.sizes.write.mode("overwrite").parquet(s"$out/dedup_sizes")
+      g.sizes.write.mode("overwrite").parquet(s"$staging/dedup_sizes")
       d
     } finally g.unpersist()
 
@@ -106,12 +116,32 @@ object PretrainDemo {
     val pairs = Sampling.spanCorrupt(budgeted, col("doc_id"), col("text"))
     pairs.join(slots.select("doc_id", "slot"), Seq("doc_id"))
       .orderBy("slot")
-      .write.mode("overwrite").parquet(s"$out/shards")
+      .write.mode("overwrite").parquet(s"$staging/shards")
 
     TextAnalysis.dataCard(budgeted, col("text"), col("source"),
         col("lang"))
-      .write.mode("overwrite").parquet(s"$out/card_post")
+      .write.mode("overwrite").parquet(s"$staging/card_post")
+    promote(out, Seq("card_pre", "dedup_sizes", "shards", "card_post"))
     funnel.toSeq
+  }
+
+  /** Promote every staged table into place (delete-then-ATOMIC_MOVE per
+    * table, same filesystem), then drop the now-empty staging dir. Runs
+    * only after the whole chain has succeeded — the crash-safety
+    * boundary PretrainDemoSpec exercises with a genuine mid-pipeline
+    * failure.
+    */
+  private def promote(out: String, tables: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    tables.foreach { t =>
+      val tgt = Paths.get(s"$out/$t")
+      if (Files.exists(tgt))
+        Files.walk(tgt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.move(Paths.get(s"$out/.staging/$t"), tgt,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.deleteIfExists(Paths.get(s"$out/.staging"))
   }
 
   def main(args: Array[String]): Unit = {

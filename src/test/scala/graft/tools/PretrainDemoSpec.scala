@@ -54,5 +54,45 @@ class PretrainDemoSpec extends SparkSpec {
     val sizes = spark.read.parquet(s"$out/dedup_sizes")
     assert(sizes.agg(sum(col("sz") * col("n_clusters"))).as[Long].head()
       <= funnel("filtered")._1)
+    // promote ran: no staging residue after a clean run
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/.staging")))
+  }
+
+  test("staged-promote crash safety: mid-pipeline failure leaves promoted " +
+      "outputs intact; corrected re-run completes over leftover staging") {
+    import java.nio.file.{Files, Paths}
+    val out = java.nio.file.Files.createTempDirectory("pretrain_crash").toString
+    // successful first run establishes the "previous outputs" state
+    PretrainDemo.run(spark, "/root/testdata/sf0.001", out, 15000L)
+    def state() = Seq("card_pre", "dedup_sizes", "shards", "card_post")
+      .map(t => t -> spark.read.parquet(s"$out/$t").count()).toMap
+    val before = state()
+    val shardsBefore = spark.read.parquet(s"$out/shards")
+      .select("doc_id", "slot").as[(Long, Long)].collect().toSet
+
+    // genuine mid-pipeline crash, not a test seam: the token-budget
+    // guard (tokenBudgetCut require(budget > 0)) fires at stage 4 —
+    // AFTER card_pre and dedup_sizes are staged, BEFORE shards/post
+    // card are written or anything is promoted
+    val e = intercept[IllegalArgumentException] {
+      PretrainDemo.run(spark, "/root/testdata/sf0.001", out, -1L)
+    }
+    assert(e.getMessage.contains("budget must be positive"))
+    // every previously-promoted output is untouched — promote never ran
+    assert(state() == before)
+    assert(spark.read.parquet(s"$out/shards")
+      .select("doc_id", "slot").as[(Long, Long)].collect().toSet ==
+      shardsBefore)
+    // the crash leaves an inert staging dir behind (never promoted)
+    assert(Files.exists(Paths.get(s"$out/.staging")))
+
+    // corrected re-run completes idempotently over the leftover staging
+    PretrainDemo.run(spark, "/root/testdata/sf0.001", out, 15000L)
+    assert(state() == before)
+    assert(spark.read.parquet(s"$out/shards")
+      .select("doc_id", "slot").as[(Long, Long)].collect().toSet ==
+      shardsBefore)
+    assert(!Files.exists(Paths.get(s"$out/.staging")))
   }
 }
