@@ -319,10 +319,20 @@ object Dedup {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
     // lazy persist, not an eager checkpoint: round 0's own job fills
-    // the cache (one init job fewer); lineage is shallow (one distinct
-    // over the persisted edges) so truncation isn't needed yet
-    val labels0 = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // the cache (one init job fewer); lineage is shallow (one aggregate
+    // over the persisted edges) so truncation isn't needed yet.
+    // FUSED INIT (r13): label_0 = min(node, min neighbor) instead of
+    // the identity — the first hook folded into the init aggregate (a
+    // groupBy over the same exchange the old distinct() paid). Labels
+    // stay component-min upper bounds, so hook+jump converges to the
+    // same fixpoint; for CLIQUE-shaped components — which near-dup
+    // clusters overwhelmingly are (every pair similar) — init already
+    // IS the fixpoint, so the loop exits after one confirmation round
+    // instead of two (one full round of join+checkpoint saved per
+    // invocation across the whole contraction family).
+    val labels0 = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
       .persist()
     spark.conf.set(aqeKey, "false")
     try {
