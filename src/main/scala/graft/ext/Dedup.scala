@@ -1091,11 +1091,32 @@ final class DupGraph private[ext] (val pairs: DataFrame,
     * re-enumerated. Index volume is shingles × 16 bytes (hash + size),
     * pair volume follows actual duplication — both orders of magnitude
     * under the corpus text at any scale.
+    *
+    * Staged-promote, always: the three tables land under
+    * `path/.staging` first and move into place (delete-then-
+    * ATOMIC_MOVE per table) only after ALL writes succeed. This is
+    * what makes the refresh loop safe to write IN PLACE — a refreshed
+    * graph's frames still lazily READ the old `path` tables while the
+    * staging write runs; a plain overwrite would truncate its own
+    * input. Also the usual crash contract: failure mid-write leaves
+    * the previous graph intact plus an inert staging dir the next
+    * write overwrites.
     */
   def write(path: String): Unit = {
-    pairs.write.mode("overwrite").parquet(s"$path/pairs")
-    clusters.write.mode("overwrite").parquet(s"$path/clusters")
-    index.write.mode("overwrite").parquet(s"$path/index")
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staging = s"$path/.staging"
+    pairs.write.mode("overwrite").parquet(s"$staging/pairs")
+    clusters.write.mode("overwrite").parquet(s"$staging/clusters")
+    index.write.mode("overwrite").parquet(s"$staging/index")
+    Seq("pairs", "clusters", "index").foreach { t =>
+      val tgt = Paths.get(s"$path/$t")
+      if (Files.exists(tgt))
+        Files.walk(tgt).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.move(Paths.get(s"$staging/$t"), tgt,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.deleteIfExists(Paths.get(staging))
   }
 
   /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.ext.{Dedup, DupGraph}
+
+/** Pins the streamed refresh==rebuild contract: maintaining the durable
+  * dup graph over micro-batches yields EXACTLY the graph a one-shot
+  * build over the union corpus produces — clusters, pairs, and index.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch graph maintenance equals the one-shot union build " +
+      "after the last micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("sdedup").toString
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all"))
+    val b2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // joins {1,2}
+      (11L, "fresh pair of near identical day two documents"),
+      (12L, "fresh pair of near identical day two documents"))
+    val b3 = Seq(
+      (20L, "fresh pair of near identical day two documents"), // joins {11,12}
+      (21L, "a third batch singleton nothing matches here"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.maintain(
+      input.toDS().toDF("doc_id", "text"), path)
+    try {
+      Seq(b1, b2, b3).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val streamed = DupGraph.read(spark, path)
+    val full = Dedup.dupGraph(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(streamed.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+      assert(streamed.pairs.select("da", "db").as[(Long, Long)]
+        .collect().toSet ==
+        full.pairs.select("da", "db").as[(Long, Long)].collect().toSet)
+      assert(streamed.index.count() == full.index.count())
+      // the expected merged shape: {1,2,10} and {11,12,20}
+      val c = streamed.clusters.as[(Long, Long)].collect().toMap
+      assert(c == Map(1L -> 1L, 2L -> 1L, 10L -> 1L,
+        11L -> 11L, 12L -> 11L, 20L -> 11L))
+      // staged-promote left no residue
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/.staging")))
+    } finally full.unpersist()
+  }
+}
