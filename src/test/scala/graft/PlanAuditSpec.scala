@@ -145,6 +145,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"))
   }
 
+  test("q_ann_ivfpq: centroids/probes/LUT broadcast, elections are " +
+      "WindowGroupLimit, corpus never cartesians") {
+    val p = planOf("q_ann_ivfpq")
+    // three broadcast smalls (IVF centroids, probe frame, ADC LUT) and
+    // zero non-broadcast nested loops — the corpus side only ever meets
+    // broadcast frames or equi-joins
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian")
+    // assignment argmax + probe top-nprobe + final top-k all plan as
+    // WindowGroupLimit (never full per-group materialization)
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q_quantize_int8 / q_chunk_windows: per-row corpus prep — no mid-plan shuffle") {
     for (name <- Seq("q_quantize_int8", "q_chunk_windows")) {
       val p = planOf(name)
