@@ -430,7 +430,8 @@ object Dedup {
     }
     // index materializes lazily (write()/refresh need it; in-session
     // consumers of pairs/clusters never pay for it)
-    new DupGraph(pairs, clusters, () => shingleIndex(docs, text, id, n))
+    new DupGraph(pairs, clusters, () => shingleIndex(docs, text, id, n),
+      owned = Seq(pairs))
   }
 
   /** Day-2 incremental dup-graph refresh: fold a NEW batch into a
@@ -473,11 +474,13 @@ object Dedup {
       newPairs.select("da", "db").unionByName(seedEdges)) catch {
       case e: Throwable => newPairs.unpersist(); shNew.unpersist(); throw e
     }
-    shNew.unpersist()
-    // the refreshed graph owns the new-batch pair cache (its `pairs` is
-    // a union view, which unpersist() could not reach)
+    // the refreshed graph OWNS both batch caches: its `pairs` is a
+    // union view unpersist() could not reach, and its lazy `index`
+    // (shOld ∪ shNew) is typically materialized by write() AFTER this
+    // returns — releasing shNew here would force the whole batch
+    // shingle projection to run a third time per ingest
     new DupGraph(stored.pairs.unionByName(newPairs), clusters,
-      () => shOld.unionByName(shNew), owned = Seq(newPairs))
+      () => shOld.unionByName(shNew), owned = Seq(newPairs, shNew))
   }
 
   /** The deduplicated corpus: every document that is either untouched
@@ -621,10 +624,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, text: Column, id: Column,
                         n: Int, threshold: Double,
                         maxDf: Option[Long] = None): DataFrame =
-    shingleIntersections(docs, text, id, n, maxDf)
-      .select(col("da"), col("db"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jacc"))
-      .filter(col("jacc") >= threshold)
+    // ONE Jaccard formula for the batch and refresh paths (the
+    // refresh==rebuild property depends on them never drifting); the
+    // least/greatest orientation inside is a no-op on the self-join's
+    // already-ordered da < db pairs
+    jaccardFromIntersections(
+      shingleIntersections(docs, text, id, n, maxDf), threshold)
 
   /** Directional n-gram containment pairs: c_a_in_b = |A∩B| / |A| (the
     * fraction of A's shingles that also occur in B) and the mirror —
@@ -1071,10 +1076,7 @@ object Dedup {
 final class DupGraph private[ext] (val pairs: DataFrame,
                                    val clusters: DataFrame,
                                    mkIndex: () => DataFrame,
-                                   owned: Seq[DataFrame] = Nil) {
-
-  private val ownedCaches: Seq[DataFrame] =
-    if (owned.nonEmpty) owned else Seq(pairs)
+                                   owned: Seq[DataFrame]) {
 
   /** The 48-bit shingle inverted index (doc_id, s, sz) — the durable
     * artifact [[Dedup.refreshDupGraph]] joins a new batch against.
@@ -1092,31 +1094,24 @@ final class DupGraph private[ext] (val pairs: DataFrame,
     * pair volume follows actual duplication — both orders of magnitude
     * under the corpus text at any scale.
     *
-    * Staged-promote, always: the three tables land under
-    * `path/.staging` first and move into place (delete-then-
-    * ATOMIC_MOVE per table) only after ALL writes succeed. This is
-    * what makes the refresh loop safe to write IN PLACE — a refreshed
-    * graph's frames still lazily READ the old `path` tables while the
-    * staging write runs; a plain overwrite would truncate its own
-    * input. Also the usual crash contract: failure mid-write leaves
-    * the previous graph intact plus an inert staging dir the next
-    * write overwrites.
+    * Versioned-pointer commit ([[graft.ops.Staging]]): the three
+    * tables are written as a COMPLETE new version under `path/vN`, and
+    * only then does one atomic pointer swap (`path/LATEST`) publish
+    * it. A crash at ANY point before the swap leaves the previous
+    * version fully intact and discoverable — there is no
+    * delete-then-move window in which a reader (or a restarted
+    * [[graft.streaming.StreamingDedup]] loop) could observe a missing
+    * or mixed-version graph. This is also what makes writing IN PLACE
+    * during a refresh sound: the refreshed frames lazily READ the old
+    * version's files while the new version streams out; superseded
+    * versions are garbage-collected only after the swap.
     */
   def write(path: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val staging = s"$path/.staging"
-    pairs.write.mode("overwrite").parquet(s"$staging/pairs")
-    clusters.write.mode("overwrite").parquet(s"$staging/clusters")
-    index.write.mode("overwrite").parquet(s"$staging/index")
-    Seq("pairs", "clusters", "index").foreach { t =>
-      val tgt = Paths.get(s"$path/$t")
-      if (Files.exists(tgt))
-        Files.walk(tgt).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      Files.move(Paths.get(s"$staging/$t"), tgt,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.deleteIfExists(Paths.get(staging))
+    val (dir, n) = graft.ops.Staging.nextVersionDir(path)
+    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    clusters.write.mode("overwrite").parquet(s"$dir/clusters")
+    index.write.mode("overwrite").parquet(s"$dir/index")
+    graft.ops.Staging.commitVersion(path, n)
   }
 
   /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster
@@ -1143,25 +1138,38 @@ final class DupGraph private[ext] (val pairs: DataFrame,
       .select(col("sz"), col("n_clusters"),
         (col("sz") * col("n_clusters")).as("n_docs"))
 
-  /** Release the caches this graph owns (the pair table, plus — for a
-    * refreshed graph — the new-batch pair table). `clusters` remains
-    * valid (checkpoint blocks are independent of the cache); `pairs`
-    * consumers after this recompute from source.
+  /** Release the caches this graph owns — exactly the frames listed at
+    * construction (the pair table for a built graph; the new-batch
+    * pairs AND batch shingle index for a refreshed one; nothing for a
+    * read one). `clusters` remains valid (checkpoint blocks are
+    * independent of the cache); cached consumers after this recompute
+    * from source.
     */
-  def unpersist(): Unit = { ownedCaches.foreach(_.unpersist()); () }
+  def unpersist(): Unit = { owned.foreach(_.unpersist()); () }
 }
 
 object DupGraph {
-  /** Re-open a graph persisted by [[DupGraph.write]]. Nothing is
-    * cached on read (parquet scans are already cheap and columnar);
-    * [[Dedup.refreshDupGraph]] reads the index side exactly once per
-    * batch.
+  /** Re-open the LATEST committed version of a graph persisted by
+    * [[DupGraph.write]]. Nothing is cached on read (parquet scans are
+    * already cheap and columnar); [[Dedup.refreshDupGraph]] reads the
+    * index side exactly once per batch. Throws if no version was ever
+    * committed (use [[exists]] to probe).
     */
-  def read(spark: org.apache.spark.sql.SparkSession, path: String): DupGraph =
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DupGraph = {
+    val n = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed dup-graph at $path (missing LATEST)"))
+    val dir = graft.ops.Staging.versionDir(path, n)
     new DupGraph(
-      spark.read.parquet(s"$path/pairs"),
-      spark.read.parquet(s"$path/clusters"),
-      () => spark.read.parquet(s"$path/index"),
-      // a read graph owns no caches — unpersist is a no-op
-      owned = Seq.empty)
+      spark.read.parquet(s"$dir/pairs"),
+      spark.read.parquet(s"$dir/clusters"),
+      () => spark.read.parquet(s"$dir/index"),
+      owned = Seq.empty) // a read graph owns no caches
+  }
+
+  /** True iff a complete committed version exists at `path` — the
+    * restart probe for incremental loops (the pointer is written only
+    * after all three tables are fully on disk).
+    */
+  def exists(path: String): Boolean =
+    graft.ops.Staging.currentVersion(path).isDefined
 }

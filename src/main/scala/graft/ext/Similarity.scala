@@ -36,7 +36,6 @@ object Similarity {
   def cosinePre(dotAb: Column, na: Column, nb: Column): Column =
     dotAb / (na * nb)
 
-  /** Corpus with an attached norm column — compute once, reuse. */
   /** Id + vector + L2 norm — the single entry frame of the cosine
     * family. Rows with a NULL or EMPTY vector are EXCLUDED here: they
     * carry no direction, so neither a query nor a corpus entry is
@@ -48,6 +47,11 @@ object Similarity {
   def withNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
     emb.filter(vec.isNotNull && size(vec) > 0)
       .select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
+      // an all-zero vector (failed encoder, padding row) has nm = 0:
+      // its cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every real
+      // double, so it would rank FIRST in every top-k — dropped here
+      // with the other direction-less rows
+      .filter(col("nm") > 0)
 
   /** All pairs (a < b) with cosine >= threshold via the triangular
     * self-join — a SMALL-CORPUS utility (O(n²) BroadcastNestedLoopJoin).
@@ -148,7 +152,11 @@ object Similarity {
     * [[withNorm]]. Norms are exact (integer dot, then one sqrt).
     */
   def withQuantNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
-    quantizeInt8(emb.filter(vec.isNotNull && size(vec) > 0), id, vec)
+    // same row-drop rule as withNorm incl. the zero-norm case; with
+    // max|v| > 0 guaranteed here, the 127/max scaling always quantizes
+    // the max element to ±127, so the integer norm below is never 0
+    quantizeInt8(emb.filter(vec.isNotNull && size(vec) > 0 &&
+      VectorFunctions.dotNative(vec, vec) > 0), id, vec)
       .select(col("vec_id"), col("q"),
         sqrt(VectorFunctions.dotIntNative(col("q"), col("q")).cast("double")).as("nm"))
 

@@ -748,8 +748,9 @@ object TextAnalysis {
         col("merged").cast("string").as("merged"))
       .orderBy("step")
       .collect().map(r => (r.getString(1), r.getString(2)))
-    val wf = docs.select(explode(tokens(text)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
+    // distinct words, not frequencies: application (unlike training)
+    // never ranks pairs, so only the vocabulary itself is needed
+    val words = docs.select(explode(tokens(text)).as("w")).distinct()
     // the bpeFold two-space symbol encoding and search/replace shapes,
     // with literal merge strings (the table is already materialized)
     val enc0: Column = concat(lit(" "),
@@ -758,7 +759,7 @@ object TextAnalysis {
       replace(e, lit(" " + pair.replace(" ", "  ") + " "),
         lit(" " + merged + " "))
     }
-    val vocab = wf.select(col("w"),
+    val vocab = words.select(col("w"),
       size(split(trim(enc), "  ")).cast("long").as("pieces"))
     docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
       .join(broadcast(vocab), Seq("w"))

@@ -613,10 +613,19 @@ object ExtQueries {
   private val duckEmbValid =
     "embedding IS NOT NULL AND len(embedding) > 0"
 
+  /** [[duckEmbValid]] plus the zero-norm drop (withNorm's full rule):
+    * an all-zero vector has no direction and would NaN every cosine.
+    * Kept separate because direction-free consumers (q_jl_project,
+    * q_quantize_int8's row-preserving transform) use the weaker form.
+    */
+  private val duckEmbUnit =
+    duckEmbValid + " AND list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      "CAST(embedding AS DOUBLE[])) > 0"
+
   private val duckNormCte =
     "WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid)"
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit)"
 
   /** [EXT] L7b filtered vector search: top-k cosine neighbors among
     * corpus vectors matching a metadata predicate (label = 1) —
@@ -640,7 +649,7 @@ object ExtQueries {
     },
     Some("WITH nf AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
       "s AS (SELECT q.vec_id AS qid, c.vec_id, " +
       "list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos " +
       "FROM nf q JOIN nf c ON q.vec_id < 5 AND c.label = 1 " +
@@ -818,7 +827,7 @@ object ExtQueries {
           round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rnk")
     },
-    Some(s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $duckEmbValid), " +
+    Some(s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $duckEmbUnit), " +
       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
       "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
       "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
@@ -847,7 +856,7 @@ object ExtQueries {
           round(col("cos"), 4).as("cos"))
         .orderBy("qid", "rnk")
     },
-    Some(s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $duckEmbValid), " +
+    Some(s"WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE $duckEmbUnit), " +
       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM v), " +
       "sc AS (SELECT vec_id, v, CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m), " +
       "qz AS (SELECT vec_id, list_transform(v, x -> floor(x * scale + 0.5)) AS q FROM sc), " +
@@ -2011,10 +2020,12 @@ object ExtQueries {
   private val qHardNegatives = Q("q_hard_negatives",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      // withNorm's row-drop rule, kept inline because label rides along
+      // withNorm's full row-drop rule (null/empty/zero-norm), kept
+      // inline because label rides along
       val n = e.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"), col("embedding").as("v"),
           Similarity.norm(col("embedding")).as("nm"), col("label"))
+        .filter(col("nm") > 0)
       Similarity.hardNegativeTopK(
           n.filter(col("vec_id").isin(1, 2, 3, 4)), n, k = 5)
         .select(col("qid"), col("vec_id"),
@@ -2025,7 +2036,7 @@ object ExtQueries {
     Some("WITH n AS (SELECT vec_id, label, " +
       "CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
       "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nm AS qn " +
       "FROM n WHERE vec_id IN (1, 2, 3, 4)), " +
       "s AS (SELECT q.qid, n.vec_id, n.label, " +
@@ -2262,10 +2273,12 @@ object ExtQueries {
   private val qTripletMine = Q("q_triplet_mine",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      // withNorm's row-drop rule, kept inline because label rides along
+      // withNorm's full row-drop rule (null/empty/zero-norm), kept
+      // inline because label rides along
       val n = e.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"), col("embedding").as("v"),
           Similarity.norm(col("embedding")).as("nm"), col("label"))
+        .filter(col("nm") > 0)
       Similarity.tripletMine(n.filter(col("vec_id") < 8), n)
         .select(col("qid"), col("pos_id"), col("neg_id"),
           round(col("pos_cos"), 4).as("pos_cos"),
@@ -2276,7 +2289,7 @@ object ExtQueries {
     Some("WITH n AS (SELECT vec_id, label, " +
       "CAST(embedding AS DOUBLE[]) AS v, " +
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
-      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbValid), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
       "q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nm AS qn " +
       "FROM n WHERE vec_id < 8), " +
       "s AS (SELECT q.qid, q.qlabel, n.vec_id, n.label, " +

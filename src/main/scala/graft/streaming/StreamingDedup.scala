@@ -41,10 +41,14 @@ object StreamingDedup {
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val exists = java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$path/clusters"))
+        // the probe is the COMMIT POINTER, not a table dir: a version
+        // is discoverable only after write()'s atomic pointer swap, so
+        // a crash mid-write can never make a restarted loop mistake a
+        // partial graph for "nothing stored" and silently rebuild from
+        // one batch
         val g =
-          if (!exists) Dedup.dupGraph(batch.toDF(), col("text"), col("doc_id"))
+          if (!DupGraph.exists(path))
+            Dedup.dupGraph(batch.toDF(), col("text"), col("doc_id"))
           else Dedup.refreshDupGraph(DupGraph.read(spark, path),
             batch.toDF(), col("text"), col("doc_id"))
         try g.write(path) finally g.unpersist()

@@ -17,18 +17,19 @@ object FixtureIo {
       val tmp = s"$dst/_tmp_$name"
       transform(name, graft.model.Tables.load(spark, src, name))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).iterator()
-        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-      val it = new scala.collection.Iterator[java.nio.file.Path] {
-        def hasNext = part.hasNext; def next() = part.next()
-      }
-      val one = it.find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written for $name"))
+      val listing = Files.list(Paths.get(tmp))
+      val one = try {
+        val part = listing.iterator()
+        val it = new scala.collection.Iterator[java.nio.file.Path] {
+          def hasNext = part.hasNext; def next() = part.next()
+        }
+        it.find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for $name"))
+      } finally listing.close() // Files.list holds a directory handle
       Files.move(one, Paths.get(s"$dst/$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       // drop the now-empty Spark output dir (part markers, _SUCCESS)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      graft.ops.Staging.deleteTree(Paths.get(tmp))
     }
   }
 }

@@ -125,24 +125,14 @@ object PretrainDemo {
     funnel.toSeq
   }
 
-  /** Promote every staged table into place (delete-then-ATOMIC_MOVE per
-    * table, same filesystem), then drop the now-empty staging dir. Runs
-    * only after the whole chain has succeeded — the crash-safety
+  /** Promote every staged table into place via the ONE audited
+    * staged-promote implementation ([[graft.ops.Staging.promote]]).
+    * Runs only after the whole chain has succeeded — the crash-safety
     * boundary PretrainDemoSpec exercises with a genuine mid-pipeline
     * failure.
     */
-  private def promote(out: String, tables: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    tables.foreach { t =>
-      val tgt = Paths.get(s"$out/$t")
-      if (Files.exists(tgt))
-        Files.walk(tgt).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      Files.move(Paths.get(s"$out/.staging/$t"), tgt,
-        StandardCopyOption.ATOMIC_MOVE)
-    }
-    Files.deleteIfExists(Paths.get(s"$out/.staging"))
-  }
+  private def promote(out: String, tables: Seq[String]): Unit =
+    graft.ops.Staging.promote(out, tables)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

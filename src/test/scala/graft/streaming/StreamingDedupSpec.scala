@@ -53,9 +53,13 @@ class StreamingDedupSpec extends SparkSpec {
       val c = streamed.clusters.as[(Long, Long)].collect().toMap
       assert(c == Map(1L -> 1L, 2L -> 1L, 10L -> 1L,
         11L -> 11L, 12L -> 11L, 20L -> 11L))
-      // staged-promote left no residue
+      // versioned-pointer commits: three batches → three versions,
+      // LATEST points at the last, superseded dirs garbage-collected
+      assert(graft.ops.Staging.currentVersion(path).contains(3L))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$path/v3/clusters")))
       assert(!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$path/.staging")))
+        java.nio.file.Paths.get(s"$path/v1")))
     } finally full.unpersist()
   }
 }
