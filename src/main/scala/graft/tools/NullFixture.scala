@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.TimestampNTZType
   *               doc_id%19==7 → empty text (n_chars 0),
   *               doc_id%23==5 → NULL lang, doc_id%23==11 → NULL source
   *   embeddings: vec_id%29==3 → NULL embedding,
-  *               vec_id%29==7 → EMPTY embedding, vec_id%31==5 → NULL label
+  *               vec_id%29==7 → EMPTY embedding,
+  *               vec_id%29==11 → all-ZERO embedding (no direction),
+  *               vec_id%31==5 → NULL label
   *   events:     event_id%19==3 → NULL props, event_id%19==7 → NULL
   *               user_id (null join/group key), event_id%23==5 → NULL
   *               value, event_id%101==13 → NULL ts (the reference's
@@ -67,6 +69,12 @@ object NullFixture {
         when(col("vec_id") % 29 === 3, lit(null).cast("array<float>"))
           .when(col("vec_id") % 29 === 7,
             array().cast("array<float>"))
+          // all-ZERO vector (failed encoder / padding row): full length
+          // but no direction — the zero-norm row-drop contract's case
+          // (cosine would be 0/0 = NaN, which Spark sorts above every
+          // real double)
+          .when(col("vec_id") % 29 === 11,
+            transform(col("embedding"), _ => lit(0.0f)))
           .otherwise(col("embedding")).as("embedding"),
         when(col("vec_id") % 31 === 5, lit(null).cast("int"))
           .otherwise(col("label")).as("label"))

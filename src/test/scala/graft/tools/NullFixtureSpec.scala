@@ -39,10 +39,13 @@ class NullFixtureSpec extends SparkSpec {
     val emb = graft.model.Tables.load(spark, dir, "embeddings")
     val re = emb.agg(count(lit(1)).as("n"), count(col("embedding")).as("e"),
       sum(when(size(col("embedding")) === 0, 1L).otherwise(0L)).as("empty"),
+      sum(when(size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _ =!= 0.0f), 1L).otherwise(0L)).as("zero"),
       count(col("label")).as("lb")).collect().head
     assert(re.getAs[Long]("n") == 500L)
     assert(re.getAs[Long]("n") - re.getAs[Long]("e") == 18L) // %29==3
     assert(re.getAs[Long]("empty") == 17L)                   // %29==7
+    assert(re.getAs[Long]("zero") == 17L)                    // %29==11
     val ev = graft.model.Tables.load(spark, dir, "events")
     val rv = ev.agg(count(lit(1)).as("n"), count(col("ts")).as("ts"),
       count(col("user_id")).as("u"), count(col("value")).as("v"),
