@@ -316,6 +316,52 @@ class DedupSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: refreshDupGraph == full rebuild on random corpora and splits") {
+    // The durable-lifecycle contract under randomized stress: any
+    // corpus over a small token pool (forcing real near-dup clusters
+    // and shared shingles) split at any point into day-1/day-2 must
+    // refresh to EXACTLY the one-shot union graph — clusters and pair
+    // sets. Random splits cover empty day-1 (nothing stored — skipped,
+    // the build path), empty day-2, singleton batches, and clusters
+    // straddling the split (the merge path the fixed-case test aims at
+    // deliberately).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon")
+    val docGen = for {
+      n <- Gen.choose(4, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf(pool))
+    } yield toks.mkString(" ")
+    val corpusGen = for {
+      m <- Gen.choose(4, 10)
+      texts <- Gen.listOfN(m, docGen)
+      cut <- Gen.choose(1, m) // day-1 is never empty (read() requires a store)
+    } yield (texts.zipWithIndex.map { case (t, i) => (i.toLong + 1, t) }, cut)
+    val prop = Prop.forAll(corpusGen) { case (rows, cut) =>
+      val (d1, d2) = rows.splitAt(cut)
+      val dir = java.nio.file.Files.createTempDirectory("dg_prop").toString
+      val g1 = Dedup.dupGraph(d1.toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      try g1.write(dir) finally g1.unpersist()
+      val g2 =
+        if (d2.isEmpty) DupGraph.read(spark, dir)
+        else Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+          d2.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      val full = Dedup.dupGraph(rows.toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      try {
+        val cOk = g2.clusters.as[(Long, Long)].collect().toSet ==
+          full.clusters.as[(Long, Long)].collect().toSet
+        val pOk = g2.pairs.select("da", "db").as[(Long, Long)]
+          .collect().toSet ==
+          full.pairs.select("da", "db").as[(Long, Long)].collect().toSet
+        cOk && pOk
+      } finally { g2.unpersist(); full.unpersist() }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("duplicatePassageStats: shared passages counted, unique docs at zero") {
     // docs 1/2 share their first 4-token passage verbatim; doc 3 is
     // disjoint. win=4 → doc 1 has passages [a b c d]["e1 f1 g1 h1"],
