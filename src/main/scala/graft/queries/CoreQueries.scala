@@ -315,13 +315,15 @@ object CoreQueries {
     (s, d) => Windows.firstWins(
       t(s, d, "lineitem"),
       keys = Seq(col("l_partkey")),
-      priority = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice")))
+      // an UNKNOWN ship date must not win "earliest shipped" — nulls
+      // last, explicit on both engines (null-fixture class)
+      priority = Seq(col("l_shipdate").asc_nulls_last, col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice")))
       .select("l_partkey", "l_orderkey", "l_linenumber")
       .orderBy("l_partkey"),
     Some("SELECT l_partkey, l_orderkey, l_linenumber FROM (" +
       "SELECT l_partkey, l_orderkey, l_linenumber, row_number() OVER (" +
-      "PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber, " +
+      "PARTITION BY l_partkey ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber, " +
       "l_quantity, l_extendedprice) AS rn " +
       "FROM lineitem) WHERE rn = 1 ORDER BY l_partkey"))
 
@@ -486,8 +488,10 @@ object CoreQueries {
           col("l_quantity"), col("l_extendedprice")),
         preceding = 2), 4).as("mov_avg"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "mov_avg"),
+    // NULLS FIRST in the frame order = Spark's ASC default (l_shipdate
+    // is nullable in the null fixture)
     Some("SELECT l_suppkey, l_orderkey, l_linenumber, round(avg(l_quantity) OVER (" +
-      "PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, " +
+      "PARTITION BY l_suppkey ORDER BY l_shipdate NULLS FIRST, l_orderkey, l_linenumber, " +
       "l_quantity, l_extendedprice " +
       "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg " +
       "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, mov_avg"))
@@ -506,7 +510,7 @@ object CoreQueries {
     Some("SELECT p_partkey, p_brand, " +
       "rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk, " +
       "dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk " +
-      "FROM part ORDER BY p_brand, rnk, p_partkey"))
+      "FROM part ORDER BY p_brand NULLS FIRST, rnk, p_partkey"))
 
   /** W5 offset/navigation functions: lag/lead with defaults, ntile
     * bucketing, first_value — the per-customer order timeline view every
@@ -785,7 +789,7 @@ object CoreQueries {
       "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents, " +
       "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents, " +
       "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus " +
-      "ORDER BY l_returnflag, l_linestatus"))
+      "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"))
 
   /** Exact discrete percentiles (p50/p90) per group by explicit
     * window-rank selection — not percentile_disc/quantile_disc, whose
@@ -816,7 +820,7 @@ object CoreQueries {
       "SELECT l_returnflag, " +
       "max(CASE WHEN rn = ceil(cnt * 0.5) THEN l_extendedprice END) AS p50, " +
       "max(CASE WHEN rn = ceil(cnt * 0.9) THEN l_extendedprice END) AS p90 " +
-      "FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag"))
+      "FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"))
 
   /** Continuous (interpolated) percentile per group, from explicit
     * order statistics: target rank t = 1 + (n-1)p, value = v[floor(t)]
@@ -873,7 +877,7 @@ object CoreQueries {
       "(CAST(coalesce(u50, l50) AS DOUBLE) - CAST(l50 AS DOUBLE)), 4) AS p50, " +
       "round(CAST(l90 AS DOUBLE) + ((1.0 + CAST(n - 1 AS DOUBLE) * 0.9) - floor(1.0 + CAST(n - 1 AS DOUBLE) * 0.9)) * " +
       "(CAST(coalesce(u90, l90) AS DOUBLE) - CAST(l90 AS DOUBLE)), 4) AS p90 " +
-      "FROM g ORDER BY l_returnflag"))
+      "FROM g ORDER BY l_returnflag NULLS FIRST"))
 
   /** F12 deterministic least-squares fit + Pearson r per group
     * (graft.ops.Aggregates.linearFit): price-vs-quantity regression from
@@ -904,7 +908,7 @@ object CoreQueries {
       "round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) AS slope, " +
       "round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd, 4) AS intercept, " +
       "round((nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 4) AS r " +
-      "FROM md ORDER BY l_returnflag"))
+      "FROM md ORDER BY l_returnflag NULLS FIRST"))
 
   /** F11 array function: dot product vs a query vector, via built-in
     * zip_with + aggregate (no UDF, stays in codegen).
@@ -1304,7 +1308,7 @@ object CoreQueries {
     Some("SELECT l_returnflag, " +
       "CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_f, " +
       "CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS qty_o " +
-      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+      "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST"))
 
   /** A9 unpivot/melt (wide -> long). Per-order measure totals melted to
     * (order, measure, value) rows via Dataset.unpivot — a projection +
@@ -1643,13 +1647,16 @@ object CoreQueries {
     (s, d) => Windows.findFirst(
         t(s, d, "part").groupBy("p_brand", "p_type")
           .agg(count(lit(1)).as("n")),
-        Seq(col("p_brand")), Seq(col("n").desc, col("p_type")))
+        // an UNKNOWN type never wins the election over a known one at
+        // equal count — nulls last, explicit on both engines
+        Seq(col("p_brand")), Seq(col("n").desc, col("p_type").asc_nulls_last))
       .orderBy("p_brand"),
     Some("SELECT p_brand, p_type, n FROM (" +
       "SELECT p_brand, p_type, count(*) AS n, " +
       "row_number() OVER (PARTITION BY p_brand " +
-      "ORDER BY count(*) DESC, p_type) AS rn " +
-      "FROM part GROUP BY p_brand, p_type) WHERE rn = 1 ORDER BY p_brand"))
+      "ORDER BY count(*) DESC, p_type NULLS LAST) AS rn " +
+      "FROM part GROUP BY p_brand, p_type) WHERE rn = 1 " +
+      "ORDER BY p_brand NULLS FIRST"))
 
   /** O7 per-group top-k WITH ties ([[Windows.rankTopK]]): everything
     * tied at the cutoff price makes the list — the rank() semantic
@@ -1668,7 +1675,7 @@ object CoreQueries {
       "SELECT p_brand, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, " +
       "rank() OVER (PARTITION BY p_brand " +
       "ORDER BY CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) DESC) AS rk " +
-      "FROM part) WHERE rk <= 3 ORDER BY p_brand, price_c DESC"))
+      "FROM part) WHERE rk <= 3 ORDER BY p_brand NULLS FIRST, price_c DESC"))
 
   /** T-ext gap detection ([[Temporal.gaps]]): adjacent same-user
     * events more than one hour apart — the "where did the feed stall"

@@ -32,10 +32,13 @@ import org.apache.spark.sql.types.TimestampNTZType
   *   customer:   c_custkey%17==3 → NULL c_acctbal,
   *               c_custkey%17==7 → NULL c_mktsegment
   *   orders:     o_orderkey%19==5 → NULL o_orderpriority
-  *   region/nation/part/supplier/lineitem: copied unchanged (join keys
-  *   and the measure columns the money-sum determinism rules depend on
-  *   stay intact; the null surface above already exercises every
-  *   divergence class).
+  *   lineitem:   l_orderkey%43==3 → NULL l_returnflag (null group key),
+  *               %43==7 → NULL l_linestatus, %101==17 → NULL l_shipdate
+  *               (the open-ended timespan on the fact side: first-wins
+  *               priorities, range-join probes)
+  *   part:       p_partkey%29==3 → NULL p_brand, %29==7 → NULL p_type
+  *   region/nation/supplier: copied unchanged (join keys and the money
+  *   measure columns the exact-cents sums depend on stay intact).
   *
   * The events `ts` column is written as TIMESTAMP_NTZ — one of the
   * three physical encodings the generator has actually shipped
@@ -102,6 +105,27 @@ object NullFixture {
       df.withColumn("o_orderpriority",
         when(col("o_orderkey") % 19 === 5, lit(null).cast("string"))
           .otherwise(col("o_orderpriority")))
+    case "lineitem" =>
+      df.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"),
+        when(col("l_orderkey") % 43 === 3, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")).as("l_returnflag"),
+        when(col("l_orderkey") % 43 === 7, lit(null).cast("string"))
+          .otherwise(col("l_linestatus")).as("l_linestatus"),
+        // a NULL ship date: the open-ended-timespan case on the fact
+        // side (first-wins priorities, range-join probes)
+        when(col("l_orderkey") % 101 === 17, lit(null).cast("timestamp"))
+          .otherwise(col("l_shipdate")).as("l_shipdate"))
+    case "part" =>
+      df.select(
+        col("p_partkey"), col("p_name"),
+        when(col("p_partkey") % 29 === 3, lit(null).cast("string"))
+          .otherwise(col("p_brand")).as("p_brand"),
+        when(col("p_partkey") % 29 === 7, lit(null).cast("string"))
+          .otherwise(col("p_type")).as("p_type"),
+        col("p_size"), col("p_retailprice"))
     case _ => df
   }
 
