@@ -41,24 +41,45 @@ object FileTree {
       .select(
         remapped.as("link"),
         concat_ws("/", lit(sourceRoot), stripped).as("target"))
-      .dropDuplicates("link")
+      // DETERMINISTIC survivor when distinct targets collide on one
+      // link (min target) — dropDuplicates picks an arbitrary row, so
+      // the symlink's target would flip between runs/partitionings
+      // (the §7.5 contract; same reason Relational.dedupBySubset exists)
+      .groupBy("link").agg(min(col("target")).as("target"))
   }
 
   /** Execute the plan: create parent dirs + symlinks, one task per
-    * partition. Existing identical links are tolerated (idempotent
-    * re-runs); the accumulator mirrors the reference's progress counter
-    * (generate_dp1_file_tree.py:24,32-34).
+    * partition. Existing IDENTICAL links are tolerated (idempotent
+    * re-runs); an existing link with a DIFFERENT target fails loudly —
+    * silently keeping it would leave a stale mapping no re-run can see.
+    * Every link path is normalized and confined to `treeRoot`: a
+    * tampered export's `../..` path must not plant links outside the
+    * tree (the Import.scala poisoned-path threat model applied to the
+    * datastore path column). The accumulator mirrors the reference's
+    * progress counter (generate_dp1_file_tree.py:24,32-34).
     */
   def execute(plan: DataFrame, treeRoot: String,
               counter: Option[LongAccumulator] = None): Unit = {
     plan.select("link", "target").foreachPartition {
       rows: Iterator[org.apache.spark.sql.Row] =>
+        val root = Paths.get(treeRoot).toAbsolutePath.normalize
         rows.foreach { r =>
-          val link = Paths.get(treeRoot).resolve(r.getString(0))
+          val link = root.resolve(r.getString(0)).normalize
+          if (!link.startsWith(root))
+            throw new IllegalArgumentException(
+              s"link path escapes the tree root: ${r.getString(0)}")
           val target = Paths.get(r.getString(1))
           Files.createDirectories(link.getParent)
           try Files.createSymbolicLink(link, target)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val existing =
+                if (Files.isSymbolicLink(link)) Files.readSymbolicLink(link)
+                else null
+              if (existing != target)
+                throw new IllegalStateException(
+                  s"existing link $link points to $existing, expected $target")
+          }
           counter.foreach(_.add(1))
         }
     }

@@ -185,10 +185,31 @@ object Import {
     // the cached-count fallback only fires on listener loss
     val assocObs = org.apache.spark.sql.Observation("import_assoc")
     val certObs = org.apache.spark.sql.Observation("import_cert")
-    associated.drop("__ctype").observe(assocObs, count(lit(1)).as("n"))
+    // MERGE with the target's existing association tables (set
+    // semantics — an association is a membership, so full-row distinct
+    // keeps re-imports idempotent): a second import of OTHER dataset
+    // types must not wholesale-replace the tables a prior import wrote
+    // (the type catalog accumulates across imports by design; the data
+    // tables must accumulate with it)
+    def mergedAssoc(incoming: DataFrame, table: String): DataFrame = {
+      val targetPath = s"$targetDir/$table"
+      val existing =
+        if (Files.exists(Paths.get(targetPath)))
+          Some(spark.read.parquet(targetPath))
+        else None
+      existing
+        .map(_.unionByName(incoming, allowMissingColumns = true))
+        .getOrElse(incoming)
+        .dropDuplicates()
+    }
+    mergedAssoc(
+        associated.drop("__ctype").observe(assocObs, count(lit(1)).as("n")),
+        "associations_tagged")
       .write.mode("overwrite")
       .parquet(s"$staging/associations_tagged")
-    certified.drop("__ctype").observe(certObs, count(lit(1)).as("n"))
+    mergedAssoc(
+        certified.drop("__ctype").observe(certObs, count(lit(1)).as("n")),
+        "associations_calibration")
       .write.mode("overwrite")
       .parquet(s"$staging/associations_calibration")
 
@@ -211,8 +232,20 @@ object Import {
     val nested = Aggregates.nestCollect(datastore,
       Seq(col("datastore_name"), col("dataset_id")), payload, "file_infos")
     val nestedObs = org.apache.spark.sql.Observation("import_datastore")
-    nested.observe(nestedObs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$staging/datastore")
+    // skip-existing merge, like dimensions: nested rows are keyed by
+    // (datastore_name, dataset_id); prior imports' records survive
+    val nestedMerged = {
+      val targetPath = s"$targetDir/datastore"
+      val incoming = nested.observe(nestedObs, count(lit(1)).as("n"))
+      if (Files.exists(Paths.get(targetPath))) {
+        val existing = spark.read.parquet(targetPath)
+        existing.unionByName(
+          Relational.antiJoin(incoming, existing,
+            Seq("datastore_name", "dataset_id")),
+          allowMissingColumns = true)
+      } else incoming
+    }
+    nestedMerged.write.mode("overwrite").parquet(s"$staging/datastore")
 
     val report = ImportReport(
       dimCounts, dsCounts,
@@ -286,33 +319,41 @@ object Import {
     Manifests.writeJson(path, merged)
   }
 
+  /** Families whose children are independent TABLES from possibly
+    * different imports: promote replaces per TABLE, never the whole
+    * family — a second import of other dataset types must not delete
+    * the tables (and dimensions) a prior import wrote while the
+    * accumulating type catalog still references them.
+    */
+  private val TablePerChildFamilies = Set("dimensions", "datasets")
+
   private def promote(staging: String, targetDir: String): Unit = {
     val stagingPath = Paths.get(staging)
-    // materialize the family list before moving — walking lazily while
+    // materialize listings before moving — walking lazily while
     // renaming would stream a directory tree that is mutating under it
-    val families = {
-      val s = Files.list(stagingPath)
-      try s.filter(Files.isDirectory(_)).toArray(Array.ofDim[java.nio.file.Path](_)).toSeq
+    def children(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.filter(Files.isDirectory(_))
+        .toArray(Array.ofDim[java.nio.file.Path](_)).toSeq
       finally s.close()
     }
-    families.foreach { family =>
-      val dest = Paths.get(targetDir).resolve(family.getFileName)
-      if (Files.exists(dest)) deleteRecursively(dest)
-      Files.createDirectories(dest.getParent)
-      Files.move(family, dest, StandardCopyOption.ATOMIC_MOVE)
-    }
-    deleteRecursively(stagingPath)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val children = {
-        val s = Files.list(p)
-        try s.toArray(Array.ofDim[java.nio.file.Path](_)).toSeq
-        finally s.close()
+    children(stagingPath).foreach { family =>
+      val famName = family.getFileName.toString
+      if (TablePerChildFamilies.contains(famName)) {
+        children(family).foreach { table =>
+          val dest = Paths.get(targetDir).resolve(famName)
+            .resolve(table.getFileName)
+          graft.ops.Staging.deleteTree(dest)
+          Files.createDirectories(dest.getParent)
+          Files.move(table, dest, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } else {
+        val dest = Paths.get(targetDir).resolve(famName)
+        graft.ops.Staging.deleteTree(dest)
+        Files.createDirectories(dest.getParent)
+        Files.move(family, dest, StandardCopyOption.ATOMIC_MOVE)
       }
-      children.foreach(deleteRecursively)
     }
-    Files.deleteIfExists(p)
+    graft.ops.Staging.deleteTree(stagingPath)
   }
 }

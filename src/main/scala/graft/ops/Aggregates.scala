@@ -72,10 +72,18 @@ object Aggregates {
     val covN = nD * sxy - sx * sy   // n²·cov — shared numerator
     val varXN = nD * sxx - sx * sx  // n²·var(x)
     val varYN = nD * syy - sy * sy
-    val slope = covN / varXN
+    // null-guarded divisors (the repo-wide ANSI rule): a constant-x
+    // group — including every single-pair group — has var(x) = 0 and
+    // an undefined slope; it must report NULL, not throw
+    // DIVIDE_BY_ZERO and kill the query. Same for r when either
+    // variance is 0. `n` can also be 0 (a group whose every pair has
+    // a null side) — intercept guards it.
+    val slope = covN / when(varXN =!= 0.0, varXN)
     m.withColumn("slope", round(slope, scale))
-      .withColumn("intercept", round((sy - slope * sx) / nD, scale))
-      .withColumn("r", round(covN / (sqrt(varXN) * sqrt(varYN)), scale))
+      .withColumn("intercept",
+        round((sy - slope * sx) / when(col("n") >= 1, nD), scale))
+      .withColumn("r", round(covN /
+        when(varXN > 0.0 && varYN > 0.0, sqrt(varXN) * sqrt(varYN)), scale))
       .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
   }
 
@@ -217,7 +225,12 @@ object Aggregates {
     */
   def skylineMinMin(df: DataFrame, x: Column, y: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pts = df.groupBy(x.as("x")).agg(min(y).as("y"))
+    // dominance is undefined for unknown coordinates: a null-x row
+    // would sort NULLS FIRST, enter every later row's running min, and
+    // evict genuine frontier points while itself being emitted —
+    // excluded up front like every other bounded-domain statistic here
+    val pts = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("x")).agg(min(y).as("y"))
     val prev = Window.orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
     pts.withColumn("__pm", min("y").over(prev))
@@ -280,7 +293,11 @@ object Aggregates {
         sum("__c").over(Window.partitionBy("__g")).as("__n"))
       .select(col("__g"), col("__v"),
         round(col("__cf").cast("double") / col("__n"), 4).as("pct"))
-    df.join(broadcast(cdf), group === col("__g") && value === col("__v"))
+    // null-SAFE group equality: a NULL group is a real partition (a
+    // PARTITION BY oracle keeps it), and plain === would silently drop
+    // its rows from the output entirely; null VALUES still drop per
+    // the documented non-null value contract
+    df.join(broadcast(cdf), group <=> col("__g") && value === col("__v"))
       .drop("__g", "__v")
   }
 

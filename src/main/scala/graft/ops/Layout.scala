@@ -57,9 +57,15 @@ object Layout {
       val mn = bounds.getAs[Double](s"__mn_$c")
       val mx = bounds.getAs[Double](s"__mx_$c")
       val range = if (mx > mn) mx - mn else 1.0
-      least(lit(scaleMax), greatest(lit(0L),
-        ((col(c).cast("double") - lit(mn)) / lit(range) * lit(scaleMax.toDouble))
-          .cast("long")))
+      // explicit null gate: least/greatest IGNORE nulls (the
+      // winsorizedMeans lesson), so without it a null dimension value
+      // silently normalized to 0 — indistinguishable from the global
+      // minimum, polluting data tiles' min/max instead of riding the
+      // nulls-first range partition the scaladoc promises
+      when(col(c).isNull, lit(null).cast("long"))
+        .otherwise(least(lit(scaleMax), greatest(lit(0L),
+          ((col(c).cast("double") - lit(mn)) / lit(range) * lit(scaleMax.toDouble))
+            .cast("long"))))
     }
     val Z = "__graft_z"
     df.withColumn(Z, LayoutFunctions.zorder(normalized: _*))

@@ -22,6 +22,11 @@ object Observations {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     var row = observationRow(obs) // waits ~100ms internally when empty
     while (row.isEmpty && System.nanoTime() < deadline) row = observationRow(obs)
-    row.map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
+    // a ZERO-length metrics row can arrive when the observed subtree
+    // sits under a join/union branch the executor never produced rows
+    // for — treat it like a lost event (caller recomputes), not an
+    // index-out-of-bounds crash
+    row.filter(_.length > 0)
+      .map(r => if (r.isNullAt(0)) 0L else r.getLong(0))
   }
 }

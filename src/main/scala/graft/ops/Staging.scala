@@ -29,7 +29,12 @@ object Staging {
       Files.move(Paths.get(s"$root/.staging/$t"), tgt,
         StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.deleteIfExists(Paths.get(s"$root/.staging"))
+    // tree-delete, not deleteIfExists: anything staged but NOT in
+    // `tables` (a stray _SUCCESS, a table the caller chose not to
+    // promote) would leave the dir non-empty and throw
+    // DirectoryNotEmptyException AFTER every move already succeeded —
+    // unpromoted staging content is discarded by contract
+    deleteTree(Paths.get(s"$root/.staging"))
   }
 
   /** Versioned-pointer commit: the caller writes a complete artifact

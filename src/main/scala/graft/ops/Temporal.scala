@@ -181,8 +181,13 @@ object Temporal {
       gapCol = gapCol)
     val keyCols = keys.map(col)
     val day = unix_date(col(dateCol)).cast("double")
-    val obsDay = when(!col(gapCol), unix_date(col(dateCol)))
-    val obsVal = when(!col(gapCol), col(valueCol))
+    // BOTH carries gate on the same predicate (observed AND valued):
+    // an observed row with a NULL value otherwise advances the
+    // neighbor DAY while the neighbor VALUE still comes from an
+    // earlier row — a line through mismatched (day, value) pairs
+    val obsOk = !col(gapCol) && col(valueCol).isNotNull
+    val obsDay = when(obsOk, unix_date(col(dateCol)))
+    val obsVal = when(obsOk, col(valueCol))
     val wB = Window.partitionBy(keyCols: _*).orderBy(col(dateCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(keyCols: _*).orderBy(col(dateCol))
@@ -192,7 +197,9 @@ object Temporal {
     val nd = first(obsDay, ignoreNulls = true).over(wF).cast("double")
     val nv = first(obsVal, ignoreNulls = true).over(wF).cast("double")
     filledMark.withColumn(as,
-      when(!col(gapCol), round(col(valueCol).cast("double"), 4))
+      // an observed day with a NULL value interpolates like a gap day
+      // (same obsOk gate as the carries — it contributed no point)
+      when(obsOk, round(col(valueCol).cast("double"), 4))
         .otherwise(round(pv + (nv - pv) * (day - pd) / (nd - pd), 4)))
   }
 

@@ -904,10 +904,12 @@ object CoreQueries {
       "CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
       "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, " +
       "CAST(syy AS DOUBLE) AS syyd FROM m) " +
+      // NULLIF guards mirror linearFit's null-guarded divisors: a
+      // constant-x group reports NULL slope/r, never a crash or ±inf
       "SELECT l_returnflag, n, " +
-      "round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) AS slope, " +
-      "round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd, 4) AS intercept, " +
-      "round((nd * sxyd - sxd * syd) / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)), 4) AS r " +
+      "round((nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0), 4) AS slope, " +
+      "round((syd - ((nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0)) * sxd) / NULLIF(nd, 0), 4) AS intercept, " +
+      "round((nd * sxyd - sxd * syd) / NULLIF(sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd), 0), 4) AS r " +
       "FROM md ORDER BY l_returnflag NULLS FIRST"))
 
   /** F11 array function: dot product vs a query vector, via built-in
@@ -1185,20 +1187,23 @@ object CoreQueries {
       "LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day), " +
       "c AS (SELECT user_id, day, spend_cents, is_gap, " +
       "CAST(day - DATE '1970-01-01' AS DOUBLE) AS dd, " +
-      "CAST(last_value(CASE WHEN NOT is_gap THEN day - DATE '1970-01-01' END IGNORE NULLS) " +
+      "CAST(last_value(CASE WHEN NOT is_gap AND spend_cents IS NOT NULL THEN day - DATE '1970-01-01' END IGNORE NULLS) " +
       "OVER wb AS DOUBLE) AS pd, " +
-      "CAST(last_value(CASE WHEN NOT is_gap THEN spend_cents END IGNORE NULLS) " +
+      "CAST(last_value(CASE WHEN NOT is_gap AND spend_cents IS NOT NULL THEN spend_cents END IGNORE NULLS) " +
       "OVER wb AS DOUBLE) AS pv, " +
-      "CAST(first_value(CASE WHEN NOT is_gap THEN day - DATE '1970-01-01' END IGNORE NULLS) " +
+      "CAST(first_value(CASE WHEN NOT is_gap AND spend_cents IS NOT NULL THEN day - DATE '1970-01-01' END IGNORE NULLS) " +
       "OVER wf AS DOUBLE) AS nd, " +
-      "CAST(first_value(CASE WHEN NOT is_gap THEN spend_cents END IGNORE NULLS) " +
+      "CAST(first_value(CASE WHEN NOT is_gap AND spend_cents IS NOT NULL THEN spend_cents END IGNORE NULLS) " +
       "OVER wf AS DOUBLE) AS nv " +
       "FROM j WINDOW wb AS (PARTITION BY user_id ORDER BY day " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
       "wf AS (PARTITION BY user_id ORDER BY day " +
       "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
       "SELECT user_id, day, is_gap, " +
-      "CASE WHEN NOT is_gap THEN round(CAST(spend_cents AS DOUBLE), 4) " +
+      // obsOk gate mirrored: an observed day with a NULL value
+      // interpolates like a gap day (it contributed no point)
+      "CASE WHEN NOT is_gap AND spend_cents IS NOT NULL " +
+      "THEN round(CAST(spend_cents AS DOUBLE), 4) " +
       "ELSE round(pv + (nv - pv) * (dd - pd) / (nd - pd), 4) END AS interp " +
       "FROM c ORDER BY user_id NULLS FIRST, day"))
 
@@ -1596,9 +1601,11 @@ object CoreQueries {
         col("p_size"), col("price_c"))
       .select(col("x").as("p_size"), col("y").as("price_c"))
       .orderBy("p_size"),
+    // WHERE mirrors skylineMinMin's null-coordinate exclusion
     Some("WITH pts AS (SELECT p_size, " +
       "min(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS price_c " +
-      "FROM part GROUP BY p_size) " +
+      "FROM part WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL " +
+      "GROUP BY p_size) " +
       "SELECT p_size, price_c FROM pts a WHERE NOT EXISTS (" +
       "SELECT 1 FROM pts b WHERE b.p_size <= a.p_size " +
       "AND b.price_c <= a.price_c " +

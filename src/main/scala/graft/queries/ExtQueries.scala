@@ -1551,8 +1551,10 @@ object ExtQueries {
       "cdf AS (SELECT source, v, round(CAST(sum(c) OVER " +
       "(PARTITION BY source ORDER BY v) AS DOUBLE) / " +
       "sum(c) OVER (PARTITION BY source), 4) AS pct FROM h) " +
+      // IS NOT DISTINCT FROM mirrors the null-safe group join: a NULL
+      // source is a real partition, ranked within itself
       "SELECT doc_id, q.source, q.qb AS quality_bps, pct FROM q " +
-      "JOIN cdf ON q.source = cdf.source AND q.qb = cdf.v " +
+      "JOIN cdf ON q.source IS NOT DISTINCT FROM cdf.source AND q.qb = cdf.v " +
       "ORDER BY doc_id"))
 
   /** [EXT] L38 per-source top terms: each source's 3 most frequent

@@ -404,4 +404,73 @@ class EtlPipelineSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$targetDir/.staging")))
     assert(targetState() == before)
   }
+
+  test("sequential imports of different types accumulate: a second import " +
+      "never deletes a prior import's tables") {
+    // The accumulating-catalog contract applied to the DATA: import
+    // export A (type 'raw', dim 'visit'), then export B (type 'bias',
+    // dim 'detector') into the SAME target — A's dataset table,
+    // dimension table, associations, and datastore records must all
+    // survive B's promote (a family-wholesale replace would delete
+    // them while dataset_types.json still lists 'raw').
+    val exportA = mkTmp("graft-multi-a")
+    val exportB = mkTmp("graft-multi-b")
+    val targetDir = mkTmp("graft-multi-target")
+    val refsA = Seq(("id-a", "runs/v1", "runs/v1", 10))
+      .toDF("dataset_id", "run", "collection", "visit")
+    val visits = Seq((10, "r")).toDF("visit", "band")
+    val dsA = Seq(("main", 0, "id-a", "s3://bucket/a.fits"))
+      .toDF("datastore_name", "priority", "dataset_id", "path")
+    Export.run(exportA,
+      types = Seq(Export.DatasetTypeInput("raw", "Exp", refsA, Seq("visit"),
+        findFirst = true)),
+      dimensions = Seq(Export.DimensionInput("visit", visits, Seq("visit"))),
+      datastore = dsA,
+      collections = Seq(
+        CollectionExport("root", "CHAINED", Seq("runs/v1")),
+        CollectionExport("runs/v1", "TAGGED", Nil)),
+      rootCollection = "root")
+    val refsB = Seq(("id-b", "runs/v2", "runs/v2", 7))
+      .toDF("dataset_id", "run", "collection", "detector")
+    val detectors = Seq((7, "itl")).toDF("detector", "vendor")
+    val dsB = Seq(("main", 0, "id-b", "s3://bucket/b.fits"))
+      .toDF("datastore_name", "priority", "dataset_id", "path")
+    Export.run(exportB,
+      types = Seq(Export.DatasetTypeInput("bias", "Exp", refsB,
+        Seq("detector"), findFirst = true)),
+      dimensions = Seq(
+        Export.DimensionInput("detector", detectors, Seq("detector"))),
+      datastore = dsB,
+      collections = Seq(
+        CollectionExport("root", "CHAINED", Seq("runs/v2")),
+        CollectionExport("runs/v2", "TAGGED", Nil)),
+      rootCollection = "root")
+    val remap = Seq("s3://bucket/" -> "local/")
+    Import.run(spark, exportA, targetDir, Seq("raw"),
+      Map("visit" -> Seq("visit")), Map("visit" -> Nil), pathRemap = remap)
+    Import.run(spark, exportB, targetDir, Seq("bias"),
+      Map("detector" -> Seq("detector")), Map("detector" -> Nil),
+      pathRemap = remap)
+    // A's tables all survived B's promote
+    assert(spark.read.parquet(s"$targetDir/datasets/raw")
+      .select("dataset_id").as[String].collect().toSeq == Seq("id-a"))
+    assert(spark.read.parquet(s"$targetDir/datasets/bias")
+      .select("dataset_id").as[String].collect().toSeq == Seq("id-b"))
+    assert(spark.read.parquet(s"$targetDir/dimensions/visit").count() == 1L)
+    assert(spark.read.parquet(s"$targetDir/dimensions/detector").count() == 1L)
+    assert(spark.read.parquet(s"$targetDir/associations_tagged")
+      .select("dataset_id").as[String].collect().toSet == Set("id-a", "id-b"))
+    assert(spark.read.parquet(s"$targetDir/datastore")
+      .select("dataset_id").as[String].collect().toSet == Set("id-a", "id-b"))
+    // and the catalog lists both types, consistent with the data
+    val types = graft.model.Manifests
+      .readDatasetTypes(s"$targetDir/dataset_types.json").map(_.name).toSet
+    assert(types == Set("raw", "bias"))
+    // re-import of A stays idempotent under the merge semantics
+    val again = Import.run(spark, exportA, targetDir, Seq("raw"),
+      Map("visit" -> Seq("visit")), Map("visit" -> Nil), pathRemap = remap)
+    assert(again.dimensionsInserted == Map("visit" -> 0L))
+    assert(spark.read.parquet(s"$targetDir/associations_tagged").count() == 2L)
+    assert(spark.read.parquet(s"$targetDir/datastore").count() == 2L)
+  }
 }
