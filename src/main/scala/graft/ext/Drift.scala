@@ -47,8 +47,13 @@ object Drift {
       .agg(max("na").as("na"), max("nb").as("nb"),
         sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
       .select(col("g"), col("na"), col("nb"),
+        // denominator in DOUBLE: 2·na·nb overflows BIGINT already at
+        // ~2.1e9 rows per side (inside the numerator's own safe bound),
+        // and ANSI would throw mid-report; the single double product is
+        // exact for all counts below 2^52 and mirrored by the oracle
         when(col("na") > 0 && col("nb") > 0,
-          col("num").cast("double") / (lit(2L) * col("na") * col("nb")))
+          col("num").cast("double") /
+            (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
           .otherwise(lit(1.0)).as("tv"))
   }
 
@@ -70,15 +75,17 @@ object Drift {
   def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "no columns to profile")
     val aggs = columns.flatMap { c =>
-      Seq(count(lit(1)).as(s"__n_$c"), count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__d_$c"))
+      // backtick-quoted reads: a literal dotted column name must not
+      // parse as a struct-field access
+      Seq(count(lit(1)).as(s"__n_$c"), count(col(s"`$c`")).as(s"__nn_$c"),
+        countDistinct(col(s"`$c`")).as(s"__d_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = columns.map { c =>
-      struct(lit(c).as("column_name"), col(s"__n_$c").as("n_rows"),
-        col(s"__nn_$c").as("n_nonnull"),
-        (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),
-        col(s"__d_$c").as("n_distinct"))
+      struct(lit(c).as("column_name"), col(s"`__n_$c`").as("n_rows"),
+        col(s"`__nn_$c`").as("n_nonnull"),
+        (col(s"`__n_$c`") - col(s"`__nn_$c`")).as("n_null"),
+        col(s"`__d_$c`").as("n_distinct"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }

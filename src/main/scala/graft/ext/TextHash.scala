@@ -41,11 +41,16 @@ object TextHash {
 
   /** Word n-gram shingles. Multiset (use array_distinct for set
     * semantics). Guarded: Spark's sequence() descends when size < n.
+    * NULL input yields NULL (not an empty array) — the contract the
+    * native `ShingleHash48` kernel and the `duckShingles` oracle twin
+    * both follow; an empty-array fallback here would be the one place
+    * the three formulations disagree on null text.
     */
   def shingles(tok: Column, n: Int): Column =
-    when(size(tok) >= n,
-      transform(sequence(lit(1), size(tok) - lit(n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(tok, i + lit(j))): _*)))
+    when(tok.isNull, lit(null).cast("array<string>"))
+      .when(size(tok) >= n,
+        transform(sequence(lit(1), size(tok) - lit(n - 1)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(tok, i + lit(j))): _*)))
       .otherwise(array().cast("array<string>"))
 
   /** MinHash value for one hash-family member over a shingle multiset

@@ -49,7 +49,10 @@ object Urls {
     */
   def host(url: Column): Column = {
     val h = lower(try_parse_url(url, lit("HOST")))
-    val stripped = regexp_replace(h, "\\.$", "")
+    // \\.+$: ALL trailing dots — a single-strip would leave
+    // 'example.com..' as 'example.com.' and the registrable-domain
+    // split would emit the garbage pseudo-domain 'com.'
+    val stripped = regexp_replace(h, "\\.+$", "")
     when(stripped === "", lit(null)).otherwise(stripped)
   }
 

@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_minhash_sig", "MinHash signature over base hashes (k from arg 2)",
       args => {
         val k = expectInt(args(1), "k")
+        // loud bound: take(k) would silently TRUNCATE to the 8-member
+        // hash family, returning a shorter signature than requested
+        if (k < 1 || k > TextHash.Params.size)
+          throw new IllegalArgumentException(
+            s"graft_minhash_sig: k must be in [1, ${TextHash.Params.size}], got $k")
         MinHashSig(args(0), TextHash.Params.take(k).map(_._1),
           TextHash.Params.take(k).map(_._2))
       })

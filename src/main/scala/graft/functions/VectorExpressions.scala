@@ -47,7 +47,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // mismatched lengths yield NULL, matching the zip_with/aggregate
+    // formulation this kernel claims identity with (null padding ->
+    // null sum) — a silent min-length truncation would rank corrupt
+    // vectors with plausible partial dots instead of surfacing them
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     def get(d: ArrayData, t: DataType, i: Int): Double = t match {
       case FloatType => d.getFloat(i).toDouble
       case LongType => d.getLong(i).toDouble
@@ -75,10 +80,14 @@ case class DotProduct(left: Expression, right: Expression)
       val getA = getter(a, elemType(left))
       val getB = getter(b, elemType(right))
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $getA * $getB;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += $getA * $getB;
+         |  }
          |}
        """.stripMargin
     })
@@ -116,7 +125,8 @@ case class DotProductLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null // see graft_dot
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -131,10 +141,14 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |${ev.value} = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  ${ev.value} = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value} += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
        """.stripMargin
     })

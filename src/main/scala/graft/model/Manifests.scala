@@ -53,7 +53,8 @@ object Manifests {
       s"$kind name is not a safe path segment: '$name'")
 
   def writeJson[A <: AnyRef](path: String, a: A): Unit = {
-    Files.createDirectories(Paths.get(path).getParent)
+    // getParent is null for a bare filename — nothing to create then
+    Option(Paths.get(path).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(path), Serialization.writePretty(a))
   }
 
@@ -184,9 +185,22 @@ object Manifests {
   def flattenChain(collections: Seq[CollectionExport], root: String): Seq[String] = {
     val byName = collections.map(c => c.name -> c).toMap
     val seen = scala.collection.mutable.LinkedHashSet[String]()
+    // cycle + diamond guard: manifests are EXTERNAL input (YAML/JSON),
+    // so a cyclic chain must fail diagnosably (like topoSortDimensions)
+    // rather than StackOverflow, and a diamond must not re-walk its
+    // shared subtree exponentially
+    val visiting = scala.collection.mutable.LinkedHashSet[String]()
+    val done = scala.collection.mutable.HashSet[String]()
     def walk(name: String): Unit = byName.get(name) match {
-      case Some(c) if c.collection_type == "CHAINED" => c.children.foreach(walk)
-      case Some(c) => seen += c.name
+      case _ if done.contains(name) => ()
+      case _ if visiting.contains(name) =>
+        throw new IllegalArgumentException(
+          s"collection chain cycle: ${visiting.mkString(" -> ")} -> $name")
+      case Some(c) if c.collection_type == "CHAINED" =>
+        visiting += name
+        try c.children.foreach(walk) finally visiting -= name
+        done += name
+      case Some(c) => seen += c.name; done += name
       case None => throw new IllegalArgumentException(s"unknown collection: $name")
     }
     walk(root)
@@ -201,7 +215,9 @@ object Manifests {
   def topoSortDimensions(deps: Map[String, Seq[String]]): Seq[String] = {
     val all = (deps.keySet ++ deps.values.flatten).toSeq.sorted
     val inDeg = scala.collection.mutable.Map(
-      all.map(d => d -> deps.getOrElse(d, Nil).count(all.contains)): _*)
+      // distinct: a duplicated dependency entry would count twice while
+      // completion decrements once -> spurious "cycle" on acyclic input
+      all.map(d => d -> deps.getOrElse(d, Nil).distinct.count(all.contains)): _*)
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val ready = scala.collection.mutable.SortedSet[String](
       all.filter(inDeg(_) == 0): _*)

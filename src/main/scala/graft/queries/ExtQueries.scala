@@ -1107,7 +1107,8 @@ object ExtQueries {
       "WHEN 6 THEN 'HTTPS://WWW.' || upper(source) || '.COM.AU/Q?u=v' " +
       "ELSE 'https://' || source || '.dev/about' END AS url FROM documents), " +
       "h AS (SELECT nullif(regexp_replace(lower(regexp_extract(url, " +
-      "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)), '\\.$', ''), '') " +
+      // \\.+$ mirrors Urls.host: ALL trailing dots stripped
+      "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1)), '\\.+$', ''), '') " +
       "AS host FROM u), " +
       "s AS (SELECT host, string_split(host, '.') AS ls FROM h) " +
       "SELECT CASE WHEN regexp_matches(host, '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$') THEN host " +
@@ -1851,7 +1852,9 @@ object ExtQueries {
       "FROM h JOIN tot USING (source) GROUP BY h.source) " +
       "SELECT source, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
       "CASE WHEN na > 0 AND nb > 0 THEN " +
-      "CAST(num AS DOUBLE) / (2 * na * nb) ELSE 1.0 END AS tv " +
+      // double denominator mirrors totalVariation (BIGINT 2*na*nb
+      // overflows at ~2.1e9 rows/side; doubles are exact below 2^52)
+      "CAST(num AS DOUBLE) / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) ELSE 1.0 END AS tv " +
       "FROM f ORDER BY source NULLS FIRST"))
 
   /** [EXT] L47 k-means centroid training ([[Similarity.kmeansRefine]],

@@ -816,7 +816,9 @@ object TwsDrift {
       val num = (cur.keySet ++ r.keySet).iterator.map { v =>
         math.abs(cur.getOrElse(v, 0L) * nb - r.getOrElse(v, 0L) * na)
       }.sum
-      val tv = if (na > 0 && nb > 0) num.toDouble / (2L * na * nb).toDouble
+      // double denominator: the batch totalVariation formula verbatim
+      // (a 2L*na*nb long product overflows at ~2.1e9 rows per side)
+      val tv = if (na > 0 && nb > 0) num.toDouble / (2.0 * na.toDouble * nb.toDouble)
                else 1.0
       Iterator.single(Tv(g, na, nb, tv))
     }
