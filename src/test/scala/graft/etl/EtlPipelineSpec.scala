@@ -61,6 +61,31 @@ class EtlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("topo sort: duplicated dependency entries are not a spurious cycle") {
+    // count()ing dups while decrementing once left the node at in-degree
+    // 1 forever -> false 'cycle' on acyclic input
+    assert(Manifests.topoSortDimensions(Map("b" -> Seq("a", "a"), "a" -> Nil))
+      == Seq("a", "b"))
+  }
+
+  test("chain flattening: cycles fail diagnosably; diamonds walk once") {
+    val cyclic = Seq(
+      CollectionExport("a", "CHAINED", Seq("b")),
+      CollectionExport("b", "CHAINED", Seq("a")))
+    val e = intercept[IllegalArgumentException] {
+      Manifests.flattenChain(cyclic, "a")
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    // diamond: root -> (l, r) -> shared; shared's leaf emitted once
+    val diamond = Seq(
+      CollectionExport("root", "CHAINED", Seq("l", "r")),
+      CollectionExport("l", "CHAINED", Seq("shared")),
+      CollectionExport("r", "CHAINED", Seq("shared")),
+      CollectionExport("shared", "CHAINED", Seq("leaf")),
+      CollectionExport("leaf", "RUN", Nil))
+    assert(Manifests.flattenChain(diamond, "root") == Seq("leaf"))
+  }
+
   test("collections YAML manifest round-trips, incl. quoting edge cases") {
     val dir = mkTmp("graft-yaml")
     val gnarly = Seq(

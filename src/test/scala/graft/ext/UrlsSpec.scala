@@ -48,6 +48,15 @@ class UrlsSpec extends SparkSpec {
     ))
   }
 
+  test("host: repeated trailing dots can never mint a 'com.' pseudo-domain") {
+    // java.net.URI (try_parse_url) rejects the empty label outright, so
+    // 'example.com..' is null on the Spark side; the \\.+$ strip exists
+    // for PARITY with the oracle's regex extractor, which does capture
+    // the raw host — both paths must agree the pseudo-domain never forms
+    assert(hosts(Seq("https://example.com../x")) == Seq(None))
+    assert(domains(Seq("https://example.com../x")) == Seq(None))
+  }
+
   test("registrableDomain: 1-label TLD keeps 2 labels, 2-label suffix keeps 3") {
     assert(domains(Seq(
       "https://www.example.com/a",

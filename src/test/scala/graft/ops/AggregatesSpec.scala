@@ -150,6 +150,46 @@ class AggregatesSpec extends SparkSpec {
     assert(global.size == 3 && global(5L) == 1.0)
   }
 
+  test("linearFit: constant-x and single-pair groups report NULL, never throw") {
+    // ANSI mode: an unguarded covN/varXN would DIVIDE_BY_ZERO and kill
+    // the whole query on the first degenerate group
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), // perfect fit
+      ("b", 5L, 10L), ("b", 5L, 20L),                 // constant x
+      ("c", 7L, 7L)                                   // single pair
+    ).toDF("g", "x", "y")
+    val out = Aggregates.linearFit(df, Seq(col("g")), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("a").getAs[Double]("slope") == 10.0)
+    assert(out("a").getAs[Double]("r") == 1.0)
+    for (g <- Seq("b", "c")) {
+      assert(out(g).isNullAt(out(g).fieldIndex("slope")), s"group $g slope")
+      assert(out(g).isNullAt(out(g).fieldIndex("r")), s"group $g r")
+    }
+  }
+
+  test("skylineMinMin: null coordinates are excluded, not frontier-polluting") {
+    // a null-x row used to BOTH appear in the output and evict genuine
+    // frontier points (NULLS FIRST put its y into every running min)
+    val df = Seq((Some(1L), Some(5L)), (None, Some(1L)), (Some(3L), Some(4L)),
+        (Some(2L), None))
+      .toDF("x", "y")
+    val out = Aggregates.skylineMinMin(df, col("x"), col("y"))
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 5L), (3L, 4L)), out)
+  }
+
+  test("percentileRankBoundedBy: a NULL group is a real partition") {
+    val df = Seq((Some("a"), 1L), (Some("a"), 2L), (None, 3L), (None, 4L))
+      .toDF("g", "v")
+    val out = Aggregates.percentileRankBoundedBy(df, col("g"), col("v"))
+      .collect().map(r => (Option(r.getAs[String]("g")), r.getAs[Long]("v")) ->
+        r.getAs[Double]("pct")).toMap
+    // null-group rows are ranked WITHIN the null partition, not dropped
+    assert(out((None, 3L)) == 0.5 && out((None, 4L)) == 1.0, out)
+    assert(out((Some("a"), 1L)) == 0.5 && out((Some("a"), 2L)) == 1.0)
+  }
+
   test("medianAbsDeviationBounded is outlier-robust where mean/stddev are not") {
     // tight cluster at 10..14 plus one extreme outlier
     val vals = Seq(10L, 11L, 12L, 13L, 14L, 1000000L)
