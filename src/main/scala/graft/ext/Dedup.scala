@@ -431,7 +431,7 @@ object Dedup {
     // index materializes lazily (write()/refresh need it; in-session
     // consumers of pairs/clusters never pay for it)
     new DupGraph(pairs, clusters, () => shingleIndex(docs, text, id, n),
-      owned = Seq(pairs))
+      owned = Seq(pairs), n = n, threshold = threshold)
   }
 
   /** Day-2 incremental dup-graph refresh: fold a NEW batch into a
@@ -451,6 +451,13 @@ object Dedup {
     * ids (same rule as any append-only ingest; a re-ingested id would
     * alias two shingle sets).
     *
+    * Parameters come FROM the stored graph (its manifest): a refresh
+    * must use the shingle width and threshold the artifact was built
+    * with — mixing widths would join incompatible shingle spaces and
+    * mixing thresholds would break refresh == rebuild, both silently.
+    * Passing explicit `n`/`threshold` is validated against the stored
+    * values and rejected on mismatch.
+    *
     * Scale posture: day-2 cost is batch-index build + one co-located
     * cross join whose volume follows batch-vs-corpus shared shingles +
     * one contraction over (new pairs + cluster summary edges) — the
@@ -459,13 +466,20 @@ object Dedup {
     * graph.
     */
   def refreshDupGraph(stored: DupGraph, newDocs: DataFrame, text: Column,
-                      id: Column, n: Int = 3,
-                      threshold: Double = 0.5): DupGraph = {
-    val shNew = shingleIndex(newDocs, text, id, n).persist()
+                      id: Column, n: Int = -1,
+                      threshold: Double = -1.0): DupGraph = {
+    require(n == -1 || n == stored.n,
+      s"refresh shingle width $n != stored graph's ${stored.n} " +
+        "(mixing widths joins incompatible shingle spaces)")
+    require(threshold == -1.0 || threshold == stored.threshold,
+      s"refresh threshold $threshold != stored graph's ${stored.threshold} " +
+        "(mixing thresholds breaks refresh == rebuild)")
+    val (nn, tt) = (stored.n, stored.threshold)
+    val shNew = shingleIndex(newDocs, text, id, nn).persist()
     val shOld = stored.index
-    val newPairs = jaccardFromIntersections(indexSelfIntersections(shNew), threshold)
+    val newPairs = jaccardFromIntersections(indexSelfIntersections(shNew), tt)
       .unionByName(
-        jaccardFromIntersections(indexCrossIntersections(shNew, shOld), threshold))
+        jaccardFromIntersections(indexCrossIntersections(shNew, shOld), tt))
       .persist()
     val seedEdges = stored.clusters
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -480,7 +494,8 @@ object Dedup {
     // returns — releasing shNew here would force the whole batch
     // shingle projection to run a third time per ingest
     new DupGraph(stored.pairs.unionByName(newPairs), clusters,
-      () => shOld.unionByName(shNew), owned = Seq(newPairs, shNew))
+      () => shOld.unionByName(shNew), owned = Seq(newPairs, shNew),
+      n = nn, threshold = tt)
   }
 
   /** The deduplicated corpus: every document that is either untouched
@@ -727,16 +742,23 @@ object Dedup {
     * doc sharing a shingle — the day-2 candidate join that replaces a
     * full union-corpus re-enumeration. Ids must be disjoint between the
     * two indexes (a re-ingested id would pair with itself; such rows are
-    * filtered, not matched). Both sides are partitioned on `s` by
-    * [[shingleIndex]]/parquet scan, so the join is one co-located
-    * shuffle-hash exchange pair; cost follows shared shingles between
-    * the BATCH and the corpus, never corpus².
+    * filtered, not matched).
+    *
+    * Build-side discipline for scale: the BATCH index is the
+    * shuffle-hash build side (batch-sized per partition), the STORED
+    * index is the streamed probe — so when the stored index is a
+    * BUCKETED table on `s` ([[DupGraph.write]]'s layout), the
+    * corpus-sized side reads straight out of its bucket files with NO
+    * Exchange at all (PlanAuditSpec pins this): the only shuffle in a
+    * day-2 refresh is the batch's own. On a plain-parquet stored index
+    * both sides shuffle once on `s` (still collision-bound, never
+    * corpus²).
     */
   private[ext] def indexCrossIntersections(shNew: DataFrame,
                                            shOld: DataFrame): DataFrame = {
     val a = shNew.select(col("doc_id").as("da"), col("s"), col("sz").as("na"))
     val b = shOld.select(col("doc_id").as("db"), col("s"), col("sz").as("nb"))
-    a.join(b.hint("shuffle_hash"), Seq("s"))
+    a.hint("shuffle_hash").join(b, Seq("s"))
       .filter(col("da") =!= col("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("i"))
   }
@@ -1076,7 +1098,9 @@ object Dedup {
 final class DupGraph private[ext] (val pairs: DataFrame,
                                    val clusters: DataFrame,
                                    mkIndex: () => DataFrame,
-                                   owned: Seq[DataFrame]) {
+                                   owned: Seq[DataFrame],
+                                   val n: Int,
+                                   val threshold: Double) {
 
   /** The 48-bit shingle inverted index (doc_id, s, sz) — the durable
     * artifact [[Dedup.refreshDupGraph]] joins a new batch against.
@@ -1104,14 +1128,41 @@ final class DupGraph private[ext] (val pairs: DataFrame,
     * or mixed-version graph. This is also what makes writing IN PLACE
     * during a refresh sound: the refreshed frames lazily READ the old
     * version's files while the new version streams out; superseded
-    * versions are garbage-collected only after the swap.
+    * versions are garbage-collected only after the swap (the previous
+    * `retain` versions survive each commit, so a lazy reader holding
+    * the prior version never loses files mid-scan — the reader
+    * lifetime contract on [[DupGraph.read]]).
+    *
+    * ==Bucketed index layout (the 100 TB refresh cost)==
+    * With `buckets > 0` (default 32) the shingle index is written as a
+    * HASH-BUCKETED, bucket-sorted table on `s` — Spark's bucket hash
+    * is the same murmur3 the shuffle uses, so a day-2
+    * `indexCrossIntersections` reads the corpus-sized stored side
+    * straight from its bucket files with NO Exchange: the only
+    * shuffle a refresh pays is the new batch's own index. On plain
+    * parquet (`buckets = 0`) the stored side would re-shuffle per
+    * refresh — at 100 TB that exchange IS the refresh cost. Bucket
+    * count is recorded in the version manifest and restored by
+    * [[DupGraph.read]]; pick it like shuffle partitions (corpus
+    * shingle volume / healthy partition size).
+    *
+    * Each version carries a manifest (shingle width, threshold, hash
+    * version, bucket count, optional last-applied streaming batch id)
+    * — [[Dedup.refreshDupGraph]] refuses mismatched parameters instead
+    * of silently mixing shingle spaces.
     */
-  def write(path: String): Unit = {
-    val (dir, n) = graft.ops.Staging.nextVersionDir(path)
+  def write(path: String, buckets: Int = 32,
+            batchId: Option[Long] = None): Unit = {
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     pairs.write.mode("overwrite").parquet(s"$dir/pairs")
     clusters.write.mode("overwrite").parquet(s"$dir/clusters")
-    index.write.mode("overwrite").parquet(s"$dir/index")
-    graft.ops.Staging.commitVersion(path, n)
+    if (buckets > 0) DupGraph.writeBucketed(index, s"$dir/index", buckets)
+    else index.write.mode("overwrite").parquet(s"$dir/index")
+    graft.ops.Staging.writeManifest(dir,
+      Map("n" -> n.toString, "threshold" -> threshold.toString,
+        "hash" -> DupGraph.HashVersion, "buckets" -> buckets.toString) ++
+        batchId.map("batchId" -> _.toString))
+    graft.ops.Staging.commitVersion(path, v)
   }
 
   /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster
@@ -1149,21 +1200,88 @@ final class DupGraph private[ext] (val pairs: DataFrame,
 }
 
 object DupGraph {
+
+  /** Shingle-hash scheme identifier persisted in every version
+    * manifest — a refresh against an artifact hashed under a different
+    * scheme must fail loudly, never join garbage.
+    */
+  val HashVersion = "shingle48/v1"
+
+  /** Write `df` as a hash-bucketed, bucket-sorted parquet table on `s`
+    * at exactly `dir` — Spark's bucketed layout needs a catalog entry
+    * at write time, so this routes through a transient external-table
+    * name and drops the entry afterwards (external drop keeps the
+    * files; the bucket ids live in the file NAMES, which is what the
+    * bucketed read resolves). The upstream index is already
+    * hash-partitioned on `s` with the same murmur3, so each write task
+    * emits one bucket file — no writer-side fan-out.
+    */
+  private[ext] def writeBucketed(df: DataFrame, dir: String,
+                                 buckets: Int): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"graft_bktw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    df.write.bucketBy(buckets, "s").sortBy("s")
+      .option("path", dir).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE `$tmp`")
+    ()
+  }
+
+  /** Open a bucketed table written by [[writeBucketed]]: (re)register a
+    * deterministic external-table entry over `dir` carrying the bucket
+    * spec, so the scan reports HashPartitioning(`s`, buckets) and joins
+    * against it need no Exchange on this side. The catalog entry is
+    * derived from the directory (stable per artifact version) — an
+    * already-resolved DataFrame keeps working if the entry is later
+    * repointed (relations resolve at analysis, not execution).
+    */
+  private[ext] def readBucketed(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, buckets: Int): DataFrame = {
+    val name = "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // CLUSTERED BY requires an explicit column list — take it from the
+    // parquet footers (id column type is caller-defined, never assumed)
+    val ddl = spark.read.parquet(dir).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` ($ddl) USING parquet " +
+      s"CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS " +
+      s"LOCATION '$dir'")
+    spark.table(name)
+  }
+
   /** Re-open the LATEST committed version of a graph persisted by
     * [[DupGraph.write]]. Nothing is cached on read (parquet scans are
     * already cheap and columnar); [[Dedup.refreshDupGraph]] reads the
-    * index side exactly once per batch. Throws if no version was ever
-    * committed (use [[exists]] to probe).
+    * index side exactly once per batch. Build parameters and the
+    * bucket layout come from the version manifest (versions predating
+    * manifests fall back to the library defaults n=3, threshold=0.5,
+    * plain parquet). Throws if no version was ever committed (use
+    * [[exists]] to probe).
+    *
+    * ==Reader lifetime contract==
+    * The returned frames lazily scan the resolved version's files.
+    * Each later commit retains the `retain` (default 1) previous
+    * versions, so a reader stays valid across that many concurrent
+    * commits; a consumer that holds a graph across MORE commits than
+    * the writer's retention must re-[[read]] (or the writer must raise
+    * `retain`).
     */
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DupGraph = {
-    val n = graft.ops.Staging.currentVersion(path).getOrElse(
+    val v = graft.ops.Staging.currentVersion(path).getOrElse(
       sys.error(s"no committed dup-graph at $path (missing LATEST)"))
-    val dir = graft.ops.Staging.versionDir(path, n)
+    val dir = graft.ops.Staging.versionDir(path, v)
+    val mf = graft.ops.Staging.readManifest(dir)
+    mf.get("hash").filter(_ != HashVersion).foreach(h =>
+      sys.error(s"dup-graph at $path hashed under '$h'; this build " +
+        s"speaks '$HashVersion' — rebuild, do not refresh"))
+    val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
     new DupGraph(
       spark.read.parquet(s"$dir/pairs"),
       spark.read.parquet(s"$dir/clusters"),
-      () => spark.read.parquet(s"$dir/index"),
-      owned = Seq.empty) // a read graph owns no caches
+      () => if (buckets > 0) readBucketed(spark, s"$dir/index", buckets)
+            else spark.read.parquet(s"$dir/index"),
+      owned = Seq.empty, // a read graph owns no caches
+      n = mf.get("n").map(_.toInt).getOrElse(3),
+      threshold = mf.get("threshold").map(_.toDouble).getOrElse(0.5))
   }
 
   /** True iff a complete committed version exists at `path` — the
@@ -1172,4 +1290,17 @@ object DupGraph {
     */
   def exists(path: String): Boolean =
     graft.ops.Staging.currentVersion(path).isDefined
+
+  /** The last streaming batch id folded into the committed graph, if
+    * the writer recorded one — [[graft.streaming.StreamingDedup]]'s
+    * replay guard (a micro-batch re-delivered after a crash between
+    * the graph's pointer commit and the stream's checkpoint commit
+    * must NOT be folded twice; its ids are already in the stored
+    * index and would self-pair).
+    */
+  def lastBatchId(path: String): Option[Long] =
+    graft.ops.Staging.currentVersion(path).flatMap { v =>
+      graft.ops.Staging.readManifest(graft.ops.Staging.versionDir(path, v))
+        .get("batchId").map(_.toLong)
+    }
 }

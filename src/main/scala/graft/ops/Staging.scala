@@ -1,48 +1,124 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.net.URI
+
+import scala.collection.immutable.ListMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
 
 /** Shared filesystem plumbing for the staged-promote and
   * versioned-pointer write disciplines (one audited copy — Dedup's
-  * durable graph, PretrainDemo's shard promote, and the fixture tools
-  * all route through here; crash-safety code that exists twice drifts).
+  * durable graph, AnnIndex, PretrainDemo's shard promote, and the
+  * fixture tools all route through here; crash-safety code that exists
+  * twice drifts).
+  *
+  * ==Portability contract==
+  * All paths go through the Hadoop `FileSystem`/`FileContext` API, so
+  * the same code runs against `file://` (tests, single node), HDFS,
+  * and object stores — with these documented semantics:
+  *
+  *  - '''local / HDFS''': `rename` is atomic, so both [[promote]]'s
+  *    per-table move and [[commitVersion]]'s pointer swap
+  *    (tmp-file + rename-with-OVERWRITE via `FileContext`) give the
+  *    advertised guarantee: a reader sees the old pointer or the new
+  *    one, never a torn or missing pointer.
+  *  - '''S3A / object stores''': rename is copy+delete (NOT atomic).
+  *    The versioned-pointer discipline still degrades safely — the
+  *    pointer is a single small object, version dirs are never
+  *    mutated in place, and a reader that races the swap sees the OLD
+  *    complete version — but the swap itself is not a filesystem
+  *    atomicity guarantee there; deployments needing hard atomic
+  *    publish on S3 should point `LATEST` resolution at an external
+  *    commit log (DynamoDB/Glue/Delta-style) instead. [[promote]]'s
+  *    delete-then-rename is weaker still on S3 (a crash can lose the
+  *    target); prefer [[writeVersioned]]-style pointers there.
+  *
+  * The Hadoop conf comes from the active `SparkSession` when one
+  * exists (so `fs.s3a.*` etc. flow through), else a bare
+  * `Configuration` (local FS).
   */
 object Staging {
 
-  /** Recursively delete a directory tree (no-op if absent). */
-  def deleteTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(x => Files.delete(x))
+  private def conf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  /** Recursively delete a path (no-op if absent). */
+  def deleteTree(s: String): Unit = {
+    val p = new Path(s)
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, true); () }
+  }
+
+  /** java.nio convenience overload (ETL call sites hold nio paths). */
+  def deleteTree(p: java.nio.file.Path): Unit = deleteTree(p.toString)
+
+  def exists(s: String): Boolean = { val p = new Path(s); fs(p).exists(p) }
+
+  /** Read a small whole file as UTF-8 (the pointer / manifest size
+    * class — never data).
+    */
+  def readString(s: String): String = {
+    val p = new Path(s)
+    val in = fs(p).open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Write a small whole file (overwrite). NOT atomic on its own — for
+    * pointers, write to a tmp name and [[atomicRename]] over.
+    */
+  def writeString(s: String, content: String): Unit = {
+    val p = new Path(s)
+    val out = fs(p).create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Rename with overwrite via `FileContext` — atomic on local/HDFS
+    * (see the portability contract above for object stores).
+    */
+  def atomicRename(src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val fc = FileContext.getFileContext(
+      Option(s.toUri.getScheme).fold(FileSystem.getDefaultUri(conf))(_ =>
+        s.toUri: URI), conf)
+    fc.rename(s, new Path(dst), Options.Rename.OVERWRITE)
+  }
 
   /** Promote staged tables into place: per table, delete the previous
-    * target and ATOMIC_MOVE `root/.staging/t` → `root/t`; then drop the
-    * now-empty staging dir. Atomic PER TABLE, ordered across tables —
-    * the documented weaker-than-ACID guarantee: a crash between moves
-    * leaves a mixed set, so use [[writeVersioned]] when readers must
-    * never observe a torn multi-table artifact.
+    * target and rename `root/.staging/t` → `root/t`; then drop the
+    * now-empty staging dir. Atomic PER TABLE on local/HDFS, ordered
+    * across tables — the documented weaker-than-ACID guarantee: a
+    * crash between moves leaves a mixed set, so use the
+    * versioned-pointer commit when readers must never observe a torn
+    * multi-table artifact.
     */
   def promote(root: String, tables: Seq[String]): Unit = {
     tables.foreach { t =>
-      val tgt = Paths.get(s"$root/$t")
-      deleteTree(tgt)
-      Files.move(Paths.get(s"$root/.staging/$t"), tgt,
-        StandardCopyOption.ATOMIC_MOVE)
+      deleteTree(s"$root/$t")
+      val src = new Path(s"$root/.staging/$t")
+      require(fs(src).rename(src, new Path(s"$root/$t")),
+        s"promote: rename failed for staged table '$t' under $root")
     }
-    // tree-delete, not deleteIfExists: anything staged but NOT in
+    // tree-delete, not delete-if-empty: anything staged but NOT in
     // `tables` (a stray _SUCCESS, a table the caller chose not to
-    // promote) would leave the dir non-empty and throw
-    // DirectoryNotEmptyException AFTER every move already succeeded —
-    // unpromoted staging content is discarded by contract
-    deleteTree(Paths.get(s"$root/.staging"))
+    // promote) is discarded by contract
+    deleteTree(s"$root/.staging")
   }
 
   /** Versioned-pointer commit: the caller writes a complete artifact
     * under `root/v<N+1>` (via the directory this returns), then
-    * [[commitVersion]] atomically swings `root/LATEST` to it. Readers
-    * resolve through the pointer, so a crash at ANY point before the
-    * pointer swap leaves the previous version fully intact and
-    * discoverable — no mixed-version window, unlike [[promote]].
+    * [[commitVersion]] swings `root/LATEST` to it. Readers resolve
+    * through the pointer, so a crash at ANY point before the pointer
+    * swap leaves the previous version fully intact and discoverable —
+    * no mixed-version window, unlike [[promote]].
     */
   def nextVersionDir(root: String): (String, Long) = {
     val n = currentVersion(root).getOrElse(0L) + 1L
@@ -50,21 +126,67 @@ object Staging {
   }
 
   def currentVersion(root: String): Option[Long] = {
-    val p = Paths.get(s"$root/LATEST")
-    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+    val p = s"$root/LATEST"
+    if (exists(p)) Some(readString(p).trim.toLong) else None
   }
 
   def versionDir(root: String, n: Long): String = s"$root/v$n"
 
-  /** Atomically publish version `n` (tmp-file + ATOMIC_MOVE of the
-    * pointer), then best-effort delete superseded version dirs (a crash
-    * during GC leaves unreferenced dirs, never a broken reader).
+  /** Publish version `n` (tmp-file + rename-with-overwrite of the
+    * pointer — atomic on local/HDFS), then best-effort GC of
+    * superseded version dirs.
+    *
+    * ==Reader lifetime contract==
+    * `retain` (default 1) keeps that many SUPERSEDED versions on disk
+    * in addition to `n`: a reader that resolved `LATEST → vN` and is
+    * still lazily scanning survives the next `retain` commits; only a
+    * reader holding a version `retain+1` commits stale can hit a
+    * deleted file. Pass `retain = 0` for the eager single-version
+    * footprint (safe only when no reader outlives one commit cycle),
+    * or a larger K for long-lived consumers / time travel.
+    *
+    * GC cost is O(deleted), not O(n): the sweep starts at the newest
+    * version past the retention window and walks DOWN until the first
+    * already-missing dir — every older dir was deleted by an earlier
+    * commit (a crash mid-GC can strand dirs below a hole; they are
+    * unreferenced and harmless, never a broken reader).
     */
-  def commitVersion(root: String, n: Long): Unit = {
-    val tmp = Paths.get(s"$root/.LATEST.tmp")
-    Files.writeString(tmp, n.toString)
-    Files.move(tmp, Paths.get(s"$root/LATEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    (1L until n).foreach(old => deleteTree(Paths.get(versionDir(root, old))))
+  def commitVersion(root: String, n: Long, retain: Int = 1): Unit = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val tmp = s"$root/.LATEST.tmp"
+    writeString(tmp, n.toString)
+    atomicRename(tmp, s"$root/LATEST")
+    var v = n - retain - 1
+    while (v >= 1 && exists(versionDir(root, v))) {
+      deleteTree(versionDir(root, v))
+      v -= 1
+    }
+  }
+
+  /** Write a `manifest` file of key=value lines inside a version dir —
+    * the parameters an artifact was built with (shingle width,
+    * threshold, bucket count, last-applied batch id, …), so a day-2
+    * refresh can validate or default against them instead of silently
+    * mixing incompatible spaces. One line per key, keys sorted, no
+    * JSON dependency.
+    */
+  def writeManifest(dir: String, kv: Map[String, String]): Unit = {
+    require(kv.keys.forall(k => !k.contains('=') && !k.contains('\n')) &&
+      kv.values.forall(v => !v.contains('\n')),
+      s"manifest keys/values must be single-line, '=' -free keys: $kv")
+    writeString(s"$dir/manifest",
+      kv.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  /** Read a manifest written by [[writeManifest]]; empty map if the
+    * version predates manifests.
+    */
+  def readManifest(dir: String): Map[String, String] = {
+    val p = s"$dir/manifest"
+    if (!exists(p)) Map.empty
+    else ListMap(readString(p).split('\n').filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      line.take(i) -> line.drop(i + 1)
+    }.toSeq: _*)
   }
 }

@@ -20,12 +20,18 @@ import graft.ext.{Dedup, DupGraph}
   * foreachBatch, not transformWithState: the graph's state IS the
   * parquet artifact (shared with batch jobs and surviving restarts by
   * construction), and the contraction is a multi-job iterative
-  * operator that cannot run inside a stateful-operator update. The
-  * sink is idempotent under micro-batch replay ONLY for append-shaped
-  * recoveries (a replayed batch's ids already in the stored index
-  * would self-pair — the same disjoint-ids contract as the batch
-  * refresh); exactly-once deployments should key the write on
-  * batchId (versioned dirs) or dedup ids upstream.
+  * operator that cannot run inside a stateful-operator update.
+  *
+  * ==Exactly-once under replay==
+  * The sink is idempotent: every committed version records the
+  * last-applied `batchId` in its manifest, and a micro-batch whose id
+  * is <= the stored one is SKIPPED — the standard idempotent-sink
+  * pattern Structured Streaming passes `batchId` for. This closes the
+  * crash window between the graph's pointer commit and the stream's
+  * own checkpoint commit: the replayed batch's ids are already in the
+  * stored index and would otherwise self-pair, silently inflating
+  * intersection counts in every later refresh (spec-pinned: same
+  * batch delivered twice ⇒ stored graph byte-identical).
   *
   * Batch==streaming contract (spec-pinned): after processing batches
   * B1..Bk, the stored clusters equal `dupGraph(B1 ∪ … ∪ Bk)`'s — the
@@ -35,24 +41,37 @@ object StreamingDedup {
 
   /** Start the maintenance loop over a streaming frame bearing
     * (`doc_id`, `text`) columns. The first micro-batch builds the
-    * graph; every later one refreshes it.
+    * graph; every later one refreshes it; a replayed micro-batch
+    * (id <= the stored manifest's) is a no-op.
     */
   def maintain(docs: DataFrame, path: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        // the probe is the COMMIT POINTER, not a table dir: a version
-        // is discoverable only after write()'s atomic pointer swap, so
-        // a crash mid-write can never make a restarted loop mistake a
-        // partial graph for "nothing stored" and silently rebuild from
-        // one batch
-        val g =
-          if (!DupGraph.exists(path))
-            Dedup.dupGraph(batch.toDF(), col("text"), col("doc_id"))
-          else Dedup.refreshDupGraph(DupGraph.read(spark, path),
-            batch.toDF(), col("text"), col("doc_id"))
-        try g.write(path) finally g.unpersist()
-        ()
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldBatch(batch.toDF(), path, batchId)
       }
       .start()
+
+  /** One micro-batch's fold — build on first contact, refresh after,
+    * SKIP on replay (spec-pinned directly: the guard is the
+    * correctness boundary, not the stream wiring).
+    */
+  private[streaming] def foldBatch(batch: DataFrame, path: String,
+                                   batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // the probe is the COMMIT POINTER, not a table dir: a version
+    // is discoverable only after write()'s atomic pointer swap, so
+    // a crash mid-write can never make a restarted loop mistake a
+    // partial graph for "nothing stored" and silently rebuild from
+    // one batch
+    val stored = DupGraph.exists(path)
+    val replayed = stored && DupGraph.lastBatchId(path).exists(batchId <= _)
+    if (!replayed) {
+      val g =
+        if (!stored) Dedup.dupGraph(batch, col("text"), col("doc_id"))
+        else Dedup.refreshDupGraph(DupGraph.read(spark, path),
+          batch, col("text"), col("doc_id"))
+      try g.write(path, batchId = Some(batchId)) finally g.unpersist()
+    }
+    ()
+  }
 }

@@ -617,4 +617,68 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) == ((250000L, 247059L)), out)
     assert(out((2L, 3L)) == ((250000L, 247059L)), out)
   }
+
+  test("bucketed stored index: day-2 cross join has NO Exchange on the " +
+      "corpus side (the 100 TB refresh cost)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val day1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "fresh pair of near identical day two documents"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_bkt").toString
+    val g1 = Dedup.dupGraph(day1, col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+    val stored = DupGraph.read(spark, dir)
+    // plan shape is a static property — audit the non-adaptive plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cross = Dedup.indexCrossIntersections(
+        Dedup.shingleIndex(day2, col("text"), col("doc_id"), 3),
+        stored.index)
+      val plan = cross.queryExecution.executedPlan
+      val shj = plan.collectFirst { case j: ShuffledHashJoinExec => j }
+        .getOrElse(fail(s"no shuffled-hash join in\n$plan"))
+      // batch = hinted build (left); stored index = streamed probe (right)
+      val streamed = shj.right
+      val scan = streamed.collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail(s"no file scan on the streamed side\n$streamed"))
+      assert(scan.bucketedScan, s"stored index scan not bucketed:\n$scan")
+      assert(streamed.collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus-sized stored side re-shuffled on refresh:\n$streamed")
+      // and the refresh result over the bucketed read stays correct
+      val pairs = cross.select("da", "db").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((10L, 1L), (10L, 2L)), pairs)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("manifest: refresh with mismatched parameters is refused; " +
+      "read restores the stored build parameters") {
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val d2 = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_mf").toString
+    val g = Dedup.dupGraph(d1, col("text"), col("doc_id"), n = 4, threshold = 0.7)
+    try g.write(dir) finally g.unpersist()
+    val stored = DupGraph.read(spark, dir)
+    assert(stored.n == 4 && stored.threshold == 0.7)
+    // explicit matching params pass; mismatched shingle width / threshold throw
+    Dedup.refreshDupGraph(stored, d2, col("text"), col("doc_id"),
+      n = 4, threshold = 0.7).unpersist()
+    intercept[IllegalArgumentException] {
+      Dedup.refreshDupGraph(stored, d2, col("text"), col("doc_id"), n = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.refreshDupGraph(stored, d2, col("text"), col("doc_id"),
+        threshold = 0.5)
+    }
+    // defaults derive FROM the stored graph (no params needed on day 2)
+    val r = Dedup.refreshDupGraph(stored, d2, col("text"), col("doc_id"))
+    try assert(r.n == 4 && r.threshold == 0.7) finally r.unpersist()
+  }
 }

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+/** Pins the artifact-commit plumbing now that it routes through the
+  * Hadoop FileSystem API (the portability contract: same code on
+  * file://, HDFS, object stores — Staging's scaladoc documents where
+  * atomicity degrades). Exercised through Hadoop's LocalFileSystem,
+  * which is exactly what a `file://` deployment resolves.
+  */
+class StagingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("versioned-pointer commit: write → commit → read through LATEST") {
+    val root = tmp("stg_v")
+    val (d1, n1) = Staging.nextVersionDir(root)
+    assert((d1, n1) == (s"$root/v1", 1L))
+    Staging.writeString(s"$d1/data", "one")
+    assert(Staging.currentVersion(root).isEmpty) // invisible pre-commit
+    Staging.commitVersion(root, n1)
+    assert(Staging.currentVersion(root).contains(1L))
+    assert(Staging.readString(s"${Staging.versionDir(root, 1L)}/data") == "one")
+  }
+
+  test("GC retention: default keeps the previous version for lazy " +
+      "readers; retain=0 is eager; sweep stops at the first hole") {
+    val root = tmp("stg_gc")
+    (1L to 4L).foreach { n =>
+      val (d, v) = Staging.nextVersionDir(root)
+      assert(v == n)
+      Staging.writeString(s"$d/data", n.toString)
+      Staging.commitVersion(root, v) // default retain = 1
+    }
+    // after v4 with retain=1: v4 + v3 live, v1/v2 collected
+    assert(Staging.currentVersion(root).contains(4L))
+    assert(Staging.exists(s"$root/v4") && Staging.exists(s"$root/v3"))
+    assert(!Staging.exists(s"$root/v2") && !Staging.exists(s"$root/v1"))
+    // a reader that resolved v3 BEFORE the v5 commit still has files
+    val held = Staging.versionDir(root, 3L)
+    val (d5, v5) = Staging.nextVersionDir(root)
+    Staging.writeString(s"$d5/data", "5")
+    Staging.commitVersion(root, v5, retain = 1)
+    assert(!Staging.exists(held), "v3 superseded twice — collected")
+    assert(Staging.exists(s"$root/v4"), "previous version must survive")
+    // eager mode drops everything but the committed version
+    val (d6, v6) = Staging.nextVersionDir(root)
+    Staging.writeString(s"$d6/data", "6")
+    Staging.commitVersion(root, v6, retain = 0)
+    assert(Staging.exists(s"$root/v6") && !Staging.exists(s"$root/v5"))
+  }
+
+  test("manifest round trip; refusal of multi-line / '=' keys; " +
+      "absent manifest reads empty") {
+    val root = tmp("stg_mf")
+    val kv = Map("n" -> "3", "threshold" -> "0.5", "hash" -> "shingle48/v1")
+    Staging.writeManifest(root, kv)
+    assert(Staging.readManifest(root) == kv)
+    // values may carry '=' (only the FIRST one splits)
+    Staging.writeManifest(root, Map("expr" -> "a=b"))
+    assert(Staging.readManifest(root) == Map("expr" -> "a=b"))
+    intercept[IllegalArgumentException] {
+      Staging.writeManifest(root, Map("bad=key" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      Staging.writeManifest(root, Map("k" -> "multi\nline"))
+    }
+    assert(Staging.readManifest(tmp("stg_mf_none")) == Map.empty)
+  }
+
+  test("promote: staged tables move into place, unpromoted staging " +
+      "content is discarded, rerun-safe") {
+    val root = tmp("stg_p")
+    Staging.writeString(s"$root/.staging/t1/part-0", "a")
+    Staging.writeString(s"$root/.staging/t2/part-0", "b")
+    Staging.writeString(s"$root/.staging/stray", "junk")
+    Staging.promote(root, Seq("t1", "t2"))
+    assert(Staging.readString(s"$root/t1/part-0") == "a")
+    assert(Staging.readString(s"$root/t2/part-0") == "b")
+    assert(!Staging.exists(s"$root/.staging"))
+    // re-staging and promoting again replaces the previous target
+    Staging.writeString(s"$root/.staging/t1/part-0", "a2")
+    Staging.promote(root, Seq("t1"))
+    assert(Staging.readString(s"$root/t1/part-0") == "a2")
+    assert(Staging.readString(s"$root/t2/part-0") == "b")
+  }
+
+  test("atomicRename overwrites an existing destination (the pointer " +
+      "swap primitive)") {
+    val root = tmp("stg_ar")
+    Staging.writeString(s"$root/dst", "old")
+    Staging.writeString(s"$root/src", "new")
+    Staging.atomicRename(s"$root/src", s"$root/dst")
+    assert(Staging.readString(s"$root/dst") == "new")
+    assert(!Staging.exists(s"$root/src"))
+    assert(!Files.exists(Paths.get(s"$root/src")))
+  }
+}

@@ -62,4 +62,46 @@ class StreamingDedupSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$path/v1")))
     } finally full.unpersist()
   }
+
+  test("replayed micro-batch is a no-op: same batch delivered twice " +
+      "leaves the stored graph unchanged (exactly-once under crash replay)") {
+    val path = java.nio.file.Files.createTempDirectory("sdedup_rp").toString
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a singleton nothing matches in either batch"))
+      .toDF("doc_id", "text")
+
+    StreamingDedup.foldBatch(b0, path, batchId = 0L)
+    StreamingDedup.foldBatch(b1, path, batchId = 1L)
+    def state() = {
+      val g = DupGraph.read(spark, path)
+      (graft.ops.Staging.currentVersion(path).get,
+        g.clusters.as[(Long, Long)].collect().toSet,
+        g.pairs.select("da", "db").as[(Long, Long)].collect().toSet,
+        g.index.count())
+    }
+    val before = state()
+    assert(before._2 == Set((1L, 1L), (2L, 1L), (10L, 1L)))
+
+    // crash between the graph's pointer commit and the streaming
+    // checkpoint commit ⇒ batch 1 re-delivered on restart. Without the
+    // batchId guard its ids (already in the stored index) would
+    // self-pair and duplicate index rows — silent durable corruption.
+    StreamingDedup.foldBatch(b1, path, batchId = 1L)
+    assert(state() == before, "replayed batch mutated the stored graph")
+    // an EARLIER replay (restart several commits back) is equally inert
+    StreamingDedup.foldBatch(b0, path, batchId = 0L)
+    assert(state() == before)
+    // and the loop resumes normally on the next fresh batch
+    StreamingDedup.foldBatch(
+      Seq((20L, "a singleton nothing matches in either batch"))
+        .toDF("doc_id", "text"), path, batchId = 2L)
+    val after = state()
+    assert(after._1 == before._1 + 1)
+    assert(after._2 == before._2 + ((11L -> 11L)) + ((20L -> 11L)))
+  }
 }
