@@ -430,7 +430,7 @@ object Dedup {
     }
     // index materializes lazily (write()/refresh need it; in-session
     // consumers of pairs/clusters never pay for it)
-    new DupGraph(pairs, clusters, () => shingleIndex(docs, text, id, n),
+    new DupGraph(pairs, clusters, () => Seq(shingleIndex(docs, text, id, n)),
       owned = Seq(pairs), n = n, threshold = threshold)
   }
 
@@ -468,18 +468,36 @@ object Dedup {
   def refreshDupGraph(stored: DupGraph, newDocs: DataFrame, text: Column,
                       id: Column, n: Int = -1,
                       threshold: Double = -1.0): DupGraph = {
-    require(n == -1 || n == stored.n,
-      s"refresh shingle width $n != stored graph's ${stored.n} " +
-        "(mixing widths joins incompatible shingle spaces)")
-    require(threshold == -1.0 || threshold == stored.threshold,
-      s"refresh threshold $threshold != stored graph's ${stored.threshold} " +
-        "(mixing thresholds breaks refresh == rebuild)")
-    val (nn, tt) = (stored.n, stored.threshold)
+    // Manifest-backed graphs validate caller parameters against the
+    // recorded build values. For a PRE-MANIFEST artifact the stored
+    // values are library-default guesses — the caller is the only
+    // authority on what the artifact was actually built with, so their
+    // explicit parameters win (rejecting them against a guess would
+    // make a correctly-parameterized legacy graph un-refreshable).
+    if (stored.paramsDeclared) {
+      require(n == -1 || n == stored.n,
+        s"refresh shingle width $n != stored graph's ${stored.n} " +
+          "(mixing widths joins incompatible shingle spaces)")
+      require(threshold == -1.0 || threshold == stored.threshold,
+        s"refresh threshold $threshold != stored graph's ${stored.threshold} " +
+          "(mixing thresholds breaks refresh == rebuild)")
+    }
+    val nn = if (!stored.paramsDeclared && n != -1) n else stored.n
+    val tt = if (!stored.paramsDeclared && threshold != -1.0) threshold
+             else stored.threshold
     val shNew = shingleIndex(newDocs, text, id, nn).persist()
-    val shOld = stored.index
+    // Cross pairs are computed PER STORED SEGMENT: every document's
+    // shingles live wholly inside its arrival segment, so a (new, old)
+    // pair's intersection count is complete within the old doc's
+    // segment — the per-segment union is exact, and each bucketed
+    // stored segment joins exchange-free while the batch's one shuffle
+    // is shared across all of them (ReusedExchange).
+    val crossPairs = stored.indexSegs
+      .map(seg => jaccardFromIntersections(
+        indexCrossIntersections(shNew, seg), tt))
+      .reduce(_.unionByName(_))
     val newPairs = jaccardFromIntersections(indexSelfIntersections(shNew), tt)
-      .unionByName(
-        jaccardFromIntersections(indexCrossIntersections(shNew, shOld), tt))
+      .unionByName(crossPairs)
       .persist()
     val seedEdges = stored.clusters
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -489,13 +507,18 @@ object Dedup {
       case e: Throwable => newPairs.unpersist(); shNew.unpersist(); throw e
     }
     // the refreshed graph OWNS both batch caches: its `pairs` is a
-    // union view unpersist() could not reach, and its lazy `index`
-    // (shOld ∪ shNew) is typically materialized by write() AFTER this
-    // returns — releasing shNew here would force the whole batch
-    // shingle projection to run a third time per ingest
+    // union view unpersist() could not reach, and its index segments
+    // (stored segs :+ shNew) are typically materialized by write()
+    // AFTER this returns — releasing shNew here would force the whole
+    // batch shingle projection to run a third time per ingest
     new DupGraph(stored.pairs.unionByName(newPairs), clusters,
-      () => shOld.unionByName(shNew), owned = Seq(newPairs, shNew),
-      n = nn, threshold = tt)
+      () => stored.indexSegs :+ shNew, owned = Seq(newPairs, shNew),
+      n = nn, threshold = tt,
+      // thread the durable ancestry through: a later write() back to
+      // the same root commits ONLY these deltas as new segments
+      lineage = stored.lineage.map(l => l.copy(
+        deltaIdx = l.deltaIdx :+ (() => shNew),
+        deltaPrs = l.deltaPrs :+ newPairs)))
   }
 
   /** The deduplicated corpus: every document that is either untouched
@@ -1097,72 +1120,124 @@ object Dedup {
   */
 final class DupGraph private[ext] (val pairs: DataFrame,
                                    val clusters: DataFrame,
-                                   mkIndex: () => DataFrame,
+                                   mkIndexSegs: () => Seq[DataFrame],
                                    owned: Seq[DataFrame],
                                    val n: Int,
-                                   val threshold: Double) {
+                                   val threshold: Double,
+                                   /** False only for a graph read from a
+                                     * pre-manifest artifact: `n` and
+                                     * `threshold` are then library-default
+                                     * GUESSES, and refresh lets explicit
+                                     * caller parameters override them
+                                     * instead of validating against a
+                                     * guess. */
+                                   private[ext] val paramsDeclared: Boolean = true,
+                                   /** Durable ancestry: set iff this graph
+                                     * is backed by a stored artifact, so
+                                     * [[write]] back to the same root can
+                                     * commit ONLY the unwritten deltas as
+                                     * new segments instead of rewriting
+                                     * the corpus-sized index. */
+                                   private[ext] val lineage: Option[DupGraph.Lineage] = None) {
 
-  /** The 48-bit shingle inverted index (doc_id, s, sz) — the durable
-    * artifact [[Dedup.refreshDupGraph]] joins a new batch against.
-    * Materializes lazily: in-session pair/cluster consumers never pay
-    * for it; [[write]] and refresh do.
+  /** The 48-bit shingle inverted index as its immutable SEGMENTS —
+    * one per ingested batch for a stored graph (each document's
+    * shingles live wholly inside its arrival segment, so per-segment
+    * joins are complete without any cross-segment merge).
+    * [[Dedup.refreshDupGraph]] joins the new batch against each
+    * segment independently: the bucketed stored side of every one of
+    * those joins is exchange-free. Materializes lazily.
     */
-  lazy val index: DataFrame = mkIndex()
+  private[ext] lazy val indexSegs: Seq[DataFrame] = mkIndexSegs()
 
-  /** Persist the graph for cross-job sharing: pairs + clusters +
-    * shingle index as three parquet tables under `path`. A daily-crawl
+  /** The full shingle inverted index (doc_id, s, sz) — the union view
+    * of [[indexSegs]], for consumers that want one frame.
+    */
+  lazy val index: DataFrame = indexSegs.reduce(_.unionByName(_))
+
+  /** Persist the graph for cross-job sharing under `path`: immutable
+    * index/pairs SEGMENTS under `path/segments/` + a per-version
+    * cluster table and manifest under `path/vN`. A daily-crawl
     * pipeline writes day-1's graph once; day-2 reads it back
     * ([[DupGraph.read]]) and folds the new batch in with
     * [[Dedup.refreshDupGraph]] — the stored corpus is never
-    * re-enumerated. Index volume is shingles × 16 bytes (hash + size),
-    * pair volume follows actual duplication — both orders of magnitude
-    * under the corpus text at any scale.
+    * re-enumerated, and (new in r15) never re-WRITTEN either.
     *
-    * Versioned-pointer commit ([[graft.ops.Staging]]): the three
-    * tables are written as a COMPLETE new version under `path/vN`, and
-    * only then does one atomic pointer swap (`path/LATEST`) publish
-    * it. A crash at ANY point before the swap leaves the previous
-    * version fully intact and discoverable — there is no
-    * delete-then-move window in which a reader (or a restarted
-    * [[graft.streaming.StreamingDedup]] loop) could observe a missing
-    * or mixed-version graph. This is also what makes writing IN PLACE
-    * during a refresh sound: the refreshed frames lazily READ the old
-    * version's files while the new version streams out; superseded
-    * versions are garbage-collected only after the swap (the previous
-    * `retain` versions survive each commit, so a lazy reader holding
-    * the prior version never loses files mid-scan — the reader
-    * lifetime contract on [[DupGraph.read]]).
+    * ==Segment-incremental commits (the 100 TB commit cost)==
+    * A graph whose [[lineage]] roots at this same `path` (read here,
+    * then refreshed zero or more times) commits ONLY its unwritten
+    * deltas: the batch's shingle index becomes one new immutable
+    * index segment and the batch's new pairs one new pairs segment —
+    * per-batch commit BYTES follow the batch, not the corpus. The
+    * version manifest lists the segment ids; [[DupGraph.read]] unions
+    * them. Without lineage (a fresh build, or a write to a different
+    * root) the whole graph is written as one segment pair. The
+    * cluster table IS rewritten per version — it is the global
+    * contraction result (any new pair can merge old components), and
+    * it is pair-graph-sized, orders of magnitude under the index.
+    * Segment count grows one per ingested batch until
+    * [[DupGraph.compact]] folds them back to one.
     *
-    * ==Bucketed index layout (the 100 TB refresh cost)==
-    * With `buckets > 0` (default 32) the shingle index is written as a
-    * HASH-BUCKETED, bucket-sorted table on `s` — Spark's bucket hash
+    * Versioned-pointer commit ([[graft.ops.Staging]]): segments and
+    * the version dir are fully written BEFORE one atomic pointer swap
+    * (`path/LATEST`) publishes the version. A crash at ANY point
+    * before the swap leaves the previous version fully intact (stale
+    * uncommitted files are cleaned on the next attempt — segment ids
+    * are deterministic per version, so retry overwrites exactly its
+    * own debris). Superseded versions are garbage-collected only
+    * after the swap, and segments are swept only when NO surviving
+    * version's manifest references them — the `retain` contract on
+    * [[DupGraph.read]] holds unchanged.
+    *
+    * ==Bucketed segment layout (the 100 TB refresh cost)==
+    * With `buckets > 0` (default 32) every index segment is a
+    * HASH-BUCKETED, bucket-sorted table on `s`
+    * ([[graft.ops.Layout.writeBucketedTable]]) — Spark's bucket hash
     * is the same murmur3 the shuffle uses, so a day-2
-    * `indexCrossIntersections` reads the corpus-sized stored side
-    * straight from its bucket files with NO Exchange: the only
-    * shuffle a refresh pays is the new batch's own index. On plain
-    * parquet (`buckets = 0`) the stored side would re-shuffle per
-    * refresh — at 100 TB that exchange IS the refresh cost. Bucket
-    * count is recorded in the version manifest and restored by
-    * [[DupGraph.read]]; pick it like shuffle partitions (corpus
-    * shingle volume / healthy partition size).
+    * `indexCrossIntersections` reads every corpus-sized stored
+    * segment straight from its bucket files with NO Exchange: the
+    * only shuffle a refresh pays is the new batch's own index. On
+    * plain parquet (`buckets = 0`) the stored side would re-shuffle
+    * per refresh — at 100 TB that exchange IS the refresh cost.
+    * Bucket count is fixed at first write (recorded in the manifest,
+    * shared by all segments); pick it like shuffle partitions (corpus
+    * shingle volume / healthy partition size). `buckets` is ignored
+    * on an incremental commit — the artifact's recorded count wins.
     *
     * Each version carries a manifest (shingle width, threshold, hash
-    * version, bucket count, optional last-applied streaming batch id)
-    * — [[Dedup.refreshDupGraph]] refuses mismatched parameters instead
-    * of silently mixing shingle spaces.
+    * version, bucket count, segment lists, optional last-applied
+    * streaming batch id) — [[Dedup.refreshDupGraph]] refuses
+    * mismatched parameters instead of silently mixing shingle spaces.
     */
   def write(path: String, buckets: Int = 32,
             batchId: Option[Long] = None): Unit = {
+    val spark = pairs.sparkSession
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
-    pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+    val (isegs, psegs, b) = lineage.filter(_.root == path) match {
+      case Some(l) =>
+        // incremental commit: only the unwritten deltas become segments
+        if (l.deltaIdx.nonEmpty) {
+          DupGraph.writeIndexSegment(
+            l.deltaIdx.map(_()).reduce(_.unionByName(_)),
+            path, s"i$v", l.buckets)
+          DupGraph.writePairsSegment(
+            l.deltaPrs.reduce(_.unionByName(_)), path, s"p$v")
+          (l.isegs :+ s"i$v", l.psegs :+ s"p$v", l.buckets)
+        } else (l.isegs, l.psegs, l.buckets)
+      case None =>
+        // full commit: the whole graph as one segment pair
+        DupGraph.writeIndexSegment(index, path, s"i$v", buckets)
+        DupGraph.writePairsSegment(pairs, path, s"p$v")
+        (Seq(s"i$v"), Seq(s"p$v"), buckets)
+    }
     clusters.write.mode("overwrite").parquet(s"$dir/clusters")
-    if (buckets > 0) DupGraph.writeBucketed(index, s"$dir/index", buckets)
-    else index.write.mode("overwrite").parquet(s"$dir/index")
     graft.ops.Staging.writeManifest(dir,
       Map("n" -> n.toString, "threshold" -> threshold.toString,
-        "hash" -> DupGraph.HashVersion, "buckets" -> buckets.toString) ++
+        "hash" -> DupGraph.HashVersion, "buckets" -> b.toString,
+        "isegs" -> isegs.mkString(","), "psegs" -> psegs.mkString(",")) ++
         batchId.map("batchId" -> _.toString))
     graft.ops.Staging.commitVersion(path, v)
+    DupGraph.gcSegments(spark, path)
   }
 
   /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster
@@ -1207,63 +1282,131 @@ object DupGraph {
     */
   val HashVersion = "shingle48/v1"
 
-  /** Write `df` as a hash-bucketed, bucket-sorted parquet table on `s`
-    * at exactly `dir` — Spark's bucketed layout needs a catalog entry
-    * at write time, so this routes through a transient external-table
-    * name and drops the entry afterwards (external drop keeps the
-    * files; the bucket ids live in the file NAMES, which is what the
-    * bucketed read resolves). The upstream index is already
-    * hash-partitioned on `s` with the same murmur3, so each write task
-    * emits one bucket file — no writer-side fan-out.
+  /** Durable ancestry of a stored graph: the artifact root it was read
+    * from, the segment lists its base version's manifest declared, the
+    * artifact's bucket count, and the in-memory deltas refreshes have
+    * accumulated since (paired: one index delta + one pairs delta per
+    * refresh). [[DupGraph.write]] back to `root` commits only the
+    * deltas.
     */
-  private[ext] def writeBucketed(df: DataFrame, dir: String,
-                                 buckets: Int): Unit = {
-    val spark = df.sparkSession
-    val tmp = s"graft_bktw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    df.write.bucketBy(buckets, "s").sortBy("s")
-      .option("path", dir).saveAsTable(tmp)
-    spark.sql(s"DROP TABLE `$tmp`")
-    ()
+  private[ext] final case class Lineage(root: String,
+                                        isegs: Seq[String],
+                                        psegs: Seq[String],
+                                        buckets: Int,
+                                        deltaIdx: Seq[() => DataFrame],
+                                        deltaPrs: Seq[DataFrame])
+
+  private[ext] def segDir(root: String, segId: String): String =
+    s"$root/segments/$segId"
+
+  /** Write one immutable index segment (bucketed on `s` when
+    * `buckets > 0`). Segment ids are deterministic per version, so a
+    * crash-retry targets exactly its own debris — clean it first
+    * (bucketed CTAS refuses a non-empty location; plain parquet
+    * overwrite would merely mask the stale entry problem).
+    * The explicit pre-repartition on `s` makes each write task hold
+    * exactly one bucket (repartition's murmur3 IS the bucket hash), so
+    * every segment is one file per bucket — no tasks×buckets fan-out.
+    */
+  private def writeIndexSegment(df: DataFrame, root: String, segId: String,
+                                buckets: Int): Unit = {
+    val dir = segDir(root, segId)
+    graft.ops.Staging.deleteTree(dir)
+    graft.ops.Layout.dropBucketedEntry(df.sparkSession, dir)
+    if (buckets > 0)
+      graft.ops.Layout.writeBucketedTable(
+        df.repartition(buckets, col("s")), dir, "s", buckets)
+    else df.write.mode("overwrite").parquet(dir)
   }
 
-  /** Open a bucketed table written by [[writeBucketed]]: (re)register a
-    * deterministic external-table entry over `dir` carrying the bucket
-    * spec, so the scan reports HashPartitioning(`s`, buckets) and joins
-    * against it need no Exchange on this side. The catalog entry is
-    * derived from the directory (stable per artifact version) — an
-    * already-resolved DataFrame keeps working if the entry is later
-    * repointed (relations resolve at analysis, not execution).
+  private def writePairsSegment(df: DataFrame, root: String,
+                                segId: String): Unit = {
+    val dir = segDir(root, segId)
+    graft.ops.Staging.deleteTree(dir)
+    df.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Sweep segments no surviving version references: collect the
+    * segment ids of every manifest still on disk (the retained
+    * versions plus the just-committed one), delete the rest, and drop
+    * their bucketed catalog entries. Runs after each commit — cost is
+    * O(segments), metadata-only. A reader inside the retention window
+    * is safe (its version's manifest still pins its segments); beyond
+    * the window the standard reader-lifetime contract applies.
     */
-  private[ext] def readBucketed(spark: org.apache.spark.sql.SparkSession,
-                                dir: String, buckets: Int): DataFrame = {
-    val name = "graft_bkt_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    // CLUSTERED BY requires an explicit column list — take it from the
-    // parquet footers (id column type is caller-defined, never assumed)
-    val ddl = spark.read.parquet(dir).schema.toDDL
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.sql(s"CREATE TABLE `$name` ($ddl) USING parquet " +
-      s"CLUSTERED BY (s) SORTED BY (s) INTO $buckets BUCKETS " +
-      s"LOCATION '$dir'")
-    spark.table(name)
+  private[ext] def gcSegments(spark: org.apache.spark.sql.SparkSession,
+                              root: String): Unit = {
+    val referenced = graft.ops.Staging.list(root)
+      .filter(_.matches("v\\d+"))
+      .flatMap { vd =>
+        val mf = graft.ops.Staging.readManifest(s"$root/$vd")
+        Seq("isegs", "psegs").flatMap(k =>
+          mf.get(k).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+      }.toSet
+    graft.ops.Staging.list(s"$root/segments")
+      .filterNot(referenced)
+      .foreach { sid =>
+        val d = segDir(root, sid)
+        graft.ops.Staging.deleteTree(d)
+        graft.ops.Layout.dropBucketedEntry(spark, d)
+      }
+  }
+
+  /** Fold a multi-segment artifact back to one segment pair: union all
+    * index segments into ONE bucketed segment, all pairs segments into
+    * one, re-point the clusters, commit as a new version. Explicit and
+    * separate from the ingest path by design — ingest commits stay
+    * batch-sized forever and the (corpus-sized) rewrite runs on the
+    * operator's schedule, exactly like any LSM/Delta compaction. After
+    * the commit, old segments age out with their referencing versions
+    * (the usual retention sweep). No-op when already compact.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed dup-graph at $path (missing LATEST)"))
+    val dir0 = graft.ops.Staging.versionDir(path, v0)
+    val mf = graft.ops.Staging.readManifest(dir0)
+    val isegs = mf.get("isegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val psegs = mf.get("psegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    if (isegs.size <= 1 && psegs.size <= 1) return
+    val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val index = isegs.map(sid => spark.read.parquet(segDir(path, sid)))
+      .reduce(_.unionByName(_))
+    writeIndexSegment(index, path, s"i$v", buckets)
+    writePairsSegment(
+      psegs.map(sid => spark.read.parquet(segDir(path, sid)))
+        .reduce(_.unionByName(_)), path, s"p$v")
+    spark.read.parquet(s"$dir0/clusters")
+      .write.mode("overwrite").parquet(s"$dir/clusters")
+    graft.ops.Staging.writeManifest(dir,
+      (mf - "isegs" - "psegs") ++
+        Map("isegs" -> s"i$v", "psegs" -> s"p$v"))
+    graft.ops.Staging.commitVersion(path, v)
+    gcSegments(spark, path)
   }
 
   /** Re-open the LATEST committed version of a graph persisted by
     * [[DupGraph.write]]. Nothing is cached on read (parquet scans are
     * already cheap and columnar); [[Dedup.refreshDupGraph]] reads the
-    * index side exactly once per batch. Build parameters and the
-    * bucket layout come from the version manifest (versions predating
-    * manifests fall back to the library defaults n=3, threshold=0.5,
-    * plain parquet). Throws if no version was ever committed (use
-    * [[exists]] to probe).
+    * index side exactly once per batch. Build parameters, the bucket
+    * layout, and the segment lists come from the version manifest;
+    * artifacts from before the segmented layout (no `isegs` key) read
+    * through their legacy single-dir tables (and upgrade to segments
+    * on their next full write — a legacy version dir cannot serve as
+    * an immutable segment because retention deletes it). Versions
+    * predating manifests entirely fall back to the library defaults
+    * n=3, threshold=0.5, plain parquet. Throws if no version was ever
+    * committed (use [[exists]] to probe).
     *
     * ==Reader lifetime contract==
-    * The returned frames lazily scan the resolved version's files.
-    * Each later commit retains the `retain` (default 1) previous
-    * versions, so a reader stays valid across that many concurrent
-    * commits; a consumer that holds a graph across MORE commits than
-    * the writer's retention must re-[[read]] (or the writer must raise
-    * `retain`).
+    * The returned frames lazily scan the resolved version's files (and
+    * the segments its manifest pins — the segment sweep never deletes
+    * a segment a surviving manifest references). Each later commit
+    * retains the `retain` (default 1) previous versions, so a reader
+    * stays valid across that many concurrent commits; a consumer that
+    * holds a graph across MORE commits than the writer's retention
+    * must re-[[read]] (or the writer must raise `retain`).
     */
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DupGraph = {
     val v = graft.ops.Staging.currentVersion(path).getOrElse(
@@ -1274,14 +1417,37 @@ object DupGraph {
       sys.error(s"dup-graph at $path hashed under '$h'; this build " +
         s"speaks '$HashVersion' — rebuild, do not refresh"))
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
-    new DupGraph(
-      spark.read.parquet(s"$dir/pairs"),
-      spark.read.parquet(s"$dir/clusters"),
-      () => if (buckets > 0) readBucketed(spark, s"$dir/index", buckets)
-            else spark.read.parquet(s"$dir/index"),
-      owned = Seq.empty, // a read graph owns no caches
-      n = mf.get("n").map(_.toInt).getOrElse(3),
-      threshold = mf.get("threshold").map(_.toDouble).getOrElse(0.5))
+    val clusters = spark.read.parquet(s"$dir/clusters")
+    val n = mf.get("n").map(_.toInt).getOrElse(3)
+    val threshold = mf.get("threshold").map(_.toDouble).getOrElse(0.5)
+    // pre-manifest artifacts carry GUESSED defaults — flag them so
+    // refresh trusts explicit caller parameters instead of rejecting
+    // them against the guess
+    val declared = mf.contains("n") && mf.contains("threshold")
+    def openIndex(d: String): DataFrame =
+      if (buckets > 0) graft.ops.Layout.readBucketedTable(spark, d, "s", buckets)
+      else spark.read.parquet(d)
+    mf.get("isegs") match {
+      case Some(is) => // segmented layout
+        val isegs = is.split(',').toSeq.filter(_.nonEmpty)
+        val psegs = mf.get("psegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+        new DupGraph(
+          psegs.map(sid => spark.read.parquet(segDir(path, sid)))
+            .reduce(_.unionByName(_)),
+          clusters,
+          () => isegs.map(sid => openIndex(segDir(path, sid))),
+          owned = Seq.empty, // a read graph owns no caches
+          n = n, threshold = threshold, paramsDeclared = declared,
+          lineage = Some(Lineage(path, isegs, psegs, buckets,
+            deltaIdx = Seq.empty, deltaPrs = Seq.empty)))
+      case None => // legacy single-dir layout
+        new DupGraph(
+          spark.read.parquet(s"$dir/pairs"),
+          clusters,
+          () => Seq(openIndex(s"$dir/index")),
+          owned = Seq.empty,
+          n = n, threshold = threshold, paramsDeclared = declared)
+    }
   }
 
   /** True iff a complete committed version exists at `path` — the

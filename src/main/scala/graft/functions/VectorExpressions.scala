@@ -30,6 +30,17 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Length-mismatched inputs yield NULL even when both children are
+  // non-nullable, so this expression is always nullable. Leaving the
+  // default (children-derived) nullability was also a codegen bug:
+  // with non-nullable children, nullSafeCodeGen binds ev.isNull to
+  // the FalseLiteral and the `${ev.isNull} = true;` branch below
+  // generated `false = true;` — uncompilable Java, which silently
+  // knocked every Filter/WSCG stage containing this kernel back to
+  // the interpreter. With nullable=true, nullSafeCodeGen declares a
+  // real local and documents that resultCode may change nullability.
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -110,6 +121,11 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot_int"
+
+  // Always nullable (length mismatch => NULL); see graft_dot — also
+  // required for the generated `${ev.isNull} = true;` branch to bind
+  // to a real local instead of FalseLiteral under non-null children.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {

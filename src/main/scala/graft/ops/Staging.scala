@@ -60,6 +60,16 @@ object Staging {
 
   def exists(s: String): Boolean = { val p = new Path(s); fs(p).exists(p) }
 
+  /** Child entry names of a directory (empty if absent) — artifact
+    * writers use this to sweep unreferenced segment/version dirs.
+    */
+  def list(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
   /** Read a small whole file as UTF-8 (the pointer / manifest size
     * class — never data).
     */
@@ -122,7 +132,17 @@ object Staging {
     */
   def nextVersionDir(root: String): (String, Long) = {
     val n = currentVersion(root).getOrElse(0L) + 1L
-    (s"$root/v$n", n)
+    val dir = s"$root/v$n"
+    // Crash-retry safety: a writer that died AFTER laying files under
+    // v<N+1> but BEFORE the pointer swap leaves this exact dir
+    // non-empty, and a restarted writer gets the SAME dir back (LATEST
+    // never moved). Stale files must go first — table writers are not
+    // uniformly tolerant of a dirty target (bucketed CTAS refuses a
+    // non-empty location outright; with the legacy flag it would
+    // silently double rows instead). Uncommitted-by-definition, so the
+    // delete can never touch a published version.
+    deleteTree(dir)
+    (dir, n)
   }
 
   def currentVersion(root: String): Option[Long] = {
@@ -186,6 +206,11 @@ object Staging {
     if (!exists(p)) Map.empty
     else ListMap(readString(p).split('\n').filter(_.nonEmpty).map { line =>
       val i = line.indexOf('=')
+      // manifests are always self-written ([[writeManifest]] rejects
+      // '='-free keys), so a line without '=' means corruption or
+      // truncation — fail loudly instead of degrading to a "" key that
+      // silently feeds bogus defaults into refresh validation
+      require(i >= 0, s"malformed manifest line in $p: '$line'")
       line.take(i) -> line.drop(i + 1)
     }.toSeq: _*)
   }

@@ -24,9 +24,14 @@ import graft.ext.{Dedup, DupGraph}
   *
   * ==Exactly-once under replay==
   * The sink is idempotent: every committed version records the
-  * last-applied `batchId` in its manifest, and a micro-batch whose id
-  * is <= the stored one is SKIPPED — the standard idempotent-sink
-  * pattern Structured Streaming passes `batchId` for. This closes the
+  * last-applied `batchId` in its manifest, and a re-delivered
+  * micro-batch (id == the stored one — under a single checkpoint only
+  * the exact last batch can replay) is SKIPPED — the standard
+  * idempotent-sink pattern Structured Streaming passes `batchId` for.
+  * An id BELOW the stored one is a checkpoint/graph mismatch (a
+  * restart against a fresh checkpoint restarts ids at 0) and FAILS
+  * loudly — skipping those would silently drop real batches until the
+  * new counter caught up. This closes the
   * crash window between the graph's pointer commit and the stream's
   * own checkpoint commit: the replayed batch's ids are already in the
   * stored index and would otherwise self-pair, silently inflating
@@ -42,7 +47,8 @@ object StreamingDedup {
   /** Start the maintenance loop over a streaming frame bearing
     * (`doc_id`, `text`) columns. The first micro-batch builds the
     * graph; every later one refreshes it; a replayed micro-batch
-    * (id <= the stored manifest's) is a no-op.
+    * (id == the stored manifest's) is a no-op; an id below the stored
+    * manifest's throws (checkpoint/graph mismatch).
     */
   def maintain(docs: DataFrame, path: String): StreamingQuery =
     docs.writeStream
@@ -64,7 +70,22 @@ object StreamingDedup {
     // partial graph for "nothing stored" and silently rebuild from
     // one batch
     val stored = DupGraph.exists(path)
-    val replayed = stored && DupGraph.lastBatchId(path).exists(batchId <= _)
+    // Replay discrimination: under ONE checkpoint, Structured Streaming
+    // can only re-deliver the EXACT last batch (the crash window between
+    // our pointer commit and the stream's checkpoint commit) — skip it,
+    // the sink is idempotent. A batchId strictly BELOW the stored one
+    // can only mean the stream was restarted against this graph with a
+    // fresh/different checkpoint (batch ids restart at 0): silently
+    // skipping would drop every micro-batch until the new counter
+    // catches up — silent data loss. A graph is bound to one checkpoint
+    // lineage; fail loudly so the operator repoints one or the other.
+    val last = if (stored) DupGraph.lastBatchId(path) else None
+    last.filter(batchId < _).foreach(l => throw new IllegalStateException(
+      s"StreamingDedup: micro-batch id $batchId is below the graph's " +
+        s"last-applied batch id $l at $path — the stream's checkpoint " +
+        "does not match this graph (restarted with a fresh checkpoint?). " +
+        "Resume the original checkpoint or start a new graph path."))
+    val replayed = last.contains(batchId)
     if (!replayed) {
       val g =
         if (!stored) Dedup.dupGraph(batch, col("text"), col("doc_id"))

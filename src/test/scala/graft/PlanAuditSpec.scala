@@ -129,6 +129,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_simhash"))
   }
 
+  test("graft_dot / graft_dot_int: every WSCG stage containing the kernel " +
+      "compiles — no silent interpreter fallback") {
+    // Regression guard for the r14 codegen bug: with non-nullable array
+    // children, the kernel's generated `isNull = true;` branch bound to
+    // FalseLiteral, Janino rejected the stage ("not an rvalue"), and
+    // Spark silently disabled whole-stage codegen on exactly the
+    // centroid-scoring Filters the kernel exists to speed up. Compile
+    // each hot stage directly so a recurrence fails loudly here instead
+    // of degrading a 100 TB scan to the interpreter.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    // AQE defers codegen collapse to stage materialization; plan without
+    // it so the WholeStageCodegenExec spans are statically inspectable.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q_kmeans", "q_ann_ivf", "q_ann_ivfpq", "q_embed_cosine",
+          "q_ann_quantized", "q_ann_asymmetric")) {
+        val plan = SparkEntry.queries(q)(spark, d).queryExecution.executedPlan
+        val hot = plan.collect {
+          case w: WholeStageCodegenExec if w.toString.contains("graft_dot") => w
+        }
+        assert(hot.nonEmpty, s"$q: no whole-stage-codegen span contains the dot kernel\n$plan")
+        hot.foreach { w =>
+          val (_, source) = w.doCodeGen()
+          // throws CompileException on the bad-Java regression
+          CodeGenerator.compile(source)
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_ann_quantized: integer dot kernel in codegen, broadcast queries, WindowGroupLimit") {
     val p = planOf("q_ann_quantized")
     assert(p.contains("graft_dot_int"), p)

@@ -93,8 +93,16 @@ class StreamingDedupSpec extends SparkSpec {
     // self-pair and duplicate index rows — silent durable corruption.
     StreamingDedup.foldBatch(b1, path, batchId = 1L)
     assert(state() == before, "replayed batch mutated the stored graph")
-    // an EARLIER replay (restart several commits back) is equally inert
-    StreamingDedup.foldBatch(b0, path, batchId = 0L)
+    // a batch id BELOW the stored one cannot happen under the graph's
+    // own checkpoint (only the exact last batch replays) — it means the
+    // stream was restarted with a DIFFERENT checkpoint whose ids
+    // restart at 0. Skipping those would silently drop every real
+    // batch until the new counter caught up, so the fold fails loudly
+    // instead (and leaves the stored graph untouched).
+    val mismatch = intercept[IllegalStateException] {
+      StreamingDedup.foldBatch(b0, path, batchId = 0L)
+    }
+    assert(mismatch.getMessage.contains("checkpoint"), mismatch.getMessage)
     assert(state() == before)
     // and the loop resumes normally on the next fresh batch
     StreamingDedup.foldBatch(
