@@ -681,4 +681,174 @@ class DedupSpec extends SparkSpec {
     val r = Dedup.refreshDupGraph(stored, d2, col("text"), col("doc_id"))
     try assert(r.n == 4 && r.threshold == 0.7) finally r.unpersist()
   }
+
+  /** (file name → (size, mtime)) fingerprint of a segment dir — the
+    * "this commit did not rewrite day-1" immutability probe.
+    */
+  private def segFiles(root: String, segId: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$root/segments/$segId"))
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.getFileName.toString ->
+        (java.nio.file.Files.size(p),
+          java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toMap
+    finally s.close()
+  }
+
+  private val day1Docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),
+    (3L, "completely different text with no overlap at all"))
+  private val day2Docs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"),
+    (11L, "fresh pair of near identical day two documents"),
+    (12L, "fresh pair of near identical day two documents"))
+  private val day3Docs = Seq(
+    (20L, "fresh pair of near identical day two documents"),
+    (21L, "a third batch singleton nothing matches here"))
+
+  test("segmented commits: a refresh write emits ONLY the batch segments; " +
+      "day-1's segment files are never rewritten (100 TB commit cost)") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_seg").toString
+    val g1 = Dedup.dupGraph(day1Docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+    val i1Before = segFiles(dir, "i1")
+    val p1Before = segFiles(dir, "p1")
+    assert(i1Before.nonEmpty && p1Before.nonEmpty)
+
+    val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      day2Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    try g2.write(dir) finally g2.unpersist()
+
+    // the incremental commit added exactly the batch segments…
+    assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
+      Set("i1", "p1", "i2", "p2"))
+    // …and did not touch a byte of day-1's (immutability, not just
+    // correctness: at 100 TB the corpus-sized i1 rewrite IS the cost)
+    assert(segFiles(dir, "i1") == i1Before, "day-1 index segment rewritten")
+    assert(segFiles(dir, "p1") == p1Before, "day-1 pairs segment rewritten")
+    // manifest lists both, in ingest order
+    val mf = graft.ops.Staging.readManifest(s"$dir/v2")
+    assert(mf("isegs") == "i1,i2" && mf("psegs") == "p1,p2", mf)
+
+    // and the read-back graph equals the one-shot union build
+    val r = DupGraph.read(spark, dir)
+    val full = Dedup.dupGraph((day1Docs ++ day2Docs).toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(r.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+      assert(r.pairs.select("da", "db").as[(Long, Long)].collect().toSet ==
+        full.pairs.select("da", "db").as[(Long, Long)].collect().toSet)
+      assert(r.index.count() == full.index.count())
+    } finally full.unpersist()
+  }
+
+  test("crash-retry: stale uncommitted version + segment debris is " +
+      "cleaned, the retried commit succeeds and rows are not doubled") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_crash").toString
+    val g1 = Dedup.dupGraph(day1Docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+    // crash simulation: a previous fold died after laying index/pairs
+    // segment files and partial clusters for v2, before the pointer
+    // swap. Restart targets the SAME version number and the SAME
+    // deterministic segment ids — the old non-segmented bucketed CTAS
+    // wedged permanently here (non-empty location).
+    graft.ops.Staging.writeString(s"$dir/v2/clusters/part-junk", "junk")
+    graft.ops.Staging.writeString(s"$dir/segments/i2/part-junk.parquet", "junk")
+    graft.ops.Staging.writeString(s"$dir/segments/p2/part-junk.parquet", "junk")
+    val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      day2Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    try g2.write(dir) finally g2.unpersist() // must not throw
+    val r = DupGraph.read(spark, dir)
+    val full = Dedup.dupGraph((day1Docs ++ day2Docs).toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(r.index.count() == full.index.count(), "index rows doubled/lost")
+      assert(r.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+    } finally full.unpersist()
+  }
+
+  test("compact folds segments to one pair; equality holds and the " +
+      "ingest loop continues; unreferenced segments are swept with " +
+      "their last referencing version") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_cpt").toString
+    val g1 = Dedup.dupGraph(day1Docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+    val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      day2Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    try g2.write(dir) finally g2.unpersist()
+
+    DupGraph.compact(spark, dir) // v3: isegs=i3 — but v2 still pins i1,i2
+    val mf3 = graft.ops.Staging.readManifest(s"$dir/v3")
+    assert(mf3("isegs") == "i3" && mf3("psegs") == "p3", mf3)
+    assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
+      Set("i1", "p1", "i2", "p2", "i3", "p3"))
+    // compacted graph == one-shot union build
+    val r3 = DupGraph.read(spark, dir)
+    val full12 = Dedup.dupGraph((day1Docs ++ day2Docs).toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(r3.clusters.as[(Long, Long)].collect().toSet ==
+        full12.clusters.as[(Long, Long)].collect().toSet)
+      assert(r3.index.count() == full12.index.count())
+    } finally full12.unpersist()
+    // compacting an already-compact artifact is a no-op
+    DupGraph.compact(spark, dir)
+    assert(graft.ops.Staging.currentVersion(dir).contains(3L))
+
+    // day-3 fold on top of the compacted artifact: once v2 (the last
+    // manifest referencing i1/i2) ages out, the pre-compaction
+    // segments are swept
+    val g4 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      day3Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    try g4.write(dir) finally g4.unpersist()
+    assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
+      Set("i3", "p3", "i4", "p4"), "pre-compaction segments not swept")
+    val r4 = DupGraph.read(spark, dir)
+    val fullAll = Dedup.dupGraph(
+      (day1Docs ++ day2Docs ++ day3Docs).toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(r4.clusters.as[(Long, Long)].collect().toSet ==
+        fullAll.clusters.as[(Long, Long)].collect().toSet)
+      assert(r4.pairs.select("da", "db").as[(Long, Long)].collect().toSet ==
+        fullAll.pairs.select("da", "db").as[(Long, Long)].collect().toSet)
+    } finally fullAll.unpersist()
+  }
+
+  test("legacy pre-manifest artifact: read flags guessed parameters and " +
+      "refresh trusts the caller's explicit ones instead of rejecting") {
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val d2 = Seq((2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_legacy").toString
+    // hand-lay the pre-segment, pre-manifest layout: three plain tables
+    // in the version dir, pointer, NO manifest — built with n=4/0.7
+    val g = Dedup.dupGraph(d1, col("text"), col("doc_id"), n = 4, threshold = 0.7)
+    try {
+      g.pairs.write.parquet(s"$dir/v1/pairs")
+      g.clusters.write.parquet(s"$dir/v1/clusters")
+      g.index.write.parquet(s"$dir/v1/index")
+    } finally g.unpersist()
+    graft.ops.Staging.writeString(s"$dir/LATEST", "1")
+    val stored = DupGraph.read(spark, dir)
+    // defaults are guesses (n=3, 0.5) — the caller's correct explicit
+    // parameters must WIN, not be rejected against the guess
+    val r = Dedup.refreshDupGraph(stored, d2, col("text"), col("doc_id"),
+      n = 4, threshold = 0.7)
+    try {
+      assert(r.n == 4 && r.threshold == 0.7)
+      // and the refresh actually joined in the stored space: the two
+      // identical docs pair up
+      assert(r.pairs.select("da", "db").as[(Long, Long)].collect().toSet ==
+        Set((1L, 2L)))
+    } finally r.unpersist()
+  }
 }

@@ -69,6 +69,40 @@ class StagingSpec extends SparkSpec {
       Staging.writeManifest(root, Map("k" -> "multi\nline"))
     }
     assert(Staging.readManifest(tmp("stg_mf_none")) == Map.empty)
+    // a corrupt/truncated manifest fails loudly — manifests are always
+    // self-written, so a '='-free line is never valid and degrading to
+    // a "" key would feed bogus defaults into refresh validation
+    val bad = tmp("stg_mf_bad")
+    Staging.writeString(s"$bad/manifest", "n=3\ntruncatedline")
+    intercept[IllegalArgumentException] { Staging.readManifest(bad) }
+  }
+
+  test("nextVersionDir clears a stale uncommitted dir: a crash after " +
+      "files landed but before the pointer swap must not wedge retries") {
+    val root = tmp("stg_retry")
+    val (d1, v1) = Staging.nextVersionDir(root)
+    Staging.writeString(s"$d1/data", "one")
+    Staging.commitVersion(root, v1)
+    // crash simulation: v2 written (partially or fully) but never committed
+    val (d2a, _) = Staging.nextVersionDir(root)
+    Staging.writeString(s"$d2a/data", "stale-crash-debris")
+    Staging.writeString(s"$d2a/extra", "also stale")
+    // restart: the SAME dir comes back (LATEST never moved) — clean
+    val (d2b, v2b) = Staging.nextVersionDir(root)
+    assert(d2b == d2a && v2b == 2L)
+    assert(!Staging.exists(s"$d2b/data") && !Staging.exists(s"$d2b/extra"),
+      "stale uncommitted files survived into the retry")
+    Staging.writeString(s"$d2b/data", "two")
+    Staging.commitVersion(root, v2b)
+    assert(Staging.readString(s"${Staging.versionDir(root, 2L)}/data") == "two")
+  }
+
+  test("list: child names of a dir, empty when absent") {
+    val root = tmp("stg_ls")
+    assert(Staging.list(s"$root/nope") == Seq.empty)
+    Staging.writeString(s"$root/d/a", "1")
+    Staging.writeString(s"$root/d/b", "2")
+    assert(Staging.list(s"$root/d").toSet == Set("a", "b"))
   }
 
   test("promote: staged tables move into place, unpromoted staging " +
