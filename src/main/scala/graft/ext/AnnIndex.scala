@@ -1,0 +1,283 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Windows
+
+/** Durable IVF-PQ ANN index — the production lifecycle around
+  * [[Similarity]]'s in-plan components ([[Similarity.kmeansRefine]],
+  * [[Similarity.pqTrain]], [[Similarity.ivfPqTopK]]): train ONCE,
+  * commit versioned, serve every query from the artifact, fold new
+  * vectors in incrementally. The suite queries (q_ann_ivfpq,
+  * q_ivfpq_recall) retrain inside their plans because each is
+  * contractually self-contained; a serving pipeline must not — at
+  * 100 TB the corpus encode is the dominant cost and the codes table
+  * is the only corpus-sized artifact, so re-deriving either per query
+  * (or per ingest) is the same tax the dup-graph lifecycle exists to
+  * avoid.
+  *
+  * ==Artifact layout==
+  * `path/vN/centroids` (icell, cv, cn) and `path/vN/pqcent` (s, cid,
+  * cv) are catalog-sized (k·dim doubles) and rewritten per version;
+  * `path/segments/c<v>/` holds the corpus CODE segments — (vec_id,
+  * icell, s, cid), m rows per vector, PARTITIONED BY `icell` so a
+  * probe-restricted query prunes unprobed cells at the directory
+  * level. Commits follow the segment-incremental versioned-pointer
+  * discipline ([[graft.ops.Staging]], same as [[DupGraph]]): a
+  * [[refresh]]ed index written back to its root emits ONLY the new
+  * batch's code segment; the manifest lists live segments; unreferenced
+  * segments are swept with their last referencing version.
+  *
+  * ==Determinism contract==
+  * Encoding is a pure per-vector function of (vector, centroids,
+  * codebooks): IVF assignment ties break on cell id, PQ assignment on
+  * code id — no row interacts with any other. Hence
+  * `refresh(b).codes == encode(a ∪ b)` EXACTLY (AnnIndexSpec pins it),
+  * and [[search]] over a refreshed artifact equals
+  * [[Similarity.ivfPqTopK]] over the union corpus with the same
+  * trained inputs, at any nprobe.
+  *
+  * ==Scale posture==
+  * Query-time IO is the probed cells' code rows only (directory-level
+  * partition pruning via the broadcast probe join) — corpus VECTORS
+  * are read exactly once per vector's lifetime, at encode. Centroids,
+  * codebooks, probe frames, and ADC LUTs all broadcast. Per-segment
+  * candidate joins keep pruning effective across ingests; segment
+  * count grows one per batch until [[AnnIndex.compact]].
+  */
+final class AnnIndex private[ext] (
+    val centroids: DataFrame, // (icell, cv, cn) — IVF cells
+    val pqCent: DataFrame, // (s, cid, cv) — PQ codebooks
+    mkCodeSegs: () => Seq[DataFrame], // (vec_id, icell, s, cid) per segment
+    val m: Int,
+    val subDim: Int,
+    private[ext] val lineage: Option[AnnIndex.Lineage] = None) {
+
+  /** Corpus code segments — one per ingested batch for a stored index
+    * (every vector's m code rows live wholly inside its arrival
+    * segment, so per-segment probe joins are complete).
+    */
+  private[ext] lazy val codeSegs: Seq[DataFrame] = mkCodeSegs()
+
+  /** The full code table (union view of [[codeSegs]]). */
+  lazy val codes: DataFrame = codeSegs.reduce(_.unionByName(_))
+
+  /** IVF-PQ top-k from the artifact: probe each query's `nprobe`
+    * nearest cells, ADC-score ONLY the probed cells' code rows (the
+    * stored `icell` makes the corpus-side assignment pass of
+    * [[Similarity.ivfPqTopK]] unnecessary — that is the artifact's
+    * point), rank exact-BIGINT micro scores with ties on vec_id.
+    * `queries` is a [[Similarity.withNorm]] frame (vec_id, v, nm).
+    * Output (qid, vec_id, rnk, score) matches ivfPqTopK bit-for-bit.
+    */
+  def search(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
+    val probes = Windows.findFirstK(
+      queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nm").as("qn"))
+        .crossJoin(broadcast(centroids))
+        .select(col("qid"), col("icell"),
+          Similarity.cosinePre(
+            Similarity.dot(col("qv"), col("cv")), col("qn"), col("cn"))
+            .as("pcos")),
+      keys = Seq(col("qid")),
+      priority = Seq(col("pcos").desc, col("icell")),
+      k = nprobe, rankName = "__pr")
+      .select(col("qid"), col("icell"))
+    val lut = queries.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(pqCent))
+      .select(col("qid"), col("s"), col("cid"),
+        floor(Similarity.dot(
+          slice(col("qv"), col("s") * subDim + 1, lit(subDim)), col("cv"))
+          * 1000000L + 0.5).cast("long").as("d"))
+    // per-segment probe joins: each partitioned segment scan prunes to
+    // the probed icell dirs under the broadcast join (dynamic partition
+    // pruning); the union is of candidate-sized frames, never corpus
+    val cand = codeSegs.map(seg =>
+        seg.join(broadcast(probes), Seq("icell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), col("s"), col("cid")))
+      .reduce(_.unionByName(_))
+    val scored = cand
+      .join(broadcast(lut), Seq("qid", "s", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum("d").as("score"))
+    Windows.findFirstK(scored,
+      keys = Seq(col("qid")),
+      priority = Seq(col("score").desc, col("vec_id")),
+      k = k, rankName = "rnk")
+      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        col("score"))
+  }
+
+  /** Fold a new vector batch in WITHOUT retraining: assign + encode
+    * with the artifact's frozen centroids/codebooks
+    * ([[AnnIndex.encode]] — pure per-vector, so incremental == full
+    * re-encode exactly). Ids must be disjoint from the stored corpus
+    * (append-only ingest, the [[Dedup.refreshDupGraph]] rule). Retrain
+    * (a fresh [[AnnIndex.train]]) when [[Similarity.kmeansInertia]]
+    * says the frozen cells have drifted from the data.
+    */
+  def refresh(newVectors: DataFrame): AnnIndex = {
+    val delta = AnnIndex.encode(newVectors, centroids, pqCent, m, subDim)
+    new AnnIndex(centroids, pqCent, () => codeSegs :+ delta, m, subDim,
+      lineage = lineage.map(l => l.copy(deltas = l.deltas :+ (() => delta))))
+  }
+
+  /** Commit the index under `path` (versioned pointer + immutable code
+    * segments; see the class doc). An index whose [[lineage]] roots at
+    * this same `path` commits ONLY its unwritten deltas — per-batch
+    * commit bytes follow the batch (m code cells per new vector), not
+    * the corpus.
+    */
+  def write(path: String): Unit = {
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val csegs = lineage.filter(_.root == path) match {
+      case Some(l) =>
+        if (l.deltas.nonEmpty) {
+          AnnIndex.writeCodeSegment(
+            l.deltas.map(_()).reduce(_.unionByName(_)), path, s"c$v")
+          l.csegs :+ s"c$v"
+        } else l.csegs
+      case None =>
+        AnnIndex.writeCodeSegment(codes, path, s"c$v")
+        Seq(s"c$v")
+    }
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    pqCent.write.mode("overwrite").parquet(s"$dir/pqcent")
+    graft.ops.Staging.writeManifest(dir,
+      Map("m" -> m.toString, "subDim" -> subDim.toString,
+        "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(",")))
+    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.gcSegments(path, Seq("csegs"))
+  }
+}
+
+object AnnIndex {
+
+  /** Index format identifier persisted in every version manifest — a
+    * refresh/serve against an artifact encoded under a different
+    * scheme must fail loudly, never score garbage.
+    */
+  val FormatVersion = "ivfpq/v1"
+
+  private[ext] final case class Lineage(root: String,
+                                        csegs: Seq[String],
+                                        deltas: Seq[() => DataFrame])
+
+  private def segDir(root: String, segId: String): String =
+    s"$root/segments/$segId"
+
+  private def writeCodeSegment(df: DataFrame, root: String,
+                               segId: String): Unit = {
+    val dir = segDir(root, segId)
+    // deterministic segment ids: a crash-retry overwrites exactly its
+    // own debris (same discipline as DupGraph.writeIndexSegment)
+    graft.ops.Staging.deleteTree(dir)
+    df.write.partitionBy("icell").parquet(dir)
+  }
+
+  /** Train the artifact: `lloydIters` spherical-k-means passes over
+    * seeded IVF centroids ([[Similarity.kmeansRefine]] — exact
+    * fixed-point arithmetic, deterministic trajectory), PQ codebooks
+    * via [[Similarity.pqTrain]], then one corpus [[encode]]. `corpus`
+    * is a [[Similarity.withNorm]] frame (vec_id, v, nm); seed
+    * predicates follow the suite's sampling convention and must select
+    * non-empty sets.
+    */
+  def train(corpus: DataFrame, m: Int, subDim: Int,
+            ivfSeedPred: Column = col("vec_id") % 100 === 0,
+            pqSeedPred: Column = col("vec_id") % 100 === 0,
+            lloydIters: Int = 2): AnnIndex = {
+    val cent = Similarity.centroidFrame(
+      Similarity.kmeansRefine(corpus, corpus.filter(ivfSeedPred), lloydIters))
+      .select(col("cid").as("icell"), col("cv"), col("cn"))
+      .localCheckpoint(false)
+    val pq = Similarity.pqTrain(corpus, m, subDim, pqSeedPred)
+      .localCheckpoint(false)
+    val codes = encode(corpus, cent, pq, m, subDim)
+    new AnnIndex(cent, pq, () => Seq(codes), m, subDim)
+  }
+
+  /** Deterministic per-vector encoding against FROZEN artifacts: IVF
+    * cell = argmax cosine over broadcast centroids (ties on icell), PQ
+    * code per subspace via [[Similarity.pqAssign]] (ties on cid).
+    * Returns (vec_id, icell, s, cid) — m rows per vector. Pure in the
+    * vector: no row depends on any other, which is what makes
+    * incremental ingest exactly equal to a full re-encode.
+    */
+  def encode(vectors: DataFrame, centroids: DataFrame, pqCent: DataFrame,
+             m: Int, subDim: Int): DataFrame = {
+    val asg = Windows.findFirst(
+      vectors.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("icell"),
+          Similarity.cosinePre(
+            Similarity.dot(col("v"), col("cv")), col("nm"), col("cn"))
+            .as("ccos")),
+      keys = Seq(col("vec_id")),
+      priority = Seq(col("ccos").desc, col("icell")))
+      .select(col("vec_id"), col("icell"))
+    Similarity.pqAssign(Similarity.pqSubvectors(vectors, m, subDim), pqCent)
+      .select(col("vec_id"), col("s"), col("cid"))
+      .join(asg, Seq("vec_id"))
+      .select(col("vec_id"), col("icell"), col("s"), col("cid"))
+  }
+
+  /** Re-open the LATEST committed version. Parameters come from the
+    * manifest; a format mismatch fails loudly. The usual
+    * versioned-pointer reader-lifetime contract applies
+    * ([[DupGraph.read]]).
+    */
+  def read(spark: SparkSession, path: String): AnnIndex = {
+    val v = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed ANN index at $path (missing LATEST)"))
+    val dir = graft.ops.Staging.versionDir(path, v)
+    val mf = graft.ops.Staging.readManifest(dir)
+    mf.get("fmt").filter(_ != FormatVersion).foreach(f =>
+      sys.error(s"ANN index at $path encoded under '$f'; this build " +
+        s"speaks '$FormatVersion' — rebuild, do not refresh"))
+    val csegs = mf.get("csegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    new AnnIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/pqcent"),
+      () => csegs.map(sid => spark.read.parquet(segDir(path, sid))
+        // partitionBy wrote icell as a directory column — restore the
+        // stored column order AND the bigint type (partition inference
+        // may narrow small cell ids to int, which would miscompile the
+        // probe join's key comparison)
+        .select(col("vec_id"), col("icell").cast("long").as("icell"),
+          col("s"), col("cid"))),
+      m = mf("m").toInt, subDim = mf("subDim").toInt,
+      lineage = Some(Lineage(path, csegs, deltas = Seq.empty)))
+  }
+
+  /** True iff a complete committed version exists at `path`. */
+  def exists(path: String): Boolean =
+    graft.ops.Staging.currentVersion(path).isDefined
+
+  /** Fold a multi-segment artifact back to one code segment (the
+    * [[DupGraph.compact]] discipline: explicit, separate from ingest;
+    * no-op when already compact).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed ANN index at $path (missing LATEST)"))
+    val dir0 = graft.ops.Staging.versionDir(path, v0)
+    val mf = graft.ops.Staging.readManifest(dir0)
+    val csegs = mf.get("csegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    if (csegs.size <= 1) return
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    writeCodeSegment(
+      csegs.map(sid => spark.read.parquet(segDir(path, sid))
+          .select(col("vec_id"), col("icell").cast("long").as("icell"),
+            col("s"), col("cid")))
+        .reduce(_.unionByName(_)), path, s"c$v")
+    spark.read.parquet(s"$dir0/centroids")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    spark.read.parquet(s"$dir0/pqcent")
+      .write.mode("overwrite").parquet(s"$dir/pqcent")
+    graft.ops.Staging.writeManifest(dir, (mf - "csegs") + ("csegs" -> s"c$v"))
+    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.gcSegments(path, Seq("csegs"))
+  }
+}

@@ -1326,31 +1326,14 @@ object DupGraph {
     df.write.mode("overwrite").parquet(dir)
   }
 
-  /** Sweep segments no surviving version references: collect the
-    * segment ids of every manifest still on disk (the retained
-    * versions plus the just-committed one), delete the rest, and drop
-    * their bucketed catalog entries. Runs after each commit — cost is
-    * O(segments), metadata-only. A reader inside the retention window
-    * is safe (its version's manifest still pins its segments); beyond
-    * the window the standard reader-lifetime contract applies.
+  /** Sweep segments no surviving version references (the shared
+    * [[graft.ops.Staging.gcSegments]] discipline), dropping the swept
+    * dirs' bucketed catalog entries alongside.
     */
   private[ext] def gcSegments(spark: org.apache.spark.sql.SparkSession,
-                              root: String): Unit = {
-    val referenced = graft.ops.Staging.list(root)
-      .filter(_.matches("v\\d+"))
-      .flatMap { vd =>
-        val mf = graft.ops.Staging.readManifest(s"$root/$vd")
-        Seq("isegs", "psegs").flatMap(k =>
-          mf.get(k).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
-      }.toSet
-    graft.ops.Staging.list(s"$root/segments")
-      .filterNot(referenced)
-      .foreach { sid =>
-        val d = segDir(root, sid)
-        graft.ops.Staging.deleteTree(d)
-        graft.ops.Layout.dropBucketedEntry(spark, d)
-      }
-  }
+                              root: String): Unit =
+    graft.ops.Staging.gcSegments(root, Seq("isegs", "psegs"),
+      d => graft.ops.Layout.dropBucketedEntry(spark, d))
 
   /** Fold a multi-segment artifact back to one segment pair: union all
     * index segments into ONE bucketed segment, all pairs segments into

@@ -183,6 +183,31 @@ object Staging {
     }
   }
 
+  /** Sweep `root/segments/` entries referenced by NO surviving version
+    * manifest — the GC half of the segment-incremental commit
+    * discipline (immutable segments under `root/segments/`, version
+    * manifests listing the live ones by id; Dedup's DupGraph and
+    * AnnIndex both commit this way). `segKeys` names the manifest keys
+    * carrying comma-separated segment-id lists; `onDelete` runs per
+    * swept dir (e.g. bucketed-catalog cleanup). Runs after a commit:
+    * a reader inside the retention window is safe because its
+    * version's manifest still pins its segments. Cost is O(segments),
+    * metadata-only.
+    */
+  def gcSegments(root: String, segKeys: Seq[String],
+                 onDelete: String => Unit = _ => ()): Unit = {
+    val referenced = list(root).filter(_.matches("v\\d+")).flatMap { vd =>
+      val mf = readManifest(s"$root/$vd")
+      segKeys.flatMap(k =>
+        mf.get(k).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+    }.toSet
+    list(s"$root/segments").filterNot(referenced).foreach { sid =>
+      val d = s"$root/segments/$sid"
+      deleteTree(d)
+      onDelete(d)
+    }
+  }
+
   /** Write a `manifest` file of key=value lines inside a version dir —
     * the parameters an artifact was built with (shingle width,
     * threshold, bucket count, last-applied batch id, …), so a day-2
