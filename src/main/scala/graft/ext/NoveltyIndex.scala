@@ -1,0 +1,164 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable seen-shingle index — the artifact behind
+  * [[TextAnalysis.noveltyRateIncremental]]'s production loop: the set
+  * of every shingle hash the corpus has contributed so far, stored as
+  * immutable segments BUCKETED on `sh` so each batch's novelty
+  * anti-join is exchange-free on the (corpus-sized) index side, and
+  * committed with the segment-incremental versioned-pointer discipline
+  * shared with [[DupGraph]] and [[AnnIndex]] — per-batch commit bytes
+  * follow the batch's NEW shingles, never the accumulated set.
+  *
+  * Loop shape (daily crawl / `foreachBatch`): `read → novelty(batch)
+  * → update(batch) → write` — processing a corpus in id-ordered
+  * batches reproduces the full-corpus [[TextAnalysis.noveltyRate]]
+  * exactly (the pinned equivalence property, now held across the
+  * durable round trip too).
+  */
+final class NoveltyIndex private[ext] (
+    mkSegs: () => Seq[DataFrame], // (sh: bigint) per ingested batch
+    val n: Int,
+    val buckets: Int,
+    private[ext] val lineage: Option[NoveltyIndex.Lineage] = None) {
+
+  private[ext] lazy val segs: Seq[DataFrame] = mkSegs()
+
+  /** Union view of the seen-shingle set (one `sh` column). */
+  lazy val seen: DataFrame = segs.reduce(_.unionByName(_))
+
+  /** Per-doc novelty of a NEW batch against everything seen so far —
+    * [[TextAnalysis.noveltyRateIncremental]] over the stored segments
+    * (chained anti-joins; the index side never shuffles).
+    */
+  def novelty(newDocs: DataFrame, text: Column, id: Column): DataFrame =
+    TextAnalysis.noveltyReportSegs(newDocs, text, id, n, segs)
+
+  /** Fold the batch in: the delta segment is the batch's distinct
+    * shingles ABSENT from every stored segment (so segments stay
+    * disjoint and `seen` is an exact set union — no segment ever
+    * needs deduplication against another at read time).
+    */
+  def update(newDocs: DataFrame, text: Column, id: Column): NoveltyIndex = {
+    val batch = newDocs.select(explode(array_distinct(
+        graft.functions.HashFunctions.shingleHash48(text, n))).as("sh"))
+      .distinct()
+    val delta = segs.foldLeft(batch)((acc, s) =>
+      acc.join(s, Seq("sh"), "left_anti"))
+    new NoveltyIndex(() => segs :+ delta, n, buckets,
+      lineage = lineage.map(l =>
+        l.copy(deltas = l.deltas :+ (() => delta))))
+  }
+
+  /** Commit under `path`: an index whose lineage roots here emits only
+    * its unwritten delta segments (bucketed on `sh` via
+    * [[graft.ops.Layout.writeBucketedTable]]); otherwise the whole set
+    * as one segment. Manifest records n/buckets/hash-version/segments;
+    * GC sweeps segments with their last referencing version.
+    */
+  def write(path: String): Unit = {
+    val spark = SparkSession.active
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val ssegs = lineage.filter(_.root == path) match {
+      case Some(l) =>
+        if (l.deltas.nonEmpty) {
+          NoveltyIndex.writeSegment(
+            l.deltas.map(_()).reduce(_.unionByName(_)), path, s"s$v", buckets)
+          l.ssegs :+ s"s$v"
+        } else l.ssegs
+      case None =>
+        NoveltyIndex.writeSegment(seen, path, s"s$v", buckets)
+        Seq(s"s$v")
+    }
+    graft.ops.Staging.writeManifest(dir,
+      Map("n" -> n.toString, "buckets" -> buckets.toString,
+        "hash" -> NoveltyIndex.HashVersion, "ssegs" -> ssegs.mkString(",")))
+    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.gcSegments(path, Seq("ssegs"),
+      d => graft.ops.Layout.dropBucketedEntry(spark, d))
+  }
+}
+
+object NoveltyIndex {
+
+  /** Same 48-bit shingle kernel contract as the dup-graph's — an index
+    * hashed under a different scheme must fail loudly on read.
+    */
+  val HashVersion: String = DupGraph.HashVersion
+
+  private[ext] final case class Lineage(root: String,
+                                        ssegs: Seq[String],
+                                        deltas: Seq[() => DataFrame])
+
+  private def segDir(root: String, segId: String): String =
+    s"$root/segments/$segId"
+
+  private def writeSegment(df: DataFrame, root: String, segId: String,
+                           buckets: Int): Unit = {
+    val dir = segDir(root, segId)
+    graft.ops.Staging.deleteTree(dir) // deterministic id: retry-safe
+    graft.ops.Layout.dropBucketedEntry(df.sparkSession, dir)
+    if (buckets > 0)
+      graft.ops.Layout.writeBucketedTable(
+        df.repartition(buckets, col("sh")), dir, "sh", buckets)
+    else df.write.mode("overwrite").parquet(dir)
+  }
+
+  /** Build the initial index from the day-1 corpus. */
+  def build(docs: DataFrame, text: Column, id: Column, n: Int,
+            buckets: Int = 32): NoveltyIndex = {
+    val firsts = docs.select(explode(array_distinct(
+        graft.functions.HashFunctions.shingleHash48(text, n))).as("sh"))
+      .distinct()
+    new NoveltyIndex(() => Seq(firsts), n, buckets)
+  }
+
+  /** Re-open the LATEST committed version (the shared versioned-pointer
+    * reader contract — see [[DupGraph.read]]).
+    */
+  def read(spark: SparkSession, path: String): NoveltyIndex = {
+    val v = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed novelty index at $path (missing LATEST)"))
+    val dir = graft.ops.Staging.versionDir(path, v)
+    val mf = graft.ops.Staging.readManifest(dir)
+    mf.get("hash").filter(_ != HashVersion).foreach(h =>
+      sys.error(s"novelty index at $path hashed under '$h'; this build " +
+        s"speaks '$HashVersion' — rebuild, do not refresh"))
+    val buckets = mf("buckets").toInt
+    val ssegs = mf.get("ssegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    new NoveltyIndex(
+      () => ssegs.map { sid =>
+        val d = segDir(path, sid)
+        if (buckets > 0)
+          graft.ops.Layout.readBucketedTable(spark, d, "sh", buckets)
+        else spark.read.parquet(d)
+      },
+      n = mf("n").toInt, buckets = buckets,
+      lineage = Some(Lineage(path, ssegs, deltas = Seq.empty)))
+  }
+
+  /** True iff a complete committed version exists at `path`. */
+  def exists(path: String): Boolean =
+    graft.ops.Staging.currentVersion(path).isDefined
+
+  /** Fold segments back to one ([[DupGraph.compact]] discipline). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed novelty index at $path (missing LATEST)"))
+    val mf = graft.ops.Staging.readManifest(
+      graft.ops.Staging.versionDir(path, v0))
+    val ssegs = mf.get("ssegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    if (ssegs.size <= 1) return
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    writeSegment(
+      ssegs.map(sid => spark.read.parquet(segDir(path, sid)))
+        .reduce(_.unionByName(_)),
+      path, s"s$v", mf("buckets").toInt)
+    graft.ops.Staging.writeManifest(dir, (mf - "ssegs") + ("ssegs" -> s"s$v"))
+    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.gcSegments(path, Seq("ssegs"),
+      d => graft.ops.Layout.dropBucketedEntry(spark, d))
+  }
+}

@@ -589,7 +589,22 @@ object TextAnalysis {
     * cannot drift between the two.
     */
   private def noveltyReport(docs: DataFrame, text: Column, id: Column,
-                            n: Int, seen: Option[DataFrame]): DataFrame = {
+                            n: Int, seen: Option[DataFrame]): DataFrame =
+    noveltyReportSegs(docs, text, id, n, seen.toSeq)
+
+  /** Segment-chain form of the novelty shape: the seen index arrives
+    * as the immutable segments a durable [[NoveltyIndex]] stores, and
+    * the first-occurrence frame anti-joins each in sequence. Chaining
+    * is exchange-MINIMAL by construction: the batch side is hash-
+    * partitioned on `sh` by its own first-occurrence aggregate, every
+    * anti-join preserves that partitioning into the next, and a
+    * bucketed segment scan arrives pre-partitioned — so the index side
+    * never shuffles no matter how many segments have accumulated
+    * (NoveltyIndexSpec pins the zero-Exchange plan).
+    */
+  private[ext] def noveltyReportSegs(docs: DataFrame, text: Column,
+                                     id: Column, n: Int,
+                                     seenSegs: Seq[DataFrame]): DataFrame = {
     val hs = array_distinct(
       graft.functions.HashFunctions.shingleHash48(text, n))
     // per-doc denominator: per-row, zero shuffle
@@ -601,8 +616,8 @@ object TextAnalysis {
     // doc-count-sized novel tally
     val firsts = docs.select(id.as("doc_id"), explode(hs).as("sh"))
       .groupBy("sh").agg(min(col("doc_id")).as("doc_id"))
-    val novel = seen.fold(firsts)(idx =>
-        firsts.join(idx.select(col("sh")), Seq("sh"), "left_anti"))
+    val novel = seenSegs.foldLeft(firsts)((acc, idx) =>
+        acc.join(idx.select(col("sh")), Seq("sh"), "left_anti"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
     base.join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
@@ -623,9 +638,11 @@ object TextAnalysis {
     * afterwards.
     *
     * Scale posture: same shapes as [[noveltyRate]] plus one anti-join
-    * against the index on the 8-byte shingle hash — at scale the index
-    * is a bucketed table co-located on `sh`, making the anti-join
-    * exchange-free on the index side.
+    * against the index on the 8-byte shingle hash. At scale, hold the
+    * index as a durable [[NoveltyIndex]] — its segments are bucketed
+    * tables co-located on `sh`, making every anti-join exchange-free
+    * on the index side ([[NoveltyIndex.novelty]] is this method over
+    * the stored segments; this overload takes any in-memory frame).
     */
   def noveltyRateIncremental(newDocs: DataFrame, text: Column, id: Column,
                              n: Int, seen: DataFrame): DataFrame =
