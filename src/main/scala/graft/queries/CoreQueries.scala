@@ -921,10 +921,14 @@ object CoreQueries {
       val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       emb.crossJoin(broadcast(qv)).select(
         col("vec_id"),
-        round(aggregate(
+        // + 0.0 normalizes IEEE signed zero: Spark's round() goes
+        // through BigDecimal and emits 0.0 where DuckDB's keeps -0.0
+        // (skew-fixture class: a tiny negative dot rounding to zero
+        // hashes differently without it)
+        (round(aggregate(
           zip_with(col("embedding"), col("qe"),
             (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x), 4).as("dot"))
+          lit(0.0), (acc, x) => acc + x), 4) + lit(0.0)).as("dot"))
         .orderBy("vec_id")
     },
     // the guard mirrors zip_with's null-pad: a null/short/empty vector
@@ -934,8 +938,8 @@ object CoreQueries {
       "SELECT vec_id, CASE WHEN e.embedding IS NULL " +
       "OR len(e.embedding) <> len(q.qe) THEN NULL ELSE " +
       "round(list_dot_product(" +
-      "CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) END AS dot " +
-      "FROM embeddings e, q ORDER BY vec_id"))
+      "CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 4) + 0.0 END " +
+      "AS dot FROM embeddings e, q ORDER BY vec_id"))
 
   /** F11 JSON extraction from the events props payload. */
   private val qJsonExtract = Q("q_json_extract",
