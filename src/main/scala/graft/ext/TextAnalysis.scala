@@ -784,6 +784,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"), sum(col("pieces")).as("n_bpe"))
   }
 
+  /** Load a HuggingFace-style `merges.txt` artifact into the
+    * (step, pair, merged) frame [[bpeApplyMerges]] consumes: one
+    * "left right" pair per line, RANK = line order (the application
+    * order BPE's correctness depends on), optional `#…` header lines
+    * (e.g. `#version: 0.2`) skipped. Read driver-side through the
+    * Hadoop filesystem ([[graft.ops.Staging.readString]]) — a merge
+    * table is the bounded artifact class, and rank must never depend
+    * on a distributed read's partition order.
+    */
+  def bpeMergesFromFile(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.ops.Staging.readString(path).split('\n').toSeq
+      .map(_.stripSuffix("\r"))
+      .filter(_.nonEmpty)
+      .filterNot(_.startsWith("#"))
+      .zipWithIndex.map { case (line, i) =>
+        val parts = line.split(' ')
+        require(parts.length == 2,
+          s"malformed merges line ${i + 1} in $path: '$line' " +
+            "(expected 'left right')")
+        (i.toLong, s"${parts(0)} ${parts(1)}", parts(0) + parts(1))
+      }
+    rows.toDF("step", "pair", "merged")
+  }
+
   /** Shared k-step BPE training fold: (per-step merge frames, final
     * vocabulary state (w, f, enc)).
     */

@@ -60,12 +60,39 @@ object WordpieceVocab {
     */
   def fromTable(vocab: org.apache.spark.sql.DataFrame,
                 piece: org.apache.spark.sql.Column): Seq[String] =
-    vocab.select(piece.cast("string").as("p"))
-      .filter(org.apache.spark.sql.functions.col("p").isNotNull &&
-        org.apache.spark.sql.functions.length(
-          org.apache.spark.sql.functions.col("p")) >= 2)
-      .distinct().orderBy("p")
-      .collect().map(_.getString(0)).toSeq
+    normalize(vocab.select(piece.cast("string").as("p"))
+      .filter(org.apache.spark.sql.functions.col("p").isNotNull)
+      .collect().map(_.getString(0)).toSeq)
+
+  /** Load a HuggingFace/BERT-style `vocab.txt` artifact — one token
+    * per line, `##`-prefixed continuation pieces, bracketed special
+    * tokens (`[PAD]`, `[UNK]`, `[CLS]`, …). The mapping into this
+    * encoder's simplified model is documented: the `##` prefix is
+    * STRIPPED (pieces here match at any position in a word, so the
+    * continuation distinction collapses onto the same piece string)
+    * and special tokens are dropped (this encoder never emits
+    * sentinels — unmatched characters are their own pieces). The rest
+    * is [[fromTable]]'s normalization: multi-char, distinct, sorted.
+    *
+    * Read driver-side through the Hadoop filesystem (works for
+    * file://, HDFS, S3A alike) — a vocabulary file is the bounded
+    * artifact class (30k-250k lines), and line ORDER must not depend
+    * on a distributed read's partitioning.
+    */
+  def fromVocabFile(path: String): Seq[String] =
+    normalize(graft.ops.Staging.readString(path).split('\n').toSeq
+      .map(_.stripSuffix("\r"))
+      .filter(_.nonEmpty)
+      .filterNot(l => l.startsWith("[") && l.endsWith("]"))
+      .map(l => if (l.startsWith("##")) l.substring(2) else l))
+
+  /** Shared normalization for every vocabulary source: keep only
+    * multi-character pieces (single characters are the encoder's
+    * implicit fallbacks), distinct, sorted for a deterministic
+    * expression tree.
+    */
+  private def normalize(pieces: Seq[String]): Seq[String] =
+    pieces.filter(_.length >= 2).distinct.sorted
 }
 
 /** Greedy longest-prefix wordpiece segmentation kernel: one pass per

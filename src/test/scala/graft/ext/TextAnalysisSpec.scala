@@ -243,6 +243,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none == Seq((2L, 2L, 5L)), none) // 'ab'=2 chars + 'aab'=3 chars
   }
 
+  test("bpeMergesFromFile: a HF-style merges.txt (rank-ordered pairs, " +
+      "#version header, CRLF) reproduces the trained-table encoding") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "aab aab aab ab"), (2L, "ab aab"),
+      (3L, "o o oo aab xyz")).toDF("doc_id", "text")
+    // serialize bpeTrain's own merge table as a merges.txt — rank IS
+    // the line order, exactly the HF artifact convention
+    val trained = TextAnalysis.bpeTrain(docs, col("text"), k = 3)
+      .orderBy("step")
+      .select("pair").as[String].collect()
+    val f = java.nio.file.Files.createTempFile("merges", ".txt")
+    java.nio.file.Files.write(f,
+      ("#version: 0.2\n" + trained.mkString("\r\n") + "\n").getBytes("UTF-8"))
+    val loaded = TextAnalysis.bpeMergesFromFile(spark, f.toString)
+    assert(loaded.orderBy("step").as[(Long, String, String)].collect()
+      .map(_._2).toSeq == trained.toSeq)
+    // file-loaded merges encode identically to the in-frame table
+    val viaFile = TextAnalysis.bpeApplyMerges(docs, col("text"),
+        col("doc_id"), loaded)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val direct = TextAnalysis.bpeEncodeCounts(docs, col("text"),
+        col("doc_id"), k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(viaFile == direct, s"file $viaFile vs trained $direct")
+    // a malformed line fails loudly, never a silent partial table
+    val bad = java.nio.file.Files.createTempFile("merges_bad", ".txt")
+    java.nio.file.Files.write(bad, "a b\nc\n".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeMergesFromFile(spark, bad.toString)
+    }
+  }
+
   test("noveltyRateIncremental: id-ordered batches reproduce the full-corpus novelty") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 30L).map(i =>

@@ -107,4 +107,27 @@ class WordpieceSpec extends SparkSpec {
       .as[String].head()
     assert(out == "customer q u e r y", out)
   }
+
+  test("fromVocabFile: a HF-style vocab.txt (## continuations, bracketed " +
+      "specials, CRLF) loads into the same pieces as the table path") {
+    val f = java.nio.file.Files.createTempFile("vocab", ".txt")
+    // BERT-style: specials first, then whole-word pieces, then ##
+    // continuations; one duplicate after ##-stripping; CRLF endings
+    java.nio.file.Files.write(f,
+      ("[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\n" +
+        "custom\r\nspark\nthe\nz\n" + // 'z' single-char → implicit fallback
+        "##er\n##spark\n##qu\n\n").getBytes("UTF-8"))
+    val loaded = WordpieceVocab.fromVocabFile(f.toString)
+    // ## strips onto the same piece space; 'spark'/'##spark' collapse
+    assert(loaded == Seq("custom", "er", "qu", "spark", "the"), loaded)
+    // and the loaded artifact equals the fromTable path on the same set
+    assert(loaded == WordpieceVocab.fromTable(
+      Seq("custom", "spark", "the", "z", "er", "spark", "qu")
+        .toDF("piece"), col("piece")))
+    // end-to-end: the file-loaded vocabulary drives the encoder
+    val out = Seq("customer sparks").toDF("t")
+      .select(WordpieceFunctions.wordpiece(col("t"), loaded))
+      .as[String].head()
+    assert(out == "custom er spark s", out)
+  }
 }
