@@ -61,8 +61,8 @@ object StreamingDedup {
     * SKIP on replay (spec-pinned directly: the guard is the
     * correctness boundary, not the stream wiring).
     */
-  private[streaming] def foldBatch(batch: DataFrame, path: String,
-                                   batchId: Long): Unit = {
+  private[graft] def foldBatch(batch: DataFrame, path: String,
+                               batchId: Long): Unit = {
     val spark = batch.sparkSession
     // the probe is the COMMIT POINTER, not a table dir: a version
     // is discoverable only after write()'s atomic pointer swap, so
