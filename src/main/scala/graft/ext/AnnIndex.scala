@@ -130,7 +130,7 @@ final class AnnIndex private[ext] (
     * commit bytes follow the batch (m code cells per new vector), not
     * the corpus.
     */
-  def write(path: String): Unit = {
+  def write(path: String, batchId: Option[Long] = None): Unit = {
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val csegs = lineage.filter(_.root == path) match {
       case Some(l) =>
@@ -147,7 +147,8 @@ final class AnnIndex private[ext] (
     pqCent.write.mode("overwrite").parquet(s"$dir/pqcent")
     graft.ops.Staging.writeManifest(dir,
       Map("m" -> m.toString, "subDim" -> subDim.toString,
-        "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(",")))
+        "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(",")) ++
+        batchId.map("batchId" -> _.toString))
     graft.ops.Staging.commitVersion(path, v)
     graft.ops.Staging.gcSegments(path, Seq("csegs"))
   }
@@ -254,6 +255,16 @@ object AnnIndex {
   /** True iff a complete committed version exists at `path`. */
   def exists(path: String): Boolean =
     graft.ops.Staging.currentVersion(path).isDefined
+
+  /** The last streaming batch id folded into the committed index, if
+    * the writer recorded one ([[DupGraph.lastBatchId]]'s contract —
+    * the replay guard for exactly-once `foreachBatch` maintenance).
+    */
+  def lastBatchId(path: String): Option[Long] =
+    graft.ops.Staging.currentVersion(path).flatMap { v =>
+      graft.ops.Staging.readManifest(graft.ops.Staging.versionDir(path, v))
+        .get("batchId").map(_.toLong)
+    }
 
   /** Fold a multi-segment artifact back to one code segment (the
     * [[DupGraph.compact]] discipline: explicit, separate from ingest;

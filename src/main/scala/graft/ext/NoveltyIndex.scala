@@ -58,7 +58,7 @@ final class NoveltyIndex private[ext] (
     * as one segment. Manifest records n/buckets/hash-version/segments;
     * GC sweeps segments with their last referencing version.
     */
-  def write(path: String): Unit = {
+  def write(path: String, batchId: Option[Long] = None): Unit = {
     val spark = SparkSession.active
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val ssegs = lineage.filter(_.root == path) match {
@@ -74,7 +74,8 @@ final class NoveltyIndex private[ext] (
     }
     graft.ops.Staging.writeManifest(dir,
       Map("n" -> n.toString, "buckets" -> buckets.toString,
-        "hash" -> NoveltyIndex.HashVersion, "ssegs" -> ssegs.mkString(",")))
+        "hash" -> NoveltyIndex.HashVersion, "ssegs" -> ssegs.mkString(",")) ++
+        batchId.map("batchId" -> _.toString))
     graft.ops.Staging.commitVersion(path, v)
     graft.ops.Staging.gcSegments(path, Seq("ssegs"),
       d => graft.ops.Layout.dropBucketedEntry(spark, d))
@@ -142,6 +143,16 @@ object NoveltyIndex {
   /** True iff a complete committed version exists at `path`. */
   def exists(path: String): Boolean =
     graft.ops.Staging.currentVersion(path).isDefined
+
+  /** The last streaming batch id folded into the committed index, if
+    * the writer recorded one ([[DupGraph.lastBatchId]]'s contract —
+    * the replay guard for exactly-once `foreachBatch` maintenance).
+    */
+  def lastBatchId(path: String): Option[Long] =
+    graft.ops.Staging.currentVersion(path).flatMap { v =>
+      graft.ops.Staging.readManifest(graft.ops.Staging.versionDir(path, v))
+        .get("batchId").map(_.toLong)
+    }
 
   /** Fold segments back to one ([[DupGraph.compact]] discipline). */
   def compact(spark: SparkSession, path: String): Unit = {

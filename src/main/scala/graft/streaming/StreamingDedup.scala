@@ -70,23 +70,13 @@ object StreamingDedup {
     // partial graph for "nothing stored" and silently rebuild from
     // one batch
     val stored = DupGraph.exists(path)
-    // Replay discrimination: under ONE checkpoint, Structured Streaming
-    // can only re-deliver the EXACT last batch (the crash window between
-    // our pointer commit and the stream's checkpoint commit) — skip it,
-    // the sink is idempotent. A batchId strictly BELOW the stored one
-    // can only mean the stream was restarted against this graph with a
-    // fresh/different checkpoint (batch ids restart at 0): silently
-    // skipping would drop every micro-batch until the new counter
-    // catches up — silent data loss. A graph is bound to one checkpoint
-    // lineage; fail loudly so the operator repoints one or the other.
+    // Replay discrimination (the shared [[Maintenance]] contract): skip
+    // only the exact last batch re-delivered after a crash (idempotent
+    // sink); fail loudly on an id below the stored one — a fresh
+    // checkpoint against this graph would otherwise silently drop every
+    // real batch until its counter caught up.
     val last = if (stored) DupGraph.lastBatchId(path) else None
-    last.filter(batchId < _).foreach(l => throw new IllegalStateException(
-      s"StreamingDedup: micro-batch id $batchId is below the graph's " +
-        s"last-applied batch id $l at $path — the stream's checkpoint " +
-        "does not match this graph (restarted with a fresh checkpoint?). " +
-        "Resume the original checkpoint or start a new graph path."))
-    val replayed = last.contains(batchId)
-    if (!replayed) {
+    if (Maintenance.shouldFold("StreamingDedup", path, batchId, last)) {
       val g =
         if (!stored) Dedup.dupGraph(batch, col("text"), col("doc_id"))
         else Dedup.refreshDupGraph(DupGraph.read(spark, path),

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ext.{AnnIndex, NoveltyIndex, Similarity}
+
+/** Shared exactly-once discipline for `foreachBatch` artifact
+  * maintenance (the [[StreamingDedup]] contract, one audited copy):
+  * every committed version records the last-applied `batchId`; the
+  * exact last batch re-delivered after a crash is SKIPPED (idempotent
+  * sink), and an id BELOW the stored one fails loudly — under a single
+  * checkpoint only the last batch can replay, so a smaller id means
+  * the stream was restarted against this artifact with a fresh
+  * checkpoint (ids restart at 0) and silently skipping would drop
+  * every real batch until the new counter caught up.
+  */
+private[streaming] object Maintenance {
+
+  /** True ⇒ fold the batch; false ⇒ exact-last replay, skip. Throws on
+    * a checkpoint/artifact mismatch.
+    */
+  def shouldFold(what: String, path: String, batchId: Long,
+                 stored: Option[Long]): Boolean = {
+    stored.filter(batchId < _).foreach(l => throw new IllegalStateException(
+      s"$what: micro-batch id $batchId is below the artifact's " +
+        s"last-applied batch id $l at $path — the stream's checkpoint " +
+        "does not match this artifact (restarted with a fresh " +
+        "checkpoint?). Resume the original checkpoint or start a new " +
+        "artifact path."))
+    !stored.contains(batchId)
+  }
+}
+
+/** Streaming maintenance of the durable seen-shingle index
+  * ([[NoveltyIndex]]): each micro-batch of (`doc_id`, `text`) rows is
+  * folded into the index at `path` — build on first contact, update
+  * after — so between batches any consumer can read the index and
+  * score a candidate batch's novelty against everything ingested so
+  * far. Commits are segment-incremental (batch-sized bytes), replay
+  * is exactly-once ([[Maintenance]]).
+  *
+  * Per-batch novelty REPORTS are deliberately not a side output here:
+  * a pipeline that wants them calls `NoveltyIndex.read(...).novelty`
+  * inside its own foreachBatch before folding — reports are
+  * consumer-owned, the index is the shared artifact.
+  */
+object StreamingNovelty {
+
+  def maintain(docs: DataFrame, path: String, n: Int = 3,
+               buckets: Int = 32): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldBatch(batch.toDF(), path, batchId, n, buckets)
+      }
+      .start()
+
+  private[graft] def foldBatch(batch: DataFrame, path: String,
+                               batchId: Long, n: Int, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val stored = NoveltyIndex.exists(path)
+    val last = if (stored) NoveltyIndex.lastBatchId(path) else None
+    if (Maintenance.shouldFold("StreamingNovelty", path, batchId, last)) {
+      val idx =
+        if (!stored)
+          NoveltyIndex.build(batch, col("text"), col("doc_id"), n, buckets)
+        else NoveltyIndex.read(spark, path)
+          .update(batch, col("text"), col("doc_id"))
+      idx.write(path, batchId = Some(batchId))
+    }
+    ()
+  }
+}
+
+/** Streaming maintenance of the durable IVF-PQ index ([[AnnIndex]]):
+  * the FIRST micro-batch of (`vec_id`, `embedding`) rows trains the
+  * artifact (the bootstrap-train convention — centroids/codebooks are
+  * frozen until an explicit retrain); every later batch is assigned +
+  * encoded against the frozen artifacts and appended as one code
+  * segment. Incremental == full re-encode exactly (AnnIndexSpec), so
+  * the stream's ingest order never changes a search result. Replay is
+  * exactly-once ([[Maintenance]]); watch
+  * [[Similarity.kmeansInertia]] for the retrain signal.
+  */
+object StreamingAnn {
+
+  def maintain(vectors: DataFrame, path: String, m: Int = 4,
+               subDim: Int = 16): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldBatch(batch.toDF(), path, batchId, m, subDim)
+      }
+      .start()
+
+  private[graft] def foldBatch(batch: DataFrame, path: String,
+                               batchId: Long, m: Int, subDim: Int): Unit = {
+    val spark = batch.sparkSession
+    val stored = AnnIndex.exists(path)
+    val last = if (stored) AnnIndex.lastBatchId(path) else None
+    if (Maintenance.shouldFold("StreamingAnn", path, batchId, last)) {
+      val norms = Similarity.withNorm(batch, col("vec_id"), col("embedding"))
+      val idx =
+        if (!stored) AnnIndex.train(norms, m, subDim)
+        else AnnIndex.read(spark, path).refresh(norms)
+      idx.write(path, batchId = Some(batchId))
+    }
+    ()
+  }
+}

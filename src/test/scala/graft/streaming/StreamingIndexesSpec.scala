@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.ext.{AnnIndex, NoveltyIndex, Similarity, TextAnalysis}
+
+/** Pins the streamed maintenance loops for the two r15 durable
+  * artifacts: batches folded through `foreachBatch` leave EXACTLY the
+  * artifact a one-shot build over the union produces (the streamed
+  * refresh==rebuild contract [[StreamingDedupSpec]] pins for the dup
+  * graph), and the shared exactly-once replay discrimination holds
+  * (exact-last replay inert; below-stored id fails loudly).
+  */
+class StreamingIndexesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(ids: Seq[Long]) = ids.map(i =>
+    (i, s"w${i % 6} w${(i + 1) % 6} w${(i + 2) % 6} w${i % 4} w${i % 9}"))
+
+  test("StreamingNovelty.maintain: the stored seen set after 3 batches " +
+      "equals the union corpus's distinct shingles; versions advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("snov").toString
+    val batches = Seq(1L to 10L, 11L to 20L, 21L to 30L).map(mkDocs)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNovelty.maintain(
+      input.toDS().toDF("doc_id", "text"), path, n = 3)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val idx = NoveltyIndex.read(spark, path)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expect = all.select(explode(array_distinct(
+        graft.functions.HashFunctions.shingleHash48(col("text"), 3))).as("sh"))
+      .distinct().count()
+    assert(idx.seen.count() == expect)
+    // one segment per micro-batch
+    assert(graft.ops.Staging.readManifest(s"$path/v3")("ssegs") == "s1,s2,s3")
+    assert(graft.ops.Staging.currentVersion(path).contains(3L))
+    // a fresh batch scores correctly against the streamed index
+    val b4 = mkDocs(31L to 35L).toDF("doc_id", "text")
+    val viaIdx = idx.novelty(b4, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = TextAnalysis.noveltyRateIncremental(b4, col("text"),
+        col("doc_id"), 3, idx.seen)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaIdx == direct)
+  }
+
+  test("StreamingNovelty replay: exact-last inert, below-stored throws") {
+    val path = java.nio.file.Files.createTempDirectory("snov_rp").toString
+    val Seq(b0, b1) = Seq(1L to 10L, 11L to 20L)
+      .map(ids => mkDocs(ids).toDF("doc_id", "text"))
+    StreamingNovelty.foldBatch(b0, path, 0L, n = 3, buckets = 32)
+    StreamingNovelty.foldBatch(b1, path, 1L, n = 3, buckets = 32)
+    val before = (graft.ops.Staging.currentVersion(path).get,
+      NoveltyIndex.read(spark, path).seen.count())
+    StreamingNovelty.foldBatch(b1, path, 1L, n = 3, buckets = 32) // replay
+    assert((graft.ops.Staging.currentVersion(path).get,
+      NoveltyIndex.read(spark, path).seen.count()) == before)
+    val e = intercept[IllegalStateException] {
+      StreamingNovelty.foldBatch(b0, path, 0L, n = 3, buckets = 32)
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
+  private lazy val embScaled = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("StreamingAnn: batches folded through foldBatch equal a one-shot " +
+      "encode over the union with the same frozen artifacts; replay " +
+      "guard holds") {
+    val path = java.nio.file.Files.createTempDirectory("sann").toString
+    val b0 = embScaled.filter(col("vec_id") % 3 =!= 2 ||
+      col("vec_id") % 100 === 0) // must contain the seed ids
+    val b1 = embScaled.filter(col("vec_id") % 3 === 2 &&
+      col("vec_id") % 100 =!= 0)
+    StreamingAnn.foldBatch(b0, path, 0L, m = 4, subDim = 16)
+    StreamingAnn.foldBatch(b1, path, 1L, m = 4, subDim = 16)
+    val idx = AnnIndex.read(spark, path)
+    assert(graft.ops.Staging.readManifest(s"$path/v2")("csegs") == "c1,c2")
+    val union = Similarity.withNorm(embScaled, col("vec_id"), col("embedding"))
+    val full = AnnIndex.encode(union, idx.centroids, idx.pqCent, 4, 16)
+    assert(idx.codes.select("vec_id", "icell", "s", "cid")
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      full.as[(Long, Long, Long, Long)].collect().toSet)
+    // exact-last replay inert; below-stored id throws
+    val before = graft.ops.Staging.currentVersion(path).get
+    StreamingAnn.foldBatch(b1, path, 1L, m = 4, subDim = 16)
+    assert(graft.ops.Staging.currentVersion(path).contains(before))
+    val e = intercept[IllegalStateException] {
+      StreamingAnn.foldBatch(b0, path, 0L, m = 4, subDim = 16)
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+}
