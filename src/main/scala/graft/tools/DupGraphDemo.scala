@@ -91,10 +91,15 @@ object DupGraphDemo {
       r
     }
     try {
-      timed("day-2 write") { g2.write(s"$out/graph_day2") }
+      // write-back IN PLACE: the r15 segment-incremental commit — only
+      // the day-2 batch's index/pairs segments land on disk (plus the
+      // pair-graph-sized cluster table); day-1's segments are reused by
+      // reference (tools/DupGraphLadder measures the bytes curve)
+      timed("day-2 commit") { g2.write(s"$out/graph") }
     } finally g2.unpersist()
     println(s"[dup-graph] 5 consumer tables + durable graph under $out " +
-      "from ONE enumeration; day-2 batch folded in without re-enumerating day-1")
+      "from ONE enumeration; day-2 batch folded in without re-enumerating " +
+      "day-1, committed without rewriting day-1's segments")
     spark.stop()
   }
 }
