@@ -175,7 +175,13 @@ object AnnIndex {
     // deterministic segment ids: a crash-retry overwrites exactly its
     // own debris (same discipline as DupGraph.writeIndexSegment)
     graft.ops.Staging.deleteTree(dir)
-    df.write.partitionBy("icell").parquet(dir)
+    // an EMPTY partitioned write emits zero data files (only _SUCCESS)
+    // — unreadable later. Empty deltas are legitimate (a micro-batch of
+    // all-null embeddings encodes nothing), so write them UNpartitioned:
+    // a plain empty parquet keeps the full schema (icell as a regular
+    // column, which the reader selects either way) and stays readable.
+    if (df.isEmpty) df.coalesce(1).write.parquet(dir)
+    else df.write.partitionBy("icell").parquet(dir)
   }
 
   /** Train the artifact: `lloydIters` spherical-k-means passes over

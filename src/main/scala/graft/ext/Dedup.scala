@@ -514,6 +514,11 @@ object Dedup {
     new DupGraph(stored.pairs.unionByName(newPairs), clusters,
       () => stored.indexSegs :+ shNew, owned = Seq(newPairs, shNew),
       n = nn, threshold = tt,
+      // a refresh of a pre-manifest graph stays UNDECLARED unless the
+      // caller supplied both parameters explicitly — otherwise a later
+      // write would stamp guesses into the manifest as truth
+      paramsDeclared = stored.paramsDeclared ||
+        (n != -1 && threshold != -1.0),
       // thread the durable ancestry through: a later write() back to
       // the same root commits ONLY these deltas as new segments
       lineage = stored.lineage.map(l => l.copy(
@@ -1231,8 +1236,18 @@ final class DupGraph private[ext] (val pairs: DataFrame,
         (Seq(s"i$v"), Seq(s"p$v"), buckets)
     }
     clusters.write.mode("overwrite").parquet(s"$dir/clusters")
+    // A pre-manifest graph's n/threshold are library-default GUESSES —
+    // stamping them into the new manifest would promote the guess to a
+    // declared value, permanently rejecting the caller's correct
+    // explicit parameters on every later refresh (and silently joining
+    // mixed shingle spaces on a param-less one). Undeclared stays
+    // undeclared until a refresh with explicit parameters declares it.
+    val params: Map[String, String] =
+      if (paramsDeclared)
+        Map("n" -> n.toString, "threshold" -> threshold.toString)
+      else Map.empty
     graft.ops.Staging.writeManifest(dir,
-      Map("n" -> n.toString, "threshold" -> threshold.toString,
+      params ++ Map(
         "hash" -> DupGraph.HashVersion, "buckets" -> b.toString,
         "isegs" -> isegs.mkString(","), "psegs" -> psegs.mkString(",")) ++
         batchId.map("batchId" -> _.toString))

@@ -45,8 +45,14 @@ final class NoveltyIndex private[ext] (
     val batch = newDocs.select(explode(array_distinct(
         graft.functions.HashFunctions.shingleHash48(text, n))).as("sh"))
       .distinct()
+    // lazy-materialize the delta: write() commits it and a consumer
+    // reading `seen`/novelty on the updated handle scans it again —
+    // without this, each consumer re-runs the batch shingle projection
+    // + the whole anti-join chain (lazy localCheckpoint, not persist:
+    // the CacheManager dedupes persisted plans ACROSS invocations,
+    // which falsifies benchmarks — the repo-wide rule)
     val delta = segs.foldLeft(batch)((acc, s) =>
-      acc.join(s, Seq("sh"), "left_anti"))
+      acc.join(s, Seq("sh"), "left_anti")).localCheckpoint(false)
     new NoveltyIndex(() => segs :+ delta, n, buckets,
       lineage = lineage.map(l =>
         l.copy(deltas = l.deltas :+ (() => delta))))

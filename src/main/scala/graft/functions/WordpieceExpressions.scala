@@ -60,8 +60,15 @@ object WordpieceVocab {
     */
   def fromTable(vocab: org.apache.spark.sql.DataFrame,
                 piece: org.apache.spark.sql.Column): Seq[String] =
+    // filter + distinct run Spark-side so the driver transfer is
+    // bounded by DISTINCT multi-char pieces, not raw rows (a
+    // corpus-derived vocab table can carry heavy duplication);
+    // normalize() stays the single audited copy of the final rules
     normalize(vocab.select(piece.cast("string").as("p"))
-      .filter(org.apache.spark.sql.functions.col("p").isNotNull)
+      .filter(org.apache.spark.sql.functions.col("p").isNotNull &&
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("p")) >= 2)
+      .distinct()
       .collect().map(_.getString(0)).toSeq)
 
   /** Load a HuggingFace/BERT-style `vocab.txt` artifact — one token

@@ -122,6 +122,18 @@ object Layout {
     */
   def writeBucketedTable(df: DataFrame, dir: String, key: String,
                          buckets: Int): Unit = {
+    // An EMPTY bucketed CTAS writes no data files at all (only
+    // _SUCCESS) — a later read has no parquet footer to infer a schema
+    // from and the artifact is bricked. Empty frames are legitimate
+    // (a micro-batch of all-too-short docs contributes zero index
+    // rows), so write them as one plain schema-bearing parquet file
+    // plus a marker the reader keys on; partitioning is irrelevant for
+    // zero rows.
+    if (df.isEmpty) {
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      graft.ops.Staging.writeString(s"$dir/$EmptyMarker", "")
+      return
+    }
     val spark = df.sparkSession
     val tmp = s"graft_bktw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     df.write.bucketBy(buckets, key).sortBy(key)
@@ -129,6 +141,13 @@ object Layout {
     spark.sql(s"DROP TABLE `$tmp`")
     ()
   }
+
+  /** Marker file [[writeBucketedTable]] leaves in an EMPTY segment dir
+    * (written plain — bucket-file-name resolution has nothing to parse
+    * for zero rows); [[readBucketedTable]] reads such dirs as plain
+    * parquet.
+    */
+  private val EmptyMarker = "_GRAFT_EMPTY"
 
   /** Open a bucketed table written by [[writeBucketedTable]]:
     * (re)register a deterministic external-table entry over `dir`
@@ -145,6 +164,8 @@ object Layout {
   def readBucketedTable(spark: org.apache.spark.sql.SparkSession,
                         dir: String, key: String, buckets: Int): DataFrame =
     bucketedLock.synchronized {
+      if (graft.ops.Staging.exists(s"$dir/$EmptyMarker"))
+        return spark.read.parquet(dir) // empty segment, written plain
       val name = bucketedName(dir)
       if (!spark.catalog.tableExists(name)) {
         // CLUSTERED BY requires an explicit column list — take it from

@@ -65,8 +65,18 @@ object StreamingNovelty {
       val idx =
         if (!stored)
           NoveltyIndex.build(batch, col("text"), col("doc_id"), n, buckets)
-        else NoveltyIndex.read(spark, path)
-          .update(batch, col("text"), col("doc_id"))
+        else {
+          val stored = NoveltyIndex.read(spark, path)
+          // mixing shingle widths joins incompatible spaces — the same
+          // loud refusal refreshDupGraph makes; silently folding with
+          // the stored width while the caller believes they changed it
+          // would diverge without an error. (`buckets` is a build-time
+          // layout property: the stored artifact's count always wins.)
+          require(n == stored.n,
+            s"StreamingNovelty: shingle width $n != stored index's " +
+              s"${stored.n} at $path — rebuild, do not mix widths")
+          stored.update(batch, col("text"), col("doc_id"))
+        }
       idx.write(path, batchId = Some(batchId))
     }
     ()
@@ -102,7 +112,14 @@ object StreamingAnn {
       val norms = Similarity.withNorm(batch, col("vec_id"), col("embedding"))
       val idx =
         if (!stored) AnnIndex.train(norms, m, subDim)
-        else AnnIndex.read(spark, path).refresh(norms)
+        else {
+          val storedIdx = AnnIndex.read(spark, path)
+          require(m == storedIdx.m && subDim == storedIdx.subDim,
+            s"StreamingAnn: (m=$m, subDim=$subDim) != stored index's " +
+              s"(m=${storedIdx.m}, subDim=${storedIdx.subDim}) at $path " +
+              "— retrain, do not mix code spaces")
+          storedIdx.refresh(norms)
+        }
       idx.write(path, batchId = Some(batchId))
     }
     ()

@@ -73,9 +73,13 @@ object SkewFixture {
         col("vec_id"),
         when(col("vec_id") % 7 === 0,
           // identical direction per variant: every element the same
-          // positive constant, 11 variants — length and type preserved
+          // positive constant, 11 variants — length AND element type
+          // preserved (the division promotes to double, so cast the
+          // RESULT back to float or the when/otherwise coerces the
+          // whole twin column to array<double> and the float kernel
+          // paths silently stop being exercised)
           transform(col("embedding"),
-            _ => ((col("vec_id") % 11 + 1).cast("float") / lit(10.0f))))
+            _ => ((col("vec_id") % 11 + 1) / lit(10.0)).cast("float")))
           .otherwise(col("embedding")).as("embedding"),
         when(col("vec_id") % 3 === 0, lit(1))
           .otherwise(col("label")).as("label"))

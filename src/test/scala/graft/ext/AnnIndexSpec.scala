@@ -125,6 +125,24 @@ class AnnIndexSpec extends SparkSpec {
     intercept[RuntimeException] { AnnIndex.read(spark, dir) }
   }
 
+  test("empty-delta commit: refreshing with a batch that encodes nothing " +
+      "never bricks the stored index (empty code segments stay readable)") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_empty").toString
+    AnnIndex.train(day1, m, subDim).write(dir)
+    // an empty batch (all rows filtered by withNorm's null/zero-norm
+    // gate, or an empty micro-batch) — pre-fix the empty partitioned
+    // write emitted zero data files and every later read threw
+    val r1 = AnnIndex.read(spark, dir)
+    r1.refresh(day2.limit(0)).write(dir)
+    val r2 = AnnIndex.read(spark, dir) // must not throw
+    assert(r2.codes.count() == r1.codes.count())
+    assert(topk(r2.search(queries, k = 5, nprobe = 2)) ==
+      topk(r1.search(queries, k = 5, nprobe = 2)))
+    // and a real refresh continues on top
+    r2.refresh(day2).write(dir)
+    assert(AnnIndex.read(spark, dir).codes.count() > r1.codes.count())
+  }
+
   test("plan: probe-restricted search never scans unprobed cells' code " +
       "rows as candidates, and nothing corpus-sized shuffles") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_plan").toString

@@ -824,6 +824,36 @@ class DedupSpec extends SparkSpec {
     } finally fullAll.unpersist()
   }
 
+  test("empty-delta commit: a micro-batch contributing zero shingles " +
+      "never bricks the stored artifact (empty bucketed segments are " +
+      "written schema-bearing)") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_empty").toString
+    val g1 = Dedup.dupGraph(day1Docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+    // every doc under 3 tokens ⇒ zero shingles, zero pairs — the empty
+    // delta class (a re-crawl of boilerplate stubs). Pre-fix, the empty
+    // bucketed CTAS wrote NO data files and every later read threw
+    // UNABLE_TO_INFER_SCHEMA — a permanently bricked artifact.
+    val tiny = Seq((100L, "xy"), (101L, "a b")).toDF("doc_id", "text")
+    val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      tiny, col("text"), col("doc_id"))
+    try g2.write(dir) finally g2.unpersist()
+    val r = DupGraph.read(spark, dir) // must not throw
+    val full = Dedup.dupGraph(day1Docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(r.index.count() == full.index.count())
+      assert(r.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+    } finally full.unpersist()
+    // and the loop continues: a real batch folds on top of the empty one
+    val g3 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      day2Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    try g3.write(dir) finally g3.unpersist()
+    assert(DupGraph.read(spark, dir).clusters.count() > 0)
+  }
+
   test("legacy pre-manifest artifact: read flags guessed parameters and " +
       "refresh trusts the caller's explicit ones instead of rejecting") {
     val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")

@@ -63,6 +63,29 @@ class NoveltyIndexSpec extends SparkSpec {
     assert(rc.segs.size == 1 && rc.seen.count() == expect)
   }
 
+  test("empty-delta commit: a batch of already-seen content (zero new " +
+      "shingles) never bricks the stored index") {
+    val dir = java.nio.file.Files.createTempDirectory("novidx_empty").toString
+    val b1 = mkDocs(1L to 10L)
+    NoveltyIndex.build(b1, col("text"), col("doc_id"), n = 3).write(dir)
+    val before = NoveltyIndex.read(spark, dir).seen.count()
+    // re-crawl of existing pages under new ids: every shingle already
+    // seen ⇒ empty delta — pre-fix the empty bucketed segment had no
+    // schema-bearing files and every later read threw
+    val recrawl = mkDocs(1L to 10L)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+    val i2 = NoveltyIndex.read(spark, dir)
+      .update(recrawl, col("text"), col("doc_id"))
+    i2.write(dir)
+    val r = NoveltyIndex.read(spark, dir) // must not throw
+    assert(r.seen.count() == before)
+    // reports and further updates keep working
+    val rep = rows(r.novelty(mkDocs(31L to 33L), col("text"), col("doc_id")))
+    assert(rep.nonEmpty)
+    r.update(mkDocs(31L to 33L), col("text"), col("doc_id")).write(dir)
+    assert(NoveltyIndex.read(spark, dir).seen.count() > before)
+  }
+
   test("plan: the index side of every anti-join in the chain reads its " +
       "bucket files with NO Exchange (the 100 TB novelty-refresh cost)") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -35,6 +35,13 @@ class SkewFixtureSpec extends SparkSpec {
   test("embeddings: identical-direction clusters in 11 variants, " +
       "dominant label, dims preserved") {
     val emb = graft.model.Tables.load(spark, dir, "embeddings")
+    // the twin must keep the PRIMARY fixture's physical element type —
+    // a silent float→double promotion would stop exercising the float
+    // kernel paths and double the table
+    assert(emb.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true),
+      emb.schema("embedding").dataType.toString)
     val hot = emb.filter(col("vec_id") % 7 === 0)
     assert(hot.count() == 72L)
     // constant vectors: max == min within each hot row, 64 dims kept
