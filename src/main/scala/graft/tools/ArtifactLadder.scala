@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingAnn, StreamingNovelty}
+
+/** Per-batch commit-cost ladder for the OTHER two durable artifacts
+  * ([[DupGraphLadder]] covers the dup graph): drive the streaming
+  * maintenance fold over K id-ranged micro-batches and record fold
+  * wall + the COMMIT BYTES each version wrote. The contract under
+  * measurement is the same segment-incremental one: ANN commit bytes
+  * follow the batch's m code cells per vector (centroids/codebooks are
+  * catalog-sized rewrites); novelty commit bytes follow the batch's
+  * NEW shingles only — a re-crawl-heavy batch commits almost nothing,
+  * and neither ever rewrites the accumulated corpus segments.
+  *
+  * Usage: runMain graft.tools.ArtifactLadder [ann|novelty] [sfDir]
+  *        [factor] [batches]
+  */
+object ArtifactLadder {
+
+  private def dirBytes(p: String): Long = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(path)) return 0L
+    val s = java.nio.file.Files.walk(path)
+    try s.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(java.nio.file.Files.size(_)).sum
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val kind = if (args.length > 0) args(0) else "ann"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 2) args(2).toInt else 1
+    val batches = if (args.length > 3) args(3).toInt else 5
+    val out = java.nio.file.Files.createTempDirectory(s"graft_${kind}_ladder")
+      .toString
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val (table, idCol) =
+      if (kind == "ann") ("embeddings", "vec_id") else ("documents", "doc_id")
+    val rowsDf = {
+      val base = graft.model.Tables.load(spark, sfDir, table)
+      (if (factor > 1) ScaleSmoke.stack(base, factor, Seq(idCol))
+       else base).localCheckpoint(true)
+    }
+    val n = rowsDf.count()
+    val ids = rowsDf.select(idCol).orderBy(idCol).collect().map(_.getLong(0))
+    val bounds = (1 until batches).map(i => ids(i * ids.length / batches))
+    println(s"[ladder:$kind] corpus $n rows (${factor}x $sfDir), $batches batches")
+
+    val recs = (0 until batches).map { b =>
+      val lo = if (b == 0) Long.MinValue else bounds(b - 1)
+      val hi = if (b == batches - 1) Long.MaxValue else bounds(b)
+      val batch = rowsDf.filter(col(idCol) >= lo && col(idCol) < hi)
+      val bn = batch.count()
+      val t0 = System.nanoTime()
+      if (kind == "ann")
+        StreamingAnn.foldBatch(
+          batch.select(col("vec_id"), col("embedding")), out, b.toLong,
+          m = 4, subDim = 16)
+      else
+        StreamingNovelty.foldBatch(
+          batch.select(col("doc_id"), col("text")), out, b.toLong,
+          n = 3, buckets = 32)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val v = graft.ops.Staging.currentVersion(out).get
+      val segId = (if (kind == "ann") "c" else "s") + v
+      val segBytes = dirBytes(s"$out/segments/$segId")
+      // ANN rewrites the catalog-sized centroid/codebook tables per
+      // version — report them so "flat in corpus" is honest about the
+      // fixed overhead
+      val sideBytes =
+        if (kind == "ann")
+          dirBytes(s"${graft.ops.Staging.versionDir(out, v)}/centroids") +
+            dirBytes(s"${graft.ops.Staging.versionDir(out, v)}/pqcent")
+        else 0L
+      val commitMb = (segBytes + sideBytes) / 1e6
+      println(f"[ladder:$kind] batch $b%2d rows $bn%8d fold $sec%7.2f s " +
+        f"commit $commitMb%8.2f MB (seg ${segBytes / 1e6}%6.2f + " +
+        f"side ${sideBytes / 1e6}%5.2f)")
+      (b, bn, sec, commitMb)
+    }
+    println(f"[ladder:$kind] total_mb=${dirBytes(out) / 1e6}%.2f")
+    println(s"""{"metric":"${kind}_ladder","sf_dir":"$sfDir",""" +
+      s""""factor":$factor,"rows":$n,"batches":[""" +
+      recs.map { case (b, bn, sec, mb) =>
+        f"""{"b":$b,"rows":$bn,"fold_sec":$sec%.2f,"commit_mb":$mb%.2f}"""
+      }.mkString(",") + "]}")
+    spark.stop()
+  }
+}
