@@ -511,6 +511,17 @@ object Dedup {
     // (stored segs :+ shNew) are typically materialized by write()
     // AFTER this returns — releasing shNew here would force the whole
     // batch shingle projection to run a third time per ingest
+    // cluster DELTA vs the stored view: new docs plus any old doc a
+    // merge relabeled. Labels are MONOTONE non-increasing across
+    // refreshes (components only grow; a grown component's min-id only
+    // decreases), which is what lets the durable layout layer deltas
+    // and read back with a plain min(cluster_id) per doc — no
+    // last-writer bookkeeping. Lazy: only an incremental write pays it.
+    val deltaCls = clusters
+      .join(stored.clusters.withColumnRenamed("cluster_id", "__old"),
+        Seq("doc_id"), "left")
+      .filter(col("__old").isNull || col("__old") =!= col("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"))
     new DupGraph(stored.pairs.unionByName(newPairs), clusters,
       () => stored.indexSegs :+ shNew, owned = Seq(newPairs, shNew),
       n = nn, threshold = tt,
@@ -523,7 +534,8 @@ object Dedup {
       // the same root commits ONLY these deltas as new segments
       lineage = stored.lineage.map(l => l.copy(
         deltaIdx = l.deltaIdx :+ (() => shNew),
-        deltaPrs = l.deltaPrs :+ newPairs)))
+        deltaPrs = l.deltaPrs :+ newPairs,
+        deltaCls = l.deltaCls :+ deltaCls)))
   }
 
   /** The deduplicated corpus: every document that is either untouched
@@ -1172,15 +1184,18 @@ final class DupGraph private[ext] (val pairs: DataFrame,
     * A graph whose [[lineage]] roots at this same `path` (read here,
     * then refreshed zero or more times) commits ONLY its unwritten
     * deltas: the batch's shingle index becomes one new immutable
-    * index segment and the batch's new pairs one new pairs segment —
-    * per-batch commit BYTES follow the batch, not the corpus. The
-    * version manifest lists the segment ids; [[DupGraph.read]] unions
-    * them. Without lineage (a fresh build, or a write to a different
-    * root) the whole graph is written as one segment pair. The
-    * cluster table IS rewritten per version — it is the global
-    * contraction result (any new pair can merge old components), and
-    * it is pair-graph-sized, orders of magnitude under the index.
-    * Segment count grows one per ingested batch until
+    * index segment, the batch's new pairs one new pairs segment, and
+    * the CLUSTER table commits as a CHANGE delta (new docs + any old
+    * doc a merge relabeled) — per-batch commit BYTES follow the batch
+    * and the true merge ripple, never the corpus. Cluster deltas
+    * layer soundly because labels are monotone non-increasing across
+    * refreshes (components only grow; a grown component's min-id only
+    * decreases), so [[DupGraph.read]] reconstructs the effective view
+    * with one min(cluster_id)-per-doc aggregate over the layers —
+    * no last-writer bookkeeping. The version manifest lists all three
+    * segment id families; without lineage (a fresh build, or a write
+    * to a different root) the whole graph is written as one segment
+    * triple. Segment count grows one per ingested batch until
     * [[DupGraph.compact]] folds them back to one.
     *
     * Versioned-pointer commit ([[graft.ops.Staging]]): segments and
@@ -1218,24 +1233,39 @@ final class DupGraph private[ext] (val pairs: DataFrame,
             batchId: Option[Long] = None): Unit = {
     val spark = pairs.sparkSession
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
-    val (isegs, psegs, b) = lineage.filter(_.root == path) match {
+    val (isegs, psegs, clsegs, b) = lineage.filter(_.root == path) match {
       case Some(l) =>
         // incremental commit: only the unwritten deltas become segments
-        if (l.deltaIdx.nonEmpty) {
-          DupGraph.writeIndexSegment(
-            l.deltaIdx.map(_()).reduce(_.unionByName(_)),
-            path, s"i$v", l.buckets)
-          DupGraph.writePairsSegment(
-            l.deltaPrs.reduce(_.unionByName(_)), path, s"p$v")
-          (l.isegs :+ s"i$v", l.psegs :+ s"p$v", l.buckets)
-        } else (l.isegs, l.psegs, l.buckets)
+        val (is2, ps2) =
+          if (l.deltaIdx.nonEmpty) {
+            DupGraph.writeIndexSegment(
+              l.deltaIdx.map(_()).reduce(_.unionByName(_)),
+              path, s"i$v", l.buckets)
+            DupGraph.writePlainSegment(
+              l.deltaPrs.reduce(_.unionByName(_)), path, s"p$v")
+            (l.isegs :+ s"i$v", l.psegs :+ s"p$v")
+          } else (l.isegs, l.psegs)
+        val cl2 =
+          if (l.clsegs.isEmpty) {
+            // upgrading an artifact whose clusters still live in a
+            // version DIR (r15-early layout): that dir ages out with
+            // retention, so the FULL current view must become the base
+            // layer — a delta alone would orphan every base assignment
+            DupGraph.writePlainSegment(clusters, path, s"k$v")
+            Seq(s"k$v")
+          } else if (l.deltaCls.nonEmpty) {
+            DupGraph.writePlainSegment(
+              l.deltaCls.reduce(_.unionByName(_)), path, s"k$v")
+            l.clsegs :+ s"k$v"
+          } else l.clsegs
+        (is2, ps2, cl2, l.buckets)
       case None =>
-        // full commit: the whole graph as one segment pair
+        // full commit: the whole graph as one segment triple
         DupGraph.writeIndexSegment(index, path, s"i$v", buckets)
-        DupGraph.writePairsSegment(pairs, path, s"p$v")
-        (Seq(s"i$v"), Seq(s"p$v"), buckets)
+        DupGraph.writePlainSegment(pairs, path, s"p$v")
+        DupGraph.writePlainSegment(clusters, path, s"k$v")
+        (Seq(s"i$v"), Seq(s"p$v"), Seq(s"k$v"), buckets)
     }
-    clusters.write.mode("overwrite").parquet(s"$dir/clusters")
     // A pre-manifest graph's n/threshold are library-default GUESSES —
     // stamping them into the new manifest would promote the guess to a
     // declared value, permanently rejecting the caller's correct
@@ -1249,7 +1279,8 @@ final class DupGraph private[ext] (val pairs: DataFrame,
     graft.ops.Staging.writeManifest(dir,
       params ++ Map(
         "hash" -> DupGraph.HashVersion, "buckets" -> b.toString,
-        "isegs" -> isegs.mkString(","), "psegs" -> psegs.mkString(",")) ++
+        "isegs" -> isegs.mkString(","), "psegs" -> psegs.mkString(","),
+        "clsegs" -> clsegs.mkString(",")) ++
         batchId.map("batchId" -> _.toString))
     graft.ops.Staging.commitVersion(path, v)
     DupGraph.gcSegments(spark, path)
@@ -1307,9 +1338,11 @@ object DupGraph {
   private[ext] final case class Lineage(root: String,
                                         isegs: Seq[String],
                                         psegs: Seq[String],
+                                        clsegs: Seq[String],
                                         buckets: Int,
                                         deltaIdx: Seq[() => DataFrame],
-                                        deltaPrs: Seq[DataFrame])
+                                        deltaPrs: Seq[DataFrame],
+                                        deltaCls: Seq[DataFrame])
 
   private[ext] def segDir(root: String, segId: String): String =
     s"$root/segments/$segId"
@@ -1334,7 +1367,11 @@ object DupGraph {
     else df.write.mode("overwrite").parquet(dir)
   }
 
-  private def writePairsSegment(df: DataFrame, root: String,
+  /** Write one immutable PLAIN-parquet segment (pairs and cluster
+    * deltas — neither is a recurring-join stored side, so no bucket
+    * layout; an empty frame still writes a schema-bearing file).
+    */
+  private def writePlainSegment(df: DataFrame, root: String,
                                 segId: String): Unit = {
     val dir = segDir(root, segId)
     graft.ops.Staging.deleteTree(dir)
@@ -1347,7 +1384,7 @@ object DupGraph {
     */
   private[ext] def gcSegments(spark: org.apache.spark.sql.SparkSession,
                               root: String): Unit =
-    graft.ops.Staging.gcSegments(root, Seq("isegs", "psegs"),
+    graft.ops.Staging.gcSegments(root, Seq("isegs", "psegs", "clsegs"),
       d => graft.ops.Layout.dropBucketedEntry(spark, d))
 
   /** Fold a multi-segment artifact back to one segment pair: union all
@@ -1366,23 +1403,40 @@ object DupGraph {
     val mf = graft.ops.Staging.readManifest(dir0)
     val isegs = mf.get("isegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val psegs = mf.get("psegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    if (isegs.size <= 1 && psegs.size <= 1) return
+    val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    if (isegs.size <= 1 && psegs.size <= 1 && clsegs.size <= 1) return
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val index = isegs.map(sid => spark.read.parquet(segDir(path, sid)))
       .reduce(_.unionByName(_))
     writeIndexSegment(index, path, s"i$v", buckets)
-    writePairsSegment(
+    writePlainSegment(
       psegs.map(sid => spark.read.parquet(segDir(path, sid)))
         .reduce(_.unionByName(_)), path, s"p$v")
-    spark.read.parquet(s"$dir0/clusters")
-      .write.mode("overwrite").parquet(s"$dir/clusters")
+    // fold the cluster layers to their effective view (min per doc —
+    // sound because labels are monotone non-increasing, see write())
+    writePlainSegment(
+      if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
+      else spark.read.parquet(s"$dir0/clusters"), // r15-early layout
+      path, s"k$v")
     graft.ops.Staging.writeManifest(dir,
-      (mf - "isegs" - "psegs") ++
-        Map("isegs" -> s"i$v", "psegs" -> s"p$v"))
+      (mf - "isegs" - "psegs" - "clsegs") ++
+        Map("isegs" -> s"i$v", "psegs" -> s"p$v", "clsegs" -> s"k$v"))
     graft.ops.Staging.commitVersion(path, v)
     gcSegments(spark, path)
   }
+
+  /** Effective cluster view over layered delta segments: the minimum
+    * label per doc — exactly the latest assignment because labels are
+    * monotone non-increasing across refreshes. One map-side-combinable
+    * aggregate over the pair-graph-sized layers.
+    */
+  private def effectiveClusters(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                clsegs: Seq[String]): DataFrame =
+    clsegs.map(sid => spark.read.parquet(segDir(path, sid)))
+      .reduce(_.unionByName(_))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
 
   /** Re-open the LATEST committed version of a graph persisted by
     * [[DupGraph.write]]. Nothing is cached on read (parquet scans are
@@ -1415,7 +1469,13 @@ object DupGraph {
       sys.error(s"dup-graph at $path hashed under '$h'; this build " +
         s"speaks '$HashVersion' — rebuild, do not refresh"))
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
-    val clusters = spark.read.parquet(s"$dir/clusters")
+    // cluster table: layered delta segments (min-per-doc effective
+    // view) when the manifest lists them; the per-version table dir
+    // for r15-early and legacy artifacts
+    val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val clusters =
+      if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
+      else spark.read.parquet(s"$dir/clusters")
     val n = mf.get("n").map(_.toInt).getOrElse(3)
     val threshold = mf.get("threshold").map(_.toDouble).getOrElse(0.5)
     // pre-manifest artifacts carry GUESSED defaults — flag them so
@@ -1436,8 +1496,9 @@ object DupGraph {
           () => isegs.map(sid => openIndex(segDir(path, sid))),
           owned = Seq.empty, // a read graph owns no caches
           n = n, threshold = threshold, paramsDeclared = declared,
-          lineage = Some(Lineage(path, isegs, psegs, buckets,
-            deltaIdx = Seq.empty, deltaPrs = Seq.empty)))
+          lineage = Some(Lineage(path, isegs, psegs, clsegs, buckets,
+            deltaIdx = Seq.empty, deltaPrs = Seq.empty,
+            deltaCls = Seq.empty)))
       case None => // legacy single-dir layout
         new DupGraph(
           spark.read.parquet(s"$dir/pairs"),

@@ -82,8 +82,8 @@ object DupGraphLadder {
         graft.ops.Staging.versionDir(out, v))
       val newSegBytes =
         dirBytes(s"$out/segments/i$v") + dirBytes(s"$out/segments/p$v")
-      val clusterBytes = dirBytes(
-        s"${graft.ops.Staging.versionDir(out, v)}/clusters")
+      // clusters commit as a CHANGE delta segment since r15
+      val clusterBytes = dirBytes(s"$out/segments/k$v")
       val commitMb = (newSegBytes + clusterBytes) / 1e6
       println(f"[ladder] batch $b%2d rows $bn%8d fold $sec%7.2f s " +
         f"commit $commitMb%8.2f MB (segs ${newSegBytes / 1e6}%6.2f + " +

@@ -726,14 +726,22 @@ class DedupSpec extends SparkSpec {
 
     // the incremental commit added exactly the batch segments…
     assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
-      Set("i1", "p1", "i2", "p2"))
+      Set("i1", "p1", "k1", "i2", "p2", "k2"))
     // …and did not touch a byte of day-1's (immutability, not just
     // correctness: at 100 TB the corpus-sized i1 rewrite IS the cost)
     assert(segFiles(dir, "i1") == i1Before, "day-1 index segment rewritten")
     assert(segFiles(dir, "p1") == p1Before, "day-1 pairs segment rewritten")
+    // the cluster layer is a CHANGE delta: doc 10 joins {1,2} (new row)
+    // and 11/12 form a new cluster, but docs 1 and 2 keep their labels
+    // — their rows are NOT re-committed (labels are monotone
+    // non-increasing, so the layered read reconstructs with min())
+    val k2 = spark.read.parquet(s"$dir/segments/k2")
+      .as[(Long, Long)].collect().toSet
+    assert(k2 == Set((10L, 1L), (11L, 11L), (12L, 11L)), k2)
     // manifest lists both, in ingest order
     val mf = graft.ops.Staging.readManifest(s"$dir/v2")
-    assert(mf("isegs") == "i1,i2" && mf("psegs") == "p1,p2", mf)
+    assert(mf("isegs") == "i1,i2" && mf("psegs") == "p1,p2" &&
+      mf("clsegs") == "k1,k2", mf)
 
     // and the read-back graph equals the one-shot union build
     val r = DupGraph.read(spark, dir)
@@ -748,6 +756,34 @@ class DedupSpec extends SparkSpec {
     } finally full.unpersist()
   }
 
+  test("merge relabel rides the cluster delta: an old cluster absorbed " +
+      "by a smaller-label one re-commits exactly its own rows") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_merge").toString
+    // two disjoint day-1 clusters: {5,6} labeled 5 and {10,11} labeled 10
+    val day1 = Seq((5L, "p q r s"), (6L, "p q r s"),
+      (10L, "s t u v"), (11L, "s t u v")).toDF("doc_id", "text")
+    val g1 = Dedup.dupGraph(day1, col("text"), col("doc_id"),
+      threshold = 0.3)
+    try g1.write(dir) finally g1.unpersist()
+    // the bridge doc is 0.4-similar to a member of EACH cluster at the
+    // artifact's 0.3 threshold — the union component relabels {10,11}
+    // down to 5 (labels are monotone non-increasing: the merged min)
+    val bridge = Seq((100L, "p q r s t u v")).toDF("doc_id", "text")
+    val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      bridge, col("text"), col("doc_id"))
+    try g2.write(dir) finally g2.unpersist()
+    // the delta layer: the absorbed cluster's rows + the new doc —
+    // NOT the surviving cluster's (5 and 6 kept label 5)
+    val k2 = spark.read.parquet(s"$dir/segments/k2")
+      .as[(Long, Long)].collect().toSet
+    assert(k2 == Set((10L, 5L), (11L, 5L), (100L, 5L)), k2)
+    // and the layered read reconstructs the merged view exactly
+    val r = DupGraph.read(spark, dir)
+    assert(r.clusters.as[(Long, Long)].collect().toSet ==
+      Set(5L -> 5L, 6L -> 5L, 10L -> 5L, 11L -> 5L, 100L -> 5L))
+    assert(r.threshold == 0.3)
+  }
+
   test("crash-retry: stale uncommitted version + segment debris is " +
       "cleaned, the retried commit succeeds and rows are not doubled") {
     val dir = java.nio.file.Files.createTempDirectory("dupgraph_crash").toString
@@ -759,9 +795,10 @@ class DedupSpec extends SparkSpec {
     // swap. Restart targets the SAME version number and the SAME
     // deterministic segment ids — the old non-segmented bucketed CTAS
     // wedged permanently here (non-empty location).
-    graft.ops.Staging.writeString(s"$dir/v2/clusters/part-junk", "junk")
+    graft.ops.Staging.writeString(s"$dir/v2/manifest", "junk-no-equals")
     graft.ops.Staging.writeString(s"$dir/segments/i2/part-junk.parquet", "junk")
     graft.ops.Staging.writeString(s"$dir/segments/p2/part-junk.parquet", "junk")
+    graft.ops.Staging.writeString(s"$dir/segments/k2/part-junk.parquet", "junk")
     val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
       day2Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
     try g2.write(dir) finally g2.unpersist() // must not throw
@@ -788,9 +825,10 @@ class DedupSpec extends SparkSpec {
 
     DupGraph.compact(spark, dir) // v3: isegs=i3 — but v2 still pins i1,i2
     val mf3 = graft.ops.Staging.readManifest(s"$dir/v3")
-    assert(mf3("isegs") == "i3" && mf3("psegs") == "p3", mf3)
+    assert(mf3("isegs") == "i3" && mf3("psegs") == "p3" &&
+      mf3("clsegs") == "k3", mf3)
     assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
-      Set("i1", "p1", "i2", "p2", "i3", "p3"))
+      Set("i1", "p1", "k1", "i2", "p2", "k2", "i3", "p3", "k3"))
     // compacted graph == one-shot union build
     val r3 = DupGraph.read(spark, dir)
     val full12 = Dedup.dupGraph((day1Docs ++ day2Docs).toDF("doc_id", "text"),
@@ -811,7 +849,8 @@ class DedupSpec extends SparkSpec {
       day3Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
     try g4.write(dir) finally g4.unpersist()
     assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
-      Set("i3", "p3", "i4", "p4"), "pre-compaction segments not swept")
+      Set("i3", "p3", "k3", "i4", "p4", "k4"),
+      "pre-compaction segments not swept")
     val r4 = DupGraph.read(spark, dir)
     val fullAll = Dedup.dupGraph(
       (day1Docs ++ day2Docs ++ day3Docs).toDF("doc_id", "text"),

@@ -56,8 +56,9 @@ class StreamingDedupSpec extends SparkSpec {
       // versioned-pointer commits: three batches → three versions,
       // LATEST points at the last, superseded dirs garbage-collected
       assert(graft.ops.Staging.currentVersion(path).contains(3L))
-      assert(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$path/v3/clusters")))
+      // cluster deltas are segments since r15 (one layer per batch)
+      assert(graft.ops.Staging.readManifest(s"$path/v3")("clsegs") ==
+        "k1,k2,k3")
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/v1")))
     } finally full.unpersist()
