@@ -1173,8 +1173,8 @@ final class DupGraph private[ext] (val pairs: DataFrame,
   lazy val index: DataFrame = indexSegs.reduce(_.unionByName(_))
 
   /** Persist the graph for cross-job sharing under `path`: immutable
-    * index/pairs SEGMENTS under `path/segments/` + a per-version
-    * cluster table and manifest under `path/vN`. A daily-crawl
+    * index/pairs/cluster-delta SEGMENTS under `path/segments/` + a
+    * per-version manifest under `path/vN`. A daily-crawl
     * pipeline writes day-1's graph once; day-2 reads it back
     * ([[DupGraph.read]]) and folds the new batch in with
     * [[Dedup.refreshDupGraph]] — the stored corpus is never
@@ -1387,9 +1387,10 @@ object DupGraph {
     graft.ops.Staging.gcSegments(root, Seq("isegs", "psegs", "clsegs"),
       d => graft.ops.Layout.dropBucketedEntry(spark, d))
 
-  /** Fold a multi-segment artifact back to one segment pair: union all
-    * index segments into ONE bucketed segment, all pairs segments into
-    * one, re-point the clusters, commit as a new version. Explicit and
+  /** Fold a multi-segment artifact back to one segment TRIPLE: union
+    * all index segments into ONE bucketed segment, all pairs segments
+    * into one, fold the cluster layers to their effective min-per-doc
+    * view, commit as a new version. Explicit and
     * separate from the ingest path by design — ingest commits stay
     * batch-sized forever and the (corpus-sized) rewrite runs on the
     * operator's schedule, exactly like any LSM/Delta compaction. After
@@ -1471,10 +1472,20 @@ object DupGraph {
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
     // cluster table: layered delta segments (min-per-doc effective
     // view) when the manifest lists them; the per-version table dir
-    // for r15-early and legacy artifacts
+    // for r15-early and legacy artifacts. A MULTI-layer view is
+    // lazily materialized once (localCheckpoint, the repo's
+    // cross-action idiom — per-invocation blocks, freed by the
+    // ContextCleaner when the graph handle drops): a refresh cycle
+    // evaluates clusters at least twice (CC seed edges + the write
+    // delta) and every consumer again — re-running a many-layer
+    // union+aggregate per action is the one read cost the delta
+    // layout would otherwise add. A single layer stays a plain
+    // one-pass aggregate.
     val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val clusters =
-      if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
+      if (clsegs.size > 1)
+        effectiveClusters(spark, path, clsegs).localCheckpoint(false)
+      else if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
       else spark.read.parquet(s"$dir/clusters")
     val n = mf.get("n").map(_.toInt).getOrElse(3)
     val threshold = mf.get("threshold").map(_.toDouble).getOrElse(0.5)

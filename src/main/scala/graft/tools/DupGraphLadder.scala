@@ -13,9 +13,10 @@ import graft.streaming.StreamingDedup
   * actually wrote — the measurement that motivates and validates the
   * segment-incremental commit (r15): fold cost follows the batch ×
   * shared-shingle collisions, and commit bytes must stay flat in
-  * CORPUS size (each version writes only its batch segments + the
-  * pair-graph-sized cluster table), where the pre-segment layout
-  * rewrote the whole corpus index every batch.
+  * CORPUS size (each version writes only its batch's index/pairs
+  * segments + a cluster CHANGE delta — new docs + the true merge
+  * ripple), where the pre-segment layout rewrote the whole corpus
+  * index, and then the whole cluster table, every batch.
   *
   * Output: one `[ladder]` line per batch
   * (batch, rows, fold_sec, commit_mb, cum_docs, segment list), then a

@@ -893,6 +893,32 @@ class DedupSpec extends SparkSpec {
     assert(DupGraph.read(spark, dir).clusters.count() > 0)
   }
 
+  test("reader lifetime across compact: a graph resolved BEFORE a " +
+      "compaction stays fully evaluable for `retain` later commits " +
+      "(its manifest pins its segments)") {
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_rl").toString
+    val g1 = Dedup.dupGraph(day1Docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try g1.write(dir) finally g1.unpersist()
+    val g2 = Dedup.refreshDupGraph(DupGraph.read(spark, dir),
+      day2Docs.toDF("doc_id", "text"), col("text"), col("doc_id"))
+    try g2.write(dir) finally g2.unpersist() // v2: two segments per family
+    val held = DupGraph.read(spark, dir) // lazy reader at v2
+    val expectClusters = held.clusters.as[(Long, Long)].collect().toSet
+    DupGraph.compact(spark, dir) // v3 commits; v2 retained (retain=1)
+    // the held reader's manifest (v2) still pins i1/i2/p1/p2/k1/k2 —
+    // every frame stays evaluable after the compaction commit
+    assert(held.clusters.as[(Long, Long)].collect().toSet == expectClusters)
+    assert(held.pairs.count() >= 0 && held.index.count() > 0)
+    // one MORE commit ages v2 out and sweeps its segments — the
+    // documented end of the reader-lifetime window (re-read past it)
+    DupGraph.read(spark, dir).write(dir) // v4, delta-free
+    assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
+      Set("i3", "p3", "k3"), "pre-compaction segments outlived retention")
+    val fresh = DupGraph.read(spark, dir)
+    assert(fresh.clusters.as[(Long, Long)].collect().toSet == expectClusters)
+  }
+
   test("legacy pre-manifest artifact: read flags guessed parameters and " +
       "refresh trusts the caller's explicit ones instead of rejecting") {
     val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
