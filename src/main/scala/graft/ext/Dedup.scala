@@ -1472,20 +1472,17 @@ object DupGraph {
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
     // cluster table: layered delta segments (min-per-doc effective
     // view) when the manifest lists them; the per-version table dir
-    // for r15-early and legacy artifacts. A MULTI-layer view is
-    // lazily materialized once (localCheckpoint, the repo's
-    // cross-action idiom — per-invocation blocks, freed by the
-    // ContextCleaner when the graph handle drops): a refresh cycle
-    // evaluates clusters at least twice (CC seed edges + the write
-    // delta) and every consumer again — re-running a many-layer
-    // union+aggregate per action is the one read cost the delta
-    // layout would otherwise add. A single layer stays a plain
-    // one-pass aggregate.
+    // for r15-early and legacy artifacts. Deliberately a PURE lazy
+    // view, not checkpointed/persisted: a read handle can outlive
+    // executors (dynamic allocation) and is re-read every micro-batch
+    // by the streaming loop — truncated lineage would break on
+    // executor loss inside the promised reader-lifetime window, and
+    // per-read blocks have no deterministic release. Each action pays
+    // one union+min-aggregate over the layers; layer count is bounded
+    // by batches-since-[[compact]], which is the documented lever.
     val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val clusters =
-      if (clsegs.size > 1)
-        effectiveClusters(spark, path, clsegs).localCheckpoint(false)
-      else if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
+      if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
       else spark.read.parquet(s"$dir/clusters")
     val n = mf.get("n").map(_.toInt).getOrElse(3)
     val threshold = mf.get("threshold").map(_.toDouble).getOrElse(0.5)

@@ -907,9 +907,12 @@ class DedupSpec extends SparkSpec {
     val expectClusters = held.clusters.as[(Long, Long)].collect().toSet
     DupGraph.compact(spark, dir) // v3 commits; v2 retained (retain=1)
     // the held reader's manifest (v2) still pins i1/i2/p1/p2/k1/k2 —
-    // every frame stays evaluable after the compaction commit
+    // every frame stays evaluable after the compaction commit, and
+    // because the cluster view is a pure lazy plan (no checkpoint),
+    // this re-collect genuinely re-reads the pinned k1/k2 FILES
     assert(held.clusters.as[(Long, Long)].collect().toSet == expectClusters)
-    assert(held.pairs.count() >= 0 && held.index.count() > 0)
+    assert(held.pairs.count() > 0, "cross-day dup pairs must survive")
+    assert(held.index.count() > 0)
     // one MORE commit ages v2 out and sweeps its segments — the
     // documented end of the reader-lifetime window (re-read past it)
     DupGraph.read(spark, dir).write(dir) // v4, delta-free
