@@ -119,7 +119,12 @@ final class AnnIndex private[ext] (
     * says the frozen cells have drifted from the data.
     */
   def refresh(newVectors: DataFrame): AnnIndex = {
+    // lazy-materialize the delta (the NoveltyIndex.update discipline):
+    // write() probes it for emptiness AND writes it — without this,
+    // each commit evaluates the batch encode (corpus×centroids cross
+    // join + PQ assign) twice
     val delta = AnnIndex.encode(newVectors, centroids, pqCent, m, subDim)
+      .localCheckpoint(false)
     new AnnIndex(centroids, pqCent, () => codeSegs :+ delta, m, subDim,
       lineage = lineage.map(l => l.copy(deltas = l.deltas :+ (() => delta))))
   }
@@ -189,13 +194,25 @@ object AnnIndex {
     * fixed-point arithmetic, deterministic trajectory), PQ codebooks
     * via [[Similarity.pqTrain]], then one corpus [[encode]]. `corpus`
     * is a [[Similarity.withNorm]] frame (vec_id, v, nm); seed
-    * predicates follow the suite's sampling convention and must select
-    * non-empty sets.
+    * predicates follow the suite's sampling convention and MUST select
+    * non-empty sets — enforced here with a loud failure, because an
+    * empty seed frame flows silently through kmeansRefine/pqTrain into
+    * empty centroid/codebook tables, and an artifact committed from
+    * those "works" while every encode and search returns zero rows
+    * forever (the cross join against an empty broadcast side).
     */
   def train(corpus: DataFrame, m: Int, subDim: Int,
             ivfSeedPred: Column = col("vec_id") % 100 === 0,
             pqSeedPred: Column = col("vec_id") % 100 === 0,
             lloydIters: Int = 2): AnnIndex = {
+    def nonEmpty(pred: Column, what: String): Unit =
+      require(!corpus.filter(pred).isEmpty,
+        s"AnnIndex.train: $what selected no corpus rows — an empty seed " +
+          "set trains empty centroids/codebooks and every later encode/" +
+          "search silently returns nothing. Pass a predicate that " +
+          "matches this corpus's id space (e.g. isin over sampled ids).")
+    nonEmpty(ivfSeedPred, "ivfSeedPred")
+    nonEmpty(pqSeedPred, "pqSeedPred")
     val cent = Similarity.centroidFrame(
       Similarity.kmeansRefine(corpus, corpus.filter(ivfSeedPred), lloydIters))
       .select(col("cid").as("icell"), col("cv"), col("cn"))

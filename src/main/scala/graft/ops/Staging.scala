@@ -169,7 +169,9 @@ object Staging {
     * version past the retention window and walks DOWN until the first
     * already-missing dir — every older dir was deleted by an earlier
     * commit (a crash mid-GC can strand dirs below a hole; they are
-    * unreferenced and harmless, never a broken reader).
+    * unreferenced, never a broken reader, and segment artifacts
+    * reclaim them on the next [[gcSegments]] sweep so a stranded
+    * manifest cannot pin segments forever).
     */
   def commitVersion(root: String, n: Long, retain: Int = 1): Unit = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
@@ -183,21 +185,40 @@ object Staging {
     }
   }
 
-  /** Sweep `root/segments/` entries referenced by NO surviving version
-    * manifest — the GC half of the segment-incremental commit
-    * discipline (immutable segments under `root/segments/`, version
-    * manifests listing the live ones by id; Dedup's DupGraph and
-    * AnnIndex both commit this way). `segKeys` names the manifest keys
-    * carrying comma-separated segment-id lists; `onDelete` runs per
-    * swept dir (e.g. bucketed-catalog cleanup). Runs after a commit:
-    * a reader inside the retention window is safe because its
-    * version's manifest still pins its segments. Cost is O(segments),
-    * metadata-only.
+  /** Sweep `root/segments/` entries referenced by NO version manifest
+    * inside the retention window — the GC half of the
+    * segment-incremental commit discipline (immutable segments under
+    * `root/segments/`, version manifests listing the live ones by id;
+    * Dedup's DupGraph, AnnIndex, and NoveltyIndex all commit this
+    * way). `segKeys` names the manifest keys carrying comma-separated
+    * segment-id lists; `onDelete` runs per swept dir (e.g.
+    * bucketed-catalog cleanup). Runs after a commit: a reader inside
+    * the retention window is safe because its version's manifest still
+    * pins its segments. Cost is O(segments), metadata-only.
+    *
+    * Only versions inside the retention window (`LATEST - retain` and
+    * newer — mirror [[commitVersion]]'s `retain`) pin segments: a
+    * version dir STRANDED below the window by a crash mid-GC is
+    * unreferenced by contract, so its manifest must not pin its
+    * segments forever — the sweep deletes the stranded dir itself and
+    * then reclaims whatever only it referenced. An UNREADABLE manifest
+    * inside the window aborts the sweep conservatively (nothing is
+    * deleted, the commit that triggered the GC still succeeds): the
+    * loud [[readManifest]] failure is right when a reader depends on
+    * that version, but a write to THIS artifact does not, and wedging
+    * every future commit on one bit-rotted old manifest would turn a
+    * disk fault into a total write outage.
     */
   def gcSegments(root: String, segKeys: Seq[String],
-                 onDelete: String => Unit = _ => ()): Unit = {
-    val referenced = list(root).filter(_.matches("v\\d+")).flatMap { vd =>
-      val mf = readManifest(s"$root/$vd")
+                 onDelete: String => Unit = _ => (),
+                 retain: Int = 1): Unit = {
+    val latest = currentVersion(root).getOrElse(return)
+    val (live, stranded) = list(root).filter(_.matches("v\\d+"))
+      .partition(_.drop(1).toLong >= latest - retain)
+    val manifests = live.map(vd => scala.util.Try(readManifest(s"$root/$vd")))
+    if (manifests.exists(_.isFailure)) return // conservative: sweep later
+    stranded.foreach(vd => deleteTree(s"$root/$vd"))
+    val referenced = manifests.map(_.get).flatMap { mf =>
       segKeys.flatMap(k =>
         mf.get(k).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
     }.toSet

@@ -111,7 +111,7 @@ object StreamingAnn {
     if (Maintenance.shouldFold("StreamingAnn", path, batchId, last)) {
       val norms = Similarity.withNorm(batch, col("vec_id"), col("embedding"))
       val idx =
-        if (!stored) AnnIndex.train(norms, m, subDim)
+        if (!stored) bootstrapTrain(norms, m, subDim)
         else {
           val storedIdx = AnnIndex.read(spark, path)
           require(m == storedIdx.m && subDim == storedIdx.subDim,
@@ -124,4 +124,30 @@ object StreamingAnn {
     }
     ()
   }
+
+  /** Bootstrap training for the first micro-batch: the library-default
+    * modulo seed predicate assumes nothing about the stream's id
+    * space, so when it selects NOTHING from this batch (ids 1..99, a
+    * UUID-derived id space, …) fall back to a deterministic sample —
+    * the batch's [[BootstrapSeeds]] smallest `vec_id`s — instead of
+    * committing an artifact trained on empty seeds (which
+    * [[AnnIndex.train]] now refuses loudly). Deterministic in the
+    * batch contents, so a crash-replayed batch retrains identically.
+    */
+  private[graft] def bootstrapTrain(norms: DataFrame, m: Int,
+                                    subDim: Int): AnnIndex = {
+    val defaultPred = col("vec_id") % 100 === 0
+    if (!norms.filter(defaultPred).isEmpty) AnnIndex.train(norms, m, subDim)
+    else {
+      val seedIds = norms.select(col("vec_id").cast("long"))
+        .orderBy("vec_id").limit(BootstrapSeeds).collect().map(_.getLong(0))
+      val pred = col("vec_id").isin(seedIds.toIndexedSeq.map(Long.box): _*)
+      AnnIndex.train(norms, m, subDim, ivfSeedPred = pred, pqSeedPred = pred)
+    }
+  }
+
+  /** Fallback seed-sample size: enough cells/codes for a useful index
+    * off one micro-batch, small enough to broadcast trivially.
+    */
+  private val BootstrapSeeds = 16
 }

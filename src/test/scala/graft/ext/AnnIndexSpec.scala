@@ -160,4 +160,18 @@ class AnnIndexSpec extends SparkSpec {
     // the directory layout, not a full-file filter
     assert(p.contains("PartitionFilters") || p.contains("dynamicpruning"), p)
   }
+
+  test("train refuses an empty seed set loudly — an empty-trained " +
+      "artifact would 'work' while every search returns nothing") {
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.train(norms, m, subDim,
+        ivfSeedPred = col("vec_id") === -1L)
+    }
+    assert(e.getMessage.contains("ivfSeedPred"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.train(norms, m, subDim,
+        pqSeedPred = col("vec_id") === -1L)
+    }
+    assert(e2.getMessage.contains("pqSeedPred"), e2.getMessage)
+  }
 }

@@ -122,6 +122,62 @@ class StagingSpec extends SparkSpec {
     assert(Staging.readString(s"$root/t2/part-0") == "b")
   }
 
+  private def mkSeg(root: String, sid: String): Unit =
+    Staging.writeString(s"$root/segments/$sid/part-0", sid)
+
+  private def mkVersion(root: String, segs: Seq[String]): Long = {
+    val (d, v) = Staging.nextVersionDir(root)
+    Staging.writeManifest(d, Map("ssegs" -> segs.mkString(",")))
+    Staging.commitVersion(root, v)
+    v
+  }
+
+  test("gcSegments: segments pinned by retention-window manifests " +
+      "survive; unreferenced ones are swept with onDelete") {
+    val root = tmp("stg_seg")
+    Seq("s1", "s2", "s3").foreach(mkSeg(root, _))
+    mkVersion(root, Seq("s1"))
+    mkVersion(root, Seq("s1", "s2")) // window (retain=1) = {v1, v2}
+    var deleted = Seq.empty[String]
+    Staging.gcSegments(root, Seq("ssegs"), d => deleted :+= d)
+    assert(Staging.exists(s"$root/segments/s1"))
+    assert(Staging.exists(s"$root/segments/s2"))
+    assert(!Staging.exists(s"$root/segments/s3"), "unreferenced — swept")
+    assert(deleted == Seq(s"$root/segments/s3"))
+  }
+
+  test("gcSegments: a version dir STRANDED below the retention window " +
+      "(crash mid-GC) is deleted and stops pinning its segments") {
+    val root = tmp("stg_strand")
+    Seq("old", "live").foreach(mkSeg(root, _))
+    mkVersion(root, Seq("old")) // v1
+    mkVersion(root, Seq("live")) // v2
+    mkVersion(root, Seq("live")) // v3
+    mkVersion(root, Seq("live")) // v4 → window {v3, v4}; v1/v2 GC'd
+    // crash simulation: resurrect a below-window dir whose manifest
+    // references the 'old' segment — pre-fix, it pinned 'old' forever
+    Staging.writeManifest(s"$root/v1", Map("ssegs" -> "old"))
+    Staging.gcSegments(root, Seq("ssegs"))
+    assert(!Staging.exists(s"$root/v1"), "stranded dir reclaimed")
+    assert(!Staging.exists(s"$root/segments/old"),
+      "segment pinned only by the stranded manifest reclaimed")
+    assert(Staging.exists(s"$root/segments/live"))
+  }
+
+  test("gcSegments: an unreadable manifest INSIDE the window aborts " +
+      "the sweep conservatively instead of wedging the commit path") {
+    val root = tmp("stg_rot")
+    Seq("s1", "junk").foreach(mkSeg(root, _))
+    mkVersion(root, Seq("s1")) // v1
+    mkVersion(root, Seq("s1")) // v2 → window {v1, v2}
+    Staging.writeString(s"$root/v1/manifest", "bitrotted-no-equals")
+    // must not throw, must not delete anything (v1's pins are unknown)
+    Staging.gcSegments(root, Seq("ssegs"))
+    assert(Staging.exists(s"$root/segments/s1"))
+    assert(Staging.exists(s"$root/segments/junk"),
+      "sweep skipped wholesale under an unreadable live manifest")
+  }
+
   test("atomicRename overwrites an existing destination (the pointer " +
       "swap primitive)") {
     val root = tmp("stg_ar")

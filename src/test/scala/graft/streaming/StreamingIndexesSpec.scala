@@ -96,4 +96,27 @@ class StreamingIndexesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("checkpoint"), e.getMessage)
   }
+
+  test("StreamingAnn bootstrap: a first batch the default modulo seeds " +
+      "MISS falls back to deterministic smallest-id seeds — never an " +
+      "empty-trained artifact") {
+    val path = java.nio.file.Files.createTempDirectory("sann_boot").toString
+    // ids 1..60 with no multiple of 100: the default vec_id % 100 == 0
+    // predicate selects nothing here
+    val b0 = embScaled.filter(col("vec_id").between(1, 60))
+    StreamingAnn.foldBatch(b0, path, 0L, m = 4, subDim = 16)
+    val idx = AnnIndex.read(spark, path)
+    assert(idx.centroids.count() > 0 && idx.pqCent.count() > 0,
+      "bootstrap fallback must train non-empty artifacts")
+    // the fallback is deterministic in the batch: smallest 16 vec_ids
+    val norms = Similarity.withNorm(b0, col("vec_id"), col("embedding"))
+    val seedPred = col("vec_id").between(1, 16)
+    val expect = AnnIndex.train(norms, 4, 16,
+      ivfSeedPred = seedPred, pqSeedPred = seedPred)
+    assert(idx.codes.as[(Long, Long, Long, Long)].collect().toSet ==
+      expect.codes.as[(Long, Long, Long, Long)].collect().toSet)
+    // and searching the bootstrapped artifact returns real rows
+    val q = norms.filter(col("vec_id") === 20)
+    assert(idx.search(q, k = 5, nprobe = 2).count() == 5)
+  }
 }
