@@ -289,6 +289,38 @@ object AnnIndex {
         .get("batchId").map(_.toLong)
     }
 
+  /** Retrain the artifact at `path` from the current corpus VECTORS
+    * (supplied by the caller — PQ codes are lossy, so the vectors come
+    * back from the lake, not from the artifact) and commit the result
+    * as a FULL new generation: fresh centroids/codebooks + one code
+    * segment over `corpus`, replacing the frozen-artifact lineage.
+    * `m`/`subDim` come from the stored manifest (they are the
+    * artifact's code-space identity; changing them is a new artifact),
+    * and the manifest's streaming `batchId` is PRESERVED so a
+    * [[graft.streaming.StreamingAnn]] maintenance loop continues
+    * uninterrupted across the retrain. Search continuity is the
+    * versioned-pointer contract: a reader that resolved the old
+    * version keeps complete (old-generation) segments for `retain`
+    * commits; new readers serve the new generation. Trigger: watch
+    * [[graft.streaming.StreamingAnn.maintain]]'s `onInertia` signal
+    * for per-batch drift below the train-time inertia.
+    */
+  def retrain(spark: SparkSession, path: String, corpus: DataFrame,
+              ivfSeedPred: Column = col("vec_id") % 100 === 0,
+              pqSeedPred: Column = col("vec_id") % 100 === 0,
+              lloydIters: Int = 2): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+      sys.error(s"no committed ANN index at $path (missing LATEST)"))
+    val mf = graft.ops.Staging.readManifest(
+      graft.ops.Staging.versionDir(path, v0))
+    mf.get("fmt").filter(_ != FormatVersion).foreach(f =>
+      sys.error(s"ANN index at $path encoded under '$f'; this build " +
+        s"speaks '$FormatVersion' — rebuild, do not retrain"))
+    train(corpus, mf("m").toInt, mf("subDim").toInt,
+      ivfSeedPred, pqSeedPred, lloydIters)
+      .write(path, batchId = mf.get("batchId").map(_.toLong))
+  }
+
   /** Fold a multi-segment artifact back to one code segment (the
     * [[DupGraph.compact]] discipline: explicit, separate from ingest;
     * no-op when already compact).

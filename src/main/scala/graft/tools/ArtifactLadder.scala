@@ -16,7 +16,11 @@ import graft.streaming.{StreamingAnn, StreamingNovelty}
   * and neither ever rewrites the accumulated corpus segments.
   *
   * Usage: runMain graft.tools.ArtifactLadder [ann|novelty] [sfDir]
-  *        [factor] [batches]
+  *        [factor] [batches] [compactEvery]
+  * `compactEvery` > 0 enables the maintainers' auto-compaction policy
+  * (r16): per-batch `segn` stays bounded by the threshold (the read
+  * amplification ceiling) instead of growing one per batch; trigger
+  * batches pay the corpus rewrite visibly — the amortized price.
   */
 object ArtifactLadder {
 
@@ -36,6 +40,7 @@ object ArtifactLadder {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val factor = if (args.length > 2) args(2).toInt else 1
     val batches = if (args.length > 3) args(3).toInt else 5
+    val compactEvery = if (args.length > 4) args(4).toInt else 0
     val out = java.nio.file.Files.createTempDirectory(s"graft_${kind}_ladder")
       .toString
     val spark = SparkSession.builder().master("local[32]")
@@ -65,12 +70,14 @@ object ArtifactLadder {
       if (kind == "ann")
         StreamingAnn.foldBatch(
           batch.select(col("vec_id"), col("embedding")), out, b.toLong,
-          m = 4, subDim = 16)
+          m = 4, subDim = 16, compactEvery = compactEvery)
       else
         StreamingNovelty.foldBatch(
           batch.select(col("doc_id"), col("text")), out, b.toLong,
-          n = 3, buckets = 32)
+          n = 3, buckets = 32, compactEvery = compactEvery)
       val sec = (System.nanoTime() - t0) / 1e9
+      val segKey = if (kind == "ann") "csegs" else "ssegs"
+      val segn = graft.streaming.Maintenance.segmentCount(out, Seq(segKey))
       val v = graft.ops.Staging.currentVersion(out).get
       val segId = (if (kind == "ann") "c" else "s") + v
       val segBytes = dirBytes(s"$out/segments/$segId")
@@ -85,14 +92,31 @@ object ArtifactLadder {
       val commitMb = (segBytes + sideBytes) / 1e6
       println(f"[ladder:$kind] batch $b%2d rows $bn%8d fold $sec%7.2f s " +
         f"commit $commitMb%8.2f MB (seg ${segBytes / 1e6}%6.2f + " +
-        f"side ${sideBytes / 1e6}%5.2f)")
-      (b, bn, sec, commitMb)
+        f"side ${sideBytes / 1e6}%5.2f) segn=$segn")
+      (b, bn, sec, commitMb, segn)
     }
+    // ANN retrain cost: one full-generation rebuild from the corpus
+    // vectors (train + union re-encode + full-segment commit) — the
+    // amortized price of reacting to the onInertia drift signal
+    val retrainSec =
+      if (kind == "ann") {
+        val t0 = System.nanoTime()
+        graft.ext.AnnIndex.retrain(spark, out,
+          graft.ext.Similarity.withNorm(rowsDf,
+            col("vec_id"), col("embedding")))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[ladder:$kind] retrain $sec%7.2f s " +
+          f"(full generation over $n rows)")
+        Some(sec)
+      } else None
     println(f"[ladder:$kind] total_mb=${dirBytes(out) / 1e6}%.2f")
     println(s"""{"metric":"${kind}_ladder","sf_dir":"$sfDir",""" +
-      s""""factor":$factor,"rows":$n,"batches":[""" +
-      recs.map { case (b, bn, sec, mb) =>
-        f"""{"b":$b,"rows":$bn,"fold_sec":$sec%.2f,"commit_mb":$mb%.2f}"""
+      s""""factor":$factor,"rows":$n,"compact_every":$compactEvery,""" +
+      retrainSec.map(s => f""""retrain_sec":$s%.2f,""").getOrElse("") +
+      s""""batches":[""" +
+      recs.map { case (b, bn, sec, mb, segn) =>
+        f"""{"b":$b,"rows":$bn,"fold_sec":$sec%.2f,""" +
+          f""""commit_mb":$mb%.2f,"segn":$segn}"""
       }.mkString(",") + "]}")
     spark.stop()
   }

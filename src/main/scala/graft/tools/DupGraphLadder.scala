@@ -23,9 +23,16 @@ import graft.streaming.StreamingDedup
   * compact JSON summary line for SCALE.md/BASELINE.md.
   *
   * Usage: runMain graft.tools.DupGraphLadder [sfDir] [factor] [batches]
+  *        [compactEvery]
   * (factor stacks documents with disjoint id spaces, the ScaleSmoke
   * convention — every copy is a true near-dup of its siblings, the
-  * adversarial dedup shape).
+  * adversarial dedup shape). `compactEvery` > 0 enables the streaming
+  * maintainers' auto-compaction policy (r16): per-batch `segs` then
+  * stays bounded by the threshold — the read-amplification ceiling —
+  * where the uncompacted run grows it one per batch, and fold wall
+  * stops inheriting a per-stored-segment join fan-out as the stream
+  * ages (compaction batches themselves spike by the corpus rewrite;
+  * that is the amortized price, visible in the row).
   */
 object DupGraphLadder {
 
@@ -44,6 +51,7 @@ object DupGraphLadder {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 1
     val batches = if (args.length > 2) args(2).toInt else 5
+    val compactEvery = if (args.length > 3) args(3).toInt else 0
     val out = java.nio.file.Files.createTempDirectory("graft_ladder").toString
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -73,8 +81,11 @@ object DupGraphLadder {
       val bn = batch.count()
       cum += bn
       val t0 = System.nanoTime()
-      StreamingDedup.foldBatch(batch, out, batchId = b.toLong)
+      StreamingDedup.foldBatch(batch, out, batchId = b.toLong,
+        compactEvery = compactEvery)
       val sec = (System.nanoTime() - t0) / 1e9
+      val segn = graft.streaming.Maintenance.segmentCount(out,
+        Seq("isegs", "psegs", "clsegs"))
       // net new bytes this commit (segments written + new version dir;
       // GC of superseded versions nets OUT, so measure gross writes via
       // the new version's own artifacts)
@@ -88,9 +99,9 @@ object DupGraphLadder {
       val commitMb = (newSegBytes + clusterBytes) / 1e6
       println(f"[ladder] batch $b%2d rows $bn%8d fold $sec%7.2f s " +
         f"commit $commitMb%8.2f MB (segs ${newSegBytes / 1e6}%6.2f + " +
-        f"clusters ${clusterBytes / 1e6}%6.2f) cum $cum%9d " +
+        f"clusters ${clusterBytes / 1e6}%6.2f) cum $cum%9d segn=$segn " +
         s"isegs=${segs.getOrElse("isegs", "?")}")
-      (b, bn, sec, commitMb)
+      (b, bn, sec, commitMb, segn)
     }
     val g = DupGraph.read(spark, out)
     println(f"[ladder] final clusters=${g.clusters.count()}%d " +
@@ -98,8 +109,10 @@ object DupGraphLadder {
       f"total_mb=${dirBytes(out) / 1e6}%.2f")
     println("{\"metric\":\"dupgraph_ladder\"," +
       s""""sf_dir":"$sfDir","factor":$factor,"docs":$n,""" +
-      "\"batches\":[" + rows.map { case (b, bn, sec, mb) =>
-        f"""{"b":$b,"rows":$bn,"fold_sec":$sec%.2f,"commit_mb":$mb%.2f}"""
+      s""""compact_every":$compactEvery,""" +
+      "\"batches\":[" + rows.map { case (b, bn, sec, mb, segn) =>
+        f"""{"b":$b,"rows":$bn,"fold_sec":$sec%.2f,""" +
+          f""""commit_mb":$mb%.2f,"segn":$segn}"""
       }.mkString(",") + "]}")
     spark.stop()
   }

@@ -161,6 +161,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(p.contains("PartitionFilters") || p.contains("dynamicpruning"), p)
   }
 
+  test("retrain: full new generation from caller-supplied vectors — " +
+      "codes re-encoded under fresh centroids, batchId preserved, " +
+      "old reader stays serviceable within retention") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_rt").toString
+    AnnIndex.train(day1, m, subDim).write(dir, batchId = Some(7L))
+    AnnIndex.read(spark, dir).refresh(day2).write(dir, batchId = Some(8L))
+    val oldIdx = AnnIndex.read(spark, dir)
+    val oldTop = topk(oldIdx.search(queries, k = 5, nprobe = 2))
+    val union = day1.unionByName(day2)
+    AnnIndex.retrain(spark, dir, union)
+    // the retrained artifact is one full-generation segment whose codes
+    // equal a fresh encode of the corpus under the NEW artifacts
+    val idx = AnnIndex.read(spark, dir)
+    val v = graft.ops.Staging.currentVersion(dir).get
+    val mf = graft.ops.Staging.readManifest(
+      graft.ops.Staging.versionDir(dir, v))
+    assert(mf("csegs") == s"c$v", "retrain must commit ONE full segment")
+    assert(mf("batchId") == "8", "retrain must preserve the replay guard")
+    val fresh = AnnIndex.encode(union, idx.centroids, idx.pqCent, m, subDim)
+    assert(idx.codes.as[(Long, Long, Long, Long)].collect().toSet ==
+      fresh.as[(Long, Long, Long, Long)].collect().toSet)
+    // retraining actually moved the centroids (day-2 vectors now vote)
+    assert(idx.centroids.as[(Long, Seq[Double], Double)].collect().toSet !=
+      oldIdx.centroids.as[(Long, Seq[Double], Double)].collect().toSet)
+    // search serves from the new generation; the pre-retrain reader's
+    // lazily-held result is still computable (retention keeps its
+    // version's segments for one commit)
+    assert(idx.search(queries, k = 5, nprobe = 2).count() == 20)
+    assert(topk(oldIdx.search(queries, k = 5, nprobe = 2)) == oldTop)
+    // and the streaming loop continues: batch 9 folds normally
+    graft.streaming.StreamingAnn.foldBatch(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(col("vec_id") === 0).select(col("vec_id") + 100000L,
+          col("embedding")).toDF("vec_id", "embedding"),
+      dir, 9L, m, subDim)
+    assert(AnnIndex.lastBatchId(dir).contains(9L))
+  }
+
   test("train refuses an empty seed set loudly — an empty-trained " +
       "artifact would 'work' while every search returns nothing") {
     val e = intercept[IllegalArgumentException] {

@@ -97,6 +97,33 @@ class DedupSpec extends SparkSpec {
     assert(cc == (0L to 9L).map(_ -> 0L).toMap)
   }
 
+  test("small-graph fast path == distributed hook+jump ladder, exactly " +
+      "(random graphs; localThreshold=0 forces the ladder)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val edges = (0 until 400).map(_ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val pairs = edges.toDF("da", "db").localCheckpoint()
+      val fast = Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      val ladder = Dedup.connectedComponents(pairs, localThreshold = 0L)
+        .as[(Long, Long)].collect().toSet
+      assert(fast == ladder, s"trial $trial diverged")
+    }
+  }
+
+  test("string-id pairs keep the ladder (fast path is integral-ids only) " +
+      "and still label by component min") {
+    // the q_entity_resolution shape: fuzzy name pairs
+    val pairs = Seq(("alpha", "beta"), ("beta", "gamma"), ("x", "y"))
+      .toDF("da", "db")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(cc == Map("alpha" -> "alpha", "beta" -> "alpha",
+      "gamma" -> "alpha", "x" -> "x", "y" -> "x"))
+  }
+
   test("changedCount falls back to the exact probe when the observation never fills") {
     // an Observation that was never attached to a query: getRowOrEmpty
     // stays None, the deadline expires, and the probe compares the two

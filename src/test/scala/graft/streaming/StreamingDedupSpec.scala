@@ -113,4 +113,79 @@ class StreamingDedupSpec extends SparkSpec {
     assert(after._1 == before._1 + 1)
     assert(after._2 == before._2 + ((11L -> 11L)) + ((20L -> 11L)))
   }
+
+  test("compact(keepPairs=false) prunes the pairs table to a " +
+      "schema-bearing shell; clusters survive and a later refresh " +
+      "still equals the union rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("sdedup_kp").toString
+    val Seq(b0, b1, b2) = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "the quick brown fox jumps over the lazy dog")),
+      Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "fresh pair of near identical day two documents")),
+      Seq((20L, "fresh pair of near identical day two documents"),
+        (21L, "the quick brown fox jumps over the lazy dog")))
+      .map(_.toDF("doc_id", "text"))
+    StreamingDedup.foldBatch(b0, path, 0L)
+    StreamingDedup.foldBatch(b1, path, 1L)
+    val preClusters = DupGraph.read(spark, path).clusters
+      .as[(Long, Long)].collect().toSet
+    DupGraph.compact(spark, path, keepPairs = false)
+    val pruned = DupGraph.read(spark, path)
+    assert(pruned.pairs.isEmpty, "pairs must be pruned")
+    assert(pruned.pairs.columns.toSeq == Seq("da", "db", "jacc"),
+      "the shell must keep the real schema")
+    assert(pruned.clusters.as[(Long, Long)].collect().toSet == preClusters)
+    // day-3 fold on the pruned artifact: clusters still == rebuild
+    StreamingDedup.foldBatch(b2, path, 2L)
+    val streamed = DupGraph.read(spark, path)
+    val full = Dedup.dupGraph(
+      Seq(b0, b1, b2).reduce(_.unionByName(_)), col("text"), col("doc_id"))
+    try {
+      assert(streamed.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+      // the pairs view reflects only post-prune ingests (batch 2's
+      // cross pairs), a strict subset of the rebuild's
+      val post = streamed.pairs.select("da", "db")
+        .as[(Long, Long)].collect().toSet
+      val rebuild = full.pairs.select("da", "db")
+        .as[(Long, Long)].collect().toSet
+      assert(post.nonEmpty && post.subsetOf(rebuild) && post != rebuild)
+    } finally full.unpersist()
+  }
+
+  test("21-batch soak with auto-compaction: segment count stays bounded " +
+      "and the folded graph equals the one-shot union build") {
+    val path = java.nio.file.Files.createTempDirectory("sdedup_soak").toString
+    val k = 4
+    // 6 token-disjoint near-dup families recurring across every batch,
+    // so clusters keep growing ACROSS compaction boundaries — the
+    // property a compaction bug (dropped pair/index/cluster rows)
+    // cannot survive
+    def doc(id: Long) = {
+      val f = id % 6
+      (id, s"alpha$f beta$f gamma$f delta$f epsilon$f zeta$f eta$f")
+    }
+    val batches = (0 until 21).map(i => (0L until 4L).map(j => doc(i * 10 + j)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingDedup.foldBatch(b.toDF("doc_id", "text"), path, i.toLong,
+        compactEvery = k)
+      assert(Maintenance.segmentCount(path,
+        Seq("isegs", "psegs", "clsegs")) <= k,
+        s"batch $i: segment count exceeded the compaction threshold")
+    }
+    val streamed = DupGraph.read(spark, path)
+    val full = Dedup.dupGraph(batches.flatten.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    try {
+      assert(streamed.clusters.as[(Long, Long)].collect().toSet ==
+        full.clusters.as[(Long, Long)].collect().toSet)
+      assert(streamed.pairs.select("da", "db").as[(Long, Long)]
+        .collect().toSet ==
+        full.pairs.select("da", "db").as[(Long, Long)].collect().toSet)
+      assert(streamed.index.count() == full.index.count())
+      assert(DupGraph.lastBatchId(path).contains(20L),
+        "compaction must preserve the replay guard's batchId")
+    } finally full.unpersist()
+  }
 }

@@ -119,4 +119,72 @@ class StreamingIndexesSpec extends SparkSpec {
     val q = norms.filter(col("vec_id") === 20)
     assert(idx.search(q, k = 5, nprobe = 2).count() == 5)
   }
+
+  test("StreamingAnn onInertia: every refreshed batch reports its mean " +
+      "batch-to-stored-centroid cosine (the retrain trigger signal)") {
+    val path = java.nio.file.Files.createTempDirectory("sann_in").toString
+    val b0 = embScaled.filter(col("vec_id") < 200)
+    val b1 = embScaled.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    var seen = Vector.empty[(Long, Double)]
+    val hook = Some((b: Long, v: Double) => { seen :+= ((b, v)); () })
+    StreamingAnn.foldBatch(b0, path, 0L, 4, 16, onInertia = hook)
+    assert(seen.isEmpty, "bootstrap train has no stored centroids to drift from")
+    StreamingAnn.foldBatch(b1, path, 1L, 4, 16, onInertia = hook)
+    assert(seen.map(_._1) == Vector(1L))
+    val direct = StreamingAnn.batchInertia(
+      AnnIndex.read(spark, path),
+      Similarity.withNorm(b1, col("vec_id"), col("embedding")))
+    assert(seen.head._2 == direct)
+    assert(direct > 0.0 && direct <= 1.0, s"cosine out of range: $direct")
+  }
+
+  test("StreamingNovelty 21-batch soak with auto-compaction: segment " +
+      "count stays bounded and the folded index equals the union build") {
+    val path = java.nio.file.Files.createTempDirectory("snov_soak").toString
+    val k = 4
+    val batches = (0 until 21).map(i => mkDocs(i * 10 + 1L to i * 10 + 10L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingNovelty.foldBatch(b.toDF("doc_id", "text"), path, i.toLong,
+        n = 3, buckets = 8, compactEvery = k)
+      assert(Maintenance.segmentCount(path, Seq("ssegs")) <= k,
+        s"batch $i: segment count exceeded the compaction threshold")
+    }
+    val idx = NoveltyIndex.read(spark, path)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expect = all.select(explode(array_distinct(
+        graft.functions.HashFunctions.shingleHash48(col("text"), 3))).as("sh"))
+      .distinct().count()
+    assert(idx.seen.count() == expect)
+    // compaction preserved the replay guard (manifest batchId survives)
+    assert(NoveltyIndex.lastBatchId(path).contains(20L))
+    // and a fresh batch still scores identically to the direct path
+    val b = mkDocs(400L to 405L).toDF("doc_id", "text")
+    assert(idx.novelty(b, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      TextAnalysis.noveltyRateIncremental(b, col("text"), col("doc_id"), 3,
+        idx.seen).as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
+  test("StreamingAnn 20-batch soak with auto-compaction: segment count " +
+      "bounded; codes equal a one-shot encode of the union; search serves") {
+    val path = java.nio.file.Files.createTempDirectory("sann_soak").toString
+    val k = 3
+    (0 until 20).foreach { i =>
+      val b = embScaled.filter(
+        col("vec_id") >= i * 25 && col("vec_id") < (i + 1) * 25)
+      StreamingAnn.foldBatch(b, path, i.toLong, m = 4, subDim = 16,
+        compactEvery = k)
+      assert(Maintenance.segmentCount(path, Seq("csegs")) <= k,
+        s"batch $i: segment count exceeded the compaction threshold")
+    }
+    val idx = AnnIndex.read(spark, path)
+    assert(AnnIndex.lastBatchId(path).contains(19L))
+    val union = Similarity.withNorm(embScaled, col("vec_id"), col("embedding"))
+    val full = AnnIndex.encode(union, idx.centroids, idx.pqCent, 4, 16)
+    assert(idx.codes.select("vec_id", "icell", "s", "cid")
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      full.as[(Long, Long, Long, Long)].collect().toSet)
+    assert(idx.search(union.filter(col("vec_id") === 7), k = 5,
+      nprobe = 2).count() == 5)
+  }
 }
