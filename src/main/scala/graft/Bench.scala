@@ -71,17 +71,30 @@ object BenchFormat {
     */
   val ErroredCap = 10
 
+  /** Calibration ceiling (r16): a record whose QUIETEST pass still
+    * exceeds this is load-contaminated end to end — min-of-passes never
+    * saw an uncontended host — and must SELF-REJECT via `"quiet":false`
+    * on the total line instead of shipping a silently inflated number
+    * (the r15 driver record read +23% purely from ambient load and the
+    * evidence lived outside the record). Matches the load-adaptive
+    * loop's default quiet floor.
+    */
+  val CalibrationCeiling = 0.45
+
   def totalLine(total: Double, sfName: String, passes: Int, nQueries: Int,
                 calib: Seq[Double], errors: Long = 0L,
                 passesRun: Int = -1,
-                errored: Seq[String] = Nil): String = {
+                errored: Seq[String] = Nil,
+                quietFloor: Double = CalibrationCeiling): String = {
     val calibJson = calib.map(num(_, 3)).mkString("[", ",", "]")
     val run = if (passesRun < 0) passes else passesRun
     val erroredJson = errored.sorted.take(ErroredCap)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val quiet = calib.nonEmpty && calib.min <= quietFloor
     s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":"$sfName",""" +
       s""""passes":$passes,"passes_run":$run,"queries_n":$nQueries,"errors":$errors,""" +
-      s""""errored":$erroredJson,"calibration_per_pass_sec":$calibJson}"""
+      s""""errored":$erroredJson,"quiet":$quiet,""" +
+      s""""calibration_per_pass_sec":$calibJson}"""
   }
 }
 
@@ -195,7 +208,7 @@ object Bench {
     println(BenchFormat.queriesLine(mins, sfName, passesRun, decimals = 2))
     // LAST line = the driver-parsed one; bounded size by construction
     println(BenchFormat.totalLine(total, sfName, passes, names.size, calib,
-      errors, passesRun, erroredNames.toSeq))
+      errors, passesRun, erroredNames.toSeq, quietFloor))
     // optional file sink for the FULL detail record: the driver keeps
     // only a fixed stdout tail, which truncates the per-query map once
     // the registry outgrows it (r12's committed record lost every query

@@ -205,16 +205,19 @@ object AnnIndex {
             ivfSeedPred: Column = col("vec_id") % 100 === 0,
             pqSeedPred: Column = col("vec_id") % 100 === 0,
             lloydIters: Int = 2): AnnIndex = {
-    def nonEmpty(pred: Column, what: String): Unit =
-      require(!corpus.filter(pred).isEmpty,
+    def nonEmpty(seeds: DataFrame, what: String): Unit =
+      require(!seeds.isEmpty,
         s"AnnIndex.train: $what selected no corpus rows — an empty seed " +
           "set trains empty centroids/codebooks and every later encode/" +
           "search silently returns nothing. Pass a predicate that " +
           "matches this corpus's id space (e.g. isin over sampled ids).")
-    nonEmpty(ivfSeedPred, "ivfSeedPred")
-    nonEmpty(pqSeedPred, "pqSeedPred")
+    // one seed frame per predicate, shared by the guard (a limit-1
+    // probe) and the trainer — not two filter evaluations
+    val ivfSeeds = corpus.filter(ivfSeedPred)
+    nonEmpty(ivfSeeds, "ivfSeedPred")
+    nonEmpty(corpus.filter(pqSeedPred), "pqSeedPred")
     val cent = Similarity.centroidFrame(
-      Similarity.kmeansRefine(corpus, corpus.filter(ivfSeedPred), lloydIters))
+      Similarity.kmeansRefine(corpus, ivfSeeds, lloydIters))
       .select(col("cid").as("icell"), col("cv"), col("cn"))
       .localCheckpoint(false)
     val pq = Similarity.pqTrain(corpus, m, subDim, pqSeedPred)
@@ -260,7 +263,7 @@ object AnnIndex {
     mf.get("fmt").filter(_ != FormatVersion).foreach(f =>
       sys.error(s"ANN index at $path encoded under '$f'; this build " +
         s"speaks '$FormatVersion' — rebuild, do not refresh"))
-    val csegs = mf.get("csegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val csegs = graft.ops.Staging.segList(mf, "csegs")
     new AnnIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/pqcent"),
@@ -323,14 +326,15 @@ object AnnIndex {
 
   /** Fold a multi-segment artifact back to one code segment (the
     * [[DupGraph.compact]] discipline: explicit, separate from ingest;
-    * no-op when already compact).
+    * no-op when already compact). `retain = 2` when compaction runs in
+    * the same fold as an ingest commit (see [[DupGraph.compact]]).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
     val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
       sys.error(s"no committed ANN index at $path (missing LATEST)"))
     val dir0 = graft.ops.Staging.versionDir(path, v0)
     val mf = graft.ops.Staging.readManifest(dir0)
-    val csegs = mf.get("csegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val csegs = graft.ops.Staging.segList(mf, "csegs")
     if (csegs.size <= 1) return
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     writeCodeSegment(
@@ -343,7 +347,7 @@ object AnnIndex {
     spark.read.parquet(s"$dir0/pqcent")
       .write.mode("overwrite").parquet(s"$dir/pqcent")
     graft.ops.Staging.writeManifest(dir, (mf - "csegs") + ("csegs" -> s"c$v"))
-    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.commitVersion(path, v, retain)
     graft.ops.Staging.gcSegments(path, Seq("csegs"))
   }
 }

@@ -329,14 +329,17 @@ object Dedup {
     // threshold is a genuine scale switch, not a test dodge: a banded
     // LSH pair table at 100 TB is billions of rows and takes the
     // distributed ladder; a day-2 refresh batch or a post-threshold
-    // near-dup graph is typically far below it. Integral id types
-    // only — string labels would need the executor to reproduce
-    // Spark's UTF8 binary ordering for the min election, so string-id
-    // callers (entity resolution) keep the ladder.
+    // near-dup graph is typically far below it. MATCHED integral id
+    // types only: string labels would need the executor to reproduce
+    // Spark's UTF8 binary ordering for the min election (entity
+    // resolution keeps the ladder), and mixed-width columns (int da,
+    // long db) would cast the fast path's output back to the NARROW
+    // side — silently wrapping 64-bit labels — where the ladder's
+    // unionAll widens both; both classes fall through.
     val integralIds = {
       import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
-      Seq(p.schema("da").dataType, p.schema("db").dataType)
-        .forall(t => t == LongType || t == IntegerType || t == ShortType)
+      val (ta, tb) = (p.schema("da").dataType, p.schema("db").dataType)
+      ta == tb && (ta == LongType || ta == IntegerType || ta == ShortType)
     }
     if (nPairs <= localThreshold && integralIds)
       return try localComponents(p) finally p.unpersist()
@@ -1481,18 +1484,31 @@ object DupGraph {
     * `pairs` view reflects only post-prune ingests (refresh results
     * are unchanged — spec-pinned); consumers that audit raw pairs
     * should keep them.
+    *
+    * `retain` flows to the pointer commit: a compaction that runs in
+    * the SAME fold as an ingest commit (the streaming maintainers'
+    * auto-compaction) must pass `retain = 2` so a reader that was
+    * current at fold start — one ingest commit plus one compact commit
+    * ago by fold end — still resolves complete segments.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              keepPairs: Boolean = true): Unit = {
+              keepPairs: Boolean = true, retain: Int = 1): Unit = {
     val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
       sys.error(s"no committed dup-graph at $path (missing LATEST)"))
     val dir0 = graft.ops.Staging.versionDir(path, v0)
     val mf = graft.ops.Staging.readManifest(dir0)
-    val isegs = mf.get("isegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    val psegs = mf.get("psegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-    if (keepPairs && isegs.size <= 1 && psegs.size <= 1 && clsegs.size <= 1)
-      return
+    val isegs = graft.ops.Staging.segList(mf, "isegs")
+    val psegs = graft.ops.Staging.segList(mf, "psegs")
+    val clsegs = graft.ops.Staging.segList(mf, "clsegs")
+    val compactAlready =
+      isegs.size <= 1 && psegs.size <= 1 && clsegs.size <= 1
+    if (keepPairs && compactAlready) return
+    // keepPairs=false on an already-compact artifact: re-run only if
+    // there are still pairs to prune (one cheap limit-1 probe on the
+    // single pairs segment) — a scheduled periodic prune must not pay
+    // a full corpus rewrite for zero effect every time
+    if (!keepPairs && compactAlready && psegs.nonEmpty &&
+      spark.read.parquet(segDir(path, psegs.head)).isEmpty) return
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val index = isegs.map(sid => spark.read.parquet(segDir(path, sid)))
@@ -1514,7 +1530,7 @@ object DupGraph {
     graft.ops.Staging.writeManifest(dir,
       (mf - "isegs" - "psegs" - "clsegs") ++
         Map("isegs" -> s"i$v", "psegs" -> s"p$v", "clsegs" -> s"k$v"))
-    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.commitVersion(path, v, retain)
     gcSegments(spark, path)
   }
 
@@ -1571,7 +1587,7 @@ object DupGraph {
     // per-read blocks have no deterministic release. Each action pays
     // one union+min-aggregate over the layers; layer count is bounded
     // by batches-since-[[compact]], which is the documented lever.
-    val clsegs = mf.get("clsegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val clsegs = graft.ops.Staging.segList(mf, "clsegs")
     val clusters =
       if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
       else spark.read.parquet(s"$dir/clusters")
@@ -1587,7 +1603,7 @@ object DupGraph {
     mf.get("isegs") match {
       case Some(is) => // segmented layout
         val isegs = is.split(',').toSeq.filter(_.nonEmpty)
-        val psegs = mf.get("psegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+        val psegs = graft.ops.Staging.segList(mf, "psegs")
         new DupGraph(
           psegs.map(sid => spark.read.parquet(segDir(path, sid)))
             .reduce(_.unionByName(_)),

@@ -134,7 +134,7 @@ object NoveltyIndex {
       sys.error(s"novelty index at $path hashed under '$h'; this build " +
         s"speaks '$HashVersion' — rebuild, do not refresh"))
     val buckets = mf("buckets").toInt
-    val ssegs = mf.get("ssegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val ssegs = graft.ops.Staging.segList(mf, "ssegs")
     new NoveltyIndex(
       () => ssegs.map { sid =>
         val d = segDir(path, sid)
@@ -160,13 +160,16 @@ object NoveltyIndex {
         .get("batchId").map(_.toLong)
     }
 
-  /** Fold segments back to one ([[DupGraph.compact]] discipline). */
-  def compact(spark: SparkSession, path: String): Unit = {
+  /** Fold segments back to one ([[DupGraph.compact]] discipline).
+    * `retain = 2` when compaction runs in the same fold as an ingest
+    * commit (see [[DupGraph.compact]]).
+    */
+  def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
     val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
       sys.error(s"no committed novelty index at $path (missing LATEST)"))
     val mf = graft.ops.Staging.readManifest(
       graft.ops.Staging.versionDir(path, v0))
-    val ssegs = mf.get("ssegs").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+    val ssegs = graft.ops.Staging.segList(mf, "ssegs")
     if (ssegs.size <= 1) return
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     writeSegment(
@@ -174,7 +177,7 @@ object NoveltyIndex {
         .reduce(_.unionByName(_)),
       path, s"s$v", mf("buckets").toInt)
     graft.ops.Staging.writeManifest(dir, (mf - "ssegs") + ("ssegs" -> s"s$v"))
-    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.commitVersion(path, v, retain)
     graft.ops.Staging.gcSegments(path, Seq("ssegs"),
       d => graft.ops.Layout.dropBucketedEntry(spark, d))
   }

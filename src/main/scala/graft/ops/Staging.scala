@@ -196,31 +196,37 @@ object Staging {
     * the retention window is safe because its version's manifest still
     * pins its segments. Cost is O(segments), metadata-only.
     *
-    * Only versions inside the retention window (`LATEST - retain` and
-    * newer — mirror [[commitVersion]]'s `retain`) pin segments: a
-    * version dir STRANDED below the window by a crash mid-GC is
-    * unreferenced by contract, so its manifest must not pin its
-    * segments forever — the sweep deletes the stranded dir itself and
-    * then reclaims whatever only it referenced. An UNREADABLE manifest
-    * inside the window aborts the sweep conservatively (nothing is
-    * deleted, the commit that triggered the GC still succeeds): the
-    * loud [[readManifest]] failure is right when a reader depends on
-    * that version, but a write to THIS artifact does not, and wedging
-    * every future commit on one bit-rotted old manifest would turn a
-    * disk fault into a total write outage.
+    * The retention window is derived from what [[commitVersion]]'s own
+    * sweep LEFT ON DISK, not from an independent retain default: a
+    * successful commit always leaves a CONTIGUOUS run of version dirs
+    * ending at `LATEST` (whatever `retain` the writer chose), and its
+    * downward GC walk stops at the first hole — so any version dir
+    * sitting BELOW a hole was stranded by a crash mid-GC and is
+    * unreferenced by contract. Those stranded dirs are deleted here
+    * and their manifests pin nothing, so a crash can never leak
+    * segments forever; deliberately retained versions (any
+    * `commitVersion(…, retain = K)`) are above the hole and keep
+    * pinning theirs. An UNREADABLE manifest inside the live run aborts
+    * the sweep conservatively (nothing is deleted, the commit that
+    * triggered the GC still succeeds): the loud [[readManifest]]
+    * failure is right when a reader depends on that version, but a
+    * write to THIS artifact does not, and wedging every future commit
+    * on one bit-rotted old manifest would turn a disk fault into a
+    * total write outage.
     */
   def gcSegments(root: String, segKeys: Seq[String],
-                 onDelete: String => Unit = _ => (),
-                 retain: Int = 1): Unit = {
+                 onDelete: String => Unit = _ => ()): Unit = {
     val latest = currentVersion(root).getOrElse(return)
-    val (live, stranded) = list(root).filter(_.matches("v\\d+"))
-      .partition(_.drop(1).toLong >= latest - retain)
+    val present = list(root).filter(_.matches("v\\d+"))
+    val have = present.map(_.drop(1).toLong).toSet
+    var hole = latest
+    while (have(hole)) hole -= 1
+    val (live, stranded) = present.partition(_.drop(1).toLong > hole)
     val manifests = live.map(vd => scala.util.Try(readManifest(s"$root/$vd")))
     if (manifests.exists(_.isFailure)) return // conservative: sweep later
     stranded.foreach(vd => deleteTree(s"$root/$vd"))
     val referenced = manifests.map(_.get).flatMap { mf =>
-      segKeys.flatMap(k =>
-        mf.get(k).toSeq.flatMap(_.split(',')).filter(_.nonEmpty))
+      segKeys.flatMap(k => segList(mf, k))
     }.toSet
     list(s"$root/segments").filterNot(referenced).foreach { sid =>
       val d = s"$root/segments/$sid"
@@ -228,6 +234,15 @@ object Staging {
       onDelete(d)
     }
   }
+
+  /** Parse a manifest's comma-separated segment-id list — THE one
+    * decoding of the segment-list encoding (GC, compaction, readers,
+    * and the streaming maintainers' segment counts must all agree on
+    * what "the live segments" are; seven call sites sharing one parse
+    * is what guarantees it).
+    */
+  def segList(mf: Map[String, String], key: String): Seq[String] =
+    mf.get(key).toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
 
   /** Write a `manifest` file of key=value lines inside a version dir —
     * the parameters an artifact was built with (shingle width,

@@ -92,7 +92,7 @@ object StreamingDedup {
       try g.write(path, batchId = Some(batchId)) finally g.unpersist()
       Maintenance.maybeCompact(path, Seq("isegs", "psegs", "clsegs"),
         compactEvery) {
-        DupGraph.compact(spark, path)
+        DupGraph.compact(spark, path, retain = 2)
       }
     }
     ()

@@ -41,11 +41,13 @@ private[graft] object Maintenance {
     * anti-join / probe-join per stored segment) grow with stream age —
     * the classic unbounded-LSM failure. With it, cost is amortized:
     * one corpus-sized rewrite every ~`threshold` batches, segment
-    * count bounded by `threshold`+1 observed between folds. Compaction
-    * commits through the same versioned pointer as ingest, so the
-    * reader-retention contract is untouched (a reader one commit stale
-    * still resolves complete segments; see
-    * [[graft.ops.Staging.commitVersion]]). `threshold <= 0` disables.
+    * count bounded by `threshold`+1 observed between folds. A trigger
+    * fold commits TWICE (ingest, then compact), so the compact commit
+    * must pass `retain = 2` to its versioned-pointer commit — a reader
+    * that was current at fold start is two commits stale by fold end
+    * and must still resolve complete segments (the fold-current-reader
+    * contract a single-commit fold gives for free). `threshold <= 0`
+    * disables.
     */
   def maybeCompact(path: String, segKeys: Seq[String], threshold: Int)
                   (compact: => Unit): Unit = {
@@ -66,8 +68,7 @@ private[graft] object Maintenance {
     graft.ops.Staging.currentVersion(path).map { v =>
       val mf = graft.ops.Staging.readManifest(
         graft.ops.Staging.versionDir(path, v))
-      segKeys.map(k =>
-        mf.get(k).toSeq.flatMap(_.split(',')).count(_.nonEmpty)).max
+      segKeys.map(k => graft.ops.Staging.segList(mf, k).size).max
     }.getOrElse(0)
 }
 
@@ -120,7 +121,7 @@ object StreamingNovelty {
         }
       idx.write(path, batchId = Some(batchId))
       Maintenance.maybeCompact(path, Seq("ssegs"), compactEvery) {
-        NoveltyIndex.compact(spark, path)
+        NoveltyIndex.compact(spark, path, retain = 2)
       }
     }
     ()
@@ -178,11 +179,16 @@ object StreamingAnn {
               s"(m=${storedIdx.m}, subDim=${storedIdx.subDim}) at $path " +
               "— retrain, do not mix code spaces")
           onInertia.foreach(f => f(batchId, batchInertia(storedIdx, norms)))
-          storedIdx.refresh(norms)
+          Some(storedIdx.refresh(norms))
         }
-      idx.write(path, batchId = Some(batchId))
-      Maintenance.maybeCompact(path, Seq("csegs"), compactEvery) {
-        AnnIndex.compact(spark, path)
+      // a bootstrap batch with no trainable vectors commits NOTHING
+      // (not even the batchId): the next non-empty batch bootstraps,
+      // and a replay of the skipped batch is a harmless re-skip
+      idx.foreach { i =>
+        i.write(path, batchId = Some(batchId))
+        Maintenance.maybeCompact(path, Seq("csegs"), compactEvery) {
+          AnnIndex.compact(spark, path, retain = 2)
+        }
       }
     }
     ()
@@ -207,21 +213,30 @@ object StreamingAnn {
   /** Bootstrap training for the first micro-batch: the library-default
     * modulo seed predicate assumes nothing about the stream's id
     * space, so when it selects NOTHING from this batch (ids 1..99, a
-    * UUID-derived id space, …) fall back to a deterministic sample —
-    * the batch's [[BootstrapSeeds]] smallest `vec_id`s — instead of
-    * committing an artifact trained on empty seeds (which
-    * [[AnnIndex.train]] now refuses loudly). Deterministic in the
-    * batch contents, so a crash-replayed batch retrains identically.
+    * UUID-derived / non-numeric id space, …) fall back to a
+    * deterministic sample — the batch's [[BootstrapSeeds]] smallest
+    * `vec_id`s, collected in their NATIVE type and ordering (a cast to
+    * long would null out string ids and NPE) — instead of committing
+    * an artifact trained on empty seeds (which [[AnnIndex.train]]
+    * refuses loudly). Deterministic in the batch contents, so a
+    * crash-replayed batch retrains identically. None when the batch
+    * has no trainable vectors at ALL (an empty recovery/availableNow
+    * batch 0): the fold SKIPS — no commit, no batchId — and the next
+    * non-empty batch bootstraps instead of the stream dying on the
+    * empty-seed require.
     */
   private[graft] def bootstrapTrain(norms: DataFrame, m: Int,
-                                    subDim: Int): AnnIndex = {
+                                    subDim: Int): Option[AnnIndex] = {
     val defaultPred = col("vec_id") % 100 === 0
-    if (!norms.filter(defaultPred).isEmpty) AnnIndex.train(norms, m, subDim)
+    if (!norms.filter(defaultPred).isEmpty)
+      Some(AnnIndex.train(norms, m, subDim))
     else {
-      val seedIds = norms.select(col("vec_id").cast("long"))
-        .orderBy("vec_id").limit(BootstrapSeeds).collect().map(_.getLong(0))
-      val pred = col("vec_id").isin(seedIds.toIndexedSeq.map(Long.box): _*)
-      AnnIndex.train(norms, m, subDim, ivfSeedPred = pred, pqSeedPred = pred)
+      val seedIds = norms.select(col("vec_id")).na.drop()
+        .orderBy("vec_id").limit(BootstrapSeeds).collect().map(_.get(0))
+      if (seedIds.isEmpty) None
+      else Some(AnnIndex.train(norms, m, subDim,
+        ivfSeedPred = col("vec_id").isin(seedIds.toIndexedSeq: _*),
+        pqSeedPred = col("vec_id").isin(seedIds.toIndexedSeq: _*)))
     }
   }
 

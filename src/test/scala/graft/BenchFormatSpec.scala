@@ -48,6 +48,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(line.contains(""""calibration_per_pass_sec":[1.020,0.660,0.550,0.280]"""))
   }
 
+  test("calibration ceiling: a record whose quietest pass beats the " +
+      "floor is quiet:true; one that never saw a quiet host self-rejects") {
+    val quiet = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
+      Seq(1.02, 0.66, 0.28), passesRun = 3)
+    assert(quiet.contains(""""quiet":true"""), quiet)
+    val loaded = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
+      Seq(1.02, 0.66, 0.55, 0.47, 0.46, 0.48, 0.51), passesRun = 7)
+    assert(loaded.contains(""""quiet":false"""), loaded)
+  }
+
   test("total line is valid JSON with the driver-contract fields") {
     val line = BenchFormat.totalLine(42.4, "sf0.1", 3, Queries.all.size,
       Seq(0.55, 0.37, 0.27))

@@ -113,6 +113,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mixed-width id pairs keep the ladder (fast path needs matched " +
+      "types — casting back to the narrow side would wrap 64-bit labels)") {
+    val pairs = Seq((1, 5000000001L), (2, 5000000001L))
+      .toDF("da", "db")
+      .select(col("da").cast("int").as("da"), col("db"))
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 5000000001L -> 1L), cc)
+  }
+
   test("string-id pairs keep the ladder (fast path is integral-ids only) " +
       "and still label by component min") {
     // the q_entity_resolution shape: fuzzy name pairs

@@ -164,6 +164,25 @@ class StagingSpec extends SparkSpec {
     assert(Staging.exists(s"$root/segments/live"))
   }
 
+  test("gcSegments: versions kept by a RAISED commitVersion retain are " +
+      "live (contiguous run), never mistaken for stranded") {
+    val root = tmp("stg_keep")
+    Seq("a", "b", "c", "d").foreach(mkSeg(root, _))
+    Seq("a", "b", "c", "d").zipWithIndex.foreach { case (s, i) =>
+      val (d, v) = Staging.nextVersionDir(root)
+      Staging.writeManifest(d, Map("ssegs" -> s))
+      Staging.commitVersion(root, v, retain = 3) // long-reader writer
+      assert(v == i + 1L)
+    }
+    // dirs v1..v4 all on disk (retain=3); the sweep must honor the
+    // writer's window, not an independent default
+    Staging.gcSegments(root, Seq("ssegs"))
+    Seq("v1", "v2", "v3", "v4").foreach(vd =>
+      assert(Staging.exists(s"$root/$vd"), s"$vd wrongly collected"))
+    Seq("a", "b", "c", "d").foreach(s =>
+      assert(Staging.exists(s"$root/segments/$s"), s"segment $s swept"))
+  }
+
   test("gcSegments: an unreadable manifest INSIDE the window aborts " +
       "the sweep conservatively instead of wedging the commit path") {
     val root = tmp("stg_rot")

@@ -136,6 +136,13 @@ class StreamingDedupSpec extends SparkSpec {
     assert(pruned.pairs.columns.toSeq == Seq("da", "db", "jacc"),
       "the shell must keep the real schema")
     assert(pruned.clusters.as[(Long, Long)].collect().toSet == preClusters)
+    // a repeated prune on the already-pruned artifact is a no-op — a
+    // scheduled periodic prune must not pay a corpus rewrite for
+    // nothing (one cheap emptiness probe instead)
+    val vPruned = graft.ops.Staging.currentVersion(path)
+    DupGraph.compact(spark, path, keepPairs = false)
+    assert(graft.ops.Staging.currentVersion(path) == vPruned,
+      "repeat prune must not commit a new version")
     // day-3 fold on the pruned artifact: clusters still == rebuild
     StreamingDedup.foldBatch(b2, path, 2L)
     val streamed = DupGraph.read(spark, path)
@@ -168,11 +175,18 @@ class StreamingDedupSpec extends SparkSpec {
     }
     val batches = (0 until 21).map(i => (0L until 4L).map(j => doc(i * 10 + j)))
     batches.zipWithIndex.foreach { case (b, i) =>
+      val vPre = graft.ops.Staging.currentVersion(path)
       StreamingDedup.foldBatch(b.toDF("doc_id", "text"), path, i.toLong,
         compactEvery = k)
       assert(Maintenance.segmentCount(path,
         Seq("isegs", "psegs", "clsegs")) <= k,
         s"batch $i: segment count exceeded the compaction threshold")
+      // fold-current reader contract: a reader that resolved LATEST at
+      // fold start must still find its version dir at fold end, even
+      // on trigger batches that commit twice (ingest + compact)
+      vPre.foreach(v => assert(graft.ops.Staging.exists(
+        graft.ops.Staging.versionDir(path, v)),
+        s"batch $i: fold-current reader's version v$v was collected"))
     }
     val streamed = DupGraph.read(spark, path)
     val full = Dedup.dupGraph(batches.flatten.toDF("doc_id", "text"),

@@ -120,6 +120,21 @@ class StreamingIndexesSpec extends SparkSpec {
     assert(idx.search(q, k = 5, nprobe = 2).count() == 5)
   }
 
+  test("StreamingAnn: an EMPTY first micro-batch is skipped (no commit, " +
+      "no batchId) and the next non-empty batch bootstraps") {
+    val path = java.nio.file.Files.createTempDirectory("sann_empty").toString
+    val empty = embScaled.filter(col("vec_id") < 0)
+    StreamingAnn.foldBatch(empty, path, 0L, m = 4, subDim = 16)
+    assert(!AnnIndex.exists(path), "empty bootstrap batch must not commit")
+    // replay of the skipped batch is a harmless re-skip
+    StreamingAnn.foldBatch(empty, path, 0L, m = 4, subDim = 16)
+    assert(!AnnIndex.exists(path))
+    StreamingAnn.foldBatch(embScaled.filter(col("vec_id") < 100), path, 1L,
+      m = 4, subDim = 16)
+    assert(AnnIndex.exists(path) && AnnIndex.lastBatchId(path).contains(1L))
+    assert(AnnIndex.read(spark, path).centroids.count() > 0)
+  }
+
   test("StreamingAnn onInertia: every refreshed batch reports its mean " +
       "batch-to-stored-centroid cosine (the retrain trigger signal)") {
     val path = java.nio.file.Files.createTempDirectory("sann_in").toString
@@ -172,10 +187,15 @@ class StreamingIndexesSpec extends SparkSpec {
     (0 until 20).foreach { i =>
       val b = embScaled.filter(
         col("vec_id") >= i * 25 && col("vec_id") < (i + 1) * 25)
+      val vPre = graft.ops.Staging.currentVersion(path)
       StreamingAnn.foldBatch(b, path, i.toLong, m = 4, subDim = 16,
         compactEvery = k)
       assert(Maintenance.segmentCount(path, Seq("csegs")) <= k,
         s"batch $i: segment count exceeded the compaction threshold")
+      // fold-current reader survives a double-commit trigger fold
+      vPre.foreach(v => assert(graft.ops.Staging.exists(
+        graft.ops.Staging.versionDir(path, v)),
+        s"batch $i: fold-current reader's version v$v was collected"))
     }
     val idx = AnnIndex.read(spark, path)
     assert(AnnIndex.lastBatchId(path).contains(19L))
