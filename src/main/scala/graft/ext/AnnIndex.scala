@@ -185,8 +185,13 @@ object AnnIndex {
     // all-null embeddings encodes nothing), so write them UNpartitioned:
     // a plain empty parquet keeps the full schema (icell as a regular
     // column, which the reader selects either way) and stays readable.
+    // The non-empty path pre-repartitions on icell (the DupGraph
+    // writeIndexSegment discipline): without it every input partition
+    // opens a writer per cell it touches — partitions × cells tiny
+    // files, the classic small-files tax on every later probe read —
+    // where one batch-sized shuffle leaves one file per cell per task
     if (df.isEmpty) df.coalesce(1).write.parquet(dir)
-    else df.write.partitionBy("icell").parquet(dir)
+    else df.repartition(col("icell")).write.partitionBy("icell").parquet(dir)
   }
 
   /** Train the artifact: `lloydIters` spherical-k-means passes over

@@ -80,26 +80,35 @@ private[graft] object Maintenance {
   * far. Commits are segment-incremental (batch-sized bytes), replay
   * is exactly-once ([[Maintenance]]).
   *
-  * Per-batch novelty REPORTS are deliberately not a side output here:
-  * a pipeline that wants them calls `NoveltyIndex.read(...).novelty`
-  * inside its own foreachBatch before folding — reports are
-  * consumer-owned, the index is the shared artifact.
+  * Per-batch novelty REPORTS stay consumer-owned (the index is the
+  * shared artifact), but the loop offers an OPTIONAL `onReport` hook:
+  * for each folded batch past the first it receives (batchId, the
+  * batch's per-doc novelty frame scored against everything stored
+  * BEFORE the fold) — exactly what a dashboard / ingest-gate consumer
+  * would otherwise recompute with its own read of the artifact, priced
+  * only when requested (one extra anti-join chain per batch). The
+  * frame is handed over BEFORE the fold commits, so the consumer's
+  * scan and the fold's delta share the stored-segment reads.
   */
 object StreamingNovelty {
 
   def maintain(docs: DataFrame, path: String, n: Int = 3,
                buckets: Int = 32,
-               compactEvery: Int = Maintenance.DefaultCompactEvery): StreamingQuery =
+               compactEvery: Int = Maintenance.DefaultCompactEvery,
+               onReport: Option[(Long, DataFrame) => Unit] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        foldBatch(batch.toDF(), path, batchId, n, buckets, compactEvery)
+        foldBatch(batch.toDF(), path, batchId, n, buckets, compactEvery,
+          onReport)
       }
       .start()
 
   private[graft] def foldBatch(batch: DataFrame, path: String,
                                batchId: Long, n: Int, buckets: Int,
                                compactEvery: Int =
-                                 Maintenance.DefaultCompactEvery): Unit = {
+                                 Maintenance.DefaultCompactEvery,
+                               onReport: Option[(Long, DataFrame) => Unit] =
+                                 None): Unit = {
     val spark = batch.sparkSession
     val stored = NoveltyIndex.exists(path)
     val last = if (stored) NoveltyIndex.lastBatchId(path) else None
@@ -117,6 +126,8 @@ object StreamingNovelty {
           require(n == stored.n,
             s"StreamingNovelty: shingle width $n != stored index's " +
               s"${stored.n} at $path — rebuild, do not mix widths")
+          onReport.foreach(f =>
+            f(batchId, stored.novelty(batch, col("text"), col("doc_id"))))
           stored.update(batch, col("text"), col("doc_id"))
         }
       idx.write(path, batchId = Some(batchId))

@@ -120,6 +120,26 @@ class StreamingIndexesSpec extends SparkSpec {
     assert(idx.search(q, k = 5, nprobe = 2).count() == 5)
   }
 
+  test("StreamingNovelty onReport: each folded batch hands the consumer " +
+      "its novelty vs the PRE-fold stored set — identical to the direct " +
+      "incremental score") {
+    val path = java.nio.file.Files.createTempDirectory("snov_rep").toString
+    val b0 = mkDocs(1L to 10L).toDF("doc_id", "text")
+    val b1 = mkDocs(8L to 15L map (_ * 3)).toDF("doc_id", "text")
+    var got = Vector.empty[(Long, Set[(Long, Long, Long, Long)])]
+    val hook = Some((b: Long, df: org.apache.spark.sql.DataFrame) => {
+      got :+= ((b, df.as[(Long, Long, Long, Long)].collect().toSet)); ()
+    })
+    StreamingNovelty.foldBatch(b0, path, 0L, 3, 8, onReport = hook)
+    assert(got.isEmpty, "first batch has no stored set to score against")
+    val preFold = NoveltyIndex.read(spark, path)
+    StreamingNovelty.foldBatch(b1, path, 1L, 3, 8, onReport = hook)
+    assert(got.map(_._1) == Vector(1L))
+    val direct = preFold.novelty(b1, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.head._2 == direct)
+  }
+
   test("StreamingAnn: an EMPTY first micro-batch is skipped (no commit, " +
       "no batchId) and the next non-empty batch bootstraps") {
     val path = java.nio.file.Files.createTempDirectory("sann_empty").toString
