@@ -148,8 +148,11 @@ final class AnnIndex private[ext] (
         AnnIndex.writeCodeSegment(codes, path, s"c$v")
         Seq(s"c$v")
     }
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    pqCent.write.mode("overwrite").parquet(s"$dir/pqcent")
+    // catalog-sized tables (k·dim doubles): one file each — writing a
+    // few-hundred-row catalog through 32 shuffle partitions costs 32
+    // write tasks now and 32 footer reads on every later open
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    pqCent.coalesce(1).write.mode("overwrite").parquet(s"$dir/pqcent")
     graft.ops.Staging.writeManifest(dir,
       Map("m" -> m.toString, "subDim" -> subDim.toString,
         "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(",")) ++
@@ -347,9 +350,9 @@ object AnnIndex {
           .select(col("vec_id"), col("icell").cast("long").as("icell"),
             col("s"), col("cid")))
         .reduce(_.unionByName(_)), path, s"c$v")
-    spark.read.parquet(s"$dir0/centroids")
+    spark.read.parquet(s"$dir0/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    spark.read.parquet(s"$dir0/pqcent")
+    spark.read.parquet(s"$dir0/pqcent").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/pqcent")
     graft.ops.Staging.writeManifest(dir, (mf - "csegs") + ("csegs" -> s"c$v"))
     graft.ops.Staging.commitVersion(path, v, retain)

@@ -86,9 +86,19 @@ private[graft] object Maintenance {
   * batch's per-doc novelty frame scored against everything stored
   * BEFORE the fold) — exactly what a dashboard / ingest-gate consumer
   * would otherwise recompute with its own read of the artifact, priced
-  * only when requested (one extra anti-join chain per batch). The
-  * frame is handed over BEFORE the fold commits, so the consumer's
-  * scan and the fold's delta share the stored-segment reads.
+  * only when requested (one extra anti-join chain over the stored
+  * segments per batch — a separate scan from the fold's own delta
+  * chain, not a shared one).
+  *
+  * ==Hook contract==
+  * EVALUATE the frame INSIDE the hook (collect/write it before
+  * returning): it lazily reads the pre-fold version's segment files,
+  * which later folds' retention sweeps may delete — a frame parked for
+  * async evaluation can hit swept paths. And the hook is AT-LEAST-ONCE
+  * under crash replay (a crash between the hook's side effect and the
+  * fold's commit redelivers the batch and re-fires the hook), unlike
+  * the artifact fold itself — key any non-idempotent consumer side
+  * effect by `batchId`.
   */
 object StreamingNovelty {
 
@@ -153,11 +163,14 @@ object StreamingAnn {
 
   /** `onInertia` is the RETRAIN TRIGGER signal, observation-only by
     * design: per folded batch it receives (batchId, mean
-    * batch-to-stored-centroid cosine — [[batchInertia]]). The
-    * maintainer never retrains on its own (retraining replaces the
-    * code space and its timing is an operator decision); the caller
-    * logs/alerts and runs [[AnnIndex.retrain]] when the signal drifts
-    * below the artifact's train-time inertia.
+    * batch-to-stored-centroid cosine — [[batchInertia]], already
+    * evaluated: a plain Double, safe to keep). The maintainer never
+    * retrains on its own (retraining replaces the code space and its
+    * timing is an operator decision); the caller logs/alerts and runs
+    * [[AnnIndex.retrain]] when the signal drifts below the artifact's
+    * train-time inertia. Delivery is AT-LEAST-ONCE under crash replay
+    * (see StreamingNovelty's hook contract) — key non-idempotent side
+    * effects by `batchId`.
     */
   def maintain(vectors: DataFrame, path: String, m: Int = 4,
                subDim: Int = 16,
