@@ -44,8 +44,19 @@ object Similarity {
     * null fixture gates this contract, mirrored in every oracle's
     * norm CTE.
     */
-  def withNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
-    emb.filter(vec.isNotNull && size(vec) > 0)
+  def withNorm(emb: DataFrame, id: Column, vec: Column,
+               dim: Int = -1): DataFrame =
+    emb.filter(vec.isNotNull && size(vec) > 0 &&
+        // dim > 0 declares the model dimension and drops RAGGED rows
+        // (truncated writes, mixed encoder versions): a wrong-length
+        // vector cannot participate in the cosine space — its dot
+        // against every well-formed vector is NULL (graft_dot's
+        // mismatch rule), which silently SINKS it in rankings here and
+        // hard-ERRORS the DuckDB twin (list_dot_product rejects
+        // unequal lengths) — so the contract is to exclude it up
+        // front, like the other corrupt-row classes below. The null
+        // fixture carries ragged rows to gate this cross-engine.
+        (if (dim > 0) size(vec) === dim else lit(true)))
       .select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
       // an all-zero vector (failed encoder, padding row) has nm = 0:
       // its cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every real
@@ -59,8 +70,8 @@ object Similarity {
     * bucket by sign-projection LSH first so cost follows collisions.
     */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column,
-                  threshold: Double): DataFrame = {
-    val n = withNorm(emb, id, vec)
+                  threshold: Double, dim: Int = -1): DataFrame = {
+    val n = withNorm(emb, id, vec, dim)
     val a = n.select(col("vec_id").as("va"), col("v").as("xa"), col("nm").as("na"))
     val b = n.select(col("vec_id").as("vb"), col("v").as("xb"), col("nm").as("nb"))
     a.join(b, col("va") < col("vb"))
@@ -95,7 +106,10 @@ object Similarity {
                    threshold: Double, bits: Int = 8, tables: Int = 4,
                    seed: Long = 42L): DataFrame = {
     val planes = signPlanes(dim, bits, tables, seed)
-    val n = withNorm(emb, id, vec)
+    // dim is the DECLARED model dimension: it sizes the hyperplanes
+    // AND drops ragged rows (a wrong-length vector cannot be
+    // projected; see withNorm's dim rule)
+    val n = withNorm(emb, id, vec, dim)
     val tableStructs = (0 until tables).map { t =>
       val sig = (0 until bits).map { b =>
         when(dot(col("v"), typedLit(planes(t)(b).toSeq)) >= 0, lit(1L << b))
@@ -151,11 +165,14 @@ object Similarity {
   /** Quantized corpus with attached integer norm — the int8 analog of
     * [[withNorm]]. Norms are exact (integer dot, then one sqrt).
     */
-  def withQuantNorm(emb: DataFrame, id: Column, vec: Column): DataFrame =
-    // same row-drop rule as withNorm incl. the zero-norm case; with
-    // max|v| > 0 guaranteed here, the 127/max scaling always quantizes
-    // the max element to ±127, so the integer norm below is never 0
+  def withQuantNorm(emb: DataFrame, id: Column, vec: Column,
+                    dim: Int = -1): DataFrame =
+    // same row-drop rule as withNorm incl. the zero-norm case and the
+    // declared-dim ragged drop; with max|v| > 0 guaranteed here, the
+    // 127/max scaling always quantizes the max element to ±127, so the
+    // integer norm below is never 0
     quantizeInt8(emb.filter(vec.isNotNull && size(vec) > 0 &&
+      (if (dim > 0) size(vec) === dim else lit(true)) &&
       VectorFunctions.dotNative(vec, vec) > 0), id, vec)
       .select(col("vec_id"), col("q"),
         sqrt(VectorFunctions.dotIntNative(col("q"), col("q")).cast("double")).as("nm"))
@@ -874,7 +891,11 @@ object Similarity {
   def signProject(emb: DataFrame, id: Column, vec: Column,
                   inDim: Int = 64): DataFrame = {
     val signs = jlSigns(inDim)
-    val valid = emb.filter(vec.isNotNull && size(vec) > 0)
+    // size == inDim, not just > 0: a ragged vector has no component
+    // for every plane term (ANSI element_at throws past the length,
+    // and the DuckDB twin would null the whole projection) — the
+    // declared-dim corrupt-row drop, same rule as withNorm's dim
+    val valid = emb.filter(vec.isNotNull && size(vec) === inDim)
     val outCols = (0 until JlOutDim).map { k =>
       val terms = (0 until inDim).map { j =>
         val e = element_at(vec, j + 1).cast("double")

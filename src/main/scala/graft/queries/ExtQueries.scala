@@ -650,6 +650,24 @@ object ExtQueries {
 
   // ------------------------------------------------- similarity search
 
+  /** The embeddings table's declared model dimension: the cosine-space
+    * family drops RAGGED rows (length != this) as corrupt up front —
+    * see [[Similarity.withNorm]]'s dim rule and the `len(embedding)`
+    * guard in [[duckEmbUnit]]. The null fixture carries ragged rows to
+    * gate the drop cross-engine (DuckDB's list_dot_product hard-errors
+    * on unequal lengths where Spark's kernel yields a silently-sinking
+    * NULL — without the shared drop the engines diverge).
+    */
+  private val EmbDim = 64
+
+  /** The suite's norm-gated embeddings frame ([[Similarity.withNorm]]
+    * with the declared dimension) — ONE definition so every
+    * cosine-family query applies the same corrupt-row contract.
+    */
+  private def embNorm(s: SparkSession, d: String): DataFrame =
+    Similarity.withNorm(t(s, d, "embeddings"),
+      col("vec_id"), col("embedding"), dim = EmbDim)
+
   /** Valid-vector predicate mirroring [[Similarity.withNorm]]'s
     * row-drop contract: NULL and empty vectors carry no direction and
     * never enter the cosine family on either engine.
@@ -663,7 +681,8 @@ object ExtQueries {
     * q_quantize_int8's row-preserving transform) use the weaker form.
     */
   private val duckEmbUnit =
-    duckEmbValid + " AND list_dot_product(CAST(embedding AS DOUBLE[]), " +
+    duckEmbValid + " AND len(embedding) = 64 " +
+      "AND list_dot_product(CAST(embedding AS DOUBLE[]), " +
       "CAST(embedding AS DOUBLE[])) > 0"
 
   private val duckNormCte =
@@ -682,10 +701,11 @@ object ExtQueries {
   private val qAnnFiltered = Q("q_ann_filtered",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val queries = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+      val queries = Similarity.withNorm(emb, col("vec_id"),
+        col("embedding"), dim = EmbDim)
         .filter(col("vec_id") < 5)
       val corpus = Similarity.withNorm(emb.filter(col("label") === 1),
-        col("vec_id"), col("embedding"))
+        col("vec_id"), col("embedding"), dim = EmbDim)
       Similarity.bruteForceTopK(queries, corpus, k = 10)
         .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
           round(col("cos"), 4).as("cos"))
@@ -705,7 +725,8 @@ object ExtQueries {
 
   private val qEmbedCosine = Q("q_embed_cosine",
     (s, d) => Similarity.cosinePairs(
-      t(s, d, "embeddings"), col("vec_id"), col("embedding"), threshold = 0.4)
+      t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+      threshold = 0.4, dim = EmbDim)
       .select(col("va"), col("vb"), round(col("cos"), 4).as("cos"))
       .orderBy("va", "vb"),
     Some(duckNormCte +
@@ -754,7 +775,7 @@ object ExtQueries {
 
   private val qAnnTopk = Q("q_ann_topk",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       Similarity.bruteForceTopK(n.filter(col("vec_id") < 5), n, k = 10)
         .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
           round(col("cos"), 4).as("cos"))
@@ -770,7 +791,7 @@ object ExtQueries {
 
   private val qAnnIvf = Q("q_ann_ivf",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       Similarity.ivfTopK(
         corpus = n,
         centroids = n.filter(col("vec_id") % 100 === 0),
@@ -803,7 +824,7 @@ object ExtQueries {
     */
   private val qAnnIvfProbe = Q("q_ann_ivf_probe",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       Similarity.ivfTopK(
         corpus = n,
         centroids = n.filter(col("vec_id") % 100 === 0),
@@ -865,7 +886,8 @@ object ExtQueries {
   private val qAnnQuantized = Q("q_ann_quantized",
     (s, d) => {
       val n = Similarity.withQuantNorm(
-        t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"),
+        dim = EmbDim)
       Similarity.quantizedTopK(n.filter(col("vec_id") < 5), n, k = 10)
         .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
           round(col("cos"), 4).as("cos"))
@@ -892,9 +914,11 @@ object ExtQueries {
   private val qAnnAsymmetric = Q("q_ann_asymmetric",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val fq = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+      val fq = Similarity.withNorm(emb, col("vec_id"),
+        col("embedding"), dim = EmbDim)
         .filter(col("vec_id") < 5)
-      val qc = Similarity.withQuantNorm(emb, col("vec_id"), col("embedding"))
+      val qc = Similarity.withQuantNorm(emb, col("vec_id"),
+        col("embedding"), dim = EmbDim)
       Similarity.asymmetricTopK(fq, qc, k = 10)
         .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"),
           round(col("cos"), 4).as("cos"))
@@ -1944,8 +1968,7 @@ object ExtQueries {
 
   private val qKmeans = Q("q_kmeans",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
           iters = 2)
         .orderBy("cid", "dim")
@@ -1965,8 +1988,7 @@ object ExtQueries {
     */
   private val qKmeansInertia = Q("q_kmeans_inertia",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val trained = Similarity.centroidFrame(
         Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
           iters = 2))
@@ -1993,8 +2015,7 @@ object ExtQueries {
     */
   private val qSilhouette = Q("q_silhouette",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val trained = Similarity.centroidFrame(
         Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
           iters = 2))
@@ -2070,9 +2091,10 @@ object ExtQueries {
   private val qHardNegatives = Q("q_hard_negatives",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      // withNorm's full row-drop rule (null/empty/zero-norm), kept
-      // inline because label rides along
-      val n = e.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      // withNorm's full row-drop rule (null/empty/ragged/zero-norm),
+      // kept inline because label rides along
+      val n = e.filter(col("embedding").isNotNull &&
+          size(col("embedding")) === EmbDim)
         .select(col("vec_id"), col("embedding").as("v"),
           Similarity.norm(col("embedding")).as("nm"), col("label"))
         .filter(col("nm") > 0)
@@ -2218,8 +2240,10 @@ object ExtQueries {
   private val qRrfFusion = Q("q_rrf_fusion",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      val fn = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
-      val qn = Similarity.withQuantNorm(emb, col("vec_id"), col("embedding"))
+      val fn = Similarity.withNorm(emb, col("vec_id"),
+        col("embedding"), dim = EmbDim)
+      val qn = Similarity.withQuantNorm(emb, col("vec_id"),
+        col("embedding"), dim = EmbDim)
       val exact = Similarity.bruteForceTopK(
         fn.filter(col("vec_id") < 5), fn, k = 20)
       val quant = Similarity.quantizedTopK(
@@ -2294,8 +2318,7 @@ object ExtQueries {
     */
   private val qSemanticDedup = Q("q_semantic_dedup",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val trained = Similarity.centroidFrame(
         Similarity.kmeansRefine(n, n.filter(col("vec_id") % 100 === 0),
           iters = 2))
@@ -2323,9 +2346,10 @@ object ExtQueries {
   private val qTripletMine = Q("q_triplet_mine",
     (s, d) => {
       val e = t(s, d, "embeddings")
-      // withNorm's full row-drop rule (null/empty/zero-norm), kept
-      // inline because label rides along
-      val n = e.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      // withNorm's full row-drop rule (null/empty/ragged/zero-norm),
+      // kept inline because label rides along
+      val n = e.filter(col("embedding").isNotNull &&
+          size(col("embedding")) === EmbDim)
         .select(col("vec_id"), col("embedding").as("v"),
           Similarity.norm(col("embedding")).as("nm"), col("label"))
         .filter(col("nm") > 0)
@@ -2501,8 +2525,7 @@ object ExtQueries {
     */
   private val qAnnRecall = Q("q_ann_recall",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
       val truth = Similarity.bruteForceTopK(queries, n, k = 5)
         .select(col("qid"), col("vec_id"))
@@ -2924,8 +2947,7 @@ object ExtQueries {
   private val qAnnPq = Q("q_ann_pq",
     (s, d) => {
       val (m, subDim) = (4, 16)
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       // codebook materialized once: it has two consumers (encode + LUT)
       val cent = Similarity.pqTrain(n, m, subDim).localCheckpoint(false)
       val codes = Similarity.pqAssign(
@@ -3018,8 +3040,7 @@ object ExtQueries {
   private val qAnnIvfPq = Q("q_ann_ivfpq",
     (s, d) => {
       val (m, subDim) = (4, 16)
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val cent = Similarity.pqTrain(n, m, subDim).localCheckpoint(false)
       val codes = Similarity.pqAssign(
         Similarity.pqSubvectors(n, m, subDim), cent)
@@ -3047,8 +3068,7 @@ object ExtQueries {
   private val qIvfPqRecall = Q("q_ivfpq_recall",
     (s, d) => {
       val (m, subDim) = (4, 16)
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
       val truth = Similarity.bruteForceTopK(queries, n, k = 5)
         .select(col("qid"), col("vec_id"))
@@ -3106,8 +3126,7 @@ object ExtQueries {
   private val qAnnRefresh = Q("q_ann_refresh",
     (s, d) => {
       val (m, subDim) = (4, 16)
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qannr_" +
         Integer.toHexString(d.hashCode)
       graft.ops.Staging.deleteTree(dir)
@@ -3177,8 +3196,7 @@ object ExtQueries {
   private val qPqRecall = Q("q_pq_recall",
     (s, d) => {
       val (m, subDim) = (4, 16)
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
       val truth = Similarity.bruteForceTopK(queries, n, k = 5)
         .select(col("qid"), col("vec_id"))
@@ -3257,8 +3275,7 @@ object ExtQueries {
     */
   private val qSemanticDecontaminate = Q("q_semantic_decontaminate",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       Similarity.semanticScreen(n, n.filter(col("vec_id") % 50 === 1),
           threshold = 0.3, excludeSameId = true)
         .select(col("vec_id"), col("eid"), round(col("cos"), 4).as("cos"))
@@ -3542,8 +3559,7 @@ object ExtQueries {
 
   private val qNdcg = Q("q_ndcg",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
       val truth = Similarity.bruteForceTopK(queries, n, k = 10)
       val approx = Similarity.ivfTopK(corpus = n,
@@ -3575,8 +3591,7 @@ object ExtQueries {
     */
   private val qMrr = Q("q_mrr",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       val queries = n.filter(col("vec_id").isin(1, 2, 3, 4))
       val truth = Similarity.bruteForceTopK(queries, n, k = 10)
       val approx = Similarity.ivfTopK(corpus = n,
@@ -3690,7 +3705,7 @@ object ExtQueries {
         s"round($chain, 4) + 0.0 AS p$k"
       }
       s"SELECT vec_id, ${exprs.mkString(", ")} FROM embeddings " +
-        s"WHERE $duckEmbValid ORDER BY vec_id"
+        s"WHERE $duckEmbValid AND len(embedding) = 64 ORDER BY vec_id"
     })
 
   /** [EXT] L86 tokenizer fertility per source
@@ -3798,8 +3813,7 @@ object ExtQueries {
     */
   private val qMmrDiversify = Q("q_mmr_diversify",
     (s, d) => {
-      val n = Similarity.withNorm(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"))
+      val n = embNorm(s, d)
       Similarity.mmrSelect(
           queries = n.filter(col("vec_id").isin(1, 2, 3, 4)),
           corpus = n, c = 12, k = 4, lambda = 0.5)

@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.TimestampNTZType
   *   embeddings: vec_id%29==3 → NULL embedding,
   *               vec_id%29==7 → EMPTY embedding,
   *               vec_id%29==11 → all-ZERO embedding (no direction),
+  *               vec_id%29==17 → RAGGED embedding (truncated to 32 of
+  *               the declared 64 dims — the corrupt-row class where
+  *               the engines DIVERGE without the shared declared-dim
+  *               drop: Spark's dot kernel yields NULL on a length
+  *               mismatch, silently sinking the row in rankings, while
+  *               DuckDB's list_dot_product hard-errors; withNorm's
+  *               `dim` rule and duckEmbUnit's len() guard must agree),
   *               vec_id%31==5 → NULL label
   *   events:     event_id%19==3 → NULL props, event_id%19==7 → NULL
   *               user_id (null join/group key), event_id%23==5 → NULL
@@ -78,6 +85,10 @@ object NullFixture {
           // real double)
           .when(col("vec_id") % 29 === 11,
             transform(col("embedding"), _ => lit(0.0f)))
+          // RAGGED vector (truncated write / mixed encoder versions):
+          // wrong length for the declared 64-dim space — the class the
+          // declared-dim drop exists for
+          .when(col("vec_id") % 29 === 17, slice(col("embedding"), 1, 32))
           .otherwise(col("embedding")).as("embedding"),
         when(col("vec_id") % 31 === 5, lit(null).cast("int"))
           .otherwise(col("label")).as("label"))

@@ -644,4 +644,24 @@ class SimilaritySpec extends SparkSpec {
     assert(l == 0.0 && pc.forall(!_.isNaN),
       "zero matrix must not divide by zero")
   }
+
+  test("withNorm declared-dim rule: ragged rows are corrupt and dropped; " +
+      "without a declared dim they pass through (back-compat)") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), // well-formed
+      (2L, Seq(1f, 2f)), // RAGGED: truncated write
+      (3L, Seq(1f, 2f, 3f, 4f, 5f)), // RAGGED: overlong
+      (4L, Seq(0f, 0f, 0f, 0f))) // zero-norm (dropped by both forms)
+      .toDF("vec_id", "embedding")
+    val gated = Similarity.withNorm(emb, col("vec_id"), col("embedding"),
+      dim = 4)
+    assert(gated.select("vec_id").as[Long].collect().toSet == Set(1L))
+    val ungated = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    assert(ungated.select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // the quantized twin applies the same rule
+    val qgated = Similarity.withQuantNorm(emb, col("vec_id"),
+      col("embedding"), dim = 4)
+    assert(qgated.select("vec_id").as[Long].collect().toSet == Set(1L))
+  }
 }

@@ -41,11 +41,14 @@ class NullFixtureSpec extends SparkSpec {
       sum(when(size(col("embedding")) === 0, 1L).otherwise(0L)).as("empty"),
       sum(when(size(col("embedding")) === 64 &&
         !exists(col("embedding"), _ =!= 0.0f), 1L).otherwise(0L)).as("zero"),
+      sum(when(size(col("embedding")) === 32, 1L).otherwise(0L))
+        .as("ragged"),
       count(col("label")).as("lb")).collect().head
     assert(re.getAs[Long]("n") == 500L)
     assert(re.getAs[Long]("n") - re.getAs[Long]("e") == 18L) // %29==3
     assert(re.getAs[Long]("empty") == 17L)                   // %29==7
     assert(re.getAs[Long]("zero") == 17L)                    // %29==11
+    assert(re.getAs[Long]("ragged") == 17L)                  // %29==17
     val ev = graft.model.Tables.load(spark, dir, "events")
     val rv = ev.agg(count(lit(1)).as("n"), count(col("ts")).as("ts"),
       count(col("user_id")).as("u"), count(col("value")).as("v"),
