@@ -1500,6 +1500,12 @@ object DupGraph {
     val isegs = graft.ops.Staging.segList(mf, "isegs")
     val psegs = graft.ops.Staging.segList(mf, "psegs")
     val clsegs = graft.ops.Staging.segList(mf, "clsegs")
+    // legacy pre-segmented layout (no isegs/psegs/clsegs keys — a
+    // single version dir holding index/pairs/clusters directly, which
+    // read() still supports): nothing to fold and nothing whose bytes
+    // grow with ingests, so compaction is a no-op rather than a crash
+    // on reduce-of-empty below
+    if (isegs.isEmpty) return
     val compactAlready =
       isegs.size <= 1 && psegs.size <= 1 && clsegs.size <= 1
     if (keepPairs && compactAlready) return

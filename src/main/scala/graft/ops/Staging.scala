@@ -219,6 +219,12 @@ object Staging {
     val latest = currentVersion(root).getOrElse(return)
     val present = list(root).filter(_.matches("v\\d+"))
     val have = present.map(_.drop(1).toLong).toSet
+    // a LATEST pointing at a missing dir (stale/corrupt pointer — the
+    // documented non-atomic object-store rename window, or manual ops)
+    // would make hole == latest and classify EVERY present version as
+    // stranded; degrade to no-GC instead of amplifying a pointer fault
+    // into total artifact destruction
+    if (!have(latest)) return
     var hole = latest
     while (have(hole)) hole -= 1
     val (live, stranded) = present.partition(_.drop(1).toLong > hole)

@@ -2877,8 +2877,11 @@ object ExtQueries {
       val b3 = docs.filter(col("doc_id") >= 334)
       // tmp-dir artifact keyed by the fixture dir: reruns (bench
       // passes, fixture twins) rebuild from scratch deterministically
+      // pid-qualified so concurrent harness processes on the same
+      // fixture (or a hashCode collision) never share — and deleteTree —
+      // one artifact dir; determinism within a run is unaffected
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qnovr_" +
-        Integer.toHexString(d.hashCode)
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
       graft.ops.Staging.deleteTree(dir)
       NoveltyIndex.build(b1, col("text"), col("doc_id"), n = 3, buckets = 8)
         .write(dir)
@@ -3128,7 +3131,7 @@ object ExtQueries {
       val (m, subDim) = (4, 16)
       val n = embNorm(s, d)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qannr_" +
-        Integer.toHexString(d.hashCode)
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
       graft.ops.Staging.deleteTree(dir)
       AnnIndex.train(n.filter(col("vec_id") % 2 === 0), m, subDim,
         lloydIters = 1).write(dir)

@@ -986,4 +986,29 @@ class DedupSpec extends SparkSpec {
         Set((1L, 2L)))
     } finally r.unpersist()
   }
+
+  test("compact on a legacy pre-segmented artifact is a no-op (both " +
+      "keepPairs modes), not a reduce-of-empty crash") {
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupgraph_lc").toString
+    val g = Dedup.dupGraph(d1, col("text"), col("doc_id"))
+    try {
+      g.pairs.write.parquet(s"$dir/v1/pairs")
+      g.clusters.write.parquet(s"$dir/v1/clusters")
+      g.index.write.parquet(s"$dir/v1/index")
+    } finally g.unpersist()
+    graft.ops.Staging.writeString(s"$dir/LATEST", "1")
+    val before = DupGraph.read(spark, dir).clusters
+      .as[(Long, Long)].collect().toSet
+    // pre-fix, keepPairs=false fell past the compact-already early
+    // returns (psegs empty, so the prune probe could not fire) and
+    // threw UnsupportedOperationException on reduce of the empty isegs
+    DupGraph.compact(spark, dir, keepPairs = false)
+    DupGraph.compact(spark, dir, keepPairs = true)
+    assert(graft.ops.Staging.currentVersion(dir).contains(1L),
+      "legacy no-op must not commit a new version")
+    assert(DupGraph.read(spark, dir).clusters
+      .as[(Long, Long)].collect().toSet == before)
+  }
 }

@@ -197,6 +197,24 @@ class StagingSpec extends SparkSpec {
       "sweep skipped wholesale under an unreadable live manifest")
   }
 
+  test("gcSegments: a LATEST naming a MISSING version dir (stale/corrupt " +
+      "pointer) degrades to no-GC, never a total sweep") {
+    val root = tmp("stg_ptr")
+    Seq("s1", "s2").foreach(mkSeg(root, _))
+    mkVersion(root, Seq("s1")) // v1
+    mkVersion(root, Seq("s2")) // v2
+    // fault injection: pointer names a version that has no dir (the
+    // documented non-atomic object-store rename window / manual ops).
+    // Pre-guard, hole == latest classified v1/v2 both as stranded and
+    // then swept every segment.
+    Staging.writeString(s"$root/LATEST", "3")
+    Staging.gcSegments(root, Seq("ssegs"))
+    Seq("v1", "v2").foreach(vd =>
+      assert(Staging.exists(s"$root/$vd"), s"$vd deleted under broken pointer"))
+    Seq("s1", "s2").foreach(s =>
+      assert(Staging.exists(s"$root/segments/$s"), s"segment $s swept"))
+  }
+
   test("atomicRename overwrites an existing destination (the pointer " +
       "swap primitive)") {
     val root = tmp("stg_ar")
