@@ -18,12 +18,16 @@ import graft.ops.Windows
   * avoid.
   *
   * ==Artifact layout==
-  * `path/vN/centroids` (icell, cv, cn) and `path/vN/pqcent` (s, cid,
-  * cv) are catalog-sized (k·dim doubles) and rewritten per version;
-  * `path/segments/c<v>/` holds the corpus CODE segments — (vec_id,
-  * icell, s, cid), m rows per vector, PARTITIONED BY `icell` so a
-  * probe-restricted query prunes unprobed cells at the directory
-  * level. Commits follow the segment-incremental versioned-pointer
+  * `path/segments/n<v>/` (icell, cv, cn) and `path/segments/b<v>/`
+  * (s, cid, cv) are the catalog-sized (k·dim doubles) centroid and
+  * codebook tables — written ONCE per train generation and referenced
+  * by every ingest commit of that generation via the manifest's
+  * `centseg`/`pqseg` keys (frozen between retrains, so a refresh
+  * commit pays zero catalog jobs); `path/segments/c<v>/` holds the
+  * corpus CODE segments — (vec_id, icell, s, cid), m rows per vector,
+  * PARTITIONED BY `icell` so a probe-restricted query prunes unprobed
+  * cells at the directory level. Commits follow the
+  * segment-incremental versioned-pointer
   * discipline ([[graft.ops.Staging]], same as [[DupGraph]]): a
   * [[refresh]]ed index written back to its root emits ONLY the new
   * batch's code segment; the manifest lists live segments; unreferenced
@@ -120,9 +124,9 @@ final class AnnIndex private[ext] (
     */
   def refresh(newVectors: DataFrame): AnnIndex = {
     // lazy-materialize the delta (the NoveltyIndex.update discipline):
-    // write() probes it for emptiness AND writes it — without this,
-    // each commit evaluates the batch encode (corpus×centroids cross
-    // join + PQ assign) twice
+    // write() commits it and a consumer searching the refreshed handle
+    // scans it again — without this, each such action re-evaluates the
+    // batch encode (corpus×centroids cross join + PQ assign)
     val delta = AnnIndex.encode(newVectors, centroids, pqCent, m, subDim)
       .localCheckpoint(false)
     new AnnIndex(centroids, pqCent, () => codeSegs :+ delta, m, subDim,
@@ -133,32 +137,59 @@ final class AnnIndex private[ext] (
     * segments; see the class doc). An index whose [[lineage]] roots at
     * this same `path` commits ONLY its unwritten deltas — per-batch
     * commit bytes follow the batch (m code cells per new vector), not
-    * the corpus.
+    * the corpus — and REUSES the stored centroid/codebook segments
+    * (they are frozen between retrains, so an ingest commit pays zero
+    * catalog jobs). A fresh train writes both catalogs, in parallel
+    * (two independent tiny jobs; serializing them doubles the fixed
+    * commit latency that bounds streaming ingest frequency).
+    *
+    * Returns the COMMITTED view of the artifact: the same catalog
+    * frames, code segments re-opened from the files just written
+    * (partition-pruned like any read), no pending deltas — equal to an
+    * immediate [[AnnIndex.read]] (spec-pinned), so a refresh→serve
+    * pipeline skips the re-open round trip.
     */
-  def write(path: String, batchId: Option[Long] = None): Unit = {
+  def write(path: String, batchId: Option[Long] = None): AnnIndex = {
+    val spark = centroids.sparkSession
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
-    val csegs = lineage.filter(_.root == path) match {
-      case Some(l) =>
-        if (l.deltas.nonEmpty) {
-          AnnIndex.writeCodeSegment(
-            l.deltas.map(_()).reduce(_.unionByName(_)), path, s"c$v")
-          l.csegs :+ s"c$v"
-        } else l.csegs
-      case None =>
-        AnnIndex.writeCodeSegment(codes, path, s"c$v")
-        Seq(s"c$v")
+    val lin = lineage.filter(_.root == path)
+    val catalogsStored = lin.flatMap(l => l.centSeg.zip(l.pqSeg))
+    // one concurrent batch for everything this commit must put on
+    // disk: the code segment plus (fresh-train generations only) the
+    // two catalog segments — they share only immutable lazy-checkpoint
+    // inputs, and the ladder's fixed latency is the streaming
+    // ingest-frequency bound
+    val codeJob: () => Unit = lin match {
+      case Some(l) if l.deltas.nonEmpty => () =>
+        AnnIndex.writeCodeSegment(
+          l.deltas.map(_()).reduce(_.unionByName(_)), path, s"c$v")
+      case Some(_) => () => ()
+      case None => () => AnnIndex.writeCodeSegment(codes, path, s"c$v")
     }
-    // catalog-sized tables (k·dim doubles): one file each — writing a
-    // few-hundred-row catalog through 32 shuffle partitions costs 32
-    // write tasks now and 32 footer reads on every later open
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    pqCent.coalesce(1).write.mode("overwrite").parquet(s"$dir/pqcent")
+    val catJobs: Seq[() => Unit] =
+      if (catalogsStored.isDefined) Seq.empty // frozen: reuse, no jobs
+      else Seq(
+        () => AnnIndex.writeCatalogSegment(centroids, path, s"n$v"),
+        () => AnnIndex.writeCatalogSegment(pqCent, path, s"b$v"))
+    AnnIndex.parJobs(codeJob +: catJobs: _*)
+    val csegs = lin match {
+      case Some(l) if l.deltas.nonEmpty => l.csegs :+ s"c$v"
+      case Some(l) => l.csegs
+      case None => Seq(s"c$v")
+    }
+    val (centSeg, pqSeg) = catalogsStored.getOrElse((s"n$v", s"b$v"))
     graft.ops.Staging.writeManifest(dir,
       Map("m" -> m.toString, "subDim" -> subDim.toString,
-        "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(",")) ++
+        "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(","),
+        "centseg" -> centSeg, "pqseg" -> pqSeg) ++
         batchId.map("batchId" -> _.toString))
     graft.ops.Staging.commitVersion(path, v)
-    graft.ops.Staging.gcSegments(path, Seq("csegs"))
+    graft.ops.Staging.gcSegments(path, AnnIndex.SegKeys)
+    new AnnIndex(centroids, pqCent,
+      () => csegs.map(sid => AnnIndex.openCodeSegment(spark, path, sid)),
+      m, subDim,
+      lineage = Some(AnnIndex.Lineage(path, csegs, Some(centSeg),
+        Some(pqSeg), deltas = Seq.empty)))
   }
 }
 
@@ -172,10 +203,34 @@ object AnnIndex {
 
   private[ext] final case class Lineage(root: String,
                                         csegs: Seq[String],
+                                        centSeg: Option[String],
+                                        pqSeg: Option[String],
                                         deltas: Seq[() => DataFrame])
+
+  /** Every manifest key that pins segments — GC must union all three
+    * (code segments per ingest; catalog segments per train generation,
+    * shared across every ingest commit of that generation).
+    */
+  private[ext] val SegKeys: Seq[String] = Seq("csegs", "centseg", "pqseg")
 
   private def segDir(root: String, segId: String): String =
     s"$root/segments/$segId"
+
+  /** Run independent commit jobs concurrently (catalog writes): the
+    * commit ladder is serial by default and its fixed latency — not
+    * data volume — bounds streaming ingest frequency. First failure
+    * propagates after all threads finish (no half-started debris left
+    * running).
+    */
+  private[ext] def parJobs(jobs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = jobs.map(j => new Thread(() => {
+      try j() catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 
   private def writeCodeSegment(df: DataFrame, root: String,
                                segId: String): Unit = {
@@ -183,19 +238,49 @@ object AnnIndex {
     // deterministic segment ids: a crash-retry overwrites exactly its
     // own debris (same discipline as DupGraph.writeIndexSegment)
     graft.ops.Staging.deleteTree(dir)
-    // an EMPTY partitioned write emits zero data files (only _SUCCESS)
+    // Pre-repartition on icell (the DupGraph writeIndexSegment
+    // discipline): without it every input partition opens a writer per
+    // cell it touches — partitions × cells tiny files, the classic
+    // small-files tax on every later probe read — where one batch-sized
+    // shuffle leaves one file per cell per task.
+    df.repartition(col("icell")).write.partitionBy("icell").parquet(dir)
+    // An EMPTY partitioned write emits zero data files (only _SUCCESS)
     // — unreadable later. Empty deltas are legitimate (a micro-batch of
-    // all-null embeddings encodes nothing), so write them UNpartitioned:
-    // a plain empty parquet keeps the full schema (icell as a regular
-    // column, which the reader selects either way) and stays readable.
-    // The non-empty path pre-repartitions on icell (the DupGraph
-    // writeIndexSegment discipline): without it every input partition
-    // opens a writer per cell it touches — partitions × cells tiny
-    // files, the classic small-files tax on every later probe read —
-    // where one batch-sized shuffle leaves one file per cell per task
-    if (df.isEmpty) df.coalesce(1).write.parquet(dir)
-    else df.repartition(col("icell")).write.partitionBy("icell").parquet(dir)
+    // all-null embeddings encodes nothing) but RARE, so instead of a
+    // pre-write emptiness probe (an extra job on every ingest commit),
+    // detect emptiness from the write's own output — no icell=… dirs, a
+    // metadata listing — and rewrite as plain zero-row parquet, which
+    // keeps the full schema (icell as a regular column, which the
+    // reader selects either way) and stays readable.
+    if (!graft.ops.Staging.list(dir).exists(_.startsWith("icell="))) {
+      graft.ops.Staging.deleteTree(dir)
+      df.limit(0).coalesce(1).write.parquet(dir)
+    }
   }
+
+  /** Catalog-sized tables (k·dim doubles): one file each — writing a
+    * few-hundred-row catalog through 32 shuffle partitions costs 32
+    * write tasks now and 32 footer reads on every later open. Stored
+    * as SEGMENTS (not per-version tables) because they are frozen
+    * between retrains: every ingest commit of a generation references
+    * the same pair, so refresh commits pay zero catalog jobs.
+    */
+  private def writeCatalogSegment(df: DataFrame, root: String,
+                                  segId: String): Unit = {
+    val dir = segDir(root, segId)
+    graft.ops.Staging.deleteTree(dir)
+    df.coalesce(1).write.parquet(dir)
+  }
+
+  private def openCodeSegment(spark: SparkSession, root: String,
+                              sid: String): DataFrame =
+    spark.read.parquet(segDir(root, sid))
+      // partitionBy wrote icell as a directory column — restore the
+      // stored column order AND the bigint type (partition inference
+      // may narrow small cell ids to int, which would miscompile the
+      // probe join's key comparison)
+      .select(col("vec_id"), col("icell").cast("long").as("icell"),
+        col("s"), col("cid"))
 
   /** Train the artifact: `lloydIters` spherical-k-means passes over
     * seeded IVF centroids ([[Similarity.kmeansRefine]] — exact
@@ -222,14 +307,24 @@ object AnnIndex {
     // one seed frame per predicate, shared by the guard (a limit-1
     // probe) and the trainer — not two filter evaluations
     val ivfSeeds = corpus.filter(ivfSeedPred)
-    nonEmpty(ivfSeeds, "ivfSeedPred")
-    nonEmpty(corpus.filter(pqSeedPred), "pqSeedPred")
-    val cent = Similarity.centroidFrame(
-      Similarity.kmeansRefine(corpus, ivfSeeds, lloydIters))
-      .select(col("cid").as("icell"), col("cv"), col("cn"))
-      .localCheckpoint(false)
-    val pq = Similarity.pqTrain(corpus, m, subDim, pqSeedPred)
-      .localCheckpoint(false)
+    // The four train-time legs are independent: two limit-1 seed
+    // probes (tiny jobs) and two lazy-checkpoint constructions whose
+    // cost is DRIVER-side physical planning + whole-stage codegen
+    // compilation (~0.5 s each — measured, not data). Serialized they
+    // are the largest rung of the commit ladder; run them concurrently
+    // (the shared corpus plan is immutable; Janino compiles on
+    // independent threads).
+    var cent: DataFrame = null
+    var pq: DataFrame = null
+    parJobs(
+      () => nonEmpty(ivfSeeds, "ivfSeedPred"),
+      () => nonEmpty(corpus.filter(pqSeedPred), "pqSeedPred"),
+      () => cent = Similarity.centroidFrame(
+        Similarity.kmeansRefine(corpus, ivfSeeds, lloydIters))
+        .select(col("cid").as("icell"), col("cv"), col("cn"))
+        .localCheckpoint(false),
+      () => pq = Similarity.pqTrain(corpus, m, subDim, pqSeedPred)
+        .localCheckpoint(false))
     val codes = encode(corpus, cent, pq, m, subDim)
     new AnnIndex(cent, pq, () => Seq(codes), m, subDim)
   }
@@ -272,18 +367,21 @@ object AnnIndex {
       sys.error(s"ANN index at $path encoded under '$f'; this build " +
         s"speaks '$FormatVersion' — rebuild, do not refresh"))
     val csegs = graft.ops.Staging.segList(mf, "csegs")
+    // catalog location: segment-shared since the commit-floor trim
+    // (manifest keys centseg/pqseg); per-version table dirs on legacy
+    // artifacts — those upgrade to catalog segments on the next commit
+    def catalog(key: String, legacyDir: String): DataFrame =
+      mf.get(key) match {
+        case Some(sid) => spark.read.parquet(segDir(path, sid))
+        case None => spark.read.parquet(s"$dir/$legacyDir")
+      }
     new AnnIndex(
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/pqcent"),
-      () => csegs.map(sid => spark.read.parquet(segDir(path, sid))
-        // partitionBy wrote icell as a directory column — restore the
-        // stored column order AND the bigint type (partition inference
-        // may narrow small cell ids to int, which would miscompile the
-        // probe join's key comparison)
-        .select(col("vec_id"), col("icell").cast("long").as("icell"),
-          col("s"), col("cid"))),
+      catalog("centseg", "centroids"),
+      catalog("pqseg", "pqcent"),
+      () => csegs.map(sid => openCodeSegment(spark, path, sid)),
       m = mf("m").toInt, subDim = mf("subDim").toInt,
-      lineage = Some(Lineage(path, csegs, deltas = Seq.empty)))
+      lineage = Some(Lineage(path, csegs, mf.get("centseg"),
+        mf.get("pqseg"), deltas = Seq.empty)))
   }
 
   /** True iff a complete committed version exists at `path`. */
@@ -330,6 +428,7 @@ object AnnIndex {
     train(corpus, mf("m").toInt, mf("subDim").toInt,
       ivfSeedPred, pqSeedPred, lloydIters)
       .write(path, batchId = mf.get("batchId").map(_.toLong))
+    ()
   }
 
   /** Fold a multi-segment artifact back to one code segment (the
@@ -346,16 +445,24 @@ object AnnIndex {
     if (csegs.size <= 1) return
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     writeCodeSegment(
-      csegs.map(sid => spark.read.parquet(segDir(path, sid))
-          .select(col("vec_id"), col("icell").cast("long").as("icell"),
-            col("s"), col("cid")))
+      csegs.map(sid => openCodeSegment(spark, path, sid))
         .reduce(_.unionByName(_)), path, s"c$v")
-    spark.read.parquet(s"$dir0/centroids").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    spark.read.parquet(s"$dir0/pqcent").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/pqcent")
-    graft.ops.Staging.writeManifest(dir, (mf - "csegs") + ("csegs" -> s"c$v"))
+    // catalogs: carry the segment references forward (frozen between
+    // retrains — compaction folds only code segments); a legacy
+    // artifact's per-version catalog dirs upgrade to segments here
+    val (centSeg, pqSeg) = (mf.get("centseg"), mf.get("pqseg")) match {
+      case (Some(cs), Some(ps)) => (cs, ps)
+      case _ =>
+        parJobs(
+          () => writeCatalogSegment(
+            spark.read.parquet(s"$dir0/centroids"), path, s"n$v"),
+          () => writeCatalogSegment(
+            spark.read.parquet(s"$dir0/pqcent"), path, s"b$v"))
+        (s"n$v", s"b$v")
+    }
+    graft.ops.Staging.writeManifest(dir, (mf - "csegs") ++
+      Map("csegs" -> s"c$v", "centseg" -> centSeg, "pqseg" -> pqSeg))
     graft.ops.Staging.commitVersion(path, v, retain)
-    graft.ops.Staging.gcSegments(path, Seq("csegs"))
+    graft.ops.Staging.gcSegments(path, SegKeys)
   }
 }

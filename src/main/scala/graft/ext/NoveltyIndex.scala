@@ -63,8 +63,13 @@ final class NoveltyIndex private[ext] (
     * [[graft.ops.Layout.writeBucketedTable]]); otherwise the whole set
     * as one segment. Manifest records n/buckets/hash-version/segments;
     * GC sweeps segments with their last referencing version.
+    *
+    * Returns the COMMITTED view (segments re-opened from the files just
+    * written, no pending deltas) — equal to an immediate
+    * [[NoveltyIndex.read]], so an update→score pipeline skips the
+    * re-open round trip.
     */
-  def write(path: String, batchId: Option[Long] = None): Unit = {
+  def write(path: String, batchId: Option[Long] = None): NoveltyIndex = {
     val spark = SparkSession.active
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val ssegs = lineage.filter(_.root == path) match {
@@ -85,6 +90,10 @@ final class NoveltyIndex private[ext] (
     graft.ops.Staging.commitVersion(path, v)
     graft.ops.Staging.gcSegments(path, Seq("ssegs"),
       d => graft.ops.Layout.dropBucketedEntry(spark, d))
+    new NoveltyIndex(
+      () => ssegs.map(sid => NoveltyIndex.openSegment(spark, path, sid, buckets)),
+      n, buckets,
+      lineage = Some(NoveltyIndex.Lineage(path, ssegs, deltas = Seq.empty)))
   }
 }
 
@@ -136,14 +145,16 @@ object NoveltyIndex {
     val buckets = mf("buckets").toInt
     val ssegs = graft.ops.Staging.segList(mf, "ssegs")
     new NoveltyIndex(
-      () => ssegs.map { sid =>
-        val d = segDir(path, sid)
-        if (buckets > 0)
-          graft.ops.Layout.readBucketedTable(spark, d, "sh", buckets)
-        else spark.read.parquet(d)
-      },
+      () => ssegs.map(sid => openSegment(spark, path, sid, buckets)),
       n = mf("n").toInt, buckets = buckets,
       lineage = Some(Lineage(path, ssegs, deltas = Seq.empty)))
+  }
+
+  private def openSegment(spark: SparkSession, root: String, sid: String,
+                          buckets: Int): DataFrame = {
+    val d = segDir(root, sid)
+    if (buckets > 0) graft.ops.Layout.readBucketedTable(spark, d, "sh", buckets)
+    else spark.read.parquet(d)
   }
 
   /** True iff a complete committed version exists at `path`. */

@@ -2887,8 +2887,9 @@ object ExtQueries {
         .write(dir)
       val idx1 = NoveltyIndex.read(s, dir)
       val r2 = idx1.novelty(b2, col("text"), col("doc_id"))
-      idx1.update(b2, col("text"), col("doc_id")).write(dir)
-      val idx2 = NoveltyIndex.read(s, dir)
+      // write returns the committed view (== an immediate re-read,
+      // spec-pinned) — the day-3 scoring serves from it directly
+      val idx2 = idx1.update(b2, col("text"), col("doc_id")).write(dir)
       val r3 = idx2.novelty(b3, col("text"), col("doc_id"))
       TextAnalysis.noveltyRate(b1, col("text"), col("doc_id"), n = 3)
         .unionByName(r2).unionByName(r3).orderBy("doc_id")
@@ -3135,9 +3136,11 @@ object ExtQueries {
       graft.ops.Staging.deleteTree(dir)
       AnnIndex.train(n.filter(col("vec_id") % 2 === 0), m, subDim,
         lloydIters = 1).write(dir)
+      // write returns the committed view (== an immediate re-read,
+      // spec-pinned) — serve skips the re-open round trip; the read →
+      // refresh leg still exercises the re-open path end-to-end
       AnnIndex.read(s, dir).refresh(n.filter(col("vec_id") % 2 === 1))
         .write(dir)
-      AnnIndex.read(s, dir)
         .search(n.filter(col("vec_id").isin(1, 2, 3, 4)), k = 5, nprobe = 3)
         .orderBy("qid", "rnk")
     },

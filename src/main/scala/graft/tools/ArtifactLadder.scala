@@ -81,13 +81,13 @@ object ArtifactLadder {
       val v = graft.ops.Staging.currentVersion(out).get
       val segId = (if (kind == "ann") "c" else "s") + v
       val segBytes = dirBytes(s"$out/segments/$segId")
-      // ANN rewrites the catalog-sized centroid/codebook tables per
-      // version — report them so "flat in corpus" is honest about the
-      // fixed overhead
+      // ANN catalogs are segment-shared across a train generation
+      // (commit-floor trim): only a commit that WROTE them this version
+      // (n<v>/b<v> exist) counts them — every other ingest commit
+      // references the frozen pair for zero catalog bytes
       val sideBytes =
         if (kind == "ann")
-          dirBytes(s"${graft.ops.Staging.versionDir(out, v)}/centroids") +
-            dirBytes(s"${graft.ops.Staging.versionDir(out, v)}/pqcent")
+          dirBytes(s"$out/segments/n$v") + dirBytes(s"$out/segments/b$v")
         else 0L
       val commitMb = (segBytes + sideBytes) / 1e6
       println(f"[ladder:$kind] batch $b%2d rows $bn%8d fold $sec%7.2f s " +

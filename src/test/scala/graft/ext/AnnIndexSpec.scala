@@ -93,12 +93,24 @@ class AnnIndexSpec extends SparkSpec {
       finally s.close()
     }
     val c1Before = fileSet(s"$dir/segments/c1")
-    r1.refresh(day2).write(dir)
-    assert(graft.ops.Staging.list(s"$dir/segments").toSet == Set("c1", "c2"))
+    val catBefore = fileSet(s"$dir/segments/n1") ++ fileSet(s"$dir/segments/b1")
+    val committed = r1.refresh(day2).write(dir)
+    assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
+      Set("c1", "c2", "n1", "b1"))
     assert(fileSet(s"$dir/segments/c1") == c1Before,
       "day-1 code segment rewritten by the incremental commit")
+    assert(fileSet(s"$dir/segments/n1") ++ fileSet(s"$dir/segments/b1") ==
+      catBefore,
+      "frozen catalog segments rewritten by the incremental commit")
     val mf2 = graft.ops.Staging.readManifest(s"$dir/v2")
     assert(mf2("csegs") == "c1,c2", mf2)
+    assert(mf2("centseg") == "n1" && mf2("pqseg") == "b1",
+      "ingest commit must REFERENCE the train generation's catalogs")
+    // write's returned handle IS the committed view — serving from it
+    // equals an immediate re-read (the refresh→serve pipelines skip the
+    // re-open round trip on this contract)
+    assert(topk(committed.search(queries, k = 5, nprobe = 2)) ==
+      topk(AnnIndex.read(spark, dir).search(queries, k = 5, nprobe = 2)))
 
     // the read-back union equals a one-shot encode over the union
     val r2 = AnnIndex.read(spark, dir)
@@ -116,9 +128,11 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.compact(spark, dir) // no-op when already compact
     assert(graft.ops.Staging.currentVersion(dir).contains(3L))
     // one more commit ages v2 out — the pre-compaction segments sweep
+    // (the generation's catalog segments stay: every live manifest of
+    // the generation references them)
     AnnIndex.read(spark, dir).write(dir) // delta-free incremental commit
-    assert(graft.ops.Staging.list(s"$dir/segments").toSet == Set("c3"),
-      "pre-compaction segments not swept")
+    assert(graft.ops.Staging.list(s"$dir/segments").toSet ==
+      Set("c3", "n1", "b1"), "pre-compaction segments not swept")
     // format guard: a foreign format fails loudly
     graft.ops.Staging.writeManifest(s"$dir/v4",
       graft.ops.Staging.readManifest(s"$dir/v4") + ("fmt" -> "other/v9"))
