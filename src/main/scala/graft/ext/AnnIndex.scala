@@ -148,8 +148,15 @@ final class AnnIndex private[ext] (
     * (partition-pruned like any read), no pending deltas — equal to an
     * immediate [[AnnIndex.read]] (spec-pinned), so a refresh→serve
     * pipeline skips the re-open round trip.
+    *
+    * `retain` flows to the pointer commit (the [[DupGraph.compact]]
+    * rule): a write that is the SECOND commit of one streaming fold —
+    * an in-fold [[AnnIndex.retrain]] after the ingest commit — must
+    * pass `retain = 2` so a fold-current reader still resolves
+    * complete segments.
     */
-  def write(path: String, batchId: Option[Long] = None): AnnIndex = {
+  def write(path: String, batchId: Option[Long] = None,
+            retain: Int = 1): AnnIndex = {
     val spark = centroids.sparkSession
     val (dir, v) = graft.ops.Staging.nextVersionDir(path)
     val lin = lineage.filter(_.root == path)
@@ -183,7 +190,7 @@ final class AnnIndex private[ext] (
         "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(","),
         "centseg" -> centSeg, "pqseg" -> pqSeg) ++
         batchId.map("batchId" -> _.toString))
-    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.commitVersion(path, v, retain)
     graft.ops.Staging.gcSegments(path, AnnIndex.SegKeys)
     new AnnIndex(centroids, pqCent,
       () => csegs.map(sid => AnnIndex.openCodeSegment(spark, path, sid)),
@@ -417,7 +424,7 @@ object AnnIndex {
   def retrain(spark: SparkSession, path: String, corpus: DataFrame,
               ivfSeedPred: Column = col("vec_id") % 100 === 0,
               pqSeedPred: Column = col("vec_id") % 100 === 0,
-              lloydIters: Int = 2): Unit = {
+              lloydIters: Int = 2, retain: Int = 1): Unit = {
     val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
       sys.error(s"no committed ANN index at $path (missing LATEST)"))
     val mf = graft.ops.Staging.readManifest(
@@ -427,7 +434,7 @@ object AnnIndex {
         s"speaks '$FormatVersion' — rebuild, do not retrain"))
     train(corpus, mf("m").toInt, mf("subDim").toInt,
       ivfSeedPred, pqSeedPred, lloydIters)
-      .write(path, batchId = mf.get("batchId").map(_.toLong))
+      .write(path, batchId = mf.get("batchId").map(_.toLong), retain = retain)
     ()
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -161,25 +161,48 @@ object StreamingNovelty {
   */
 object StreamingAnn {
 
-  /** `onInertia` is the RETRAIN TRIGGER signal, observation-only by
-    * design: per folded batch it receives (batchId, mean
-    * batch-to-stored-centroid cosine — [[batchInertia]], already
-    * evaluated: a plain Double, safe to keep). The maintainer never
-    * retrains on its own (retraining replaces the code space and its
-    * timing is an operator decision); the caller logs/alerts and runs
-    * [[AnnIndex.retrain]] when the signal drifts below the artifact's
-    * train-time inertia. Delivery is AT-LEAST-ONCE under crash replay
-    * (see StreamingNovelty's hook contract) — key non-idempotent side
+  /** `onInertia` is the RETRAIN TRIGGER signal: per folded batch it
+    * receives (batchId, mean batch-to-stored-centroid cosine —
+    * [[batchInertia]], already evaluated: a plain Double, safe to
+    * keep). By default the maintainer never retrains on its own
+    * (retraining replaces the code space and its timing is an operator
+    * decision); the caller logs/alerts and runs [[AnnIndex.retrain]]
+    * when the signal drifts below the artifact's train-time inertia.
+    * Delivery is AT-LEAST-ONCE under crash replay (see
+    * StreamingNovelty's hook contract) — key non-idempotent side
     * effects by `batchId`.
+    *
+    * ==Opt-in automatic retrain==
+    * `retrainBelowInertia` turns the signal into a policy: when a
+    * folded batch's inertia drops BELOW the threshold (drifted data —
+    * the frozen cells no longer describe the batch; NaN, an
+    * all-invalid batch, never triggers), the maintainer ingests the
+    * batch FIRST (so the corpus is complete), then calls
+    * [[AnnIndex.retrain]] with `retrainCorpus()` — the caller's
+    * corpus source, the lake table of ALL (vec_id, embedding) rows
+    * ingested so far INCLUDING this batch (PQ codes are lossy, so
+    * vectors cannot come from the artifact). The retrain is the second
+    * commit of the fold and passes `retain = 2`, so a fold-current
+    * reader keeps resolving complete segments (the reader-retention
+    * contract); the streaming `batchId` is preserved, so replay
+    * guards survive. Post-retrain the artifact is one full segment —
+    * compaction has nothing to fold — and the fresh centroids restore
+    * the inertia signal, so the policy self-arms for the NEXT drift
+    * instead of retraining every batch. Under a crash between the
+    * ingest and retrain commits the replayed batch is skipped whole
+    * (the batchId guard), deferring the retrain until the signal next
+    * crosses — at-least-eventually, not exactly-once.
     */
   def maintain(vectors: DataFrame, path: String, m: Int = 4,
                subDim: Int = 16,
                compactEvery: Int = Maintenance.DefaultCompactEvery,
-               onInertia: Option[(Long, Double) => Unit] = None): StreamingQuery =
+               onInertia: Option[(Long, Double) => Unit] = None,
+               retrainBelowInertia: Option[Double] = None,
+               retrainCorpus: Option[() => DataFrame] = None): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldBatch(batch.toDF(), path, batchId, m, subDim, compactEvery,
-          onInertia)
+          onInertia, retrainBelowInertia, retrainCorpus)
       }
       .start()
 
@@ -188,12 +211,20 @@ object StreamingAnn {
                                compactEvery: Int =
                                  Maintenance.DefaultCompactEvery,
                                onInertia: Option[(Long, Double) => Unit] =
+                                 None,
+                               retrainBelowInertia: Option[Double] = None,
+                               retrainCorpus: Option[() => DataFrame] =
                                  None): Unit = {
+    require(retrainBelowInertia.isEmpty || retrainCorpus.isDefined,
+      "StreamingAnn: retrainBelowInertia needs retrainCorpus — PQ codes " +
+        "are lossy, so a retrain must re-read the corpus VECTORS from " +
+        "the lake, which only the caller can supply")
     val spark = batch.sparkSession
     val stored = AnnIndex.exists(path)
     val last = if (stored) AnnIndex.lastBatchId(path) else None
     if (Maintenance.shouldFold("StreamingAnn", path, batchId, last)) {
       val norms = Similarity.withNorm(batch, col("vec_id"), col("embedding"))
+      var drifted = false
       val idx =
         if (!stored) bootstrapTrain(norms, m, subDim)
         else {
@@ -202,7 +233,12 @@ object StreamingAnn {
             s"StreamingAnn: (m=$m, subDim=$subDim) != stored index's " +
               s"(m=${storedIdx.m}, subDim=${storedIdx.subDim}) at $path " +
               "— retrain, do not mix code spaces")
-          onInertia.foreach(f => f(batchId, batchInertia(storedIdx, norms)))
+          if (onInertia.nonEmpty || retrainBelowInertia.nonEmpty) {
+            val inertia = batchInertia(storedIdx, norms)
+            onInertia.foreach(f => f(batchId, inertia))
+            // NaN < threshold is false: an all-invalid batch never triggers
+            drifted = retrainBelowInertia.exists(inertia < _)
+          }
           Some(storedIdx.refresh(norms))
         }
       // a bootstrap batch with no trainable vectors commits NOTHING
@@ -210,8 +246,22 @@ object StreamingAnn {
       // and a replay of the skipped batch is a harmless re-skip
       idx.foreach { i =>
         i.write(path, batchId = Some(batchId))
-        Maintenance.maybeCompact(path, Seq("csegs"), compactEvery) {
-          AnnIndex.compact(spark, path, retain = 2)
+        if (drifted) {
+          // ingest-first, then the full-generation recommit: second
+          // commit of this fold ⇒ retain = 2 (reader-retention rule).
+          // Seeds get the bootstrap fallback — an id space the default
+          // modulo predicate misses must defer gracefully (next drifted
+          // batch re-arms), never kill the stream on the empty-seed
+          // require.
+          val corpusNorms = Similarity.withNorm(retrainCorpus.get(),
+            col("vec_id"), col("embedding"))
+          fallbackSeedPred(corpusNorms).foreach(p =>
+            AnnIndex.retrain(spark, path, corpusNorms,
+              ivfSeedPred = p, pqSeedPred = p, retain = 2))
+        } else {
+          Maintenance.maybeCompact(path, Seq("csegs"), compactEvery) {
+            AnnIndex.compact(spark, path, retain = 2)
+          }
         }
       }
     }
@@ -250,17 +300,25 @@ object StreamingAnn {
     * empty-seed require.
     */
   private[graft] def bootstrapTrain(norms: DataFrame, m: Int,
-                                    subDim: Int): Option[AnnIndex] = {
+                                    subDim: Int): Option[AnnIndex] =
+    fallbackSeedPred(norms).map(p =>
+      AnnIndex.train(norms, m, subDim, ivfSeedPred = p, pqSeedPred = p))
+
+  /** The seed predicate [[bootstrapTrain]] and the automatic-retrain
+    * policy train with: the library-default modulo predicate when it
+    * selects anything from `norms`, else a deterministic sample — the
+    * [[BootstrapSeeds]] smallest `vec_id`s, collected in their NATIVE
+    * type and ordering (a cast to long would null out string ids and
+    * NPE). None when `norms` has no valid vectors at all.
+    */
+  private[graft] def fallbackSeedPred(norms: DataFrame): Option[Column] = {
     val defaultPred = col("vec_id") % 100 === 0
-    if (!norms.filter(defaultPred).isEmpty)
-      Some(AnnIndex.train(norms, m, subDim))
+    if (!norms.filter(defaultPred).isEmpty) Some(defaultPred)
     else {
       val seedIds = norms.select(col("vec_id")).na.drop()
         .orderBy("vec_id").limit(BootstrapSeeds).collect().map(_.get(0))
       if (seedIds.isEmpty) None
-      else Some(AnnIndex.train(norms, m, subDim,
-        ivfSeedPred = col("vec_id").isin(seedIds.toIndexedSeq: _*),
-        pqSeedPred = col("vec_id").isin(seedIds.toIndexedSeq: _*)))
+      else Some(col("vec_id").isin(seedIds.toIndexedSeq: _*))
     }
   }
 

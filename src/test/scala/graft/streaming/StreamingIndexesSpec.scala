@@ -200,6 +200,86 @@ class StreamingIndexesSpec extends SparkSpec {
         idx.seen).as[(Long, Long, Long, Long)].collect().toSet)
   }
 
+  test("StreamingAnn retrainBelowInertia: injected drift triggers exactly " +
+      "one in-fold retrain; search continuity holds across it; the " +
+      "batchId replay guard survives; NaN batches never trigger") {
+    val path = java.nio.file.Files.createTempDirectory("sann_drift").toString
+    // the "lake": every raw batch folded so far (what retrainCorpus
+    // re-reads — PQ codes are lossy, vectors must come from here)
+    var lake = Vector.empty[org.apache.spark.sql.DataFrame]
+    val corpusSrc = () => lake.reduce(_.unionByName(_))
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      lake :+= b
+      StreamingAnn.foldBatch(b, path, id, 4, 16,
+        retrainBelowInertia = Some(0.0), retrainCorpus = Some(corpusSrc))
+    }
+    // the raw synthetic embeddings are zero-mean noise (any batch's
+    // inertia vs any centroids is ~0.1), so build a CLUSTERED base
+    // distribution: every vector = shared direction + damped per-row
+    // noise. Same-cluster batches score ~0.9 to the trained cells;
+    // the drift batches are the NEGATED cluster (~-0.9 — below 0)
+    val baseVec = broadcast(embScaled.filter(col("vec_id") === 0)
+      .select(col("embedding").as("bv")))
+    def clustered(lo: Long, hi: Long, off: Long, sign: Double) = embScaled
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .crossJoin(baseVec)
+      .select((col("vec_id") + off).as("vec_id"),
+        zip_with(col("bv"), col("embedding"),
+          (b, e) => lit(sign) * (b + e * lit(0.2))).as("embedding"))
+    val b0 = clustered(0, 200, 0L, 1.0)
+    val b1 = clustered(200, 300, 0L, 1.0)
+    def drifted(lo: Long, hi: Long, off: Long) = clustered(lo, hi, off, -1.0)
+    fold(b0, 0L) // bootstrap train (v1)
+    fold(b1, 1L) // same distribution: inertia > 0, NO retrain (v2)
+    assert(graft.ops.Staging.currentVersion(path).contains(2L),
+      "a same-distribution fold must commit exactly once")
+    val preReader = AnnIndex.read(spark, path)
+    val preCent = preReader.centroids
+      .as[(Long, Seq[Double], Double)].collect().toSet
+    val q = Similarity.withNorm(b0, col("vec_id"), col("embedding"))
+      .filter(col("vec_id").isin(1, 2, 3, 4))
+    val preTop = preReader.search(q, k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    fold(drifted(0, 100, 10000L), 2L) // drift → ingest (v3) + retrain (v4)
+    assert(graft.ops.Staging.currentVersion(path).contains(4L),
+      "a drifted fold must commit twice: ingest then retrain")
+    val mf4 = graft.ops.Staging.readManifest(s"$path/v4")
+    assert(mf4("csegs") == "c4", "retrain must recommit ONE full segment")
+    assert(mf4("batchId") == "2", "retrain must preserve the replay guard")
+    val postIdx = AnnIndex.read(spark, path)
+    assert(postIdx.centroids.as[(Long, Seq[Double], Double)].collect().toSet
+      != preCent, "retrain must actually move the centroids")
+    // search continuity: the fold-current reader (2 commits behind
+    // after the double-commit fold, retain = 2) is still evaluable
+    assert(preReader.search(q, k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet == preTop)
+    // a SECOND drifted batch scores against the RETRAINED cells (which
+    // now cover the negated cluster): inertia back above threshold —
+    // exactly one retrain per drift event, not one per batch
+    fold(drifted(100, 200, 20000L), 3L)
+    assert(graft.ops.Staging.currentVersion(path).contains(5L),
+      "post-retrain fold must commit exactly once (no second retrain)")
+    assert(graft.ops.Staging.readManifest(s"$path/v5")("csegs") == "c4,c5")
+    // NaN guard: an all-invalid batch (null embeddings) never triggers
+    fold(b0.limit(3).select((col("vec_id") + 30000L).as("vec_id"),
+      lit(null).cast("array<double>").as("embedding")), 4L)
+    assert(graft.ops.Staging.currentVersion(path).contains(6L),
+      "a NaN-inertia fold must commit exactly once")
+    // replay guard survives the retrain: exact-last replay is inert
+    fold(drifted(100, 200, 20000L), 4L)
+    assert(graft.ops.Staging.currentVersion(path).contains(6L))
+    // and the final artifact equals a one-shot encode of the whole
+    // lake under the final (retrained) generation
+    val union = Similarity.withNorm(
+      lake.take(5).reduce(_.unionByName(_)),
+      col("vec_id"), col("embedding"))
+    val full = AnnIndex.encode(union, postIdx.centroids, postIdx.pqCent, 4, 16)
+    assert(AnnIndex.read(spark, path).codes
+      .select("vec_id", "icell", "s", "cid")
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      full.as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("StreamingAnn 20-batch soak with auto-compaction: segment count " +
       "bounded; codes equal a one-shot encode of the union; search serves") {
     val path = java.nio.file.Files.createTempDirectory("sann_soak").toString
