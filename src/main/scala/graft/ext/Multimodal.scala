@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -976,4 +976,104 @@ object Multimodal {
     */
   def repartitionByPayloadSize(media: DataFrame, partitions: Int): DataFrame =
     media.repartitionByRange(partitions, length(col("payload")))
+
+  // ------------------------------------------------ synthetic media corpus
+  // The deterministic media fixture generator (tools/MediaFixture and the
+  // q_media_dedup oracle row both ride it): REAL PNG payloads whose
+  // perceptual dHash is known in closed form, so the full decode →
+  // downscale → fingerprint path is gated by construction, plus a
+  // corrupt-payload class (truncated PNG — the ragged-embedding
+  // discipline applied to media) and a non-image kind for routing.
+
+  /** Near-dup group width for [[synthesizeMedia]]: ids in the same
+    * group of `NearDupGroup` CONSECUTIVE ids render near-duplicate
+    * images (0-2 jittered fingerprint bits each — pairwise hamming
+    * <= 3), different groups render unrelated ones (~32 bits apart).
+    * Small groups keep the true-pair count LINEAR in the corpus — the
+    * honest dedup shape; one big visual class would make it quadratic.
+    */
+  val NearDupGroup = 3
+
+  /** splitmix64 finalizer — the fixture tools' stateless scramble. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The fingerprint [[synthesizeMedia]]'s image for `id` is BUILT to
+    * dHash to: the id's group base pattern XOR 0-2 per-id jitter bits —
+    * same-group ids land within small hamming distance (near-dups),
+    * different groups land ~32 bits apart (unrelated).
+    */
+  private[ext] def targetFp(id: Long): Long = {
+    val base = mix64(id / NearDupGroup)
+    val k = (id % NearDupGroup).toInt.min(2)
+    var fp = base
+    var i = 0
+    while (i < k) {
+      fp ^= 1L << java.lang.Long.remainderUnsigned(mix64(id * 31 + i), 64L).toInt
+      i += 1
+    }
+    fp
+  }
+
+  /** A real 9x8 PNG whose [[imageDHash]] equals `fp` exactly: each row's
+    * 9 gray levels walk ±10 luma per step so every adjacent-pixel
+    * comparison realizes the corresponding fingerprint bit (max drift
+    * 8x10 from the 128 start stays inside [48, 208] — no clipping, and
+    * PNG is lossless so decode returns the written pixels).
+    */
+  private[ext] def pngForFp(fp: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var l = 128
+      img.setRGB(0, y, (l << 16) | (l << 8) | l)
+      var x = 0
+      while (x < 8) {
+        // bit set ⇔ luma(x) > luma(x+1)
+        l = if (((fp >>> (y * 8 + x)) & 1L) == 1L) l - 10 else l + 10
+        img.setRGB(x + 1, y, (l << 16) | (l << 8) | l)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** Deterministic synthetic media corpus keyed by an id column — one
+    * [[MediaRow]] per non-null id:
+    *
+    *  - `id % 29 == 17`: CORRUPT image (the PNG truncated to 24 bytes —
+    *    parses as a PNG magic, dies in the header). The declared drop
+    *    rule: undecodable payloads fingerprint to None and every
+    *    downstream dedup/quality gate drops them explicitly.
+    *  - else `id % 31 == 5`: an `audio` row (opaque stub payload) —
+    *    kind routing; never fingerprinted by the image path.
+    *  - else: a real PNG built by [[pngForFp]] whose dHash equals
+    *    [[targetFp]]`(id)` by construction.
+    *
+    * Scale posture: generation is partition-local (mapPartitions, no
+    * shuffle, payloads never pass through the driver) and pure in the
+    * id, so any two engines/processes synthesize bit-identical corpora.
+    */
+  def synthesizeMedia(ids: DataFrame, id: Column): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(id.cast("long").as("media_id")).na.drop()
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(_.map { mid =>
+        if (mid % 29 == 17)
+          MediaRow(mid, "image", pngForFp(targetFp(mid)).take(24),
+            "image/png", Some(9), Some(8), None, None)
+        else if (mid % 31 == 5)
+          MediaRow(mid, "audio", Array[Byte](0x52, 0x49, 0x46, 0x46),
+            "audio/wav", None, None, Some(8000), Some(100L))
+        else
+          MediaRow(mid, "image", pngForFp(targetFp(mid)),
+            "image/png", Some(9), Some(8), None, None)
+      })
+  }
 }

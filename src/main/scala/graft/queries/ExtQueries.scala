@@ -3192,6 +3192,63 @@ object ExtQueries {
       "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
       "WHERE rnk <= 5 ORDER BY qid, rnk"))
 
+  /** Where `q_media_dedup` publishes its EXTRACTED fingerprint table
+    * for the oracle: DuckDB cannot decode PNG, so the cross-engine gate
+    * runs over the SAME Spark-extracted table — the decode → dHash path
+    * itself is pinned by construction in MultimodalSpec (every
+    * synthesized payload hashes to its closed-form target fingerprint).
+    * Pid-qualified like the lifecycle artifact dirs (concurrent
+    * harnesses never clobber each other) and embedded VERBATIM in the
+    * oracle SQL — writer and SQL text come from the same JVM, so they
+    * always agree.
+    */
+  private val mediaFpDir = s"${System.getProperty("java.io.tmpdir")}" +
+    s"/graft_media_fp_${ProcessHandle.current().pid()}"
+
+  /** [EXT] L117 multimodal near-duplicate detection
+    * ([[graft.ext.Multimodal.synthesizeMedia]] →
+    * [[graft.ext.Multimodal.perceptualFingerprints]] →
+    * [[Dedup.simhashHammingPairs]]): REAL PNG payloads decode to
+    * pixels, dHash to 64-bit perceptual fingerprints, and band into the
+    * width-generic hamming pair-search (4 x 16-bit bands, pigeonhole
+    * recall for hamming <= 3). The corrupt-payload class (truncated
+    * PNGs, id%29==17 — the ragged-embedding discipline applied to
+    * media) and non-image kinds fingerprint to NULL and are dropped by
+    * the declared rule ON BOTH ENGINES (the extracted table carries
+    * them; the filter is part of the gated query).
+    *
+    * Scale posture: decode is partition-local over opaque payload
+    * bytes (never through the driver); the pair search is banded
+    * bucket-join cost, never all-pairs; the fingerprint table is the
+    * only thing that leaves the decode stage (8 bytes/blob — the 100 TB
+    * media corpus reduces to a GB-scale dedup problem).
+    */
+  private val qMediaDedup = Q("q_media_dedup",
+    (s, d) => {
+      val media = graft.ext.Multimodal.synthesizeMedia(
+        t(s, d, "documents").select(col("doc_id")), col("doc_id"))
+      graft.ops.Staging.deleteTree(mediaFpDir)
+      graft.ext.Multimodal.perceptualFingerprints(media).toDF()
+        .coalesce(1).write.parquet(mediaFpDir)
+      // both engines consume the WRITTEN table (same bytes), then run
+      // the identical drop rule + banded hamming dedup
+      val fps = s.read.parquet(mediaFpDir)
+        .filter(col("kind") === "image" && col("fp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fp"))
+      Dedup.simhashHammingPairs(fps, maxDist = 3, bands = 4, bits = 64)
+        .orderBy("da", "db")
+    },
+    Some("WITH fp AS (SELECT media_id, fp FROM " +
+      s"read_parquet('$mediaFpDir/*.parquet') " +
+      "WHERE kind = 'image' AND fp IS NOT NULL), " +
+      "bands AS (SELECT media_id, fp, b, (fp >> (b * 16)) & 65535 AS key " +
+      "FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.media_id AS da, y.media_id AS db, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id) " +
+      "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
+
   /** [EXT] L78 PQ recall evaluation: recall@5 of the ADC ranking
     * against exact brute-force cosine truth, per query — the
     * compression-loss dial for [[qAnnPq]]'s m/subDim choice, the same
@@ -4339,5 +4396,5 @@ object ExtQueries {
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
-    qDedupRefresh, qAnnRefresh, qNoveltyRefresh)
+    qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup)
 }

@@ -658,4 +658,57 @@ class MultimodalSpec extends SparkSpec {
     val thinned = Multimodal.sampleFrames(ds, everyMs = 10000L).collect()
     assert(thinned.length == 1 && thinned(0).ts_ms == 0L)
   }
+
+  test("synthesizeMedia: every decodable payload dHashes to its " +
+      "closed-form target fingerprint (the decode-path gate); corrupt " +
+      "and non-image rows fingerprint to None; generation is " +
+      "byte-deterministic") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val corpus = synthesizeMedia(ids, col("doc_id")).collect()
+    assert(corpus.length == 120)
+    val fps = perceptualFingerprints(synthesizeMedia(ids, col("doc_id")))
+      .collect().map(r => r.media_id -> r.fp).toMap
+    corpus.foreach { m =>
+      if (m.media_id % 29 == 17) {
+        assert(m.kind == "image" && m.payload.length == 24)
+        assert(fps(m.media_id).isEmpty,
+          s"corrupt payload ${m.media_id} must fingerprint to None")
+      } else if (m.media_id % 31 == 5) {
+        assert(m.kind == "audio")
+        assert(fps(m.media_id).isEmpty,
+          s"non-image ${m.media_id} must not ride the image path")
+      } else {
+        // the REAL decode → downscale → dHash pipeline must land on the
+        // fingerprint the pixels were constructed for
+        assert(fps(m.media_id).contains(Multimodal.targetFp(m.media_id)),
+          s"media ${m.media_id}: dHash != closed-form target")
+      }
+    }
+    // same-group survivors sit within hamming 3; cross-group ids do not
+    def ham(a: Long, b: Long) =
+      java.lang.Long.bitCount(Multimodal.targetFp(a) ^ Multimodal.targetFp(b))
+    assert(ham(0L, 1L) <= 3 && ham(3L, 4L) <= 3)
+    assert(ham(0L, 3L) > 3 && ham(1L, 4L) > 3)
+    // byte determinism: a second synthesis is identical payload bytes
+    val again = synthesizeMedia(ids, col("doc_id")).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(corpus.map(m => m.media_id -> m.payload.toSeq).toMap == again)
+  }
+
+  test("synthesized banded hamming dedup == brute-force pair truth") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val fps = perceptualFingerprints(synthesizeMedia(ids, col("doc_id")))
+      .filter(_.fp.isDefined)
+      .map(r => (r.media_id, r.fp.get)).toDF("doc_id", "fp")
+      .localCheckpoint()
+    val banded = Dedup.simhashHammingPairs(fps, maxDist = 3,
+        bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = fps.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- rows; (b, fb) <- rows if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute && banded.nonEmpty)
+  }
 }
