@@ -71,15 +71,19 @@ object BenchFormat {
     */
   val ErroredCap = 10
 
-  /** Calibration ceiling (r16): a record whose QUIETEST pass still
-    * exceeds this is load-contaminated end to end — min-of-passes never
-    * saw an uncontended host — and must SELF-REJECT via `"quiet":false`
-    * on the total line instead of shipping a silently inflated number
-    * (the r15 driver record read +23% purely from ambient load and the
-    * evidence lived outside the record). Matches the load-adaptive
-    * loop's default quiet floor.
+  /** Calibration ceiling (r16, tightened r17): a record whose QUIETEST
+    * pass still exceeds this is load-contaminated end to end —
+    * min-of-passes never saw an uncontended host — and must SELF-REJECT
+    * via `"quiet":false` on the total line instead of shipping a
+    * silently inflated number (the r15 driver record read +23% purely
+    * from ambient load and the evidence lived outside the record).
+    * Set at 1.5x the recorded historical quiet floor (~0.17-0.22 s
+    * across r13-r16 captures): the r16 value of 0.45 barely rejected
+    * anything — a 0.44 s "quiet" pass is ~2x the true floor, which is
+    * exactly the contamination the flag exists to name. Matches the
+    * load-adaptive loop's default quiet floor.
     */
-  val CalibrationCeiling = 0.45
+  val CalibrationCeiling = 0.30
 
   def totalLine(total: Double, sfName: String, passes: Int, nQueries: Int,
                 calib: Seq[Double], errors: Long = 0L,
@@ -189,10 +193,11 @@ object Bench {
     // ANY pass ran on a quiet host; while even the QUIETEST pass is
     // above the quiet floor, keep adding passes (bounded) so
     // min-of-passes gets at least one uncontended sample per query.
-    // The floor default (0.45 s) sits between observed quiet probes
-    // (~0.22-0.31 s) and loaded ones (0.65-1.0+ s).
-    val quietFloor =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_FLOOR", "0.45").toDouble
+    // The floor default (0.30 s = BenchFormat.CalibrationCeiling) is
+    // 1.5x the observed historical quiet probes (~0.17-0.22 s); loaded
+    // ones read 0.45-1.0+ s.
+    val quietFloor = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_FLOOR",
+      BenchFormat.CalibrationCeiling.toString).toDouble
     val maxPasses =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_PASSES", "7").toInt
     while (calibBuf.min > quietFloor && calibBuf.size < maxPasses)

@@ -156,9 +156,11 @@ final class AnnIndex private[ext] (
     * complete segments.
     */
   def write(path: String, batchId: Option[Long] = None,
-            retain: Int = 1): AnnIndex = {
+            retain: Int = 1,
+            store: graft.ops.PointerStore =
+              graft.ops.PointerStore.File): AnnIndex = {
     val spark = centroids.sparkSession
-    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     val lin = lineage.filter(_.root == path)
     val catalogsStored = lin.flatMap(l => l.centSeg.zip(l.pqSeg))
     // one concurrent batch for everything this commit must put on
@@ -190,8 +192,8 @@ final class AnnIndex private[ext] (
         "fmt" -> AnnIndex.FormatVersion, "csegs" -> csegs.mkString(","),
         "centseg" -> centSeg, "pqseg" -> pqSeg) ++
         batchId.map("batchId" -> _.toString))
-    graft.ops.Staging.commitVersion(path, v, retain)
-    graft.ops.Staging.gcSegments(path, AnnIndex.SegKeys)
+    graft.ops.Staging.commitVersion(path, v, retain, store)
+    graft.ops.Staging.gcSegments(path, AnnIndex.SegKeys, store = store)
     new AnnIndex(centroids, pqCent,
       () => csegs.map(sid => AnnIndex.openCodeSegment(spark, path, sid)),
       m, subDim,
@@ -365,8 +367,10 @@ object AnnIndex {
     * versioned-pointer reader-lifetime contract applies
     * ([[DupGraph.read]]).
     */
-  def read(spark: SparkSession, path: String): AnnIndex = {
-    val v = graft.ops.Staging.currentVersion(path).getOrElse(
+  def read(spark: SparkSession, path: String,
+           store: graft.ops.PointerStore =
+             graft.ops.PointerStore.File): AnnIndex = {
+    val v = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed ANN index at $path (missing LATEST)"))
     val dir = graft.ops.Staging.versionDir(path, v)
     val mf = graft.ops.Staging.readManifest(dir)
@@ -392,15 +396,19 @@ object AnnIndex {
   }
 
   /** True iff a complete committed version exists at `path`. */
-  def exists(path: String): Boolean =
-    graft.ops.Staging.currentVersion(path).isDefined
+  def exists(path: String,
+             store: graft.ops.PointerStore =
+               graft.ops.PointerStore.File): Boolean =
+    graft.ops.Staging.currentVersion(path, store).isDefined
 
   /** The last streaming batch id folded into the committed index, if
     * the writer recorded one ([[DupGraph.lastBatchId]]'s contract —
     * the replay guard for exactly-once `foreachBatch` maintenance).
     */
-  def lastBatchId(path: String): Option[Long] =
-    graft.ops.Staging.currentVersion(path).flatMap { v =>
+  def lastBatchId(path: String,
+                  store: graft.ops.PointerStore =
+                    graft.ops.PointerStore.File): Option[Long] =
+    graft.ops.Staging.currentVersion(path, store).flatMap { v =>
       graft.ops.Staging.readManifest(graft.ops.Staging.versionDir(path, v))
         .get("batchId").map(_.toLong)
     }
@@ -424,8 +432,10 @@ object AnnIndex {
   def retrain(spark: SparkSession, path: String, corpus: DataFrame,
               ivfSeedPred: Column = col("vec_id") % 100 === 0,
               pqSeedPred: Column = col("vec_id") % 100 === 0,
-              lloydIters: Int = 2, retain: Int = 1): Unit = {
-    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+              lloydIters: Int = 2, retain: Int = 1,
+              store: graft.ops.PointerStore =
+                graft.ops.PointerStore.File): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed ANN index at $path (missing LATEST)"))
     val mf = graft.ops.Staging.readManifest(
       graft.ops.Staging.versionDir(path, v0))
@@ -434,7 +444,8 @@ object AnnIndex {
         s"speaks '$FormatVersion' — rebuild, do not retrain"))
     train(corpus, mf("m").toInt, mf("subDim").toInt,
       ivfSeedPred, pqSeedPred, lloydIters)
-      .write(path, batchId = mf.get("batchId").map(_.toLong), retain = retain)
+      .write(path, batchId = mf.get("batchId").map(_.toLong),
+        retain = retain, store = store)
     ()
   }
 
@@ -443,14 +454,16 @@ object AnnIndex {
     * no-op when already compact). `retain = 2` when compaction runs in
     * the same fold as an ingest commit (see [[DupGraph.compact]]).
     */
-  def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
-    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+  def compact(spark: SparkSession, path: String, retain: Int = 1,
+              store: graft.ops.PointerStore =
+                graft.ops.PointerStore.File): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed ANN index at $path (missing LATEST)"))
     val dir0 = graft.ops.Staging.versionDir(path, v0)
     val mf = graft.ops.Staging.readManifest(dir0)
     val csegs = graft.ops.Staging.segList(mf, "csegs")
     if (csegs.size <= 1) return
-    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     writeCodeSegment(
       csegs.map(sid => openCodeSegment(spark, path, sid))
         .reduce(_.unionByName(_)), path, s"c$v")
@@ -469,7 +482,7 @@ object AnnIndex {
     }
     graft.ops.Staging.writeManifest(dir, (mf - "csegs") ++
       Map("csegs" -> s"c$v", "centseg" -> centSeg, "pqseg" -> pqSeg))
-    graft.ops.Staging.commitVersion(path, v, retain)
-    graft.ops.Staging.gcSegments(path, SegKeys)
+    graft.ops.Staging.commitVersion(path, v, retain, store)
+    graft.ops.Staging.gcSegments(path, SegKeys, store = store)
   }
 }

@@ -1307,9 +1307,11 @@ final class DupGraph private[ext] (val pairs: DataFrame,
     * mismatched parameters instead of silently mixing shingle spaces.
     */
   def write(path: String, buckets: Int = 32,
-            batchId: Option[Long] = None): Unit = {
+            batchId: Option[Long] = None,
+            store: graft.ops.PointerStore =
+              graft.ops.PointerStore.File): Unit = {
     val spark = pairs.sparkSession
-    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     val (isegs, psegs, clsegs, b) = lineage.filter(_.root == path) match {
       case Some(l) =>
         // incremental commit: only the unwritten deltas become segments
@@ -1359,8 +1361,8 @@ final class DupGraph private[ext] (val pairs: DataFrame,
         "isegs" -> isegs.mkString(","), "psegs" -> psegs.mkString(","),
         "clsegs" -> clsegs.mkString(",")) ++
         batchId.map("batchId" -> _.toString))
-    graft.ops.Staging.commitVersion(path, v)
-    DupGraph.gcSegments(spark, path)
+    graft.ops.Staging.commitVersion(path, v, store = store)
+    DupGraph.gcSegments(spark, path, store)
   }
 
   /** Deduplicated corpus ([[Dedup.survivors]] over the shared cluster
@@ -1460,9 +1462,11 @@ object DupGraph {
     * dirs' bucketed catalog entries alongside.
     */
   private[ext] def gcSegments(spark: org.apache.spark.sql.SparkSession,
-                              root: String): Unit =
+                              root: String,
+                              store: graft.ops.PointerStore =
+                                graft.ops.PointerStore.File): Unit =
     graft.ops.Staging.gcSegments(root, Seq("isegs", "psegs", "clsegs"),
-      d => graft.ops.Layout.dropBucketedEntry(spark, d))
+      d => graft.ops.Layout.dropBucketedEntry(spark, d), store)
 
   /** Fold a multi-segment artifact back to one segment TRIPLE: union
     * all index segments into ONE bucketed segment, all pairs segments
@@ -1492,8 +1496,10 @@ object DupGraph {
     * ago by fold end — still resolves complete segments.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-              keepPairs: Boolean = true, retain: Int = 1): Unit = {
-    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+              keepPairs: Boolean = true, retain: Int = 1,
+              store: graft.ops.PointerStore =
+                graft.ops.PointerStore.File): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed dup-graph at $path (missing LATEST)"))
     val dir0 = graft.ops.Staging.versionDir(path, v0)
     val mf = graft.ops.Staging.readManifest(dir0)
@@ -1516,7 +1522,7 @@ object DupGraph {
     if (!keepPairs && compactAlready && psegs.nonEmpty &&
       spark.read.parquet(segDir(path, psegs.head)).isEmpty) return
     val buckets = mf.get("buckets").map(_.toInt).getOrElse(0)
-    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     val index = isegs.map(sid => spark.read.parquet(segDir(path, sid)))
       .reduce(_.unionByName(_))
     writeIndexSegment(index, path, s"i$v", buckets)
@@ -1536,8 +1542,8 @@ object DupGraph {
     graft.ops.Staging.writeManifest(dir,
       (mf - "isegs" - "psegs" - "clsegs") ++
         Map("isegs" -> s"i$v", "psegs" -> s"p$v", "clsegs" -> s"k$v"))
-    graft.ops.Staging.commitVersion(path, v, retain)
-    gcSegments(spark, path)
+    graft.ops.Staging.commitVersion(path, v, retain, store)
+    gcSegments(spark, path, store)
   }
 
   /** Effective cluster view over layered delta segments: the minimum
@@ -1574,8 +1580,10 @@ object DupGraph {
     * holds a graph across MORE commits than the writer's retention
     * must re-[[read]] (or the writer must raise `retain`).
     */
-  def read(spark: org.apache.spark.sql.SparkSession, path: String): DupGraph = {
-    val v = graft.ops.Staging.currentVersion(path).getOrElse(
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+           store: graft.ops.PointerStore =
+             graft.ops.PointerStore.File): DupGraph = {
+    val v = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed dup-graph at $path (missing LATEST)"))
     val dir = graft.ops.Staging.versionDir(path, v)
     val mf = graft.ops.Staging.readManifest(dir)
@@ -1634,8 +1642,10 @@ object DupGraph {
     * restart probe for incremental loops (the pointer is written only
     * after all three tables are fully on disk).
     */
-  def exists(path: String): Boolean =
-    graft.ops.Staging.currentVersion(path).isDefined
+  def exists(path: String,
+             store: graft.ops.PointerStore =
+               graft.ops.PointerStore.File): Boolean =
+    graft.ops.Staging.currentVersion(path, store).isDefined
 
   /** The last streaming batch id folded into the committed graph, if
     * the writer recorded one — [[graft.streaming.StreamingDedup]]'s
@@ -1644,8 +1654,10 @@ object DupGraph {
     * must NOT be folded twice; its ids are already in the stored
     * index and would self-pair).
     */
-  def lastBatchId(path: String): Option[Long] =
-    graft.ops.Staging.currentVersion(path).flatMap { v =>
+  def lastBatchId(path: String,
+                  store: graft.ops.PointerStore =
+                    graft.ops.PointerStore.File): Option[Long] =
+    graft.ops.Staging.currentVersion(path, store).flatMap { v =>
       graft.ops.Staging.readManifest(graft.ops.Staging.versionDir(path, v))
         .get("batchId").map(_.toLong)
     }

@@ -69,9 +69,11 @@ final class NoveltyIndex private[ext] (
     * [[NoveltyIndex.read]], so an update→score pipeline skips the
     * re-open round trip.
     */
-  def write(path: String, batchId: Option[Long] = None): NoveltyIndex = {
+  def write(path: String, batchId: Option[Long] = None,
+            store: graft.ops.PointerStore =
+              graft.ops.PointerStore.File): NoveltyIndex = {
     val spark = SparkSession.active
-    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     val ssegs = lineage.filter(_.root == path) match {
       case Some(l) =>
         if (l.deltas.nonEmpty) {
@@ -87,9 +89,9 @@ final class NoveltyIndex private[ext] (
       Map("n" -> n.toString, "buckets" -> buckets.toString,
         "hash" -> NoveltyIndex.HashVersion, "ssegs" -> ssegs.mkString(",")) ++
         batchId.map("batchId" -> _.toString))
-    graft.ops.Staging.commitVersion(path, v)
+    graft.ops.Staging.commitVersion(path, v, store = store)
     graft.ops.Staging.gcSegments(path, Seq("ssegs"),
-      d => graft.ops.Layout.dropBucketedEntry(spark, d))
+      d => graft.ops.Layout.dropBucketedEntry(spark, d), store)
     new NoveltyIndex(
       () => ssegs.map(sid => NoveltyIndex.openSegment(spark, path, sid, buckets)),
       n, buckets,
@@ -134,8 +136,10 @@ object NoveltyIndex {
   /** Re-open the LATEST committed version (the shared versioned-pointer
     * reader contract — see [[DupGraph.read]]).
     */
-  def read(spark: SparkSession, path: String): NoveltyIndex = {
-    val v = graft.ops.Staging.currentVersion(path).getOrElse(
+  def read(spark: SparkSession, path: String,
+           store: graft.ops.PointerStore =
+             graft.ops.PointerStore.File): NoveltyIndex = {
+    val v = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed novelty index at $path (missing LATEST)"))
     val dir = graft.ops.Staging.versionDir(path, v)
     val mf = graft.ops.Staging.readManifest(dir)
@@ -158,15 +162,19 @@ object NoveltyIndex {
   }
 
   /** True iff a complete committed version exists at `path`. */
-  def exists(path: String): Boolean =
-    graft.ops.Staging.currentVersion(path).isDefined
+  def exists(path: String,
+             store: graft.ops.PointerStore =
+               graft.ops.PointerStore.File): Boolean =
+    graft.ops.Staging.currentVersion(path, store).isDefined
 
   /** The last streaming batch id folded into the committed index, if
     * the writer recorded one ([[DupGraph.lastBatchId]]'s contract —
     * the replay guard for exactly-once `foreachBatch` maintenance).
     */
-  def lastBatchId(path: String): Option[Long] =
-    graft.ops.Staging.currentVersion(path).flatMap { v =>
+  def lastBatchId(path: String,
+                  store: graft.ops.PointerStore =
+                    graft.ops.PointerStore.File): Option[Long] =
+    graft.ops.Staging.currentVersion(path, store).flatMap { v =>
       graft.ops.Staging.readManifest(graft.ops.Staging.versionDir(path, v))
         .get("batchId").map(_.toLong)
     }
@@ -175,21 +183,23 @@ object NoveltyIndex {
     * `retain = 2` when compaction runs in the same fold as an ingest
     * commit (see [[DupGraph.compact]]).
     */
-  def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
-    val v0 = graft.ops.Staging.currentVersion(path).getOrElse(
+  def compact(spark: SparkSession, path: String, retain: Int = 1,
+              store: graft.ops.PointerStore =
+                graft.ops.PointerStore.File): Unit = {
+    val v0 = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed novelty index at $path (missing LATEST)"))
     val mf = graft.ops.Staging.readManifest(
       graft.ops.Staging.versionDir(path, v0))
     val ssegs = graft.ops.Staging.segList(mf, "ssegs")
     if (ssegs.size <= 1) return
-    val (dir, v) = graft.ops.Staging.nextVersionDir(path)
+    val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     writeSegment(
       ssegs.map(sid => spark.read.parquet(segDir(path, sid)))
         .reduce(_.unionByName(_)),
       path, s"s$v", mf("buckets").toInt)
     graft.ops.Staging.writeManifest(dir, (mf - "ssegs") + ("ssegs" -> s"s$v"))
-    graft.ops.Staging.commitVersion(path, v, retain)
+    graft.ops.Staging.commitVersion(path, v, retain, store)
     graft.ops.Staging.gcSegments(path, Seq("ssegs"),
-      d => graft.ops.Layout.dropBucketedEntry(spark, d))
+      d => graft.ops.Layout.dropBucketedEntry(spark, d), store)
   }
 }

@@ -30,10 +30,13 @@ import org.apache.spark.sql.SparkSession
   *    mutated in place, and a reader that races the swap sees the OLD
   *    complete version — but the swap itself is not a filesystem
   *    atomicity guarantee there; deployments needing hard atomic
-  *    publish on S3 should point `LATEST` resolution at an external
-  *    commit log (DynamoDB/Glue/Delta-style) instead. [[promote]]'s
-  *    delete-then-rename is weaker still on S3 (a crash can lose the
-  *    target); prefer [[writeVersioned]]-style pointers there.
+  *    publish on S3 pass a [[PointerStore.Jdbc]] (a transactional
+  *    compare-and-swap commit log — the pluggable [[PointerStore]]
+  *    every pointer operation and artifact lifecycle accepts) so only
+  *    immutable version dirs and segments live on the blob store.
+  *    [[promote]]'s delete-then-rename is weaker still on S3 (a crash
+  *    can lose the target); prefer [[writeVersioned]]-style pointers
+  *    there.
   *
   * The Hadoop conf comes from the active `SparkSession` when one
   * exists (so `fs.s3a.*` etc. flow through), else a bare
@@ -130,8 +133,9 @@ object Staging {
     * swap leaves the previous version fully intact and discoverable —
     * no mixed-version window, unlike [[promote]].
     */
-  def nextVersionDir(root: String): (String, Long) = {
-    val n = currentVersion(root).getOrElse(0L) + 1L
+  def nextVersionDir(root: String,
+                     store: PointerStore = PointerStore.File): (String, Long) = {
+    val n = currentVersion(root, store).getOrElse(0L) + 1L
     val dir = s"$root/v$n"
     // Crash-retry safety: a writer that died AFTER laying files under
     // v<N+1> but BEFORE the pointer swap leaves this exact dir
@@ -145,10 +149,13 @@ object Staging {
     (dir, n)
   }
 
-  def currentVersion(root: String): Option[Long] = {
-    val p = s"$root/LATEST"
-    if (exists(p)) Some(readString(p).trim.toLong) else None
-  }
+  /** The committed version of `root` per its pointer store — the
+    * file-backed `LATEST` by default; pass a [[PointerStore.Jdbc]] on
+    * object stores (see [[PointerStore]] for the atomicity contract).
+    */
+  def currentVersion(root: String,
+                     store: PointerStore = PointerStore.File): Option[Long] =
+    store.current(root)
 
   def versionDir(root: String, n: Long): String = s"$root/v$n"
 
@@ -173,11 +180,10 @@ object Staging {
     * reclaim them on the next [[gcSegments]] sweep so a stranded
     * manifest cannot pin segments forever).
     */
-  def commitVersion(root: String, n: Long, retain: Int = 1): Unit = {
+  def commitVersion(root: String, n: Long, retain: Int = 1,
+                    store: PointerStore = PointerStore.File): Unit = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
-    val tmp = s"$root/.LATEST.tmp"
-    writeString(tmp, n.toString)
-    atomicRename(tmp, s"$root/LATEST")
+    store.publish(root, n)
     var v = n - retain - 1
     while (v >= 1 && exists(versionDir(root, v))) {
       deleteTree(versionDir(root, v))
@@ -215,8 +221,9 @@ object Staging {
     * total write outage.
     */
   def gcSegments(root: String, segKeys: Seq[String],
-                 onDelete: String => Unit = _ => ()): Unit = {
-    val latest = currentVersion(root).getOrElse(return)
+                 onDelete: String => Unit = _ => (),
+                 store: PointerStore = PointerStore.File): Unit = {
+    val latest = currentVersion(root, store).getOrElse(return)
     val present = list(root).filter(_.matches("v\\d+"))
     val have = present.map(_.drop(1).toLong).toSet
     // a LATEST pointing at a missing dir (stale/corrupt pointer — the

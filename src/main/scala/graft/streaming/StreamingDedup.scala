@@ -51,10 +51,12 @@ object StreamingDedup {
     * manifest's throws (checkpoint/graph mismatch).
     */
   def maintain(docs: DataFrame, path: String,
-               compactEvery: Int = Maintenance.DefaultCompactEvery): StreamingQuery =
+               compactEvery: Int = Maintenance.DefaultCompactEvery,
+               store: graft.ops.PointerStore =
+                 graft.ops.PointerStore.File): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        foldBatch(batch.toDF(), path, batchId, compactEvery)
+        foldBatch(batch.toDF(), path, batchId, compactEvery, store)
       }
       .start()
 
@@ -70,29 +72,32 @@ object StreamingDedup {
   private[graft] def foldBatch(batch: DataFrame, path: String,
                                batchId: Long,
                                compactEvery: Int =
-                                 Maintenance.DefaultCompactEvery): Unit = {
+                                 Maintenance.DefaultCompactEvery,
+                               store: graft.ops.PointerStore =
+                                 graft.ops.PointerStore.File): Unit = {
     val spark = batch.sparkSession
     // the probe is the COMMIT POINTER, not a table dir: a version
     // is discoverable only after write()'s atomic pointer swap, so
     // a crash mid-write can never make a restarted loop mistake a
     // partial graph for "nothing stored" and silently rebuild from
     // one batch
-    val stored = DupGraph.exists(path)
+    val stored = DupGraph.exists(path, store)
     // Replay discrimination (the shared [[Maintenance]] contract): skip
     // only the exact last batch re-delivered after a crash (idempotent
     // sink); fail loudly on an id below the stored one — a fresh
     // checkpoint against this graph would otherwise silently drop every
     // real batch until its counter caught up.
-    val last = if (stored) DupGraph.lastBatchId(path) else None
+    val last = if (stored) DupGraph.lastBatchId(path, store) else None
     if (Maintenance.shouldFold("StreamingDedup", path, batchId, last)) {
       val g =
         if (!stored) Dedup.dupGraph(batch, col("text"), col("doc_id"))
-        else Dedup.refreshDupGraph(DupGraph.read(spark, path),
+        else Dedup.refreshDupGraph(DupGraph.read(spark, path, store),
           batch, col("text"), col("doc_id"))
-      try g.write(path, batchId = Some(batchId)) finally g.unpersist()
+      try g.write(path, batchId = Some(batchId), store = store)
+      finally g.unpersist()
       Maintenance.maybeCompact(path, Seq("isegs", "psegs", "clsegs"),
-        compactEvery) {
-        DupGraph.compact(spark, path, retain = 2)
+        compactEvery, store) {
+        DupGraph.compact(spark, path, retain = 2, store = store)
       }
     }
     ()

@@ -49,9 +49,12 @@ private[graft] object Maintenance {
     * contract a single-commit fold gives for free). `threshold <= 0`
     * disables.
     */
-  def maybeCompact(path: String, segKeys: Seq[String], threshold: Int)
+  def maybeCompact(path: String, segKeys: Seq[String], threshold: Int,
+                   store: graft.ops.PointerStore =
+                     graft.ops.PointerStore.File)
                   (compact: => Unit): Unit = {
-    if (threshold > 0 && segmentCount(path, segKeys) > threshold) compact
+    if (threshold > 0 && segmentCount(path, segKeys, store) > threshold)
+      compact
   }
 
   /** Default segment-count threshold for [[maybeCompact]]: high enough
@@ -64,8 +67,10 @@ private[graft] object Maintenance {
   /** Live segment count of the committed version (max across the
     * manifest's segment-list keys; 0 when nothing is committed).
     */
-  def segmentCount(path: String, segKeys: Seq[String]): Int =
-    graft.ops.Staging.currentVersion(path).map { v =>
+  def segmentCount(path: String, segKeys: Seq[String],
+                   store: graft.ops.PointerStore =
+                     graft.ops.PointerStore.File): Int =
+    graft.ops.Staging.currentVersion(path, store).map { v =>
       val mf = graft.ops.Staging.readManifest(
         graft.ops.Staging.versionDir(path, v))
       segKeys.map(k => graft.ops.Staging.segList(mf, k).size).max
@@ -105,11 +110,13 @@ object StreamingNovelty {
   def maintain(docs: DataFrame, path: String, n: Int = 3,
                buckets: Int = 32,
                compactEvery: Int = Maintenance.DefaultCompactEvery,
-               onReport: Option[(Long, DataFrame) => Unit] = None): StreamingQuery =
+               onReport: Option[(Long, DataFrame) => Unit] = None,
+               store: graft.ops.PointerStore =
+                 graft.ops.PointerStore.File): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldBatch(batch.toDF(), path, batchId, n, buckets, compactEvery,
-          onReport)
+          onReport, store)
       }
       .start()
 
@@ -118,16 +125,18 @@ object StreamingNovelty {
                                compactEvery: Int =
                                  Maintenance.DefaultCompactEvery,
                                onReport: Option[(Long, DataFrame) => Unit] =
-                                 None): Unit = {
+                                 None,
+                               store: graft.ops.PointerStore =
+                                 graft.ops.PointerStore.File): Unit = {
     val spark = batch.sparkSession
-    val stored = NoveltyIndex.exists(path)
-    val last = if (stored) NoveltyIndex.lastBatchId(path) else None
+    val stored = NoveltyIndex.exists(path, store)
+    val last = if (stored) NoveltyIndex.lastBatchId(path, store) else None
     if (Maintenance.shouldFold("StreamingNovelty", path, batchId, last)) {
       val idx =
         if (!stored)
           NoveltyIndex.build(batch, col("text"), col("doc_id"), n, buckets)
         else {
-          val stored = NoveltyIndex.read(spark, path)
+          val stored = NoveltyIndex.read(spark, path, store)
           // mixing shingle widths joins incompatible spaces — the same
           // loud refusal refreshDupGraph makes; silently folding with
           // the stored width while the caller believes they changed it
@@ -140,9 +149,9 @@ object StreamingNovelty {
             f(batchId, stored.novelty(batch, col("text"), col("doc_id"))))
           stored.update(batch, col("text"), col("doc_id"))
         }
-      idx.write(path, batchId = Some(batchId))
-      Maintenance.maybeCompact(path, Seq("ssegs"), compactEvery) {
-        NoveltyIndex.compact(spark, path, retain = 2)
+      idx.write(path, batchId = Some(batchId), store = store)
+      Maintenance.maybeCompact(path, Seq("ssegs"), compactEvery, store) {
+        NoveltyIndex.compact(spark, path, retain = 2, store = store)
       }
     }
     ()
@@ -198,11 +207,13 @@ object StreamingAnn {
                compactEvery: Int = Maintenance.DefaultCompactEvery,
                onInertia: Option[(Long, Double) => Unit] = None,
                retrainBelowInertia: Option[Double] = None,
-               retrainCorpus: Option[() => DataFrame] = None): StreamingQuery =
+               retrainCorpus: Option[() => DataFrame] = None,
+               store: graft.ops.PointerStore =
+                 graft.ops.PointerStore.File): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldBatch(batch.toDF(), path, batchId, m, subDim, compactEvery,
-          onInertia, retrainBelowInertia, retrainCorpus)
+          onInertia, retrainBelowInertia, retrainCorpus, store)
       }
       .start()
 
@@ -214,21 +225,23 @@ object StreamingAnn {
                                  None,
                                retrainBelowInertia: Option[Double] = None,
                                retrainCorpus: Option[() => DataFrame] =
-                                 None): Unit = {
+                                 None,
+                               store: graft.ops.PointerStore =
+                                 graft.ops.PointerStore.File): Unit = {
     require(retrainBelowInertia.isEmpty || retrainCorpus.isDefined,
       "StreamingAnn: retrainBelowInertia needs retrainCorpus — PQ codes " +
         "are lossy, so a retrain must re-read the corpus VECTORS from " +
         "the lake, which only the caller can supply")
     val spark = batch.sparkSession
-    val stored = AnnIndex.exists(path)
-    val last = if (stored) AnnIndex.lastBatchId(path) else None
+    val stored = AnnIndex.exists(path, store)
+    val last = if (stored) AnnIndex.lastBatchId(path, store) else None
     if (Maintenance.shouldFold("StreamingAnn", path, batchId, last)) {
       val norms = Similarity.withNorm(batch, col("vec_id"), col("embedding"))
       var drifted = false
       val idx =
         if (!stored) bootstrapTrain(norms, m, subDim)
         else {
-          val storedIdx = AnnIndex.read(spark, path)
+          val storedIdx = AnnIndex.read(spark, path, store)
           require(m == storedIdx.m && subDim == storedIdx.subDim,
             s"StreamingAnn: (m=$m, subDim=$subDim) != stored index's " +
               s"(m=${storedIdx.m}, subDim=${storedIdx.subDim}) at $path " +
@@ -245,7 +258,7 @@ object StreamingAnn {
       // (not even the batchId): the next non-empty batch bootstraps,
       // and a replay of the skipped batch is a harmless re-skip
       idx.foreach { i =>
-        i.write(path, batchId = Some(batchId))
+        i.write(path, batchId = Some(batchId), store = store)
         if (drifted) {
           // ingest-first, then the full-generation recommit: second
           // commit of this fold ⇒ retain = 2 (reader-retention rule).
@@ -257,10 +270,10 @@ object StreamingAnn {
             col("vec_id"), col("embedding"))
           fallbackSeedPred(corpusNorms).foreach(p =>
             AnnIndex.retrain(spark, path, corpusNorms,
-              ivfSeedPred = p, pqSeedPred = p, retain = 2))
+              ivfSeedPred = p, pqSeedPred = p, retain = 2, store = store))
         } else {
-          Maintenance.maybeCompact(path, Seq("csegs"), compactEvery) {
-            AnnIndex.compact(spark, path, retain = 2)
+          Maintenance.maybeCompact(path, Seq("csegs"), compactEvery, store) {
+            AnnIndex.compact(spark, path, retain = 2, store = store)
           }
         }
       }

@@ -56,6 +56,11 @@ class BenchFormatSpec extends AnyFunSuite {
     val loaded = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
       Seq(1.02, 0.66, 0.55, 0.47, 0.46, 0.48, 0.51), passesRun = 7)
     assert(loaded.contains(""""quiet":false"""), loaded)
+    // r17 tightening: a 0.44 s "quietest pass" (which the r16 ceiling
+    // of 0.45 accepted) is ~2x the true historical floor — rejected
+    val nearMiss = BenchFormat.totalLine(50.0, "sf0.1", 3, Queries.all.size,
+      Seq(0.66, 0.44, 0.38), passesRun = 3)
+    assert(nearMiss.contains(""""quiet":false"""), nearMiss)
   }
 
   test("total line is valid JSON with the driver-contract fields") {

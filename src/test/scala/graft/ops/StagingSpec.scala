@@ -215,6 +215,93 @@ class StagingSpec extends SparkSpec {
       assert(Staging.exists(s"$root/segments/$s"), s"segment $s swept"))
   }
 
+  // ------------------------------------------- PointerStore contract
+  // The same contract body runs against BOTH implementations: the
+  // file-backed default and the JDBC (Derby-embedded) commit log that
+  // closes the object-store atomic-publish caveat.
+  private val pointerStores: Seq[(String, () => graft.ops.PointerStore)] =
+    Seq(
+      "file" -> (() => graft.ops.PointerStore.File),
+      "jdbc" -> (() => new graft.ops.PointerStore.Jdbc(
+        "jdbc:derby:memory:graftptr;create=true")))
+
+  pointerStores.foreach { case (nm, mk) =>
+    test(s"PointerStore[$nm]: publish/current round trip; a stale or " +
+        "duplicate publish fails loudly with the pointer unchanged") {
+      val root = tmp(s"ptr_$nm")
+      val store = mk()
+      assert(store.current(root).isEmpty)
+      store.publish(root, 1L)
+      assert(store.current(root).contains(1L))
+      store.publish(root, 2L)
+      assert(store.current(root).contains(2L))
+      val e = intercept[IllegalStateException] { store.publish(root, 2L) }
+      assert(e.getMessage.contains(root), e.getMessage)
+      intercept[IllegalStateException] { store.publish(root, 1L) }
+      assert(store.current(root).contains(2L), "pointer moved on refusal")
+      // roots are independent rows/files
+      val other = tmp(s"ptr2_$nm")
+      assert(store.current(other).isEmpty)
+      store.publish(other, 1L)
+      assert(store.current(root).contains(2L))
+    }
+
+    test(s"PointerStore[$nm]: commitVersion retention sweep and " +
+        "gcSegments both resolve LATEST through the store") {
+      val root = tmp(s"ptrgc_$nm")
+      val store = mk()
+      Seq("s1", "s2", "s3").foreach(mkSeg(root, _))
+      (1 to 3).foreach { i =>
+        // nextVersionDir must resolve through the SAME store: with the
+        // pointer external, the LATEST file never exists and a
+        // file-resolved "next" would clobber v1 forever
+        val (d, v) = Staging.nextVersionDir(root, store)
+        assert(v == i.toLong, s"nextVersionDir ignored the store: $v")
+        Staging.writeManifest(d, Map("ssegs" -> s"s$i"))
+        Staging.commitVersion(root, v, retain = 1, store = store)
+      }
+      assert(Staging.currentVersion(root, store).contains(3L))
+      // retain=1 after v3: v1 swept by the commit's own walk
+      assert(!Staging.exists(s"$root/v1") && Staging.exists(s"$root/v2"))
+      Staging.gcSegments(root, Seq("ssegs"), store = store)
+      assert(!Staging.exists(s"$root/segments/s1"), "s1 unpinned — swept")
+      Seq("s2", "s3").foreach(s =>
+        assert(Staging.exists(s"$root/segments/$s"), s"$s wrongly swept"))
+    }
+  }
+
+  test("artifact lifecycle on the JDBC pointer store: no LATEST file " +
+      "ever touches the data dir, and the stored index round-trips") {
+    import spark.implicits._
+    val store = new graft.ops.PointerStore.Jdbc(
+      "jdbc:derby:memory:graftptr;create=true")
+    val dir = tmp("ptr_nov")
+    val mkDocs = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5}")).toDF("doc_id", "text")
+    val idx1 = graft.ext.NoveltyIndex
+      .build(mkDocs(1L to 10L), org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("doc_id"), n = 3, buckets = 8)
+      .write(dir, store = store)
+    assert(!Staging.exists(s"$dir/LATEST"),
+      "pointer leaked onto the filesystem despite the external store")
+    assert(graft.ext.NoveltyIndex.exists(dir, store))
+    assert(!graft.ext.NoveltyIndex.exists(dir),
+      "file-store probe must NOT see a JDBC-committed artifact")
+    val idx2 = graft.ext.NoveltyIndex.read(spark, dir, store)
+    assert(idx2.seen.count() == idx1.seen.count() && idx2.seen.count() > 0)
+    // day-2 batch with genuinely NEW text (the w-vocab repeats across
+    // ids, so a same-vocab batch would contribute zero new shingles)
+    val fresh = (11L to 20L).map(i => (i, s"fresh day two tokens $i"))
+      .toDF("doc_id", "text")
+    idx2.update(fresh,
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .write(dir, store = store)
+    assert(Staging.currentVersion(dir, store).contains(2L))
+    assert(graft.ext.NoveltyIndex.read(spark, dir, store).seen.count() >
+      idx1.seen.count())
+  }
+
   test("atomicRename overwrites an existing destination (the pointer " +
       "swap primitive)") {
     val root = tmp("stg_ar")
