@@ -123,13 +123,18 @@ final class AnnIndex private[ext] (
     * says the frozen cells have drifted from the data.
     */
   def refresh(newVectors: DataFrame): AnnIndex = {
-    // lazy-materialize the delta (the NoveltyIndex.update discipline):
-    // write() commits it and a consumer searching the refreshed handle
-    // scans it again — without this, each such action re-evaluates the
-    // batch encode (corpus×centroids cross join + PQ assign)
     val delta = AnnIndex.encode(newVectors, centroids, pqCent, m, subDim)
-      .localCheckpoint(false)
-    new AnnIndex(centroids, pqCent, () => codeSegs :+ delta, m, subDim,
+    // The SEARCH path checkpoints the delta so repeated actions on an
+    // un-committed refreshed handle materialize the batch encode once
+    // (the NoveltyIndex.update discipline) — but LAZILY, inside the
+    // segment closure: even constructing a lazy checkpoint costs ~0.5 s
+    // of driver-side physical planning + codegen compilation (measured,
+    // not data), which the refresh→write fast path must not pay. write()
+    // takes the RAW plan and evaluates it exactly once into the segment
+    // file; its returned committed view re-opens from disk, so the
+    // recommended lifecycle never encodes twice.
+    lazy val deltaCk = delta.localCheckpoint(false)
+    new AnnIndex(centroids, pqCent, () => codeSegs :+ deltaCk, m, subDim,
       lineage = lineage.map(l => l.copy(deltas = l.deltas :+ (() => delta))))
   }
 

@@ -45,15 +45,20 @@ final class NoveltyIndex private[ext] (
     val batch = newDocs.select(explode(array_distinct(
         graft.functions.HashFunctions.shingleHash48(text, n))).as("sh"))
       .distinct()
-    // lazy-materialize the delta: write() commits it and a consumer
-    // reading `seen`/novelty on the updated handle scans it again —
-    // without this, each consumer re-runs the batch shingle projection
-    // + the whole anti-join chain (lazy localCheckpoint, not persist:
-    // the CacheManager dedupes persisted plans ACROSS invocations,
-    // which falsifies benchmarks — the repo-wide rule)
     val delta = segs.foldLeft(batch)((acc, s) =>
-      acc.join(s, Seq("sh"), "left_anti")).localCheckpoint(false)
-    new NoveltyIndex(() => segs :+ delta, n, buckets,
+      acc.join(s, Seq("sh"), "left_anti"))
+    // The READ path (seen/novelty on the un-committed handle)
+    // checkpoints the delta so repeated consumers materialize the batch
+    // shingle projection + anti-join chain once — but LAZILY, inside
+    // the segment closure: constructing even a lazy checkpoint costs
+    // driver-side planning + codegen compilation the update→write fast
+    // path must not pay (write() evaluates the raw plan exactly once
+    // into the segment file; its returned committed view re-opens from
+    // disk). localCheckpoint, not persist: the CacheManager dedupes
+    // persisted plans ACROSS invocations, which falsifies benchmarks —
+    // the repo-wide rule.
+    lazy val deltaCk = delta.localCheckpoint(false)
+    new NoveltyIndex(() => segs :+ deltaCk, n, buckets,
       lineage = lineage.map(l =>
         l.copy(deltas = l.deltas :+ (() => delta))))
   }

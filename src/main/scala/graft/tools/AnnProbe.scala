@@ -27,8 +27,11 @@ object AnnProbe {
     val n = Similarity.withNorm(
       graft.model.Tables.load(spark, sfDir, "embeddings"),
       col("vec_id"), col("embedding"), dim = 64)
-    for (round <- 1 to 3) {
-      println(s"[annprobe] --- round $round ---")
+    for (round <- 1 to 4) {
+      // rounds 3-4 probe the AQE tax on the tiny lifecycle jobs
+      if (round >= 3) spark.conf.set("spark.sql.adaptive.enabled", "false")
+      println(s"[annprobe] --- round $round (aqe=" +
+        spark.conf.get("spark.sql.adaptive.enabled") + ") ---")
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annprobe_" +
         s"${ProcessHandle.current().pid()}_$round"
       graft.ops.Staging.deleteTree(dir)
