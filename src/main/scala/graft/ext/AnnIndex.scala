@@ -130,12 +130,18 @@ final class AnnIndex private[ext] (
     // segment closure: even constructing a lazy checkpoint costs ~0.5 s
     // of driver-side physical planning + codegen compilation (measured,
     // not data), which the refresh→write fast path must not pay. write()
-    // takes the RAW plan and evaluates it exactly once into the segment
-    // file; its returned committed view re-opens from disk, so the
-    // recommended lifecycle never encodes twice.
-    lazy val deltaCk = delta.localCheckpoint(false)
+    // evaluates the plan exactly once into the segment file; its
+    // returned committed view re-opens from disk, so the recommended
+    // lifecycle never encodes twice. The lineage closure hands write()
+    // the checkpointed frame IF anything already forced it (a chained
+    // refresh or a handle search built plans over it — going back to
+    // the raw plan there would evaluate the encode twice), else the
+    // raw plan.
+    @volatile var ckForced = false
+    lazy val deltaCk = { ckForced = true; delta.localCheckpoint(false) }
     new AnnIndex(centroids, pqCent, () => codeSegs :+ deltaCk, m, subDim,
-      lineage = lineage.map(l => l.copy(deltas = l.deltas :+ (() => delta))))
+      lineage = lineage.map(l => l.copy(deltas =
+        l.deltas :+ (() => if (ckForced) deltaCk else delta))))
   }
 
   /** Commit the index under `path` (versioned pointer + immutable code
@@ -167,6 +173,23 @@ final class AnnIndex private[ext] (
     val spark = centroids.sparkSession
     val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     val lin = lineage.filter(_.root == path)
+    // STALE-HANDLE GUARD: a lineage-rooted commit re-REFERENCES stored
+    // segments instead of rewriting them, so a handle held across more
+    // commits than the writers' retention (the artifact retrained or
+    // compacted past this reader's window) could otherwise publish a
+    // manifest pointing at already-swept files — a loudly-failing read
+    // path today, but a BRICKED pointer after the swap. Refuse BEFORE
+    // any write: the check is O(segments) metadata.
+    lin.foreach { l =>
+      val refs = l.csegs ++ l.centSeg ++ l.pqSeg
+      val missing = refs.filterNot(sid =>
+        graft.ops.Staging.exists(AnnIndex.segDir(path, sid)))
+      require(missing.isEmpty,
+        s"AnnIndex.write: this handle references segments " +
+          s"[${missing.mkString(", ")}] that no longer exist at $path — " +
+          "the artifact was retrained/compacted past this reader's " +
+          "retention window. Re-read the index and re-apply the batch.")
+    }
     val catalogsStored = lin.flatMap(l => l.centSeg.zip(l.pqSeg))
     // one concurrent batch for everything this commit must put on
     // disk: the code segment plus (fresh-train generations only) the

@@ -1312,6 +1312,18 @@ final class DupGraph private[ext] (val pairs: DataFrame,
               graft.ops.PointerStore.File): Unit = {
     val spark = pairs.sparkSession
     val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
+    // stale-handle guard (the AnnIndex.write rule): a handle held past
+    // the writers' retention must refuse BEFORE the pointer swap, not
+    // publish a manifest referencing swept segments
+    lineage.filter(_.root == path).foreach { l =>
+      val missing = (l.isegs ++ l.psegs ++ l.clsegs).filterNot(sid =>
+        graft.ops.Staging.exists(DupGraph.segDir(path, sid)))
+      require(missing.isEmpty,
+        s"DupGraph.write: this handle references segments " +
+          s"[${missing.mkString(", ")}] that no longer exist at $path — " +
+          "the artifact was compacted past this reader's retention " +
+          "window. Re-read the graph and re-apply the batch.")
+    }
     val (isegs, psegs, clsegs, b) = lineage.filter(_.root == path) match {
       case Some(l) =>
         // incremental commit: only the unwritten deltas become segments

@@ -52,15 +52,19 @@ final class NoveltyIndex private[ext] (
     // shingle projection + anti-join chain once — but LAZILY, inside
     // the segment closure: constructing even a lazy checkpoint costs
     // driver-side planning + codegen compilation the update→write fast
-    // path must not pay (write() evaluates the raw plan exactly once
-    // into the segment file; its returned committed view re-opens from
-    // disk). localCheckpoint, not persist: the CacheManager dedupes
-    // persisted plans ACROSS invocations, which falsifies benchmarks —
-    // the repo-wide rule.
-    lazy val deltaCk = delta.localCheckpoint(false)
+    // path must not pay (write() evaluates the plan exactly once into
+    // the segment file; its returned committed view re-opens from
+    // disk). The lineage closure hands write() the checkpointed frame
+    // IF anything already forced it (a CHAINED update builds its
+    // anti-join over it — raw there would evaluate this delta twice in
+    // one commit), else the raw plan. localCheckpoint, not persist:
+    // the CacheManager dedupes persisted plans ACROSS invocations,
+    // which falsifies benchmarks — the repo-wide rule.
+    @volatile var ckForced = false
+    lazy val deltaCk = { ckForced = true; delta.localCheckpoint(false) }
     new NoveltyIndex(() => segs :+ deltaCk, n, buckets,
       lineage = lineage.map(l =>
-        l.copy(deltas = l.deltas :+ (() => delta))))
+        l.copy(deltas = l.deltas :+ (() => if (ckForced) deltaCk else delta))))
   }
 
   /** Commit under `path`: an index whose lineage roots here emits only
@@ -79,6 +83,18 @@ final class NoveltyIndex private[ext] (
               graft.ops.PointerStore.File): NoveltyIndex = {
     val spark = SparkSession.active
     val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
+    // stale-handle guard (the AnnIndex.write rule): a handle held past
+    // the writers' retention must refuse BEFORE the pointer swap, not
+    // publish a manifest referencing swept segments
+    lineage.filter(_.root == path).foreach { l =>
+      val missing = l.ssegs.filterNot(sid =>
+        graft.ops.Staging.exists(NoveltyIndex.segDir(path, sid)))
+      require(missing.isEmpty,
+        s"NoveltyIndex.write: this handle references segments " +
+          s"[${missing.mkString(", ")}] that no longer exist at $path — " +
+          "the artifact was compacted past this reader's retention " +
+          "window. Re-read the index and re-apply the batch.")
+    }
     val ssegs = lineage.filter(_.root == path) match {
       case Some(l) =>
         if (l.deltas.nonEmpty) {

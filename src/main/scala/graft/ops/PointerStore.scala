@@ -24,6 +24,18 @@ package graft.ops
   *    definition and reclaimed by the next writer's
   *    [[Staging.nextVersionDir]] / [[Staging.gcSegments]].
   *
+  * The store serializes the POINTER, not the version-dir writes:
+  * single-writer-per-artifact remains the commit discipline. Two
+  * concurrent writers can resolve the same next version number and
+  * overwrite each other's dir BEFORE either publishes
+  * ([[Staging.nextVersionDir]] clears the target) — the losing
+  * publish fails loudly, but the winning pointer may then name a dir
+  * the loser partially rewrote. The store's guarantee is the one a
+  * blob store cannot give (no torn/backward pointer, losers surface
+  * as errors instead of silent corruption); writer mutual exclusion
+  * is the deployment's job (one maintainer stream per artifact — the
+  * [[graft.streaming.Maintenance]] loops are built that way).
+  *
   * Readers inside one process see their own publishes immediately
   * (both implementations are strongly consistent).
   */
@@ -133,8 +145,11 @@ object PointerStore {
             case e: java.sql.SQLException if e.getSQLState == "23505" =>
               throw new IllegalStateException(
                 s"PointerStore.Jdbc: $root already at version >= $n — " +
-                  "a concurrent or stale writer lost the commit race; " +
-                  "this version dir is orphaned, not published")
+                  "a concurrent or stale writer lost the commit race. " +
+                  "The pointer is unchanged; if two writers shared this " +
+                  "artifact, the published dir may hold the loser's " +
+                  "files (single-writer-per-artifact is the commit " +
+                  "discipline — see the PointerStore scaladoc)")
           } finally ins.close()
         }
         c.commit()

@@ -3200,7 +3200,12 @@ object ExtQueries {
     * Pid-qualified like the lifecycle artifact dirs (concurrent
     * harnesses never clobber each other) and embedded VERBATIM in the
     * oracle SQL — writer and SQL text come from the same JVM, so they
-    * always agree.
+    * always agree. UNLIKE those dirs it cannot also carry the fixture
+    * hash (the oracle SQL is one static string per JVM), so the
+    * contract is one live fixture per evaluation: the query rebuilds
+    * the table at evaluation time and eagerly materializes its result,
+    * so a later evaluation against another fixture clobbers only the
+    * table a finished query no longer depends on.
     */
   private val mediaFpDir = s"${System.getProperty("java.io.tmpdir")}" +
     s"/graft_media_fp_${ProcessHandle.current().pid()}"
@@ -3235,8 +3240,12 @@ object ExtQueries {
       val fps = s.read.parquet(mediaFpDir)
         .filter(col("kind") === "image" && col("fp").isNotNull)
         .select(col("media_id").as("doc_id"), col("fp"))
+      // eager: the result (pair-table-sized) must not stay a lazy plan
+      // over the shared fingerprint table, which the NEXT evaluation
+      // (another fixture in this process) deleteTrees and rewrites
       Dedup.simhashHammingPairs(fps, maxDist = 3, bands = 4, bits = 64)
         .orderBy("da", "db")
+        .localCheckpoint(true)
     },
     Some("WITH fp AS (SELECT media_id, fp FROM " +
       s"read_parquet('$mediaFpDir/*.parquet') " +

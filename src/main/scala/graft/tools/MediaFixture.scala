@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions.col
   */
 object MediaFixture {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: runMain graft.tools.MediaFixture SRC_SF_DIR DST_DIR")
     val Array(src, dst) = args.take(2)
     val spark = SparkSession.builder()
       .master("local[8]")

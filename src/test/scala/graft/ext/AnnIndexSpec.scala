@@ -213,6 +213,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.lastBatchId(dir).contains(9L))
   }
 
+  test("stale-handle guard: a handle held past the writers' retention " +
+      "refuses to commit a manifest referencing swept segments — the " +
+      "artifact stays healthy instead of bricking on the pointer swap") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_stale").toString
+    AnnIndex.train(day1, m, subDim).write(dir) // v1: c1 + n1/b1
+    val stale = AnnIndex.read(spark, dir)
+    AnnIndex.retrain(spark, dir, day1.unionByName(day2)) // v2: new generation
+    AnnIndex.read(spark, dir).write(dir) // v3 ages v1 out; c1/n1/b1 swept
+    assert(!graft.ops.Staging.exists(s"$dir/segments/c1"),
+      "test premise: the stale handle's segments must be gone")
+    // pre-guard, this PUBLISHED a manifest pointing at the swept c1/n1/
+    // b1 (catalog reuse writes nothing) — every later read then threw
+    // FileNotFound: a bricked artifact. Now it refuses BEFORE any write.
+    val e = intercept[IllegalArgumentException] {
+      stale.refresh(day2).write(dir)
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    // the artifact is untouched and fully serviceable
+    assert(AnnIndex.read(spark, dir)
+      .search(queries, k = 5, nprobe = 2).count() == 20)
+  }
+
   test("train refuses an empty seed set loudly — an empty-trained " +
       "artifact would 'work' while every search returns nothing") {
     val e = intercept[IllegalArgumentException] {
