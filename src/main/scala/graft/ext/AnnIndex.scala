@@ -253,21 +253,11 @@ object AnnIndex {
   private def segDir(root: String, segId: String): String =
     s"$root/segments/$segId"
 
-  /** Run independent commit jobs concurrently (catalog writes): the
-    * commit ladder is serial by default and its fixed latency — not
-    * data volume — bounds streaming ingest frequency. First failure
-    * propagates after all threads finish (no half-started debris left
-    * running).
+  /** Run independent commit jobs concurrently — one shared audited
+    * copy for all three artifact lifecycles ([[graft.ops.Staging.parJobs]]).
     */
-  private[ext] def parJobs(jobs: (() => Unit)*): Unit = {
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
-    val ts = jobs.map(j => new Thread(() => {
-      try j() catch { case t: Throwable => errs.add(t); () }
-    }))
-    ts.foreach(_.start())
-    ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
-  }
+  private[ext] def parJobs(jobs: (() => Unit)*): Unit =
+    graft.ops.Staging.parJobs(jobs: _*)
 
   private def writeCodeSegment(df: DataFrame, root: String,
                                segId: String): Unit = {

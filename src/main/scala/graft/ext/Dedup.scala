@@ -1324,16 +1324,21 @@ final class DupGraph private[ext] (val pairs: DataFrame,
           "the artifact was compacted past this reader's retention " +
           "window. Re-read the graph and re-apply the batch.")
     }
+    // the segment writes of one commit are independent jobs over
+    // already-materialized inputs (the batch caches / cc checkpoint) —
+    // run them concurrently (graft.ops.Staging.parJobs): the serial
+    // ladder's fixed latency, not data, bounds streaming fold frequency
     val (isegs, psegs, clsegs, b) = lineage.filter(_.root == path) match {
       case Some(l) =>
         // incremental commit: only the unwritten deltas become segments
+        val jobs = Seq.newBuilder[() => Unit]
         val (is2, ps2) =
           if (l.deltaIdx.nonEmpty) {
-            DupGraph.writeIndexSegment(
+            jobs += (() => DupGraph.writeIndexSegment(
               l.deltaIdx.map(_()).reduce(_.unionByName(_)),
-              path, s"i$v", l.buckets)
-            DupGraph.writePlainSegment(
-              l.deltaPrs.reduce(_.unionByName(_)), path, s"p$v")
+              path, s"i$v", l.buckets))
+            jobs += (() => DupGraph.writePlainSegment(
+              l.deltaPrs.reduce(_.unionByName(_)), path, s"p$v"))
             (l.isegs :+ s"i$v", l.psegs :+ s"p$v")
           } else (l.isegs, l.psegs)
         val cl2 =
@@ -1342,19 +1347,21 @@ final class DupGraph private[ext] (val pairs: DataFrame,
             // version DIR (r15-early layout): that dir ages out with
             // retention, so the FULL current view must become the base
             // layer — a delta alone would orphan every base assignment
-            DupGraph.writePlainSegment(clusters, path, s"k$v")
+            jobs += (() => DupGraph.writePlainSegment(clusters, path, s"k$v"))
             Seq(s"k$v")
           } else if (l.deltaCls.nonEmpty) {
-            DupGraph.writePlainSegment(
-              l.deltaCls.reduce(_.unionByName(_)), path, s"k$v")
+            jobs += (() => DupGraph.writePlainSegment(
+              l.deltaCls.reduce(_.unionByName(_)), path, s"k$v"))
             l.clsegs :+ s"k$v"
           } else l.clsegs
+        graft.ops.Staging.parJobs(jobs.result(): _*)
         (is2, ps2, cl2, l.buckets)
       case None =>
         // full commit: the whole graph as one segment triple
-        DupGraph.writeIndexSegment(index, path, s"i$v", buckets)
-        DupGraph.writePlainSegment(pairs, path, s"p$v")
-        DupGraph.writePlainSegment(clusters, path, s"k$v")
+        graft.ops.Staging.parJobs(
+          () => DupGraph.writeIndexSegment(index, path, s"i$v", buckets),
+          () => DupGraph.writePlainSegment(pairs, path, s"p$v"),
+          () => DupGraph.writePlainSegment(clusters, path, s"k$v"))
         (Seq(s"i$v"), Seq(s"p$v"), Seq(s"k$v"), buckets)
     }
     // A pre-manifest graph's n/threshold are library-default GUESSES —
@@ -1537,20 +1544,23 @@ object DupGraph {
     val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
     val index = isegs.map(sid => spark.read.parquet(segDir(path, sid)))
       .reduce(_.unionByName(_))
-    writeIndexSegment(index, path, s"i$v", buckets)
     val foldedPairs = psegs.map(sid => spark.read.parquet(segDir(path, sid)))
       .reduce(_.unionByName(_))
-    // limit(0), not an omitted segment: the read path stays uniform
-    // (one plain-parquet scan with the real schema) and a later
-    // refresh's unionByName against it is a no-op
-    writePlainSegment(
-      if (keepPairs) foldedPairs else foldedPairs.limit(0), path, s"p$v")
-    // fold the cluster layers to their effective view (min per doc —
-    // sound because labels are monotone non-increasing, see write())
-    writePlainSegment(
-      if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
-      else spark.read.parquet(s"$dir0/clusters"), // r15-early layout
-      path, s"k$v")
+    // the three rewrites read disjoint stored segments — concurrent
+    // (graft.ops.Staging.parJobs), same as the ingest commit's writes.
+    // pairs: limit(0), not an omitted segment — the read path stays
+    // uniform (one plain-parquet scan with the real schema) and a later
+    // refresh's unionByName against it is a no-op. clusters: folded to
+    // the effective min-per-doc view (sound because labels are monotone
+    // non-increasing, see write()).
+    graft.ops.Staging.parJobs(
+      () => writeIndexSegment(index, path, s"i$v", buckets),
+      () => writePlainSegment(
+        if (keepPairs) foldedPairs else foldedPairs.limit(0), path, s"p$v"),
+      () => writePlainSegment(
+        if (clsegs.nonEmpty) effectiveClusters(spark, path, clsegs)
+        else spark.read.parquet(s"$dir0/clusters"), // r15-early layout
+        path, s"k$v"))
     graft.ops.Staging.writeManifest(dir,
       (mf - "isegs" - "psegs" - "clsegs") ++
         Map("isegs" -> s"i$v", "psegs" -> s"p$v", "clsegs" -> s"k$v"))

@@ -51,6 +51,25 @@ object Staging {
 
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
+  /** Run independent commit jobs concurrently (segment/catalog writes):
+    * an artifact commit's ladder is serial by default and its FIXED
+    * latency — not data volume — bounds streaming ingest frequency.
+    * Safe for jobs whose shared inputs are already materialized
+    * (persisted/checkpointed frames; concurrent first-materialization
+    * of a shared lazy checkpoint is serialized by Spark's
+    * checkpoint-state and block locks). First failure propagates after
+    * all threads finish (no half-started debris left running).
+    */
+  def parJobs(jobs: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = jobs.map(j => new Thread(() => {
+      try j() catch { case t: Throwable => errs.add(t); () }
+    }))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Recursively delete a path (no-op if absent). */
   def deleteTree(s: String): Unit = {
     val p = new Path(s)
