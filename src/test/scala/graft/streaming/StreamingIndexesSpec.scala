@@ -203,6 +203,13 @@ class StreamingIndexesSpec extends SparkSpec {
   test("StreamingAnn retrainBelowInertia: injected drift triggers exactly " +
       "one in-fold retrain; search continuity holds across it; the " +
       "batchId replay guard survives; NaN batches never trigger") {
+    // the policy without a corpus source is refused up front (PQ codes
+    // are lossy — only the caller can re-read the vectors)
+    val e0 = intercept[IllegalArgumentException] {
+      StreamingAnn.foldBatch(embScaled.limit(1), "/tmp/never", 0L, 4, 16,
+        retrainBelowInertia = Some(0.5))
+    }
+    assert(e0.getMessage.contains("retrainCorpus"), e0.getMessage)
     val path = java.nio.file.Files.createTempDirectory("sann_drift").toString
     // the "lake": every raw batch folded so far (what retrainCorpus
     // re-reads — PQ codes are lossy, vectors must come from here)
