@@ -3192,6 +3192,87 @@ object ExtQueries {
       "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
       "WHERE rnk <= 5 ORDER BY qid, rnk"))
 
+  /** [EXT] L118 durable ANN-index RETRAIN lifecycle
+    * ([[AnnIndex.retrain]] — the full-generation recommit behind the
+    * [[graft.streaming.StreamingAnn]] drift policy): train on the
+    * first third, commit; re-open, refresh the second third in
+    * (mixed-segment state); RETRAIN over the ingested corpus (fresh
+    * centroids + codebooks + ONE re-encoded code segment replacing the
+    * old generation, streaming batchId preserved); re-open and serve.
+    * DuckDB replays the RETRAINED generation directly — a fresh
+    * IVF+PQ fixed-point train + encode over the two-thirds corpus,
+    * probe election, candidate-restricted ADC — so a retrain that
+    * leaked old-generation segments, mixed code spaces, or drifted
+    * from deterministic re-training breaks the hash. (The refresh leg
+    * is invisible in a CORRECT final artifact — that invisibility is
+    * exactly what this row gates.)
+    *
+    * Scale posture: retrain is the one deliberate corpus-sized rewrite
+    * of the ANN lifecycle (PQ codes are lossy, vectors re-read from
+    * the lake once); everything around it stays batch-bound, and the
+    * generation swap is a versioned-pointer commit readers survive.
+    */
+  private val qAnnRetrain = Q("q_ann_retrain",
+    (s, d) => {
+      val (m, subDim) = (4, 16)
+      val n = embNorm(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qannrt_" +
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+      graft.ops.Staging.deleteTree(dir)
+      AnnIndex.train(n.filter(col("vec_id") % 3 === 0), m, subDim,
+        lloydIters = 1).write(dir)
+      AnnIndex.read(s, dir).refresh(n.filter(col("vec_id") % 3 === 1))
+        .write(dir)
+      AnnIndex.retrain(s, dir, n.filter(col("vec_id") % 3 =!= 2),
+        lloydIters = 1)
+      AnnIndex.read(s, dir)
+        .search(n.filter(col("vec_id").isin(1, 2, 3, 4)), k = 5, nprobe = 3)
+        .orderBy("qid", "rnk")
+    },
+    Some(duckNormCte + ", " +
+      // the ingested corpus (thirds 0+1) — the retrained generation's
+      // train AND encode slice
+      "nc AS (SELECT * FROM n WHERE vec_id % 3 <> 2), " +
+      "c0 AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM nc " +
+      "WHERE vec_id % 100 = 0), " +
+      duckKmAssign("a1", "c0", keepCos = false, corpus = "nc") + ", " +
+      duckKmUpdate("u1", "a1") + ", " +
+      duckKmCent("c1n", "u1") + ", " +
+      "subc AS (SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv " +
+      "FROM nc, (SELECT unnest([0, 1, 2, 3]) AS s) ss), " +
+      "p0 AS (SELECT s, vec_id AS cid, sv AS cv FROM subc " +
+      "WHERE vec_id % 100 = 0), " +
+      duckPqAssign("pa1", "p0", sub = "subc") + ", " +
+      "pu1 AS (SELECT s, cid, u.dim AS dim, sum(u.q) AS sm, count(*) AS n " +
+      "FROM (SELECT s, cid, unnest(list_transform(" +
+      "generate_series(1, len(sv)), i -> {'dim': i - 1, " +
+      "'q': CAST(floor(CAST(sv[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT)})) " +
+      "AS u FROM pa1) GROUP BY s, cid, u.dim), " +
+      "pc1 AS (SELECT s, cid, list(CAST(sm AS DOUBLE) / (n * 10000) " +
+      "ORDER BY dim) AS cv FROM pu1 GROUP BY s, cid), " +
+      duckPqAssign("codes", "pc1", sub = "subc") + ", " +
+      duckKmAssign("af", "c1n", keepCos = false, corpus = "nc") + ", " +
+      "iasg AS (SELECT vec_id, cid AS icell FROM af), " +
+      "qp AS (SELECT qid, icell FROM (SELECT n.vec_id AS qid, " +
+      "c.cid AS icell, row_number() OVER (PARTITION BY n.vec_id " +
+      "ORDER BY list_dot_product(n.v, c.cv) / (n.nm * c.cn) DESC, c.cid) " +
+      "AS rn FROM n CROSS JOIN c1n c WHERE n.vec_id IN (1, 2, 3, 4)) " +
+      "WHERE rn <= 3), " +
+      "lut AS (SELECT q.vec_id AS qid, c.s, c.cid, " +
+      "CAST(floor(list_dot_product(q.v[c.s * 16 + 1 : c.s * 16 + 16], " +
+      "c.cv) * 1000000 + 0.5) AS BIGINT) AS d " +
+      "FROM n q CROSS JOIN pc1 c WHERE q.vec_id IN (1, 2, 3, 4)), " +
+      "cand AS (SELECT qp.qid, iasg.vec_id FROM iasg JOIN qp USING (icell) " +
+      "WHERE iasg.vec_id <> qp.qid), " +
+      "sc AS (SELECT cand.qid, cand.vec_id, CAST(sum(lut.d) AS BIGINT) " +
+      "AS score FROM cand JOIN codes ON codes.vec_id = cand.vec_id " +
+      "JOIN lut ON lut.qid = cand.qid AND lut.s = codes.s " +
+      "AND lut.cid = codes.cid GROUP BY cand.qid, cand.vec_id), " +
+      "r AS (SELECT qid, vec_id, score, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY score DESC, vec_id) AS rnk FROM sc) " +
+      "SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rnk, score FROM r " +
+      "WHERE rnk <= 5 ORDER BY qid, rnk"))
+
   /** Where `q_media_dedup` publishes its EXTRACTED fingerprint table
     * for the oracle: DuckDB cannot decode PNG, so the cross-engine gate
     * runs over the SAME Spark-extracted table — the decode → dHash path
@@ -4405,5 +4486,5 @@ object ExtQueries {
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
-    qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup)
+    qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain)
 }
