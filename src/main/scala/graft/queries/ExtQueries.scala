@@ -2896,6 +2896,57 @@ object ExtQueries {
     },
     Some(duckNoveltySql))
 
+  /** [EXT] L119 durable-artifact COMPACTION under the cross-engine
+    * gate ([[NoveltyIndex.compact]] — the segment-fold discipline all
+    * three artifact lifecycles share): the `q_novelty_refresh` loop
+    * with a compaction spliced in — build(b1) → commit → read → score
+    * b2 → fold b2 in → commit (two live segments) → COMPACT (one
+    * folded segment, superseded versions swept to the retention
+    * window) → re-read → score b3 against the COMPACTED artifact. The
+    * oracle is the SAME full-corpus fixpoint as `q_ngram_novelty`,
+    * which is the gate: a compaction that lost shingles, double-wrote
+    * them into the folded segment, broke the bucketed layout, or
+    * swept a segment the pre-compact reader still pins would move
+    * some doc's novelty rate (or crash the b2 scoring, which
+    * evaluates lazily AFTER the compact) and break the hash — its
+    * INVISIBILITY is what this row proves (the `q_ann_retrain` rule
+    * applied to segment folding). `maybeCompact`-driven auto-triggers
+    * are additionally soak-pinned in StreamingIndexesSpec; this row
+    * puts the rewrite itself under the per-round DuckDB hash.
+    *
+    * Scale posture: compaction is the amortized corpus-sized rewrite
+    * that bounds segment growth (read amplification and per-batch
+    * fold cost stay O(threshold), never O(stream age)); it reads each
+    * live segment once, writes once, and commits through the same
+    * versioned pointer readers already resolve.
+    */
+  private val qNoveltyCompact = Q("q_novelty_compact",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val b1 = docs.filter(col("doc_id") < 167)
+      val b2 = docs.filter(col("doc_id") >= 167 && col("doc_id") < 334)
+      val b3 = docs.filter(col("doc_id") >= 334)
+      // pid- and fixture-qualified tmp artifact (the q_novelty_refresh
+      // rule): reruns rebuild deterministically, concurrent harnesses
+      // never share a dir
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_qnovc_" +
+        s"${ProcessHandle.current().pid()}_${Integer.toHexString(d.hashCode)}"
+      graft.ops.Staging.deleteTree(dir)
+      NoveltyIndex.build(b1, col("text"), col("doc_id"), n = 3, buckets = 8)
+        .write(dir)
+      val idx1 = NoveltyIndex.read(s, dir)
+      val r2 = idx1.novelty(b2, col("text"), col("doc_id"))
+      idx1.update(b2, col("text"), col("doc_id")).write(dir)
+      // two live segments -> one; default retain keeps the pre-compact
+      // version whose manifest pins the segments r2 lazily reads
+      NoveltyIndex.compact(s, dir)
+      val r3 = NoveltyIndex.read(s, dir)
+        .novelty(b3, col("text"), col("doc_id"))
+      TextAnalysis.noveltyRate(b1, col("text"), col("doc_id"), n = 3)
+        .unionByName(r2).unionByName(r3).orderBy("doc_id")
+    },
+    Some(duckNoveltySql))
+
   /** [EXT] L74 corpus vocabulary growth curve
     * ([[TextAnalysis.vocabGrowth]]): new distinct 3-gram shingles per
     * ingest-order decile + running cumulative — the Heaps-law
@@ -3311,11 +3362,18 @@ object ExtQueries {
     */
   private val qMediaDedup = Q("q_media_dedup",
     (s, d) => {
+      // repartition the 8-byte IDS, not the fingerprints: the fixture
+      // table arrives as one parquet split, and a coalesce(1) at the
+      // write would pin the whole synth+decode chain to that ONE task —
+      // spreading the ids first keeps decode at cluster parallelism
+      // (the shape a real multi-file media lake gets for free) and the
+      // write stays shuffle-free (a few tiny files; the oracle globs)
       val media = graft.ext.Multimodal.synthesizeMedia(
-        t(s, d, "documents").select(col("doc_id")), col("doc_id"))
+        t(s, d, "documents").select(col("doc_id")).repartition(8),
+        col("doc_id"))
       graft.ops.Staging.deleteTree(mediaFpDir)
       graft.ext.Multimodal.perceptualFingerprints(media).toDF()
-        .coalesce(1).write.parquet(mediaFpDir)
+        .write.parquet(mediaFpDir)
       // both engines consume the WRITTEN table (same bytes), then run
       // the identical drop rule + banded hamming dedup
       val fps = s.read.parquet(mediaFpDir)
@@ -4486,5 +4544,6 @@ object ExtQueries {
     qNdcg, qZipfFit, qPerplexityBucket, qJlProject,
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
-    qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain)
+    qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain,
+    qNoveltyCompact)
 }
