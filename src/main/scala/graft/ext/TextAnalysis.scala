@@ -72,16 +72,15 @@ object TextAnalysis {
     * integer score cannot. The magnitudes stay far below 2^53, so the
     * double-typed division below is exact before the floor.
     */
-  def qualityBps(text: Column): Column = {
-    val tok = tokens(text)
-    val nTok = size(tok).cast("long")
-    // null text must score NULL, not 10000: least() IGNORES nulls, so
-    // both credits would silently collapse to their caps — while every
-    // DuckDB oracle twin null-propagates. Masked on the synthetic data
-    // (no null text) but a real crawl hits it immediately.
-    when(text.isNull, lit(null).cast("long"))
-      .otherwise(lengthCreditBps(nTok) + stopCreditBps(stopCount(tok), nTok))
-  }
+  def qualityBps(text: Column): Column =
+    // fused native kernel (one byte pass, WSCG-friendly) — the
+    // compositional shape cost three interpreted split()/filter()
+    // evaluations per row and knocked consumers out of codegen; values
+    // are bit-identical (QualitySpec pins kernel == built-in chain,
+    // including the null-propagation the old when() guarded: least()
+    // IGNORES nulls, so the unguarded built-in shape would collapse
+    // null text to 10000 where every DuckDB twin null-propagates)
+    graft.functions.TermFunctions.qualityBps(text, StopWords)
 
   /** BM25 document ranking for one term query, linearized-idf variant:
     * per matched term,

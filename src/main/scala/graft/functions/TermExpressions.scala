@@ -153,6 +153,91 @@ case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native quality-score kernel (the exact-BIGINT bps score of
+  * [[graft.ext.TextAnalysis.qualityBps]]).
+  *
+  * The compositional shape — `size(split(text)) ` for the token count
+  * plus `size(filter(split(text), t -> t = 'the' OR t = 'a'))` for the
+  * function-word count — evaluates THREE split() array materializations
+  * per row and a higher-order `filter` lambda, which Spark runs
+  * interpreted (CodegenFallback), knocking every consumer stage out of
+  * whole-stage codegen. This kernel computes both counts in ONE pass
+  * over the text bytes (no arrays, no interpreter) and applies the same
+  * exact-BIGINT credits; consumers stay inside WSCG.
+  *
+  * Arithmetic identity with the Column formulation (and the DuckDB
+  * `duckQbps` twin): token count = 0x20 count + 1 (split keeps empty
+  * tokens); `min(5000, 25·n_tok) + min(5000, ⌊stop·50000/n_tok⌋)`,
+  * where the long floor-division equals the double-divide-then-floor of
+  * the built-in chain because the magnitudes are non-negative and far
+  * below 2^53. Null text yields null (the expression layer
+  * null-propagates — the least()-collapse hazard of the built-in shape
+  * cannot occur here).
+  */
+object QualityKernels {
+  def qualityBps(text: UTF8String, stops: Array[Array[Byte]]): Long = {
+    val bytes = text.getBytes
+    var nTok = 0L
+    var stop = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        nTok += 1
+        val len = i - start
+        var w = 0
+        while (w < stops.length) {
+          val s = stops(w)
+          if (s.length == len) {
+            var j = 0
+            while (j < len && bytes(start + j) == s(j)) j += 1
+            if (j == len) { stop += 1; w = stops.length }
+            else w += 1
+          } else w += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val lenCredit = if (nTok * 25L < 5000L) nTok * 25L else 5000L
+    val sc = stop * 50000L / nTok
+    lenCredit + (if (sc < 5000L) sc else 5000L)
+  }
+}
+
+/** `graft_quality_bps(text)` — see [[QualityKernels.qualityBps]].
+  * `stopWords` is bound at construction from the ONE shared
+  * [[graft.ext.TextAnalysis.StopWords]] definition.
+  */
+case class QualityBps(child: Expression, stopWords: Seq[String])
+  extends UnaryExpression {
+
+  require(stopWords.nonEmpty)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_quality_bps"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopWords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def nullSafeEval(s: Any): Any =
+    QualityKernels.qualityBps(s.asInstanceOf[UTF8String], stopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("graftStops", stopBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.QualityKernels.qualityBps($c, $stopsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TermFunctions {
   /** Column API for [[TermCounts]]. */
   def termCounts(text: Column): Column =
@@ -161,4 +246,8 @@ object TermFunctions {
   /** Column API for [[StringShingles]]. */
   def stringShingles(text: Column, n: Int): Column =
     GraftBridge.column(StringShingles(GraftBridge.expression(text), n))
+
+  /** Column API for [[QualityBps]]. */
+  def qualityBps(text: Column, stopWords: Seq[String]): Column =
+    GraftBridge.column(QualityBps(GraftBridge.expression(text), stopWords))
 }

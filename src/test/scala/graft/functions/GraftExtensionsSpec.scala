@@ -53,6 +53,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r5.getLong(0) >= 0L && r5.getLong(0) < (1L << 16))
       assert(r5.getLong(1) != r5.getLong(0)) // wide fingerprint uses more bit sources
       assert(r5.getLong(2) == 1L)            // 15 - 14
+      val q = spark.sql(
+        "SELECT graft_quality_bps('the a b') AS q, " +
+          "graft_quality_bps(CAST(NULL AS STRING)) AS qn").collect().head
+      // 3 tokens: length credit 75; stop 2/3 caps at 5000
+      assert(q.getLong(0) == 75L + 5000L)
+      assert(q.isNullAt(1)) // null text scores null, never 10000
     }
   }
 
