@@ -15,13 +15,16 @@ object TextAnalysis {
   /** Function-word markers for the language heuristic. */
   val StopWords: Seq[String] = Seq("the", "a")
 
-  /** Function-word count over a token array — the ONE definition of
-    * the stopword feature shared by stats / qualityBps / qualityLogit
-    * (three call sites; a recalibration must hit all of them at once).
+  /** Fused per-row surface statistics (n_tok, stop, alpha) — the ONE
+    * evaluation of the tokenize/function-word/letter features shared by
+    * stats / langId / qualityScore / qualityRules / qualityLogit (a
+    * recalibration of [[StopWords]] hits every consumer at once). The
+    * size(split)/filter(...) composition this replaces ran interpreted
+    * (higher-order functions are CodegenFallback) and knocked each
+    * consumer's stage out of whole-stage codegen.
     */
-  private def stopCount(tok: Column): Column =
-    size(filter(tok, t => StopWords.map(w => t === w).reduce(_ || _)))
-      .cast("long")
+  private def textStats(text: Column): Column =
+    graft.functions.TermFunctions.textStats(text, StopWords)
 
   /** Exact-BIGINT length credit: min(5000, 25·n_tok). */
   private def lengthCreditBps(nTok: Column): Column =
@@ -37,11 +40,11 @@ object TextAnalysis {
     * n_tok, avg word length, stopword ratio.
     */
   def stats(text: Column): (Column, Column, Column) = {
-    val tok = tokens(text)
-    val nTok = size(tok).cast("long")
+    val st = textStats(text)
+    val nTok = st.getField("n_tok")
     // chars excluding the (n_tok - 1) separating spaces, per token
     val avgWlen = (length(text) - nTok + lit(1)).cast("double") / nTok
-    val stopRatio = stopCount(tok).cast("double") / nTok
+    val stopRatio = st.getField("stop").cast("double") / nTok
     (nTok, avgWlen, stopRatio)
   }
 
@@ -497,12 +500,14 @@ object TextAnalysis {
     * a map-side-combined count by mask.
     */
   def qualityRules(text: Column): (Column, Column) = {
-    val tok = tokens(text)
-    val nTok = size(tok).cast("long")
+    val st = textStats(text)
+    val nTok = st.getField("n_tok")
     val charsNoSep = (length(text) - nTok + lit(1)).cast("long")
-    val alphaWords = size(filter(tok, t => t.rlike("[a-z]"))).cast("long")
-    val stop = size(filter(tok,
-      t => StopWords.map(w => t === w).reduce(_ || _))).cast("long")
+    // tokens containing an ASCII letter — the kernel's byte test is
+    // exactly the old per-token rlike("[a-z]") (UTF-8 lead/continuation
+    // bytes are >= 0x80, never inside a-z)
+    val alphaWords = st.getField("alpha")
+    val stop = st.getField("stop")
     val sym = regexp_count(text, lit("#|\\.\\.\\.")).cast("long")
     val mask =
       when(nTok >= 5 && nTok <= 50000, lit(0L)).otherwise(lit(1L)) +
@@ -892,10 +897,10 @@ object TextAnalysis {
     */
   def qualityLogit(text: Column, bias: Long = 8000L)
       : (Column, Column) = {
-    val tok = tokens(text)
-    val nTok = size(tok).cast("long")
+    val st = textStats(text)
+    val nTok = st.getField("n_tok")
     val lenBps = lengthCreditBps(nTok)
-    val stopBps = stopCreditBps(stopCount(tok), nTok)
+    val stopBps = stopCreditBps(st.getField("stop"), nTok)
     val grams = graft.functions.TermFunctions.stringShingles(text, 2)
     val total = size(grams).cast("long")
     val dist = size(array_distinct(grams)).cast("long")

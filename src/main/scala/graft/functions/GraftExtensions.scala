@@ -77,6 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(ext, "graft_quality_bps",
       "fused exact-BIGINT quality score (length + function-word credits)",
       args => QualityBps(args(0), graft.ext.TextAnalysis.StopWords))
+    register(ext, "graft_text_stats",
+      "fused per-row text stats struct(n_tok, stop, alpha)",
+      args => TextStats(args(0), graft.ext.TextAnalysis.StopWords))
     register(ext, "graft_zorder",
       "Morton z-order interleave of 2 or 3 normalized BIGINT dimensions",
       args => args match {

@@ -175,6 +175,49 @@ case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
   * cannot occur here).
   */
 object QualityKernels {
+
+  /** Shared per-row text surface statistics in one byte pass:
+    * split-token count, function-word count, and the count of tokens
+    * containing an ASCII lowercase letter (the `rlike("[a-z]")`
+    * predicate — safe as a byte test because UTF-8 lead/continuation
+    * bytes are >= 0x80, never inside 0x61-0x7a). One kernel feeds
+    * stats()/langId/qualityScore/qualityRules/qualityLogit, replacing
+    * up to three interpreted split()/filter() HOF evaluations per row.
+    */
+  def textStats(text: UTF8String, stops: Array[Array[Byte]]): InternalRow = {
+    val bytes = text.getBytes
+    var nTok = 0L
+    var stop = 0L
+    var alpha = 0L
+    var hasAlpha = false
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        nTok += 1
+        val len = i - start
+        var w = 0
+        while (w < stops.length) {
+          val s = stops(w)
+          if (s.length == len) {
+            var j = 0
+            while (j < len && bytes(start + j) == s(j)) j += 1
+            if (j == len) { stop += 1; w = stops.length }
+            else w += 1
+          } else w += 1
+        }
+        if (hasAlpha) alpha += 1
+        hasAlpha = false
+        start = i + 1
+      } else {
+        val b = bytes(i)
+        if (b >= 'a' && b <= 'z') hasAlpha = true
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTok, stop, alpha))
+  }
+
   def qualityBps(text: UTF8String, stops: Array[Array[Byte]]): Long = {
     val bytes = text.getBytes
     var nTok = 0L
@@ -238,6 +281,44 @@ case class QualityBps(child: Expression, stopWords: Seq[String])
     copy(child = newChild)
 }
 
+/** `graft_text_stats(text)` — see [[QualityKernels.textStats]].
+  * Returns struct(n_tok, stop, alpha), all BIGINT; null text yields a
+  * null struct (field access then null-propagates like the size/filter
+  * chain it replaces).
+  */
+case class TextStats(child: Expression, stopWords: Seq[String])
+  extends UnaryExpression {
+
+  require(stopWords.nonEmpty)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", LongType, nullable = false),
+    StructField("stop", LongType, nullable = false),
+    StructField("alpha", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_text_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopWords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+
+  override def nullSafeEval(s: Any): Any =
+    QualityKernels.textStats(s.asInstanceOf[UTF8String], stopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stopsRef = ctx.addReferenceObj("graftStops", stopBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.QualityKernels.textStats($c, $stopsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TermFunctions {
   /** Column API for [[TermCounts]]. */
   def termCounts(text: Column): Column =
@@ -250,4 +331,8 @@ object TermFunctions {
   /** Column API for [[QualityBps]]. */
   def qualityBps(text: Column, stopWords: Seq[String]): Column =
     GraftBridge.column(QualityBps(GraftBridge.expression(text), stopWords))
+
+  /** Column API for [[TextStats]]. */
+  def textStats(text: Column, stopWords: Seq[String]): Column =
+    GraftBridge.column(TextStats(GraftBridge.expression(text), stopWords))
 }

@@ -78,4 +78,51 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan)
   }
 
+  /** The textStats struct kernel vs the size/filter chains it replaced
+    * (stats, qualityRules' alpha predicate, qualityLogit's stop count).
+    */
+  private def compareStats(texts: Seq[String]): Unit = {
+    val df = texts.toDF("text")
+    val tok = split(col("text"), " ")
+    val kernel = df.select(
+      TermFunctions.textStats(col("text"), TextAnalysis.StopWords).as("st"))
+      .select(col("st.n_tok"), col("st.stop"), col("st.alpha"))
+      .as[(Option[Long], Option[Long], Option[Long])].collect().toSeq
+    val builtin = df.select(
+      size(tok).cast("long"),
+      size(filter(tok,
+        t => TextAnalysis.StopWords.map(w => t === w).reduce(_ || _)))
+        .cast("long"),
+      size(filter(tok, t => t.rlike("[a-z]"))).cast("long"))
+      .as[(Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(kernel == builtin, s"kernel=$kernel builtin=$builtin")
+  }
+
+  test("textStats equals the size/filter chains on varied inputs (property)") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("the", "a", "Alpha", "BETA", "42", "#!?", "théâtre",
+      "中文", "mixed中a文", "x", "", "A-Z")
+    val texts = (1 to 80).map(_ =>
+      (1 to (1 + rnd.nextInt(60))).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")) ++
+      Seq("", " ", "  the  ", "a", "THE A", "no letters 123 456")
+    compareStats(texts)
+  }
+
+  test("textStats null text yields a null struct (null-propagating fields)") {
+    val df = Seq[(java.lang.Long, String)]((1L, null), (2L, "the a"))
+      .toDF("id", "text")
+    val rows = df.select(
+      TermFunctions.textStats(col("text"), TextAnalysis.StopWords).as("st"))
+      .select(col("st.n_tok")).as[Option[Long]].collect().toSeq
+    assert(rows.contains(None) && rows.contains(Some(2L)))
+  }
+
+  test("textStats consumers stay inside whole-stage codegen") {
+    val (mask, keep) = TextAnalysis.qualityRules(col("text"))
+    val plan = Seq((1L, "the a b")).toDF("id", "text")
+      .select(mask.as("m"), keep.as("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
 }
