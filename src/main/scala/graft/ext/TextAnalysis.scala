@@ -22,6 +22,15 @@ object TextAnalysis {
     * size(split)/filter(...) composition this replaces ran interpreted
     * (higher-order functions are CodegenFallback) and knocked each
     * consumer's stage out of whole-stage codegen.
+    *
+    * "ONE evaluation" relies on whole-stage codegen's common-
+    * subexpression elimination: consumers reference several
+    * `getField`s of one textStats call, and WSCG evaluates the shared
+    * kernel once per row (the plan audits pin the WSCG span). With
+    * `spark.sql.subexpressionElimination.enabled=false`, or in
+    * interpreted projection paths, each getField re-runs the byte scan
+    * (2-3x per row) — still CORRECT (the kernel is pure), just not
+    * fused; no query depends on the fusion for semantics.
     */
   private def textStats(text: Column): Column =
     graft.functions.TermFunctions.textStats(text, StopWords)

@@ -219,29 +219,15 @@ object QualityKernels {
   }
 
   def qualityBps(text: UTF8String, stops: Array[Array[Byte]]): Long = {
-    val bytes = text.getBytes
-    var nTok = 0L
-    var stop = 0L
-    var start = 0
-    var i = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        nTok += 1
-        val len = i - start
-        var w = 0
-        while (w < stops.length) {
-          val s = stops(w)
-          if (s.length == len) {
-            var j = 0
-            while (j < len && bytes(start + j) == s(j)) j += 1
-            if (j == len) { stop += 1; w = stops.length }
-            else w += 1
-          } else w += 1
-        }
-        start = i + 1
-      }
-      i += 1
-    }
+    // ONE tokenize/stop-match byte scan shared with textStats — a
+    // second copy of that loop here would silently drift from the
+    // struct kernel on any future tokenization change. The alpha
+    // bookkeeping textStats additionally carries is one byte-range
+    // test per non-space byte; the struct row is a 3-field stack-local
+    // allocation — both noise next to the scan itself.
+    val st = textStats(text, stops)
+    val nTok = st.getLong(0)
+    val stop = st.getLong(1)
     val lenCredit = if (nTok * 25L < 5000L) nTok * 25L else 5000L
     val sc = stop * 50000L / nTok
     lenCredit + (if (sc < 5000L) sc else 5000L)

@@ -2937,9 +2937,12 @@ object ExtQueries {
       val idx1 = NoveltyIndex.read(s, dir)
       val r2 = idx1.novelty(b2, col("text"), col("doc_id"))
       idx1.update(b2, col("text"), col("doc_id")).write(dir)
-      // two live segments -> one; default retain keeps the pre-compact
-      // version whose manifest pins the segments r2 lazily reads
-      NoveltyIndex.compact(s, dir)
+      // two live segments -> one; retain = 1 (EXPLICIT, not the
+      // default) keeps the pre-compact version whose manifest pins
+      // segment s1 — r2 above is evaluated lazily AFTER this compact,
+      // so its correctness depends on that retention window, which
+      // must not silently follow a remote default
+      NoveltyIndex.compact(s, dir, retain = 1)
       val r3 = NoveltyIndex.read(s, dir)
         .novelty(b3, col("text"), col("doc_id"))
       TextAnalysis.noveltyRate(b1, col("text"), col("doc_id"), n = 3)
