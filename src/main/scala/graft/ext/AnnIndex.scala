@@ -446,13 +446,20 @@ object AnnIndex {
     * commits; new readers serve the new generation. Trigger: watch
     * [[graft.streaming.StreamingAnn.maintain]]'s `onInertia` signal
     * for per-batch drift below the train-time inertia.
+    *
+    * Returns the COMMITTED view ([[AnnIndex!.write]]'s rule — equal to
+    * an immediate [[read]], spec-pinned): a retrain→serve pipeline
+    * serves from the returned handle instead of paying a fourth
+    * re-open (manifest + catalog footer reads + fresh catalog plans;
+    * the returned handle keeps the already-checkpointed catalog
+    * frames).
     */
   def retrain(spark: SparkSession, path: String, corpus: DataFrame,
               ivfSeedPred: Column = col("vec_id") % 100 === 0,
               pqSeedPred: Column = col("vec_id") % 100 === 0,
               lloydIters: Int = 2, retain: Int = 1,
               store: graft.ops.PointerStore =
-                graft.ops.PointerStore.File): Unit = {
+                graft.ops.PointerStore.File): AnnIndex = {
     val v0 = graft.ops.Staging.currentVersion(path, store).getOrElse(
       sys.error(s"no committed ANN index at $path (missing LATEST)"))
     val mf = graft.ops.Staging.readManifest(
@@ -464,7 +471,6 @@ object AnnIndex {
       ivfSeedPred, pqSeedPred, lloydIters)
       .write(path, batchId = mf.get("batchId").map(_.toLong),
         retain = retain, store = store)
-    ()
   }
 
   /** Fold a multi-segment artifact back to one code segment (the

@@ -3252,7 +3252,8 @@ object ExtQueries {
     * first third, commit; re-open, refresh the second third in
     * (mixed-segment state); RETRAIN over the ingested corpus (fresh
     * centroids + codebooks + ONE re-encoded code segment replacing the
-    * old generation, streaming batchId preserved); re-open and serve.
+    * old generation, streaming batchId preserved); serve from the
+    * returned committed view (== an immediate re-open, spec-pinned).
     * DuckDB replays the RETRAINED generation directly — a fresh
     * IVF+PQ fixed-point train + encode over the two-thirds corpus,
     * probe election, candidate-restricted ADC — so a retrain that
@@ -3277,9 +3278,11 @@ object ExtQueries {
         lloydIters = 1).write(dir)
       AnnIndex.read(s, dir).refresh(n.filter(col("vec_id") % 3 === 1))
         .write(dir)
+      // serve from retrain's returned COMMITTED view (== an immediate
+      // re-read, spec-pinned) — the re-open path is already exercised
+      // end-to-end by the read → refresh leg above
       AnnIndex.retrain(s, dir, n.filter(col("vec_id") % 3 =!= 2),
-        lloydIters = 1)
-      AnnIndex.read(s, dir)
+          lloydIters = 1)
         .search(n.filter(col("vec_id").isin(1, 2, 3, 4)), k = 5, nprobe = 3)
         .orderBy("qid", "rnk")
     },

@@ -184,10 +184,14 @@ class AnnIndexSpec extends SparkSpec {
     val oldIdx = AnnIndex.read(spark, dir)
     val oldTop = topk(oldIdx.search(queries, k = 5, nprobe = 2))
     val union = day1.unionByName(day2)
-    AnnIndex.retrain(spark, dir, union)
+    val returned = AnnIndex.retrain(spark, dir, union)
     // the retrained artifact is one full-generation segment whose codes
     // equal a fresh encode of the corpus under the NEW artifacts
     val idx = AnnIndex.read(spark, dir)
+    // retrain returns the COMMITTED view (the write() rule): serving
+    // from it equals an immediate re-open
+    assert(topk(returned.search(queries, k = 5, nprobe = 2)) ==
+      topk(idx.search(queries, k = 5, nprobe = 2)))
     val v = graft.ops.Staging.currentVersion(dir).get
     val mf = graft.ops.Staging.readManifest(
       graft.ops.Staging.versionDir(dir, v))
