@@ -24,24 +24,52 @@ package graft.ops
   *    definition and reclaimed by the next writer's
   *    [[Staging.nextVersionDir]] / [[Staging.gcSegments]].
   *
-  * The store serializes the POINTER, not the version-dir writes:
-  * single-writer-per-artifact remains the commit discipline. Two
-  * concurrent writers can resolve the same next version number and
-  * overwrite each other's dir BEFORE either publishes
-  * ([[Staging.nextVersionDir]] clears the target) — the losing
-  * publish fails loudly, but the winning pointer may then name a dir
-  * the loser partially rewrote. The store's guarantee is the one a
-  * blob store cannot give (no torn/backward pointer, losers surface
-  * as errors instead of silent corruption); writer mutual exclusion
-  * is the deployment's job (one maintainer stream per artifact — the
-  * [[graft.streaming.Maintenance]] loops are built that way).
+  * The store serializes the POINTER and (via the lease operations
+  * below) WRITER MUTUAL EXCLUSION; it never serializes the version-dir
+  * writes themselves. Without a lease, two concurrent writers can
+  * resolve the same next version number and overwrite each other's dir
+  * BEFORE either publishes ([[Staging.nextVersionDir]] clears the
+  * target) — the losing publish fails loudly, but the winning pointer
+  * may then name a dir the loser partially rewrote. The lease closes
+  * that window: [[Staging.acquireWriter]] takes the lease BEFORE any
+  * version dir is staged, [[Staging.nextVersionDir]] refuses to stage
+  * while another holder's unexpired lease exists, and the three
+  * [[graft.streaming.Maintenance]] loops acquire one lease per fold —
+  * so the loser of a two-writer race fails loudly before writing a
+  * byte. Lease strength follows the store: the JDBC implementation is
+  * a transactional compare-and-swap (hard mutual exclusion up to clock
+  * skew — size `ttlMs` above both the longest fold and the worst
+  * cross-host skew); the file implementation is a best-effort lock
+  * file (a filesystem cannot CAS, so two simultaneous stealers of an
+  * EXPIRED lease can both win — deployments needing hard exclusion use
+  * the JDBC store, the same split as the pointer itself).
   *
+  * Readers never touch leases, and a held lease never blocks reads.
   * Readers inside one process see their own publishes immediately
   * (both implementations are strongly consistent).
   */
 trait PointerStore {
   def current(root: String): Option[Long]
   def publish(root: String, n: Long): Unit
+
+  /** The stored lease record for `root`, if any — `(owner,
+    * expiresEpochMs)`, INCLUDING expired records (callers compare
+    * against their own clock; an expired record is reclaimable).
+    */
+  def lease(root: String): Option[(String, Long)]
+
+  /** Acquire or extend the writer lease on `root` for `owner`: true
+    * iff `owner` now holds an unexpired lease (fresh root, self-renew,
+    * or reclaim of an expired record); false iff another owner's
+    * unexpired lease blocks it. Never throws on contention.
+    */
+  def tryLease(root: String, owner: String, ttlMs: Long): Boolean
+
+  /** Drop `owner`'s lease on `root` (no-op when not held by `owner` —
+    * releasing a lease another writer already reclaimed must not
+    * revoke THEIRS).
+    */
+  def releaseLease(root: String, owner: String): Unit
 }
 
 object PointerStore {
@@ -50,6 +78,16 @@ object PointerStore {
     * tmp-file + rename-with-overwrite, atomic on local/HDFS (the
     * pre-extraction behavior, unchanged byte-for-byte on disk, so
     * every existing artifact keeps working).
+    *
+    * Lease = `root/.lease` lock file (`owner\nexpiresEpochMs`),
+    * written tmp-file + atomic rename like the pointer. BEST-EFFORT:
+    * rename-with-overwrite cannot compare-and-swap, so two writers
+    * that simultaneously observe the same lease as absent/expired can
+    * both "win" the steal (last rename stands, both proceed) — the
+    * documented residual window. In the steady state it still catches
+    * every real two-writer mistake loudly (the second writer sees the
+    * first's unexpired record), and hard mutual exclusion is what
+    * [[Jdbc]] is for.
     */
   object File extends PointerStore {
     def current(root: String): Option[Long] = {
@@ -57,6 +95,34 @@ object PointerStore {
       if (Staging.exists(p)) Some(Staging.readString(p).trim.toLong)
       else None
     }
+
+    def lease(root: String): Option[(String, Long)] = {
+      val p = s"$root/.lease"
+      if (!Staging.exists(p)) None
+      else Staging.readString(p).split('\n') match {
+        case Array(o, e) => Some((o, e.trim.toLong))
+        // torn/corrupt lock file (a crash mid-primitive): treat as an
+        // expired record — reclaimable, never a permanent wedge
+        case _ => Some(("<corrupt>", Long.MinValue))
+      }
+    }
+
+    def tryLease(root: String, owner: String, ttlMs: Long): Boolean = {
+      val now = System.currentTimeMillis()
+      val blocked = lease(root).exists { case (o, e) => o != owner && e > now }
+      if (blocked) false
+      else {
+        val tmp = s"$root/.lease.tmp"
+        Staging.writeString(tmp, s"$owner\n${now + ttlMs}")
+        Staging.atomicRename(tmp, s"$root/.lease")
+        true
+      }
+    }
+
+    def releaseLease(root: String, owner: String): Unit =
+      if (lease(root).exists(_._1 == owner))
+        Staging.deleteTree(s"$root/.lease")
+
     def publish(root: String, n: Long): Unit = {
       // best-effort monotonic guard: a read-then-swap cannot be atomic
       // on a filesystem (exactly the caveat [[PointerStore.Jdbc]]
@@ -154,6 +220,80 @@ object PointerStore {
         }
         c.commit()
       } catch { case t: Throwable => c.rollback(); throw t }
+    }
+
+    // ------------------------------------------------ writer lease
+    // One row per root in `<table>_lease`, advanced by the same
+    // transactional CAS discipline as the pointer: `UPDATE … WHERE
+    // root = ? AND (owner = ? OR expires <= now)` — zero rows updated
+    // AND a blocked insert means another writer's unexpired lease
+    // stands. This is HARD mutual exclusion up to clock skew (the
+    // database serializes the swap); size ttlMs above the worst skew
+    // plus the longest fold.
+
+    private def leaseTable = s"${table}_lease"
+
+    private def ensureLeaseTable(c: java.sql.Connection): Unit = {
+      val st = c.createStatement()
+      try st.executeUpdate(s"CREATE TABLE $leaseTable (" +
+        "root VARCHAR(1024) NOT NULL PRIMARY KEY, " +
+        "owner VARCHAR(256) NOT NULL, expires BIGINT NOT NULL)")
+      catch {
+        case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => ()
+      } finally st.close()
+    }
+
+    def lease(root: String): Option[(String, Long)] = withConn { c =>
+      ensureLeaseTable(c)
+      val ps = c.prepareStatement(
+        s"SELECT owner, expires FROM $leaseTable WHERE root = ?")
+      try {
+        ps.setString(1, root)
+        val rs = ps.executeQuery()
+        try if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None
+        finally rs.close()
+      } finally ps.close()
+    }
+
+    def tryLease(root: String, owner: String, ttlMs: Long): Boolean =
+      withConn { c =>
+        ensureLeaseTable(c)
+        val now = System.currentTimeMillis()
+        c.setAutoCommit(false)
+        try {
+          val up = c.prepareStatement(s"UPDATE $leaseTable SET owner = ?, " +
+            "expires = ? WHERE root = ? AND (owner = ? OR expires <= ?)")
+          val advanced =
+            try { up.setString(1, owner); up.setLong(2, now + ttlMs)
+              up.setString(3, root); up.setString(4, owner); up.setLong(5, now)
+              up.executeUpdate() == 1 }
+            finally up.close()
+          val held = advanced || {
+            // no row advanced: fresh root (insert) or another owner's
+            // unexpired lease (dup key — blocked, NOT an error: lease
+            // contention is an expected outcome, unlike a stale publish)
+            val ins = c.prepareStatement(s"INSERT INTO $leaseTable " +
+              "(root, owner, expires) VALUES (?, ?, ?)")
+            try { ins.setString(1, root); ins.setString(2, owner)
+              ins.setLong(3, now + ttlMs); ins.executeUpdate(); true }
+            catch {
+              case e: java.sql.SQLException if e.getSQLState == "23505" =>
+                false
+            } finally ins.close()
+          }
+          c.commit()
+          held
+        } catch { case t: Throwable => c.rollback(); throw t }
+      }
+
+    def releaseLease(root: String, owner: String): Unit = withConn { c =>
+      ensureLeaseTable(c)
+      val ps = c.prepareStatement(
+        s"DELETE FROM $leaseTable WHERE root = ? AND owner = ?")
+      try { ps.setString(1, root); ps.setString(2, owner)
+        ps.executeUpdate(); () }
+      finally ps.close()
     }
   }
 }

@@ -145,15 +145,129 @@ object Staging {
     deleteTree(s"$root/.staging")
   }
 
+  // --------------------------------------------------- writer lease
+  // Single-writer-per-artifact used to be purely the deployment's job
+  // (one maintainer stream per artifact); the lease makes it
+  // ENFORCEABLE: two uncoordinated writers could both pass
+  // [[nextVersionDir]], clobber each other's version dir pre-publish,
+  // and the winning pointer could name a dir the loser partially
+  // rewrote — the loser only failed at publish time. With a lease the
+  // loser fails BEFORE staging a byte.
+
+  /** Default writer-lease TTL: comfortably above a worst-case fold
+    * (the lease is re-extended at every [[nextVersionDir]], i.e. at
+    * least once per commit of a multi-commit fold) and above realistic
+    * cross-host clock skew. A crashed holder blocks other writers for
+    * at most this long.
+    */
+  val DefaultLeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Leases this process holds, by root — [[nextVersionDir]] consults
+    * it to RE-EXTEND the holder's lease on every staging (and to fail
+    * loudly if the lease was lost to an expiry steal mid-fold). One
+    * entry per root: within a process the registry treats the process
+    * as one writer (in-process callers share the SparkSession and are
+    * coordinated by construction; the two-writer hazard is
+    * cross-process).
+    */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, WriterLease]()
+
+  /** A held writer lease on `root` ([[Staging.acquireWriter]]). */
+  final class WriterLease private[ops] (val root: String,
+                                            val owner: String,
+                                            val store: PointerStore,
+                                            val ttlMs: Long) {
+    /** Re-assert (and extend) the lease; throws if it was lost — an
+      * expiry steal mid-fold means another writer may already be
+      * staging, so continuing to write would recreate the exact
+      * clobber window the lease exists to close.
+      */
+    def renew(): Unit =
+      if (!store.tryLease(root, owner, ttlMs))
+        throw new IllegalStateException(
+          s"writer lease on $root was lost (expired and reclaimed by " +
+            s"${store.lease(root).fold("<gone>")(_._1)}) — another " +
+            "writer may be staging; abandon this fold and re-read the " +
+            "artifact. If folds legitimately run longer than " +
+            s"${ttlMs}ms, acquire with a larger ttlMs.")
+
+    def release(): Unit = {
+      store.releaseLease(root, owner)
+      heldLeases.remove(root, this)
+      ()
+    }
+  }
+
+  /** Acquire the writer lease on `root` (throws loudly if another
+    * writer holds it — the two-writer race's loser fails HERE, before
+    * any version dir is staged). Hold across the fold, [[WriterLease.release]]
+    * in a finally; [[nextVersionDir]] re-extends it at every commit.
+    * Lease strength follows the store ([[PointerStore]]: JDBC = hard
+    * CAS, File = best-effort lock file). All writers of an artifact
+    * must share one store — a lease in store A is invisible to a
+    * writer using store B, exactly like the pointer itself.
+    */
+  def acquireWriter(root: String, store: PointerStore = PointerStore.File,
+                    ttlMs: Long = DefaultLeaseTtlMs): WriterLease = {
+    val owner = java.util.UUID.randomUUID().toString
+    if (!store.tryLease(root, owner, ttlMs))
+      throw new IllegalStateException(
+        s"another writer holds the lease on $root " +
+          s"(${store.lease(root).fold("<gone>") { case (o, e) =>
+            s"owner $o, expires in ${e - System.currentTimeMillis()}ms" }}) " +
+          "— single-writer-per-artifact is the commit discipline; run " +
+          "ONE maintainer per artifact, or wait for the holder to " +
+          "release/expire.")
+    val l = new WriterLease(root, owner, store, ttlMs)
+    heldLeases.put(root, l)
+    l
+  }
+
+  /** The staging guard behind [[nextVersionDir]]: re-extend this
+    * process's held lease (loud failure if lost), or — when this
+    * process holds none — refuse while ANOTHER writer's unexpired
+    * lease exists, so even a writer that skipped [[acquireWriter]]
+    * cannot clobber a leased fold's staging dir. No lease anywhere =
+    * lease-less single-writer mode (the pre-lease behavior, still the
+    * default for self-contained lifecycle queries and tests).
+    */
+  private def assertWritable(root: String, store: PointerStore): Unit =
+    Option(heldLeases.get(root)) match {
+      // the registry is authoritative for this process: whatever store
+      // instance the commit call carries, the held lease renews through
+      // the store it was ACQUIRED from (a second instance of the same
+      // backend must not be mistaken for another writer)
+      case Some(held) => held.renew()
+      case None =>
+        store.lease(root)
+          .filter(_._2 > System.currentTimeMillis())
+          .foreach { case (o, e) =>
+            throw new IllegalStateException(
+              s"nextVersionDir: writer lease on $root is held by '$o' " +
+                s"(expires in ${e - System.currentTimeMillis()}ms) and " +
+                "this process does not hold it — refusing to stage a " +
+                "version dir over a live writer's fold. Acquire the " +
+                "lease (Staging.acquireWriter) or wait for release/" +
+                "expiry.")
+          }
+    }
+
   /** Versioned-pointer commit: the caller writes a complete artifact
     * under `root/v<N+1>` (via the directory this returns), then
     * [[commitVersion]] swings `root/LATEST` to it. Readers resolve
     * through the pointer, so a crash at ANY point before the pointer
     * swap leaves the previous version fully intact and discoverable —
     * no mixed-version window, unlike [[promote]].
+    *
+    * Writer exclusion: refuses while another holder's unexpired lease
+    * exists, and re-extends this process's own lease
+    * ([[assertWritable]]) — the loser of a two-writer race fails here,
+    * before staging.
     */
   def nextVersionDir(root: String,
                      store: PointerStore = PointerStore.File): (String, Long) = {
+    assertWritable(root, store)
     val n = currentVersion(root, store).getOrElse(0L) + 1L
     val dir = s"$root/v$n"
     // Crash-retry safety: a writer that died AFTER laying files under

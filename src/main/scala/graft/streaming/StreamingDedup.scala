@@ -74,7 +74,11 @@ object StreamingDedup {
                                compactEvery: Int =
                                  Maintenance.DefaultCompactEvery,
                                store: graft.ops.PointerStore =
-                                 graft.ops.PointerStore.File): Unit = {
+                                 graft.ops.PointerStore.File): Unit =
+    // one writer lease per fold (the shared [[Maintenance]] exclusion
+    // contract): a second uncoordinated maintainer on this artifact
+    // fails HERE, before reading state or staging a version dir
+    Maintenance.withWriterLease("StreamingDedup", path, store) {
     val spark = batch.sparkSession
     // the probe is the COMMIT POINTER, not a table dir: a version
     // is discoverable only after write()'s atomic pointer swap, so

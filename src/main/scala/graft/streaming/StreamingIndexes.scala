@@ -18,6 +18,31 @@ import graft.ext.{AnnIndex, NoveltyIndex, Similarity}
   */
 private[graft] object Maintenance {
 
+  /** Run one fold under the artifact's writer lease
+    * ([[graft.ops.Staging.acquireWriter]]) — the enforcement of
+    * single-writer-per-artifact all three maintainers share. A second
+    * uncoordinated maintainer on the same artifact fails at acquire,
+    * BEFORE reading state or staging a version dir (the two-writer
+    * version-dir clobber window is closed at its entry, not at
+    * publish). The lease is re-extended by every commit inside the
+    * fold ([[graft.ops.Staging.nextVersionDir]]) and released when the
+    * fold ends, crash or not; a holder that dies between folds blocks
+    * a replacement for at most [[graft.ops.Staging.DefaultLeaseTtlMs]].
+    * Exclusion strength follows the store (JDBC = transactional CAS,
+    * File = best-effort lock file — the [[graft.ops.PointerStore]]
+    * contract).
+    */
+  def withWriterLease[A](what: String, path: String,
+                         store: graft.ops.PointerStore)(fold: => A): A = {
+    val lease =
+      try graft.ops.Staging.acquireWriter(path, store)
+      catch {
+        case e: IllegalStateException => throw new IllegalStateException(
+          s"$what: cannot fold into $path — ${e.getMessage}", e)
+      }
+    try fold finally lease.release()
+  }
+
   /** True ⇒ fold the batch; false ⇒ exact-last replay, skip. Throws on
     * a checkpoint/artifact mismatch.
     */
@@ -127,7 +152,8 @@ object StreamingNovelty {
                                onReport: Option[(Long, DataFrame) => Unit] =
                                  None,
                                store: graft.ops.PointerStore =
-                                 graft.ops.PointerStore.File): Unit = {
+                                 graft.ops.PointerStore.File): Unit =
+    Maintenance.withWriterLease("StreamingNovelty", path, store) {
     val spark = batch.sparkSession
     val stored = NoveltyIndex.exists(path, store)
     val last = if (stored) NoveltyIndex.lastBatchId(path, store) else None
@@ -232,6 +258,7 @@ object StreamingAnn {
       "StreamingAnn: retrainBelowInertia needs retrainCorpus — PQ codes " +
         "are lossy, so a retrain must re-read the corpus VECTORS from " +
         "the lake, which only the caller can supply")
+    Maintenance.withWriterLease("StreamingAnn", path, store) {
     val spark = batch.sparkSession
     val stored = AnnIndex.exists(path, store)
     val last = if (stored) AnnIndex.lastBatchId(path, store) else None
@@ -279,6 +306,7 @@ object StreamingAnn {
       }
     }
     ()
+    }
   }
 
   /** Mean batch-to-stored-centroid cosine ([[Similarity.kmeansInertia]]

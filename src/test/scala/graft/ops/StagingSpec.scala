@@ -270,6 +270,94 @@ class StagingSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------- writer lease contract
+  pointerStores.foreach { case (nm, mk) =>
+    test(s"PointerStore[$nm]: writer lease — blocked second owner, " +
+        "self-renew, wrong-owner release no-op, expiry reclaim") {
+      val root = tmp(s"lease_$nm")
+      val store = mk()
+      assert(store.lease(root).isEmpty)
+      assert(store.tryLease(root, "a", 60000L))
+      assert(store.lease(root).exists(_._1 == "a"))
+      assert(!store.tryLease(root, "b", 60000L),
+        "second writer acquired over a live lease")
+      assert(store.tryLease(root, "a", 60000L), "self-renew must extend")
+      store.releaseLease(root, "b") // wrong owner: must NOT revoke a's
+      assert(store.lease(root).exists(_._1 == "a"),
+        "wrong-owner release revoked the holder's lease")
+      store.releaseLease(root, "a")
+      assert(store.lease(root).isEmpty)
+      // an expired record is reclaimable by anyone
+      assert(store.tryLease(root, "b", 1L))
+      Thread.sleep(20)
+      assert(store.tryLease(root, "c", 60000L),
+        "expired lease must be reclaimable")
+      store.releaseLease(root, "c")
+    }
+
+    test(s"PointerStore[$nm]: two uncoordinated maintainers on one " +
+        "artifact — the loser fails loudly BEFORE staging a version dir") {
+      import spark.implicits._
+      val dir = tmp(s"race_$nm")
+      val store = mk()
+      val docs = (1L to 10L).map(i =>
+        (i, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5}"))
+        .toDF("doc_id", "text")
+      // maintainer A is mid-fold in ANOTHER process: its lease exists
+      // at the store but not in this process's held-lease registry
+      assert(store.tryLease(dir, "maintainer-A", 60000L))
+      // maintainer B's fold dies at lease acquire — entry, not publish
+      val e = intercept[IllegalStateException] {
+        graft.streaming.StreamingNovelty.foldBatch(
+          docs, dir, 0L, n = 3, buckets = 8, store = store)
+      }
+      assert(e.getMessage.contains("lease"), e.getMessage)
+      assert(!Staging.list(dir).exists(_.matches("v\\d+")),
+        s"loser staged a version dir: ${Staging.list(dir)}")
+      // a ROGUE writer that skips acquireWriter entirely is also
+      // refused at the staging gate while A's lease is live
+      val e2 = intercept[IllegalStateException] {
+        Staging.nextVersionDir(dir, store)
+      }
+      assert(e2.getMessage.contains("maintainer-A"), e2.getMessage)
+      // A releases (fold done): B's next fold proceeds normally
+      store.releaseLease(dir, "maintainer-A")
+      graft.streaming.StreamingNovelty.foldBatch(
+        docs, dir, 0L, n = 3, buckets = 8, store = store)
+      assert(graft.ext.NoveltyIndex.exists(dir, store))
+      assert(store.lease(dir).isEmpty, "fold must release its lease")
+    }
+  }
+
+  test("acquireWriter: nextVersionDir re-extends the held lease; a " +
+      "mid-fold expiry steal fails the fold loudly at the next staging") {
+    val root = tmp("lease_renew")
+    val l = Staging.acquireWriter(root, ttlMs = 60000L)
+    // a second in-process acquire is a second writer: refused
+    intercept[IllegalStateException] { Staging.acquireWriter(root) }
+    val before = graft.ops.PointerStore.File.lease(root).get._2
+    Thread.sleep(5)
+    val (d1, v1) = Staging.nextVersionDir(root) // renews, no throw
+    assert(graft.ops.PointerStore.File.lease(root).get._2 > before,
+      "staging must EXTEND the held lease")
+    Staging.writeString(s"$d1/data", "one")
+    Staging.commitVersion(root, v1)
+    l.release()
+    assert(graft.ops.PointerStore.File.lease(root).isEmpty)
+    // lost-lease: the holder's TTL lapses mid-fold and another writer
+    // reclaims — the original's next staging attempt must fail loudly
+    // instead of clobbering the thief's dir
+    val l2 = Staging.acquireWriter(root, ttlMs = 1L)
+    Thread.sleep(20)
+    assert(graft.ops.PointerStore.File.tryLease(root, "thief", 60000L))
+    val e = intercept[IllegalStateException] { Staging.nextVersionDir(root) }
+    assert(e.getMessage.contains("lost"), e.getMessage)
+    l2.release() // wrong-owner store release is a no-op; clears registry
+    assert(graft.ops.PointerStore.File.lease(root).exists(_._1 == "thief"),
+      "releasing a lost lease must not revoke the reclaimer's")
+    graft.ops.PointerStore.File.releaseLease(root, "thief")
+  }
+
   test("artifact lifecycle on the JDBC pointer store: no LATEST file " +
       "ever touches the data dir, and the stored index round-trips") {
     import spark.implicits._
