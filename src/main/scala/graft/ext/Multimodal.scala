@@ -635,6 +635,89 @@ object Multimodal {
     }
   }
 
+  /** 64-bit spectro-temporal difference hash of a decoded clip — the
+    * audio analog of [[imageDHash]]: split the samples into 8 equal
+    * time frames, compute 9 log-spaced-free linear band mean powers
+    * per frame (Hann-windowed `fftSize`-point FFT of each frame's
+    * leading samples, the [[audioSpectral]] binning over the positive
+    * spectrum), and emit one bit per adjacent band pair — bit
+    * `y*8 + x` set ⇔ frame y's band x is louder than its band x+1.
+    * Re-encode/resample/level shifts preserve most band ORDERINGS even
+    * when they move absolute energies, so near-duplicate clips sit at
+    * small hamming distance; the output feeds
+    * [[Dedup.simhashHammingPairs]] unchanged, same as the image path.
+    * Caller guarantees >= 8 samples and a positive rate
+    * ([[audioFingerprints]] maps everything else to None).
+    */
+  private[ext] def audioFingerprint(audio: DecodedAudio,
+                                    fftSize: Int = 512): Long = {
+    val frameLen = audio.samples.length / 8
+    var fp = 0L
+    var y = 0
+    while (y < 8) {
+      val e = frameBandPowers(audio.samples, y * frameLen,
+        math.min(frameLen, fftSize), fftSize)
+      var x = 0
+      while (x < 8) {
+        if (e(x) > e(x + 1)) fp |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Mean power of 9 linear bands over one Hann-windowed frame (the
+    * [[audioSpectral]] band edges; positive spectrum, DC excluded).
+    */
+  private def frameBandPowers(samples: Array[Float], off: Int, len: Int,
+                              fftSize: Int): Array[Double] = {
+    val re = new Array[Double](fftSize)
+    val im = new Array[Double](fftSize)
+    var i = 0
+    while (i < len) {
+      val w = 0.5 * (1 - math.cos(2 * math.Pi * i / (fftSize - 1)))
+      re(i) = samples(off + i) * w
+      i += 1
+    }
+    fft(re, im)
+    val half = fftSize / 2
+    val out = new Array[Double](9)
+    var b = 0
+    while (b < 9) {
+      val s = (1 + (half - 1).toLong * b / 9).toInt
+      val e = math.max(s + 1, (1 + (half - 1).toLong * (b + 1) / 9).toInt)
+      var acc = 0.0
+      var q = s
+      while (q < e) { acc += re(q) * re(q) + im(q) * im(q); q += 1 }
+      out(b) = acc / (e - s)
+      b += 1
+    }
+    out
+  }
+
+  /** Perceptual fingerprints for the AUDIO column: real PCM decode →
+    * per-frame spectral band orderings → 64-bit hash
+    * ([[audioFingerprint]]). Same None policy as
+    * [[perceptualFingerprints]]: non-audio kinds, undecodable payloads,
+    * and clips too short to frame (< 8 samples) get None — a dedup
+    * that wants byte-exact fallback for those opts in explicitly.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[FingerprintRow] = {
+    implicit val enc = Encoders.product[FingerprintRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val fp =
+          if (m.kind == "audio")
+            decodeAudio(m.payload)
+              .filter(a => a.samples.length >= 8 && a.sampleRate > 0)
+              .map(audioFingerprint(_))
+          else None
+        FingerprintRow(m.media_id, m.kind, fp)
+      }
+    }
+  }
+
   /** Audio metadata probe: fill sample_rate / duration_ms from the real
     * decoded stream (the audio analog of resize's metadata refresh).
     * Non-audio rows and undecodable payloads pass through untouched.
@@ -1074,6 +1157,132 @@ object Multimodal {
         else
           MediaRow(mid, "image", pngForFp(targetFp(mid)),
             "image/png", Some(9), Some(8), None, None)
+      })
+  }
+
+  // -------------------------------------------- audio fixture synthesis
+  // The dHash-by-construction discipline applied to the audio column:
+  // every clip is a REAL 16-bit PCM WAV whose [[audioFingerprint]]
+  // equals a closed-form target exactly, so decode → FFT → band
+  // ordering → hash is gated end-to-end against known answers (and the
+  // cross-engine dedup row gates the extracted fingerprint table, the
+  // q_media_dedup pattern).
+
+  /** WAV synthesis frame length == the fingerprint FFT size: one tone
+    * per band at the band-CENTER bin with integer cycles per frame, so
+    * the Hann-windowed spectrum concentrates each tone inside its own
+    * band and the 9 band powers order exactly like the 9 synthesis
+    * amplitudes.
+    */
+  private val AudioFrame = 512
+
+  /** Per-step amplitude ratio of the walk (~±2.9 dB): band powers
+    * differ by >= 1.96x at every compared pair — far above 16-bit
+    * quantization noise and inter-band Hann leakage, so the decoded
+    * fingerprint is bit-exact in practice (MultimodalSpec pins it).
+    */
+  private val AudioWalkRatio = 1.4
+
+  /** Base tone amplitude: the worst-case monotone walk sums to ~0.62
+    * full-scale — no clipping at the 16-bit encode.
+    */
+  private val AudioBaseAmp = 0.012
+
+  /** A real 8000 Hz mono PCM WAV (8 x 512 samples, 512 ms) whose
+    * [[audioFingerprint]] equals `fp` exactly: per frame y the 9 tone
+    * amplitudes walk x[[AudioWalkRatio]] up or down so every adjacent
+    * band-power comparison realizes bit `y*8 + x` — the [[pngForFp]]
+    * construction transposed to the spectro-temporal grid.
+    */
+  private[ext] def wavForFp(fp: Long): Array[Byte] = {
+    val half = AudioFrame / 2
+    val centers = Array.tabulate(9) { b =>
+      val s = (1 + (half - 1).toLong * b / 9).toInt
+      val e = math.max(s + 1, (1 + (half - 1).toLong * (b + 1) / 9).toInt)
+      (s + e) / 2
+    }
+    val samples = new Array[Float](8 * AudioFrame)
+    var y = 0
+    while (y < 8) {
+      val k = new Array[Int](9) // amplitude-walk exponents, k(0) = 0
+      var x = 0
+      while (x < 8) {
+        // bit set ⇔ band x louder than band x+1
+        k(x + 1) = k(x) + (if (((fp >>> (y * 8 + x)) & 1L) == 1L) -1 else 1)
+        x += 1
+      }
+      val amps = k.map(e => AudioBaseAmp * math.pow(AudioWalkRatio, e))
+      var i = 0
+      while (i < AudioFrame) {
+        var acc = 0.0
+        var b = 0
+        while (b < 9) {
+          acc += amps(b) * math.sin(2 * math.Pi * centers(b) * i / AudioFrame)
+          b += 1
+        }
+        samples(y * AudioFrame + i) = acc.toFloat
+        i += 1
+      }
+      y += 1
+    }
+    encodeWav(samples, rate = 8000)
+  }
+
+  /** Encode mono float samples as a 16-bit little-endian PCM WAV via
+    * the JDK codec (the exact container [[decodeAudio]] reads back).
+    */
+  private[ext] def encodeWav(samples: Array[Float], rate: Int): Array[Byte] = {
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768,
+        math.min(32767, math.round(samples(i) * 32767f))).toShort
+      bytes(2 * i) = (s & 0xff).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic AUDIO corpus keyed by an id column — the
+    * audio twin of [[synthesizeMedia]], one [[MediaRow]] per non-null
+    * id:
+    *
+    *  - `id % 23 == 7`: CORRUPT clip (the WAV truncated to 16 bytes —
+    *    parses as a RIFF magic, dies in the header). A corrupt class
+    *    DISTINCT from the image fixture's `%29==17` so the two
+    *    modalities' gated pair tables differ, not just their codecs.
+    *  - else `id % 31 == 5`: an `image` row (stub payload) — kind
+    *    routing; never fingerprinted by the audio path.
+    *  - else: a real WAV built by [[wavForFp]] whose
+    *    [[audioFingerprint]] equals [[targetFp]]`(id)` by construction
+    *    (same near-dup group geometry as the images: pairwise hamming
+    *    <= 3 inside an id-triple, ~32 bits across).
+    *
+    * Same scale posture as the image synthesis: partition-local, pure
+    * in the id, payloads never pass through the driver.
+    */
+  def synthesizeAudio(ids: DataFrame, id: Column): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(id.cast("long").as("media_id")).na.drop()
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions(_.map { mid =>
+        if (mid % 23 == 7)
+          MediaRow(mid, "audio", wavForFp(targetFp(mid)).take(16),
+            "audio/wav", None, None, Some(8000), None)
+        else if (mid % 31 == 5)
+          MediaRow(mid, "image", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
+            "image/png", Some(9), Some(8), None, None)
+        else
+          MediaRow(mid, "audio", wavForFp(targetFp(mid)),
+            "audio/wav", None, None, Some(8000), Some(512L))
       })
   }
 }

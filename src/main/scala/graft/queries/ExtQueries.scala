@@ -3403,6 +3403,67 @@ object ExtQueries {
       "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
 
+  /** `q_audio_dedup`'s extracted-fingerprint publish dir — the
+    * [[mediaFpDir]] contract verbatim (pid-qualified, one live fixture
+    * per evaluation, oracle SQL reads the same written bytes).
+    */
+  private val audioFpDir = s"${System.getProperty("java.io.tmpdir")}" +
+    s"/graft_audio_fp_${ProcessHandle.current().pid()}"
+
+  /** [EXT] L117 multimodal near-duplicate detection, AUDIO column
+    * ([[graft.ext.Multimodal.synthesizeAudio]] →
+    * [[graft.ext.Multimodal.audioFingerprints]] →
+    * [[Dedup.simhashHammingPairs]]): REAL 16-bit PCM WAV payloads
+    * decode to samples, hash via the framed-FFT band-ordering
+    * fingerprint (the dHash construction transposed to the
+    * spectro-temporal grid — 8 time frames x 9 band powers → 64 bits),
+    * and band into the same width-generic hamming pair search as the
+    * image row. The corrupt-payload class (truncated WAVs, id%23==7 —
+    * deliberately a DIFFERENT id class than the image fixture's so the
+    * two modalities gate different pair tables) and non-audio kinds
+    * fingerprint to NULL and are dropped by the declared rule ON BOTH
+    * ENGINES. The decode → fingerprint path itself is pinned by
+    * construction in MultimodalSpec (every synthesized clip hashes to
+    * its closed-form target); DuckDB cannot decode WAV, so the
+    * cross-engine gate runs over the SAME Spark-extracted fingerprint
+    * table ([[mediaFpDir]]'s contract).
+    *
+    * Scale posture: identical to `q_media_dedup` — decode is
+    * partition-local over opaque payload bytes, the pair search is
+    * banded bucket-join cost, and only 8 bytes/clip leave the decode
+    * stage.
+    */
+  private val qAudioDedup = Q("q_audio_dedup",
+    (s, d) => {
+      // spread the ids BEFORE synthesis (the q_media_dedup rule): the
+      // fixture table arrives as one split and decode must run at
+      // cluster parallelism, never pinned to one task
+      val clips = graft.ext.Multimodal.synthesizeAudio(
+        t(s, d, "documents").select(col("doc_id")).repartition(8),
+        col("doc_id"))
+      graft.ops.Staging.deleteTree(audioFpDir)
+      graft.ext.Multimodal.audioFingerprints(clips).toDF()
+        .write.parquet(audioFpDir)
+      val fps = s.read.parquet(audioFpDir)
+        .filter(col("kind") === "audio" && col("fp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fp"))
+      // eager for the same reason as q_media_dedup: the shared
+      // fingerprint table is rewritten by the next evaluation
+      Dedup.simhashHammingPairs(fps, maxDist = 3, bands = 4, bits = 64)
+        .orderBy("da", "db")
+        .localCheckpoint(true)
+    },
+    Some("WITH fp AS (SELECT media_id, fp FROM " +
+      s"read_parquet('$audioFpDir/*.parquet') " +
+      "WHERE kind = 'audio' AND fp IS NOT NULL), " +
+      "bands AS (SELECT media_id, fp, b, (fp >> (b * 16)) & 65535 AS key " +
+      "FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.media_id AS da, y.media_id AS db, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id) " +
+      "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
+
   /** [EXT] L78 PQ recall evaluation: recall@5 of the ADC ranking
     * against exact brute-force cosine truth, per query — the
     * compression-loss dial for [[qAnnPq]]'s m/subDim choice, the same
@@ -4551,5 +4612,5 @@ object ExtQueries {
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
     qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain,
-    qNoveltyCompact)
+    qNoveltyCompact, qAudioDedup)
 }

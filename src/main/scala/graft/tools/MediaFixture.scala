@@ -4,13 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
 /** Media fixture generator (the [[NullFixture]] of the multimodal
-  * surface): synthesizes the deterministic media corpus —
-  * [[graft.ext.Multimodal.synthesizeMedia]] over the source fixture's
-  * `documents.doc_id` space — and writes it as `media.parquet` under
-  * the destination dir. Payloads are REAL PNGs with closed-form
-  * perceptual fingerprints plus the corrupt (truncated) and non-image
-  * row classes, so decode pipelines and their drop rules can be gated
-  * against a stable on-disk table.
+  * surface): synthesizes the deterministic media corpora —
+  * [[graft.ext.Multimodal.synthesizeMedia]] and
+  * [[graft.ext.Multimodal.synthesizeAudio]] over the source fixture's
+  * `documents.doc_id` space — and writes them as `media.parquet` /
+  * `audio.parquet` under the destination dir. Payloads are REAL PNGs
+  * and 16-bit PCM WAVs with closed-form perceptual fingerprints plus
+  * the corrupt (truncated) and cross-kind row classes, so decode
+  * pipelines and their drop rules can be gated against stable on-disk
+  * tables.
   *
   * Usage: runMain graft.tools.MediaFixture SRC_SF_DIR DST_DIR
   */
@@ -26,11 +28,12 @@ object MediaFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.ext.Multimodal.synthesizeMedia(
-        spark.read.parquet(s"$src/documents.parquet").select("doc_id"),
-        col("doc_id"))
+    val ids = spark.read.parquet(s"$src/documents.parquet").select("doc_id")
+    graft.ext.Multimodal.synthesizeMedia(ids, col("doc_id"))
       .write.mode("overwrite").parquet(s"$dst/media.parquet")
-    println(s"[mediafixture] wrote $dst/media.parquet")
+    graft.ext.Multimodal.synthesizeAudio(ids, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dst/audio.parquet")
+    println(s"[mediafixture] wrote $dst/media.parquet + audio.parquet")
     spark.stop()
   }
 }

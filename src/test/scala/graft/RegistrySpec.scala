@@ -115,5 +115,7 @@ object RegistrySpec {
     "q_tokenizer_fertility", "q_embed_covariance", "q_mmr_diversify",
     "q_moore_lewis", "q_feature_hash", "q_interleave", "q_bigram_lm", "q_source_overlap", "q_silhouette", "q_cdc_chunks", "q_dsir_weights", "q_blocklist", "q_data_card", "q_minhash_bbit", "q_lr_train", "q_calibration", "q_embed_standardize", "q_simhash_recall", "q_token_budget_cut", "q_span_corrupt", "q_fim", "q_score_norm", "q_negative_samples", "q_blocklist_phrases", "q_dedup_by_source", "q_mrr",
     "q_dedup_refresh", "q_ann_refresh", "q_novelty_refresh",
-    "q_media_dedup", "q_ann_retrain", "q_novelty_compact")
+    "q_media_dedup", "q_ann_retrain", "q_novelty_compact",
+    // round 18
+    "q_audio_dedup")
 }

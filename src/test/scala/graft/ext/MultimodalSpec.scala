@@ -711,4 +711,68 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, h.toLong)).toSet
     assert(banded == brute && banded.nonEmpty)
   }
+
+  test("synthesizeAudio: every decodable WAV's spectro-temporal hash " +
+      "equals its closed-form target (the PCM decode → FFT → band-" +
+      "ordering gate); corrupt and non-audio rows fingerprint to None; " +
+      "generation is byte-deterministic") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val corpus = Multimodal.synthesizeAudio(ids, col("doc_id")).collect()
+    assert(corpus.length == 120)
+    val fps = Multimodal.audioFingerprints(
+        Multimodal.synthesizeAudio(ids, col("doc_id")))
+      .collect().map(r => r.media_id -> r.fp).toMap
+    corpus.foreach { m =>
+      if (m.media_id % 23 == 7) {
+        assert(m.kind == "audio" && m.payload.length == 16)
+        assert(fps(m.media_id).isEmpty,
+          s"corrupt payload ${m.media_id} must fingerprint to None")
+      } else if (m.media_id % 31 == 5) {
+        assert(m.kind == "image")
+        assert(fps(m.media_id).isEmpty,
+          s"non-audio ${m.media_id} must not ride the audio path")
+      } else {
+        // the REAL WAV decode → framed FFT → band-power-ordering
+        // pipeline must land on the fingerprint the tones were
+        // constructed for — every amplitude comparison survives the
+        // 16-bit quantize + Hann leakage with margin
+        assert(fps(m.media_id).contains(Multimodal.targetFp(m.media_id)),
+          s"audio ${m.media_id}: fingerprint != closed-form target")
+        assert(m.payload.length > 8000, "must be a real, whole WAV")
+      }
+    }
+    // byte determinism: a second synthesis is identical payload bytes
+    val again = Multimodal.synthesizeAudio(ids, col("doc_id")).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(corpus.map(m => m.media_id -> m.payload.toSeq).toMap == again)
+  }
+
+  test("audio banded hamming dedup == brute-force pair truth, and the " +
+      "pair table differs from the image fixture's (distinct corrupt " +
+      "classes)") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val fps = Multimodal.audioFingerprints(
+        Multimodal.synthesizeAudio(ids, col("doc_id")))
+      .filter(_.fp.isDefined)
+      .map(r => (r.media_id, r.fp.get)).toDF("doc_id", "fp")
+      .localCheckpoint()
+    val banded = Dedup.simhashHammingPairs(fps, maxDist = 3,
+        bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = fps.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- rows; (b, fb) <- rows if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute && banded.nonEmpty)
+    val imagePairs = Dedup.simhashHammingPairs(
+        perceptualFingerprints(synthesizeMedia(ids, col("doc_id")))
+          .filter(_.fp.isDefined)
+          .map(r => (r.media_id, r.fp.get)).toDF("doc_id", "fp")
+          .localCheckpoint(),
+        maxDist = 3, bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded != imagePairs,
+      "audio and image fixtures must gate different pair tables")
+  }
 }
