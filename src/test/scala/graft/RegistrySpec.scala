@@ -32,12 +32,42 @@ class RegistrySpec extends SparkSpec {
       s"registered but not in declared inventory (add to RegistrySpec.declaredInventory): ${undeclared.mkString(", ")}")
   }
 
-  test("every query builds a plan against sf0.001 (no analysis errors)") {
+  test("every query builds a plan against sf0.001 (no analysis errors) " +
+      "AND its plan shape matches the committed signature snapshot") {
     val d = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val live = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, d)
       assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
+      name -> graft.tools.PlanSignature.signature(df)
     }
+    // Plan-shape regression guard (the r17 coalesce(1) decode-pinning
+    // class): exchange/join/window/aggregate/coalesce counts + the
+    // whole-stage-codegen span per query, diffed against the committed
+    // snapshot. A failing diff is either a regression (fix the plan) or
+    // a DELIBERATE change — regenerate with
+    //   sbt "runMain graft.tools.PlanSignature"
+    // and review the PLAN_SIGNATURES.json diff in the commit.
+    val snapPath = java.nio.file.Paths.get("PLAN_SIGNATURES.json")
+    assert(java.nio.file.Files.exists(snapPath),
+      "PLAN_SIGNATURES.json missing — generate it with " +
+        "sbt \"runMain graft.tools.PlanSignature\"")
+    val snap = graft.tools.PlanSignature.parse(
+      java.nio.file.Files.readString(snapPath))
+    val drift = live.flatMap { case (name, sig) =>
+      snap.get(name) match {
+        case Some(s) if s == sig => None
+        case Some(s) => Some(s"$name:\n  snapshot: $s\n  live:     $sig")
+        case None => Some(s"$name: NOT IN SNAPSHOT (live: $sig)")
+      }
+    }
+    val gone = snap.keySet.diff(live.map(_._1).toSet)
+    assert(drift.isEmpty && gone.isEmpty,
+      s"plan-shape drift in ${drift.size} queries" +
+        (if (gone.nonEmpty) s"; ${gone.size} stale snapshot entries " +
+          s"(${gone.mkString(", ")})" else "") +
+        ":\n" + drift.mkString("\n") +
+        "\nIf deliberate: regenerate via sbt \"runMain " +
+        "graft.tools.PlanSignature\" and review the diff.")
   }
 }
 
