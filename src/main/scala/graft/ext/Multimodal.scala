@@ -1102,13 +1102,13 @@ object Multimodal {
     fp
   }
 
-  /** A real 9x8 PNG whose [[imageDHash]] equals `fp` exactly: each row's
-    * 9 gray levels walk ±10 luma per step so every adjacent-pixel
+  /** The 9x8 gray image whose [[imageDHash]] equals `fp` exactly: each
+    * row's 9 levels walk ±`step` luma per step so every adjacent-pixel
     * comparison realizes the corresponding fingerprint bit (max drift
-    * 8x10 from the 128 start stays inside [48, 208] — no clipping, and
-    * PNG is lossless so decode returns the written pixels).
+    * 8·step from the 128 start stays inside [128−8·step, 128+8·step] —
+    * no clipping for step <= 14).
     */
-  private[ext] def pngForFp(fp: Long): Array[Byte] = {
+  private def fpImage(fp: Long, step: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -1118,13 +1118,45 @@ object Multimodal {
       var x = 0
       while (x < 8) {
         // bit set ⇔ luma(x) > luma(x+1)
-        l = if (((fp >>> (y * 8 + x)) & 1L) == 1L) l - 10 else l + 10
+        l = if (((fp >>> (y * 8 + x)) & 1L) == 1L) l - step else l + step
         img.setRGB(x + 1, y, (l << 16) | (l << 8) | l)
         x += 1
       }
       y += 1
     }
-    encodePng(img)
+    img
+  }
+
+  /** A real 9x8 PNG realizing `fp` ([[fpImage]] at ±10; PNG is
+    * lossless so decode returns the written pixels).
+    */
+  private[ext] def pngForFp(fp: Long): Array[Byte] =
+    encodePng(fpImage(fp, step = 10))
+
+  /** A real 9x8 JPEG realizing `fp` — the keyframe payload of the
+    * video fixture. JPEG is LOSSY, so the walk runs at ±14 (the
+    * no-clipping maximum) and the encode at quality 0.95: DCT error on
+    * the smooth ramps is a few luma levels, far inside the 14-level
+    * comparison margin, so decode → dHash still lands on `fp` exactly
+    * (MultimodalSpec pins it across the corpus). Encoding via the JDK
+    * writer with EXPLICIT quality — deterministic bytes for a given
+    * JDK, and the fingerprint contract survives any conformant decoder.
+    */
+  private[ext] def jpegForFp(fp: Long): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    try {
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(
+          fpImage(fp, step = 14), null, null), p)
+      } finally ios.close()
+      bos.toByteArray
+    } finally w.dispose()
   }
 
   /** Deterministic synthetic media corpus keyed by an id column — one
@@ -1284,5 +1316,126 @@ object Multimodal {
           MediaRow(mid, "audio", wavForFp(targetFp(mid)),
             "audio/wav", None, None, Some(8000), Some(512L))
       })
+  }
+
+  // -------------------------------------------- video fixture synthesis
+
+  /** A minimal-but-valid MJPEG-in-MP4: one `vide` track, timescale
+    * 1000, 500-tick sample deltas, every sample a sync sample (no
+    * stss — the MJPEG convention: all frames are keyframes), stsd
+    * sample entry `jpeg`, all samples in one chunk. Exactly the
+    * container shape [[extractMp4SyncSamples]] demuxes and a real
+    * MJPEG-in-MP4 producer writes. The chunk offset is resolved by
+    * assembling once at offset 0 to learn the header length — the
+    * standard two-pass flat-MP4 trick.
+    */
+  private[ext] def mjpegMp4(jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1")).put(payload)
+      bb.array()
+    }
+    def full(typ: String, ints: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * (ints.length + 1))
+      bb.putInt(0)
+      ints.foreach(bb.putInt)
+      box(typ, bb.array())
+    }
+    val ftyp = box("ftyp", "isom0000isom".getBytes("ISO-8859-1"))
+    val mdhd = full("mdhd", Seq(0, 0, 1000, 500 * jpegs.length))
+    val hdlr = box("hdlr", java.nio.ByteBuffer.allocate(12).putInt(0).putInt(0)
+      .put("vide".getBytes("ISO-8859-1")).array())
+    val stsd = box("stsd", java.nio.ByteBuffer.allocate(24).putInt(0).putInt(1)
+      .putInt(16).put("jpeg".getBytes("ISO-8859-1")).array())
+    val stts = full("stts", Seq(1, jpegs.length, 500))
+    val stsz = full("stsz", Seq(0, jpegs.length) ++ jpegs.map(_.length))
+    val stsc = full("stsc", Seq(1, 1, jpegs.length, 1))
+    def assemble(off: Int): Array[Byte] = {
+      val stco = full("stco", Seq(1, off))
+      val stbl = box("stbl", stsd ++ stts ++ stsz ++ stsc ++ stco)
+      val moov = box("moov",
+        box("trak", box("mdia", mdhd ++ hdlr ++ box("minf", stbl))))
+      ftyp ++ moov ++ box("mdat", jpegs.flatten.toArray)
+    }
+    val probeLen = assemble(0).length
+    assemble(probeLen - jpegs.map(_.length).sum)
+  }
+
+  /** Perceptual fingerprints for the VIDEO column: real container
+    * demux ([[extractMp4SyncSamples]]) → FIRST keyframe → pixel decode
+    * where a real codec exists (MJPEG via the JDK JPEG reader — the
+    * honest boundary: H.26x codestreams have no decoder in this
+    * environment and get None, never a fake hash) → [[imageDHash]].
+    * Keyframe-0 hashing is the standard video near-dup cheap pass
+    * (same first scene ⇒ candidate pair); a full-video variant maps
+    * [[sampleFrames]] through the image hash instead. None for
+    * non-video kinds, unparseable containers, and undecodable codecs.
+    */
+  def videoFingerprints(media: Dataset[MediaRow]): Dataset[FingerprintRow] = {
+    implicit val enc = Encoders.product[FingerprintRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val fp =
+          if (m.kind == "video")
+            extractMp4SyncSamples(m.payload).flatMap { demux =>
+              demux.frames.headOption.flatMap { case (_, _, bytes) =>
+                decodeVideoFrame(demux.codec, bytes).map(imageDHash)
+              }
+            }
+          else None
+        FingerprintRow(m.media_id, m.kind, fp)
+      }
+    }
+  }
+
+  /** Deterministic synthetic VIDEO corpus keyed by an id column — the
+    * video twin of [[synthesizeMedia]]/[[synthesizeAudio]]:
+    *
+    *  - `id % 19 == 11`: CORRUPT container (the MP4 truncated to 40
+    *    bytes — ftyp parses, the box walk dies before moov). A corrupt
+    *    class DISTINCT from the image (`%29==17`) and audio (`%23==7`)
+    *    fixtures, so each modality gates a different pair table.
+    *  - else `id % 31 == 5`: an `image` row (stub payload) — kind
+    *    routing; never fingerprinted by the video path.
+    *  - else: a real MJPEG-in-MP4 whose FIRST keyframe is
+    *    [[jpegForFp]]`(`[[targetFp]]`(id))` (decode → dHash lands on
+    *    the closed-form target THROUGH the lossy JPEG roundtrip — the
+    *    ±14 walk buys the margin) plus a second constant-gray keyframe
+    *    (multi-sample demux exercised on every row).
+    */
+  def synthesizeVideo(ids: DataFrame, id: Column): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(id.cast("long").as("media_id")).na.drop()
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        // one gray filler keyframe per partition (pure function of
+        // nothing — hoisted out of the per-row loop)
+        val gray = {
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) { img.setRGB(x, y, 0x808080); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        it.map { mid =>
+          if (mid % 19 == 11)
+            MediaRow(mid, "video",
+              mjpegMp4(Seq(jpegForFp(targetFp(mid)), gray)).take(40),
+              "video/mp4", None, None, None, None)
+          else if (mid % 31 == 5)
+            MediaRow(mid, "image", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
+              "image/png", Some(9), Some(8), None, None)
+          else
+            MediaRow(mid, "video",
+              mjpegMp4(Seq(jpegForFp(targetFp(mid)), gray)),
+              "video/mp4", Some(9), Some(8), None, Some(1000L))
+        }
+      }
   }
 }

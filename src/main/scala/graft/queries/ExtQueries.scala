@@ -3464,6 +3464,60 @@ object ExtQueries {
       "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
 
+  /** `q_video_dedup`'s extracted-fingerprint publish dir — the
+    * [[mediaFpDir]] contract verbatim.
+    */
+  private val videoFpDir = s"${System.getProperty("java.io.tmpdir")}" +
+    s"/graft_video_fp_${ProcessHandle.current().pid()}"
+
+  /** [EXT] L117c multimodal near-duplicate detection, VIDEO column
+    * ([[graft.ext.Multimodal.synthesizeVideo]] →
+    * [[graft.ext.Multimodal.videoFingerprints]] →
+    * [[Dedup.simhashHammingPairs]]): REAL MJPEG-in-MP4 containers are
+    * demuxed (pure-byte ISO BMFF box walk), the FIRST keyframe's JPEG
+    * codestream decodes to pixels through the real JDK codec, dHashes
+    * to a 64-bit fingerprint, and bands into the shared hamming pair
+    * search — keyframe-0 hashing, the standard cheap video near-dup
+    * pass. The fixture's keyframes land on their closed-form targets
+    * THROUGH the lossy JPEG roundtrip (MultimodalSpec pins it); the
+    * corrupt class (truncated MP4, id%19==11 — distinct from the
+    * image and audio fixtures' classes so all three modalities gate
+    * different pair tables) and non-video kinds fingerprint to NULL
+    * and are dropped by the declared rule ON BOTH ENGINES. H.26x
+    * codestreams would get NULL too (no codec in this environment —
+    * the honest boundary): the drop rule IS the production shape for
+    * undecodable-codec rows.
+    *
+    * Scale posture: identical to the image/audio rows — demux+decode
+    * partition-local, pair search banded, 8 bytes/container leave the
+    * decode stage.
+    */
+  private val qVideoDedup = Q("q_video_dedup",
+    (s, d) => {
+      val vids = graft.ext.Multimodal.synthesizeVideo(
+        t(s, d, "documents").select(col("doc_id")).repartition(8),
+        col("doc_id"))
+      graft.ops.Staging.deleteTree(videoFpDir)
+      graft.ext.Multimodal.videoFingerprints(vids).toDF()
+        .write.parquet(videoFpDir)
+      val fps = s.read.parquet(videoFpDir)
+        .filter(col("kind") === "video" && col("fp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fp"))
+      Dedup.simhashHammingPairs(fps, maxDist = 3, bands = 4, bits = 64)
+        .orderBy("da", "db")
+        .localCheckpoint(true)
+    },
+    Some("WITH fp AS (SELECT media_id, fp FROM " +
+      s"read_parquet('$videoFpDir/*.parquet') " +
+      "WHERE kind = 'video' AND fp IS NOT NULL), " +
+      "bands AS (SELECT media_id, fp, b, (fp >> (b * 16)) & 65535 AS key " +
+      "FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.media_id AS da, y.media_id AS db, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id) " +
+      "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
+
   /** [EXT] L78 PQ recall evaluation: recall@5 of the ADC ranking
     * against exact brute-force cosine truth, per query — the
     * compression-loss dial for [[qAnnPq]]'s m/subDim choice, the same
@@ -4612,5 +4666,5 @@ object ExtQueries {
     qTokenizerFertility, qEmbedCovariance, qMmrDiversify, qMooreLewis,
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
     qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain,
-    qNoveltyCompact, qAudioDedup)
+    qNoveltyCompact, qAudioDedup, qVideoDedup)
 }

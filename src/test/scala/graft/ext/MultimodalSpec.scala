@@ -712,6 +712,61 @@ class MultimodalSpec extends SparkSpec {
     assert(banded == brute && banded.nonEmpty)
   }
 
+  test("synthesizeVideo: every parseable MP4's first MJPEG keyframe " +
+      "decodes and dHashes to its closed-form target THROUGH the lossy " +
+      "JPEG roundtrip; corrupt and non-video rows fingerprint to None; " +
+      "generation is byte-deterministic") {
+    val ids = (0L until 120L).toDF("doc_id")
+    val corpus = Multimodal.synthesizeVideo(ids, col("doc_id")).collect()
+    assert(corpus.length == 120)
+    val fps = Multimodal.videoFingerprints(
+        Multimodal.synthesizeVideo(ids, col("doc_id")))
+      .collect().map(r => r.media_id -> r.fp).toMap
+    corpus.foreach { m =>
+      if (m.media_id % 19 == 11) {
+        assert(m.kind == "video" && m.payload.length == 40)
+        assert(fps(m.media_id).isEmpty,
+          s"corrupt container ${m.media_id} must fingerprint to None")
+      } else if (m.media_id % 31 == 5) {
+        assert(m.kind == "image")
+        assert(fps(m.media_id).isEmpty,
+          s"non-video ${m.media_id} must not ride the video path")
+      } else {
+        // container demux → first keyframe → REAL JPEG pixel decode →
+        // dHash must land on the target despite DCT loss (the ±14
+        // walk's margin) — this is the whole video chain end-to-end
+        assert(fps(m.media_id).contains(Multimodal.targetFp(m.media_id)),
+          s"video ${m.media_id}: keyframe dHash != closed-form target")
+        // and the container is a real multi-sample MP4, not a bare JPEG
+        val demux = Multimodal.extractMp4SyncSamples(m.payload).get
+        assert(demux.codec == "jpeg" && demux.frames.length == 2)
+        assert(demux.frames.map(_._2) == Vector(0L, 500L))
+      }
+    }
+    val again = Multimodal.synthesizeVideo(ids, col("doc_id")).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(corpus.map(m => m.media_id -> m.payload.toSeq).toMap == again)
+  }
+
+  test("video banded hamming dedup == brute-force pair truth (the " +
+      "keyframe fingerprints ride the shared pair search)") {
+    val ids = (0L until 200L).toDF("doc_id")
+    val fps = Multimodal.videoFingerprints(
+        Multimodal.synthesizeVideo(ids, col("doc_id")))
+      .filter(_.fp.isDefined)
+      .map(r => (r.media_id, r.fp.get)).toDF("doc_id", "fp")
+      .localCheckpoint()
+    val banded = Dedup.simhashHammingPairs(fps, maxDist = 3,
+        bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = fps.as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- rows; (b, fb) <- rows if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute && banded.nonEmpty)
+  }
+
   test("synthesizeAudio: every decodable WAV's spectro-temporal hash " +
       "equals its closed-form target (the PCM decode → FFT → band-" +
       "ordering gate); corrupt and non-audio rows fingerprint to None; " +
