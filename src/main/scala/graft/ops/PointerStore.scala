@@ -100,9 +100,13 @@ object PointerStore {
       val p = s"$root/.lease"
       if (!Staging.exists(p)) None
       else Staging.readString(p).split('\n') match {
-        case Array(o, e) => Some((o, e.trim.toLong))
-        // torn/corrupt lock file (a crash mid-primitive): treat as an
-        // expired record — reclaimable, never a permanent wedge
+        case Array(o, e) if scala.util.Try(e.trim.toLong).isSuccess =>
+          Some((o, e.trim.toLong))
+        // torn/corrupt lock file (wrong line count OR a garbled expiry
+        // — a crash mid-primitive, the non-atomic object-store rename
+        // caveat, manual edits): treat as an EXPIRED record —
+        // reclaimable, never a permanent wedge that only a manual
+        // delete clears
         case _ => Some(("<corrupt>", Long.MinValue))
       }
     }
@@ -119,6 +123,14 @@ object PointerStore {
       }
     }
 
+    // check-then-delete, NOT atomic (the same best-effort residual as
+    // tryLease's steal window): between the owner check and the
+    // delete, a reclaimer of an EXPIRED lease could write its record
+    // and lose it to this delete. Only reachable when this owner's
+    // lease already expired un-renewed — the release is then at worst
+    // a no-op-equivalent (the artifact returns to the unleased state a
+    // crash would have left anyway); hard release atomicity is the
+    // JDBC store's DELETE ... WHERE owner = ?.
     def releaseLease(root: String, owner: String): Unit =
       if (lease(root).exists(_._1 == owner))
         Staging.deleteTree(s"$root/.lease")

@@ -316,6 +316,13 @@ object Staging {
   def commitVersion(root: String, n: Long, retain: Int = 1,
                     store: PointerStore = PointerStore.File): Unit = {
     require(retain >= 0, s"retain must be >= 0, got $retain")
+    // Re-assert the lease at the PUBLISH too, not only at staging: a
+    // fold whose LAST action is this publish has no later staging to
+    // catch a mid-fold TTL-expiry steal — without this check the
+    // original holder could swing the pointer onto a dir the
+    // reclaiming writer is already restaging (the torn-version window
+    // the lease exists to close, reopened at its final step).
+    assertWritable(root, store)
     store.publish(root, n)
     var v = n - retain - 1
     while (v >= 1 && exists(versionDir(root, v))) {

@@ -352,6 +352,15 @@ class StagingSpec extends SparkSpec {
     assert(graft.ops.PointerStore.File.tryLease(root, "thief", 60000L))
     val e = intercept[IllegalStateException] { Staging.nextVersionDir(root) }
     assert(e.getMessage.contains("lost"), e.getMessage)
+    // ...and the PUBLISH path re-asserts too: a fold whose LAST action
+    // is the pointer swap has no later staging to catch the steal — a
+    // torn publish over the reclaimer's restaging must fail here
+    val ep = intercept[IllegalStateException] {
+      Staging.commitVersion(root, 2L)
+    }
+    assert(ep.getMessage.contains("lost"), ep.getMessage)
+    assert(Staging.currentVersion(root).contains(1L),
+      "pointer moved despite the lost lease")
     l2.release() // wrong-owner store release is a no-op; clears registry
     assert(graft.ops.PointerStore.File.lease(root).exists(_._1 == "thief"),
       "releasing a lost lease must not revoke the reclaimer's")
