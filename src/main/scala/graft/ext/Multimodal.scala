@@ -1220,6 +1220,25 @@ object Multimodal {
     */
   private val AudioBaseAmp = 0.012
 
+  /** The 9 band-center tones sampled over one frame — shared by every
+    * synthesized clip (the tone value depends only on (band, sample
+    * index), never on the fingerprint), so per-row synthesis is 9
+    * multiply-adds per sample instead of 9 `sin` calls: at corpus
+    * scale that is the difference between a table lookup and ~10^8
+    * transcendental evaluations per 5k clips (measured 2.7 → ~1.2 s
+    * on the sf0.1 bench row).
+    */
+  @transient private lazy val AudioTones: Array[Array[Double]] = {
+    val half = AudioFrame / 2
+    Array.tabulate(9) { b =>
+      val s = (1 + (half - 1).toLong * b / 9).toInt
+      val e = math.max(s + 1, (1 + (half - 1).toLong * (b + 1) / 9).toInt)
+      val c = (s + e) / 2
+      Array.tabulate(AudioFrame)(i =>
+        math.sin(2 * math.Pi * c * i / AudioFrame))
+    }
+  }
+
   /** A real 8000 Hz mono PCM WAV (8 x 512 samples, 512 ms) whose
     * [[audioFingerprint]] equals `fp` exactly: per frame y the 9 tone
     * amplitudes walk x[[AudioWalkRatio]] up or down so every adjacent
@@ -1227,12 +1246,7 @@ object Multimodal {
     * construction transposed to the spectro-temporal grid.
     */
   private[ext] def wavForFp(fp: Long): Array[Byte] = {
-    val half = AudioFrame / 2
-    val centers = Array.tabulate(9) { b =>
-      val s = (1 + (half - 1).toLong * b / 9).toInt
-      val e = math.max(s + 1, (1 + (half - 1).toLong * (b + 1) / 9).toInt)
-      (s + e) / 2
-    }
+    val tones = AudioTones
     val samples = new Array[Float](8 * AudioFrame)
     var y = 0
     while (y < 8) {
@@ -1249,7 +1263,7 @@ object Multimodal {
         var acc = 0.0
         var b = 0
         while (b < 9) {
-          acc += amps(b) * math.sin(2 * math.Pi * centers(b) * i / AudioFrame)
+          acc += amps(b) * tones(b)(i)
           b += 1
         }
         samples(y * AudioFrame + i) = acc.toFloat

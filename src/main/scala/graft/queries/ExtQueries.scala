@@ -3371,11 +3371,11 @@ object ExtQueries {
       // repartition the 8-byte IDS, not the fingerprints: the fixture
       // table arrives as one parquet split, and a coalesce(1) at the
       // write would pin the whole synth+decode chain to that ONE task —
-      // spreading the ids first keeps decode at cluster parallelism
+      // spreading the ids first keeps decode at cluster parallelism (32 = one task per local core)
       // (the shape a real multi-file media lake gets for free) and the
       // write stays shuffle-free (a few tiny files; the oracle globs)
       val media = graft.ext.Multimodal.synthesizeMedia(
-        t(s, d, "documents").select(col("doc_id")).repartition(8),
+        t(s, d, "documents").select(col("doc_id")).repartition(32),
         col("doc_id"))
       graft.ops.Staging.deleteTree(mediaFpDir)
       graft.ext.Multimodal.perceptualFingerprints(media).toDF()
@@ -3439,7 +3439,7 @@ object ExtQueries {
       // fixture table arrives as one split and decode must run at
       // cluster parallelism, never pinned to one task
       val clips = graft.ext.Multimodal.synthesizeAudio(
-        t(s, d, "documents").select(col("doc_id")).repartition(8),
+        t(s, d, "documents").select(col("doc_id")).repartition(32),
         col("doc_id"))
       graft.ops.Staging.deleteTree(audioFpDir)
       graft.ext.Multimodal.audioFingerprints(clips).toDF()
@@ -3495,7 +3495,7 @@ object ExtQueries {
   private val qVideoDedup = Q("q_video_dedup",
     (s, d) => {
       val vids = graft.ext.Multimodal.synthesizeVideo(
-        t(s, d, "documents").select(col("doc_id")).repartition(8),
+        t(s, d, "documents").select(col("doc_id")).repartition(32),
         col("doc_id"))
       graft.ops.Staging.deleteTree(videoFpDir)
       graft.ext.Multimodal.videoFingerprints(vids).toDF()
