@@ -125,10 +125,10 @@ object Multimodal {
   // through, exactly like corrupt image blobs.
 
   /** Decoded audio: normalized mono samples in [-1, 1] + stream params. */
-  private[ext] final case class DecodedAudio(
+  private[graft] final case class DecodedAudio(
       sampleRate: Int, channels: Int, durationMs: Long, samples: Array[Float])
 
-  private[ext] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
     // NonFatal for the same reason as decodeImage: header-fuzzed blobs
     // throw unchecked exceptions out of the SPI readers
     try {
@@ -137,11 +137,21 @@ object Multimodal {
       try {
         val src = in.getFormat
         // normalize to 16-bit signed PCM so sample extraction is uniform
+        // — but SKIP the AudioSystem conversion chain when the stream
+        // already IS little-endian signed 16-bit PCM (every WAV): the
+        // codec chain costs ~10x the raw read even for an identity
+        // conversion (measured via MediaProbe: the conversion stream
+        // dominated the whole decode+FFT fingerprint path)
+        val already = src.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          src.getSampleSizeInBits == 16 && !src.isBigEndian
         val fmt = new javax.sound.sampled.AudioFormat(
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
           src.getSampleRate, 16, src.getChannels,
           src.getChannels * 2, src.getSampleRate, false)
-        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
+        val pcm =
+          if (already) in
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, in)
         val bytes = pcm.readAllBytes()
         val channels = fmt.getChannels
         val nFrames = bytes.length / (2 * channels)
@@ -649,7 +659,7 @@ object Multimodal {
     * Caller guarantees >= 8 samples and a positive rate
     * ([[audioFingerprints]] maps everything else to None).
     */
-  private[ext] def audioFingerprint(audio: DecodedAudio,
+  private[graft] def audioFingerprint(audio: DecodedAudio,
                                     fftSize: Int = 512): Long = {
     val frameLen = audio.samples.length / 8
     var fp = 0L
@@ -1245,7 +1255,7 @@ object Multimodal {
     * band-power comparison realizes bit `y*8 + x` — the [[pngForFp]]
     * construction transposed to the spectro-temporal grid.
     */
-  private[ext] def wavForFp(fp: Long): Array[Byte] = {
+  private[graft] def wavForFp(fp: Long): Array[Byte] = {
     val tones = AudioTones
     val samples = new Array[Float](8 * AudioFrame)
     var y = 0
