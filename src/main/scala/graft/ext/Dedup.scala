@@ -718,25 +718,36 @@ object Dedup {
     * compute the banded subplan twice and is never broadcastable at
     * scale.
     */
+  /** Folded band keys of a `bits`-wide fingerprint: element b is
+    * `(b << width) | the b-th width-bit slice` — ONE long join key per
+    * band instead of a (band, key) composite, and THE shared bucket
+    * function of the whole hamming family ([[simhashHammingPairs]] and
+    * [[HammingIndex]]'s durable banded index must agree bit-for-bit or
+    * refresh == rebuild silently breaks).
+    */
+  private[ext] def hammingBandKeys(fp: Column, bands: Int,
+                                   bits: Int): Column = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    array((0 until bands).map { b =>
+      shiftright(fp, b * width).bitwiseAND(lit((1L << width) - 1)) +
+        lit(b.toLong << width)
+    }: _*)
+  }
+
   def simhashHammingPairs(fps: DataFrame, maxDist: Int,
                           bands: Int = 4, bits: Int = 16): DataFrame = {
     require(bits % bands == 0, "bands must divide bits")
     require(maxDist < bands,
       s"pigeonhole recall guarantee needs maxDist < bands ($maxDist >= $bands)")
-    val width = bits / bands
-    val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("fp"), b * width).bitwiseAND(lit((1L << width) - 1)).as("key"))
-    }
     val banded = fps
-      .select(col("doc_id"), col("fp"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("fp"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("doc_id").as("da"), col("fp").as("fa"))
-    val b = banded.select(col("band"), col("key"),
-      col("doc_id").as("db"), col("fp").as("fb"))
-    a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+        explode(hammingBandKeys(col("fp"), bands, bits)).as("bkey"))
+    val a = banded.select(col("bkey"), col("doc_id").as("da"),
+      col("fp").as("fa"))
+    val b = banded.select(col("bkey"), col("doc_id").as("db"),
+      col("fp").as("fb"))
+    a.join(b.hint("shuffle_hash"), Seq("bkey"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions.{col, sum}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.ext.{AnnIndex, NoveltyIndex, Similarity}
+import graft.ext.{AnnIndex, HammingIndex, NoveltyIndex, Similarity}
 
 /** Shared exactly-once discipline for `foreachBatch` artifact
   * maintenance (the [[StreamingDedup]] contract, one audited copy):
@@ -367,4 +367,69 @@ object StreamingAnn {
     * off one micro-batch, small enough to broadcast trivially.
     */
   private val BootstrapSeeds = 16
+}
+
+/** Streaming maintenance of the durable banded-hamming fingerprint
+  * index ([[HammingIndex]]): each micro-batch of (`doc_id`, `fp`)
+  * rows — perceptual fingerprints from any modality (image dHash,
+  * audio spectro-temporal hash, video keyframe hash, text SimHash) —
+  * is folded into the index at `path`: build on first contact,
+  * refresh after, so between batches any consumer reads the
+  * accumulated near-dup pair table without re-enumerating the corpus.
+  * Commits are segment-incremental (batch-sized bytes + the batch's
+  * TRUE new pairs), replay is exactly-once and the fold runs under
+  * the artifact's writer lease ([[Maintenance]]); auto-compaction
+  * bounds segment count like the other three maintainers.
+  */
+object StreamingHamming {
+
+  def maintain(fps: DataFrame, path: String, maxDist: Int = 3,
+               bands: Int = 4, bits: Int = 64, buckets: Int = 32,
+               compactEvery: Int = Maintenance.DefaultCompactEvery,
+               store: graft.ops.PointerStore =
+                 graft.ops.PointerStore.File): StreamingQuery =
+    fps.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldBatch(batch.toDF(), path, batchId, maxDist, bands, bits,
+          buckets, compactEvery, store)
+      }
+      .start()
+
+  private[graft] def foldBatch(batch: DataFrame, path: String,
+                               batchId: Long, maxDist: Int = 3,
+                               bands: Int = 4, bits: Int = 64,
+                               buckets: Int = 32,
+                               compactEvery: Int =
+                                 Maintenance.DefaultCompactEvery,
+                               store: graft.ops.PointerStore =
+                                 graft.ops.PointerStore.File): Unit =
+    Maintenance.withWriterLease("StreamingHamming", path, store) {
+      val spark = batch.sparkSession
+      val stored = HammingIndex.exists(path, store)
+      val last = if (stored) HammingIndex.lastBatchId(path, store) else None
+      if (Maintenance.shouldFold("StreamingHamming", path, batchId, last)) {
+        val idx =
+          if (!stored)
+            HammingIndex.build(batch, maxDist, bands, bits, buckets)
+          else {
+            val storedIdx = HammingIndex.read(spark, path, store)
+            // mixing banding schemes joins incompatible bucket spaces —
+            // the StreamingNovelty width rule, applied to all three
+            // parameters that define the pair semantics
+            require(maxDist == storedIdx.maxDist &&
+                bands == storedIdx.bands && bits == storedIdx.bits,
+              s"StreamingHamming: (maxDist=$maxDist, bands=$bands, " +
+                s"bits=$bits) != stored index's (${storedIdx.maxDist}, " +
+                s"${storedIdx.bands}, ${storedIdx.bits}) at $path — " +
+                "rebuild, do not mix banding schemes")
+            storedIdx.refresh(batch)
+          }
+        idx.write(path, batchId = Some(batchId), store = store)
+        Maintenance.maybeCompact(path, Seq("isegs", "psegs"),
+          compactEvery, store) {
+          HammingIndex.compact(spark, path, retain = 2, store = store)
+        }
+      }
+      ()
+    }
 }

@@ -314,4 +314,41 @@ class StreamingIndexesSpec extends SparkSpec {
     assert(idx.search(union.filter(col("vec_id") === 7), k = 5,
       nprobe = 2).count() == 5)
   }
+
+  test("StreamingHamming 18-batch soak with auto-compaction: segment " +
+      "count bounded; pairs equal a one-shot pair search of the union; " +
+      "replay inert") {
+    import graft.ext.{Dedup, HammingIndex, Multimodal}
+    val path = java.nio.file.Files.createTempDirectory("sham_soak").toString
+    def fps(ids: Seq[Long]) = ids.map(i =>
+      (i, Multimodal.targetFp(i))).toDF("doc_id", "fp")
+    val k = 3
+    (0 until 18).foreach { i =>
+      val b = fps(i * 10L until (i + 1) * 10L)
+      val vPre = graft.ops.Staging.currentVersion(path)
+      StreamingHamming.foldBatch(b, path, i.toLong, buckets = 8,
+        compactEvery = k)
+      assert(Maintenance.segmentCount(path, Seq("isegs", "psegs")) <= k,
+        s"batch $i: segment count exceeded the compaction threshold")
+      // fold-current reader survives a double-commit trigger fold
+      vPre.foreach(v => assert(graft.ops.Staging.exists(
+        graft.ops.Staging.versionDir(path, v)),
+        s"batch $i: fold-current reader's version v$v was collected"))
+    }
+    assert(HammingIndex.lastBatchId(path).contains(17L))
+    // exact-last replay is inert; an id below the stored one throws
+    val vEnd = graft.ops.Staging.currentVersion(path)
+    StreamingHamming.foldBatch(fps(170L until 180L), path, 17L, buckets = 8)
+    assert(graft.ops.Staging.currentVersion(path) == vEnd, "replay committed")
+    intercept[IllegalStateException] {
+      StreamingHamming.foldBatch(fps(0L until 1L), path, 3L, buckets = 8)
+    }
+    val idx = HammingIndex.read(spark, path)
+    val truth = Dedup.simhashHammingPairs(fps(0L until 180L),
+        maxDist = 3, bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(idx.pairs.as[(Long, Long, Long)].collect().toSet == truth &&
+      truth.nonEmpty)
+    assert(idx.fingerprints.count() == 180)
+  }
 }
