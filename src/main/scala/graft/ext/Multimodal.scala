@@ -1100,7 +1100,7 @@ object Multimodal {
     * same-group ids land within small hamming distance (near-dups),
     * different groups land ~32 bits apart (unrelated).
     */
-  private[ext] def targetFp(id: Long): Long = {
+  private[graft] def targetFp(id: Long): Long = {
     val base = mix64(id / NearDupGroup)
     val k = (id % NearDupGroup).toInt.min(2)
     var fp = base
