@@ -729,6 +729,13 @@ object Dedup {
                                    bits: Int): Column = {
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
+    // width == 64 would wrap `1L << 64` to 1 and collapse every band
+    // key to band-tag-only — the pair search would silently degenerate
+    // to an all-pairs self-join (still correct via the bit_count
+    // post-filter, but the banding pruning is gone at scale)
+    require(width < 64,
+      s"band width $width must be < 64 (bands=$bands, bits=$bits): a " +
+        "single 64-bit band has no sub-key to bucket on — use >= 2 bands")
     array((0 until bands).map { b =>
       shiftright(fp, b * width).bitwiseAND(lit((1L << width) - 1)) +
         lit(b.toLong << width)
@@ -1070,19 +1077,16 @@ object Dedup {
     */
   def dedupPassagesCorpus(docs: DataFrame, id: Column, text: Column,
                           win: Int): DataFrame = {
-    val tok = graft.ext.TextHash.tokens(text)
-    // null/empty text makes size(tok) - 1 negative and the positive-
-    // step sequence() would throw; such docs carry no passages, so
-    // drop them here — the trailing left join re-attaches them with
-    // n_kept = 0 / empty clean_text like every other text operator
-    val ch = docs.select(id.as("doc_id"), tok.as("tok"))
-      .where(size(col("tok")) > 0)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("tok")) - 1, lit(win)),
-          start => array_join(slice(col("tok"), start + 1, lit(win)), " "))))
+    // one fused byte pass per document (graft_token_windows,
+    // stride = win ⇒ the fixed non-overlapping grid); null text
+    // yields a null window array and posexplode drops the row — the
+    // trailing left join re-attaches such docs with n_kept = 0 /
+    // empty clean_text like every other text operator
+    val ch = docs.select(id.as("doc_id"),
+        posexplode(graft.functions.TermFunctions.tokenWindows(
+          text, win, win)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
-        col("col").as("ptxt"))
+        col("col.txt").as("ptxt"))
       // split("") yields [""] — an empty-text doc would otherwise carry
       // one empty "passage"; drop those so it lands at n_kept = 0 too
       .where(col("ptxt") =!= "")
@@ -1092,9 +1096,9 @@ object Dedup {
       priority = Seq(col("doc_id"), col("chunk_id")))
     val clean = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("chunk_id"), col("ptxt")))),
-        x => x("ptxt")), " ").as("clean_text"))
+      // GetArrayStructFields (codegen'd), not a transform lambda
+      array_join(sort_array(collect_list(struct(col("chunk_id"),
+        col("ptxt")))).getField("ptxt"), " ").as("clean_text"))
     docs.select(id.as("doc_id")).join(clean, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -1201,10 +1205,9 @@ object Dedup {
     val agg = flags.groupBy("doc_id").agg(
       count(lit(1)).as("n_tokens"),
       sum(col("cut")).cast("long").as("n_cut"),
-      array_join(transform(
-        array_sort(collect_list(
-          when(col("cut") === 0, struct(col("pos"), col("tk"))))),
-        x => x("tk")), " ").as("clean_text"))
+      array_join(sort_array(collect_list(
+        when(col("cut") === 0, struct(col("pos"), col("tk")))))
+        .getField("tk"), " ").as("clean_text"))
     docs.select(id.as("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

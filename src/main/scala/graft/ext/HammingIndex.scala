@@ -314,9 +314,13 @@ object HammingIndex {
   /** Fold both segment families back to one each ([[DupGraph.compact]]
     * discipline: explicit, separate from ingest, no-op when already
     * compact; `retain = 2` when run in the same fold as an ingest
-    * commit).
+    * commit). `rebucket` re-lays the folded index segment at a new
+    * bucket count — THE way to widen the bucket space for a grown
+    * corpus (a refresh-time `buckets` change is ignored by contract:
+    * refresh segments must join the committed bucket space).
     */
   def compact(spark: SparkSession, path: String, retain: Int = 1,
+              rebucket: Option[Int] = None,
               store: graft.ops.PointerStore =
                 graft.ops.PointerStore.File): Unit = {
     val v0 = graft.ops.Staging.currentVersion(path, store).getOrElse(
@@ -325,9 +329,10 @@ object HammingIndex {
       graft.ops.Staging.versionDir(path, v0))
     val isegs = graft.ops.Staging.segList(mf, "isegs")
     val psegs = graft.ops.Staging.segList(mf, "psegs")
-    if (isegs.size <= 1 && psegs.size <= 1) return
+    if (isegs.size <= 1 && psegs.size <= 1 &&
+      rebucket.forall(_ == mf("buckets").toInt)) return
     val (dir, v) = graft.ops.Staging.nextVersionDir(path, store)
-    val buckets = mf("buckets").toInt
+    val buckets = rebucket.getOrElse(mf("buckets").toInt)
     graft.ops.Staging.parJobs(
       () => writeIndexSegment(
         isegs.map(sid => spark.read.parquet(segDir(path, sid)))
@@ -336,7 +341,8 @@ object HammingIndex {
         psegs.map(sid => spark.read.parquet(segDir(path, sid)))
           .reduce(_.unionByName(_)), path, s"p$v"))
     graft.ops.Staging.writeManifest(dir,
-      (mf - "isegs" - "psegs") ++ Map("isegs" -> s"i$v", "psegs" -> s"p$v"))
+      (mf - "isegs" - "psegs") ++ Map("isegs" -> s"i$v", "psegs" -> s"p$v",
+        "buckets" -> buckets.toString))
     graft.ops.Staging.commitVersion(path, v, retain, store)
     graft.ops.Staging.gcSegments(path, SegKeys,
       d => graft.ops.Layout.dropBucketedEntry(spark, d), store)

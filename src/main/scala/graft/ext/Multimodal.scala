@@ -627,6 +627,15 @@ object Multimodal {
 
   case class FingerprintRow(media_id: Long, kind: String, fp: Option[Long])
 
+  /** One row per (item, keyframe) — the multi-keyframe fingerprint
+    * shape ([[videoFrameFingerprints]]). Undecodable items keep ONE
+    * row with `frame_idx = None, fp = None` so the declared drop rule
+    * (`fp IS NOT NULL`) governs them on both engines, exactly like
+    * [[FingerprintRow]].
+    */
+  case class FrameFingerprintRow(media_id: Long, kind: String,
+                                 frame_idx: Option[Int], fp: Option[Long])
+
   /** Perceptual fingerprints for a media set: images hash from real
     * decoded pixels (dHash); undecodable payloads and other kinds get
     * None (a caller deciding to fall back to byte-exact md5 dedup does
@@ -1412,6 +1421,42 @@ object Multimodal {
     }
   }
 
+  /** Multi-keyframe perceptual fingerprints for the VIDEO column: EVERY
+    * demuxed keyframe decodes and dHashes (one output row per frame),
+    * not just keyframe-0 — the any-match shape that keeps a re-encoded
+    * or TRIMMED duplicate visible when its first keyframe differs but
+    * later content matches ([[videoFingerprints]]'s keyframe-0 pass is
+    * blind to that class by construction). Consumers band the frame
+    * rows through the shared hamming pair search and collapse to video
+    * pairs with min-hamming (any matching frame pair links the
+    * videos). Undecodable containers, undecodable codecs (H.26x — the
+    * honest boundary), and non-video kinds keep ONE `fp = None` row so
+    * the declared drop rule governs them; a parseable container whose
+    * individual frame fails pixel decode emits `fp = None` for that
+    * frame only.
+    *
+    * Scale posture: same as keyframe-0 — demux + decode are
+    * partition-local over opaque payload bytes, and what leaves the
+    * decode stage grows only to 8 bytes × keyframes/item (keyframes,
+    * not frames: sync-sample density is the knob a media lake already
+    * controls at encode time).
+    */
+  def videoFrameFingerprints(media: Dataset[MediaRow]): Dataset[FrameFingerprintRow] = {
+    implicit val enc = Encoders.product[FrameFingerprintRow]
+    media.flatMap { m =>
+      val none = Seq(FrameFingerprintRow(m.media_id, m.kind, None, None))
+      if (m.kind != "video") none
+      else extractMp4SyncSamples(m.payload) match {
+        case Some(demux) if demux.frames.nonEmpty =>
+          demux.frames.zipWithIndex.map { case ((_, _, bytes), idx) =>
+            FrameFingerprintRow(m.media_id, m.kind, Some(idx),
+              decodeVideoFrame(demux.codec, bytes).map(imageDHash))
+          }
+        case _ => none
+      }
+    }
+  }
+
   /** Deterministic synthetic VIDEO corpus keyed by an id column — the
     * video twin of [[synthesizeMedia]]/[[synthesizeAudio]]:
     *
@@ -1421,45 +1466,54 @@ object Multimodal {
     *    fixtures, so each modality gates a different pair table.
     *  - else `id % 31 == 5`: an `image` row (stub payload) — kind
     *    routing; never fingerprinted by the video path.
+    *  - else `id % 37 == 13`: the TRIMMED/RE-ENCODED near-dup class —
+    *    keyframe-0 is a per-id UNIQUE filler ([[fillerFp]]; unrelated
+    *    to every group), keyframe-1 is [[jpegForFp]]`(`[[targetFp]]
+    *    `(id))`: invisible to keyframe-0 hashing, linked to its group
+    *    by the multi-keyframe any-match pass. The class that motivates
+    *    [[videoFrameFingerprints]].
     *  - else: a real MJPEG-in-MP4 whose FIRST keyframe is
     *    [[jpegForFp]]`(`[[targetFp]]`(id))` (decode → dHash lands on
     *    the closed-form target THROUGH the lossy JPEG roundtrip — the
-    *    ±14 walk buys the margin) plus a second constant-gray keyframe
-    *    (multi-sample demux exercised on every row).
+    *    ±14 walk buys the margin) plus a second per-id UNIQUE filler
+    *    keyframe (multi-sample demux exercised on every row; unique,
+    *    NOT a shared constant — a shared filler would link every video
+    *    pair under any-match semantics and drown the signal).
     */
   def synthesizeVideo(ids: DataFrame, id: Column): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     ids.select(id.cast("long").as("media_id")).na.drop()
       .as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
-        // one gray filler keyframe per partition (pure function of
-        // nothing — hoisted out of the per-row loop)
-        val gray = {
-          val img = new java.awt.image.BufferedImage(
-            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 9) { img.setRGB(x, y, 0x808080); x += 1 }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", bos)
-          bos.toByteArray
-        }
         it.map { mid =>
           if (mid % 19 == 11)
             MediaRow(mid, "video",
-              mjpegMp4(Seq(jpegForFp(targetFp(mid)), gray)).take(40),
+              mjpegMp4(Seq(jpegForFp(targetFp(mid)),
+                jpegForFp(fillerFp(mid)))).take(40),
               "video/mp4", None, None, None, None)
           else if (mid % 31 == 5)
             MediaRow(mid, "image", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
               "image/png", Some(9), Some(8), None, None)
+          else if (mid % 37 == 13)
+            MediaRow(mid, "video",
+              mjpegMp4(Seq(jpegForFp(fillerFp(mid)),
+                jpegForFp(targetFp(mid)))),
+              "video/mp4", Some(9), Some(8), None, Some(1000L))
           else
             MediaRow(mid, "video",
-              mjpegMp4(Seq(jpegForFp(targetFp(mid)), gray)),
+              mjpegMp4(Seq(jpegForFp(targetFp(mid)),
+                jpegForFp(fillerFp(mid)))),
               "video/mp4", Some(9), Some(8), None, Some(1000L))
         }
       }
   }
+
+  /** Per-id UNIQUE filler fingerprint for the video fixture's second
+    * keyframes: a full mix64 re-hash keyed away from [[targetFp]]'s
+    * group bases, so fillers are ~32 bits from every target and from
+    * each other (band-key chance collisions survive the exact
+    * bit_count post-filter like any other non-pair).
+    */
+  private[ext] def fillerFp(id: Long): Long =
+    mix64(mix64(id) ^ 0x9e3779b97f4a7c15L)
 }

@@ -310,17 +310,17 @@ object Sampling {
   def chunkTokens(docs: DataFrame, id: Column, text: Column,
                   win: Int, stride: Int): DataFrame = {
     require(win > 0 && stride > 0, "win and stride must be positive")
-    val tok = tokens(text)
+    // one fused byte pass per document (graft_token_windows): the
+    // prior transform(sequence, s -> slice(tok, …)) lambda ran
+    // interpreted and re-materialized the token array per window
     docs
-      .select(id.as("doc_id"), tok.as("tok"))
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(col("tok")) - 1, lit(stride)),
-          start => slice(col("tok"), start + 1, lit(win)))))
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.TermFunctions.tokenWindows(
+          text, win, stride)))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         (col("pos") * stride).cast("long").as("start_tok"),
-        size(col("col")).cast("long").as("n_tok"),
-        md5(array_join(col("col"), " ")).as("chunk_md5"))
+        col("col.n").cast("long").as("n_tok"),
+        md5(col("col.txt")).as("chunk_md5"))
   }
 
   /** Token-budget quality cut (data pruning at a budget): keep the
@@ -378,7 +378,7 @@ object Sampling {
     *
     * Scale posture: one doc-keyed window (the running boundary count)
     * and one (doc, chunk) aggregate riding the same exchange; the
-    * within-chunk order is an array_sort fold, never an order-sensitive
+    * within-chunk order is an sort_array fold, never an order-sensitive
     * collect. Nothing corpus-global at any size.
     */
   def cdcChunks(docs: DataFrame, id: Column, text: Column,
@@ -396,9 +396,12 @@ object Sampling {
           - col("cut"))
       .groupBy("doc_id", "chunk_idx")
       .agg(count(lit(1)).as("n_tok"),
-        array_sort(collect_list(struct(col("pos"), col("tok")))).as("st"))
+        sort_array(collect_list(struct(col("pos"), col("tok")))).as("st"))
       .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
-        md5(array_join(transform(col("st"), s => s.getField("tok")), " "))
+        // field extraction via GetArrayStructFields (codegen'd), not a
+        // transform lambda (CodegenFallback — the r17 interpreted-HOF
+        // class): identical element mapping, stays in WSCG
+        md5(array_join(col("st").getField("tok"), " "))
           .as("chunk_md5"))
   }
 
@@ -416,7 +419,7 @@ object Sampling {
     *
     * Scale posture: three window passes (seed spreading, run starts,
     * run numbering) all ride ONE doc-keyed exchange; reassembly is
-    * two doc-keyed aggregates with array_sort folds (never an
+    * two doc-keyed aggregates with sort_array folds (never an
     * order-sensitive collect). Row-linear at any corpus size.
     */
   def spanCorrupt(docs: DataFrame, id: Column, text: Column,
@@ -452,23 +455,27 @@ object Sampling {
               concat(lit("<X"), col("run").cast("string"), lit(">")))
             .otherwise(lit(null)).as("out")).as("st"))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(col("st"))).as("sts"))
+      .agg(sort_array(collect_list(col("st"))).as("sts"))
       .select(col("doc_id"),
-        array_join(filter(transform(col("sts"), s => s.getField("out")),
-          x => x.isNotNull), " ").as("corrupted"))
+        // GetArrayStructFields (codegen'd) instead of a transform
+        // lambda, and the explicit isNotNull filter is dropped:
+        // array_join SKIPS null elements when no null-replacement is
+        // given — same output, two fewer interpreted HOFs in the
+        // per-document hot path
+        array_join(col("sts").getField("out"), " ").as("corrupted"))
     val targets = runs.filter(col("masked"))
       .groupBy("doc_id", "run")
-      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
         .as("sts"))
       .select(col("doc_id"), col("run"),
         concat(lit("<X"), col("run").cast("string"), lit("> "),
-          array_join(transform(col("sts"), s => s.getField("tok")), " "))
+          array_join(col("sts").getField("tok"), " "))
           .as("run_str"))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("run"), col("run_str"))))
+      .agg(sort_array(collect_list(struct(col("run"), col("run_str"))))
         .as("rs"))
       .select(col("doc_id"),
-        array_join(transform(col("rs"), s => s.getField("run_str")), " ")
+        array_join(col("rs").getField("run_str"), " ")
           .as("target"))
     val nMasked = runs.groupBy("doc_id")
       .agg(sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))

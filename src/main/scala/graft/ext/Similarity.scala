@@ -145,21 +145,20 @@ object Similarity {
     * per-row projection, no shuffle.
     */
   def quantizeInt8(emb: DataFrame, id: Column, vec: Column): DataFrame = {
-    // staged projections: the lambda must reference `scale` as a bound
-    // attribute, not by inlined subtree — interpreted HOFs re-evaluate
-    // embedded subtrees per ELEMENT, which would turn the row's one
-    // array_max into d of them (CollapseProject keeps multi-referenced
-    // non-cheap aliases staged, so this shape survives optimization)
-    emb.select(id.as("vec_id"),
-      transform(vec, x => x.cast("double")).as("__v"))
+    // the abs-max pass and the quantize pass are native codegen'd
+    // kernels (graft_abs_max / graft_quantize — the interpreted-HOF
+    // staged form ran three lambda round-trips per corpus row); the
+    // staged projections keep `__mx`/`scale` single-evaluation per row
+    // (CollapseProject keeps multi-referenced non-cheap aliases
+    // staged, so this shape survives optimization)
+    emb.select(id.as("vec_id"), vec.as("__v"))
       .select(col("vec_id"), col("__v"),
-        array_max(transform(col("__v"), x => abs(x))).as("__mx"))
+        VectorFunctions.absMax(col("__v")).as("__mx"))
       .select(col("vec_id"), col("__v"),
         when(col("__mx") === 0.0, lit(0.0))
           .otherwise(lit(127.0) / col("__mx")).as("scale"))
       .select(col("vec_id"), col("scale"),
-        transform(col("__v"),
-          x => floor(x * col("scale") + 0.5).cast("long")).as("q"))
+        VectorFunctions.quantize(col("__v"), col("scale")).as("q"))
   }
 
   /** Quantized corpus with attached integer norm — the int8 analog of
@@ -371,7 +370,7 @@ object Similarity {
     * Returns the final centroid table as one row per (cid, dim) with
     * the member count `n` and the mean component — the rows-form twin
     * of the (cid, v, nm) frame `ivfTopK` consumes (rebuild arrays with
-    * the same array_sort(collect_list) fold used between iterations).
+    * the same sort_array(collect_list) fold used between iterations).
     *
     * Scale posture per iteration: centroids broadcast (k·dim doubles),
     * the corpus is scanned once, the argmax is a WindowGroupLimit
@@ -414,13 +413,14 @@ object Similarity {
 
   /** Rebuild the (cid, cv, cn) centroid frame [[ivfTopK]] and
     * [[kmeansAssign]] consume from [[kmeansRefine]]'s rows-form output
-    * (one deterministic array_sort fold — collect_list order cannot
+    * (one deterministic sort_array fold — collect_list order cannot
     * leak into the result).
     */
   def centroidFrame(rows: DataFrame): DataFrame = rows.groupBy("cid")
-    .agg(array_sort(collect_list(struct(col("dim"), col("mean")))).as("sm"))
+    .agg(sort_array(collect_list(struct(col("dim"), col("mean")))).as("sm"))
     .select(col("cid"),
-      transform(col("sm"), s => s.getField("mean")).as("cv"))
+      // GetArrayStructFields (codegen'd), not a transform lambda
+      col("sm").getField("mean").as("cv"))
     .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
 
   /** Clustering quality report for a trained centroid set: per-cluster
@@ -602,11 +602,11 @@ object Similarity {
       .groupBy("s", "cid", "dim")
       .agg(sum("q").as("sm"), count(lit(1)).as("n"))
       .groupBy("s", "cid")
-      .agg(array_sort(collect_list(struct(col("dim"),
+      .agg(sort_array(collect_list(struct(col("dim"),
         (col("sm").cast("double") / (col("n") * scale)).as("mean"))))
         .as("smeans"))
       .select(col("s"), col("cid"),
-        transform(col("smeans"), x => x.getField("mean")).as("cv"))
+        col("smeans").getField("mean").as("cv"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: FLOAT queries against the
@@ -931,8 +931,7 @@ object Similarity {
   def covarianceCells(emb: DataFrame, vec: Column, dim: Int = 64,
                       scale: Long = 1000L): DataFrame = {
     val vq = emb.select(
-      transform(vec, x => floor(x.cast("double") * scale + 0.5)
-        .cast("long")).as("vq"))
+      VectorFunctions.quantize(vec, lit(scale.toDouble)).as("vq"))
     val ex = vq.select(col("vq"), posexplode(col("vq")))
       .toDF("vq", "i", "xi")
     val pr = ex
@@ -976,8 +975,7 @@ object Similarity {
   def standardize(emb: DataFrame, id: Column, vec: Column,
                   scale: Long = 1000L): DataFrame = {
     val ex = emb.select(id.as("vec_id"),
-        posexplode(transform(vec,
-          x => floor(x.cast("double") * scale + 0.5).cast("long"))))
+        posexplode(VectorFunctions.quantize(vec, lit(scale.toDouble))))
       .toDF("vec_id", "dim", "q")
     val nd = col("n").cast("double")
     val stats = ex.groupBy("dim")
@@ -1032,8 +1030,9 @@ object Similarity {
   def componentScores(emb: DataFrame, id: Column, vec: Column,
                       component: Array[Double]): DataFrame =
     emb.select(id.as("vec_id"),
-      round(dot(transform(vec, x => x.cast("double")),
-        typedLit(component.toSeq)), 4).as("score"))
+      // graft_dot casts elements to double internally — the explicit
+      // cast-transform lambda it replaces was an interpreted no-op
+      round(dot(vec, typedLit(component.toSeq)), 4).as("score"))
 
   /** Maximal-marginal-relevance selection (Carbonell–Goldstein MMR):
     * from each query's top-`c` cosine candidates, greedily pick `k`

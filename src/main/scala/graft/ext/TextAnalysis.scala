@@ -308,10 +308,13 @@ object TextAnalysis {
         posexplode(tokens(text)).as(Seq("pos", "term")))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .groupBy("doc_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"),
-          coalesce(col("tok_id"), lit(0L)).as("tid")))),
-        x => x("tid").cast("string")), ",").as("ids"),
+      .agg(array_join(
+        // GetArrayStructFields + element-wise array cast (both
+        // codegen'd) instead of a transform lambda — identical
+        // per-element long→string rendering
+        sort_array(collect_list(struct(col("pos"),
+          coalesce(col("tok_id"), lit(0L)).as("tid"))))
+          .getField("tid").cast("array<string>"), ",").as("ids"),
         count(lit(1)).as("n_tok"),
         sum(when(col("tok_id").isNull, 1L).otherwise(0L)).as("n_oov"))
   }

@@ -153,6 +153,84 @@ case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object WindowKernels {
+  /** All token windows of `win` tokens starting every `stride` tokens,
+    * each as (joined text, token count) — one byte pass, zero
+    * intermediate token arrays. Window s's joined text equals
+    * `array_join(slice(split(text, " "), s+1, win), " ")` because
+    * consecutive tokens are separated by exactly ONE 0x20 in the
+    * source, so the join is a byte-range view of the original text
+    * (the [[HashKernels.shingleHashes]] identity, applied to strided
+    * windows); the count is `min(win, nTok − s)` — the tail window is
+    * CLIPPED, exactly like slice() past the array end.
+    */
+  def tokenWindows(text: UTF8String, win: Int, stride: Int): ArrayData = {
+    val bytes = text.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val nTok = spaces + 1
+    val starts = new Array[Int](nTok)
+    starts(0) = 0
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val nWin = (nTok + stride - 1) / stride // starts 0, stride, … < nTok
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      val s = w * stride
+      val from = starts(s)
+      val until = if (s + win < nTok) starts(s + win) - 1 else bytes.length
+      val row = new GenericInternalRow(2)
+      row.update(0, UTF8String.fromBytes(bytes, from, until - from))
+      row.update(1, math.min(win, nTok - s))
+      out(w) = row
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_token_windows(text, win, stride)` — the strided-chunking
+  * kernel ([[WindowKernels.tokenWindows]]). Replaces
+  * `transform(sequence(0, size(tok)-1, stride), s -> slice(tok, s+1,
+  * win))`, whose interpreted lambda re-materializes the token array
+  * and allocates a slice per window — the hot projection of RAG
+  * chunking and fixed-grid passage dedup. `explode`/`posexplode` of
+  * this array yields one (txt, n) row per chunk with the window index
+  * as `pos`, corpus-token-linear with NO per-element interpreter.
+  */
+case class TokenWindows(child: Expression, win: Int, stride: Int)
+    extends UnaryExpression {
+
+  require(win > 0 && stride > 0, "win and stride must be positive")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("txt", StringType, nullable = false),
+      StructField("n", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_token_windows"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.sql}")
+
+  override def nullSafeEval(s: Any): Any =
+    WindowKernels.tokenWindows(s.asInstanceOf[UTF8String], win, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WindowKernels.tokenWindows($c, $win, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native quality-score kernel (the exact-BIGINT bps score of
   * [[graft.ext.TextAnalysis.qualityBps]]).
   *
@@ -321,4 +399,8 @@ object TermFunctions {
   /** Column API for [[TextStats]]. */
   def textStats(text: Column, stopWords: Seq[String]): Column =
     GraftBridge.column(TextStats(GraftBridge.expression(text), stopWords))
+
+  /** Column API for [[TokenWindows]]. */
+  def tokenWindows(text: Column, win: Int, stride: Int): Column =
+    GraftBridge.column(TokenWindows(GraftBridge.expression(text), win, stride))
 }

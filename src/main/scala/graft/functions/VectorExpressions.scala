@@ -174,6 +174,195 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd max(|x_i|) over a numeric array — the per-vector
+  * scale pass of int8 quantization, fused from
+  * `array_max(transform(v, abs))` whose lambda runs interpreted
+  * (CodegenFallback) and allocates an |v|-sized intermediate per row.
+  * Arithmetic identical to the HOF form: each element cast to double,
+  * abs, max. Null elements are SKIPPED (array_max's rule); an array
+  * with no non-null elements (empty, all-null) yields NULL, as does a
+  * NULL array. NaN elements propagate NaN (max-with-NaN, both forms).
+  */
+case class ArrayAbsMax(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_abs_max"
+  override def nullable: Boolean = true // empty/all-null input => NULL
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double|bigint> input, got ${t.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = Double.NaN
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val v = elemType match {
+          case FloatType => x.getFloat(i).toDouble
+          case LongType => x.getLong(i).toDouble
+          case _ => x.getDouble(i)
+        }
+        val av = Math.abs(v)
+        // java.lang.Double.compare-style max keeps NaN sticky like
+        // Spark's greatest-NaN ordering in array_max
+        if (!seen || av > mx || java.lang.Double.isNaN(av)) mx = av
+        seen = true
+      }
+      i += 1
+    }
+    if (seen) mx else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val av = ctx.freshName("av")
+      val seen = ctx.freshName("seen")
+      val getter = elemType match {
+        case FloatType => s"(double) $a.getFloat($i)"
+        case LongType => s"(double) $a.getLong($i)"
+        case _ => s"$a.getDouble($i)"
+      }
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $seen = false;
+         |${ev.value} = Double.NaN;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    final double $av = java.lang.Math.abs($getter);
+         |    if (!$seen || $av > ${ev.value} || Double.isNaN($av)) {
+         |      ${ev.value} = $av;
+         |    }
+         |    $seen = true;
+         |  }
+         |}
+         |${ev.isNull} = !$seen;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen'd fixed-point quantization of a numeric array:
+  * element-wise `floor(x * scale + 0.5)` cast to long — fused from
+  * `transform(v, x => floor(x.cast("double") * scale + 0.5)
+  * .cast("long"))`, the interpreted-HOF hot path of int8/µ-unit
+  * quantization (corpus-row-sized in every quantize/covariance/
+  * standardize consumer). Arithmetic identical to the HOF form and to
+  * DuckDB's `list_transform(v, x -> floor(x * scale + 0.5))`.
+  *
+  * Null semantics mirror the transform lambda exactly: NULL array →
+  * NULL; a NULL element OR a NULL scale → NULL at that element (so an
+  * EMPTY array under a NULL scale stays an empty array, never NULL —
+  * the null-fixture empty-vector class depends on it).
+  */
+case class QuantizeArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_quantize"
+  override def nullable: Boolean = left.nullable
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType | LongType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double|bigint>, double), " +
+            s"got (${l.sql}, ${r.sql})")
+    }
+
+  // NULL scale must NOT null the whole result (empty arrays survive it
+  // with zero elements; non-empty arrays get all-null elements), so
+  // eval bypasses the null-intolerant BinaryExpression default for the
+  // right child only.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val s = right.eval(input)
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (s == null || x.isNullAt(i)) null
+        else {
+          val v = elemType match {
+            case FloatType => x.getFloat(i).toDouble
+            case LongType => x.getLong(i).toDouble
+            case _ => x.getDouble(i)
+          }
+          Math.floor(v * s.asInstanceOf[Double] + 0.5).toLong
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val arr = ctx.freshName("arr")
+    val getter = elemType match {
+      case FloatType => s"(double) ${leftGen.value}.getFloat($i)"
+      case LongType => s"(double) ${leftGen.value}.getLong($i)"
+      case _ => s"${leftGen.value}.getDouble($i)"
+    }
+    val leftNullCheck =
+      if (left.nullable) s"${ev.isNull} = ${leftGen.isNull};" else ""
+    val scaleIsNull =
+      if (right.nullable) rightGen.isNull else "false"
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val newCode =
+      code"""
+         |${leftGen.code}
+         |boolean ${ev.isNull} = false;
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |$leftNullCheck
+         |if (!${ev.isNull}) {
+         |  ${rightGen.code}
+         |  final int $n = ${leftGen.value}.numElements();
+         |  Object[] $arr = new Object[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$scaleIsNull && !${leftGen.value}.isNullAt($i)) {
+         |      $arr[$i] = java.lang.Long.valueOf((long) java.lang.Math.floor(
+         |        $getter * ${rightGen.value} + 0.5));
+         |    }
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |}
+       """
+    ev.copy(code = newCode)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the native vector kernels. */
 object VectorFunctions {
   /** Codegen'd dot(a, b) in double precision, sequential accumulation —
@@ -185,4 +374,15 @@ object VectorFunctions {
   /** Codegen'd integer dot(a, b) over array<bigint> (quantized vectors). */
   def dotIntNative(a: Column, b: Column): Column =
     GraftBridge.column(DotProductLong(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd max(|x_i|) — drop-in for `array_max(transform(v, abs))`. */
+  def absMax(v: Column): Column =
+    GraftBridge.column(ArrayAbsMax(GraftBridge.expression(v)))
+
+  /** Codegen'd element-wise `floor(x * scale + 0.5)` as long — drop-in
+    * for the quantize transform lambda.
+    */
+  def quantize(v: Column, scale: Column): Column =
+    GraftBridge.column(QuantizeArray(
+      GraftBridge.expression(v), GraftBridge.expression(scale)))
 }

@@ -116,10 +116,18 @@ object PointerStore {
       val blocked = lease(root).exists { case (o, e) => o != owner && e > now }
       if (blocked) false
       else {
-        val tmp = s"$root/.lease.tmp"
+        // unique tmp per attempt: a SHARED tmp path would let two
+        // concurrent acquirers interleave write/rename so one renames
+        // the OTHER'S record into place and returns true holding
+        // nothing — with per-attempt tmps the rename installs exactly
+        // the bytes this attempt wrote, and the read-back confirms
+        // whose record actually stands (rename-with-overwrite still
+        // cannot CAS, so the losing writer of a simultaneous steal is
+        // told `false` here rather than at its next renew)
+        val tmp = s"$root/.lease.tmp.${java.util.UUID.randomUUID()}"
         Staging.writeString(tmp, s"$owner\n${now + ttlMs}")
         Staging.atomicRename(tmp, s"$root/.lease")
-        true
+        lease(root).exists { case (o, e) => o == owner && e > now }
       }
     }
 

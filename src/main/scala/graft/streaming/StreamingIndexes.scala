@@ -380,6 +380,13 @@ object StreamingAnn {
   * TRUE new pairs), replay is exactly-once and the fold runs under
   * the artifact's writer lease ([[Maintenance]]); auto-compaction
   * bounds segment count like the other three maintainers.
+  *
+  * `buckets` applies at BUILD time only: once the artifact exists,
+  * the stored index's bucket count wins (refresh segments must join
+  * the committed bucket space) — raising it for a grown corpus takes
+  * effect through [[graft.ext.HammingIndex.compact]]/rebuild, not a
+  * parameter change (unlike `maxDist`/`bands`/`bits`, which define
+  * the PAIR SEMANTICS and fail loudly on mismatch).
   */
 object StreamingHamming {
 

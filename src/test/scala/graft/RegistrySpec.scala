@@ -147,5 +147,6 @@ object RegistrySpec {
     "q_dedup_refresh", "q_ann_refresh", "q_novelty_refresh",
     "q_media_dedup", "q_ann_retrain", "q_novelty_compact",
     // round 18
-    "q_audio_dedup", "q_video_dedup")
+    "q_audio_dedup", "q_video_dedup", "q_media_dedup_refresh",
+    "q_video_dedup_multi")
 }

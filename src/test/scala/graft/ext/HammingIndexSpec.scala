@@ -112,6 +112,35 @@ class HammingIndexSpec extends SparkSpec {
       pairSet(Dedup.simhashHammingPairs(mkFps(0L until 60L), 3, 4, 64)))
   }
 
+  test("compact(rebucket) re-lays the index at a new bucket count: " +
+      "pairs and fingerprints unchanged, manifest records the new " +
+      "count, and a later refresh joins the new bucket space") {
+    val dir = tmp("hamidx_rb")
+    HammingIndex.build(mkFps(0L until 30L), maxDist = 3, bands = 4,
+      bits = 64, buckets = 4).write(dir)
+    HammingIndex.read(spark, dir).refresh(mkFps(30L until 60L)).write(dir)
+    val before = pairSet(HammingIndex.read(spark, dir).pairs)
+    // widen 4 -> 16 (the grown-corpus move a refresh-time parameter
+    // change deliberately cannot make)
+    HammingIndex.compact(spark, dir, rebucket = Some(16))
+    val idx = HammingIndex.read(spark, dir)
+    assert(idx.buckets == 16)
+    assert(pairSet(idx.pairs) == before, "rebucket changed the pairs")
+    assert(idx.fingerprints.count() == 60)
+    // rebucket on an ALREADY-compact artifact still rewrites (the
+    // size<=1 early-out must not skip a bucket-count change)...
+    HammingIndex.compact(spark, dir, rebucket = Some(8))
+    assert(HammingIndex.read(spark, dir).buckets == 8)
+    // ...but a same-count compact of a compact artifact stays a no-op
+    val v = graft.ops.Staging.currentVersion(dir)
+    HammingIndex.compact(spark, dir, rebucket = Some(8))
+    assert(graft.ops.Staging.currentVersion(dir) == v)
+    // day-3 refresh against the re-laid index: still == rebuild
+    HammingIndex.read(spark, dir).refresh(mkFps(60L until 90L)).write(dir)
+    assert(pairSet(HammingIndex.read(spark, dir).pairs) ==
+      pairSet(Dedup.simhashHammingPairs(mkFps(0L until 90L), 3, 4, 64)))
+  }
+
   test("stale handle refuses to commit over swept segments; format " +
       "guard refuses a foreign banding scheme") {
     val dir = tmp("hamidx_stale")

@@ -731,6 +731,13 @@ class MultimodalSpec extends SparkSpec {
         assert(m.kind == "image")
         assert(fps(m.media_id).isEmpty,
           s"non-video ${m.media_id} must not ride the video path")
+      } else if (m.media_id % 37 == 13) {
+        // the trimmed/re-encoded class: keyframe-0 is the per-id
+        // filler — keyframe-0 hashing must see the FILLER, not the
+        // group target (that is what makes the class invisible to the
+        // cheap pass and the multi-keyframe pass necessary)
+        assert(fps(m.media_id).contains(Multimodal.fillerFp(m.media_id)),
+          s"trim-class video ${m.media_id}: keyframe-0 != filler")
       } else {
         // container demux → first keyframe → REAL JPEG pixel decode →
         // dHash must land on the target despite DCT loss (the ±14
@@ -765,6 +772,63 @@ class MultimodalSpec extends SparkSpec {
       h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
     } yield (a, b, h.toLong)).toSet
     assert(banded == brute && banded.nonEmpty)
+  }
+
+  test("videoFrameFingerprints: one row per keyframe (both hash to " +
+      "their closed-form fps), undecodable containers keep one None " +
+      "row; the any-match pass recovers the trim-class pairs " +
+      "keyframe-0 hashing is blind to") {
+    val ids = (0L until 240L).toDF("doc_id")
+    val frames = Multimodal.videoFrameFingerprints(
+      Multimodal.synthesizeVideo(ids, col("doc_id"))).collect()
+    val byId = frames.groupBy(_.media_id)
+    byId.foreach { case (mid, rows) =>
+      if (mid % 19 == 11 || mid % 31 == 5) {
+        assert(rows.length == 1 && rows.head.frame_idx.isEmpty &&
+          rows.head.fp.isEmpty, s"$mid: undecodable/non-video row shape")
+      } else {
+        assert(rows.length == 2, s"$mid: expected 2 keyframe rows")
+        val m = rows.map(r => r.frame_idx.get -> r.fp.get).toMap
+        val (kf0, kf1) =
+          if (mid % 37 == 13)
+            (Multimodal.fillerFp(mid), Multimodal.targetFp(mid))
+          else (Multimodal.targetFp(mid), Multimodal.fillerFp(mid))
+        assert(m(0) == kf0 && m(1) == kf1, s"$mid: keyframe fps")
+      }
+    }
+    // at least one trim-class id with a group sibling in range
+    val trim = (0L until 240L).find(i => i % 37 == 13 && i % 19 != 11 &&
+      i % 31 != 5 && {
+        val g = i / Multimodal.NearDupGroup
+        (0L until 240L).exists(j => j != i && j / Multimodal.NearDupGroup == g
+          && j % 19 != 11 && j % 31 != 5 && j % 37 != 13)
+      }).get
+    // keyframe-0 pass: trim id absent from every pair
+    val kf0 = Multimodal.videoFingerprints(
+        Multimodal.synthesizeVideo(ids, col("doc_id")))
+      .filter(_.fp.isDefined)
+      .map(r => (r.media_id, r.fp.get)).toDF("doc_id", "fp")
+    val kf0Pairs = Dedup.simhashHammingPairs(kf0, 3, 4, 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!kf0Pairs.exists(p => p._1 == trim || p._2 == trim),
+      s"trim-class $trim must be invisible to keyframe-0 hashing")
+    // any-match multi-keyframe pass: composite (media, frame) ids
+    // through the shared pair search, collapsed to min-hamming per
+    // video pair — the trim id links to its group sibling
+    val comp = frames.filter(_.fp.isDefined)
+      .map(r => (r.media_id * 4 + r.frame_idx.get, r.fp.get))
+      .toSeq.toDF("doc_id", "fp")
+    val multi = Dedup.simhashHammingPairs(comp, 3, 4, 64)
+      .select((col("da") / 4).cast("long").as("da"),
+        (col("db") / 4).cast("long").as("db"), col("hamming"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(min("hamming").as("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(multi.exists(p => p._1 == trim || p._2 == trim),
+      s"any-match pass must recover trim-class $trim")
+    assert(kf0Pairs.map(p => (p._1, p._2))
+      .subsetOf(multi.map(p => (p._1, p._2))),
+      "multi-keyframe pairs must contain every keyframe-0 pair")
   }
 
   test("synthesizeAudio: every decodable WAV's spectro-temporal hash " +
