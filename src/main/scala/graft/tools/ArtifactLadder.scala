@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingAnn, StreamingNovelty}
+import graft.streaming.{StreamingAnn, StreamingHamming, StreamingNovelty}
 
 /** Per-batch commit-cost ladder for the OTHER two durable artifacts
   * ([[DupGraphLadder]] covers the dup graph): drive the streaming
@@ -15,8 +15,13 @@ import graft.streaming.{StreamingAnn, StreamingNovelty}
   * NEW shingles only — a re-crawl-heavy batch commits almost nothing,
   * and neither ever rewrites the accumulated corpus segments.
   *
-  * Usage: runMain graft.tools.ArtifactLadder [ann|novelty] [sfDir]
-  *        [factor] [batches] [compactEvery]
+  * `hamming` (r19) drives [[StreamingHamming]] over the media
+  * fixture's closed-form fingerprints (8 bytes/item — the decode
+  * stage's output shape): index commit bytes follow the batch's
+  * banded rows, pair commit bytes follow the batch's TRUE new pairs.
+  *
+  * Usage: runMain graft.tools.ArtifactLadder [ann|novelty|hamming]
+  *        [sfDir] [factor] [batches] [compactEvery]
   * `compactEvery` > 0 enables the maintainers' auto-compaction policy
   * (r16): per-batch `segn` stays bounded by the threshold (the read
   * amplification ceiling) instead of growing one per batch; trigger
@@ -71,23 +76,38 @@ object ArtifactLadder {
         StreamingAnn.foldBatch(
           batch.select(col("vec_id"), col("embedding")), out, b.toLong,
           m = 4, subDim = 16, compactEvery = compactEvery)
-      else
+      else if (kind == "hamming") {
+        // the media fixture's closed-form fingerprints: what the
+        // decode stage hands the artifact (8 bytes/item), with the
+        // true near-dup group geometry so pair deltas are non-trivial
+        import spark.implicits._
+        val fps = batch.select(col("doc_id")).as[Long]
+          .map(i => (i, graft.ext.Multimodal.targetFp(i)))
+          .toDF("doc_id", "fp")
+        StreamingHamming.foldBatch(fps, out, b.toLong,
+          maxDist = 3, bands = 4, bits = 64, buckets = 32,
+          compactEvery = compactEvery)
+      } else
         StreamingNovelty.foldBatch(
           batch.select(col("doc_id"), col("text")), out, b.toLong,
           n = 3, buckets = 32, compactEvery = compactEvery)
       val sec = (System.nanoTime() - t0) / 1e9
-      val segKey = if (kind == "ann") "csegs" else "ssegs"
+      val segKey = kind match {
+        case "ann" => "csegs"; case "hamming" => "isegs"; case _ => "ssegs"
+      }
       val segn = graft.streaming.Maintenance.segmentCount(out, Seq(segKey))
       val v = graft.ops.Staging.currentVersion(out).get
-      val segId = (if (kind == "ann") "c" else "s") + v
+      val segId = segKey.take(1) + v
       val segBytes = dirBytes(s"$out/segments/$segId")
       // ANN catalogs are segment-shared across a train generation
       // (commit-floor trim): only a commit that WROTE them this version
       // (n<v>/b<v> exist) counts them — every other ingest commit
-      // references the frozen pair for zero catalog bytes
+      // references the frozen pair for zero catalog bytes. Hamming's
+      // side family is the batch's TRUE-new-pair delta (p<v>).
       val sideBytes =
         if (kind == "ann")
           dirBytes(s"$out/segments/n$v") + dirBytes(s"$out/segments/b$v")
+        else if (kind == "hamming") dirBytes(s"$out/segments/p$v")
         else 0L
       val commitMb = (segBytes + sideBytes) / 1e6
       println(f"[ladder:$kind] batch $b%2d rows $bn%8d fold $sec%7.2f s " +
