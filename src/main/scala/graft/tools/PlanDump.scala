@@ -15,7 +15,21 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (exec) { df.collect(); println(df.queryExecution.executedPlan.toString) }
+    if (args.contains("fallback")) {
+      // name every interpreted (CodegenFallback) expression node in the
+      // optimized plan — the drill-down behind PLAN_SIGNATURES.json's
+      // fallback=N when deciding whether a residual is hot-path
+      df.queryExecution.optimizedPlan.foreach { lp =>
+        lp.expressions.foreach(_.foreach {
+          case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback =>
+            val x = e.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+            println(s"[fallback] ${lp.nodeName}: ${x.prettyName} — " +
+              x.toString.take(120))
+          case _ => ()
+        })
+      }
+    }
+    else if (exec) { df.collect(); println(df.queryExecution.executedPlan.toString) }
     else df.explain("formatted")
     spark.stop()
   }

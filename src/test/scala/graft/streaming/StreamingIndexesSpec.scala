@@ -351,4 +351,24 @@ class StreamingIndexesSpec extends SparkSpec {
       truth.nonEmpty)
     assert(idx.fingerprints.count() == 180)
   }
+
+  test("StreamingHamming is modality-agnostic: AUDIO fingerprints " +
+      "(real WAV decode) folded in two batches equal the one-shot pair " +
+      "search — the artifact never knows which decoder fed it") {
+    import graft.ext.{Dedup, HammingIndex, Multimodal}
+    val path = java.nio.file.Files.createTempDirectory("sham_audio").toString
+    def fps(lo: Long, hi: Long) = Multimodal.audioFingerprints(
+        Multimodal.synthesizeAudio((lo until hi).toDF("doc_id"),
+          col("doc_id")))
+      .filter(_.fp.isDefined)
+      .map(r => (r.media_id, r.fp.get)).toDF("doc_id", "fp")
+    StreamingHamming.foldBatch(fps(0L, 40L), path, 0L, buckets = 8)
+    StreamingHamming.foldBatch(fps(40L, 80L), path, 1L, buckets = 8)
+    val truth = Dedup.simhashHammingPairs(fps(0L, 80L),
+        maxDist = 3, bands = 4, bits = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test premise: audio corpus must carry pairs")
+    assert(HammingIndex.read(spark, path).pairs
+      .as[(Long, Long, Long)].collect().toSet == truth)
+  }
 }
