@@ -1516,4 +1516,125 @@ object Multimodal {
     */
   private[ext] def fillerFp(id: Long): Long =
     mix64(mix64(id) ^ 0x9e3779b97f4a7c15L)
+
+  // ---------------------------------------------- gif fixture synthesis
+
+  /** [[fpImage]]'s walk rendered INDEXED (identity 256-gray palette):
+    * the JDK GIF writer emits an indexed image's own palette verbatim,
+    * so the GIF roundtrip is exactly lossless and decode → dHash lands
+    * on `fp` — TYPE_INT_RGB input would pass through the writer's
+    * color QUANTIZER, which can merge adjacent walk levels and flip
+    * fingerprint bits (the MultimodalSpec GIF-sampling test documents
+    * that quantization).
+    */
+  private def fpImageIndexed(fp: Long, step: Int): java.awt.image.BufferedImage = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < 8) {
+      var l = 128
+      raster.setSample(0, y, 0, l)
+      var x = 0
+      while (x < 8) {
+        l = if (((fp >>> (y * 8 + x)) & 1L) == 1L) l - step else l + step
+        raster.setSample(x + 1, y, 0, l)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** A real 2-frame animated GIF (JDK imageio writer — the same codec
+    * stack [[decodeGifFrames]] reads with): frame 0 realizes `fp`
+    * exactly (indexed palette ⇒ lossless roundtrip), frame 1 realizes
+    * `filler`, 100 ms delays via per-frame GraphicControlExtension.
+    */
+  private[ext] def gifForFp(fp: Long, filler: Long): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      Seq(fp, filler).foreach { f =>
+        val img = fpImageIndexed(f, step = 10)
+        val md = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10") // 100 ms in 1/100 s units
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        md.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, md),
+          writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Perceptual fingerprints for the ANIMATED-GIF column: real JDK
+    * GIF decode ([[decodeGifFrames]] — palette, frame compositing,
+    * timing) → first composited frame → [[imageDHash]]. None for
+    * non-gif kinds, unparseable payloads, and frameless files — the
+    * [[perceptualFingerprints]] contract on the fourth modality.
+    */
+  def gifFingerprints(media: Dataset[MediaRow]): Dataset[FingerprintRow] = {
+    implicit val enc = Encoders.product[FingerprintRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val fp =
+          if (m.kind == "gif" && isGif(m.payload))
+            decodeGifFrames(m.payload).flatMap(_.headOption)
+              .map(f => imageDHash(f.image))
+          else None
+        FingerprintRow(m.media_id, m.kind, fp)
+      }
+    }
+  }
+
+  /** Deterministic synthetic ANIMATED-GIF corpus keyed by an id column
+    * — the fourth modality fixture ([[synthesizeMedia]] discipline):
+    *
+    *  - `id % 41 == 3`: CORRUPT payload (the GIF truncated to 24
+    *    bytes — signature + logical screen parse, the frame data is
+    *    gone). A FOURTH distinct corrupt class (image %29==17, audio
+    *    %23==7, video %19==11), so all four modalities gate different
+    *    pair tables.
+    *  - else `id % 31 == 5`: an `image` row (stub payload) — kind
+    *    routing, never fingerprinted by the gif path.
+    *  - else: a real 2-frame animated GIF whose FIRST frame realizes
+    *    [[targetFp]]`(id)` exactly (lossless indexed roundtrip) and
+    *    whose second frame is the per-id unique [[fillerFp]].
+    */
+  def synthesizeGif(ids: DataFrame, id: Column): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    ids.select(id.cast("long").as("media_id")).na.drop()
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        it.map { mid =>
+          if (mid % 41 == 3)
+            MediaRow(mid, "gif",
+              gifForFp(targetFp(mid), fillerFp(mid)).take(24),
+              "image/gif", None, None, None, None)
+          else if (mid % 31 == 5)
+            MediaRow(mid, "image", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47),
+              "image/png", Some(9), Some(8), None, None)
+          else
+            MediaRow(mid, "gif", gifForFp(targetFp(mid), fillerFp(mid)),
+              "image/gif", Some(9), Some(8), None, Some(200L))
+        }
+      }
+  }
 }

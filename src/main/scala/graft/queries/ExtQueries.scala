@@ -3519,6 +3519,59 @@ object ExtQueries {
       "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
 
+  /** `q_gif_dedup`'s extracted-fingerprint publish dir — the
+    * [[mediaFpDir]] contract verbatim.
+    */
+  private val gifFpDir = s"${System.getProperty("java.io.tmpdir")}" +
+    s"/graft_gif_fp_${ProcessHandle.current().pid()}"
+
+  /** [EXT] L117f multimodal near-duplicate detection, ANIMATED-GIF
+    * column ([[graft.ext.Multimodal.synthesizeGif]] →
+    * [[graft.ext.Multimodal.gifFingerprints]] →
+    * [[Dedup.simhashHammingPairs]]): REAL animated GIFs decode through
+    * the JDK GIF codec (palette resolution, frame COMPOSITING, real
+    * per-frame timing — the [[graft.ext.Multimodal.decodeGifFrames]]
+    * path `sampleFrames` rides), the first composited frame dHashes to
+    * a 64-bit fingerprint, and bands into the shared hamming pair
+    * search. Unlike the JPEG keyframe row this roundtrip is LOSSLESS
+    * (indexed palette), so the fixture's fingerprints land on their
+    * closed-form targets with zero margin needed (MultimodalSpec pins
+    * it). The corrupt class (truncated GIF, id%41==3 — a FOURTH
+    * distinct id class) and non-gif kinds fingerprint to NULL and are
+    * dropped by the declared rule ON BOTH ENGINES over the same
+    * Spark-extracted fingerprint table ([[mediaFpDir]]'s contract).
+    *
+    * Scale posture: identical to the other modality rows — decode is
+    * partition-local over opaque payload bytes, the pair search is
+    * banded bucket-join cost, 8 bytes/animation leave the decode
+    * stage.
+    */
+  private val qGifDedup = Q("q_gif_dedup",
+    (s, d) => {
+      val gifs = graft.ext.Multimodal.synthesizeGif(
+        t(s, d, "documents").select(col("doc_id")).repartition(32),
+        col("doc_id"))
+      graft.ops.Staging.deleteTree(gifFpDir)
+      graft.ext.Multimodal.gifFingerprints(gifs).toDF()
+        .write.parquet(gifFpDir)
+      val fps = s.read.parquet(gifFpDir)
+        .filter(col("kind") === "gif" && col("fp").isNotNull)
+        .select(col("media_id").as("doc_id"), col("fp"))
+      Dedup.simhashHammingPairs(fps, maxDist = 3, bands = 4, bits = 64)
+        .orderBy("da", "db")
+        .localCheckpoint(true)
+    },
+    Some("WITH fp AS (SELECT media_id, fp FROM " +
+      s"read_parquet('$gifFpDir/*.parquet') " +
+      "WHERE kind = 'gif' AND fp IS NOT NULL), " +
+      "bands AS (SELECT media_id, fp, b, (fp >> (b * 16)) & 65535 AS key " +
+      "FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.media_id AS da, y.media_id AS db, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.media_id < y.media_id) " +
+      "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
+
   /** `q_video_dedup_multi`'s extracted-fingerprint publish dir — the
     * [[mediaFpDir]] contract verbatim.
     */
@@ -4811,5 +4864,5 @@ object ExtQueries {
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
     qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain,
     qNoveltyCompact, qAudioDedup, qVideoDedup, qMediaDedupRefresh,
-    qVideoDedupMulti)
+    qVideoDedupMulti, qGifDedup)
 }

@@ -831,6 +831,44 @@ class MultimodalSpec extends SparkSpec {
       "multi-keyframe pairs must contain every keyframe-0 pair")
   }
 
+  test("synthesizeGif: every decodable animated GIF's first composited " +
+      "frame dHashes to its closed-form target EXACTLY (indexed palette " +
+      "⇒ lossless roundtrip through the real JDK GIF codec); corrupt " +
+      "and non-gif rows fingerprint to None; generation is " +
+      "byte-deterministic; frames carry real timing") {
+    val ids = (0L until 130L).toDF("doc_id")
+    val corpus = Multimodal.synthesizeGif(ids, col("doc_id")).collect()
+    assert(corpus.length == 130)
+    val fps = Multimodal.gifFingerprints(
+        Multimodal.synthesizeGif(ids, col("doc_id")))
+      .collect().map(r => r.media_id -> r.fp).toMap
+    corpus.foreach { m =>
+      if (m.media_id % 41 == 3) {
+        assert(m.kind == "gif" && m.payload.length == 24)
+        assert(fps(m.media_id).isEmpty,
+          s"corrupt GIF ${m.media_id} must fingerprint to None")
+      } else if (m.media_id % 31 == 5) {
+        assert(m.kind == "image")
+        assert(fps(m.media_id).isEmpty,
+          s"non-gif ${m.media_id} must not ride the gif path")
+      } else {
+        assert(fps(m.media_id).contains(Multimodal.targetFp(m.media_id)),
+          s"gif ${m.media_id}: frame-0 dHash != closed-form target")
+        // and it is a real 2-frame animation with 100 ms delays
+        val frames = Multimodal.decodeGifFrames(m.payload).get
+        assert(frames.length == 2 &&
+          frames.map(f => (f.startMs, f.delayMs)) ==
+            Vector((0L, 100L), (100L, 100L)))
+        // frame 1 composites to the per-id filler (full-frame overlay)
+        assert(Multimodal.imageDHash(frames(1).image) ==
+          Multimodal.fillerFp(m.media_id))
+      }
+    }
+    val again = Multimodal.synthesizeGif(ids, col("doc_id")).collect()
+      .map(m => m.media_id -> m.payload.toSeq).toMap
+    assert(corpus.map(m => m.media_id -> m.payload.toSeq).toMap == again)
+  }
+
   test("synthesizeAudio: every decodable WAV's spectro-temporal hash " +
       "equals its closed-form target (the PCM decode → FFT → band-" +
       "ordering gate); corrupt and non-audio rows fingerprint to None; " +
