@@ -3572,6 +3572,79 @@ object ExtQueries {
       "SELECT da, db, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
       "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 ORDER BY da, db"))
 
+  /** `q_crossmodal_dedup`'s extracted-fingerprint publish dir — the
+    * [[mediaFpDir]] contract verbatim.
+    */
+  private val crossFpDir = s"${System.getProperty("java.io.tmpdir")}" +
+    s"/graft_cross_fp_${ProcessHandle.current().pid()}"
+
+  /** [EXT] L117g CROSS-MODAL near-duplicate linking: the same content
+    * shipped as a still image AND as an animation must link — dHash
+    * fingerprints from every visual modality live in ONE hamming
+    * space, so "the GIF whose first frame is this thumbnail" is the
+    * SAME banded pair search over the union of fingerprint tables,
+    * with modality-qualified composite ids (media·4 + kindCode) and a
+    * cross-kind filter. The image fixture's PNGs and the GIF
+    * fixture's frame-0s realize the same closed-form targets per id,
+    * so every id whose payloads are decodable in BOTH modalities
+    * yields a (png, gif) pair at hamming 0 and near-dup group
+    * siblings link across modalities at ≤3 — while each fixture's
+    * OWN corrupt class (image %29==17, gif %41==3) breaks only its
+    * side, leaving the other modality's row unlinked: the oracle
+    * sees corruption ASYMMETRY, not just pair presence.
+    *
+    * Scale posture: the union is fingerprint-table-sized (8 bytes ×
+    * items per modality), the search stays banded bucket-join cost,
+    * and the cross-kind filter is a post-join predicate on the
+    * composite id's low bits — no new shuffle class. At 100 TB this
+    * is the dedup pass that catches content laundered ACROSS formats.
+    */
+  private val qCrossmodalDedup = Q("q_crossmodal_dedup",
+    (s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id")).repartition(32)
+      val media = graft.ext.Multimodal.synthesizeMedia(ids, col("doc_id"))
+      val gifs = graft.ext.Multimodal.synthesizeGif(ids, col("doc_id"))
+      graft.ops.Staging.deleteTree(crossFpDir)
+      graft.ext.Multimodal.perceptualFingerprints(media).toDF()
+        .unionByName(graft.ext.Multimodal.gifFingerprints(gifs).toDF())
+        .write.parquet(crossFpDir)
+      val fps = s.read.parquet(crossFpDir)
+        .filter(col("kind").isin("image", "gif") && col("fp").isNotNull)
+        .select((col("media_id") * 4 +
+          when(col("kind") === "image", 0).otherwise(1)).as("doc_id"),
+          col("fp"))
+      Dedup.simhashHammingPairs(fps, maxDist = 3, bands = 4, bits = 64)
+        // keep CROSS-modality links only (same-kind pairs are the
+        // q_media_dedup / q_gif_dedup rows' business)
+        .filter(pmod(col("da"), lit(4)) =!= pmod(col("db"), lit(4)))
+        .select((col("da") / 4).cast("long").as("da"),
+          when(pmod(col("da"), lit(4)) === 0, "image").otherwise("gif")
+            .as("kind_a"),
+          (col("db") / 4).cast("long").as("db"),
+          when(pmod(col("db"), lit(4)) === 0, "image").otherwise("gif")
+            .as("kind_b"),
+          col("hamming"))
+        .orderBy("da", "kind_a", "db", "kind_b")
+        .localCheckpoint(true)
+    },
+    Some("WITH fp AS (SELECT media_id * 4 + " +
+      "(CASE WHEN kind = 'image' THEN 0 ELSE 1 END) AS cid, fp FROM " +
+      s"read_parquet('$crossFpDir/*.parquet') " +
+      "WHERE kind IN ('image', 'gif') AND fp IS NOT NULL), " +
+      "bands AS (SELECT cid, fp, b, (fp >> (b * 16)) & 65535 AS key " +
+      "FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)), " +
+      "cand AS (SELECT DISTINCT x.cid AS ca, y.cid AS cb, " +
+      "x.fp AS fa, y.fp AS fb FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.key = y.key AND x.cid < y.cid) " +
+      "SELECT ca // 4 AS da, " +
+      "CASE WHEN ca % 4 = 0 THEN 'image' ELSE 'gif' END AS kind_a, " +
+      "cb // 4 AS db, " +
+      "CASE WHEN cb % 4 = 0 THEN 'image' ELSE 'gif' END AS kind_b, " +
+      "CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming " +
+      "FROM cand WHERE bit_count(xor(fa, fb)) <= 3 " +
+      "AND ca % 4 <> cb % 4 " +
+      "ORDER BY da, kind_a, db, kind_b"))
+
   /** `q_video_dedup_multi`'s extracted-fingerprint publish dir — the
     * [[mediaFpDir]] contract verbatim.
     */
@@ -4864,5 +4937,5 @@ object ExtQueries {
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
     qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain,
     qNoveltyCompact, qAudioDedup, qVideoDedup, qMediaDedupRefresh,
-    qVideoDedupMulti, qGifDedup)
+    qVideoDedupMulti, qGifDedup, qCrossmodalDedup)
 }

@@ -148,5 +148,5 @@ object RegistrySpec {
     "q_media_dedup", "q_ann_retrain", "q_novelty_compact",
     // round 18
     "q_audio_dedup", "q_video_dedup", "q_media_dedup_refresh",
-    "q_video_dedup_multi", "q_gif_dedup")
+    "q_video_dedup_multi", "q_gif_dedup", "q_crossmodal_dedup")
 }
