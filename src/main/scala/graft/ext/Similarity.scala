@@ -45,7 +45,7 @@ object Similarity {
     * norm CTE.
     */
   def withNorm(emb: DataFrame, id: Column, vec: Column,
-               dim: Int = -1): DataFrame =
+               dim: Int = -1, keep: Seq[Column] = Nil): DataFrame =
     emb.filter(vec.isNotNull && size(vec) > 0 &&
         // dim > 0 declares the model dimension and drops RAGGED rows
         // (truncated writes, mixed encoder versions): a wrong-length
@@ -57,7 +57,11 @@ object Similarity {
         // front, like the other corrupt-row classes below. The null
         // fixture carries ragged rows to gate this cross-engine.
         (if (dim > 0) size(vec) === dim else lit(true)))
-      .select(id.as("vec_id"), vec.as("v"), norm(vec).as("nm"))
+      // `keep` carries metadata columns (label, source, …) through the
+      // gate so label-consuming operators (knnClassify, marginMine's
+      // side split) don't need a second pass over the table
+      .select(Seq(id.as("vec_id"), vec.as("v"), norm(vec).as("nm")) ++
+        keep: _*)
       // an all-zero vector (failed encoder, padding row) has nm = 0:
       // its cosine is 0/0 = NaN, and Spark sorts NaN ABOVE every real
       // double, so it would rank FIRST in every top-k — dropped here
@@ -1108,5 +1112,181 @@ object Similarity {
     }
     picks.select(col("qid"), col("pick"), col("vec_id"),
       (round(col("score"), 4) + lit(0.0)).as("score"))
+  }
+
+  /** Margin-criterion bitext mining (Artetxe & Schwenk, ACL 2019 —
+    * the LASER mining rule): for source-side vector x and target-side
+    * vector y,
+    *
+    *   margin(x, y) = cos(x, y) / ((fwd_k(x) + bwd_k(y)) / 2)
+    *
+    * where fwd_k/bwd_k are the mean cosine of each vector's k nearest
+    * neighbors on the OTHER side. Each x keeps its best-margin y when
+    * the ratio clears `threshold` — absolute-cosine mining misfires on
+    * hubness (some vectors are near everything); the margin normalizes
+    * by local neighborhood density on both sides.
+    *
+    * Determinism contract: the pair cosine is quantized ONCE to exact
+    * µ-units (round(cos·1e6) as BIGINT); both k-NN sums are then exact
+    * integer sums and the margin is a single IEEE divide of exact
+    * integers — bit-identical across engines, no float-accumulation
+    * order anywhere. Ranking ties break on the id.
+    *
+    * 100 TB posture: the scored frame is |X|·|Y| here (the exact
+    * baseline, X broadcast); at corpus scale the same margin math runs
+    * unchanged over an ANN candidate list per x (ivfTopK / signLshPairs
+    * generate candidates; fwd/bwd sums then use each side's retrieved
+    * top-k, the standard large-scale margin approximation). Two window
+    * passes per side are shuffle-partitioned on xid/yid — no driver
+    * state.
+    *
+    * @param x source side, [[withNorm]]-shaped (vec_id, v, nm)
+    * @param y target side, [[withNorm]]-shaped
+    */
+  def marginMine(x: DataFrame, y: DataFrame, k: Int,
+                 threshold: Double): DataFrame = {
+    val q = x.select(col("vec_id").as("xid"), col("v").as("xv"),
+      col("nm").as("xn"))
+    val c = y.select(col("vec_id").as("yid"), col("v").as("yv"),
+      col("nm").as("yn"))
+    // spread the target side BEFORE the |X|·|Y| fan-out at a PINNED
+    // partition count (the knnMeanCos rule): one parquet split — or an
+    // AQE coalesce of the byte-tiny pre-multiply exchange — would
+    // score every pair on one task; the exchange moves |Y| pre-multiply
+    // rows only
+    val scored = c
+      .repartition(c.sparkSession.sessionState.conf.numShufflePartitions,
+        col("yid"))
+      .join(broadcast(q))
+      .select(col("xid"), col("yid"),
+        round(cosinePre(dot(col("xv"), col("yv")), col("xn"), col("yn"))
+          * lit(1e6)).cast("long").as("qcos"))
+    // Both k-NN sums are FUSED into their ranking pass as a second
+    // window over the same partitioning (rank, then an unordered
+    // partition-wide sum of the rank-gated value) — an aggregate+join
+    // formulation re-shuffles the |X|·|Y| scored frame once per side
+    // and then twice more through the joins (measured: 2 SortMergeJoins
+    // + 6 exchanges). Window ORDER exploits preserved partitioning:
+    // the scored frame leaves the fan-out join partitioned by yid (the
+    // streamed side), so the yid windows run exchange-free; the xid
+    // windows then cost ONE exchange, and the final per-xid argmax
+    // rides that same partitioning — one big-frame exchange end-to-end.
+    import org.apache.spark.sql.expressions.Window
+    val wx = Window.partitionBy(col("xid"))
+      .orderBy(col("qcos").desc, col("yid"))
+    val wy = Window.partitionBy(col("yid"))
+      .orderBy(col("qcos").desc, col("xid"))
+    val margined = scored
+      .withColumn("rny", row_number().over(wy))
+      .withColumn("bs", sum(when(col("rny") <= k, col("qcos")))
+        .over(Window.partitionBy(col("yid"))))
+      .withColumn("rnx", row_number().over(wx))
+      .withColumn("fs", sum(when(col("rnx") <= k, col("qcos")))
+        .over(Window.partitionBy(col("xid"))))
+      .select(col("xid"), col("yid"), col("qcos"),
+        (lit(2.0 * k) * col("qcos") / (col("fs") + col("bs")))
+          .as("margin"))
+    Windows.findFirst(margined, keys = Seq(col("xid")),
+        priority = Seq(col("margin").desc, col("yid")))
+      .filter(col("margin") >= threshold)
+      .select(col("xid"), col("yid"),
+        round(col("margin"), 4).as("margin"),
+        round(col("qcos") / lit(1e6), 4).as("cos"))
+  }
+
+  /** k-NN majority-vote classification over an embedding space — label
+    * propagation from a labeled corpus to unlabeled queries (the
+    * standard weak-labeling pass of a training-data pipeline: propagate
+    * curated domain/topic/quality labels to new documents by embedding
+    * neighborhood). Neighbors by cosine (ties → corpus id), prediction
+    * by vote count (ties → smaller label). Everything after the
+    * neighbor cut is integer arithmetic — deterministic by
+    * construction.
+    *
+    * 100 TB posture: queries broadcast against a corpus scanned once
+    * (the [[bruteForceTopK]] shape — WindowGroupLimit stops each group
+    * at rank k); at corpus scale swap the scored join for ivfTopK
+    * candidates, the vote math is unchanged.
+    *
+    * @param queries [[withNorm]]-shaped (vec_id, v, nm)
+    * @param corpus  [[withNorm]]-shaped plus a `label` column
+    *                (withNorm(keep = Seq(col("label"))))
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame,
+                  k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nm").as("qn"))
+    val scored = corpus.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm"))
+          .as("cos"))
+    val nn = Windows.findFirstK(scored, keys = Seq(col("qid")),
+      priority = Seq(col("cos").desc, col("vec_id")), k = k,
+      rankName = "rnk")
+    val votes = nn.groupBy("qid", "label")
+      .agg(count(lit(1)).as("votes"))
+    Windows.findFirst(votes, keys = Seq(col("qid")),
+        priority = Seq(col("votes").desc, col("label")))
+      .select(col("qid"), col("label").cast("long").as("pred_label"),
+        col("votes"))
+  }
+
+  /** Per-vector k-NN mean cosine — the embedding-space isolation score.
+    * A vector whose k nearest neighbors are all far away is a semantic
+    * outlier (mis-encoded row, off-distribution document, junk page);
+    * ranking ascending surfaces the cleaning candidates. The dual of
+    * near-dup mining: dedup keys on the TOP of the similarity range,
+    * this keys on the BOTTOM.
+    *
+    * Determinism: per-pair cosine quantized to exact µ-units before the
+    * top-k sum (integer-exact, no accumulation-order drift); the
+    * returned mean is one IEEE divide of exact integers.
+    *
+    * Returns (vec_id, sc BIGINT µ-sum, cnt, knn_cos) — callers rank on
+    * the exact `sc`, display `knn_cos`.
+    *
+    * 100 TB posture: self-scored via broadcast of the query side per
+    * batch (corpus scanned once per batch); at scale the candidate join
+    * is ivfTopK/LSH-bucketed, the µ-sum unchanged.
+    */
+  def knnMeanCos(n: DataFrame, k: Int): DataFrame = {
+    val c = n.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("nm").as("cn"))
+    // Each unordered pair is scored ONCE (qid < cid halves the n²
+    // dot-product fan-out — the expensive stage at 2 µs/pair of row
+    // plumbing) and both orientations are emitted by a 2-element
+    // explode in the same codegen'd pass. The mirror is EXACT: the dot
+    // sums x_i·y_i index-by-index and the norm product commutes, so
+    // qcos(a,b) and qcos(b,a) are the same double bit-for-bit. The
+    // streamed side is SPREAD before the fan-out with a PINNED
+    // partition count (REPARTITION_BY_NUM): the pre-multiply frame is
+    // tiny by bytes, so both a single parquet split AND an AQE
+    // partition-coalesce would land every pair of the ×|n| blowup on
+    // ONE task — AQE sizes the stage by the exchange's bytes and
+    // cannot see the multiply (measured 4.7 s coalesced vs 0.95 s
+    // spread for the same window). The exchange moves |n| pre-multiply
+    // rows, not |n|².
+    val scored = n
+      .repartition(n.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nm").as("qn"))
+      .join(broadcast(c), col("qid") < col("cid"))
+      .select(col("qid").as("a"), col("cid").as("b"),
+        round(cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn"))
+          * lit(1e6)).cast("long").as("qcos"))
+      .select(explode(array(
+        struct(col("a").as("qid"), col("b").as("vec_id"), col("qcos")),
+        struct(col("b").as("qid"), col("a").as("vec_id"), col("qcos"))))
+        .as("e"))
+      .select(col("e.qid").as("qid"), col("e.vec_id").as("vec_id"),
+        col("e.qcos").as("qcos"))
+    Windows.findFirstK(scored, keys = Seq(col("qid")),
+        priority = Seq(col("qcos").desc, col("vec_id")), k = k,
+        rankName = "rnk")
+      .groupBy("qid").agg(sum("qcos").as("sc"), count(lit(1)).as("cnt"))
+      .select(col("qid").as("vec_id"), col("sc"), col("cnt"),
+        round(col("sc").cast("double") / (col("cnt") * lit(1e6)), 4)
+          .as("knn_cos"))
   }
 }

@@ -173,6 +173,46 @@ object TextAnalysis {
                           id: Column): DataFrame =
     scoreAgainstLm(docs, text, id, trainUnigramLm(docs, text))
 
+  /** Per-document token Shannon entropy in bits (the distribution-
+    * uniformity quality signal, complementary to [[unigramCrossEntropy]]
+    * — that one scores docs against the CORPUS distribution, this one
+    * scores each doc's OWN distribution: near-zero entropy is a
+    * keyword-stuffed / single-token-spam page even when every token is
+    * corpus-typical, high entropy at a given length is diverse prose).
+    *
+    *   H(doc) = Σ_terms (tf/n)·(−log2(tf/n))
+    *
+    * Determinism: the per-term surprisal is quantized to integer
+    * micro-bits (round(−log2(tf/n)·1e6), the [[trainUnigramLm]] idiom),
+    * weighted by the exact integer tf, and summed as BIGINT — no float
+    * accumulation order anywhere; the final bits readout is one IEEE
+    * divide of exact integers, rounded to 4.
+    *
+    * Scale posture: rides the `graft_term_counts` kernel (distinct-term
+    * rows, not token rows); the doc-keyed window and the final
+    * aggregate share one hash partitioning on doc_id — a single
+    * exchange end-to-end, no corpus-sized join. Docs with NULL text
+    * have no term rows and are omitted (the [[scoreAgainstLm]]
+    * convention).
+    */
+  def tokenEntropy(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    import graft.functions.TermFunctions
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(id.as("doc_id"), explode(TermFunctions.termCounts(text)).as("e"))
+      .select(col("doc_id"), col("e.tf").cast("long").as("c"))
+    tf.withColumn("n_tok",
+        sum("c").over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("n_tok"),
+        (col("c") * round(-log(2.0, col("c").cast("double") / col("n_tok"))
+          * 1e6).cast("long")).as("w"))
+      .groupBy("doc_id", "n_tok")
+      .agg(sum("w").as("wsum"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("wsum").cast("double") / (col("n_tok") * lit(1e6)), 4)
+          .as("ent_bits"))
+  }
+
   /** Pass 1 of [[unigramCrossEntropy]]: the corpus-trained unigram LM
     * as a (term, cost) table, cost = round(−log2(p)·1e6) µbits. A
     * production pipeline materializes this table once and feeds every

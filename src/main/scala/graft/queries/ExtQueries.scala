@@ -4902,6 +4902,133 @@ object ExtQueries {
       "CAST((p.p - 1) * c.n_src + s.src_rank AS BIGINT) AS slot " +
       "FROM p JOIN s USING (source), c ORDER BY slot"))
 
+  // ------------------------------------------- round-19 session 2:
+  // margin-criterion bitext mining, k-NN label propagation,
+  // embedding-space outlier scoring, per-doc token entropy
+
+  /** [EXT] Margin-criterion bitext mining (the LASER rule): label<5
+    * plays the source-side encoder output, label>=5 the target side;
+    * each source vector keeps its best-margin target when the ratio
+    * vs both local neighborhoods (k=4) clears 1.0. The oracle replays
+    * the identical µ-quantized pipeline — candidate cosines rounded to
+    * exact BIGINT micro-units BEFORE the k-NN sums, so both engines
+    * rank and threshold on bit-identical values (see
+    * [[Similarity.marginMine]]'s determinism contract).
+    */
+  private val qBitextMargin = Q("q_bitext_margin",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), dim = EmbDim, keep = Seq(col("label")))
+      Similarity.marginMine(
+        n.filter(col("label") < 5).drop("label"),
+        n.filter(col("label") >= 5).drop("label"),
+        k = 4, threshold = 1.0)
+        .orderBy("xid")
+    },
+    Some("WITH nf AS (SELECT vec_id, label, " +
+      "CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
+      "x AS (SELECT vec_id AS xid, v, nm FROM nf WHERE label < 5), " +
+      "y AS (SELECT vec_id AS yid, v, nm FROM nf WHERE label >= 5), " +
+      "s AS (SELECT xid, yid, CAST(round(list_dot_product(x.v, y.v) " +
+      "/ (x.nm * y.nm) * 1000000) AS BIGINT) AS qcos " +
+      "FROM x CROSS JOIN y), " +
+      "f AS (SELECT xid, CAST(sum(qcos) AS BIGINT) AS fs FROM (" +
+      "SELECT xid, qcos, row_number() OVER (PARTITION BY xid " +
+      "ORDER BY qcos DESC, yid) AS rn FROM s) WHERE rn <= 4 GROUP BY xid), " +
+      "b AS (SELECT yid, CAST(sum(qcos) AS BIGINT) AS bs FROM (" +
+      "SELECT yid, qcos, row_number() OVER (PARTITION BY yid " +
+      "ORDER BY qcos DESC, xid) AS rn FROM s) WHERE rn <= 4 GROUP BY yid), " +
+      "m AS (SELECT s.xid, s.yid, s.qcos, " +
+      "(8.0 * s.qcos) / (fs + bs) AS margin " +
+      "FROM s JOIN f USING (xid) JOIN b USING (yid)), " +
+      "r AS (SELECT xid, yid, margin, qcos, row_number() OVER (" +
+      "PARTITION BY xid ORDER BY margin DESC, yid) AS rn FROM m) " +
+      "SELECT xid, yid, round(margin, 4) AS margin, " +
+      "round(qcos / 1000000.0, 4) AS cos " +
+      "FROM r WHERE rn = 1 AND margin >= 1.0 ORDER BY xid"))
+
+  /** [EXT] k-NN majority-vote label propagation: vec_id<8 play the
+    * unlabeled queries, the rest the curated corpus; k=7 neighbors by
+    * cosine, prediction by vote count (ties -> smaller label). The vote
+    * math is pure integer arithmetic; the neighbor cut uses the raw
+    * cosine with id tie-break (the q_ann_topk convention).
+    */
+  private val qKnnClassify = Q("q_knn_classify",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), dim = EmbDim, keep = Seq(col("label")))
+      Similarity.knnClassify(
+        n.filter(col("vec_id") < 8).drop("label"),
+        n.filter(col("vec_id") >= 8), k = 7)
+        .orderBy("qid")
+    },
+    Some("WITH nf AS (SELECT vec_id, label, " +
+      "CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
+      "q AS (SELECT vec_id AS qid, v, nm FROM nf WHERE vec_id < 8), " +
+      "c AS (SELECT vec_id, label, v, nm FROM nf WHERE vec_id >= 8), " +
+      "s AS (SELECT qid, c.vec_id, c.label, " +
+      "list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos " +
+      "FROM q CROSS JOIN c), " +
+      "nn AS (SELECT qid, label FROM (SELECT qid, label, row_number() " +
+      "OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s) " +
+      "WHERE rn <= 7), " +
+      "v AS (SELECT qid, label, count(*) AS votes FROM nn GROUP BY 1, 2), " +
+      "r AS (SELECT qid, label, votes, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY votes DESC, label) AS rn FROM v) " +
+      "SELECT qid, CAST(label AS BIGINT) AS pred_label, " +
+      "CAST(votes AS BIGINT) AS votes FROM r WHERE rn = 1 ORDER BY qid"))
+
+  /** [EXT] Embedding-space outlier scoring: the 20 most isolated
+    * vectors by k-NN mean cosine (k=5) — the cleaning dual of near-dup
+    * mining. Ranking and the bottom-20 cut both run on the exact
+    * BIGINT µ-sum (never a float mean), so the cut is bit-stable
+    * across engines; see [[Similarity.knnMeanCos]].
+    */
+  private val qEmbOutliers = Q("q_emb_outliers",
+    (s, d) => Similarity.knnMeanCos(embNorm(s, d), k = 5)
+      .orderBy(col("sc").asc, col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("knn_cos"))
+      .orderBy("vec_id"),
+    Some(duckNormCte + ", " +
+      "s AS (SELECT q.vec_id AS qid, c.vec_id AS cid, " +
+      "CAST(round(list_dot_product(q.v, c.v) / (q.nm * c.nm) * 1000000) " +
+      "AS BIGINT) AS qcos FROM n q JOIN n c ON q.vec_id <> c.vec_id), " +
+      "nn AS (SELECT qid, qcos FROM (SELECT qid, qcos, row_number() " +
+      "OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rn FROM s) " +
+      "WHERE rn <= 5), " +
+      "a AS (SELECT qid, CAST(sum(qcos) AS BIGINT) AS sc, " +
+      "count(*) AS cnt FROM nn GROUP BY qid) " +
+      "SELECT vec_id, knn_cos FROM (SELECT qid AS vec_id, sc, " +
+      "round(CAST(sc AS DOUBLE) / (cnt * 1000000.0), 4) AS knn_cos " +
+      "FROM a ORDER BY sc, qid LIMIT 20) ORDER BY vec_id"))
+
+  /** [EXT] Per-doc token Shannon entropy (bits): the distribution-
+    * uniformity quality signal — near-zero entropy flags keyword-
+    * stuffed/spam pages whose every token is individually corpus-
+    * typical (invisible to the corpus-LM scorers). µ-bit-exact per
+    * [[TextAnalysis.tokenEntropy]].
+    */
+  private val qTokenEntropy = Q("q_token_entropy",
+    (s, d) => TextAnalysis.tokenEntropy(
+      t(s, d, "documents"), col("text"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("WITH tok AS (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1, 2), " +
+      "wn AS (SELECT doc_id, c, CAST(sum(c) OVER (" +
+      "PARTITION BY doc_id) AS BIGINT) AS n_tok FROM tf), " +
+      "w AS (SELECT doc_id, n_tok, c * CAST(round(-(ln(" +
+      "CAST(c AS DOUBLE) / n_tok) / ln(2.0)) * 1000000) AS BIGINT) AS w " +
+      "FROM wn) " +
+      "SELECT doc_id, n_tok, round(CAST(sum(w) AS DOUBLE) " +
+      "/ (n_tok * 1000000.0), 4) AS ent_bits " +
+      "FROM w GROUP BY doc_id, n_tok ORDER BY doc_id"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -4937,5 +5064,8 @@ object ExtQueries {
     qFeatureHash, qInterleave, qBigramLm, qSourceOverlap, qSilhouette, qCdcChunks, qDsirWeights, qBlocklist, qDataCard, qMinhashBbit, qLrTrain, qCalibration, qEmbedStandardize, qSimhashRecall, qTokenBudgetCut, qSpanCorrupt, qFim, qScoreNorm, qNegativeSamples, qBlocklistPhrases, qDedupBySource, qMrr,
     qDedupRefresh, qAnnRefresh, qNoveltyRefresh, qMediaDedup, qAnnRetrain,
     qNoveltyCompact, qAudioDedup, qVideoDedup, qMediaDedupRefresh,
-    qVideoDedupMulti, qGifDedup, qCrossmodalDedup)
+    qVideoDedupMulti, qGifDedup, qCrossmodalDedup,
+    // round-19 session 2: margin bitext mining, k-NN label
+    // propagation, embedding outliers, token entropy
+    qBitextMargin, qKnnClassify, qEmbOutliers, qTokenEntropy)
 }

@@ -664,4 +664,144 @@ class SimilaritySpec extends SparkSpec {
       col("embedding"), dim = 4)
     assert(qgated.select("vec_id").as[Long].collect().toSet == Set(1L))
   }
+
+  test("marginMine matches a driver-side replay of the µ-quantized " +
+      "margin pipeline on random sides") {
+    val rnd = new scala.util.Random(77)
+    def side(ids: Range) = ids
+      .map(i => (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+    val xs = side(0 until 15)
+    val ys = side(100 until 125)
+    val (k, thr) = (3, 0.0) // thr 0 keeps every best-margin pair visible
+    val nx = Similarity.withNorm(xs.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    val ny = Similarity.withNorm(ys.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    val got = Similarity.marginMine(nx, ny, k = k, threshold = thr)
+      .select("xid", "yid", "margin").as[(Long, Long, Double)]
+      .collect().toSet
+    // driver-side replay with the exact same µ-quantization
+    def nrm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    def qcos(a: Seq[Float], b: Seq[Float]): Long =
+      math.round(a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (nrm(a) * nrm(b)) * 1e6)
+    val scored = for ((xi, xv) <- xs; (yi, yv) <- ys)
+      yield (xi, yi, qcos(xv, yv))
+    val fs = scored.groupBy(_._1).map { case (xi, rs) =>
+      xi -> rs.sortBy(r => (-r._3, r._2)).take(k).map(_._3).sum }
+    val bs = scored.groupBy(_._2).map { case (yi, rs) =>
+      yi -> rs.sortBy(r => (-r._3, r._1)).take(k).map(_._3).sum }
+    val want = scored.groupBy(_._1).map { case (xi, rs) =>
+      val best = rs.map { case (_, yi, q) =>
+        (yi, 2.0 * k * q / (fs(xi) + bs(yi))) }
+        .minBy { case (yi, m) => (-m, yi) }
+      (xi, best._1, BigDecimal(best._2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("marginMine demotes a hub: the margin denominator strips a " +
+      "query whose cosine is high against EVERYTHING") {
+    // y=100 is a hub direction every x is near (its bwd neighborhood
+    // sum saturates); y=101 is x=1's exclusive partner with a slightly
+    // LOWER absolute cosine. Absolute-cosine mining hands x=1 to the
+    // hub; the margin criterion must flip to the partner.
+    val xs = Seq(
+      (1L, Seq(0.9f, 0.436f, 0f, 0f)), // cos 0.900 to hub, 0.892 to 101
+      (2L, Seq(1f, 0.03f, 0f, 0f)), // hub-aligned
+      (3L, Seq(1f, -0.03f, 0f, 0f)), // hub-aligned
+      (4L, Seq(1f, 0.02f, 0.01f, 0f))) // hub-aligned
+    val ys = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)), // the hub
+      (101L, Seq(0.6f, 0.79f, 0f, 0f)), // x=1's partner
+      (102L, Seq(0f, 0f, 1f, 0f)),
+      (103L, Seq(0f, 0f, 0f, 1f)))
+    val nx = Similarity.withNorm(xs.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    val ny = Similarity.withNorm(ys.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    // absolute cosine genuinely prefers the hub (the trap is armed)
+    val byCos = Similarity.bruteForceTopK(
+      nx.filter(col("vec_id") === 1), ny, k = 1)
+      .select("vec_id").as[Long].collect()
+    assert(byCos.sameElements(Array(100L)),
+      "test construction broken: absolute cosine must pick the hub")
+    val mined = Similarity.marginMine(nx, ny, k = 2, threshold = 0.0)
+      .select("xid", "yid").as[(Long, Long)].collect().toMap
+    assert(mined(1L) == 101L,
+      s"margin must prefer the exclusive partner over the hub: $mined")
+  }
+
+  test("knnClassify: planted clusters vote their label; exact vote " +
+      "ties break to the smaller label") {
+    // two tight clusters along axes e0 (label 0) and e1 (label 1)
+    val rnd = new scala.util.Random(5)
+    def jig = rnd.nextFloat() * 0.05f
+    val corpus = (0 until 8).map(i =>
+      (10L + i, Seq(1f, jig, jig), 0)) ++ (0 until 8).map(i =>
+      (30L + i, Seq(jig, 1f, jig), 1))
+    val queries = Seq(
+      (1L, Seq(0.95f, 0.02f, 0.01f)), // in cluster 0
+      (2L, Seq(0.03f, 0.97f, 0.02f))) // in cluster 1
+    val nq = Similarity.withNorm(queries.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"))
+    val nc = Similarity.withNorm(
+      corpus.toDF("vec_id", "embedding", "label"),
+      col("vec_id"), col("embedding"), keep = Seq(col("label")))
+    val pred = Similarity.knnClassify(nq, nc, k = 5)
+      .select("qid", "pred_label", "votes")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(pred(1L) == (0L, 5L) && pred(2L) == (1L, 5L), pred.toString)
+    // exact tie: k=2 with one neighbor from each cluster equidistant —
+    // the diagonal query sits at cos equality; label 0 must win the tie
+    val corpus2 = Seq((10L, Seq(1f, 0f), 7), (20L, Seq(0f, 1f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val q2 = Seq((1L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val tied = Similarity.knnClassify(
+      Similarity.withNorm(q2, col("vec_id"), col("embedding")),
+      Similarity.withNorm(corpus2, col("vec_id"), col("embedding"),
+        keep = Seq(col("label"))), k = 2)
+      .select("pred_label", "votes").as[(Long, Long)].collect()
+    assert(tied.sameElements(Array((3L, 1L))),
+      "1-vote-each tie must break to the smaller label")
+  }
+
+  test("knnMeanCos: a planted far-away vector scores lowest and the " +
+      "mean equals the hand-computed µ-quantized value") {
+    val base = (0 until 6).map(i =>
+      (i.toLong, Seq(1f, 0.01f * i, 0f)))
+    val outlier = (99L, Seq(-0.1f, -0.1f, 1f))
+    val emb = (base :+ outlier).toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(emb, col("vec_id"), col("embedding"))
+    val rows = Similarity.knnMeanCos(n, k = 3)
+      .select("vec_id", "sc", "cnt", "knn_cos")
+      .as[(Long, Long, Long, Double)].collect()
+    val worst = rows.minBy(_._2)
+    assert(worst._1 == 99L, s"outlier must rank last: ${rows.mkString}")
+    // hand-check the outlier's mean over its 3 nearest
+    def nrm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    def qcos(a: Seq[Float], b: Seq[Float]): Long =
+      math.round(a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (nrm(a) * nrm(b)) * 1e6)
+    val ov = outlier._2
+    val top3 = base.map { case (_, v) => qcos(ov, v) }.sorted.reverse.take(3)
+    assert(worst._2 == top3.sum && worst._3 == 3L)
+    val wantMean = BigDecimal(top3.sum.toDouble / (3 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(worst._4 == wantMean)
+  }
+
+  test("marginMine / knnClassify / knnMeanCos degrade gracefully on " +
+      "empty sides") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val n = Similarity.withNorm(empty, col("vec_id"), col("embedding"))
+    val nl = Similarity.withNorm(
+      Seq.empty[(Long, Seq[Float], Int)].toDF("vec_id", "embedding", "label"),
+      col("vec_id"), col("embedding"), keep = Seq(col("label")))
+    assert(Similarity.marginMine(n, n, k = 2, threshold = 0.0).count() == 0)
+    assert(Similarity.knnClassify(n, nl, k = 3).count() == 0)
+    assert(Similarity.knnMeanCos(n, k = 3).count() == 0)
+  }
 }

@@ -654,4 +654,32 @@ class TextAnalysisSpec extends SparkSpec {
     // sub-2-token doc omitted
     assert(!big.contains(5L) && big.size == 4)
   }
+
+  test("tokenEntropy: uniform doc hits log2(n) exactly, constant doc " +
+      "hits zero, mixed doc matches the hand-computed µ-bit value") {
+    val docs = Seq(
+      (1L, "a b c d"), // uniform over 4 -> exactly 2.0 bits
+      (2L, "a a a a"), // single token -> 0.0
+      (3L, "a a b"), // 2/3·0.585 + 1/3·1.585 = 0.9183
+      (4L, null.asInstanceOf[String]), // omitted (no term rows)
+      (5L, "") // one empty token -> 0.0, n_tok = 1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (4L, 2.0))
+    assert(got(2L) == (4L, 0.0))
+    // hand replay of the µ-bit pipeline for "a a b":
+    // w(a) = 2·round(-log2(2/3)·1e6) = 2·584963; w(b) = round(-log2(1/3)·1e6)
+    val wsum = 2L * math.round(-math.log(2.0 / 3) / math.log(2.0) * 1e6) +
+      math.round(-math.log(1.0 / 3) / math.log(2.0) * 1e6)
+    val want = BigDecimal(wsum.toDouble / (3 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == (3L, want) && want == 0.9183)
+    assert(!got.contains(4L), "null text must be omitted, not scored")
+    assert(got(5L) == (1L, 0.0))
+    // low entropy at equal length separates stuffing from prose —
+    // the signal the corpus-LM scorers can't see
+    assert(got(2L)._2 < got(1L)._2)
+  }
 }
