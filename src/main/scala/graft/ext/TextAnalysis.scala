@@ -1378,7 +1378,10 @@ object TextAnalysis {
       w = w.join(grad, Seq("dim"), "left").crossJoin(broadcast(nf))
         .select(col("dim"),
           (col("w_micro") - floor(coalesce(col("g"), lit(0L)).cast("double") /
-            (col("nn") * 2) + 0.5).cast("long")).as("w_micro"))
+            // nn = 0 (empty corpus) means g is already 0 for every dim
+            // — clamp the divisor so the no-op step stays a no-op
+            // instead of an ANSI divide-by-zero
+            greatest(col("nn") * 2, lit(1L)) + 0.5).cast("long")).as("w_micro"))
         .localCheckpoint(false)
     }
     w

@@ -4555,7 +4555,11 @@ object ExtQueries {
           s"g$i AS (SELECT f.dim, CAST(sum(f.cnt * r.rq) AS BIGINT) " +
           s"AS g FROM ff f JOIN r$i r USING (doc_id) GROUP BY f.dim), " +
           s"w$i AS (SELECT w.dim, CAST(w.w - CAST(floor(" +
-          "CAST(COALESCE(g.g, 0) AS DOUBLE) / (nn * 2) + 0.5) " +
+          // greatest(nn*2, 1) mirrors lrTrain's empty-corpus no-op
+          // guard: with nn = 0 every gradient is already 0 and the
+          // step must stay a no-op on BOTH engines (DuckDB yields
+          // 0/0 artifacts, Spark ANSI hard-errors)
+          "CAST(COALESCE(g.g, 0) AS DOUBLE) / greatest(nn * 2, 1) + 0.5) " +
           s"AS BIGINT) AS BIGINT) AS w FROM $pw w " +
           s"LEFT JOIN g$i g USING (dim) CROSS JOIN tot)"
       }

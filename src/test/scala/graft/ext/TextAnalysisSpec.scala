@@ -489,6 +489,20 @@ class TextAnalysisSpec extends SparkSpec {
       s"trained margins must separate: pos=$pos neg=$neg")
   }
 
+  test("lrTrain: an EMPTY corpus trains the zero weight vector instead " +
+      "of dividing by the zero doc count") {
+    // at production scale an empty fold input is routine (a date
+    // partition with no rows); every gradient is vacuously 0 and the
+    // step must be a no-op, not an ANSI divide-by-zero
+    val docs = Seq.empty[(Long, String, Boolean)]
+      .toDF("doc_id", "text", "y")
+    val w = TextAnalysis.lrTrain(docs, col("text"), col("doc_id"),
+      col("y"), k = 64, steps = 3)
+      .as[(Long, Long)].collect()
+    assert(w.length == 65 && w.forall(_._2 == 0L),
+      "zero-doc training must return the 65-dim zero init")
+  }
+
   test("dataCard: shares reconcile; dominant lang elected with tie-break") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "A", "en"),   // 6 tok
