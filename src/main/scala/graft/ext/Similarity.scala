@@ -1194,6 +1194,107 @@ object Similarity {
         round(col("qcos") / lit(1e6), 4).as("cos"))
   }
 
+  /** [[marginMine]]'s 100 TB shape, made concrete: margin-criterion
+    * bitext mining over IVF CANDIDATE LISTS instead of the |X|·|Y|
+    * cross product — the standard large-scale approximation (mine from
+    * each side's retrieved top candidates; the k-NN normalization sums
+    * run over the same retrieved lists). Two cluster-pruned passes:
+    * forward (each x probes its top-`nprobe` Voronoi cells of the
+    * Y-side assignment and keeps its `cand` best targets) and backward
+    * (symmetric, y against the X side); the margin denominator takes
+    * fwd_k from the forward lists and bwd_k from the backward lists,
+    * and each x keeps its best-margin forward candidate above
+    * `threshold`.
+    *
+    * Scale posture mirrors [[ivfTopK]]: corpus-side assignment is one
+    * broadcast-centroid pass per side; every candidate join is a
+    * cid-bucket equi-join, so cost follows probed cells, never |X|·|Y|.
+    * The backward pass probes with the corpus-sized Y side, so its
+    * probe frame is NEVER broadcast (the `broadcastQueries = false`
+    * posture — shuffle-hash on cid); the forward probe frame is
+    * query-batch sized and broadcasts. Determinism: candidate cosines
+    * µ-quantized once (the [[marginMine]] contract); both k-NN sums are
+    * exact BIGINT; assignment/probe argmax ties break on cid, candidate
+    * ties on the target id.
+    *
+    * With nprobe = |centroids| and cand ≥ |Y| (and ≥ |X| backward) the
+    * candidate lists are exhaustive and this equals [[marginMine]]
+    * exactly — property-pinned in SimilaritySpec.
+    *
+    * @param x source side, [[withNorm]]-shaped (vec_id, v, nm)
+    * @param y target side, [[withNorm]]-shaped
+    * @param centroids [[withNorm]]-shaped centroid table (shared by
+    *                  both directions)
+    * @param k    neighbors in each margin-normalization sum
+    * @param cand retrieved candidates per query (≥ k)
+    */
+  def marginMineIvf(x: DataFrame, y: DataFrame, centroids: DataFrame,
+                    k: Int, cand: Int, nprobe: Int,
+                    threshold: Double): DataFrame = {
+    require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    val cent = centroids.select(col("vec_id").as("cid"),
+      col("v").as("cv"), col("nm").as("cn"))
+    // corpus-side cell assignment: argmax cosine over the broadcast
+    // centroid table (ties -> cid), one pass per side
+    def assign(side: DataFrame): DataFrame =
+      Windows.findFirst(
+        side.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("nm"), col("cid"),
+            cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn"))
+              .as("ccos")),
+        keys = Seq(col("vec_id")),
+        priority = Seq(col("ccos").desc, col("cid")))
+        .select("vec_id", "v", "nm", "cid")
+    // top-nprobe probed cells per EXTERNAL query vector (not drawn
+    // from the corpus side, unlike ivfTopK's probe reuse)
+    def probe(side: DataFrame): DataFrame =
+      Windows.findFirstK(
+        side.select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nm").as("qn"))
+          .crossJoin(broadcast(cent))
+          .select(col("qid"), col("qv"), col("qn"), col("cid"),
+            cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn"))
+              .as("ccos")),
+        keys = Seq(col("qid")),
+        priority = Seq(col("ccos").desc, col("cid")),
+        k = nprobe, rankName = "pr")
+        .select("qid", "qv", "qn", "cid")
+    // ranked candidate list: queries meet their probed cells' corpus
+    // vectors on the cid bucket; qcos µ-quantized at birth
+    def cands(queries: DataFrame, corpus: DataFrame,
+              broadcastProbes: Boolean): DataFrame = {
+      val p = probe(queries)
+      val probeSide = if (broadcastProbes) broadcast(p)
+        else p.hint("shuffle_hash")
+      Windows.findFirstK(
+        assign(corpus).join(probeSide, Seq("cid"))
+          .select(col("qid"), col("vec_id"),
+            round(cosinePre(dot(col("qv"), col("v")), col("qn"),
+              col("nm")) * lit(1e6)).cast("long").as("qcos")),
+        keys = Seq(col("qid")),
+        priority = Seq(col("qcos").desc, col("vec_id")),
+        k = cand, rankName = "rnk")
+    }
+    val fwd = cands(x, y, broadcastProbes = true)
+      .select(col("qid").as("xid"), col("vec_id").as("yid"),
+        col("qcos"), col("rnk"))
+    val fs = fwd.groupBy("xid")
+      .agg(sum(when(col("rnk") <= k, col("qcos"))).as("fs"))
+    val bs = cands(y, x, broadcastProbes = false)
+      .groupBy(col("qid").as("yid"))
+      .agg(sum(when(col("rnk") <= k, col("qcos"))).as("bs"))
+    val margined = fwd.join(fs, "xid").join(bs, "yid")
+      .select(col("xid"), col("yid"), col("qcos"),
+        (lit(2.0 * k) * col("qcos") / (col("fs") + col("bs")))
+          .as("margin"))
+    Windows.findFirst(margined, keys = Seq(col("xid")),
+        priority = Seq(col("margin").desc, col("yid")))
+      .filter(col("margin") >= threshold)
+      .select(col("xid"), col("yid"),
+        round(col("margin"), 4).as("margin"),
+        round(col("qcos") / lit(1e6), 4).as("cos"))
+  }
+
   /** k-NN majority-vote classification over an embedding space — label
     * propagation from a labeled corpus to unlabeled queries (the
     * standard weak-labeling pass of a training-data pipeline: propagate

@@ -4953,6 +4953,77 @@ object ExtQueries {
       "round(qcos / 1000000.0, 4) AS cos " +
       "FROM r WHERE rn = 1 AND margin >= 1.0 ORDER BY xid"))
 
+  /** [EXT] `q_bitext_margin`'s 100 TB scale path, oracle-gated: the
+    * same margin criterion mined from IVF candidate lists (forward and
+    * backward retrieval, nprobe=2, cand=8) instead of the |X|·|Y|
+    * cross product — the oracle replays both cluster-pruned passes
+    * exactly (assignment argmax, probed cells, candidate ranks, the
+    * µ-quantized k-NN sums), so this gates the approximation pipeline
+    * itself, not just its output shape.
+    */
+  private val qBitextMarginIvf = Q("q_bitext_margin_ivf",
+    (s, d) => {
+      val n = Similarity.withNorm(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"), dim = EmbDim, keep = Seq(col("label")))
+      Similarity.marginMineIvf(
+        n.filter(col("label") < 5).drop("label"),
+        n.filter(col("label") >= 5).drop("label"),
+        centroids = n.filter(col("vec_id") % 50 === 0).drop("label"),
+        k = 4, cand = 8, nprobe = 2, threshold = 1.0)
+        .orderBy("xid")
+    },
+    Some("WITH nf AS (SELECT vec_id, label, " +
+      "CAST(embedding AS DOUBLE[]) AS v, " +
+      "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
+      s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
+      "x AS (SELECT vec_id AS xid, v, nm FROM nf WHERE label < 5), " +
+      "y AS (SELECT vec_id AS yid, v, nm FROM nf WHERE label >= 5), " +
+      "cent AS (SELECT vec_id AS cid, v AS cv, nm AS cn FROM nf " +
+      "WHERE vec_id % 50 = 0), " +
+      // corpus-side cell assignment, one row per vector
+      "ay AS (SELECT yid, v, nm, cid FROM (SELECT y.yid, y.v, y.nm, " +
+      "c.cid, row_number() OVER (PARTITION BY y.yid ORDER BY " +
+      "list_dot_product(y.v, c.cv) / (y.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM y CROSS JOIN cent c) WHERE rn = 1), " +
+      "ax AS (SELECT xid, v, nm, cid FROM (SELECT x.xid, x.v, x.nm, " +
+      "c.cid, row_number() OVER (PARTITION BY x.xid ORDER BY " +
+      "list_dot_product(x.v, c.cv) / (x.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM x CROSS JOIN cent c) WHERE rn = 1), " +
+      // top-nprobe probed cells per query vector
+      "px AS (SELECT xid, v, nm, cid FROM (SELECT x.xid, x.v, x.nm, " +
+      "c.cid, row_number() OVER (PARTITION BY x.xid ORDER BY " +
+      "list_dot_product(x.v, c.cv) / (x.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM x CROSS JOIN cent c) WHERE rn <= 2), " +
+      "py AS (SELECT yid, v, nm, cid FROM (SELECT y.yid, y.v, y.nm, " +
+      "c.cid, row_number() OVER (PARTITION BY y.yid ORDER BY " +
+      "list_dot_product(y.v, c.cv) / (y.nm * c.cn) DESC, c.cid) AS rn " +
+      "FROM y CROSS JOIN cent c) WHERE rn <= 2), " +
+      // ranked candidates: probed cells' corpus vectors, µ-quantized
+      "fwdc AS (SELECT xid, yid, qcos, rnk FROM (SELECT p.xid, a.yid, " +
+      "CAST(round(list_dot_product(p.v, a.v) / (p.nm * a.nm) * 1000000) " +
+      "AS BIGINT) AS qcos, row_number() OVER (PARTITION BY p.xid " +
+      "ORDER BY CAST(round(list_dot_product(p.v, a.v) / (p.nm * a.nm) " +
+      "* 1000000) AS BIGINT) DESC, a.yid) AS rnk " +
+      "FROM px p JOIN ay a USING (cid)) WHERE rnk <= 8), " +
+      "bwdc AS (SELECT yid, xid, qcos, rnk FROM (SELECT p.yid, a.xid, " +
+      "CAST(round(list_dot_product(p.v, a.v) / (p.nm * a.nm) * 1000000) " +
+      "AS BIGINT) AS qcos, row_number() OVER (PARTITION BY p.yid " +
+      "ORDER BY CAST(round(list_dot_product(p.v, a.v) / (p.nm * a.nm) " +
+      "* 1000000) AS BIGINT) DESC, a.xid) AS rnk " +
+      "FROM py p JOIN ax a USING (cid)) WHERE rnk <= 8), " +
+      "f AS (SELECT xid, CAST(sum(CASE WHEN rnk <= 4 THEN qcos END) " +
+      "AS BIGINT) AS fs FROM fwdc GROUP BY xid), " +
+      "b AS (SELECT yid, CAST(sum(CASE WHEN rnk <= 4 THEN qcos END) " +
+      "AS BIGINT) AS bs FROM bwdc GROUP BY yid), " +
+      "m AS (SELECT w.xid, w.yid, w.qcos, " +
+      "(8.0 * w.qcos) / (fs + bs) AS margin " +
+      "FROM fwdc w JOIN f USING (xid) JOIN b USING (yid)), " +
+      "r AS (SELECT xid, yid, margin, qcos, row_number() OVER (" +
+      "PARTITION BY xid ORDER BY margin DESC, yid) AS rn FROM m) " +
+      "SELECT xid, yid, round(margin, 4) AS margin, " +
+      "round(qcos / 1000000.0, 4) AS cos " +
+      "FROM r WHERE rn = 1 AND margin >= 1.0 ORDER BY xid"))
+
   /** [EXT] k-NN majority-vote label propagation: vec_id<8 play the
     * unlabeled queries, the rest the curated corpus; k=7 neighbors by
     * cosine, prediction by vote count (ties -> smaller label). The vote
@@ -5071,5 +5142,6 @@ object ExtQueries {
     qVideoDedupMulti, qGifDedup, qCrossmodalDedup,
     // round-19 session 2: margin bitext mining, k-NN label
     // propagation, embedding outliers, token entropy
-    qBitextMargin, qKnnClassify, qEmbOutliers, qTokenEntropy)
+    qBitextMargin, qKnnClassify, qEmbOutliers, qTokenEntropy,
+    qBitextMarginIvf)
 }

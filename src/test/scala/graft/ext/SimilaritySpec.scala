@@ -733,6 +733,36 @@ class SimilaritySpec extends SparkSpec {
       s"margin must prefer the exclusive partner over the hub: $mined")
   }
 
+  test("marginMineIvf: probing every cell with exhaustive candidate " +
+      "lists degenerates to the exact cross-product marginMine") {
+    val rnd = new scala.util.Random(13)
+    def side(ids: Range) = ids
+      .map(i => (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val nx = Similarity.withNorm(side(0 until 12), col("vec_id"),
+      col("embedding"))
+    val ny = Similarity.withNorm(side(100 until 120), col("vec_id"),
+      col("embedding"))
+    val cents = Similarity.withNorm(side(200 until 205), col("vec_id"),
+      col("embedding"))
+    val exact = Similarity.marginMine(nx, ny, k = 3, threshold = 0.0)
+      .collect().map(_.toSeq).toSet
+    val ivf = Similarity.marginMineIvf(nx, ny, cents, k = 3, cand = 20,
+      nprobe = 5, threshold = 0.0)
+      .collect().map(_.toSeq).toSet
+    assert(ivf == exact,
+      "exhaustive probing must reproduce the exact margin mining")
+    // pruned probing returns a SUBSET-shaped approximation: per-x best
+    // pairs still deterministic, margins computed from retrieved lists
+    val pruned = Similarity.marginMineIvf(nx, ny, cents, k = 3,
+      cand = 4, nprobe = 1, threshold = 0.0)
+    assert(pruned.count() > 0)
+    val again = Similarity.marginMineIvf(nx, ny, cents, k = 3,
+      cand = 4, nprobe = 1, threshold = 0.0)
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      again.collect().map(_.toSeq).toSet, "pruned mining is deterministic")
+  }
+
   test("knnClassify: planted clusters vote their label; exact vote " +
       "ties break to the smaller label") {
     // two tight clusters along axes e0 (label 0) and e1 (label 1)
