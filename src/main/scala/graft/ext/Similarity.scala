@@ -1231,43 +1231,48 @@ object Similarity {
   def marginMineIvf(x: DataFrame, y: DataFrame, centroids: DataFrame,
                     k: Int, cand: Int, nprobe: Int,
                     threshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
     require(cand >= k, s"cand ($cand) must be >= k ($k)")
+    // nprobe = 0 would silently mine ZERO pairs — indistinguishable
+    // from "nothing cleared the threshold" (the error-loudly posture)
+    require(nprobe >= 1, s"nprobe must be >= 1: $nprobe")
     val cent = centroids.select(col("vec_id").as("cid"),
       col("v").as("cv"), col("nm").as("cn"))
-    // corpus-side cell assignment: argmax cosine over the broadcast
-    // centroid table (ties -> cid), one pass per side
-    def assign(side: DataFrame): DataFrame =
-      Windows.findFirst(
+    // ONE broadcast-centroid ranking pass per side serves BOTH
+    // consumers — the rank-1 row IS the cell assignment (corpus role)
+    // and rank <= nprobe are the probed cells (query role). Each side
+    // plays both roles (forward mines x against Y cells, backward y
+    // against X cells), so without the shared pass the dominant
+    // |side|·|centroids| sweep would run TWICE per side; the lazy
+    // checkpoint materializes it once for its two consumers (the
+    // SCALE.md multi-consumer rule — Spark does not CSE across
+    // DataFrame reuse).
+    def ranked(side: DataFrame): DataFrame =
+      Windows.findFirstK(
         side.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("v"), col("nm"), col("cid"),
             cosinePre(dot(col("v"), col("cv")), col("nm"), col("cn"))
               .as("ccos")),
         keys = Seq(col("vec_id")),
-        priority = Seq(col("ccos").desc, col("cid")))
-        .select("vec_id", "v", "nm", "cid")
-    // top-nprobe probed cells per EXTERNAL query vector (not drawn
-    // from the corpus side, unlike ivfTopK's probe reuse)
-    def probe(side: DataFrame): DataFrame =
-      Windows.findFirstK(
-        side.select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("nm").as("qn"))
-          .crossJoin(broadcast(cent))
-          .select(col("qid"), col("qv"), col("qn"), col("cid"),
-            cosinePre(dot(col("qv"), col("cv")), col("qn"), col("cn"))
-              .as("ccos")),
-        keys = Seq(col("qid")),
         priority = Seq(col("ccos").desc, col("cid")),
-        k = nprobe, rankName = "pr")
-        .select("qid", "qv", "qn", "cid")
+        k = math.max(nprobe, 1), rankName = "pr")
+        .select("vec_id", "v", "nm", "cid", "pr")
+        .localCheckpoint(false)
+    val rx = ranked(x)
+    val ry = ranked(y)
     // ranked candidate list: queries meet their probed cells' corpus
     // vectors on the cid bucket; qcos µ-quantized at birth
     def cands(queries: DataFrame, corpus: DataFrame,
               broadcastProbes: Boolean): DataFrame = {
-      val p = probe(queries)
+      val p = queries.filter(col("pr") <= nprobe)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nm").as("qn"), col("cid"))
       val probeSide = if (broadcastProbes) broadcast(p)
         else p.hint("shuffle_hash")
       Windows.findFirstK(
-        assign(corpus).join(probeSide, Seq("cid"))
+        corpus.filter(col("pr") === 1)
+          .select("vec_id", "v", "nm", "cid")
+          .join(probeSide, Seq("cid"))
           .select(col("qid"), col("vec_id"),
             round(cosinePre(dot(col("qv"), col("v")), col("qn"),
               col("nm")) * lit(1e6)).cast("long").as("qcos")),
@@ -1275,12 +1280,12 @@ object Similarity {
         priority = Seq(col("qcos").desc, col("vec_id")),
         k = cand, rankName = "rnk")
     }
-    val fwd = cands(x, y, broadcastProbes = true)
+    val fwd = cands(rx, ry, broadcastProbes = true)
       .select(col("qid").as("xid"), col("vec_id").as("yid"),
         col("qcos"), col("rnk"))
     val fs = fwd.groupBy("xid")
       .agg(sum(when(col("rnk") <= k, col("qcos"))).as("fs"))
-    val bs = cands(y, x, broadcastProbes = false)
+    val bs = cands(ry, rx, broadcastProbes = false)
       .groupBy(col("qid").as("yid"))
       .agg(sum(when(col("rnk") <= k, col("qcos"))).as("bs"))
     val margined = fwd.join(fs, "xid").join(bs, "yid")
@@ -1317,7 +1322,13 @@ object Similarity {
                   k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nm").as("qn"))
-    val scored = corpus.join(broadcast(q), col("qid") =!= col("vec_id"))
+    val scored = corpus
+      // an unlabeled corpus row cannot vote — and a NULL label group
+      // surviving to the tie-break would DIVERGE cross-engine (Spark
+      // orders NULLS FIRST ascending, DuckDB NULLS LAST), so the
+      // abstention is a correctness contract, not just semantics
+      .filter(col("label").isNotNull)
+      .join(broadcast(q), col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), col("label"),
         cosinePre(dot(col("qv"), col("v")), col("qn"), col("nm"))
           .as("cos"))

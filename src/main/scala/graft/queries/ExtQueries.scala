@@ -5044,10 +5044,16 @@ object ExtQueries {
       "sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), " +
       s"CAST(embedding AS DOUBLE[]))) AS nm FROM embeddings WHERE $duckEmbUnit), " +
       "q AS (SELECT vec_id AS qid, v, nm FROM nf WHERE vec_id < 8), " +
-      "c AS (SELECT vec_id, label, v, nm FROM nf WHERE vec_id >= 8), " +
+      // label IS NOT NULL mirrors knnClassify's abstention contract
+      // (an unlabeled row can't vote; a NULL vote group would order
+      // NULLS FIRST in Spark vs NULLS LAST in DuckDB at a tie); the
+      // <> guard mirrors the Spark join's self-exclusion so the idiom
+      // stays correct even when query/corpus ids overlap
+      "c AS (SELECT vec_id, label, v, nm FROM nf WHERE vec_id >= 8 " +
+      "AND label IS NOT NULL), " +
       "s AS (SELECT qid, c.vec_id, c.label, " +
       "list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos " +
-      "FROM q CROSS JOIN c), " +
+      "FROM q CROSS JOIN c WHERE c.vec_id <> q.qid), " +
       "nn AS (SELECT qid, label FROM (SELECT qid, label, row_number() " +
       "OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s) " +
       "WHERE rn <= 7), " +

@@ -796,6 +796,20 @@ class SimilaritySpec extends SparkSpec {
       .select("pred_label", "votes").as[(Long, Long)].collect()
     assert(tied.sameElements(Array((3L, 1L))),
       "1-vote-each tie must break to the smaller label")
+    // NULL-label corpus rows ABSTAIN: they cannot vote, and a NULL
+    // vote group surviving to the tie-break would diverge cross-engine
+    // (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST)
+    val corpus3 = Seq(
+      (10L, Seq(1f, 0f), Some(7)), (20L, Seq(0f, 1f), Some(3)),
+      (30L, Seq(0.9f, 0.9f), None), (40L, Seq(0.9f, 0.9f), None))
+      .toDF("vec_id", "embedding", "label")
+    val nullPred = Similarity.knnClassify(
+      Similarity.withNorm(q2, col("vec_id"), col("embedding")),
+      Similarity.withNorm(corpus3, col("vec_id"), col("embedding"),
+        keep = Seq(col("label"))), k = 2)
+      .select("pred_label", "votes").as[(Long, Long)].collect()
+    assert(nullPred.sameElements(Array((3L, 1L))),
+      "the two nearest (unlabeled) rows must abstain, not win the vote")
   }
 
   test("knnMeanCos: a planted far-away vector scores lowest and the " +
