@@ -533,6 +533,66 @@ object TextAnalysis {
     (regexp_replace(text, pattern, replacement),
       regexp_count(text, lit(pattern)))
 
+  /** HTML → text extraction (the crawl pipeline's step 1: raw web
+    * pages in, training text out — trafilatura/jusText territory,
+    * expressed as a deterministic rule chain both engines can replay):
+    *
+    *   1. drop `<script>`/`<style>` blocks WITH their payload (code
+    *      and CSS are not text),
+    *   2. drop `<nav>…</nav>` and `<div id=footer>…</div>` boilerplate
+    *      blocks (the chrome every page of a site repeats — leaving
+    *      them in is the classic near-dup false-positive generator),
+    *   3. strip every remaining tag to a space (content between tags
+    *      survives),
+    *   4. decode the three structural entities (`&amp;` `&lt;` `&gt;` —
+    *      order matters: `&amp;lt;` must decode to `&lt;`, not `<`),
+    *   5. collapse `[ \t\n\r]+` runs to one space and trim.
+    *
+    * Every regex is RE2-compatible (no backreferences, no lookaround)
+    * so a DuckDB/Trino oracle replays the chain byte-for-byte; the
+    * Java side opts into DOTALL with inline `(?s)` where the block
+    * payload spans lines. Pure per-row projection (codegen'd
+    * regexp_replace chain) — zero shuffle at any corpus size.
+    *
+    * Honest scope: this is the deterministic-contract extractor, not a
+    * DOM parser — nested same-tag blocks (a `<nav>` inside a `<nav>`)
+    * terminate at the first closer, and malformed HTML degrades to
+    * tag-stripping. The contract is identical bytes out of both
+    * engines, which is what the dedup/quality ops downstream key on.
+    */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val noNav = regexp_replace(noStyle, "(?s)<nav>.*?</nav>", " ")
+    val noFooter = regexp_replace(noNav,
+      "(?s)<div id=footer>.*?</div>", " ")
+    val noTags = regexp_replace(noFooter, "<[^>]+>", " ")
+    val decoded = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTags, "&lt;", "<"),
+        "&gt;", ">"),
+      "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
+  /** Sentence segmentation: split on `[.!?]+` runs followed by
+    * whitespace. The returned array keeps raw split positions
+    * (including any empty elements) so per-sentence indexes are
+    * reproducible across engines — callers filter empties AFTER
+    * indexing. Deliberately rule-based (no abbreviation lexicon): the
+    * cross-engine determinism contract is the split regex itself,
+    * which RE2 replays exactly (lookbehind — the usual "keep the
+    * terminator" trick — does not exist in RE2, so the terminator
+    * stays attached to nothing and the LAST sentence keeps its final
+    * punctuation, a documented asymmetry both engines share). Pure
+    * per-row projection; the explode that usually follows is a
+    * Generate, not a shuffle.
+    */
+  def sentenceSplit(text: Column): Column =
+    split(text, "[.!?]+[ \t\n\r]+")
+
   /** Composite quality-rule filter (the published Gopher/C4 rule-set
     * shape): five independent per-document cuts, reported as a failed-
     * rule BITMASK so a pipeline can both filter (`mask = 0`) and audit

@@ -5110,6 +5110,103 @@ object ExtQueries {
       "/ (n_tok * 1000000.0), 4) AS ent_bits " +
       "FROM w GROUP BY doc_id, n_tok ORDER BY doc_id"))
 
+  /** [EXT] HTML → text extraction ([[TextAnalysis.htmlExtract]]): the
+    * crawl pipeline's step 1 over a deterministically synthesized page
+    * per document (script/style payloads, nav + footer boilerplate
+    * chrome, tag-wrapped paragraphs from the document's own newlines —
+    * both engines build the page from the same parquet bytes, so the
+    * fixture needs no new input table). Reports the extraction digest
+    * plus the text-density signal (extracted chars / page chars) that
+    * quality filters cut on — boilerplate-heavy pages score low. The
+    * oracle replays the whole rule chain in RE2; `||` (not concat)
+    * keeps NULL-text propagation identical. Pure per-row projection:
+    * no shuffle at any corpus size.
+    */
+  private val qHtmlExtract = Q("q_html_extract",
+    (s, d) => {
+      val page = concat(
+        lit("<html><head><style>body{margin:0}</style>" +
+          "<script>var x=1;</script></head><body>" +
+          "<nav><a href=/>Home</a> | <a href=/about>About</a></nav>" +
+          "<h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"),
+        regexp_replace(col("text"), "\n", "</p><p>"),
+        lit("</p><div id=footer>Copyright example.com</div>" +
+          "</body></html>"))
+      val extracted = TextAnalysis.htmlExtract(page)
+      t(s, d, "documents").select(col("doc_id"),
+        length(page).cast("long").as("page_chars"),
+        length(extracted).cast("long").as("text_chars"),
+        round(length(extracted).cast("double") /
+          length(page).cast("double"), 4).as("density"),
+        md5(extracted).as("extract_md5"))
+        .orderBy("doc_id")
+    },
+    Some("WITH pg AS (SELECT doc_id, " +
+      "'<html><head><style>body{margin:0}</style>" +
+      "<script>var x=1;</script></head><body>" +
+      "<nav><a href=/>Home</a> | <a href=/about>About</a></nav>" +
+      "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || " +
+      "regexp_replace(text, chr(10), '</p><p>', 'g') || " +
+      "'</p><div id=footer>Copyright example.com</div></body></html>' " +
+      "AS page FROM documents), " +
+      "ex AS (SELECT doc_id, page, trim(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "page, '<script[^>]*>.*?</script>', ' ', 'gs'), " +
+      "'<style[^>]*>.*?</style>', ' ', 'gs'), " +
+      "'<nav>.*?</nav>', ' ', 'gs'), " +
+      "'<div id=footer>.*?</div>', ' ', 'gs'), " +
+      "'<[^>]+>', ' ', 'g'), " +
+      "'&lt;', '<', 'g'), '&gt;', '>', 'g'), '&amp;', '&', 'g'), " +
+      "'[ \t\n\r]+', ' ', 'g')) AS extracted FROM pg) " +
+      "SELECT doc_id, CAST(length(page) AS BIGINT) AS page_chars, " +
+      "CAST(length(extracted) AS BIGINT) AS text_chars, " +
+      "round(CAST(length(extracted) AS DOUBLE) / length(page), 4) " +
+      "AS density, md5(extracted) AS extract_md5 " +
+      "FROM ex ORDER BY doc_id"))
+
+  /** [EXT] Sentence segmentation ([[TextAnalysis.sentenceSplit]]): one
+    * row per sentence with raw split index, token count, and digest —
+    * the granularity span-level dedup, chunk-boundary packing, and
+    * per-sentence quality scoring key on. Empty split elements are
+    * dropped AFTER indexing (both engines index the raw array, so
+    * `sent_idx` is stable regardless of where empties fall). The
+    * explode is a Generate — per-row fan-out, no shuffle; ordering is
+    * the deterministic (doc_id, sent_idx) pair.
+    */
+  private val qSentenceSegment = Q("q_sentence_segment",
+    (s, d) => {
+      // the synthetic corpus is punctuation-free word soup, which
+      // would degenerate the split to one sentence per doc — inject
+      // deterministic terminators (same plain-replace chain both
+      // engines, left-to-right non-overlapping) so the oracle
+      // actually gates the segmentation
+      val punct = regexp_replace(
+        regexp_replace(col("text"), " join ", ". join "),
+        " merge ", "? merge ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.sentenceSplit(punct))
+            .as(Seq("sent_idx", "sent")))
+        .filter(length(col("sent")) > 0)
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          size(split(col("sent"), " ")).cast("long").as("sent_tokens"),
+          md5(col("sent")).as("sent_md5"))
+        .orderBy("doc_id", "sent_idx")
+    },
+    Some("WITH sp AS (SELECT doc_id, regexp_split_to_array(" +
+      "replace(replace(text, ' join ', '. join '), " +
+      "' merge ', '? merge '), " +
+      "'[.!?]+[ \t\n\r]+') AS arr FROM documents), " +
+      "e AS (SELECT doc_id, arr, " +
+      "unnest(generate_series(1, len(arr))) AS i FROM sp) " +
+      "SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx, " +
+      "CAST(len(string_split(arr[i], ' ')) AS BIGINT) AS sent_tokens, " +
+      "md5(arr[i]) AS sent_md5 FROM e WHERE length(arr[i]) > 0 " +
+      "ORDER BY doc_id, sent_idx"))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qMinhash, qMinhashLsh, qMinhashLshBounded, qMinhashSources,
     qSimhash, qSimhashPairs,
@@ -5149,5 +5246,7 @@ object ExtQueries {
     // round-19 session 2: margin bitext mining, k-NN label
     // propagation, embedding outliers, token entropy
     qBitextMargin, qKnnClassify, qEmbOutliers, qTokenEntropy,
-    qBitextMarginIvf)
+    qBitextMarginIvf,
+    // round-19 session 3: crawl-side text processing
+    qHtmlExtract, qSentenceSegment)
 }

@@ -150,5 +150,6 @@ object RegistrySpec {
     "q_audio_dedup", "q_video_dedup", "q_media_dedup_refresh",
     "q_video_dedup_multi", "q_gif_dedup", "q_crossmodal_dedup",
     "q_bitext_margin", "q_knn_classify", "q_emb_outliers",
-    "q_token_entropy", "q_bitext_margin_ivf")
+    "q_token_entropy", "q_bitext_margin_ivf",
+    "q_html_extract", "q_sentence_segment")
 }

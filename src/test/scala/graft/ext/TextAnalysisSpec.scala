@@ -696,4 +696,36 @@ class TextAnalysisSpec extends SparkSpec {
     // the signal the corpus-LM scorers can't see
     assert(got(2L)._2 < got(1L)._2)
   }
+
+  test("htmlExtract: script/style payloads and nav/footer chrome are " +
+      "dropped, tags stripped, entities decoded in lexical order, " +
+      "whitespace collapsed") {
+    val page = "<html><head><style>body{margin:0}</style>" +
+      "<script>var secret=1;</script></head><body>" +
+      "<nav><a href=/>Home</a> | <a href=/about>About</a></nav>" +
+      "<h1>Title</h1><p>alpha &amp; beta</p>\n<p>x &amp;lt; y</p>" +
+      "<div id=footer>Copyright chrome</div></body></html>"
+    val got = Seq(page, null).toDF("page")
+      .select(TextAnalysis.htmlExtract(col("page")).as("t"))
+      .as[String].collect()
+    // &amp;lt; decodes to the LITERAL &lt; (order contract), not <
+    assert(got(0) == "Title alpha & beta x &lt; y")
+    assert(got(1) == null, "NULL html must stay NULL, not empty")
+    assert(!got(0).contains("secret") && !got(0).contains("Home") &&
+      !got(0).contains("Copyright") && !got(0).contains("margin"))
+  }
+
+  test("sentenceSplit keeps raw indexes; terminator stays on the last " +
+      "sentence; NULL text explodes to zero rows") {
+    val docs = Seq((1L, "One two. Three! Four? Five."),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.sentenceSplit(col("text")))
+          .as(Seq("i", "s")))
+      .filter(length(col("s")) > 0)
+      .as[(Long, Int, String)].collect().toSeq
+    assert(rows == Seq((1L, 0, "One two"), (1L, 1, "Three"),
+      (1L, 2, "Four"), (1L, 3, "Five.")))
+  }
 }
