@@ -1143,6 +1143,23 @@ object Similarity {
     * @param x source side, [[withNorm]]-shaped (vec_id, v, nm)
     * @param y target side, [[withNorm]]-shaped
     */
+  /** Display rounding for exact µ-unit cosines: HALF-AWAY-FROM-ZERO
+    * to 4 decimals computed in INTEGER arithmetic, then one IEEE
+    * divide by 1e4. `round(qcos / 1e6, 4)` is NOT cross-engine safe:
+    * a µ-value ending in …50 (1-in-100 rows) puts the quotient's
+    * decimal tie at the 5th place, and Spark's Round (HALF_UP on the
+    * double's SHORTEST decimal repr — "0.28755" → 0.2876) disagrees
+    * with binary-value rounders (DuckDB: 0.2875499999… → 0.2875) on
+    * every such tie — caught by the sf0.1 gate on q_bitext_margin_ivf.
+    * The floor-of-double step is exact at these magnitudes (|µ| ≤ 1e6,
+    * integer quotients representable far below 2^53); the negate runs
+    * on LONG so a −0.0 can never leak into the display column.
+    */
+  private def muCos4(qcos: Column): Column = {
+    val mag = floor((abs(qcos) + lit(50L)) / lit(100.0)).cast("long")
+    when(qcos >= 0, mag).otherwise(-mag).cast("double") / lit(1e4)
+  }
+
   def marginMine(x: DataFrame, y: DataFrame, k: Int,
                  threshold: Double): DataFrame = {
     val q = x.select(col("vec_id").as("xid"), col("v").as("xv"),
@@ -1191,7 +1208,7 @@ object Similarity {
       .filter(col("margin") >= threshold)
       .select(col("xid"), col("yid"),
         round(col("margin"), 4).as("margin"),
-        round(col("qcos") / lit(1e6), 4).as("cos"))
+        muCos4(col("qcos")).as("cos"))
   }
 
   /** [[marginMine]]'s 100 TB shape, made concrete: margin-criterion
@@ -1305,7 +1322,7 @@ object Similarity {
       .filter(col("margin") >= threshold)
       .select(col("xid"), col("yid"),
         round(col("margin"), 4).as("margin"),
-        round(col("qcos") / lit(1e6), 4).as("cos"))
+        muCos4(col("qcos")).as("cos"))
   }
 
   /** k-NN majority-vote classification over an embedding space — label

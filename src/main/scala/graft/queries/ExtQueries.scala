@@ -4950,7 +4950,7 @@ object ExtQueries {
       "r AS (SELECT xid, yid, margin, qcos, row_number() OVER (" +
       "PARTITION BY xid ORDER BY margin DESC, yid) AS rn FROM m) " +
       "SELECT xid, yid, round(margin, 4) AS margin, " +
-      "round(qcos / 1000000.0, 4) AS cos " +
+      "CAST(CASE WHEN qcos >= 0 THEN (qcos + 50) // 100 ELSE -((-qcos + 50) // 100) END AS DOUBLE) / 10000.0 AS cos " +
       "FROM r WHERE rn = 1 AND margin >= 1.0 ORDER BY xid"))
 
   /** [EXT] `q_bitext_margin`'s 100 TB scale path, oracle-gated: the
@@ -5021,7 +5021,7 @@ object ExtQueries {
       "r AS (SELECT xid, yid, margin, qcos, row_number() OVER (" +
       "PARTITION BY xid ORDER BY margin DESC, yid) AS rn FROM m) " +
       "SELECT xid, yid, round(margin, 4) AS margin, " +
-      "round(qcos / 1000000.0, 4) AS cos " +
+      "CAST(CASE WHEN qcos >= 0 THEN (qcos + 50) // 100 ELSE -((-qcos + 50) // 100) END AS DOUBLE) / 10000.0 AS cos " +
       "FROM r WHERE rn = 1 AND margin >= 1.0 ORDER BY xid"))
 
   /** [EXT] k-NN majority-vote label propagation: vec_id<8 play the
