@@ -22,6 +22,22 @@ import graft.ext.TextHash._
   */
 object Dedup {
 
+  /** The session's configured shuffle parallelism — the explicit
+    * partition count for the pair family's band/shingle-key exchanges.
+    * Why explicit: those frames are bytes-SMALL (keys + 8-byte hashes)
+    * but feed bucket self-joins whose OUTPUT is the candidate-pair
+    * mass, and AQE's parallelism-first coalescing sizes partitions
+    * from input bytes — it folds the explosive join into 1-2 tasks
+    * (measured 2x wall on q_simhash_pairs at sf0.1). Deriving the
+    * count from `spark.sql.shuffle.partitions` keeps it scale-adaptive
+    * (the bench sets it to the core count; a cluster sets its own),
+    * never a local-mode constant.
+    */
+  private def shufflePartitions(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: one survivor (min id) per identical text.
     * 100 TB note: for long texts, group on a digest (md5(text)) instead
     * of raw text to shrink shuffle width — exactness is unchanged.
@@ -62,7 +78,11 @@ object Dedup {
     */
   def minhashLshPairs(sig: DataFrame, k: Int, bands: Int): DataFrame = {
     val (banded, keyCols) = bandedSignature(sig, k, bands)
-    bandSelfJoinPairs(banded, keyCols, k)
+    // pinned-width band-key exchange — the simhashHammingPairs rule
+    // (bytes-small banded frame, explosive bucket self-join)
+    bandSelfJoinPairs(
+      banded.repartition(shufflePartitions(sig), keyCols.map(col): _*),
+      keyCols, k)
   }
 
   /** [[minhashLshPairs]] with a per-bucket skew guard for adversarial
@@ -82,7 +102,12 @@ object Dedup {
     */
   def minhashLshPairsBounded(sig: DataFrame, k: Int, bands: Int,
       maxBucket: Long): (DataFrame, DataFrame) = {
-    val (banded, keyCols) = bandedSignature(sig, k, bands)
+    val (banded0, keyCols) = bandedSignature(sig, k, bands)
+    // pinned BEFORE the bucket-size window: the window, the overflow
+    // rollup, and the self-join all cluster on the band key, so the one
+    // explicit exchange serves all three (zero added shuffles)
+    val banded = banded0.repartition(
+      shufflePartitions(sig), keyCols.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
     val sized = banded.withColumn("__bsz", count(lit(1)).over(w))
@@ -747,9 +772,19 @@ object Dedup {
     require(bits % bands == 0, "bands must divide bits")
     require(maxDist < bands,
       s"pigeonhole recall guarantee needs maxDist < bands ($maxDist >= $bands)")
+    // Pinned-width exchange on the band key (guide §2.5): the banded
+    // frame is BYTES-small (8 bytes x bands per item) but the bucket
+    // self-join it feeds is EXPLOSIVE — AQE's parallelism-first
+    // coalescing sizes the post-shuffle partition count from the
+    // input bytes and folds the whole join into 1-2 tasks (measured:
+    // q_simhash_pairs ran its 3M-candidate probe single-task, wall
+    // 2.1 s at taskTime/wall ≈ 2). An explicit numPartitions
+    // (REPARTITION_BY_NUM) is exempt from coalescing; the count comes
+    // from the session's shuffle parallelism, never a local constant.
     val banded = fps
       .select(col("doc_id"), col("fp"),
         explode(hammingBandKeys(col("fp"), bands, bits)).as("bkey"))
+      .repartition(shufflePartitions(fps), col("bkey"))
     val a = banded.select(col("bkey"), col("doc_id").as("da"),
       col("fp").as("fa"))
     val b = banded.select(col("bkey"), col("doc_id").as("db"),
@@ -856,7 +891,11 @@ object Dedup {
       explode(array_distinct(
         graft.functions.HashFunctions.shingleHash48(text, n))).as("s"))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .repartition(col("s"))
+      // explicit numPartitions: same rationale as simhashHammingPairs —
+      // the index is small in bytes but its self-join emits candidate
+      // pairs; AQE's bytes-based coalescing would run that join at a
+      // fraction of the session parallelism
+      .repartition(shufflePartitions(docs), col("s"))
   }
 
   /** Self-join intersections over one index: (da < db, na, nb, i).
