@@ -140,6 +140,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized to the registry (static conf;
+      // default 100 entries): a session running a few hundred DISTINCT
+      // operators holds a few thousand codegen units, so the default
+      // cache thrashes and every re-execution pays full Janino
+      // compilation again — pure driver overhead at ANY data scale.
+      // Size follows the workload (not the host), env-overridable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: pay JIT/classloader/parquet-footer costs once so

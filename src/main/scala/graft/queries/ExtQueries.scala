@@ -17,6 +17,15 @@ import graft.ops.Aggregates
   */
 object ExtQueries {
 
+  /** Decode-stage parallelism for the media fixture rows: one task per
+    * core of THIS session (the driver re-runs the bench at lower core
+    * counts to measure scaling — a constant 32 would over-split there
+    * and under-split any larger cluster; guide §2 "scale-adaptive, not
+    * a local-mode constant").
+    */
+  private def decodePar(s: SparkSession): Int =
+    s.sparkContext.defaultParallelism
+
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.load(s, d, name)
 
@@ -3372,11 +3381,12 @@ object ExtQueries {
       // repartition the 8-byte IDS, not the fingerprints: the fixture
       // table arrives as one parquet split, and a coalesce(1) at the
       // write would pin the whole synth+decode chain to that ONE task —
-      // spreading the ids first keeps decode at cluster parallelism (32 = one task per local core)
+      // spreading the ids first keeps decode at cluster parallelism
+      // (decodePar: one task per session core, scale-adaptive)
       // (the shape a real multi-file media lake gets for free) and the
       // write stays shuffle-free (a few tiny files; the oracle globs)
       val media = graft.ext.Multimodal.synthesizeMedia(
-        t(s, d, "documents").select(col("doc_id")).repartition(32),
+        t(s, d, "documents").select(col("doc_id")).repartition(decodePar(s)),
         col("doc_id"))
       graft.ops.Staging.deleteTree(mediaFpDir)
       graft.ext.Multimodal.perceptualFingerprints(media).toDF()
@@ -3440,7 +3450,7 @@ object ExtQueries {
       // fixture table arrives as one split and decode must run at
       // cluster parallelism, never pinned to one task
       val clips = graft.ext.Multimodal.synthesizeAudio(
-        t(s, d, "documents").select(col("doc_id")).repartition(32),
+        t(s, d, "documents").select(col("doc_id")).repartition(decodePar(s)),
         col("doc_id"))
       graft.ops.Staging.deleteTree(audioFpDir)
       graft.ext.Multimodal.audioFingerprints(clips).toDF()
@@ -3496,7 +3506,7 @@ object ExtQueries {
   private val qVideoDedup = Q("q_video_dedup",
     (s, d) => {
       val vids = graft.ext.Multimodal.synthesizeVideo(
-        t(s, d, "documents").select(col("doc_id")).repartition(32),
+        t(s, d, "documents").select(col("doc_id")).repartition(decodePar(s)),
         col("doc_id"))
       graft.ops.Staging.deleteTree(videoFpDir)
       graft.ext.Multimodal.videoFingerprints(vids).toDF()
@@ -3549,7 +3559,7 @@ object ExtQueries {
   private val qGifDedup = Q("q_gif_dedup",
     (s, d) => {
       val gifs = graft.ext.Multimodal.synthesizeGif(
-        t(s, d, "documents").select(col("doc_id")).repartition(32),
+        t(s, d, "documents").select(col("doc_id")).repartition(decodePar(s)),
         col("doc_id"))
       graft.ops.Staging.deleteTree(gifFpDir)
       graft.ext.Multimodal.gifFingerprints(gifs).toDF()
@@ -3601,7 +3611,7 @@ object ExtQueries {
     */
   private val qCrossmodalDedup = Q("q_crossmodal_dedup",
     (s, d) => {
-      val ids = t(s, d, "documents").select(col("doc_id")).repartition(32)
+      val ids = t(s, d, "documents").select(col("doc_id")).repartition(decodePar(s))
       val media = graft.ext.Multimodal.synthesizeMedia(ids, col("doc_id"))
       val gifs = graft.ext.Multimodal.synthesizeGif(ids, col("doc_id"))
       graft.ops.Staging.deleteTree(crossFpDir)
@@ -3677,7 +3687,7 @@ object ExtQueries {
   private val qVideoDedupMulti = Q("q_video_dedup_multi",
     (s, d) => {
       val vids = graft.ext.Multimodal.synthesizeVideo(
-        t(s, d, "documents").select(col("doc_id")).repartition(32),
+        t(s, d, "documents").select(col("doc_id")).repartition(decodePar(s)),
         col("doc_id"))
       graft.ops.Staging.deleteTree(videoFrameFpDir)
       graft.ext.Multimodal.videoFrameFingerprints(vids).toDF()
@@ -3748,7 +3758,7 @@ object ExtQueries {
       // BEFORE synthesis so decode runs at cluster parallelism
       val media = graft.ext.Multimodal.synthesizeMedia(
         t(s, d, "documents").select(col("doc_id"))
-          .filter(col("doc_id") % 4 === 0).repartition(32),
+          .filter(col("doc_id") % 4 === 0).repartition(decodePar(s)),
         col("doc_id"))
       graft.ops.Staging.deleteTree(mediaRefreshFpDir)
       graft.ext.Multimodal.perceptualFingerprints(media).toDF()
