@@ -148,6 +148,14 @@ object Bench {
       // Size follows the workload (not the host), env-overridable.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Job-commit algorithm 2: task output moves to the destination at
+      // TASK commit, so job commit stops re-walking + renaming every
+      // file serially on the driver (guide §7.3 "commit protocol" is
+      // driver-side work). Safe for every write in this engine: result
+      // visibility is governed by the versioned-pointer CAS
+      // (ops/Staging), never by _SUCCESS, and crash-retried segment
+      // writes deleteTree their own deterministic dirs first.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: pay JIT/classloader/parquet-footer costs once so

@@ -18,6 +18,9 @@ object Verify {
       // units; the 100-entry default thrashes and re-pays Janino)
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // committer v2 (Bench's rationale: pointer-CAS visibility, not
+      // _SUCCESS; job commit stops serially renaming per file)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

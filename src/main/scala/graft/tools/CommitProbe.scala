@@ -20,6 +20,12 @@ object CommitProbe {
       .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional second arg "v2": job-commit algorithm 2 (task output
+    // moved to destination at task commit, job commit near-free) — the
+    // A/B for the per-write fixed cost
+    if (args.length > 1 && args(1) == "v2")
+      spark.sparkContext.hadoopConfiguration.setInt(
+        "mapreduce.fileoutputcommitter.algorithm.version", 2)
     def leg[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
