@@ -1415,8 +1415,13 @@ object TextAnalysis {
     val bias = docs.select(id.as("doc_id"), lit(k.toLong).as("dim"),
       lit(1L).as("cnt"))
     val feats = fh.unionAll(bias).localCheckpoint(false)
+    // labels and the corpus count are loop-invariant but were plan
+    // subtrees: every step's checkpoint materialization re-scanned the
+    // corpus for each (2·(steps−1) redundant scans — invisible at
+    // sf0.1, corpus-sized at scale). Checkpoint once, like feats.
     val lab = docs.select(id.as("doc_id"), label.cast("long").as("y"))
-    val nf = docs.agg(count(lit(1)).as("nn"))
+      .localCheckpoint(false)
+    val nf = docs.agg(count(lit(1)).as("nn")).localCheckpoint(false)
     val spark = docs.sparkSession
     var w = spark.range(k + 1L)
       .select(col("id").as("dim"), lit(0L).as("w_micro"))
