@@ -135,28 +135,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Generated-class cache sized to the registry (static conf;
-      // default 100 entries): a session running a few hundred DISTINCT
-      // operators holds a few thousand codegen units, so the default
-      // cache thrashes and every re-execution pays full Janino
-      // compilation again — pure driver overhead at ANY data scale.
-      // Size follows the workload (not the host), env-overridable.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
-      // Job-commit algorithm 2: task output moves to the destination at
-      // TASK commit, so job commit stops re-walking + renaming every
-      // file serially on the driver (guide §7.3 "commit protocol" is
-      // driver-side work). Safe for every write in this engine: result
-      // visibility is governed by the versioned-pointer CAS
-      // (ops/Staging), never by _SUCCESS, and crash-retried segment
-      // writes deleteTree their own deterministic dirs first.
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .getOrCreate()
+    // the ONE engine session recipe ([[Sessions]]): codegen cache
+    // sized to the registry, committer v2, UTC — shared with Verify,
+    // every probe, and library consumers, so no main drifts
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: pay JIT/classloader/parquet-footer costs once so
     // the first measured query isn't charged ~3-4s of JVM start-up

@@ -8,20 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional: restrict to these queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // generated-class cache sized to the registry (Bench's rationale:
-      // a few hundred distinct operators hold a few thousand codegen
-      // units; the 100-entry default thrashes and re-pays Janino)
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
-      // committer v2 (Bench's rationale: pointer-CAS visibility, not
-      // _SUCCESS; job commit stops serially renaming per file)
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .getOrCreate()
+    // the ONE engine session recipe ([[Sessions]]) — identical conf
+    // posture to the bench, so the oracle verifies what Bench times
+    val spark = Sessions.localBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -32,6 +21,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // under committer v2 a mid-write failure can leave committed-
+        // looking part files at the destination (v1 kept them in
+        // _temporary) — and a failure during job FINALIZATION leaves
+        // complete-looking output; sweep it so a failed query has no
+        // artifact and errors.json stays the single source of truth
+        try graft.ops.Staging.deleteTree(s"$outDir/$name")
+        catch { case _: Throwable => () }
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -10,11 +10,18 @@ import graft.ext.TextHash
   * them SQL-callable:
   *
   * {{{
-  * val spark = SparkSession.builder()
-  *   .withExtensions(new GraftExtensions)
-  *   ...
+  * val spark = graft.Sessions.tuned(           // engine conf posture:
+  *   SparkSession.builder()                    // codegen cache sized to
+  *     .withExtensions(new GraftExtensions))   // the operator registry,
+  *   .master(...)                              // committer v2, UTC
+  *   .getOrCreate()
   * spark.sql("SELECT graft_dot(a.embedding, b.embedding) FROM ...")
   * }}}
+  *
+  * Build sessions through [[graft.Sessions]] (`tuned` composes with any
+  * builder): a bare `SparkSession.builder()` silently reverts to the
+  * 100-entry codegen cache and committer v1 — both measured engine
+  * costs, not cosmetic defaults.
   *
   * The Column API (`HashFunctions`/`VectorFunctions`) works without
   * registration; this is the surface for SQL users and for tools that

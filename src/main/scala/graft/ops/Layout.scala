@@ -122,23 +122,28 @@ object Layout {
     */
   def writeBucketedTable(df: DataFrame, dir: String, key: String,
                          buckets: Int): Unit = {
-    // An EMPTY bucketed CTAS writes no data files at all (only
-    // _SUCCESS) — a later read has no parquet footer to infer a schema
-    // from and the artifact is bricked. Empty frames are legitimate
-    // (a micro-batch of all-too-short docs contributes zero index
-    // rows), so write them as one plain schema-bearing parquet file
-    // plus a marker the reader keys on; partitioning is irrelevant for
-    // zero rows.
-    if (df.isEmpty) {
-      df.coalesce(1).write.mode("overwrite").parquet(dir)
-      graft.ops.Staging.writeString(s"$dir/$EmptyMarker", "")
-      return
-    }
     val spark = df.sparkSession
     val tmp = s"graft_bktw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     df.write.bucketBy(buckets, key).sortBy(key)
       .option("path", dir).saveAsTable(tmp)
     spark.sql(s"DROP TABLE `$tmp`")
+    // An EMPTY bucketed CTAS writes no data files at all (only
+    // _SUCCESS) — a later read has no parquet footer to infer a schema
+    // from and the artifact is bricked. Empty frames are legitimate
+    // (a micro-batch of all-too-short docs contributes zero index
+    // rows), so rewrite such a dir as one plain schema-bearing parquet
+    // file plus a marker the reader keys on; partitioning is
+    // irrelevant for zero rows. Detected from the write's own OUTPUT
+    // (a metadata listing — the AnnIndex.writeCodeSegment discipline),
+    // not a pre-write `df.isEmpty` probe: that probe was an extra
+    // Spark job per segment commit that RE-EVALUATED the whole input
+    // plan when the caller's delta was not yet materialized (the
+    // day-1 build paid its corpus shingle scan twice).
+    if (!graft.ops.Staging.list(dir).exists(_.startsWith("part-"))) {
+      graft.ops.Staging.deleteTree(dir)
+      df.limit(0).coalesce(1).write.parquet(dir)
+      graft.ops.Staging.writeString(s"$dir/$EmptyMarker", "")
+    }
     ()
   }
 

@@ -11,12 +11,7 @@ import graft.ext.{AnnIndex, Similarity}
 object AnnProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (m, subDim) = (4, 16)
     def leg[A](name: String)(f: => A): A = {

@@ -11,11 +11,7 @@ object AqeProbe {
   def main(args: Array[String]): Unit = {
     val d = args.head
     val names = args.tail
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def run(n: String): Double = {
       val t0 = System.nanoTime()

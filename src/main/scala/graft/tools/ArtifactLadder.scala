@@ -48,10 +48,7 @@ object ArtifactLadder {
     val compactEvery = if (args.length > 4) args(4).toInt else 0
     val out = java.nio.file.Files.createTempDirectory(s"graft_${kind}_ladder")
       .toString
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val (table, idCol) =

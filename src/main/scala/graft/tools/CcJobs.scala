@@ -12,10 +12,7 @@ import graft.model.Tables
 object CcJobs {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val pairs = Dedup.ngramJaccardPairs(
       Tables.load(spark, d, "documents"), col("text"), col("doc_id"),

@@ -14,18 +14,18 @@ import graft.ext.HammingIndex
 object CommitProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // committer A/B: the Sessions recipe defaults to v2; optional
+    // second arg "v1" pins the legacy serial-rename committer. Set via
+    // the BUILDER (spark.hadoop.*) so each arm is deterministic even
+    // when a warm JVM reuses a session — mutating hadoopConfiguration
+    // after getOrCreate leaked the previous run's setting into the
+    // baseline arm.
+    val builder = graft.Sessions.localBuilder("32")
+    if (args.length > 1 && args(1) == "v1")
+      builder.config(
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "1")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // optional second arg "v2": job-commit algorithm 2 (task output
-    // moved to destination at task commit, job commit near-free) — the
-    // A/B for the per-write fixed cost
-    if (args.length > 1 && args(1) == "v2")
-      spark.sparkContext.hadoopConfiguration.setInt(
-        "mapreduce.fileoutputcommitter.algorithm.version", 2)
     def leg[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f

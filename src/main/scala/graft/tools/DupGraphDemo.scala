@@ -25,10 +25,7 @@ object DupGraphDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-dupgraph-demo"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed[A](name: String)(f: => A): A = {

@@ -53,10 +53,7 @@ object DupGraphLadder {
     val batches = if (args.length > 2) args(2).toInt else 5
     val compactEvery = if (args.length > 3) args(3).toInt else 0
     val out = java.nio.file.Files.createTempDirectory("graft_ladder").toString
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val docs = {

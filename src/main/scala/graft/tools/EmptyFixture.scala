@@ -25,12 +25,7 @@ import org.apache.spark.sql.SparkSession
 object EmptyFixture {
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.localBuilder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     FixtureIo.writeTwin(spark, src, dst, (_, df) => df.limit(0))
     spark.stop()

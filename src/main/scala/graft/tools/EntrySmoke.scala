@@ -5,12 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev smoke: mirrors the driver's t1 check (SparkEntry.entry rows > 0). */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.localBuilder("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.entry(spark)
     df.show(20, truncate = false)

@@ -22,12 +22,7 @@ object MediaFixture {
     require(args.length >= 2,
       "usage: runMain graft.tools.MediaFixture SRC_SF_DIR DST_DIR")
     val Array(src, dst) = args.take(2)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.localBuilder("8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ids = spark.read.parquet(s"$src/documents.parquet").select("doc_id")
     graft.ext.Multimodal.synthesizeMedia(ids, col("doc_id"))

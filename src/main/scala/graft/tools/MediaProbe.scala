@@ -16,10 +16,7 @@ import graft.ext.{Dedup, Multimodal}
   */
 object MediaProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     def time(name: String)(f: => Long): Unit = {

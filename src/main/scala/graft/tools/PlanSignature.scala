@@ -107,12 +107,7 @@ object PlanSignature {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "PLAN_SIGNATURES.json"
     // the TEST session config — snapshots are pinned to it
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.localBuilder("4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       render(all(spark, sfDir)))

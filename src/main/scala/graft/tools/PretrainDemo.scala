@@ -138,10 +138,7 @@ object PretrainDemo {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-pretrain-demo"
     val budget = if (args.length > 2) args(2).toLong else 200000L
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     val funnel = run(spark, sfDir, out, budget)

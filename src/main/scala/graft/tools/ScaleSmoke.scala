@@ -53,10 +53,7 @@ object ScaleSmoke {
       "q_simhash_recall", "q_span_corrupt")
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_${factor}x"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val stacked = Map(

@@ -113,12 +113,7 @@ object SkewFixture {
 
   def main(args: Array[String]): Unit = {
     val Array(src, dst) = args.take(2)
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.localBuilder("8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, src, dst)
     spark.stop()

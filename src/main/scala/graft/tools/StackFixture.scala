@@ -29,12 +29,7 @@ object StackFixture {
       "usage: runMain graft.tools.StackFixture SRC_SF_DIR DST_DIR [FACTOR]")
     val Array(src, dst) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", 16)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.localBuilder("16").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stacked = Map(
       "documents" -> Seq("doc_id"),

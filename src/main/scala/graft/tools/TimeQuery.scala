@@ -6,11 +6,7 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val d = args.head
     val names = args.tail
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.Sessions.localBuilder("32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries(names.head)(spark, d).count() // warm-up
     names.foreach { n =>
